@@ -1,0 +1,194 @@
+"""Bar processing: count-based tumbling OHLC bars + bar-level signal chain.
+
+B1-B7 of SURVEY.md §2.5 (/root/reference/src/BarProcessor.jl:134-358):
+
+- bars are *count*-based tumbling windows over the tick stream:
+  bar_id = (tick_idx-1) DIV ticks_per_bar; only full bars complete
+  (BarProcessor.jl:177-202);
+- OHLC per bar, bar average by boxcar round((H+L+C)/3) (:239-245) or a
+  trailing FIR convolution of the last len(taps) raw prices at the
+  completing tick (:170-174, :345-358; zeros before stream start, exactly
+  like the reference's zero-initialised circular buffer);
+- cumulative normalization recomputed every `normalization_window_bars`
+  bars from running sums of highs/lows (:247-270), preload 1.0;
+- bar delta jump-guard + winsorize with FLAG_CLIPPED (:279-291);
+- derivative encoding with the reference's quirk preserved: the imaginary
+  component uses the UNclipped average delta, and the first bar's
+  "velocity" is avg_raw/norm because prev_normalized=0 (:297-310);
+- pass-through enrichment: bar columns land only on the completing tick,
+  all other ticks keep nulls (:134-161) — a broadcast left join.
+
+Scale: groupBy(bar_id) is an N:1 reduction shuffle on a key derived from
+tick_idx; with stream partitioning it is map-side-combinable and evenly
+distributed by construction (every bar has exactly N rows — no skew).
+The bars table is ~N x smaller than ticks; all bar windows run on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark import constants as C
+from tickdatapipeline_spark.config import BarProcessingConfig
+from tickdatapipeline_spark.functions.fir import design_decimation_filter
+
+
+def _fir_average(ticks: DataFrame, part: list[str], taps: tuple[float, ...]) -> Column:
+    """Trailing dot product over the last len(taps) raw prices.
+
+    The reference convolves newest-to-oldest with a zero-initialised
+    circular buffer (BarProcessor.jl:345-358): out = sum_i c_i * p[t-i+1].
+    Here the trailing window lists prices oldest-first, so tap i pairs
+    with list element L-i+1 — i.e. the reversed tap vector. Accumulation
+    is oldest-first in BOTH this plan and the oracle SQL so the float
+    summation order (and hence the rounded integer) matches exactly.
+    """
+    L = len(taps)
+    w = Window.partitionBy(*part).orderBy("tick_idx").rowsBetween(-(L - 1), 0)
+    prices = F.collect_list(F.col("raw_price").cast("double")).over(w)
+    rev = F.array(*[F.lit(c) for c in reversed(taps)])
+    # left-pad conceptually with zeros: when fewer than L prices exist,
+    # align the *end* of the price list with the end of the tap list.
+    offset = F.lit(L) - F.size(prices)
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.size(prices)),
+        F.lit(0.0),
+        lambda a, i: a + F.element_at(prices, i) * F.element_at(rev, (i + offset).cast("int")),
+    )
+    return acc
+
+
+def bar_aggregate(
+    ticks: DataFrame,
+    cfg: BarProcessingConfig,
+    stream_id: str | None = None,
+) -> DataFrame:
+    """Tick stream -> one row per completed bar.
+
+    Input needs (tick_idx, raw_price, timestamp [, stream_id]).
+    Output: bar_idx (1-based), OHLC, bar_average_raw, bar_price_delta,
+    bar_sig_re, bar_sig_im, bar_normalization, bar_flags, bar_ticks,
+    bar_volume, bar_end_timestamp, end_tick_idx.
+    """
+    if not cfg.enabled:
+        raise ValueError("bar processing disabled in config")
+    part = [stream_id] if stream_id else []
+    n = cfg.ticks_per_bar
+
+    df = ticks.withColumn("bar_id", ((F.col("tick_idx") - 1) / n).cast("long"))
+    df = df.withColumn("bar_pos", ((F.col("tick_idx") - 1) % n).cast("long"))
+
+    if cfg.bar_method == "FIR":
+        taps = design_decimation_filter(n)
+        df = df.withColumn("fir_out", _fir_average(df, part, taps))
+        avg_src = F.max(F.when(F.col("bar_pos") == n - 1, F.col("fir_out")))
+        avg_raw = F.round(avg_src, 0).cast("long")
+    else:
+        avg_raw = None  # computed from OHLC below
+
+    bars = df.groupBy(*part, "bar_id").agg(
+        F.max(F.when(F.col("bar_pos") == 0, F.col("raw_price"))).alias("bar_open_raw"),
+        F.max("raw_price").alias("bar_high_raw"),
+        F.min("raw_price").alias("bar_low_raw"),
+        F.max(F.when(F.col("bar_pos") == n - 1, F.col("raw_price"))).alias("bar_close_raw"),
+        F.max(F.when(F.col("bar_pos") == n - 1, F.col("timestamp"))).alias("bar_end_timestamp"),
+        F.max(F.when(F.col("bar_pos") == n - 1, F.col("tick_idx"))).alias("end_tick_idx"),
+        F.count(F.lit(1)).alias("_cnt"),
+        *([avg_raw.alias("bar_average_raw")] if avg_raw is not None else []),
+    )
+    bars = bars.where(F.col("_cnt") == n)  # partial trailing bar never completes
+
+    if cfg.bar_method != "FIR":
+        # boxcar: Int(round((H+L+C)/3)) (BarProcessor.jl:239-245);
+        # (H+L+C)/3 can never be an exact .5 tie for integers, so the
+        # HALF_UP round is engine-agnostic.
+        bars = bars.withColumn(
+            "bar_average_raw",
+            F.round(
+                (F.col("bar_high_raw") + F.col("bar_low_raw") + F.col("bar_close_raw")) / F.lit(3.0), 0
+            ).cast("long"),
+        )
+
+    wb = Window.partitionBy(*part).orderBy("bar_id")
+    wcum = wb.rowsBetween(Window.unboundedPreceding, 0)
+
+    # B4: normalization recomputed every W bars from cumulative H/L sums
+    # (BarProcessor.jl:247-270). bars_completed k is 1-based; a recompute
+    # happens AT bar k when k % W == 0 and uses stats through bar k.
+    k = F.row_number().over(wb).cast("long")
+    bars = bars.withColumn("k", k)
+    cum_high = F.sum("bar_high_raw").over(wcum).cast("double")
+    cum_low = F.sum("bar_low_raw").over(wcum).cast("double")
+    norm_at_k = F.greatest(cum_high / F.col("k").cast("double") - cum_low / F.col("k").cast("double"), F.lit(1.0))
+    w_recalc = cfg.normalization_window_bars
+    bars = bars.withColumn(
+        "_norm_recalc", F.when(F.col("k") % w_recalc == 0, norm_at_k)
+    )
+    bars = bars.withColumn(
+        "bar_normalization",
+        F.coalesce(
+            F.last("_norm_recalc", ignorenulls=True).over(wcum),
+            F.lit(1.0),  # preload (BarProcessor.jl:126)
+        ),
+    )
+
+    # B5: bar delta = avg_raw - prev avg_raw (UNclipped prev), first bar 0
+    # (:272-291); jump guard + winsorize collapse to one clamp.
+    prev_avg = F.lag("bar_average_raw").over(wb)
+    raw_delta = F.when(prev_avg.isNull(), F.lit(0)).otherwise(F.col("bar_average_raw") - prev_avg)
+    bars = bars.withColumn("_raw_delta", raw_delta.cast("long"))
+    eff = min(cfg.max_bar_jump, cfg.winsorize_bar_threshold)
+    bars = bars.withColumn(
+        "bar_price_delta",
+        F.greatest(F.least(F.col("_raw_delta"), F.lit(eff)), F.lit(-eff)).cast("long"),
+    )
+    bars = bars.withColumn(
+        "bar_flags",
+        F.when(F.abs(F.col("_raw_delta")) > eff, F.lit(C.FLAG_CLIPPED)).otherwise(F.lit(C.FLAG_OK)).cast("long"),
+    )
+
+    # B6: derivative encoding (:293-310). Quirk preserved: imaginary part
+    # uses unclipped average delta; first bar's prev_normalized is 0.
+    norm = F.col("bar_normalization")
+    sig_re = F.col("bar_price_delta").cast("double") / norm
+    prev_normalized = F.when(prev_avg.isNull(), F.lit(0.0)).otherwise(prev_avg.cast("double") / norm)
+    cur_normalized = F.col("bar_average_raw").cast("double") / norm
+    sig_im = (cur_normalized - prev_normalized) * F.lit(float(cfg.bar_derivative_imag_scale))
+    bars = bars.withColumn("bar_sig_re", sig_re).withColumn("bar_sig_im", sig_im)
+
+    return bars.select(
+        *part,
+        (F.col("bar_id") + 1).cast("long").alias("bar_idx"),  # 1-based (:313)
+        F.lit(n).cast("long").alias("bar_ticks"),
+        F.lit(n).cast("long").alias("bar_volume"),  # 1 contract/tick (:315)
+        "bar_open_raw",
+        "bar_high_raw",
+        "bar_low_raw",
+        "bar_close_raw",
+        "bar_average_raw",
+        "bar_price_delta",
+        "bar_sig_re",
+        "bar_sig_im",
+        "bar_normalization",
+        "bar_flags",
+        "bar_end_timestamp",
+        "end_tick_idx",
+    )
+
+
+def enrich_ticks_with_bars(
+    ticks: DataFrame, bars: DataFrame, stream_id: str | None = None
+) -> DataFrame:
+    """B7 pass-through enrichment: bar columns only on the completing tick
+    (BarProcessor.jl:134-161); everyone else keeps nulls — Spark null
+    semantics match the reference's Union{T,Nothing} exactly."""
+    part = [stream_id] if stream_id else []
+    cond = ticks["tick_idx"] == bars["end_tick_idx"]
+    for c in part:
+        cond = cond & (ticks[c] == bars[c])
+    out = ticks.join(F.broadcast(bars), cond, "left")
+    out = out.drop(bars["end_tick_idx"])
+    for c in part:
+        out = out.drop(bars[c])
+    return out

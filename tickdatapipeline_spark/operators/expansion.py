@@ -1,0 +1,70 @@
+"""Volume expansion: the reference's signature 1->N row generator.
+
+P1-P5 of SURVEY.md §2.2 (/root/reference/src/VolumeExpansion.jl:145-218):
+
+- each parsed line is replicated `volume` times (`explode(sequence(...))`);
+- replica 1 carries `price_delta = last - previous_last` (0 on the very
+  first line), replicas 2..V carry 0 (:184-194);
+- a dense 1-based `tick_idx` is assigned across the expanded stream (:177);
+- the first 8 chars of the timestamp string are bit-packed into an Int64,
+  8 bits per char (:46-59).
+
+Scale note: the two windows here (`lag` over lines and `row_number` over
+the expanded stream) are the only global-order operations in the engine.
+They partition by `stream_id` when one is supplied, which is how a
+100 TB deployment runs this: one logical stream per session/day file,
+windows local to the partition, no single-partition shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def packed_timestamp(ts_col: Column) -> Column:
+    """ASCII-pack the first 8 chars into a 64-bit int (VolumeExpansion.jl:46-59).
+
+    result = fold over i=1..k of (acc << 8) | char_i  with k = min(8, len),
+    equivalently sum(char_i * 256^(k-i)).
+    """
+    k = F.least(F.lit(8), F.length(ts_col))
+    parts = [
+        F.when(
+            F.lit(i) <= k,
+            F.ascii(F.substring(ts_col, i, 1)).cast("long")
+            * F.pow(F.lit(256.0), (k - F.lit(i)).cast("double")).cast("long"),
+        ).otherwise(F.lit(0))
+        for i in range(1, 9)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def expand_volume(ticks_raw: DataFrame, stream_id: str | None = None) -> DataFrame:
+    """ticks_raw(line_no, ts_str, bid, ask, last, volume) -> expanded ticks.
+
+    Output: stream cols + (tick_idx, timestamp, raw_price, price_delta,
+    replica_idx, line_no).
+    """
+    part = [stream_id] if stream_id else []
+    w_lines = Window.partitionBy(*part).orderBy("line_no")
+    w_ticks = Window.partitionBy(*part).orderBy("line_no", "replica_idx")
+
+    df = ticks_raw.withColumn("prev_last", F.lag("last").over(w_lines))
+    df = df.withColumn("replica_idx", F.explode(F.sequence(F.lit(1), F.col("volume"))))
+    delta = (
+        F.when(F.col("line_no") == 1, F.lit(0))
+        .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))
+        .otherwise(F.lit(0))
+    )
+    keep = ([stream_id] if stream_id else []) + ["line_no", "replica_idx"]
+    return df.select(
+        *keep,
+        F.row_number().over(w_ticks).cast("long").alias("tick_idx"),
+        packed_timestamp(F.col("ts_str")).alias("timestamp"),
+        F.col("last").cast("long").alias("raw_price"),
+        delta.cast("long").alias("price_delta"),
+    )

@@ -1,0 +1,222 @@
+"""The tick hot loop as a stateless DataFrame plan.
+
+Re-expresses /root/reference/src/TickHotLoopF32.jl:287-437 (validate ->
+hold-last -> jump guard -> winsorize -> 144-tick bar stats -> rolling Q16
+normalization -> encoder) with window functions, one tiny per-bar
+aggregate, and a broadcast join — no per-row state, no UDFs.
+
+Row taxonomy (derived from the reference's early returns):
+- ``zero``       invalid price, no prior valid tick (:321-325): signal
+                 (0,0), norm 1.0, FLAG_OK; encoders NOT invoked.
+- ``holdlast``   invalid price, prior valid tick exists (:305-320):
+                 ratio 0, norm 1.0, FLAG_HOLDLAST; CPM/AMC encoders ARE
+                 invoked (AMC carrier advances; CPM emits current phase).
+- ``first``      first valid tick (:329-343): ratio 0, norm 1.0, FLAG_OK;
+                 same encoder treatment as holdlast.
+- ``core``       every later valid tick: full chain (:345-436).
+
+Bar statistics count only core ticks (the early returns skip :377-405),
+so bar position = running count of core rows. The bar-completing tick
+recomputes the cached normalization BEFORE normalizing itself (:384-408),
+hence ``bars_done = core_seq DIV 144`` (the 144th core tick of a bar sees
+its own bar's stats).
+
+Divergence from the reference (documented, deliberate): all float math is
+IEEE double instead of Float32 so the Spark plan and the DuckDB oracle
+match bit-for-bit; the reserved EMA/AGC state (:361-375) never affects
+output and is exposed separately (see ``ema_columns``).
+
+Scale: `stream_id` partitions every window. Per stream the only shuffle
+is the per-bar groupBy (144x reduction) whose result is broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark import constants as C
+from tickdatapipeline_spark.config import SignalProcessingConfig
+
+
+def _hexad_expr(ratio: Column, tick_idx: Column) -> tuple[Column, Column]:
+    """E1: z = ratio * HEXAD16[(tick_idx-1) & 15] (TickHotLoopF32.jl:122-134)."""
+    re_lut = F.array(*[F.lit(re) for re, _ in C.HEXAD16])
+    im_lut = F.array(*[F.lit(im) for _, im in C.HEXAD16])
+    phase = ((tick_idx - 1) % 16).cast("int") + 1  # 1-based element_at
+    return ratio * F.element_at(re_lut, phase), ratio * F.element_at(im_lut, phase)
+
+
+def _lut_trig(idx: Column) -> tuple[Column, Column]:
+    """1024-entry unit-circle LUT entry k -> (cos, sin)(2*pi*k/1024)
+    (TickHotLoopF32.jl:36-41)."""
+    ang = idx.cast("double") * F.lit(C.TWO_PI / C.CPM_LUT_SIZE)
+    return F.cos(ang), F.sin(ang)
+
+
+def hot_loop(
+    expanded: DataFrame,
+    cfg: SignalProcessingConfig,
+    stream_id: str | None = None,
+    stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR,
+    keep_internals: bool = False,
+) -> DataFrame:
+    """expanded ticks -> processed ticks.
+
+    Input: (tick_idx, timestamp, raw_price, price_delta [, stream_id]).
+    Output: input cols + (sig_re, sig_im, normalization, status_flag)
+    [+ internals when keep_internals].
+    """
+    part = [stream_id] if stream_id else []
+    w = Window.partitionBy(*part).orderBy("tick_idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    df = expanded.withColumn(
+        "is_valid", F.col("raw_price").between(cfg.min_price, cfg.max_price)
+    )
+    df = df.withColumn(
+        "n_valid_upto", F.count(F.when(F.col("is_valid"), 1)).over(wcum)
+    )
+    is_core = F.col("is_valid") & (F.col("n_valid_upto") >= 2)
+    is_first = F.col("is_valid") & (F.col("n_valid_upto") == 1)
+    is_hold = (~F.col("is_valid")) & (F.col("n_valid_upto") >= 1)
+    is_zero = (~F.col("is_valid")) & (F.col("n_valid_upto") == 0)
+    df = df.withColumn("is_core", is_core).withColumn("is_zero", is_zero)
+
+    # Jump guard then winsorize collapse to one clamp at the tighter bound
+    # (TickHotLoopF32.jl:347-359): clip(clip(d, +-mj), +-wt) == clip(d, +-min(mj, wt))
+    eff = min(cfg.max_jump, cfg.winsorize_delta_threshold)
+    delta_w = F.when(
+        F.col("is_core"),
+        F.greatest(F.least(F.col("price_delta"), F.lit(eff)), F.lit(-eff)),
+    )
+    df = df.withColumn("delta_w", delta_w.cast("long"))
+    df = df.withColumn(
+        "clipped", F.col("is_core") & (F.abs(F.col("price_delta")) > eff)
+    )
+
+    # Bar position over core (accepted) ticks only (:377-381).
+    df = df.withColumn("core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum))
+    n = stats_ticks_per_bar
+    df = df.withColumn(
+        "bars_done", F.when(F.col("is_core"), (F.col("core_seq") / n).cast("long"))
+    )
+    df = df.withColumn(
+        "bar_ord", F.when(F.col("is_core"), ((F.col("core_seq") - 1) / n).cast("long"))
+    )
+
+    # Per-bar min/max of winsorized deltas; only FULL bars trigger a
+    # normalization recompute (:383-405). The groupBy is a 144x reduction;
+    # the result is tiny -> broadcast back to the tick stream.
+    bars = (
+        df.where(F.col("is_core"))
+        .groupBy(*part, "bar_ord")
+        .agg(
+            F.min("delta_w").alias("bmin"),
+            F.max("delta_w").alias("bmax"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") == n)
+    )
+    wb = Window.partitionBy(*part).orderBy("bar_ord").rowsBetween(Window.unboundedPreceding, 0)
+    k = (F.col("bar_ord") + 1).cast("double")
+    norm = F.greatest(
+        F.sum("bmax").over(wb).cast("double") / k - F.sum("bmin").over(wb).cast("double") / k,
+        F.lit(1.0),
+    )
+    norms = bars.select(
+        *part,
+        (F.col("bar_ord") + 1).alias("bars_done"),
+        F.round(F.lit(65536.0) / norm, 0).cast("long").alias("inv_q16"),
+    )
+
+    join_keys = part + ["bars_done"]
+    df = df.join(F.broadcast(norms), on=join_keys, how="left")
+    inv = F.when(
+        F.col("is_core"), F.coalesce(F.col("inv_q16"), F.lit(C.PRELOAD_INV_NORM_Q16))
+    )
+    df = df.withColumn("inv_q16", inv)
+
+    # Q16 fixed-point normalize (:407-414) — exact in double.
+    df = df.withColumn("nq16", F.col("delta_w") * F.col("inv_q16"))
+    ratio = F.when(F.col("is_core"), F.col("nq16").cast("double") * F.lit(C.Q16_INV)).otherwise(F.lit(0.0))
+    df = df.withColumn("ratio", ratio)
+    norm_out = F.when(
+        F.col("is_core"),
+        F.lit(1.0) / (F.col("inv_q16").cast("double") * F.lit(C.Q16_INV)),
+    ).otherwise(F.lit(1.0))
+    df = df.withColumn("normalization", norm_out)
+
+    flag = (
+        F.when(is_hold, F.lit(C.FLAG_HOLDLAST))
+        .when(F.col("clipped"), F.lit(C.FLAG_CLIPPED))
+        .otherwise(F.lit(C.FLAG_OK))
+    )
+    df = df.withColumn("status_flag", flag.cast("long"))
+
+    # ---- encoders (E1-E5, dispatch :416-432) ----
+    enc = cfg.encoder_type
+    invoked = ~F.col("is_zero")  # encoders run on every row except `zero` rows
+    if enc == "derivative":
+        # prev ratio over core rows only (:257-282; hold/first rows fall to
+        # the hexad16 branch in the reference and do not touch prev state).
+        prev = F.coalesce(
+            F.last(F.when(F.col("is_core"), F.col("ratio")), ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        )
+        sig_re = F.when(F.col("is_core"), F.col("ratio")).otherwise(F.lit(0.0))
+        sig_im = F.when(
+            F.col("is_core"),
+            (F.col("ratio") - prev) * F.lit(float(cfg.tick_derivative_imag_scale)),
+        ).otherwise(F.lit(0.0))
+    elif enc == "hexad16":
+        sig_re, sig_im = _hexad_expr(F.col("ratio"), F.col("tick_idx"))
+    elif enc == "cpm":
+        # Phase accumulation is an associative cumulative sum (:160-176):
+        # dp = trunc32(round(ratio * 2h * 2^31)); theta = cumsum(dp) mod 2^32.
+        scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
+        dp = F.when(F.col("is_core"), F.round(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
+        theta = F.pmod(F.sum(dp).over(wcum), F.lit(C.Q32_MOD))
+        idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")  # top 10 bits (:173-176)
+        lre, lim = _lut_trig(idx)
+        sig_re = F.when(invoked, lre).otherwise(F.lit(0.0))
+        sig_im = F.when(invoked, lim).otherwise(F.lit(0.0))
+    elif enc == "amc":
+        # Carrier advances by a constant 2^32/16 per *invocation* (:203-230);
+        # closed form: theta = incr * (# invoked rows so far) mod 2^32.
+        amc_n = F.count(F.when(invoked, 1)).over(wcum)
+        theta = F.pmod(amc_n * F.lit(C.AMC_CARRIER_INCREMENT_Q32), F.lit(C.Q32_MOD))
+        idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")
+        lre, lim = _lut_trig(idx)
+        sig_re = F.when(invoked, F.col("ratio") * lre).otherwise(F.lit(0.0))
+        sig_im = F.when(invoked, F.col("ratio") * lim).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"unknown encoder_type: {enc}")
+
+    df = df.withColumn("sig_re", sig_re).withColumn("sig_im", sig_im)
+
+    out_cols = part + [
+        "tick_idx",
+        "timestamp",
+        "raw_price",
+        "price_delta",
+        "sig_re",
+        "sig_im",
+        "normalization",
+        "status_flag",
+    ]
+    if keep_internals:
+        out_cols += ["is_valid", "is_core", "core_seq", "delta_w", "bar_ord", "bars_done", "inv_q16", "nq16", "ratio"]
+    return df.select(*out_cols)
+
+
+def ema_columns(processed: DataFrame, cfg: SignalProcessingConfig, stream_id: str | None = None) -> DataFrame:
+    """Reserved EMA/AGC state (TickHotLoopF32.jl:55-58, :361-375).
+
+    Never affects reference output; surfaced for analytics as float EMAs
+    via a pandas-scan-free approximation is NOT possible (true recurrence),
+    so this uses applyInPandas per stream. See streaming/stateful.py.
+    """
+    raise NotImplementedError("surfaced in operators/stateful.py (round 2)")

@@ -1,0 +1,102 @@
+"""Tick sources.
+
+S1-S3 from SURVEY.md §2.1: semicolon tick-file scan, tokenizer and
+malformed-record skip (/root/reference/src/VolumeExpansion.jl:95-113,
+:145-218). Plus a deterministic derivation of the same tick shape from
+the driver's `events` parquet table, used so the Spark engine and the
+DuckDB oracle see identical inputs without writing new files.
+
+Scale note: the reader is a plain distributed text scan; `line_no` is a
+within-stream ordering key. At 100 TB you ingest one file/partition per
+session (trading day) and make `stream_id` a partition column — every
+downstream window partitions by it, so no global single-partition
+ordering ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Raw tick schema: "yyyymmdd hhmmss uuuuuuu;bid;ask;last;volume"
+# (README.md:137-154, VolumeExpansion.jl:84-113)
+
+
+def read_tick_file(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a semicolon tick file into (line_no, ts_str, bid, ask, last, volume).
+
+    Mirrors parse_tick_line (VolumeExpansion.jl:95-113): split on ';',
+    require exactly 5 fields, integer-parse fields 2-5 (null on failure),
+    silently drop empty/malformed lines (:162-171). `line_no` numbers the
+    *parsed* lines, matching the reference's first_tick/previous_last
+    bookkeeping which only advances on successful parses.
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), ";")
+    df = (
+        lines.where(F.length(F.trim(F.col("value"))) > 0)
+        .withColumn("_parts", parts)
+        # F.get is 0-based and null-safe on short arrays (ANSI mode keeps
+        # element_at strict); try_cast nulls out non-integer fields.
+        .withColumn("ts_str", F.trim(F.get("_parts", 0)))
+        .withColumn("bid", F.trim(F.get("_parts", 1)).try_cast("long"))
+        .withColumn("ask", F.trim(F.get("_parts", 2)).try_cast("long"))
+        .withColumn("last", F.trim(F.get("_parts", 3)).try_cast("long"))
+        .withColumn("volume", F.trim(F.get("_parts", 4)).try_cast("long"))
+        .where(
+            (F.size("_parts") == 5)
+            & F.col("bid").isNotNull()
+            & F.col("ask").isNotNull()
+            & F.col("last").isNotNull()
+            & F.col("volume").isNotNull()
+        )
+        .withColumn("line_no", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
+        .select("line_no", "ts_str", "bid", "ask", "last", "volume")
+    )
+    return df
+
+
+# --- deterministic events -> ticks derivation (shared with DuckDB oracle) ---
+#
+# Pure 64-bit integer arithmetic (an LCG step on event_id) so both engines
+# compute bit-identical inputs. Produces out-of-range spikes every 211th
+# event (exercises hold-last, TickHotLoopF32.jl:304-326) and +75 jumps
+# every 97th event (exercises the jump guard :347-351).
+
+_TICKS_FROM_EVENTS_CORE = """
+SELECT
+    row_number() OVER (ORDER BY event_id)                         AS line_no,
+    printf('%08d %06d 0000000',
+           20250319 + event_id // 240000,
+           event_id % 240000)                                     AS ts_str,
+    CAST(px - 1 AS BIGINT)                                        AS bid,
+    CAST(px + 1 AS BIGINT)                                        AS ask,
+    CAST(px AS BIGINT)                                            AS last,
+    CAST(1 + m % 5 AS BIGINT)                                     AS volume
+FROM (
+    SELECT event_id, m,
+           CASE WHEN event_id % 211 = 0 THEN 99999
+                ELSE 41970 + (m % 101) - 50
+                     + CASE WHEN event_id % 97 = 0 THEN 75 ELSE 0 END
+           END AS px
+    FROM (
+        SELECT event_id,
+               (event_id * 1103515245 + 12345) % 2147483648 AS m
+        FROM {events}
+    )
+)
+"""
+
+# DuckDB dialect: // is integer division, printf is C-style.
+TICKS_FROM_EVENTS_SQL = _TICKS_FROM_EVENTS_CORE.format(events="events")
+
+# Spark dialect: DIV for integer division; format_string == printf.
+_TICKS_FROM_EVENTS_SPARK = _TICKS_FROM_EVENTS_CORE.replace(
+    "event_id // 240000", "event_id DIV 240000"
+).replace("printf(", "format_string(")
+
+
+def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ticks_raw fixture derived from {sf_dir}/events.parquet (FIXTURES.md F1)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
+    return spark.sql(_TICKS_FROM_EVENTS_SPARK.format(events="__events_src"))
