@@ -3,36 +3,46 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query registry lives in tickdatapipeline_spark/plans/{analytics,
+beyond,relational}.py as (spark_fn, duckdb_sql) pairs; this module just
+flattens them into the driver's two-dict shape.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tickdatapipeline_spark.plans import analytics, beyond, relational  # noqa: E402
+
+
+def _registry() -> dict[str, tuple]:
+    reg: dict[str, tuple] = {}
+    for mod in (analytics, beyond, relational):
+        for name, pair in mod.queries().items():
+            assert name not in reg, f"duplicate query name: {name}"
+            reg[name] = pair
+    return reg
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full tick pipeline (expand → hot loop → derivative
+    encode) on /root/testdata/sf0.001."""
+    from tickdatapipeline_spark.plans.common import SP_DERIV, processed_ticks
+
+    return processed_ticks(spark, "/root/testdata/sf0.001", SP_DERIV)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,72 @@
+"""Driver bench: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop-sink write (full plan
+execution, no driver collect). The headline set covers the reference
+pipeline (all stateful stages + two encoders), count-based bars (boxcar
+and 1087-tap FIR), the analysis-query surface, and the beyond-reference
+dedup/similarity/text/relational operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "tick_pipeline_derivative",
+    "tick_pipeline_cpm",
+    "bars_boxcar",
+    "bars_fir",
+    "q1_delta_stats",
+    "q6_sigma_buckets",
+    "q10_bar_audit",
+    "text_token_stats",
+    "text_simhash",
+    "dedup_lsh_candidates",
+    "sim_cosine_topk",
+    "asof_join_events",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+
+    import __spark_entry__ as E
+    from tickdatapipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warm the JVM + parquet footer caches with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Dev harness mimicking the driver's correctness gate: run every
+__spark_entry__ query at a given sf and diff against its DuckDB oracle
+(row count + column-sorted value compare). Not part of tests/.
+
+Usage: python scripts_dev/oracle_parity.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda x: str(x) if x is not None else None)
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def equal(a: pd.Series, b: pd.Series) -> bool:
+    if a.dtype.kind == "f" or b.dtype.kind == "f":
+        av, bv = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+        return bool(np.all((av == bv) | (np.isnan(av) & np.isnan(bv))))
+    return bool((a.fillna("\0").to_numpy() == b.fillna("\0").to_numpy()).all())
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    import __spark_entry__ as E
+    from tickdatapipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    ok_n = bad_n = 0
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"[{name}] SPARK ERROR: {exc}")
+            bad_n += 1
+            continue
+        if name not in oracles:
+            print(f"[{name}] rows-only: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            ok_n += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"[{name}] ORACLE ERROR: {str(exc)[:200]}")
+            bad_n += 1
+            continue
+        s, d = canon(sdf), canon(ddf)
+        if len(s) != len(d):
+            print(f"[{name}] ROWCOUNT spark={len(s)} duckdb={len(d)}")
+            bad_n += 1
+            continue
+        if list(s.columns) != list(d.columns):
+            print(f"[{name}] COLUMNS spark={list(s.columns)} duckdb={list(d.columns)}")
+            bad_n += 1
+            continue
+        bad_cols = [c for c in s.columns if not equal(s[c], d[c])]
+        if bad_cols:
+            print(f"[{name}] VALUE MISMATCH in {bad_cols}")
+            for c in bad_cols[:2]:
+                neq = ~((s[c] == d[c]) | (s[c].isna() & d[c].isna()))
+                i = int(neq.idxmax())
+                print(f"  {c}[{i}]: spark={s[c][i]!r} duckdb={d[c][i]!r}")
+            bad_n += 1
+        else:
+            print(f"[{name}] OK ({len(s)} rows, {len(s.columns)} cols, {time.time()-t0:.1f}s)")
+            ok_n += 1
+    print(f"\n{ok_n} ok, {bad_n} bad")
+    sys.exit(1 if bad_n else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Bar-processing golden tests (exact OHLC state after each bar,
+invariants, enrichment nulls) — reference test style
+(/root/reference/test/test_barprocessor.jl:89-252)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import make_ticks_raw
+from tickdatapipeline_spark.config import BarProcessingConfig, SignalProcessingConfig
+from tickdatapipeline_spark.operators.bars import bar_aggregate, enrich_ticks_with_bars
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+
+TS = "20250319 120000 0000000"
+
+
+def processed(spark, prices):
+    raw = make_ticks_raw(spark, [(i + 1, TS, p, 1) for i, p in enumerate(prices)])
+    return hot_loop(expand_volume(raw), SignalProcessingConfig(encoder_type="derivative"))
+
+
+def test_ohlc_exact_and_partial_bar_dropped(spark):
+    prices = [41970, 41975, 41968, 41972,   # bar 1
+              41980, 41960, 41990, 41985,   # bar 2
+              41999]                        # partial -> dropped
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=4, bar_method="boxcar",
+                             normalization_window_bars=2)
+    bars = bar_aggregate(processed(spark, prices), bp).orderBy("bar_idx").collect()
+    assert len(bars) == 2
+    b1, b2 = bars
+    assert (b1.bar_open_raw, b1.bar_high_raw, b1.bar_low_raw, b1.bar_close_raw) == (41970, 41975, 41968, 41972)
+    assert (b2.bar_open_raw, b2.bar_high_raw, b2.bar_low_raw, b2.bar_close_raw) == (41980, 41990, 41960, 41985)
+    # boxcar avg = round((H+L+C)/3)
+    assert b1.bar_average_raw == round((41975 + 41968 + 41972) / 3)
+    assert b2.bar_average_raw == round((41990 + 41960 + 41985) / 3)
+    assert b1.end_tick_idx == 4 and b2.end_tick_idx == 8
+    # first bar delta is 0; second is avg2 - avg1 (within clip bounds)
+    assert b1.bar_price_delta == 0
+    assert b2.bar_price_delta == b2.bar_average_raw - b1.bar_average_raw
+    # norm recomputed at bar 2 (k % 2 == 0): avg high - avg low through bar 2
+    exp_norm = max((41975 + 41990) / 2 - (41968 + 41960) / 2, 1.0)
+    assert b1.bar_normalization == 1.0  # preload until first recompute
+    assert b2.bar_normalization == pytest.approx(exp_norm)
+
+
+def test_bar_invariants_on_walk(spark):
+    prices = [41970 + ((i * 7) % 23) - 11 for i in range(64)]
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=8, bar_method="boxcar",
+                             normalization_window_bars=4)
+    bars = bar_aggregate(processed(spark, prices), bp).collect()
+    assert len(bars) == 8
+    for b in bars:
+        assert b.bar_high_raw >= b.bar_low_raw
+        assert b.bar_high_raw >= b.bar_open_raw and b.bar_high_raw >= b.bar_close_raw
+        assert b.bar_low_raw <= b.bar_open_raw and b.bar_low_raw <= b.bar_close_raw
+        assert b.bar_ticks == 8
+
+
+def test_fir_bar_average_matches_reference_convolution(spark):
+    import math
+
+    from tickdatapipeline_spark.functions.fir import design_decimation_filter
+    from tickdatapipeline_spark.operators.bars import FIR_Q
+
+    n = 4
+    prices = [41970 + ((i * 5) % 17) - 8 for i in range(12)]
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=n, bar_method="FIR",
+                             normalization_window_bars=4)
+    bars = bar_aggregate(processed(spark, prices), bp).orderBy("bar_idx").collect()
+    taps = design_decimation_filter(n)
+    taps_q = [round(c * FIR_Q) for c in taps]
+    for b in bars:
+        end = b.end_tick_idx  # 1-based; tap i pairs with price[end - i]
+        acc = sum(
+            taps_q[i] * prices[end - 1 - i] for i in range(len(taps)) if end - 1 - i >= 0
+        )
+        expected = math.floor(acc / FIR_Q + 0.5)
+        assert b.bar_average_raw == expected
+        # Q33 quantization stays within 1 tick of the float convolution
+        float_conv = sum(
+            taps[i] * prices[end - 1 - i] for i in range(len(taps)) if end - 1 - i >= 0
+        )
+        assert abs(expected - float_conv) <= 1.0
+
+
+def test_enrichment_nulls_except_completing_tick(spark):
+    prices = [41970, 41975, 41968, 41972, 41980, 41960, 41990, 41985]
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=4, bar_method="boxcar",
+                             normalization_window_bars=2)
+    ticks = processed(spark, prices)
+    bars = bar_aggregate(ticks, bp)
+    enriched = enrich_ticks_with_bars(ticks, bars).orderBy("tick_idx").collect()
+    assert len(enriched) == 8
+    for r in enriched:
+        if r.tick_idx in (4, 8):
+            assert r.bar_idx == r.tick_idx // 4
+            assert r.bar_close_raw is not None
+        else:
+            assert r.bar_idx is None and r.bar_close_raw is None

@@ -1,0 +1,153 @@
+"""Golden tests for the beyond-reference operators (dedup, text,
+similarity, as-of join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.operators.asof import asof_join
+from tickdatapipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    shingles,
+)
+from tickdatapipeline_spark.operators.similarity import cosine_topk
+from tickdatapipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash,
+    token_stats,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_stats_golden(spark):
+    d = docs_df(spark, [(1, "The cat sat. The cat!", "en")])
+    r = token_stats(d).collect()[0]
+    # tokens: the, cat, sat, the, cat
+    assert r.n_tokens == 5
+    assert r.n_unique_tokens == 3
+    assert r.n_chars == 21
+    assert r.avg_token_len == pytest.approx(3.0)
+
+
+def test_quality_score_golden(spark):
+    d = docs_df(spark, [(1, "Hi 42!", "en")])
+    r = quality_score(d).collect()[0]
+    assert r.n_chars == 6
+    assert r.n_tokens == 2  # hi, 42
+    assert r.punct_ratio == pytest.approx(1 / 6, abs=1e-6)   # '!'
+    assert r.digit_ratio == pytest.approx(2 / 6, abs=1e-6)   # '42'
+    assert r.upper_ratio == pytest.approx(1 / 6, abs=1e-6)   # 'H'
+
+
+def test_lang_id_markers(spark):
+    d = docs_df(spark, [
+        (1, "the cat and the dog of a house", "en"),
+        (2, "der Hund und die Katze ist nicht da", "de"),
+        (3, "xyzzy qwerty", "zz"),
+    ])
+    out = {r.doc_id: r.pred_lang for r in lang_id(d).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    d = docs_df(spark, [(1, "  Hello   World ", "en"), (2, "hello world", "en")])
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(d).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_exact_duplicates(spark):
+    d = docs_df(spark, [(1, "same text", "en"), (2, "Same  TEXT", "en"), (3, "other", "en")])
+    dups = exact_duplicates(d).collect()
+    assert len(dups) == 1
+    assert dups[0].dup_count == 2
+    assert dups[0].keeper_doc_id == 1
+
+
+def test_shingles_and_jaccard_identical_docs(spark):
+    text = "alpha beta gamma delta epsilon zeta"
+    d = docs_df(spark, [(1, text, "en"), (2, text, "en"), (3, "unrelated words entirely here now", "en")])
+    sh = shingles(d).collect()
+    # 6 tokens -> 4 distinct 3-grams per doc
+    assert sum(1 for r in sh if r.doc_id == 1) == 4
+    pairs = jaccard_pairs(d, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (1, 2)
+    assert p.jaccard == pytest.approx(1.0)
+    # identical docs must also be LSH candidates (identical signatures)
+    cands = lsh_candidate_pairs(d).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in cands}
+
+
+def test_simhash_equal_for_equal_docs(spark):
+    d = docs_df(spark, [(1, "spark window join", "en"), (2, "spark window join", "en"),
+                        (3, "completely different content", "en")])
+    sigs = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_cosine_topk_golden(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    # query_mod=4 -> query is vec 0 only
+    out = cosine_topk(emb, k=3, query_mod=4).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 3, 2]
+    assert out[0].cosine == pytest.approx(1.0)
+    assert out[1].cosine == pytest.approx(0.7071068, abs=1e-6)
+    assert out[2].cosine == pytest.approx(0.0)
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 305), (4, 99, 100)],
+        "id long, key long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (10, 300, 3.0)],
+        "key long, t long, v double",
+    )
+    out = asof_join(left, right, on="key", left_time="t", right_time="t",
+                    value_cols=["v"]).orderBy("id").collect()
+    # t=100 matches the t=100 quote (ties: right wins), 205 -> 2.0, 305 -> 3.0
+    assert [r.asof_v for r in out] == [1.0, 2.0, 3.0, None]
+
+
+def test_media_plumbing(spark):
+    from tickdatapipeline_spark.operators.multimodal import (
+        _fake_decode_features,
+        extract_features,
+        sample_frames,
+        synth_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefgh", "en", "s", 8), (1, "ijkl", "en", "s", 4), (2, "mnopqrstuvwx", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = synth_media_from_documents(docs)
+    kinds = {r.media_id: r.kind for r in media.collect()}
+    assert kinds == {0: "image", 1: "audio", 2: "video"}
+
+    feats = {r.media_id: r for r in extract_features(media, dim=4).collect()}
+    payload = b"abcdefgh"
+    assert feats[0].n_bytes == 8
+    assert feats[0].byte_mean == pytest.approx(sum(payload) / 8)
+    assert list(feats[0].features) == _fake_decode_features(payload, 4)
+
+    frames = sample_frames(media, every=2).collect()
+    assert all(f.media_id == 2 for f in frames)  # only the video row
+    n_frames = 12 % 16 + 1  # 13 frames -> sampled 0,2,4,...,12
+    assert sorted(f.frame_idx for f in frames) == list(range(0, n_frames, 2))

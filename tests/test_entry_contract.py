@@ -1,0 +1,71 @@
+"""Smoke the driver contract: entry() runs, every queries() entry has a
+well-formed callable, and a fast subset agrees with its DuckDB oracle at
+sf0.001 (the full sweep is scripts_dev/oracle_parity.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+FAST_ORACLE_SUBSET = [
+    "q7_price_range",
+    "text_fingerprint",
+    "dedup_exact",
+    "rel_setops_segments",
+    "rel_customers_without_orders",
+    "rel_pricing_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "sig_re" in df.columns and "status_flag" in df.columns
+
+
+def test_registry_shape():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # every callable is (spark, sf_dir) -> DataFrame; names are unique
+    missing_oracle = set(qs) - set(oracles)
+    # only genuinely non-SQL ops may omit the oracle
+    assert missing_oracle <= {"media_frame_sample"}
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
+def test_oracle_agreement_fast_subset(spark, con, name):
+    qs, oracles = E.queries(), E.oracle_sql()
+    sdf = canon(qs[name](spark, SF_DIR).toPandas())
+    ddf = canon(con.sql(oracles[name]).df())
+    assert len(sdf) == len(ddf)
+    assert list(sdf.columns) == list(ddf.columns)
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if a.dtype.kind == "f":
+            assert ((a == b) | (a.isna() & b.isna())).all(), f"col {c}"
+        else:
+            assert (a.fillna("\0").astype(str) == b.fillna("\0").astype(str)).all(), f"col {c}"

@@ -1,0 +1,146 @@
+"""Hot-loop state-machine and encoder golden tests.
+
+Mirrors the reference's suites (/root/reference/test/
+test_tickhotloopf32.jl:38-48 phase cycle, :80-157 first-tick/hold-last/
+flags; test_cpm_encoder_core.jl:66-95 unit magnitude;
+test_amc_encoder_core.jl:120-148 |z| == |ratio|) — expected values
+derive from this engine's documented contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import make_ticks_raw
+from tickdatapipeline_spark import constants as C
+from tickdatapipeline_spark.config import SignalProcessingConfig
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+
+TS = "20250319 120000 0000000"
+
+
+def run(spark, prices, cfg, **kw):
+    raw = make_ticks_raw(spark, [(i + 1, TS, p, 1) for i, p in enumerate(prices)])
+    return (
+        hot_loop(expand_volume(raw), cfg, keep_internals=True, **kw)
+        .orderBy("tick_idx")
+        .collect()
+    )
+
+
+def test_first_tick_and_core_flags(spark):
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows = run(spark, [41970, 41975, 41973], cfg)
+    assert rows[0].status_flag == C.FLAG_OK
+    assert rows[0].sig_re == 0.0 and rows[0].sig_im == 0.0
+    assert rows[0].normalization == 1.0
+    assert rows[1].is_core and rows[2].is_core
+    assert rows[1].status_flag == C.FLAG_OK
+
+
+def test_holdlast_on_out_of_range(spark):
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows = run(spark, [41970, 99999, 41975], cfg)  # price 2 above max_price
+    assert rows[1].status_flag == C.FLAG_HOLDLAST
+    assert rows[1].sig_re == 0.0 and rows[1].sig_im == 0.0
+    assert rows[1].normalization == 1.0
+    assert not rows[1].is_core
+    # next valid tick proceeds as core
+    assert rows[2].is_core
+
+
+def test_invalid_before_any_valid_is_zero_row(spark):
+    cfg = SignalProcessingConfig(encoder_type="amc")
+    rows = run(spark, [99999, 41970, 41975], cfg)
+    assert rows[0].status_flag == C.FLAG_OK  # zero row, not hold-last
+    assert rows[0].sig_re == 0.0 and rows[0].sig_im == 0.0
+    # amc encoder NOT invoked for the zero row but IS for first-valid
+    assert rows[1].sig_re == 0.0  # ratio 0 on first tick -> zero amplitude
+
+
+def test_jump_guard_winsorize_clip_and_flag(spark):
+    cfg = SignalProcessingConfig(encoder_type="derivative", max_jump=50,
+                                 winsorize_delta_threshold=10)
+    rows = run(spark, [41970, 41970 + 40, 41970], cfg)
+    # delta +40 exceeds the tighter winsorize threshold 10 -> clipped
+    assert rows[1].delta_w == 10
+    assert rows[1].status_flag == C.FLAG_CLIPPED
+    assert rows[2].delta_w == -10
+
+
+def test_q16_normalization_preload(spark):
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows = run(spark, [41970, 41972], cfg)
+    # before any full stats bar: inv_q16 preload 7559 (65536/8.67 rounded)
+    assert rows[1].inv_q16 == C.PRELOAD_INV_NORM_Q16
+    assert rows[1].ratio == pytest.approx(2 * 7559 * C.Q16_INV)
+    assert rows[1].normalization == pytest.approx(1.0 / (7559 * C.Q16_INV))
+
+
+def test_hexad16_phase_cycle(spark):
+    cfg = SignalProcessingConfig(encoder_type="hexad16")
+    prices = [41970 + (i % 3) for i in range(20)]
+    rows = run(spark, prices, cfg)
+    for r in rows:
+        re_l, im_l = C.HEXAD16[(r.tick_idx - 1) % 16]
+        assert r.sig_re == pytest.approx(r.ratio * re_l)
+        assert r.sig_im == pytest.approx(r.ratio * im_l)
+
+
+def test_cpm_unit_magnitude(spark):
+    cfg = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=0.2)
+    prices = [41970 + (i % 5) for i in range(12)]
+    rows = run(spark, prices, cfg)
+    for r in rows:  # all rows valid -> encoder invoked everywhere
+        assert math.hypot(r.sig_re, r.sig_im) == pytest.approx(1.0)
+
+
+def test_amc_magnitude_equals_abs_ratio(spark):
+    cfg = SignalProcessingConfig(encoder_type="amc")
+    prices = [41970 + (i % 5) for i in range(12)]
+    rows = run(spark, prices, cfg)
+    for r in rows:
+        assert math.hypot(r.sig_re, r.sig_im) == pytest.approx(abs(r.ratio))
+
+
+def test_amc_carrier_advances_on_holdlast(spark):
+    """Hold-last ticks advance the AMC carrier (TickHotLoopF32.jl:310-313):
+    the phase index counts every invoked row (core + hold + first), so the
+    tick after a hold sits at carrier position 4, not 3."""
+    cfg = SignalProcessingConfig(encoder_type="amc")
+    rows = run(spark, [41970, 99999, 41975, 41973], cfg)
+    # positions: tick1 first=1, tick2 hold=2, tick3 core=3, tick4 core=4
+    for r, pos in [(rows[2], 3), (rows[3], 4)]:
+        theta = (pos * C.AMC_CARRIER_INCREMENT_Q32) % C.Q32_MOD
+        idx = theta >> C.CPM_INDEX_SHIFT
+        ang = idx * C.TWO_PI / C.CPM_LUT_SIZE
+        assert r.sig_re == pytest.approx(r.ratio * math.cos(ang))
+        assert r.sig_im == pytest.approx(r.ratio * math.sin(ang))
+    # hold tick emits at position 2 with ratio 0 -> zero amplitude
+    assert rows[1].sig_re == 0.0 and rows[1].sig_im == 0.0
+
+
+def test_bar_stats_normalization_recompute(spark):
+    """After one full stats bar the Q16 norm switches from the preload to
+    round(65536 / max(avg_max - avg_min, 1))."""
+    n = 8  # small stats bar for the test
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    deltas = [0, 2, -3, 4, -1, 2, -2, 3, 1, 2]
+    prices, p = [], 41970
+    for d in deltas:
+        p += d
+        prices.append(p)
+    rows = run(spark, prices, cfg, stats_ticks_per_bar=n)
+    # core ticks are ticks 2..; the 9th core tick is the first past bar 1
+    # bar 1 = core ticks 1..8 (ticks 2..9): winsorized deltas 2,-3,4,-1,2,-2,3,1
+    norm = max(4.0 - (-3.0), 1.0)
+    expected_inv = round(65536.0 / norm)
+    last = rows[-1]  # tick 10 = core tick 9 -> uses bar-1 stats
+    assert last.inv_q16 == expected_inv
+    # and the bar-completing tick itself (core tick 8) already sees it
+    assert rows[8].inv_q16 == expected_inv
+    # while core tick 7 still uses the preload
+    assert rows[7].inv_q16 == C.PRELOAD_INV_NORM_Q16

@@ -34,29 +34,54 @@ from tickdatapipeline_spark.config import BarProcessingConfig
 from tickdatapipeline_spark.functions.fir import design_decimation_filter
 
 
-def _fir_average(ticks: DataFrame, part: list[str], taps: tuple[float, ...]) -> Column:
-    """Trailing dot product over the last len(taps) raw prices.
+# Q33 fixed-point tap quantization for the FIR convolution. Products
+# raw_price (<2^17) x tap_q (<2^31) x 1087 terms stay < 2^62: no overflow.
+# Integer sums are order-independent, so the convolution is an ordinary
+# map-side-combinable SUM — exact across engines AND shuffle-friendly,
+# unlike an ordered float fold. Quantization error ~2^-33 per tap is far
+# below the reference's own Float32 resolution (2^-24); divergence
+# documented in the module docstring.
+FIR_Q = 2**33
 
-    The reference convolves newest-to-oldest with a zero-initialised
-    circular buffer (BarProcessor.jl:345-358): out = sum_i c_i * p[t-i+1].
-    Here the trailing window lists prices oldest-first, so tap i pairs
-    with list element L-i+1 — i.e. the reversed tap vector. Accumulation
-    is oldest-first in BOTH this plan and the oracle SQL so the float
-    summation order (and hence the rounded integer) matches exactly.
+
+def _fir_averages(
+    ticks: DataFrame, completions: DataFrame, part: list[str], taps: tuple[float, ...]
+) -> DataFrame:
+    """FIR bar averages at completion ticks only.
+
+    out(end) = round(sum_i taps[i] * price[end - i]) — the reference's
+    newest-to-oldest circular-buffer convolution (BarProcessor.jl:345-358)
+    with zeros before stream start (dropped join rows == zero terms).
+
+    Physical shape: completions x len(taps) exploded offsets joined back
+    to the tick stream on tick_idx, then one integer-SUM groupBy. The
+    1087 MACs/bar run only at the 1-in-N completion rows, exactly like
+    the reference; shuffle volume is rows x L/N, distributed (no
+    single-partition trailing window).
     """
     L = len(taps)
-    w = Window.partitionBy(*part).orderBy("tick_idx").rowsBetween(-(L - 1), 0)
-    prices = F.collect_list(F.col("raw_price").cast("double")).over(w)
-    rev = F.array(*[F.lit(c) for c in reversed(taps)])
-    # left-pad conceptually with zeros: when fewer than L prices exist,
-    # align the *end* of the price list with the end of the tap list.
-    offset = F.lit(L) - F.size(prices)
-    acc = F.aggregate(
-        F.sequence(F.lit(1), F.size(prices)),
-        F.lit(0.0),
-        lambda a, i: a + F.element_at(prices, i) * F.element_at(rev, (i + offset).cast("int")),
+    taps_q = F.array(*[F.lit(round(c * FIR_Q)) for c in taps])
+    offs = completions.select(
+        *part,
+        F.col("end_tick_idx"),
+        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("_off"),
+    ).withColumn("_src_idx", F.col("end_tick_idx") - F.col("_off"))
+    offs = offs.where(F.col("_src_idx") >= 1).withColumn(
+        "_tap_q", F.element_at(taps_q, (F.col("_off") + 1).cast("int"))
     )
-    return acc
+    src = ticks.select(*part, F.col("tick_idx").alias("_src_idx"), "raw_price")
+    j = offs.join(src, on=part + ["_src_idx"])
+    return (
+        j.groupBy(*part, "end_tick_idx")
+        .agg(F.sum(F.col("raw_price") * F.col("_tap_q")).alias("_fir_q"))
+        .select(
+            *part,
+            "end_tick_idx",
+            F.floor(F.col("_fir_q").cast("double") / F.lit(float(FIR_Q)) + F.lit(0.5))
+            .cast("long")
+            .alias("bar_average_raw"),
+        )
+    )
 
 
 def bar_aggregate(
@@ -79,14 +104,6 @@ def bar_aggregate(
     df = ticks.withColumn("bar_id", ((F.col("tick_idx") - 1) / n).cast("long"))
     df = df.withColumn("bar_pos", ((F.col("tick_idx") - 1) % n).cast("long"))
 
-    if cfg.bar_method == "FIR":
-        taps = design_decimation_filter(n)
-        df = df.withColumn("fir_out", _fir_average(df, part, taps))
-        avg_src = F.max(F.when(F.col("bar_pos") == n - 1, F.col("fir_out")))
-        avg_raw = F.round(avg_src, 0).cast("long")
-    else:
-        avg_raw = None  # computed from OHLC below
-
     bars = df.groupBy(*part, "bar_id").agg(
         F.max(F.when(F.col("bar_pos") == 0, F.col("raw_price"))).alias("bar_open_raw"),
         F.max("raw_price").alias("bar_high_raw"),
@@ -95,11 +112,14 @@ def bar_aggregate(
         F.max(F.when(F.col("bar_pos") == n - 1, F.col("timestamp"))).alias("bar_end_timestamp"),
         F.max(F.when(F.col("bar_pos") == n - 1, F.col("tick_idx"))).alias("end_tick_idx"),
         F.count(F.lit(1)).alias("_cnt"),
-        *([avg_raw.alias("bar_average_raw")] if avg_raw is not None else []),
     )
     bars = bars.where(F.col("_cnt") == n)  # partial trailing bar never completes
 
-    if cfg.bar_method != "FIR":
+    if cfg.bar_method == "FIR":
+        taps = design_decimation_filter(n)
+        firs = _fir_averages(ticks, bars.select(*part, "end_tick_idx"), part, taps)
+        bars = bars.join(firs, on=part + ["end_tick_idx"])
+    else:
         # boxcar: Int(round((H+L+C)/3)) (BarProcessor.jl:239-245);
         # (H+L+C)/3 can never be an exact .5 tie for integers, so the
         # HALF_UP round is engine-agnostic.

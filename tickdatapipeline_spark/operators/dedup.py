@@ -1,0 +1,136 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data-pipeline surface: exact dedup, MinHash+LSH banding,
+n-gram Jaccard verification. All pure DataFrame ops; the hashing scheme
+(md5 lower-60-bits, Mersenne-prime universal hashes) is chosen so the
+DuckDB oracle can reproduce every intermediate exactly.
+
+Scale design:
+- exact dedup: one map-side-combinable groupBy on a 60-bit hash.
+- MinHash: explode(shingles) x NUM_PERM hash lanes -> groupBy(doc, lane)
+  min. Shuffle is O(docs x NUM_PERM); document length only affects the
+  map side.
+- LSH banding: band-signature equality join (shuffle on band keys) —
+  the standard sub-quadratic candidate generation; the quadratic
+  verification (Jaccard) runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.functions.rounding import rnd
+
+from tickdatapipeline_spark.operators.text import h60, tokens
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+NUM_PERM = 32
+BAND_SIZE = 4  # 8 bands of 4 rows
+
+
+def perm_a(j: int) -> int:
+    return 1 + 37 * j
+
+
+def perm_b(j: int) -> int:
+    return (911 * j) % MERSENNE_P
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of the lowercased text."""
+    t = tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup on whitespace-normalized lowercase text: groups with
+    multiplicity > 1 plus the keeper (min doc_id) — hash-groupBy, the
+    100 TB-scale baseline."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), h60(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, perm_j, sig) minhash lanes.
+
+    sig_j = min over shingles of (a_j * (h60 % P) + b_j) % P with
+    P = 2^31-1; products stay < 2^62 (no overflow).
+    """
+    sh = shingles(docs).withColumn("h", h60(F.col("shingle")) % MERSENNE_P)
+    lanes = sh.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("j")
+    )
+    a = F.lit(37) * F.col("j") + 1
+    b = (F.lit(911) * F.col("j")) % MERSENNE_P
+    hv = (a * F.col("h") + b) % MERSENNE_P
+    return lanes.groupBy("doc_id", "j").agg(F.min(hv).alias("sig"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band signature.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    sig = minhash_signatures(docs, num_perm)
+    bands = (
+        sig.withColumn("band", (F.col("j") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "sig"))).alias("_rows"))
+        .withColumn("band_key", F.concat_ws(",", F.transform(F.col("_rows"), lambda r: r["sig"].cast("string"))))
+        .select("doc_id", "band", "band_key")
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs that share at least
+    one shingle. Output: (doc_a, doc_b, inter_count, union_count, jaccard)
+    for jaccard >= threshold.
+
+    inter via shingle-equality self-join; union = |A| + |B| - inter.
+    """
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_count"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("union_count", F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_count"))
+        .withColumn("jaccard", rnd(F.col("inter_count").cast("double") / F.col("union_count").cast("double"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter_count", "union_count", "jaccard")
+    )
+    return out

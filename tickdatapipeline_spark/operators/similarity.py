@@ -1,0 +1,125 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine top-k: the correctness baseline. Query set x full
+  scan; at scale the query side is broadcast and the scan stays
+  partition-parallel with a per-partition top-k (window rank) — no
+  quadratic shuffle.
+- LSH bucketing (random signed hyperplanes): the scale path — bucket id
+  is computed per row (narrow), candidate search joins only within
+  buckets. Hyperplane weights are small deterministic integers so the
+  DuckDB oracle reproduces dot products exactly.
+
+All vector math uses Catalyst higher-order functions on doubles
+(float->double widening is exact); no UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.functions.rounding import rnd
+
+LSH_PLANES = 8
+DIM = 64
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left fold — same accumulation order as the oracle's
+    list_reduce, so results are bit-identical."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
+    """Brute-force cosine top-k for query vectors (vec_id % query_mod == 0)
+    against the full table (self excluded).
+
+    Output: (query_id, neighbor_id, rank, cosine) — cosine rounded to 6
+    so cross-engine ordering is on identical values.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    queries = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _plane_weight(p: int, d: int) -> int:
+    """Deterministic small-integer hyperplane component in [-3, 3]."""
+    return ((p * 64 + d) * 2654435761) % 7 - 3
+
+
+def lsh_bucket(vec: Column, planes: int = LSH_PLANES, dim: int = DIM) -> Column:
+    """Signed-random-projection bucket id: bit p = (w_p . x > 0)."""
+    v = _as_double(vec)
+    bucket = F.lit(0)
+    for p in range(planes):
+        w = F.array(*[F.lit(float(_plane_weight(p, d))) for d in range(dim)])
+        dp = _dot(w, v)
+        bucket = bucket + F.when(dp > 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def ann_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket) assignment plus usable for bucket-local ANN join."""
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+
+
+def ann_bucket_histogram(emb: DataFrame) -> DataFrame:
+    """Bucket occupancy histogram — the skew diagnostic you check before
+    trusting bucket-local search at scale."""
+    return (
+        ann_buckets(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
+    """Bucket-restricted cosine top-k: same contract as cosine_topk but
+    only neighbors sharing the query's LSH bucket are scored (recall<1,
+    cost ~ 1/2^planes of brute force)."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    queries = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket").alias("qb")
+    )
+    joined = base.join(
+        F.broadcast(queries), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators over the `documents` table.
+
+Beyond-reference surface for training-data pipelines: token stats,
+quality scoring, language ID, fingerprinting. Everything is built-in
+column expressions (JVM-side, whole-stage codegen) — no Python UDFs.
+
+Cross-engine conventions shared with the DuckDB oracle:
+- tokens: regexp_extract_all(lower(text), '[a-z0-9]+')
+- 64-bit-ish hashes: lower 60 bits of md5 (15 hex chars), identical in
+  Spark (conv) and DuckDB (0x-cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.functions.rounding import rnd
+
+TOKEN_RE = "[a-z0-9]+"
+
+# deterministic multilingual stopword marker lists for the n-gram
+# language-ID heuristic (public-knowledge common words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une"),
+    "es": ("el", "la", "los", "de", "que", "es", "una"),
+}
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def h60(c: Column) -> Column:
+    """Lower 60 bits of md5 as a non-negative BIGINT (matches DuckDB
+    CAST('0x'||substring(md5(x),18,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(c), 18, 15), 16, 10).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace/regex tokens + uniques (SURVEY §2.9 /
+    north-star text ops)."""
+    t = tokens(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        rnd(
+            F.when(F.size(t) > 0, F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+                   / F.size(t).cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: length, punctuation/digit/upper/stopword ratios."""
+    t = tokens(F.col("text"))
+    nchars = F.length("text").cast("double")
+    npunct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
+    ndigit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+    nupper = F.length(F.regexp_replace("text", r"[^A-Z]", "")).cast("double")
+    nstop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
+    ntok = F.size(t)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+        rnd(npunct / nchars, 6).alias("punct_ratio"),
+        rnd(ndigit / nchars, 6).alias("digit_ratio"),
+        rnd(nupper / nchars, 6).alias("upper_ratio"),
+        rnd(
+            F.when(ntok > 0, nstop.cast("double") / ntok.cast("double")).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/common-word language ID: argmax of marker-word hit counts,
+    ties broken by language code ascending; 'und' when no marker hits."""
+    t = tokens(F.col("text"))
+    scores = [
+        F.size(F.filter(t, lambda x: x.isin(*words))).cast("long").alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    df = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("lang").alias("lang_true"), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply in reverse
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select("doc_id", "lang_true", pred.alias("pred_lang"), best.alias("best_score"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: 60-bit hash of the whitespace-normalized
+    lowercased text (stable content address for dedup joins)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), h60(norm).alias("fingerprint")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over tokens: per bit, majority vote of token-hash bits
+    (sum of +-1 > 0), reassembled into a `bits`-wide signature.
+
+    Scale path: explode(tokens) x bits -> two groupBys; both are
+    map-side-combinable sums keyed by doc — shuffle volume is
+    O(docs x bits), independent of document length.
+    """
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    tok = tok.withColumn("h", h60(F.col("tok")))
+    b = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    )
+    contrib = F.expr("((h div shiftleft(1L, CAST(bit AS INT))) % 2) * 2 - 1")
+    votes = b.groupBy("doc_id", "bit").agg(F.sum(contrib).alias("v"))
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END")
+        ).alias("simhash")
+    )
+    return sig.select("doc_id", F.col("simhash").cast("long").alias("simhash"))

@@ -181,27 +181,31 @@ def bars_ctes(sp: SignalProcessingConfig, bp: BarProcessingConfig) -> str:
     scale = dlit(float(bp.bar_derivative_imag_scale))
 
     if bp.bar_method == "FIR":
+        # Q33 fixed-point convolution at completion ticks only — mirrors
+        # operators/bars.py::_fir_averages (integer SUM: order-independent,
+        # bit-identical across engines).
+        from tickdatapipeline_spark.operators.bars import FIR_Q
+
         taps = design_decimation_filter(n)
         L = len(taps)
-        rev = "[" + ", ".join(dlit(c) for c in reversed(taps)) + "]"
-        # trailing window of raw prices, oldest first; align end of price
-        # list with end of reversed-tap list (zeros implicit before start)
-        avg_expr = f"""
-            CAST(round(list_reduce(
-                list_transform(range(1, len(plist) + 1),
-                    i -> list_extract(plist, i) * list_extract({rev}, i + {L} - len(plist))),
-                (a, b) -> a + b)) AS BIGINT)
-        """
+        taps_q = "[" + ", ".join(str(round(c * FIR_Q)) for c in taps) + "]"
         fir_cte = f"""
 fir AS (
-    SELECT tick_idx,
-           list(CAST(raw_price AS DOUBLE))
-               OVER (ORDER BY tick_idx ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW) AS plist
-    FROM ticks_out
+    SELECT c.end_tick_idx,
+           CAST(floor(CAST(sum(s.raw_price * list_extract({taps_q}, o.off + 1)) AS DOUBLE)
+                      / {dlit(float(FIR_Q))} + 0.5) AS BIGINT) AS fir_avg
+    FROM (SELECT end_tick_idx FROM (
+              SELECT max(CASE WHEN (tick_idx - 1) % {n} = {n - 1} THEN tick_idx END) AS end_tick_idx,
+                     count(*) AS cnt
+              FROM ticks_out GROUP BY (tick_idx - 1) // {n}
+          ) WHERE cnt = {n}) c
+    CROSS JOIN (SELECT unnest(range(0, {L})) AS off) o
+    JOIN ticks_out s ON s.tick_idx = c.end_tick_idx - o.off
+    GROUP BY c.end_tick_idx
 ),
 """
-        avg_join = "LEFT JOIN fir f ON f.tick_idx = t.end_tick_idx"
-        avg_src = avg_expr
+        avg_join = "LEFT JOIN fir f ON f.end_tick_idx = t.end_tick_idx"
+        avg_src = "f.fir_avg"
     else:
         fir_cte = ""
         avg_join = ""

@@ -1,0 +1,355 @@
+"""Beyond-reference query surface: dedup, similarity search, text
+analysis, as-of join, multimodal plumbing — the training-data-pipeline
+operators (north star in BASELINE.json, absent from the reference per
+SURVEY.md §2.9).
+
+Each entry is a (spark_fn, duckdb_sql) pair like plans/analytics.py.
+The SQL twins reproduce every intermediate exactly: shared h60 hashing
+(lower 60 bits of md5), identical tokenization regex, left-fold float
+accumulation order, and the floor-based rnd policy for floats that
+cross the oracle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.functions.rounding import sql_rnd
+from tickdatapipeline_spark.operators.asof import asof_join
+from tickdatapipeline_spark.operators.dedup import (
+    BAND_SIZE,
+    MERSENNE_P,
+    NUM_PERM,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from tickdatapipeline_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media_from_documents,
+)
+from tickdatapipeline_spark.operators.similarity import (
+    DIM,
+    LSH_PLANES,
+    _plane_weight,
+    ann_bucket_histogram,
+    ann_topk_lsh,
+    cosine_topk,
+)
+from tickdatapipeline_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    TOKEN_RE,
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash,
+    token_stats,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---- shared SQL fragments (DuckDB dialect) ----
+
+SQL_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+
+def sql_h60(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 18, 15) AS BIGINT)"
+
+
+SQL_NORM_TEXT = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+# ================= text analysis =================
+
+TOKEN_STATS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {sql_rnd("CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS avg_token_len
+FROM (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
+"""
+
+QUALITY_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       {sql_rnd("CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS punct_ratio,
+       {sql_rnd("CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS digit_ratio,
+       {sql_rnd("CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS upper_ratio,
+       {sql_rnd(f"CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN {STOPWORDS_EN!r})) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS stopword_ratio
+FROM (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
+"""
+
+_langs = sorted(LANG_MARKERS)
+_score_cols = ", ".join(
+    f"CAST(len(list_filter(t, x -> x IN {LANG_MARKERS[lang]!r})) AS BIGINT) AS score_{lang}"
+    for lang in _langs
+)
+_best = "greatest(" + ", ".join(f"score_{lang}" for lang in _langs) + ")"
+_pred = (
+    "CASE "
+    + " ".join(f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in _langs)
+    + " ELSE 'und' END"
+)
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang_true, {_pred} AS pred_lang, best AS best_score
+FROM (
+    SELECT doc_id, lang_true, {_best} AS best, {", ".join(f"score_{lang}" for lang in _langs)}
+    FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_true, {_score_cols}
+        FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents)
+    )
+)
+"""
+
+FINGERPRINT_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {sql_h60(SQL_NORM_TEXT)} AS fingerprint
+FROM documents
+"""
+
+SIMHASH_BITS = 32
+SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS tok
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, {sql_h60('tok')} AS h, unnest(range(0, {SIMHASH_BITS})) AS bit
+    FROM tok
+),
+votes AS (
+    SELECT doc_id, bit, sum(((h // (1::BIGINT << CAST(bit AS INTEGER))) % 2) * 2 - 1) AS v
+    FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+# ================= dedup =================
+
+# distinct word-3-gram shingles (mirrors operators.dedup.shingles)
+SHINGLES_CTE = f"""
+shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS shingle
+        FROM (SELECT doc_id, {SQL_TOKENS} AS t FROM documents)
+    )
+)
+"""
+
+EXACT_DUP_SQL = f"""
+SELECT content_hash, count(*) AS dup_count, min(doc_id) AS keeper_doc_id
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {sql_h60(SQL_NORM_TEXT)} AS content_hash FROM documents)
+GROUP BY content_hash HAVING count(*) > 1
+"""
+
+MINHASH_CTE = f"""
+{SHINGLES_CTE},
+sh AS (SELECT doc_id, {sql_h60('shingle')} % {MERSENNE_P} AS h FROM shingles),
+lanes AS (SELECT doc_id, h, unnest(range(0, {NUM_PERM})) AS j FROM sh),
+sig AS (
+    SELECT doc_id, j,
+           min(((1 + 37 * j) * h + ((911 * j) % {MERSENNE_P})) % {MERSENNE_P}) AS sig
+    FROM lanes GROUP BY doc_id, j
+)
+"""
+
+MINHASH_SQL = f"WITH {MINHASH_CTE} SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(sig AS BIGINT) AS sig FROM sig"
+
+LSH_PAIRS_SQL = f"""
+WITH {MINHASH_CTE},
+bands AS (
+    SELECT doc_id, j // {BAND_SIZE} AS band,
+           string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+    FROM sig GROUP BY doc_id, j // {BAND_SIZE}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+JACCARD_THRESHOLD = 0.5
+JACCARD_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_count
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter_count,
+       sa.n_sh + sb.n_sh - inter_count AS union_count,
+       {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+"""
+
+# ================= similarity search =================
+
+SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+# left-fold accumulation == Spark F.aggregate(zip_with(...), 0.0, +)
+SQL_DOT = "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+SQL_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+TOPK_K, QUERY_MOD = 5, 50
+
+_cos = sql_rnd(
+    SQL_DOT.format(a="q.v", b="b.v")
+    + " / (" + SQL_NORM.format(a="q.v") + " * " + SQL_NORM.format(a="b.v") + ")"
+)
+
+COSINE_TOPK_SQL = f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id, {_cos} AS cosine
+    FROM base b JOIN q ON b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def _sql_plane_list(p: int) -> str:
+    return "[" + ", ".join(f"{float(_plane_weight(p, d))!r}" for d in range(DIM)) + "]"
+
+
+def _sql_bucket(vcol: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        dp = SQL_DOT.format(a=_sql_plane_list(p), b=vcol)
+        terms.append(f"CASE WHEN ({dp}) > 0.0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+ANN_HIST_SQL = f"""
+SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id, {_sql_bucket(SQL_VEC)} AS bucket FROM embeddings)
+GROUP BY bucket
+"""
+
+ANN_TOPK_LSH_SQL = f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v, {_sql_bucket(SQL_VEC)} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v, bucket AS qb FROM base WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id, {_cos} AS cosine
+    FROM base b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+# ================= as-of join =================
+
+
+def asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach each click event's most recent prior purchase (per user).
+
+    Right side pre-aggregated to one row per (user_id, ts) so tie-breaks
+    are deterministic in both engines.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"), F.max("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join(clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+                    value_cols=["purchase_value", "purchase_event_id"])
+    return out.select("event_id", "user_id", "asof_purchase_value", "asof_purchase_event_id")
+
+
+ASOF_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+    SELECT user_id, ts, max(value) AS purchase_value, max(event_id) AS purchase_event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       p.purchase_value AS asof_purchase_value,
+       p.purchase_event_id AS asof_purchase_event_id
+FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+# ================= multimodal (rows-only check: mapInPandas, no SQL twin) ====
+
+
+def media_features_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_from_documents(_docs(spark, sf_dir))
+    return extract_features(media).drop("features")  # array col dropped for stable hashing
+
+
+def media_frames_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media).select("media_id", "frame_idx", F.length("frame_bytes").alias("frame_len"))
+
+
+# the feature kernel is a deterministic byte-histogram (see operators/
+# multimodal.py) so n_bytes/byte_mean ARE SQL-expressible — exploit that
+# for a real oracle on the plumbing:
+MEDIA_FEATURES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, length(text) + 1), i -> ord(text[i]))) AS DOUBLE)
+            / CAST(strlen(text) AS DOUBLE) AS byte_mean
+FROM documents
+-- byte==codepoint holds because the corpus is pure ASCII (checked); with
+-- non-ASCII payloads this oracle entry would drop to a rows-only check.
+"""
+
+
+# ================= registry =================
+
+
+def queries() -> dict[str, tuple]:
+    return {
+        "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
+        "text_quality_score": (lambda s, d: quality_score(_docs(s, d)), QUALITY_SQL),
+        "text_lang_id": (lambda s, d: lang_id(_docs(s, d)), LANG_ID_SQL),
+        "text_fingerprint": (lambda s, d: fingerprint(_docs(s, d)), FINGERPRINT_SQL),
+        "text_simhash": (lambda s, d: simhash(_docs(s, d)), SIMHASH_SQL),
+        "dedup_exact": (lambda s, d: exact_duplicates(_docs(s, d)), EXACT_DUP_SQL),
+        "dedup_minhash_signatures": (
+            lambda s, d: minhash_signatures(_docs(s, d)).select(
+                "doc_id", F.col("j").cast("long").alias("j"), F.col("sig").cast("long").alias("sig")
+            ),
+            MINHASH_SQL,
+        ),
+        "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d)), LSH_PAIRS_SQL),
+        "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD), JACCARD_SQL),
+        "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
+        "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
+        "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
+        "asof_join_events": (asof_fn, ASOF_SQL),
+        "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
+        "media_frame_sample": (media_frames_fn, None),  # rows-only: frame split is a stubbed demuxer
+    }

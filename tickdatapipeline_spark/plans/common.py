@@ -1,0 +1,122 @@
+"""Shared helpers for the query surface.
+
+Cross-engine float policy: every float column that crosses the oracle
+boundary is rounded with ``rnd`` — floor(x*10^d + 0.5)/10^d — pure IEEE
+double arithmetic that evaluates identically in Spark and DuckDB (unlike
+round(), whose tie-handling routes differ between BigDecimal-on-shortest-
+repr and multiply-then-nearbyint). Columns produced purely by +,-,*,/
+on identical inputs are already bit-identical and may skip rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.config import BarProcessingConfig, SignalProcessingConfig
+from tickdatapipeline_spark.operators.bars import bar_aggregate
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+from tickdatapipeline_spark.sources.tickfile import ticks_from_events
+
+# configs mirroring the shipped default TOML
+# (/root/reference/config/pipeline/default.toml)
+SP_DERIV = SignalProcessingConfig(encoder_type="derivative", tick_derivative_imag_scale=2.0,
+                                  cpm_modulation_index=0.2)
+SP_HEXAD = SignalProcessingConfig(encoder_type="hexad16")
+SP_CPM = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=0.2)
+SP_AMC = SignalProcessingConfig(encoder_type="amc")
+BP_BOX = BarProcessingConfig(enabled=True, ticks_per_bar=21, normalization_window_bars=120,
+                             bar_method="boxcar")
+BP_FIR = BarProcessingConfig(enabled=True, ticks_per_bar=5, normalization_window_bars=40,
+                             bar_method="FIR")
+
+
+from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd  # noqa: E402,F401  (shared float policy)
+
+
+def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig = SP_DERIV,
+                    keep_internals: bool = False) -> DataFrame:
+    """events -> ticks_raw -> expanded -> hot loop (the flagship chain)."""
+    return hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
+                    keep_internals=keep_internals)
+
+
+def pipeline_bars(spark: SparkSession, sf_dir: str, bp: BarProcessingConfig,
+                  sp: SignalProcessingConfig = SP_DERIV) -> DataFrame:
+    return bar_aggregate(processed_ticks(spark, sf_dir, sp), bp)
+
+
+def exact_percentiles(df: DataFrame, value_col: str, pcts: list[float],
+                      out_value: str = "q") -> DataFrame:
+    """Deterministic exact percentile with linear interpolation.
+
+    rank = p*(n-1) (0-based); q = v[floor]+frac*(v[ceil]-v[floor]).
+    Implemented with a row_number sort + two positional joins so both
+    engines interpolate the exact same pair of values (percentile_approx
+    / quantile_cont internals are not cross-engine reproducible).
+
+    Scale note: this is a full sort of the value column — the exact
+    formulation. At 100 TB you'd switch to percentile_approx; both are
+    exposed (see q2_percentiles vs q2_percentiles_approx).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(F.col(value_col).alias("_v")).withColumn(
+        "_r", F.row_number().over(Window.orderBy("_v")) - 1
+    )
+    n = ranked.count()
+    pdf = df.sparkSession.createDataFrame([(p,) for p in pcts], "pct double")
+    pos = pdf.select(
+        "pct",
+        (F.col("pct") * (n - 1)).alias("_rank"),
+        F.floor(F.col("pct") * (n - 1)).cast("long").alias("_lo"),
+        F.least(F.floor(F.col("pct") * (n - 1)).cast("long") + 1, F.lit(n - 1)).alias("_hi"),
+    )
+    lo = ranked.select(F.col("_r").alias("_lo"), F.col("_v").alias("_vlo"))
+    hi = ranked.select(F.col("_r").alias("_hi"), F.col("_v").alias("_vhi"))
+    out = (
+        pos.join(lo, "_lo").join(hi, "_hi")
+        .select(
+            "pct",
+            rnd(
+                F.col("_vlo").cast("double")
+                + (F.col("_rank") - F.col("_lo").cast("double"))
+                * (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
+            ).alias(out_value),
+        )
+    )
+    return out
+
+
+def sql_exact_percentiles(source_sql: str, value_expr: str, pcts: list[float],
+                          out_value: str = "q") -> str:
+    """DuckDB twin of exact_percentiles (same interpolation arithmetic)."""
+    pct_rows = ", ".join(f"({p!r}e0)" for p in pcts)
+    q = (
+        "_vlo + (_rank - CAST(_lo AS DOUBLE)) * (_vhi - _vlo)"
+    )
+    return f"""
+WITH _src AS ({source_sql}),
+_ranked AS (
+    SELECT CAST({value_expr} AS DOUBLE) AS _v,
+           row_number() OVER (ORDER BY CAST({value_expr} AS DOUBLE)) - 1 AS _r
+    FROM _src
+),
+_n AS (SELECT count(*) AS n FROM _ranked),
+_pos AS (
+    SELECT pct, pct * (n - 1) AS _rank,
+           CAST(floor(pct * (n - 1)) AS BIGINT) AS _lo,
+           least(CAST(floor(pct * (n - 1)) AS BIGINT) + 1, n - 1) AS _hi
+    FROM (VALUES {pct_rows}) p(pct), _n
+)
+SELECT pct, {sql_rnd(q)} AS {out_value}
+FROM _pos
+JOIN (SELECT _r AS _lo, _v AS _vlo FROM _ranked) USING (_lo)
+JOIN (SELECT _r AS _hi, _v AS _vhi FROM _ranked) USING (_hi)
+"""
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

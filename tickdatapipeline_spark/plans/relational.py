@@ -1,0 +1,243 @@
+"""Relational query surface over the TPC-H-ish fixture tables.
+
+The reference has no joins/set-ops/rollups (SURVEY.md §2.9) — Spark
+provides them natively; these queries exercise that surface with
+scale-conscious physical plans: dimension tables broadcast, fact-table
+aggregations map-side-combinable, rank windows partitioned by key.
+
+Cross-engine money policy: parquet stores doubles, and a double SUM is
+order-dependent — the one thing that breaks value-hash parity between
+engines. Every monetary expression is therefore converted per-row to
+integer cents/percent (floor(x*100+0.5) — exact on identical input
+doubles), summed as BIGINT (order-independent, overflow-safe to sf1000),
+and divided back at the end (single float op on identical integers =
+bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd
+
+CUTOFF = "1999-12-31"
+
+
+def _cents(c) -> F.Column:
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- R1: pricing summary report (TPC-H Q1 shape) ----
+
+def r1_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= CUTOFF)
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))   # discount in percent units (0..10)
+    tax_c = _cents(F.col("l_tax"))
+    disc_price = price_c * (100 - disc_c)            # cents*1e2
+    charge = disc_price * (100 + tax_c)              # cents*1e4
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge) / 1000000.0).alias("sum_charge"),
+            rnd(F.sum(qty_c) / 100.0 / F.count(F.lit(1))).alias("avg_qty"),
+            rnd(F.sum(price_c) / 100.0 / F.count(F.lit(1))).alias("avg_price"),
+            rnd(F.sum(disc_c).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_CENTS = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+R1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({_CENTS.format(x='l_quantity')}) / 100.0 AS sum_qty,
+       sum({_CENTS.format(x='l_extendedprice')}) / 100.0 AS sum_base_price,
+       sum({_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')})) / 10000.0 AS sum_disc_price,
+       sum({_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')}) * (100 + {_CENTS.format(x='l_tax')})) / 1000000.0 AS sum_charge,
+       {sql_rnd(f"sum({_CENTS.format(x='l_quantity')}) / 100.0 / count(*)")} AS avg_qty,
+       {sql_rnd(f"sum({_CENTS.format(x='l_extendedprice')}) / 100.0 / count(*)")} AS avg_price,
+       {sql_rnd(f"CAST(sum({_CENTS.format(x='l_discount')}) AS DOUBLE) / 100.0 / count(*)")} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# ---- R2: top-3 orders per customer by value (rank window + broadcast join) --
+
+def r2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn("total_cents", _cents(F.col("o_totalprice")))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+    top = (
+        orders.withColumn("order_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("order_rank") <= 3)
+    )
+    return (
+        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "order_rank",
+            (F.col("total_cents") / 100.0).alias("o_totalprice"),
+        )
+    )
+
+
+R2_SQL = f"""
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, {_CENTS.format(x='o_totalprice')} AS total_cents,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY {_CENTS.format(x='o_totalprice')} DESC, o_orderkey) AS BIGINT) AS order_rank
+    FROM orders
+)
+SELECT c_custkey, c_name, o_orderkey, order_rank, total_cents / 100.0 AS o_totalprice
+FROM ranked JOIN customer ON o_custkey = c_custkey
+WHERE order_rank <= 3
+"""
+
+# ---- R3: revenue by region/nation (multi-join, dims broadcast) ----
+
+def r3_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(rev) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+R3_SQL = f"""
+SELECT r_name, n_name,
+       sum({_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')})) / 10000.0 AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+# ---- R4: rollup by order-year / priority ----
+
+def r4_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate").cast("long"))
+    return (
+        orders.rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+R4_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+       count(*) AS n_orders,
+       sum({_CENTS.format(x='o_totalprice')}) / 100.0 AS total_value
+FROM orders
+GROUP BY ROLLUP (order_year, o_orderpriority)
+"""
+
+# ---- R5: set ops — building-segment customers who also placed urgent orders,
+#          minus those with any low-priority order ----
+
+def r5_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return building.intersect(urgent).subtract(low)
+
+
+R5_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+# ---- R6: anti join — customers with no orders at all ----
+
+def r6_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+R6_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# ---- R7: semi join + conditional agg — per-part order stats for parts that
+#          actually ship (exercises semi + groupBy on the fact table) ----
+
+def r7_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") >= 40).select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("total_price"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+R7_SQL = f"""
+SELECT p_brand,
+       count(*) AS n_lineitems,
+       sum({_CENTS.format(x='l_extendedprice')}) / 100.0 AS total_price,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+FROM lineitem JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 40) p
+  ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def queries() -> dict[str, tuple]:
+    return {
+        "rel_pricing_summary": (r1_fn, R1_SQL),
+        "rel_top_orders_per_customer": (r2_fn, R2_SQL),
+        "rel_revenue_by_nation": (r3_fn, R3_SQL),
+        "rel_rollup_year_priority": (r4_fn, R4_SQL),
+        "rel_setops_segments": (r5_fn, R5_SQL),
+        "rel_customers_without_orders": (r6_fn, R6_SQL),
+        "rel_brand_shipping_stats": (r7_fn, R7_SQL),
+    }
