@@ -1,0 +1,80 @@
+"""Batch orchestration (O1/O2) + capture (S4-S6) tests."""
+
+from __future__ import annotations
+
+from tickdatapipeline_spark.config import (
+    BarProcessingConfig,
+    PipelineConfig,
+    SignalProcessingConfig,
+)
+from tickdatapipeline_spark.pipeline import (
+    capture,
+    csv_export,
+    run_pipeline,
+    run_pipeline_managed,
+)
+
+
+def write_tick_file(path, n=60):
+    price = 41970
+    with open(path, "w") as f:
+        for i in range(n):
+            price += (i * 3) % 7 - 3
+            f.write(f"20250319 1200{i:02d} 0000000;{price - 1};{price + 1};{price};{1 + i % 2}\n")
+    return str(path)
+
+
+def test_run_pipeline_simple_skips_bars(spark, tmp_path):
+    cfg = PipelineConfig(
+        tick_file_path=write_tick_file(tmp_path / "ticks.txt"),
+        signal_processing=SignalProcessingConfig(encoder_type="derivative"),
+        bar_processing=BarProcessingConfig(enabled=True, ticks_per_bar=5,
+                                           normalization_window_bars=20),
+    )
+    out = tmp_path / "out"
+    res = run_pipeline(spark, cfg, str(out), max_ticks=50)
+    assert res.ticks_processed == 50
+    df = spark.read.parquet(str(out))
+    assert "bar_idx" not in df.columns  # O1 skips the bar stage (quirk)
+    assert df.count() == 50
+
+
+def test_run_pipeline_managed_with_bars_and_callback(spark, tmp_path):
+    cfg = PipelineConfig(
+        tick_file_path=write_tick_file(tmp_path / "ticks.txt"),
+        signal_processing=SignalProcessingConfig(encoder_type="derivative"),
+        bar_processing=BarProcessingConfig(enabled=True, ticks_per_bar=5,
+                                           normalization_window_bars=20),
+    )
+    out = tmp_path / "out"
+    calls = []
+    res = run_pipeline_managed(spark, cfg, str(out), completion_callback=calls.append)
+    assert calls == [res]
+    df = spark.read.parquet(str(out))
+    assert "bar_idx" in df.columns
+    enriched = df.where(df.bar_idx.isNotNull())
+    assert enriched.count() == df.count() // 5  # one completing tick per bar
+
+
+def test_capture_skip_take_and_csv(spark, tmp_path):
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.sources.tickfile import read_tick_file
+
+    path = write_tick_file(tmp_path / "ticks.txt")
+    processed = hot_loop(
+        expand_volume(read_tick_file(spark, path)),
+        SignalProcessingConfig(encoder_type="derivative"),
+    )
+    cap = tmp_path / "cap"
+    n = capture(processed, str(cap), tick_start=10, num_records=25)
+    assert n == 25
+    got = spark.read.parquet(str(cap))
+    assert got.agg({"tick_idx": "min"}).collect()[0][0] == 11
+    assert got.agg({"tick_idx": "max"}).collect()[0][0] == 35
+
+    csv_dir = tmp_path / "csv"
+    csv_export(spark, str(cap), str(csv_dir))
+    back = spark.read.option("header", "true").csv(str(csv_dir))
+    assert back.count() == 25
+    assert "sig_re" in back.columns

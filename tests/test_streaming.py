@@ -1,0 +1,140 @@
+"""Streaming continuation tests: processing a stream in micro-batches
+through streaming.advance must be BIT-IDENTICAL to the batch plan over
+the concatenated input — for every encoder, across stats-bar boundaries,
+hold-last spikes and clipped jumps. Plus fan-out priority semantics and
+the end-to-end file-source runner."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import make_ticks_raw
+from tickdatapipeline_spark.config import SignalProcessingConfig
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+from tickdatapipeline_spark.streaming import (
+    OUT_COLS,
+    ConsumerType,
+    StreamState,
+    TripleSplitManager,
+    advance,
+)
+
+TS = "20250319 120000 0000000"
+N_STATS = 8  # small stats bar so batches cross several boundaries
+
+
+def tick_rows(n=34):
+    rows = []
+    price = 41970
+    for i in range(n):
+        price += (i * 7) % 11 - 5
+        if i == 13:
+            rows.append((i + 1, TS, 99999, 1))       # hold-last spike
+            continue
+        if i == 21:
+            rows.append((i + 1, TS, price + 80, 2))  # clipped jump
+            continue
+        rows.append((i + 1, TS, price, 1 + i % 3))
+    return rows
+
+
+def renumber(rows):
+    return [(i + 1, ts, p, v) for i, (_, ts, p, v) in enumerate(rows)]
+
+
+@pytest.mark.parametrize("encoder", ["derivative", "hexad16", "cpm", "amc"])
+def test_microbatches_equal_batch(spark, encoder):
+    cfg = SignalProcessingConfig(encoder_type=encoder, cpm_modulation_index=0.2,
+                                 tick_derivative_imag_scale=2.0)
+    rows = tick_rows()
+    whole = hot_loop(
+        expand_volume(make_ticks_raw(spark, rows)), cfg, stats_ticks_per_bar=N_STATS
+    ).orderBy("tick_idx").collect()
+
+    state = StreamState()
+    got = []
+    for lo, hi in [(0, 11), (11, 19), (19, 26), (26, 34)]:
+        batch = make_ticks_raw(spark, renumber(rows[lo:hi]))
+        processed, state = advance(batch, cfg, state, stats_ticks_per_bar=N_STATS)
+        got.extend(processed.select(*OUT_COLS).orderBy("tick_idx").collect())
+        processed.unpersist()
+
+    assert len(got) == len(whole)
+    for g, w in zip(got, whole):
+        for c in OUT_COLS:
+            assert g[c] == w[c], f"tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
+
+
+def test_empty_batch_keeps_state(spark):
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows = tick_rows(20)
+    state = StreamState()
+    p1, state = advance(make_ticks_raw(spark, renumber(rows[:12])), cfg, state,
+                        stats_ticks_per_bar=N_STATS)
+    p1.unpersist()
+    empty = make_ticks_raw(spark, []).limit(0)
+    _, state2 = advance(empty, cfg, state, stats_ticks_per_bar=N_STATS)
+    assert state2 == state
+
+
+def test_fanout_priority_vs_dropping(spark):
+    mgr = TripleSplitManager()
+    seen: dict[str, int] = {"p": 0, "m": 0}
+    mgr.subscribe("p", ConsumerType.PRIORITY,
+                  lambda df, bid: seen.__setitem__("p", seen["p"] + df.count()),
+                  buffer_size=4)
+    mgr.subscribe("m", ConsumerType.MONITORING,
+                  lambda df, bid: seen.__setitem__("m", seen["m"] + df.count()),
+                  buffer_size=4)
+    with pytest.raises(ValueError):
+        mgr.subscribe("p", ConsumerType.ANALYTICS, lambda df, bid: None)
+
+    batch = spark.range(10).withColumnRenamed("id", "tick_idx")
+    n, ok, dropped = mgr.broadcast_batch(batch, 0)
+    assert (n, ok) == (2, 2)
+    assert seen["p"] == 10      # priority never drops
+    assert seen["m"] == 4       # monitoring capped at buffer_size
+    assert dropped == 6
+    st = mgr.stats()
+    assert st["m"]["messages_dropped"] == 6
+    assert st["p"]["messages_dropped"] == 0
+    assert mgr.unsubscribe("m") and not mgr.unsubscribe("m")
+
+
+def test_file_source_runner_end_to_end(spark, tmp_path):
+    from tickdatapipeline_spark.streaming import StreamingTickPipeline
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows = tick_rows(24)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two session files; lexicographic name order == stream order
+    for fname, chunk in [("ticks-000.txt", rows[:13]), ("ticks-001.txt", rows[13:])]:
+        with open(in_dir / fname, "w") as f:
+            for _, ts, price, vol in chunk:
+                f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+            f.write("\n")          # blank line: skipped
+            f.write("garbage;;\n")  # malformed: skipped
+
+    collected = []
+    mgr = TripleSplitManager()
+    mgr.subscribe("cap", ConsumerType.PRIORITY,
+                  lambda df, bid: collected.extend(df.orderBy("tick_idx").collect()))
+
+    pipe = StreamingTickPipeline(
+        spark, str(in_dir), cfg, mgr, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    pipe.start()
+    try:
+        pipe.await_idle()
+    finally:
+        pipe.stop()
+
+    whole = hot_loop(expand_volume(make_ticks_raw(spark, rows)),
+                     cfg).orderBy("tick_idx").collect()
+    assert len(collected) == len(whole)
+    for g, w in zip(collected, whole):
+        for c in OUT_COLS:
+            assert g[c] == w[c], f"tick {w['tick_idx']} col {c}"

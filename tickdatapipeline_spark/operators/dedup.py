@@ -66,34 +66,53 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, perm_j, sig) minhash lanes.
+def _minhash_wide(docs: DataFrame, num_perm: int) -> DataFrame:
+    """(doc_id, s0..s{P-1}): one row per doc, one MIN aggregate per lane.
 
-    sig_j = min over shingles of (a_j * (h60 % P) + b_j) % P with
-    P = 2^31-1; products stay < 2^62 (no overflow).
+    sig_j = min over shingles of ((1+37j) * (h60 % P) + 911j) % P with
+    P = 2^31-1; products stay < 2^62 (no overflow). A single
+    map-side-combinable groupBy — no lanes row explosion, shuffle volume
+    O(docs x num_perm) packed into one row per doc.
     """
     sh = shingles(docs).withColumn("h", h60(F.col("shingle")) % MERSENNE_P)
-    lanes = sh.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("j")
+    aggs = [
+        F.min((F.lit(perm_a(j)) * F.col("h") + F.lit(perm_b(j))) % MERSENNE_P).alias(f"s{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, j, sig) minhash lanes (unpivoted from the wide form)."""
+    wide = _minhash_wide(docs, num_perm)
+    lanes = F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"s{j}").alias("sig")) for j in range(num_perm)
+    ])
+    return wide.select("doc_id", F.explode(lanes).alias("r")).select(
+        "doc_id", F.col("r.j").alias("j"), F.col("r.sig").alias("sig")
     )
-    a = F.lit(37) * F.col("j") + 1
-    b = (F.lit(911) * F.col("j")) % MERSENNE_P
-    hv = (a * F.col("h") + b) % MERSENNE_P
-    return lanes.groupBy("doc_id", "j").agg(F.min(hv).alias("sig"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing any band signature.
 
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct. Band keys come
+    straight off the wide signature row (no per-lane shuffle); the only
+    shuffles are the shingle groupBy and the band-key equi-join.
     """
-    sig = minhash_signatures(docs, num_perm)
-    bands = (
-        sig.withColumn("band", (F.col("j") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "sig"))).alias("_rows"))
-        .withColumn("band_key", F.concat_ws(",", F.transform(F.col("_rows"), lambda r: r["sig"].cast("string"))))
-        .select("doc_id", "band", "band_key")
+    wide = _minhash_wide(docs, num_perm)
+    n_bands = num_perm // band_size
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"s{b * band_size + r}").cast("string") for r in range(band_size)
+            ]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    bands = wide.select("doc_id", F.explode(band_structs).alias("r")).select(
+        "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
     )
     left = bands.alias("l")
     right = bands.alias("r")

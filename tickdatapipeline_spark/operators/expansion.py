@@ -43,27 +43,41 @@ def packed_timestamp(ts_col: Column) -> Column:
     return out
 
 
-def expand_volume(ticks_raw: DataFrame, stream_id: str | None = None) -> DataFrame:
+def expand_volume(
+    ticks_raw: DataFrame,
+    stream_id: str | None = None,
+    *,
+    seed_prev_last: int | None = None,
+    seed_tick0: int = 0,
+) -> DataFrame:
     """ticks_raw(line_no, ts_str, bid, ask, last, volume) -> expanded ticks.
 
     Output: stream cols + (tick_idx, timestamp, raw_price, price_delta,
     replica_idx, line_no).
+
+    Streaming seeds (micro-batch continuation, see streaming/state.py):
+    ``seed_prev_last`` is the last price of the previous batch (the first
+    line's delta becomes last - seed instead of 0); ``seed_tick0`` offsets
+    tick_idx so numbering stays dense across batches.
     """
     part = [stream_id] if stream_id else []
     w_lines = Window.partitionBy(*part).orderBy("line_no")
     w_ticks = Window.partitionBy(*part).orderBy("line_no", "replica_idx")
 
-    df = ticks_raw.withColumn("prev_last", F.lag("last").over(w_lines))
+    prev = F.lag("last").over(w_lines)
+    if seed_prev_last is not None:
+        prev = F.coalesce(prev, F.lit(seed_prev_last))
+    df = ticks_raw.withColumn("prev_last", prev)
     df = df.withColumn("replica_idx", F.explode(F.sequence(F.lit(1), F.col("volume"))))
     delta = (
-        F.when(F.col("line_no") == 1, F.lit(0))
+        F.when(F.col("prev_last").isNull(), F.lit(0))
         .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))
         .otherwise(F.lit(0))
     )
     keep = ([stream_id] if stream_id else []) + ["line_no", "replica_idx"]
     return df.select(
         *keep,
-        F.row_number().over(w_ticks).cast("long").alias("tick_idx"),
+        (F.row_number().over(w_ticks) + F.lit(seed_tick0)).cast("long").alias("tick_idx"),
         packed_timestamp(F.col("ts_str")).alias("timestamp"),
         F.col("last").cast("long").alias("raw_price"),
         delta.cast("long").alias("price_delta"),

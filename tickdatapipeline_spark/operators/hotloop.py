@@ -32,11 +32,36 @@ is the per-bar groupBy (144x reduction) whose result is broadcast back.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark import constants as C
 from tickdatapipeline_spark.config import SignalProcessingConfig
+
+
+@dataclass(frozen=True)
+class HotLoopSeed:
+    """Prefix state carried across streaming micro-batches.
+
+    Every stateful quantity in the hot loop is a prefix aggregate, so a
+    batch can be processed exactly given these offsets (streaming/state.py
+    extracts the next seed from each processed batch). Defaults = the
+    start-of-stream state, making the batch path a seed of zeros.
+    """
+
+    n_valid0: int = 0          # valid ticks seen in prior batches
+    core_seq0: int = 0         # core (accepted) ticks seen
+    sum_bmin0: int = 0         # cumulative per-stats-bar min-delta sum
+    sum_bmax0: int = 0         # cumulative per-stats-bar max-delta sum
+    partial_cnt0: int = 0      # core ticks in the unfinished stats bar
+    partial_min0: int | None = None
+    partial_max0: int | None = None
+    inv_q16_0: int = C.PRELOAD_INV_NORM_Q16  # latest cached Q16 reciprocal
+    cpm_theta0: int = 0        # CPM phase accumulator mod 2^32
+    amc_n0: int = 0            # AMC carrier position (invoked rows seen)
+    last_core_ratio0: float = 0.0  # derivative encoder's prev ratio
 
 
 def _hexad_expr(ratio: Column, tick_idx: Column) -> tuple[Column, Column]:
@@ -60,13 +85,16 @@ def hot_loop(
     stream_id: str | None = None,
     stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR,
     keep_internals: bool = False,
+    seed: HotLoopSeed | None = None,
 ) -> DataFrame:
     """expanded ticks -> processed ticks.
 
     Input: (tick_idx, timestamp, raw_price, price_delta [, stream_id]).
     Output: input cols + (sig_re, sig_im, normalization, status_flag)
-    [+ internals when keep_internals].
+    [+ internals when keep_internals]. ``seed`` continues a stream from a
+    prior micro-batch (see HotLoopSeed); None == start of stream.
     """
+    s = seed or HotLoopSeed()
     part = [stream_id] if stream_id else []
     w = Window.partitionBy(*part).orderBy("tick_idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -75,7 +103,7 @@ def hot_loop(
         "is_valid", F.col("raw_price").between(cfg.min_price, cfg.max_price)
     )
     df = df.withColumn(
-        "n_valid_upto", F.count(F.when(F.col("is_valid"), 1)).over(wcum)
+        "n_valid_upto", F.count(F.when(F.col("is_valid"), 1)).over(wcum) + F.lit(s.n_valid0)
     )
     is_core = F.col("is_valid") & (F.col("n_valid_upto") >= 2)
     is_first = F.col("is_valid") & (F.col("n_valid_upto") == 1)
@@ -96,7 +124,9 @@ def hot_loop(
     )
 
     # Bar position over core (accepted) ticks only (:377-381).
-    df = df.withColumn("core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum))
+    df = df.withColumn(
+        "core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum) + F.lit(s.core_seq0)
+    )
     n = stats_ticks_per_bar
     df = df.withColumn(
         "bars_done", F.when(F.col("is_core"), (F.col("core_seq") / n).cast("long"))
@@ -108,20 +138,30 @@ def hot_loop(
     # Per-bar min/max of winsorized deltas; only FULL bars trigger a
     # normalization recompute (:383-405). The groupBy is a 144x reduction;
     # the result is tiny -> broadcast back to the tick stream.
-    bars = (
-        df.where(F.col("is_core"))
-        .groupBy(*part, "bar_ord")
-        .agg(
-            F.min("delta_w").alias("bmin"),
-            F.max("delta_w").alias("bmax"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .where(F.col("cnt") == n)
+    bars = df.where(F.col("is_core")).groupBy(*part, "bar_ord").agg(
+        F.min("delta_w").alias("bmin"),
+        F.max("delta_w").alias("bmax"),
+        F.count(F.lit(1)).alias("cnt"),
     )
+    if s.partial_cnt0 > 0:
+        # merge the carried unfinished stats bar into its batch remainder
+        pb = s.core_seq0 // n
+        bars = bars.withColumn(
+            "bmin",
+            F.when(F.col("bar_ord") == pb, F.least(F.col("bmin"), F.lit(s.partial_min0))).otherwise(F.col("bmin")),
+        ).withColumn(
+            "bmax",
+            F.when(F.col("bar_ord") == pb, F.greatest(F.col("bmax"), F.lit(s.partial_max0))).otherwise(F.col("bmax")),
+        ).withColumn(
+            "cnt",
+            F.when(F.col("bar_ord") == pb, F.col("cnt") + s.partial_cnt0).otherwise(F.col("cnt")),
+        )
+    bars = bars.where(F.col("cnt") == n)
     wb = Window.partitionBy(*part).orderBy("bar_ord").rowsBetween(Window.unboundedPreceding, 0)
     k = (F.col("bar_ord") + 1).cast("double")
     norm = F.greatest(
-        F.sum("bmax").over(wb).cast("double") / k - F.sum("bmin").over(wb).cast("double") / k,
+        (F.sum("bmax").over(wb) + F.lit(s.sum_bmax0)).cast("double") / k
+        - (F.sum("bmin").over(wb) + F.lit(s.sum_bmin0)).cast("double") / k,
         F.lit(1.0),
     )
     norms = bars.select(
@@ -133,7 +173,7 @@ def hot_loop(
     join_keys = part + ["bars_done"]
     df = df.join(F.broadcast(norms), on=join_keys, how="left")
     inv = F.when(
-        F.col("is_core"), F.coalesce(F.col("inv_q16"), F.lit(C.PRELOAD_INV_NORM_Q16))
+        F.col("is_core"), F.coalesce(F.col("inv_q16"), F.lit(s.inv_q16_0))
     )
     df = df.withColumn("inv_q16", inv)
 
@@ -164,7 +204,7 @@ def hot_loop(
             F.last(F.when(F.col("is_core"), F.col("ratio")), ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, -1)
             ),
-            F.lit(0.0),
+            F.lit(s.last_core_ratio0),
         )
         sig_re = F.when(F.col("is_core"), F.col("ratio")).otherwise(F.lit(0.0))
         sig_im = F.when(
@@ -178,7 +218,7 @@ def hot_loop(
         # dp = trunc32(round(ratio * 2h * 2^31)); theta = cumsum(dp) mod 2^32.
         scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
         dp = F.when(F.col("is_core"), F.round(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
-        theta = F.pmod(F.sum(dp).over(wcum), F.lit(C.Q32_MOD))
+        theta = F.pmod(F.sum(dp).over(wcum) + F.lit(s.cpm_theta0), F.lit(C.Q32_MOD))
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")  # top 10 bits (:173-176)
         lre, lim = _lut_trig(idx)
         sig_re = F.when(invoked, lre).otherwise(F.lit(0.0))
@@ -186,7 +226,7 @@ def hot_loop(
     elif enc == "amc":
         # Carrier advances by a constant 2^32/16 per *invocation* (:203-230);
         # closed form: theta = incr * (# invoked rows so far) mod 2^32.
-        amc_n = F.count(F.when(invoked, 1)).over(wcum)
+        amc_n = F.count(F.when(invoked, 1)).over(wcum) + F.lit(s.amc_n0)
         theta = F.pmod(amc_n * F.lit(C.AMC_CARRIER_INCREMENT_Q32), F.lit(C.Q32_MOD))
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")
         lre, lim = _lut_trig(idx)

@@ -45,14 +45,17 @@ def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace/regex tokens + uniques (SURVEY §2.9 /
     north-star text ops)."""
     t = tokens(F.col("text"))
+    # sum of token lengths == length(concat of tokens): one JVM string op
+    # instead of an interpreted per-element lambda fold (~6x faster).
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_unique_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         rnd(
-            F.when(F.size(t) > 0, F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
-                   / F.size(t).cast("double")).otherwise(F.lit(0.0)), 6
+            F.when(F.size(t) > 0,
+                   F.length(F.array_join(t, "")).cast("double") / F.size(t).cast("double")
+                   ).otherwise(F.lit(0.0)), 6
         ).alias("avg_token_len"),
     )
 
@@ -109,25 +112,23 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over tokens: per bit, majority vote of token-hash bits
     (sum of +-1 > 0), reassembled into a `bits`-wide signature.
 
-    Scale path: explode(tokens) x bits -> two groupBys; both are
-    map-side-combinable sums keyed by doc — shuffle volume is
-    O(docs x bits), independent of document length.
+    Scale path: one hash per token row, then `bits` conditional SUM
+    aggregates in a single map-side-combinable groupBy — no bits-fold row
+    explosion; shuffle volume is O(docs x bits) packed into one row per
+    doc, independent of document length.
     """
     tok = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens(F.col("text"))).alias("tok"),
+    ).withColumn("h", h60(F.col("tok")))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    tok = tok.withColumn("h", h60(F.col("tok")))
-    b = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    )
-    contrib = F.expr("((h div shiftleft(1L, CAST(bit AS INT))) % 2) * 2 - 1")
-    votes = b.groupBy("doc_id", "bit").agg(F.sum(contrib).alias("v"))
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END")
-        ).alias("simhash")
-    )
-    return sig.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))

@@ -1,0 +1,120 @@
+"""Batch orchestration + capture: the reference's top-level entry points
+re-expressed as Spark jobs.
+
+- run_pipeline  (O1, /root/reference/src/PipelineOrchestrator.jl:215-304):
+  read -> expand -> hot loop -> sink; `max_ticks` limit; returns counters.
+  Mirrors the reference quirk of SKIPPING the bar stage (:264-267).
+- run_pipeline_managed (O2, :340-432): adds the bar stage (2.5), bar
+  enrichment onto completing ticks, wall-clock stage metrics and a
+  completion callback. Spark's per-stage metrics live in the event log /
+  UI; here we report job-level wall times, the honest equivalent.
+- capture (S4/S6, scripts/capture_pipeline_data.jl:176-297): skip-N /
+  take-M projection of the processed stream into parquet (the columnar
+  capture the reference writes as JLD2) with tick- or bar-field column
+  sets; csv_export (S5, scripts/jld2_to_csv.jl:13-41).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.config import PipelineConfig
+from tickdatapipeline_spark.operators.bars import bar_aggregate, enrich_ticks_with_bars
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+from tickdatapipeline_spark.sources.tickfile import read_tick_file
+
+TICK_CAPTURE_COLS = ["tick_idx", "timestamp", "raw_price", "price_delta",
+                     "sig_re", "sig_im", "normalization", "status_flag"]
+BAR_CAPTURE_COLS = ["bar_idx", "bar_ticks", "bar_volume", "bar_open_raw",
+                    "bar_high_raw", "bar_low_raw", "bar_close_raw",
+                    "bar_average_raw", "bar_price_delta", "bar_sig_re",
+                    "bar_sig_im", "bar_normalization", "bar_flags",
+                    "bar_end_timestamp"]
+
+
+@dataclass(frozen=True)
+class PipelineResult:
+    ticks_processed: int
+    errors: int
+    elapsed_s: float
+    signal_stage_s: float
+    sink_stage_s: float
+
+
+def build_processed(spark: SparkSession, cfg: PipelineConfig,
+                    max_ticks: int | None = None) -> DataFrame:
+    """The declarative pipeline plan (no action)."""
+    raw = read_tick_file(spark, cfg.tick_file_path)
+    processed = hot_loop(expand_volume(raw), cfg.signal_processing)
+    if max_ticks is not None:
+        processed = processed.where(F.col("tick_idx") <= max_ticks)
+    return processed
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig, output_path: str,
+                 max_ticks: int | None = None) -> PipelineResult:
+    """O1 simple run: NO bar stage (reference quirk preserved)."""
+    t0 = time.time()
+    processed = build_processed(spark, cfg, max_ticks)
+    t1 = time.time()
+    processed.select(*TICK_CAPTURE_COLS).write.mode("overwrite").parquet(output_path)
+    t2 = time.time()
+    n = spark.read.parquet(output_path).count()
+    return PipelineResult(
+        ticks_processed=n, errors=0, elapsed_s=t2 - t0,
+        signal_stage_s=t1 - t0, sink_stage_s=t2 - t1,
+    )
+
+
+def run_pipeline_managed(
+    spark: SparkSession, cfg: PipelineConfig, output_path: str,
+    max_ticks: int | None = None,
+    completion_callback=None,
+) -> PipelineResult:
+    """O2 managed run: bar stage + enrichment + metrics + callback."""
+    t0 = time.time()
+    processed = build_processed(spark, cfg, max_ticks)
+    if cfg.bar_processing.enabled:
+        bars = bar_aggregate(processed, cfg.bar_processing)
+        out = enrich_ticks_with_bars(processed, bars)
+    else:
+        out = processed
+    t1 = time.time()
+    out.write.mode("overwrite").parquet(output_path)
+    t2 = time.time()
+    n = spark.read.parquet(output_path).count()
+    result = PipelineResult(
+        ticks_processed=n, errors=0, elapsed_s=t2 - t0,
+        signal_stage_s=t1 - t0, sink_stage_s=t2 - t1,
+    )
+    if completion_callback is not None:
+        completion_callback(result)
+    return result
+
+
+def capture(processed: DataFrame, output_path: str, *, tick_start: int = 0,
+            num_records: int | None = None, bars: DataFrame | None = None) -> int:
+    """S4/S6 capture: skip `tick_start` ticks, take `num_records`, write
+    the columnar tick (or bar) capture to parquet. Returns rows written."""
+    if bars is not None:
+        df = bars.where(F.col("bar_idx") > tick_start).select(*BAR_CAPTURE_COLS)
+        if num_records is not None:
+            df = df.where(F.col("bar_idx") <= tick_start + num_records)
+    else:
+        df = processed.where(F.col("tick_idx") > tick_start).select(*TICK_CAPTURE_COLS)
+        if num_records is not None:
+            df = df.where(F.col("tick_idx") <= tick_start + num_records)
+    df.write.mode("overwrite").parquet(output_path)
+    return df.sparkSession.read.parquet(output_path).count()
+
+
+def csv_export(spark: SparkSession, parquet_path: str, csv_path: str) -> None:
+    """S5: captured parquet -> CSV with header (jld2_to_csv.jl:13-41)."""
+    spark.read.parquet(parquet_path).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(csv_path)

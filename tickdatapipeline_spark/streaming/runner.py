@@ -1,0 +1,101 @@
+"""Live-mode pipeline: Structured Streaming file source + stateful
+foreachBatch.
+
+The reference's live mode is a Channel push loop with flow-control delay
+(/root/reference/src/PipelineOrchestrator.jl:340-432,
+VolumeExpansion.jl:18-30). The Spark analogue: watch a directory for
+tick files (one file = one session/stream segment, the 100 TB partition
+unit), process each micro-batch with the exact batch operators seeded by
+StreamState (streaming/state.py), and fan out via TripleSplitManager.
+Rate limiting is `maxFilesPerTrigger` instead of a busy-wait nanosleep —
+the idiomatic Spark knob for the same goal (SURVEY.md §2.2 P10).
+
+Ordering: within a micro-batch, files are processed in lexicographic
+name order and re-read through sources.tickfile.read_tick_file, which
+defines line order; name your files monotonically (e.g. zero-padded
+sequence numbers or timestamps), as session files naturally are. A
+count-ordered stream cannot admit late data — there is no watermark by
+design, matching the reference's strictly-ordered Channel (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.config import SignalProcessingConfig
+from tickdatapipeline_spark.sources.tickfile import read_tick_file
+from tickdatapipeline_spark.streaming.fanout import TripleSplitManager
+from tickdatapipeline_spark.streaming.state import OUT_COLS, StreamState, advance
+
+
+class StreamingTickPipeline:
+    """run_pipeline! in live mode (O2/O3): start()/stop() lifecycle,
+    per-batch metrics, graceful stop."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        cfg: SignalProcessingConfig,
+        manager: TripleSplitManager,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        on_batch: Callable[[int, int], None] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.input_dir = input_dir
+        self.cfg = cfg
+        self.manager = manager
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.on_batch = on_batch
+        self.state = StreamState()
+        self.ticks_processed = 0
+        self._query = None
+
+    # -- one micro-batch: resolve files -> ordered read -> seeded ops -----
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        files = sorted(
+            r["f"] for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
+        )
+        for path in files:
+            raw = read_tick_file(self.spark, path)
+            processed, self.state = advance(raw, self.cfg, self.state)
+            out = processed.select(*OUT_COLS)
+            self.manager.broadcast_batch(out, batch_id)
+            self.ticks_processed = self.state.tick0
+            processed.unpersist()
+        if self.on_batch is not None:
+            self.on_batch(batch_id, self.ticks_processed)
+
+    def start(self) -> None:
+        stream = (
+            self.spark.readStream.format("text")
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            .load(self.input_dir)
+        )
+        self._query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def await_idle(self, timeout_s: float = 60.0) -> None:
+        """Block until all currently-visible input is processed."""
+        import time
+
+        assert self._query is not None, "start() first"
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            self._query.processAllAvailable()
+            return
+        raise TimeoutError("stream did not drain in time")
+
+    def stop(self) -> None:
+        """Graceful stop (O3, PipelineOrchestrator.jl:454-457)."""
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
