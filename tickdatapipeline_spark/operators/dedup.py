@@ -37,8 +37,8 @@ def perm_b(j: int) -> int:
     return (911 * j) % MERSENNE_P
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams of the lowercased text."""
+def _exploded_grams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-grams, duplicates NOT yet removed."""
     t = tokens(F.col("text"))
     grams = F.when(
         F.size(t) >= n,
@@ -47,10 +47,14 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(grams).alias("shingle")
     )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams of the lowercased text."""
+    return _exploded_grams(docs, n).distinct()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -74,7 +78,14 @@ def _minhash_wide(docs: DataFrame, num_perm: int) -> DataFrame:
     map-side-combinable groupBy — no lanes row explosion, shuffle volume
     O(docs x num_perm) packed into one row per doc.
     """
-    sh = shingles(docs).withColumn("h", h60(F.col("shingle")) % MERSENNE_P)
+    # distinct on the 60-bit hash, not the shingle string: per-lane minima
+    # are unchanged (identical h -> identical hashed lane values) and the
+    # distinct shuffle moves 8-byte longs instead of n-gram strings.
+    sh = (
+        _exploded_grams(docs)
+        .select("doc_id", (h60(F.col("shingle")) % MERSENNE_P).alias("h"))
+        .distinct()
+    )
     aggs = [
         F.min((F.lit(perm_a(j)) * F.col("h") + F.lit(perm_b(j))) % MERSENNE_P).alias(f"s{j}")
         for j in range(num_perm)

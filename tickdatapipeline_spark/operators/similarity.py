@@ -98,6 +98,27 @@ def ann_bucket_histogram(emb: DataFrame) -> DataFrame:
     )
 
 
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed (the scale path):
+    only pairs sharing a signed-hyperplane bucket are scored, so cost is
+    sum of per-bucket n^2 instead of global n^2. Output: (vec_a, vec_b,
+    cosine) for cosine >= threshold, vec_a < vec_b."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = rnd(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     """Bucket-restricted cosine top-k: same contract as cosine_topk but
     only neighbors sharing the query's LSH bucket are scored (recall<1,

@@ -38,7 +38,9 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_bucket_histogram,
     ann_topk_lsh,
     cosine_topk,
+    embedding_near_duplicates,
 )
+from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -250,6 +252,23 @@ FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id, {_sql_bucket(SQL_VEC)} AS bucket 
 GROUP BY bucket
 """
 
+EMBED_NEAR_DUP_THRESHOLD = 0.25
+_pair_cos = sql_rnd(
+    SQL_DOT.format(a="a.v", b="b.v")
+    + " / (" + SQL_NORM.format(a="a.v") + " * " + SQL_NORM.format(a="b.v") + ")"
+)
+
+EMBED_NEAR_DUP_SQL = f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v, {_sql_bucket(SQL_VEC)} AS bucket
+    FROM embeddings
+)
+SELECT vec_a, vec_b, cosine FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_pair_cos} AS cosine
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= {EMBED_NEAR_DUP_THRESHOLD}
+"""
+
 ANN_TOPK_LSH_SQL = f"""
 WITH base AS (
     SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v, {_sql_bucket(SQL_VEC)} AS bucket
@@ -298,6 +317,22 @@ SELECT c.event_id, c.user_id,
        p.purchase_event_id AS asof_purchase_event_id
 FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
+
+# ================= reserved EMA/AGC state (A1/A2) =================
+
+
+def ema_state_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's reserved integer EMA recurrences surfaced as an
+    analytics query (rows-only check: a true recurrence has no tractable
+    SQL twin; correctness is pinned by golden tests against a Python
+    reference implementation in tests/test_stateful.py)."""
+    from tickdatapipeline_spark.plans.common import SP_DERIV, processed_ticks
+
+    internals = processed_ticks(spark, sf_dir, SP_DERIV, keep_internals=True)
+    return ema_columns(internals, SP_DERIV).select(
+        "tick_idx", "ema_delta", "ema_delta_dev", "ema_abs_delta"
+    )
+
 
 # ================= multimodal (rows-only check: mapInPandas, no SQL twin) ====
 
@@ -349,6 +384,11 @@ def queries() -> dict[str, tuple]:
         "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
         "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
         "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
+        "dedup_embedding_cosine": (
+            lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
+            EMBED_NEAR_DUP_SQL,
+        ),
+        "ema_state": (ema_state_fn, None),  # rows-only: true recurrence
         "asof_join_events": (asof_fn, ASOF_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, None),  # rows-only: frame split is a stubbed demuxer
