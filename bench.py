@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "tick_pipeline_derivative",
+    "tick_pipeline_multistream",
     "tick_pipeline_cpm",
     "bars_boxcar",
     "bars_fir",

@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the things that matter at 100 TB.
+
+These tests read the optimized/physical plan text rather than results:
+the multi-stream pipeline must not serialise into a single partition,
+parquet scans must prune columns, and small dimension joins must
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multistream_pipeline_has_no_single_partition_windows(spark):
+    from tickdatapipeline_spark.plans.analytics import multistream_fn
+
+    plan = physical(multistream_fn(spark, SF))
+    assert "hashpartitioning(stream" in plan
+    # no operator anywhere collapses to one partition (the single-stream
+    # pipeline, by contrast, funnels every window through SinglePartition)
+    assert "SinglePartition" not in plan
+    # and every window spec carries a partition column (spec starts with
+    # a partition expr, never directly with the ORDER BY frame)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "ASC" not in m.group(1).split(",")[0], f"unpartitioned window: {m.group(0)[:120]}"
+
+
+def test_parquet_scan_prunes_columns(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = physical(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_extendedprice" not in scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").where(F.col("o_orderkey") == 42)
+    plan = physical(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    from tickdatapipeline_spark.plans.relational import r3_fn
+
+    plan = physical(r3_fn(spark, SF))
+    # customer, nation, region are explicitly broadcast; at this sf the
+    # orders side also falls under the auto-broadcast threshold (at real
+    # scale the fact-fact join flips to SortMergeJoin by size — that
+    # decision is Catalyst's, which is the point)
+    assert plan.count("BroadcastHashJoin") >= 3

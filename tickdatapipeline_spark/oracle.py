@@ -36,12 +36,19 @@ def _hexad_list(component: int) -> str:
     return f"[{vals}]"
 
 
-def pipeline_ctes(cfg: SignalProcessingConfig, stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR) -> str:
+def pipeline_ctes(cfg: SignalProcessingConfig, stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR,
+                  *, streams: bool = False, ticks_raw_sql: str | None = None) -> str:
     """WITH-clause body defining: ticks_raw, lines, expanded, hot, bar_norms,
     ticks_out. ticks_out mirrors hot_loop(keep_internals=True) output."""
     n = stats_ticks_per_bar
     eff = min(cfg.max_jump, cfg.winsorize_delta_threshold)
     enc = cfg.encoder_type
+
+    # stream partitioning tokens: the multi-stream (100 TB) shape inserts
+    # PARTITION BY stream into every window and carries the column through
+    sc = "stream, " if streams else ""          # select-list prefix
+    pby = "PARTITION BY stream " if streams else ""  # window prefix
+    jstream = " AND h.stream = b.stream" if streams else ""
 
     # encoder column expressions over the `joined` relation
     if enc == "derivative":
@@ -49,7 +56,7 @@ def pipeline_ctes(cfg: SignalProcessingConfig, stats_ticks_per_bar: int = C.STAT
         sig = f"""
             CASE WHEN is_core THEN ratio ELSE 0.0::DOUBLE END AS sig_re,
             CASE WHEN is_core THEN (ratio - COALESCE(last_value(CASE WHEN is_core THEN ratio END IGNORE NULLS)
-                 OVER (ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0::DOUBLE)) * {scale}
+                 OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0::DOUBLE)) * {scale}
                  ELSE 0.0::DOUBLE END AS sig_im
         """
     elif enc == "hexad16":
@@ -75,20 +82,20 @@ def pipeline_ctes(cfg: SignalProcessingConfig, stats_ticks_per_bar: int = C.STAT
     cpm_scale = dlit(2.0 * float(cfg.cpm_modulation_index) * 2.0**31)
 
     return f"""
-ticks_raw AS ({TICKS_FROM_EVENTS_SQL}),
+ticks_raw AS ({ticks_raw_sql or TICKS_FROM_EVENTS_SQL}),
 lines AS (
-    SELECT line_no, ts_str, last, volume,
-           lag(last) OVER (ORDER BY line_no) AS prev_last
+    SELECT {sc}line_no, ts_str, last, volume,
+           lag(last) OVER ({pby}ORDER BY line_no) AS prev_last
     FROM ticks_raw
 ),
 expanded0 AS (
-    SELECT line_no, ts_str, last AS raw_price, prev_last,
+    SELECT {sc}line_no, ts_str, last AS raw_price, prev_last,
            unnest(generate_series(1, volume)) AS replica_idx
     FROM lines
 ),
 expanded AS (
-    SELECT line_no, replica_idx,
-           CAST(row_number() OVER (ORDER BY line_no, replica_idx) AS BIGINT) AS tick_idx,
+    SELECT {sc}line_no, replica_idx,
+           CAST(row_number() OVER ({pby}ORDER BY line_no, replica_idx) AS BIGINT) AS tick_idx,
            CAST(
              ascii(substr(ts_str,1,1))*4294967296*16777216 + ascii(substr(ts_str,2,1))*4294967296*65536
            + ascii(substr(ts_str,3,1))*4294967296*256 + ascii(substr(ts_str,4,1))*4294967296
@@ -104,7 +111,7 @@ hot AS (
     SELECT *,
            (raw_price BETWEEN {cfg.min_price} AND {cfg.max_price}) AS is_valid,
            count(CASE WHEN raw_price BETWEEN {cfg.min_price} AND {cfg.max_price} THEN 1 END)
-               OVER (ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_valid_upto
+               OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_valid_upto
     FROM expanded
 ),
 hot2 AS (
@@ -116,7 +123,7 @@ hot2 AS (
                 THEN CAST(greatest(least(price_delta, {eff}), -{eff}) AS BIGINT) END AS delta_w,
            (is_valid AND n_valid_upto >= 2 AND abs(price_delta) > {eff}) AS clipped,
            count(CASE WHEN is_valid AND n_valid_upto >= 2 THEN 1 END)
-               OVER (ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS core_seq
+               OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS core_seq
     FROM hot
 ),
 hot3 AS (
@@ -126,17 +133,17 @@ hot3 AS (
     FROM hot2
 ),
 stat_bars AS (
-    SELECT bar_ord, min(delta_w) AS bmin, max(delta_w) AS bmax, count(*) AS cnt
-    FROM hot3 WHERE is_core GROUP BY bar_ord
+    SELECT {sc}bar_ord, min(delta_w) AS bmin, max(delta_w) AS bmax, count(*) AS cnt
+    FROM hot3 WHERE is_core GROUP BY {sc}bar_ord
 ),
 bar_norms AS (
-    SELECT bar_ord + 1 AS bars_done,
+    SELECT {sc}bar_ord + 1 AS bars_done,
            CAST(round(65536.0::DOUBLE / greatest(
                 CAST(sum(bmax) OVER wb AS DOUBLE) / CAST(bar_ord + 1 AS DOUBLE)
               - CAST(sum(bmin) OVER wb AS DOUBLE) / CAST(bar_ord + 1 AS DOUBLE),
                 1.0::DOUBLE)) AS BIGINT) AS inv_q16
     FROM stat_bars WHERE cnt = {n}
-    WINDOW wb AS (ORDER BY bar_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    WINDOW wb AS ({pby}ORDER BY bar_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 joined AS (
     SELECT h.*,
@@ -151,20 +158,20 @@ joined AS (
            CAST(CASE WHEN h.is_hold THEN {C.FLAG_HOLDLAST}
                      WHEN h.clipped THEN {C.FLAG_CLIPPED}
                      ELSE {C.FLAG_OK} END AS BIGINT) AS status_flag
-    FROM hot3 h LEFT JOIN bar_norms b ON h.bars_done = b.bars_done
+    FROM hot3 h LEFT JOIN bar_norms b ON h.bars_done = b.bars_done{jstream}
 ),
 phased AS (
     SELECT *,
            ((sum(CASE WHEN is_core THEN CAST(round(ratio * {cpm_scale}) AS BIGINT) ELSE 0 END)
-                 OVER (ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              % 4294967296 + 4294967296) % 4294967296) // 4194304 AS cpm_idx,
            ((count(CASE WHEN NOT is_zero THEN 1 END)
-                 OVER (ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              * {C.AMC_CARRIER_INCREMENT_Q32}) % 4294967296) // 4194304 AS amc_idx
     FROM joined
 ),
 ticks_out AS (
-    SELECT tick_idx, timestamp, raw_price, price_delta,
+    SELECT {sc}tick_idx, timestamp, raw_price, price_delta,
            {sig},
            normalization, status_flag,
            is_valid, is_core, is_zero, core_seq, delta_w, bar_ord, bars_done, inv_q16, nq16, ratio

@@ -65,6 +65,32 @@ def _bar_query(bp_cfg):
     return fn, sql
 
 
+# ---- multi-stream pipeline: the 100 TB deployment shape ----
+#
+# One logical stream per session/day file; EVERY window partitions by
+# `stream`, so the plan has no single-partition shuffle anywhere —
+# .explain shows N-way partitioned WindowExecs. This is the query that
+# proves the scale path, not just documents it.
+
+
+def multistream_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events_streams
+
+    raw = ticks_from_events_streams(spark, sf_dir)
+    df = hot_loop(expand_volume(raw, stream_id="stream"), SP_DERIV, stream_id="stream")
+    return df.select("stream", *TICK_COLS)
+
+
+def _multistream_sql() -> str:
+    from tickdatapipeline_spark.oracle import pipeline_ctes as _pc
+    from tickdatapipeline_spark.sources.tickfile import ticks_streams_sql
+
+    ctes = _pc(SP_DERIV, streams=True, ticks_raw_sql=ticks_streams_sql())
+    return f"WITH {ctes} SELECT stream, {', '.join(TICK_COLS)} FROM ticks_out"
+
+
 # ---- Q1: delta distribution stats (analyze_tick_deltas.jl:83-92) ----
 
 def q1_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +392,7 @@ def queries() -> dict[str, tuple]:
         "tick_pipeline_hexad16": (h_fn, h_sql),
         "tick_pipeline_cpm": (c_fn, c_sql),
         "tick_pipeline_amc": (a_fn, a_sql),
+        "tick_pipeline_multistream": (multistream_fn, _multistream_sql()),
         "bars_boxcar": (bb_fn, bb_sql),
         "bars_fir": (bf_fn, bf_sql),
         "q1_delta_stats": (q1_fn, Q1_SQL),

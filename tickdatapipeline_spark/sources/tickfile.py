@@ -100,3 +100,54 @@ def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ticks_raw fixture derived from {sf_dir}/events.parquet (FIXTURES.md F1)."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
     return spark.sql(_TICKS_FROM_EVENTS_SPARK.format(events="__events_src"))
+
+
+# --- multi-stream variant: the 100 TB deployment shape ---
+#
+# One logical stream per session/day; here streams are derived by
+# event_id % N so both engines agree. line_no is PER-STREAM, and every
+# downstream window partitions by `stream` — no global ordering, no
+# single-partition shuffle anywhere in the plan.
+
+_TICKS_STREAMS_CORE = """
+SELECT
+    CAST(event_id % {n_streams} AS BIGINT)                        AS stream,
+    row_number() OVER (PARTITION BY event_id % {n_streams}
+                       ORDER BY event_id)                         AS line_no,
+    printf('%08d %06d 0000000',
+           20250319 + event_id {intdiv} 240000,
+           event_id % 240000)                                     AS ts_str,
+    CAST(px - 1 AS BIGINT)                                        AS bid,
+    CAST(px + 1 AS BIGINT)                                        AS ask,
+    CAST(px AS BIGINT)                                            AS last,
+    CAST(1 + m % 5 AS BIGINT)                                     AS volume
+FROM (
+    SELECT event_id, m,
+           CASE WHEN event_id % 211 = 0 THEN 99999
+                ELSE 41970 + (m % 101) - 50
+                     + CASE WHEN event_id % 97 = 0 THEN 75 ELSE 0 END
+           END AS px
+    FROM (
+        SELECT event_id,
+               (event_id * 1103515245 + 12345) % 2147483648 AS m
+        FROM {events}
+    )
+)
+"""
+
+N_STREAMS = 4
+
+
+def ticks_streams_sql(n_streams: int = N_STREAMS) -> str:
+    """DuckDB dialect."""
+    return _TICKS_STREAMS_CORE.format(n_streams=n_streams, intdiv="//", events="events")
+
+
+def ticks_from_events_streams(
+    spark: SparkSession, sf_dir: str, n_streams: int = N_STREAMS
+) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
+    sql = _TICKS_STREAMS_CORE.format(
+        n_streams=n_streams, intdiv="DIV", events="__events_src"
+    ).replace("printf(", "format_string(")
+    return spark.sql(sql)
