@@ -66,6 +66,39 @@ def test_microbatches_equal_batch(spark, encoder):
             assert g[c] == w[c], f"tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
 
 
+@pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+def test_bar_microbatches_equal_batch(spark, method, tpb):
+    from tickdatapipeline_spark.config import BarProcessingConfig
+    from tickdatapipeline_spark.operators.bars import BarSeed, bar_aggregate
+    from tickdatapipeline_spark.streaming.state import advance_bars
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=tpb, bar_method=method,
+                             normalization_window_bars=2)
+    rows = tick_rows(34)
+    whole_ticks = hot_loop(
+        expand_volume(make_ticks_raw(spark, rows)), cfg, stats_ticks_per_bar=N_STATS
+    )
+    whole = bar_aggregate(whole_ticks, bp).orderBy("bar_idx").collect()
+    assert len(whole) >= 5  # the split must cross several bar boundaries
+
+    state, bar_state = StreamState(), BarSeed()
+    got = []
+    for lo, hi in [(0, 11), (11, 19), (19, 26), (26, 34)]:
+        batch = make_ticks_raw(spark, renumber(rows[lo:hi]))
+        processed, state = advance(batch, cfg, state, stats_ticks_per_bar=N_STATS)
+        bars, bar_state = advance_bars(processed.select(*OUT_COLS), bp, bar_state)
+        got.extend(bars.orderBy("bar_idx").collect())
+        bars.unpersist()
+        processed.unpersist()
+
+    assert len(got) == len(whole)
+    cols = whole[0].asDict().keys()
+    for g, w in zip(got, whole):
+        for c in cols:
+            assert g[c] == w[c], f"bar {w['bar_idx']} col {c}: stream={g[c]} batch={w[c]}"
+
+
 def test_empty_batch_keeps_state(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative")
     rows = tick_rows(20)

@@ -26,12 +26,37 @@ The bars table is ~N x smaller than ticks; all bar windows run on it.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark import constants as C
 from tickdatapipeline_spark.config import BarProcessingConfig
 from tickdatapipeline_spark.functions.fir import design_decimation_filter
+
+
+@dataclass(frozen=True)
+class BarSeed:
+    """Bar-stage prefix state carried across streaming micro-batches.
+
+    Like HotLoopSeed, every stateful bar quantity is a prefix aggregate
+    plus one bounded buffer: the unfinished OHLC bar, the lag value for
+    bar deltas, cumulative high/low sums for normalization epochs, and
+    (FIR only) the trailing raw prices that the next completion's
+    convolution can still reach. Defaults = start of stream.
+    """
+
+    partial_cnt0: int = 0          # ticks in the unfinished bar
+    partial_open0: int | None = None
+    partial_high0: int | None = None
+    partial_low0: int | None = None
+    bars_done0: int = 0            # completed bars so far (lag/row_number offset)
+    prev_avg0: int | None = None   # last completed bar's average_raw
+    sum_high0: int = 0             # cumulative bar-high sum
+    sum_low0: int = 0              # cumulative bar-low sum
+    norm0: float = 1.0             # latest recomputed normalization
+    tail_prices0: tuple[tuple[int, int], ...] = field(default=())  # (tick_idx, price) FIR tail
 
 
 # Q33 fixed-point tap quantization for the FIR convolution. Products
@@ -88,16 +113,19 @@ def bar_aggregate(
     ticks: DataFrame,
     cfg: BarProcessingConfig,
     stream_id: str | None = None,
+    seed: BarSeed | None = None,
 ) -> DataFrame:
     """Tick stream -> one row per completed bar.
 
     Input needs (tick_idx, raw_price, timestamp [, stream_id]).
     Output: bar_idx (1-based), OHLC, bar_average_raw, bar_price_delta,
     bar_sig_re, bar_sig_im, bar_normalization, bar_flags, bar_ticks,
-    bar_volume, bar_end_timestamp, end_tick_idx.
+    bar_volume, bar_end_timestamp, end_tick_idx. ``seed`` continues a
+    stream from a prior micro-batch (BarSeed); None == start of stream.
     """
     if not cfg.enabled:
         raise ValueError("bar processing disabled in config")
+    s = seed or BarSeed()
     part = [stream_id] if stream_id else []
     n = cfg.ticks_per_bar
 
@@ -113,11 +141,29 @@ def bar_aggregate(
         F.max(F.when(F.col("bar_pos") == n - 1, F.col("tick_idx"))).alias("end_tick_idx"),
         F.count(F.lit(1)).alias("_cnt"),
     )
+    if s.partial_cnt0 > 0:
+        # merge the carried unfinished OHLC bar into its batch remainder
+        pb = s.bars_done0
+        is_pb = F.col("bar_id") == pb
+        bars = (
+            bars.withColumn("bar_open_raw", F.when(is_pb, F.lit(s.partial_open0)).otherwise(F.col("bar_open_raw")))
+            .withColumn("bar_high_raw", F.when(is_pb, F.greatest("bar_high_raw", F.lit(s.partial_high0))).otherwise(F.col("bar_high_raw")))
+            .withColumn("bar_low_raw", F.when(is_pb, F.least("bar_low_raw", F.lit(s.partial_low0))).otherwise(F.col("bar_low_raw")))
+            .withColumn("_cnt", F.when(is_pb, F.col("_cnt") + s.partial_cnt0).otherwise(F.col("_cnt")))
+        )
     bars = bars.where(F.col("_cnt") == n)  # partial trailing bar never completes
 
     if cfg.bar_method == "FIR":
         taps = design_decimation_filter(n)
-        firs = _fir_averages(ticks, bars.select(*part, "end_tick_idx"), part, taps)
+        fir_src = ticks.select(*part, "tick_idx", "raw_price")
+        if s.tail_prices0:
+            if part:
+                raise NotImplementedError("BarSeed + stream_id: seed one stream at a time")
+            tail = ticks.sparkSession.createDataFrame(
+                list(s.tail_prices0), "tick_idx long, raw_price long"
+            )
+            fir_src = fir_src.unionByName(tail)
+        firs = _fir_averages(fir_src, bars.select(*part, "end_tick_idx"), part, taps)
         bars = bars.join(firs, on=part + ["end_tick_idx"])
     else:
         # boxcar: Int(round((H+L+C)/3)) (BarProcessor.jl:239-245);
@@ -136,10 +182,10 @@ def bar_aggregate(
     # B4: normalization recomputed every W bars from cumulative H/L sums
     # (BarProcessor.jl:247-270). bars_completed k is 1-based; a recompute
     # happens AT bar k when k % W == 0 and uses stats through bar k.
-    k = F.row_number().over(wb).cast("long")
+    k = (F.row_number().over(wb) + F.lit(s.bars_done0)).cast("long")
     bars = bars.withColumn("k", k)
-    cum_high = F.sum("bar_high_raw").over(wcum).cast("double")
-    cum_low = F.sum("bar_low_raw").over(wcum).cast("double")
+    cum_high = (F.sum("bar_high_raw").over(wcum) + F.lit(s.sum_high0)).cast("double")
+    cum_low = (F.sum("bar_low_raw").over(wcum) + F.lit(s.sum_low0)).cast("double")
     norm_at_k = F.greatest(cum_high / F.col("k").cast("double") - cum_low / F.col("k").cast("double"), F.lit(1.0))
     w_recalc = cfg.normalization_window_bars
     bars = bars.withColumn(
@@ -149,13 +195,15 @@ def bar_aggregate(
         "bar_normalization",
         F.coalesce(
             F.last("_norm_recalc", ignorenulls=True).over(wcum),
-            F.lit(1.0),  # preload (BarProcessor.jl:126)
+            F.lit(float(s.norm0)),  # preload 1.0 (BarProcessor.jl:126) or carried recalc
         ),
     )
 
     # B5: bar delta = avg_raw - prev avg_raw (UNclipped prev), first bar 0
     # (:272-291); jump guard + winsorize collapse to one clamp.
     prev_avg = F.lag("bar_average_raw").over(wb)
+    if s.prev_avg0 is not None:
+        prev_avg = F.coalesce(prev_avg, F.lit(s.prev_avg0))
     raw_delta = F.when(prev_avg.isNull(), F.lit(0)).otherwise(F.col("bar_average_raw") - prev_avg)
     bars = bars.withColumn("_raw_delta", raw_delta.cast("long"))
     eff = min(cfg.max_bar_jump, cfg.winsorize_bar_threshold)

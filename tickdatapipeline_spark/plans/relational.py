@@ -231,6 +231,65 @@ ORDER BY p_brand
 """
 
 
+# ---- R8: supplier revenue by nation (the remaining fixture table) ----
+
+def r8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev) / 10000.0).alias("supplier_revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+R8_SQL = f"""
+SELECT n_name,
+       sum({_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')})) / 10000.0 AS supplier_revenue,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+# ---- R9: semi-structured JSON props on the events stream ----
+
+def r9_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+R9_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -240,4 +299,6 @@ def queries() -> dict[str, tuple]:
         "rel_setops_segments": (r5_fn, R5_SQL),
         "rel_customers_without_orders": (r6_fn, R6_SQL),
         "rel_brand_shipping_stats": (r7_fn, R7_SQL),
+        "rel_supplier_revenue": (r8_fn, R8_SQL),
+        "rel_events_json_props": (r9_fn, R9_SQL),
     }

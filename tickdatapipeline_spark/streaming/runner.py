@@ -44,7 +44,11 @@ class StreamingTickPipeline:
         checkpoint_dir: str,
         max_files_per_trigger: int = 1,
         on_batch: Callable[[int, int], None] | None = None,
+        bar_cfg=None,
+        bar_sink: Callable[[DataFrame, int], None] | None = None,
     ) -> None:
+        from tickdatapipeline_spark.operators.bars import BarSeed
+
         self.spark = spark
         self.input_dir = input_dir
         self.cfg = cfg
@@ -52,12 +56,17 @@ class StreamingTickPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.on_batch = on_batch
+        self.bar_cfg = bar_cfg
+        self.bar_sink = bar_sink
         self.state = StreamState()
+        self.bar_state = BarSeed()
         self.ticks_processed = 0
         self._query = None
 
     # -- one micro-batch: resolve files -> ordered read -> seeded ops -----
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from tickdatapipeline_spark.streaming.state import advance_bars
+
         files = sorted(
             r["f"] for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
         )
@@ -66,6 +75,11 @@ class StreamingTickPipeline:
             processed, self.state = advance(raw, self.cfg, self.state)
             out = processed.select(*OUT_COLS)
             self.manager.broadcast_batch(out, batch_id)
+            if self.bar_cfg is not None and self.bar_cfg.enabled:
+                bars, self.bar_state = advance_bars(out, self.bar_cfg, self.bar_state)
+                if self.bar_sink is not None:
+                    self.bar_sink(bars, batch_id)
+                bars.unpersist()
             self.ticks_processed = self.state.tick0
             processed.unpersist()
         if self.on_batch is not None:

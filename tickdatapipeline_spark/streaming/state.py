@@ -150,3 +150,84 @@ def advance(
 def carry_forward(state: StreamState) -> StreamState:
     """State after an empty batch (no ticks): unchanged."""
     return replace(state)
+
+
+def advance_bars(
+    ticks_batch: DataFrame,
+    bp,
+    seed,
+):
+    """Bar stage for one micro-batch of processed ticks (global tick_idx).
+
+    Returns (bars_df, next_BarSeed): the bars completing in this batch
+    plus the carried state — unfinished OHLC bar, lag average, cumulative
+    high/low sums, latest normalization, and the FIR price tail.
+    """
+    from tickdatapipeline_spark.functions.fir import design_decimation_filter
+    from tickdatapipeline_spark.operators.bars import BarSeed, bar_aggregate
+
+    n = bp.ticks_per_bar
+    bars = bar_aggregate(ticks_batch, bp, seed=seed).cache()
+    brow = bars.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("bar_high_raw").alias("add_high"),
+        F.sum("bar_low_raw").alias("add_low"),
+        F.max_by("bar_average_raw", "bar_idx").alias("last_avg"),
+        F.max_by("bar_normalization", "bar_idx").alias("last_norm"),
+        F.max("bar_idx").alias("max_bar_idx"),
+    ).collect()[0]
+    bars_done = int(brow["max_bar_idx"]) if brow["max_bar_idx"] is not None else seed.bars_done0
+
+    # trailing partial OHLC bar = ticks with bar_id == bars_done
+    part_row = (
+        ticks_batch.withColumn("_bar_id", ((F.col("tick_idx") - 1) / n).cast("long"))
+        .where(F.col("_bar_id") == bars_done)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min_by("raw_price", "tick_idx").alias("first_price"),
+            F.max("raw_price").alias("high"),
+            F.min("raw_price").alias("low"),
+        )
+        .collect()[0]
+    )
+    p_cnt = int(part_row["cnt"] or 0)
+    if bars_done == seed.bars_done0 and seed.partial_cnt0 > 0:
+        # the carried partial bar is still unfinished: merge batch ticks in
+        p_open = seed.partial_open0
+        p_high = seed.partial_high0 if p_cnt == 0 else max(int(part_row["high"]), seed.partial_high0)
+        p_low = seed.partial_low0 if p_cnt == 0 else min(int(part_row["low"]), seed.partial_low0)
+        p_cnt += seed.partial_cnt0
+    elif p_cnt > 0:
+        p_open = int(part_row["first_price"])
+        p_high = int(part_row["high"])
+        p_low = int(part_row["low"])
+    else:
+        p_open = p_high = p_low = None
+
+    tail: tuple[tuple[int, int], ...] = ()
+    if bp.bar_method == "FIR":
+        L = len(design_decimation_filter(n))
+        rows = (
+            ticks_batch.select("tick_idx", "raw_price")
+            .orderBy(F.col("tick_idx").desc())
+            .limit(L - 1)
+            .collect()
+        )
+        merged = {int(r["tick_idx"]): int(r["raw_price"]) for r in rows}
+        for t_idx, price in seed.tail_prices0:
+            merged.setdefault(t_idx, price)
+        tail = tuple(sorted(merged.items())[-(L - 1):])
+
+    next_seed = BarSeed(
+        partial_cnt0=p_cnt,
+        partial_open0=p_open,
+        partial_high0=p_high,
+        partial_low0=p_low,
+        bars_done0=bars_done,
+        prev_avg0=int(brow["last_avg"]) if brow["last_avg"] is not None else seed.prev_avg0,
+        sum_high0=seed.sum_high0 + int(brow["add_high"] or 0),
+        sum_low0=seed.sum_low0 + int(brow["add_low"] or 0),
+        norm0=float(brow["last_norm"]) if brow["last_norm"] is not None else seed.norm0,
+        tail_prices0=tail,
+    )
+    return bars, next_seed
