@@ -255,7 +255,9 @@ def enrich_ticks_with_bars(
     cond = ticks["tick_idx"] == bars["end_tick_idx"]
     for c in part:
         cond = cond & (ticks[c] == bars[c])
-    out = ticks.join(F.broadcast(bars), cond, "left")
+    # no broadcast hint: bars is rows/N — AQE broadcasts when small, and
+    # at 100 TB this is a co-partitioned shuffle join per stream
+    out = ticks.join(bars, cond, "left")
     out = out.drop(bars["end_tick_idx"])
     for c in part:
         out = out.drop(bars[c])

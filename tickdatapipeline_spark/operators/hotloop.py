@@ -170,8 +170,11 @@ def hot_loop(
         F.round(F.lit(65536.0) / norm, 0).cast("long").alias("inv_q16"),
     )
 
+    # NO broadcast hint: norms is rows/144 — tiny locally (AQE broadcasts
+    # it automatically) but far too large to broadcast at 100 TB, where
+    # this becomes a stream-co-partitioned shuffle join.
     join_keys = part + ["bars_done"]
-    df = df.join(F.broadcast(norms), on=join_keys, how="left")
+    df = df.join(norms, on=join_keys, how="left")
     inv = F.when(
         F.col("is_core"), F.coalesce(F.col("inv_q16"), F.lit(s.inv_q16_0))
     )
