@@ -91,6 +91,30 @@ def _multistream_sql() -> str:
     return f"WITH {ctes} SELECT stream, {', '.join(TICK_COLS)} FROM ticks_out"
 
 
+# ---- B7 pass-through enrichment: bar fields only on completing ticks ----
+
+ENRICH_BAR_COLS = ["bar_idx", "bar_open_raw", "bar_high_raw", "bar_low_raw",
+                   "bar_close_raw", "bar_average_raw", "bar_price_delta",
+                   "bar_normalization", "bar_flags"]
+
+
+def enriched_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdatapipeline_spark.operators.bars import enrich_ticks_with_bars
+
+    ticks = processed_ticks(spark, sf_dir, SP_DERIV)
+    bars = bar_aggregate(ticks, BP_BOX)
+    out = enrich_ticks_with_bars(ticks, bars)
+    return out.select(*TICK_COLS, *ENRICH_BAR_COLS)
+
+
+ENRICHED_SQL = (
+    f"WITH {pipeline_ctes(SP_DERIV)}, {bars_ctes(SP_DERIV, BP_BOX)} "
+    f"SELECT {', '.join('t.' + c for c in TICK_COLS)}, "
+    f"{', '.join('b.' + c for c in ENRICH_BAR_COLS)} "
+    f"FROM ticks_out t LEFT JOIN bars_out b ON t.tick_idx = b.end_tick_idx"
+)
+
+
 # ---- Q1: delta distribution stats (analyze_tick_deltas.jl:83-92) ----
 
 def q1_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +419,7 @@ def queries() -> dict[str, tuple]:
         "tick_pipeline_multistream": (multistream_fn, _multistream_sql()),
         "bars_boxcar": (bb_fn, bb_sql),
         "bars_fir": (bf_fn, bf_sql),
+        "ticks_enriched": (enriched_fn, ENRICHED_SQL),
         "q1_delta_stats": (q1_fn, Q1_SQL),
         "q2_percentiles": (q2_fn, Q2_SQL),
         "q3_zero_share": (q3_fn, Q3_SQL),
