@@ -63,6 +63,64 @@ def test_bar_rules():
     assert not ok
 
 
+REFERENCE_DEFAULT_TOML = """\
+pipeline_name = "default"
+description = "Default tick processing pipeline"
+version = "1.0"
+tick_file_path = "data/raw/ticks.txt"
+
+[signal_processing]
+encoder_type = "derivative"
+cpm_modulation_index = 0.2
+cpm_lut_size = 1024
+amc_carrier_period = 16.0
+amc_lut_size = 1024
+tick_derivative_imag_scale = 2.0
+agc_alpha = 0.125
+agc_min_scale = 4
+agc_max_scale = 50
+winsorize_delta_threshold = 10
+min_price = 36600
+max_price = 43300
+max_jump = 50
+
+[flow_control]
+delay_ms = 0.0
+
+[channels]
+priority_buffer_size = 4096
+standard_buffer_size = 2048
+
+[performance]
+target_latency_us = 500
+max_latency_us = 1000
+target_throughput_tps = 10000.0
+
+[bar_processing]
+enabled = true
+ticks_per_bar = 21
+bar_method = "FIR"
+normalization_window_bars = 120
+winsorize_bar_threshold = 50
+max_bar_jump = 100
+bar_derivative_imag_scale = 4.0
+"""
+
+
+def test_reference_toml_layout_loads_unchanged(tmp_path):
+    """A user's existing reference TOML (same sections/keys as
+    /root/reference/config/pipeline/default.toml) loads as-is."""
+    p = tmp_path / "default.toml"
+    p.write_text(REFERENCE_DEFAULT_TOML)
+    cfg = load_config(p)
+    assert cfg.signal_processing.encoder_type == "derivative"
+    assert cfg.signal_processing.tick_derivative_imag_scale == 2.0
+    assert cfg.signal_processing.cpm_modulation_index == 0.2
+    assert cfg.bar_processing.enabled and cfg.bar_processing.ticks_per_bar == 21
+    assert cfg.bar_processing.bar_method == "FIR"
+    assert cfg.performance.target_throughput_tps == 10000.0
+
+
 def test_toml_round_trip(tmp_path):
     cfg = PipelineConfig(
         pipeline_name="rt",

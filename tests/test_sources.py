@@ -1,0 +1,56 @@
+"""Tick-file scan tests (S1-S3): parse, malformed skip, multi-file
+streams."""
+
+from __future__ import annotations
+
+from tickdatapipeline_spark.config import SignalProcessingConfig
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+from tickdatapipeline_spark.sources.tickfile import read_tick_file, read_tick_files
+
+
+def write_file(path, rows, junk=True):
+    with open(path, "w") as f:
+        for ts, price, vol in rows:
+            f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+        if junk:
+            f.write("\n")                    # empty: skipped
+            f.write("  \n")                  # blank: skipped
+            f.write("not;enough\n")          # wrong field count: skipped
+            f.write("a b c;x;y;z;w\n")       # non-numeric: skipped
+    return str(path)
+
+
+def test_read_tick_file_parses_and_skips(spark, tmp_path):
+    rows = [(f"20250319 12000{i} 0000000", 41970 + i, 1 + i % 3) for i in range(6)]
+    path = write_file(tmp_path / "t.txt", rows)
+    got = read_tick_file(spark, path).orderBy("line_no").collect()
+    assert len(got) == 6  # junk lines silently dropped (VolumeExpansion.jl:162-171)
+    assert [r.line_no for r in got] == list(range(1, 7))
+    assert [r.last for r in got] == [41970 + i for i in range(6)]
+    assert got[0].bid == 41969 and got[0].ask == 41971
+
+
+def test_read_tick_files_per_stream_numbering(spark, tmp_path):
+    rows_a = [(f"20250319 12000{i} 0000000", 41970 + i, 1) for i in range(4)]
+    rows_b = [(f"20250320 09000{i} 0000000", 42000 + i, 2) for i in range(3)]
+    write_file(tmp_path / "a.txt", rows_a)
+    write_file(tmp_path / "b.txt", rows_b, junk=False)
+    df = read_tick_files(spark, str(tmp_path / "*.txt"))
+    got = df.orderBy("stream", "line_no").collect()
+    assert len(got) == 7
+    by_stream = {}
+    for r in got:
+        by_stream.setdefault(r.stream.rsplit("/", 1)[-1], []).append(r)
+    assert [r.line_no for r in by_stream["a.txt"]] == [1, 2, 3, 4]
+    assert [r.line_no for r in by_stream["b.txt"]] == [1, 2, 3]
+
+    # the multi-file frame feeds the stream-partitioned pipeline directly
+    out = hot_loop(
+        expand_volume(df, stream_id="stream"),
+        SignalProcessingConfig(encoder_type="derivative"),
+        stream_id="stream",
+    )
+    assert out.count() == 4 + 2 * 3  # sum of volumes
+    # per-stream tick numbering restarts
+    assert out.groupBy("stream").count().count() == 2

@@ -102,6 +102,36 @@ def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TICKS_FROM_EVENTS_SPARK.format(events="__events_src"))
 
 
+def read_tick_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Multi-file scan: one logical stream per file (the deployment unit).
+
+    Output adds a `stream` column (the file path); `line_no` restarts per
+    file and every window downstream partitions by stream — this is the
+    read path that scales, unlike read_tick_file's single global order.
+    """
+    lines = spark.read.text(path_glob).withColumn("stream", F.input_file_name())
+    parts = F.split(F.col("value"), ";")
+    w = Window.partitionBy("stream").orderBy(F.monotonically_increasing_id())
+    return (
+        lines.where(F.length(F.trim(F.col("value"))) > 0)
+        .withColumn("_parts", parts)
+        .withColumn("ts_str", F.trim(F.get("_parts", 0)))
+        .withColumn("bid", F.trim(F.get("_parts", 1)).try_cast("long"))
+        .withColumn("ask", F.trim(F.get("_parts", 2)).try_cast("long"))
+        .withColumn("last", F.trim(F.get("_parts", 3)).try_cast("long"))
+        .withColumn("volume", F.trim(F.get("_parts", 4)).try_cast("long"))
+        .where(
+            (F.size("_parts") == 5)
+            & F.col("bid").isNotNull()
+            & F.col("ask").isNotNull()
+            & F.col("last").isNotNull()
+            & F.col("volume").isNotNull()
+        )
+        .withColumn("line_no", F.row_number().over(w))
+        .select("stream", "line_no", "ts_str", "bid", "ask", "last", "volume")
+    )
+
+
 # --- multi-stream variant: the 100 TB deployment shape ---
 #
 # One logical stream per session/day; here streams are derived by
