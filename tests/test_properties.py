@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) — beyond the reference's own test
+strategy (SURVEY.md §5 notes it has none): randomized inputs pin the
+operator contracts that the golden tests spot-check."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import make_ticks_raw
+from tickdatapipeline_spark import constants as C
+from tickdatapipeline_spark.config import SignalProcessingConfig
+from tickdatapipeline_spark.operators.expansion import expand_volume
+from tickdatapipeline_spark.operators.hotloop import hot_loop
+
+TS = "20250319 120000 0000000"
+
+price_strategy = st.integers(min_value=36600, max_value=43300)
+spike_strategy = st.one_of(price_strategy, st.just(99999), st.just(1))
+lines_strategy = st.lists(
+    st.tuples(spike_strategy, st.integers(min_value=1, max_value=4)),
+    min_size=1, max_size=12,
+)
+
+SET = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(lines=lines_strategy)
+@SET
+def test_expansion_contract(spark, lines):
+    rows = [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)]
+    got = expand_volume(make_ticks_raw(spark, rows)).orderBy("tick_idx").collect()
+    # row count = sum of volumes; tick_idx dense
+    assert len(got) == sum(v for _, v in lines)
+    assert [r.tick_idx for r in got] == list(range(1, len(got) + 1))
+    # replica 1 carries the line delta, replicas 2..V carry zero
+    expected_deltas = []
+    prev = None
+    for p, v in lines:
+        expected_deltas.append(0 if prev is None else p - prev)
+        expected_deltas.extend([0] * (v - 1))
+        prev = p
+    assert [r.price_delta for r in got] == expected_deltas
+
+
+@given(lines=lines_strategy)
+@SET
+def test_hotloop_invariants(spark, lines):
+    rows = [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)]
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    got = hot_loop(
+        expand_volume(make_ticks_raw(spark, rows)), cfg,
+        stats_ticks_per_bar=4, keep_internals=True,
+    ).orderBy("tick_idx").collect()
+    for r in got:
+        # flags are exactly one of OK / HOLDLAST / CLIPPED
+        assert r.status_flag in (C.FLAG_OK, C.FLAG_HOLDLAST, C.FLAG_CLIPPED)
+        assert r.normalization > 0
+        if not r.is_valid:
+            # invalid rows: zero-amplitude derivative signal, unit norm
+            assert r.sig_re == 0.0 and r.sig_im == 0.0
+            assert r.normalization == 1.0
+        if r.is_core:
+            assert abs(r.delta_w) <= min(cfg.max_jump, cfg.winsorize_delta_threshold)
+            if abs(r.price_delta) > min(cfg.max_jump, cfg.winsorize_delta_threshold):
+                assert r.status_flag == C.FLAG_CLIPPED
+
+
+@given(
+    lines=st.lists(
+        st.tuples(price_strategy, st.integers(min_value=1, max_value=3)),
+        min_size=4, max_size=10,
+    ),
+    split=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_streaming_split_equivalence(spark, lines, split):
+    from tickdatapipeline_spark.streaming import OUT_COLS, StreamState, advance
+
+    split = min(split, len(lines) - 1)
+    cfg = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=0.2)
+    rows = [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)]
+    whole = hot_loop(
+        expand_volume(make_ticks_raw(spark, rows)), cfg, stats_ticks_per_bar=4
+    ).orderBy("tick_idx").collect()
+
+    state = StreamState()
+    got = []
+    for chunk in (rows[:split], rows[split:]):
+        renum = [(i + 1, ts, p, v) for i, (_, ts, p, v) in enumerate(chunk)]
+        processed, state = advance(
+            make_ticks_raw(spark, renum), cfg, state, stats_ticks_per_bar=4
+        )
+        got.extend(processed.select(*OUT_COLS).orderBy("tick_idx").collect())
+        processed.unpersist()
+
+    assert [tuple(r) for r in got] == [tuple(r) for r in whole]

@@ -98,6 +98,75 @@ def ann_bucket_histogram(emb: DataFrame) -> DataFrame:
     )
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF coarse quantization: centroids are the vectors with
+    vec_id < n_cells (deterministic, oracle-reproducible — a real
+    deployment would train k-means once on the driver and broadcast the
+    centroids the same way).
+
+    Output: (vec_id, v, cell, probe_cells) where cell = argmax cosine
+    against the centroids and probe_cells = the nprobe nearest cells
+    (for the query side of the search).
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    cents = base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("c")
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cell",
+        rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    ranked = scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= nprobe)
+    return (
+        ranked.groupBy("vec_id")
+        .agg(
+            F.max_by("v", -F.col("crank")).alias("v"),  # any row carries v; crank 1 row wins
+            F.max_by("cell", -F.col("crank")).alias("cell"),
+            F.array_sort(F.collect_list("cell")).alias("probe_cells"),
+        )
+    )
+
+
+def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                 n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF top-k: each query probes its nprobe nearest cells; neighbors
+    are scored only within those cells. Same output contract as
+    cosine_topk (recall < 1, cost ~ nprobe/n_cells of brute force)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, n_cells, nprobe)
+    queries = assigned.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
+        F.explode("probe_cells").alias("probe_cell"),
+    )
+    cand = assigned.select("vec_id", "v", "cell")
+    joined = cand.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+    # no dedup needed: each neighbor lives in exactly one cell, so a query
+    # probing several cells still sees it at most once
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed (the scale path):
     only pairs sharing a signed-hyperplane bucket are scored, so cost is

@@ -36,6 +36,7 @@ from tickdatapipeline_spark.operators.similarity import (
     LSH_PLANES,
     _plane_weight,
     ann_bucket_histogram,
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_topk,
     embedding_near_duplicates,
@@ -252,6 +253,37 @@ FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id, {_sql_bucket(SQL_VEC)} AS bucket 
 GROUP BY bucket
 """
 
+IVF_SQL = f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < 8),
+cscored AS (
+    SELECT b.vec_id, b.v, cell,
+           {sql_rnd(SQL_DOT.format(a="b.v", b="c") + " / (" + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")")} AS sim
+    FROM base b CROSS JOIN cents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS crank
+    FROM cscored
+),
+assigned AS (SELECT vec_id, cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id, cell AS probe_cell FROM ranked WHERE crank <= 2),
+q AS (
+    SELECT p.vec_id AS query_id, b.v AS q, p.probe_cell
+    FROM probes p JOIN base b ON p.vec_id = b.vec_id
+    WHERE p.vec_id % {{query_mod}} = 0
+),
+cand AS (SELECT a.vec_id, b.v, a.cell FROM assigned a JOIN base b ON a.vec_id = b.vec_id),
+scored AS (
+    SELECT q.query_id, cand.vec_id AS neighbor_id,
+           {sql_rnd(SQL_DOT.format(a="q.q", b="cand.v") + " / (" + SQL_NORM.format(a="q.q") + " * " + SQL_NORM.format(a="cand.v") + ")")} AS cosine
+    FROM cand JOIN q ON cand.cell = q.probe_cell AND cand.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {{k}}
+"""
+
 EMBED_NEAR_DUP_THRESHOLD = 0.25
 _pair_cos = sql_rnd(
     SQL_DOT.format(a="a.v", b="b.v")
@@ -384,6 +416,10 @@ def queries() -> dict[str, tuple]:
         "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
         "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
         "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
+        "sim_ann_topk_ivf": (
+            lambda s, d: ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
+            IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K),
+        ),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
             EMBED_NEAR_DUP_SQL,
