@@ -56,6 +56,24 @@ def test_run_pipeline_managed_with_bars_and_callback(spark, tmp_path):
     assert enriched.count() == df.count() // 5  # one completing tick per bar
 
 
+def test_plot_slice_html(spark, tmp_path):
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.pipeline import plot_slice_html
+    from tickdatapipeline_spark.sources.tickfile import read_tick_file
+
+    path = write_tick_file(tmp_path / "ticks.txt")
+    processed = hot_loop(
+        expand_volume(read_tick_file(spark, path)),
+        SignalProcessingConfig(encoder_type="derivative"),
+    )
+    out = tmp_path / "plot.html"
+    n = plot_slice_html(processed, str(out), start_tick=5, num_ticks=40)
+    html = out.read_text()
+    assert n == 40
+    assert "<svg" in html and html.count("<polyline") == 3
+
+
 def test_capture_skip_take_and_csv(spark, tmp_path):
     from tickdatapipeline_spark.operators.expansion import expand_volume
     from tickdatapipeline_spark.operators.hotloop import hot_loop

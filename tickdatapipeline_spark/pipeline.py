@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,3 +119,63 @@ def csv_export(spark: SparkSession, parquet_path: str, csv_path: str) -> None:
     spark.read.parquet(parquet_path).write.mode("overwrite").option(
         "header", "true"
     ).csv(csv_path)
+
+
+def plot_slice_html(
+    processed: DataFrame, path: str, *, start_tick: int = 1, num_ticks: int = 500,
+    signal_scale: float = 6.0,
+) -> int:
+    """S7 plot sink (scripts/plot_jld2_data.jl:18-174): min-max-scaled
+    price with scaled I/Q signals over a tick range, written as a
+    self-contained HTML/SVG file — no plotting library required.
+
+    The heavy work (slice + min-max normalize) runs distributed; only the
+    <= num_ticks plotted points reach the driver. Returns points plotted.
+    """
+    sl = processed.where(
+        F.col("tick_idx").between(start_tick, start_tick + num_ticks - 1)
+    ).select("tick_idx", "raw_price", "sig_re", "sig_im")
+    stats = sl.agg(F.min("raw_price").alias("pmin"), F.max("raw_price").alias("pmax"))
+    rows = (
+        sl.crossJoin(stats)
+        .select(
+            "tick_idx",
+            ((F.col("raw_price") - F.col("pmin")).cast("double")
+             / F.greatest((F.col("pmax") - F.col("pmin")).cast("double"), F.lit(1.0))).alias("p"),
+            (F.col("sig_re") * signal_scale).alias("re"),
+            (F.col("sig_im") * signal_scale).alias("im"),
+        )
+        .orderBy("tick_idx")
+        .collect()
+    )
+    if not rows:
+        Path(path).write_text("<html><body>no data in range</body></html>")
+        return 0
+
+    w, h = 960, 420
+    x0, xn = rows[0].tick_idx, rows[-1].tick_idx
+    span = max(xn - x0, 1)
+
+    def pts(key, lo, hi):
+        out = []
+        for r in rows:
+            x = (r.tick_idx - x0) / span * (w - 40) + 20
+            v = max(lo, min(hi, getattr(r, key)))
+            y = h - 20 - (v - lo) / (hi - lo) * (h - 40)
+            out.append(f"{x:.1f},{y:.1f}")
+        return " ".join(out)
+
+    svg = (
+        f'<svg width="{w}" height="{h}" xmlns="http://www.w3.org/2000/svg">'
+        f'<rect width="{w}" height="{h}" fill="white"/>'
+        f'<polyline points="{pts("p", 0.0, 1.0)}" fill="none" stroke="black" stroke-width="1"/>'
+        f'<polyline points="{pts("re", -1.0, 1.0)}" fill="none" stroke="steelblue" stroke-width="1"/>'
+        f'<polyline points="{pts("im", -1.0, 1.0)}" fill="none" stroke="indianred" stroke-width="1"/>'
+        "</svg>"
+    )
+    Path(path).write_text(
+        "<html><head><title>tick slice</title></head><body>"
+        f"<h3>ticks {x0}-{xn}: price (black, min-max scaled), "
+        f"sig_re (blue) / sig_im (red) x{signal_scale}</h3>{svg}</body></html>"
+    )
+    return len(rows)

@@ -350,6 +350,85 @@ SELECT c.event_id, c.user_id,
 FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
+# ================= event-time windows (absent in the reference) ==========
+
+
+def windowed_events_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch twin of the
+    Structured Streaming windowed aggregation (F.window on the decoded
+    timestamp works identically under readStream with a watermark).
+
+    This session reads ns-timestamp parquet as epoch-nanos longs
+    (nanosAsLong), so the bucket is integer epoch math — which also
+    keeps the oracle comparison free of timestamp-dtype skew.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.expr("(ts DIV 1000000000 DIV 3600) * 3600")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")  # exact cents
+    return (
+        ev.groupBy(bucket.alias("window_start_s"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), (F.sum(vc) / 100.0).alias("sum_value"))
+    )
+
+
+WINDOWED_EVENTS_SQL = """
+SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start_s, event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, a new session starts after a >30 min gap
+    (gaps-and-islands via lag + cumulative sum — identical semantics to
+    F.session_window, but exactly reproducible in the oracle)."""
+    from pyspark.sql import Window
+
+    # exact microseconds on both engines (ts is an epoch-nanos long in
+    # Spark under nanosAsLong; DuckDB uses epoch_us — both integer-exact)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    df = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        df.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("(max(tus) - min(tus)) DIV 1000000").alias("duration_s"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tus,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+    FROM events
+),
+s AS (
+    SELECT user_id, event_id, tus,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       (max(tus) - min(tus)) // 1000000 AS duration_s
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # ================= reserved EMA/AGC state (A1/A2) =================
 
 
@@ -426,6 +505,8 @@ def queries() -> dict[str, tuple]:
         ),
         "ema_state": (ema_state_fn, None),  # rows-only: true recurrence
         "asof_join_events": (asof_fn, ASOF_SQL),
+        "events_windowed_hourly": (windowed_events_fn, WINDOWED_EVENTS_SQL),
+        "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, None),  # rows-only: frame split is a stubbed demuxer
     }
