@@ -125,6 +125,11 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     bands = wide.select("doc_id", F.explode(band_structs).alias("r")).select(
         "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
     )
+    # materialize the band table once: the self-join below would otherwise
+    # recompute the full shingle->minhash lineage for BOTH sides. At
+    # deployment scale this is "write signatures to parquet, then join";
+    # in-session, localCheckpoint is the same cut applied to the plan.
+    bands = bands.localCheckpoint(eager=False)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
