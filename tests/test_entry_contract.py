@@ -52,9 +52,9 @@ def test_registry_shape():
     assert set(oracles) <= set(qs)
     # every callable is (spark, sf_dir) -> DataFrame; names are unique
     missing_oracle = set(qs) - set(oracles)
-    # only genuinely non-SQL ops may omit the oracle: a stubbed demuxer
-    # and a true recurrence
-    assert missing_oracle <= {"media_frame_sample", "ema_state"}
+    # only genuinely non-SQL ops may omit the oracle: a stubbed demuxer,
+    # a true recurrence, and a sketch-based approximation
+    assert missing_oracle <= {"media_frame_sample", "ema_state", "q2_percentiles_approx"}
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)

@@ -165,6 +165,25 @@ SELECT pct, q_signed, q_abs FROM _signed JOIN _abs USING (pct) ORDER BY pct
 
 # ---- Q3: zero-delta share (analyze_tick_deltas.jl:123-129) ----
 
+def q2_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment-scale percentile path: percentile_approx (one pass,
+    mergeable sketches, no global sort). Rows-only check — sketch
+    internals are not cross-engine reproducible; the exact variant
+    (q2_percentiles) is the oracle-gated twin."""
+    df = processed_ticks(spark, sf_dir, SP_DERIV)
+    pcts = F.array(*[F.lit(p) for p in PCTS])
+    return df.agg(
+        F.percentile_approx(F.col("price_delta").cast("double"), pcts, 10000).alias("q_signed"),
+        F.percentile_approx(F.abs("price_delta").cast("double"), pcts, 10000).alias("q_abs"),
+    ).select(
+        F.posexplode("q_signed").alias("i", "q_signed_v"), "q_abs"
+    ).select(
+        F.element_at(F.array(*[F.lit(p) for p in PCTS]), F.col("i") + 1).alias("pct"),
+        F.col("q_signed_v").alias("q_signed"),
+        F.element_at("q_abs", F.col("i") + 1).alias("q_abs"),
+    )
+
+
 def q3_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = processed_ticks(spark, sf_dir, SP_DERIV)
     return df.agg(
@@ -422,6 +441,7 @@ def queries() -> dict[str, tuple]:
         "ticks_enriched": (enriched_fn, ENRICHED_SQL),
         "q1_delta_stats": (q1_fn, Q1_SQL),
         "q2_percentiles": (q2_fn, Q2_SQL),
+        "q2_percentiles_approx": (q2_approx_fn, None),  # rows-only: sketch-based
         "q3_zero_share": (q3_fn, Q3_SQL),
         "q4_threshold_sweep": (q4_fn, Q4_SQL),
         "q5_winsorize_reco": (q5_fn, Q5_SQL),
