@@ -1,5 +1,49 @@
-from tickdatapipeline_spark.operators.expansion import expand_volume
-from tickdatapipeline_spark.operators.hotloop import hot_loop
-from tickdatapipeline_spark.operators.bars import bar_aggregate, enrich_ticks_with_bars
+from tickdatapipeline_spark.operators.asof import asof_join
+from tickdatapipeline_spark.operators.bars import (
+    BarSeed,
+    bar_aggregate,
+    enrich_ticks_with_bars,
+)
+from tickdatapipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
+from tickdatapipeline_spark.operators.expansion import expand_volume, packed_timestamp
+from tickdatapipeline_spark.operators.hotloop import HotLoopSeed, hot_loop
+from tickdatapipeline_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media_from_documents,
+)
+from tickdatapipeline_spark.operators.similarity import (
+    ann_bucket_histogram,
+    ann_topk_ivf,
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_duplicates,
+)
+from tickdatapipeline_spark.operators.stateful import ema_columns
+from tickdatapipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash,
+    token_stats,
+)
 
-__all__ = ["expand_volume", "hot_loop", "bar_aggregate", "enrich_ticks_with_bars"]
+__all__ = [
+    "asof_join",
+    "BarSeed", "bar_aggregate", "enrich_ticks_with_bars",
+    "exact_duplicates", "jaccard_pairs", "lsh_candidate_pairs",
+    "minhash_signatures", "shingles",
+    "expand_volume", "packed_timestamp",
+    "HotLoopSeed", "hot_loop",
+    "extract_features", "sample_frames", "synth_media_from_documents",
+    "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_lsh",
+    "cosine_topk", "embedding_near_duplicates",
+    "ema_columns",
+    "fingerprint", "lang_id", "quality_score", "simhash", "token_stats",
+]
