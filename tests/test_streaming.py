@@ -135,6 +135,56 @@ def test_fanout_priority_vs_dropping(spark):
     assert mgr.unsubscribe("m") and not mgr.unsubscribe("m")
 
 
+def test_runner_independent_streams_per_key(spark, tmp_path):
+    """stream_key routes files to independent stream states: two symbols
+    interleaved across files each process exactly like a solo run."""
+    from tickdatapipeline_spark.streaming import StreamingTickPipeline
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows_a, rows_b = tick_rows(16), [(i + 1, TS, 42100 + (i * 5) % 13, 1 + i % 2)
+                                     for i in range(14)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # interleaved arrival: A part 1, B part 1, A part 2, B part 2
+    chunks = [("000-symA.txt", rows_a[:9]), ("001-symB.txt", rows_b[:7]),
+              ("002-symA.txt", rows_a[9:]), ("003-symB.txt", rows_b[7:])]
+    import os
+
+    for i, (fname, chunk) in enumerate(chunks):
+        with open(in_dir / fname, "w") as f:
+            for _, ts, price, vol in chunk:
+                f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+        # Spark's file source orders by modification time: emulate the
+        # production arrival order (session files appear over time)
+        os.utime(in_dir / fname, (1700000000 + i, 1700000000 + i))
+
+    collected = []
+    mgr = TripleSplitManager()
+    mgr.subscribe("cap", ConsumerType.PRIORITY,
+                  lambda df, bid: collected.extend(df.collect()))
+    pipe = StreamingTickPipeline(
+        spark, str(in_dir), cfg, mgr, checkpoint_dir=str(tmp_path / "ckpt"),
+        stream_key=lambda p: p.rsplit("-", 1)[-1],
+    )
+    pipe.start()
+    try:
+        pipe.await_idle()
+    finally:
+        pipe.stop()
+
+    for key, rows in [("symA.txt", rows_a), ("symB.txt", rows_b)]:
+        whole = hot_loop(expand_volume(make_ticks_raw(spark, rows)),
+                         cfg).orderBy("tick_idx").collect()
+        got = sorted((r for r in collected if r.stream == key), key=lambda r: r.tick_idx)
+        assert len(got) == len(whole)
+        for g, w in zip(got, whole):
+            for c in OUT_COLS:
+                assert g[c] == w[c], f"{key} tick {w['tick_idx']} col {c}"
+    assert pipe.ticks_processed == sum(
+        sum(v for *_, v in rows) for rows in (rows_a, rows_b)
+    )
+
+
 def test_file_source_runner_end_to_end(spark, tmp_path):
     from tickdatapipeline_spark.streaming import StreamingTickPipeline
 

@@ -10,12 +10,15 @@ StreamState (streaming/state.py), and fan out via TripleSplitManager.
 Rate limiting is `maxFilesPerTrigger` instead of a busy-wait nanosleep —
 the idiomatic Spark knob for the same goal (SURVEY.md §2.2 P10).
 
-Ordering: within a micro-batch, files are processed in lexicographic
-name order and re-read through sources.tickfile.read_tick_file, which
-defines line order; name your files monotonically (e.g. zero-padded
-sequence numbers or timestamps), as session files naturally are. A
-count-ordered stream cannot admit late data — there is no watermark by
-design, matching the reference's strictly-ordered Channel (SURVEY §2.9).
+Ordering: Spark's file source admits files in MODIFICATION-TIME order
+across micro-batches; within a batch this runner processes them in
+lexicographic name order, and each file is re-read through
+sources.tickfile.read_tick_file, which defines line order. The stream
+contract is therefore: session files arrive (mtime) in stream order and
+are named monotonically — which is how session/day capture files are
+produced. A count-ordered stream cannot admit late data — there is no
+watermark by design, matching the reference's strictly-ordered Channel
+(SURVEY §2.9).
 """
 
 from __future__ import annotations
@@ -46,7 +49,12 @@ class StreamingTickPipeline:
         on_batch: Callable[[int, int], None] | None = None,
         bar_cfg=None,
         bar_sink: Callable[[DataFrame, int], None] | None = None,
+        stream_key: Callable[[str], str] | None = None,
     ) -> None:
+        """``stream_key`` maps a file path to a logical stream id; files
+        of the same stream continue each other's state, different streams
+        are independent (e.g. per-symbol or per-day files). None = the
+        reference's model: every file continues ONE stream."""
         from tickdatapipeline_spark.operators.bars import BarSeed
 
         self.spark = spark
@@ -58,8 +66,11 @@ class StreamingTickPipeline:
         self.on_batch = on_batch
         self.bar_cfg = bar_cfg
         self.bar_sink = bar_sink
-        self.state = StreamState()
-        self.bar_state = BarSeed()
+        self.stream_key = stream_key
+        self._single = StreamState()
+        self._single_bars = BarSeed()
+        self.states: dict[str, StreamState] = {}
+        self.bar_states: dict[str, BarSeed] = {}
         self.ticks_processed = 0
         self._query = None
 
@@ -67,21 +78,39 @@ class StreamingTickPipeline:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from tickdatapipeline_spark.streaming.state import advance_bars
 
+        from tickdatapipeline_spark.operators.bars import BarSeed
+
         files = sorted(
             r["f"] for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
         )
         for path in files:
+            key = self.stream_key(path) if self.stream_key else None
+            state = self._single if key is None else self.states.get(key, StreamState())
+            bar_state = (
+                self._single_bars if key is None else self.bar_states.get(key, BarSeed())
+            )
             raw = read_tick_file(self.spark, path)
-            processed, self.state = advance(raw, self.cfg, self.state)
+            processed, state = advance(raw, self.cfg, state)
             out = processed.select(*OUT_COLS)
+            if key is not None:
+                out = out.withColumn("stream", F.lit(key))
             self.manager.broadcast_batch(out, batch_id)
             if self.bar_cfg is not None and self.bar_cfg.enabled:
-                bars, self.bar_state = advance_bars(out, self.bar_cfg, self.bar_state)
+                bars, bar_state = advance_bars(
+                    processed.select(*OUT_COLS), self.bar_cfg, bar_state
+                )
                 if self.bar_sink is not None:
                     self.bar_sink(bars, batch_id)
                 bars.unpersist()
-            self.ticks_processed = self.state.tick0
+            if key is None:
+                self._single, self._single_bars = state, bar_state
+            else:
+                self.states[key], self.bar_states[key] = state, bar_state
             processed.unpersist()
+        self.ticks_processed = (
+            self._single.tick0 if self.stream_key is None
+            else sum(s.tick0 for s in self.states.values())
+        )
         if self.on_batch is not None:
             self.on_batch(batch_id, self.ticks_processed)
 
