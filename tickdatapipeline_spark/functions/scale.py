@@ -1,0 +1,59 @@
+"""Scale utilities: skew salting and bucketed co-located joins.
+
+These are the two knobs AQE cannot always supply on its own:
+
+- ``salted_join``: for a join whose LEFT side has heavy key skew that
+  AQE's skew-join splitting can't fix (e.g. the skewed key also
+  dominates the build side). Left rows get a random-ish but
+  DETERMINISTIC salt (hash of a tiebreaker column), the right side is
+  replicated once per salt value, and the join key becomes
+  (key, salt) — the hot key spreads over `salt_buckets` tasks.
+- ``write_bucketed`` / co-located reads: pre-shuffling both fact tables
+  into the same bucket layout on the join key makes subsequent joins
+  exchange-free — the classic recurring-join optimization for a
+  100 TB warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    tiebreaker: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's skewed keys spread over
+    `salt_buckets` partitions.
+
+    `tiebreaker` is any left column with per-row variation (defaults to
+    the join key itself via monotonically varying hash of all columns);
+    the salt is pmod(hash(tiebreaker), salt_buckets) — deterministic, so
+    results are reproducible run to run.
+    """
+    tb = F.col(tiebreaker) if tiebreaker else F.concat_ws("\x00", *left.columns)
+    lsalt = F.pmod(F.hash(tb), F.lit(salt_buckets))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = l.join(r, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins and
+    aggregations on `bucket_col` between same-bucketed tables need no
+    exchange."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
