@@ -37,6 +37,20 @@ def test_negative_delta_and_row_total(spark):
     assert [r.price_delta for r in rows] == [0, 0, -3, 0, 0]
 
 
+def test_timestamp_pack_unpack_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.expansion import unpacked_timestamp
+
+    df = expand_volume(
+        make_ticks_raw(spark, [(1, "20250319 120000 0000000", 100, 1),
+                               (2, "19991231 235959 9999999", 101, 1)])
+    ).withColumn("decoded", unpacked_timestamp(F.col("timestamp")))
+    rows = df.orderBy("tick_idx").collect()
+    assert rows[0].decoded == "20250319"
+    assert rows[1].decoded == "19991231"
+
+
 def test_timestamp_pack_first8_chars(spark):
     # pack = fold (acc<<8)|ascii over first 8 chars of "20250319"
     expected = 0

@@ -43,6 +43,16 @@ def packed_timestamp(ts_col: Column) -> Column:
     return out
 
 
+def unpacked_timestamp(packed: Column) -> Column:
+    """P4 inverse of packed_timestamp: Int64 -> the 8-char prefix string
+    (VolumeExpansion.jl:68-81) — concat of (packed >> 8*(8-i)) & 255."""
+    chars = [
+        F.char(F.shiftright(packed, 8 * (8 - i)).bitwiseAND(F.lit(255)))
+        for i in range(1, 9)
+    ]
+    return F.concat(*chars)
+
+
 def expand_volume(
     ticks_raw: DataFrame,
     stream_id: str | None = None,

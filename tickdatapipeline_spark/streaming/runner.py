@@ -100,7 +100,8 @@ class StreamingTickPipeline:
                     processed.select(*OUT_COLS), self.bar_cfg, bar_state
                 )
                 if self.bar_sink is not None:
-                    self.bar_sink(bars, batch_id)
+                    out_bars = bars.withColumn("stream", F.lit(key)) if key is not None else bars
+                    self.bar_sink(out_bars, batch_id)
                 bars.unpersist()
             if key is None:
                 self._single, self._single_bars = state, bar_state
