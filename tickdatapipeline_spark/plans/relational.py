@@ -290,6 +290,30 @@ ORDER BY event_type
 """
 
 
+# ---- R10: cube over segment x priority (completes rollup/cube/grouping) ----
+
+def r10_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+R10_SQL = f"""
+SELECT c_mktsegment, o_orderpriority,
+       count(*) AS n_orders,
+       sum({_CENTS.format(x='o_totalprice')}) / 100.0 AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -301,4 +325,5 @@ def queries() -> dict[str, tuple]:
         "rel_brand_shipping_stats": (r7_fn, R7_SQL),
         "rel_supplier_revenue": (r8_fn, R8_SQL),
         "rel_events_json_props": (r9_fn, R9_SQL),
+        "rel_cube_segment_priority": (r10_fn, R10_SQL),
     }
