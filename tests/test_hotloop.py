@@ -98,6 +98,28 @@ def test_cpm_unit_magnitude(spark):
         assert math.hypot(r.sig_re, r.sig_im) == pytest.approx(1.0)
 
 
+def test_cpm_half_ratio_advances_phase_quarter_turn(spark):
+    """Reference invariant (test_cpm_encoder_core.jl:124-142 shape): with
+    h=0.5, a ratio-0.5 tick advances the Q32 phase by exactly 2^30 —
+    i.e. 256 LUT steps = pi/2. Engineered through the real pipeline:
+    a stats bar with winsorized-delta span 2 yields norm=2, inv=32768,
+    so a +1 delta gives ratio exactly 0.5."""
+    n = 4
+    cfg = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=0.5)
+    deltas = [0, 1, -1, 1, -1, 1, 1, 1]  # bar1 = core 1..4 (span 2); then +1s
+    prices, p = [], 41970
+    for d in deltas:
+        p += d
+        prices.append(p)
+    rows = run(spark, prices, cfg, stats_ticks_per_bar=n)
+    # core ticks 5,6,7 are ticks 6,7,8 (rows[5..7]); 5 and 6 have ratio 0.5
+    assert rows[5].ratio == 0.5 and rows[6].ratio == 0.5
+    a1 = math.atan2(rows[5].sig_im, rows[5].sig_re)
+    a2 = math.atan2(rows[6].sig_im, rows[6].sig_re)
+    step = (a2 - a1) % (2 * math.pi)
+    assert step == pytest.approx(math.pi / 2)
+
+
 def test_amc_magnitude_equals_abs_ratio(spark):
     cfg = SignalProcessingConfig(encoder_type="amc")
     prices = [41970 + (i % 5) for i in range(12)]
