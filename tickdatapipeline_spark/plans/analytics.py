@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from tickdatapipeline_spark import constants as C
 from tickdatapipeline_spark.operators.bars import bar_aggregate
 from tickdatapipeline_spark.oracle import bars_ctes, pipeline_ctes
+from tickdatapipeline_spark.sources.io import read_parquet
 from tickdatapipeline_spark.plans.common import (
     BP_BOX,
     BP_FIR,
@@ -336,7 +337,7 @@ LAT_PCTS = [0.5, 0.9, 0.95, 0.99, 1.0]
 
 
 def q8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(F.col("value").cast("double").alias("value"))
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(F.col("value").cast("double").alias("value"))
     return exact_percentiles(ev, "value", LAT_PCTS, "q_value").orderBy("pct")
 
 

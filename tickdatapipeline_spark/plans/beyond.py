@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import sql_rnd
+from tickdatapipeline_spark.sources.io import read_parquet
 from tickdatapipeline_spark.operators.asof import asof_join
 from tickdatapipeline_spark.operators.dedup import (
     BAND_SIZE,
@@ -55,11 +56,11 @@ from tickdatapipeline_spark.operators.text import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # ---- shared SQL fragments (DuckDB dialect) ----
@@ -326,7 +327,7 @@ def asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Right side pre-aggregated to one row per (user_id, ts) so tie-breaks
     are deterministic in both engines.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = (
         ev.where(F.col("event_type") == "purchase")
@@ -362,7 +363,7 @@ def windowed_events_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nanosAsLong), so the bucket is integer epoch math — which also
     keeps the oracle comparison free of timestamp-dtype skew.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     bucket = F.expr("(ts DIV 1000000000 DIV 3600) * 3600")
     vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")  # exact cents
     return (
@@ -390,7 +391,7 @@ def sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact microseconds on both engines (ts is an epoch-nanos long in
     # Spark under nanosAsLong; DuckDB uses epoch_us — both integer-exact)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
         "user_id", "event_id", F.expr("ts DIV 1000").alias("tus")
     )
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")

@@ -17,6 +17,7 @@ from tickdatapipeline_spark.config import BarProcessingConfig, SignalProcessingC
 from tickdatapipeline_spark.operators.bars import bar_aggregate
 from tickdatapipeline_spark.operators.expansion import expand_volume
 from tickdatapipeline_spark.operators.hotloop import hot_loop
+from tickdatapipeline_spark.sources.io import read_parquet
 from tickdatapipeline_spark.sources.tickfile import ticks_from_events
 
 # configs mirroring the shipped default TOML
@@ -119,4 +120,4 @@ JOIN (SELECT _r AS _hi, _v AS _vhi FROM _ranked) USING (_hi)
 
 def register_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

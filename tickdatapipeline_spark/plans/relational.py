@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd
+from tickdatapipeline_spark.sources.io import read_parquet
 
 CUTOFF = "1999-12-31"
 
@@ -29,7 +30,7 @@ def _cents(c) -> F.Column:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---- R1: pricing summary report (TPC-H Q1 shape) ----
@@ -223,7 +224,9 @@ R7_SQL = f"""
 SELECT p_brand,
        count(*) AS n_lineitems,
        sum({_CENTS.format(x='l_extendedprice')}) / 100.0 AS total_price,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+       -- CAST: DuckDB sum(int) is HUGEINT (int128) while Spark's is BIGINT;
+       -- pandas renders them differently, breaking the value hash.
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
 FROM lineitem JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 40) p
   ON l_partkey = p_partkey
 GROUP BY p_brand

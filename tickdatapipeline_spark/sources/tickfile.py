@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tickdatapipeline_spark.sources.io import read_parquet
+
 # Raw tick schema: "yyyymmdd hhmmss uuuuuuu;bid;ask;last;volume"
 # (README.md:137-154, VolumeExpansion.jl:84-113)
 
@@ -98,7 +100,7 @@ _TICKS_FROM_EVENTS_SPARK = _TICKS_FROM_EVENTS_CORE.replace(
 
 def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ticks_raw fixture derived from {sf_dir}/events.parquet (FIXTURES.md F1)."""
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
+    read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
     return spark.sql(_TICKS_FROM_EVENTS_SPARK.format(events="__events_src"))
 
 
@@ -176,7 +178,7 @@ def ticks_streams_sql(n_streams: int = N_STREAMS) -> str:
 def ticks_from_events_streams(
     spark: SparkSession, sf_dir: str, n_streams: int = N_STREAMS
 ) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
+    read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
     sql = _TICKS_STREAMS_CORE.format(
         n_streams=n_streams, intdiv="DIV", events="__events_src"
     ).replace("printf(", "format_string(")
