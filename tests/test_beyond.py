@@ -125,6 +125,18 @@ def test_asof_join_golden(spark):
     assert [r.asof_v for r in out] == [1.0, 2.0, 3.0, None]
 
 
+def test_asof_join_duplicate_right_times_deterministic(spark):
+    # several right rows share (key, t): the largest value_cols tuple must
+    # win, regardless of input order or partitioning.
+    left = spark.createDataFrame([(1, 10, 150)], "id long, key long, t long")
+    dup = [(10, 100, 5.0), (10, 100, 9.0), (10, 100, 1.0)]
+    for perm in (dup, dup[::-1], [dup[1], dup[2], dup[0]]):
+        right = spark.createDataFrame(perm, "key long, t long, v double").repartition(3)
+        out = asof_join(left, right, on="key", left_time="t", right_time="t",
+                        value_cols=["v"]).collect()
+        assert [r.asof_v for r in out] == [9.0]
+
+
 def test_media_plumbing(spark):
     from tickdatapipeline_spark.operators.multimodal import (
         _fake_decode_features,

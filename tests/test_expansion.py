@@ -37,6 +37,22 @@ def test_negative_delta_and_row_total(spark):
     assert [r.price_delta for r in rows] == [0, 0, -3, 0, 0]
 
 
+def test_zero_and_negative_volume_emit_no_replicas(spark):
+    # Julia `for 1:0` is empty; Spark sequence(1, 0) would be [1, 0] —
+    # the guard must drop those lines' replicas entirely, while the line
+    # itself still advances the prev_last chain.
+    df = expand_volume(
+        make_ticks_raw(spark, [(1, "20250319 120000 0000000", 200, 2),
+                               (2, "20250319 120001 0000000", 250, 0),
+                               (3, "20250319 120002 0000000", 300, 1),
+                               (4, "20250319 120003 0000000", 310, -5)])
+    ).orderBy("tick_idx")
+    rows = df.collect()
+    assert [r.line_no for r in rows] == [1, 1, 3]
+    assert [r.tick_idx for r in rows] == [1, 2, 3]
+    assert [r.price_delta for r in rows] == [0, 0, 50]  # 300 - prev_last(250)
+
+
 def test_timestamp_pack_unpack_round_trip(spark):
     from pyspark.sql import functions as F
 

@@ -47,6 +47,23 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
 
 
+def test_jaccard_is_candidate_restricted(spark):
+    from tickdatapipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(jaccard_pairs(docs))
+    # verification must consume the LSH band table (band_key join) — the
+    # unrestricted shingle-equality self-join (doc_id < doc_id on the
+    # shingle table, quadratic on hot shingles) must be gone
+    assert "band_key" in plan
+    import re
+
+    shingle_selfjoin = re.search(r"doc_id#\d+L? < doc_id#\d+L?.*shingle", plan) or re.search(
+        r"shingle#\d+ = shingle#\d+\)\s*AND\s*\(doc_id", plan
+    )
+    assert shingle_selfjoin is None, "unrestricted shingle self-join still present"
+
+
 def test_dimension_joins_broadcast(spark):
     from tickdatapipeline_spark.plans.relational import r3_fn
 

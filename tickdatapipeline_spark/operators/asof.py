@@ -23,7 +23,13 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach value_cols from the latest right row of
     the same `on` key with right_time <= left_time (ties: right wins —
-    right rows sort before left rows at equal times)."""
+    right rows sort before left rows at equal times).
+
+    When several right rows share the same (on, right_time), the one with
+    the largest value_cols tuple wins — a deterministic tiebreak, so the
+    result is stable across runs and partitionings even on non-unique
+    right keys (callers that need a different policy should pre-aggregate
+    the right side to one row per (on, right_time))."""
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
@@ -39,7 +45,12 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     u = lt.unionByName(rt)
-    w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(Window.unboundedPreceding, 0)
+    # _tb orders duplicate-(key, time) right rows deterministically; left
+    # rows all carry null _tb but _side=1 already sorts them after every
+    # right row at the same time, so the null never decides anything.
+    tiebreak = F.struct(*[F.col(f"_r_{c}") for c in value_cols]).alias("_tb")
+    u = u.withColumn("_tb", tiebreak)
+    w = Window.partitionBy("_k").orderBy("_t", "_side", "_tb").rowsBetween(Window.unboundedPreceding, 0)
     for c in value_cols:
         u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
     out = u.where(F.col("_side") == 1)

@@ -145,19 +145,31 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     return pairs
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """n-gram Jaccard similarity for candidate pairs that share at least
-    one shingle. Output: (doc_a, doc_b, inter_count, union_count, jaccard)
-    for jaccard >= threshold.
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """n-gram Jaccard verification over LSH candidate pairs only.
+    Output: (doc_a, doc_b, inter_count, union_count, jaccard) for
+    jaccard >= threshold; union = |A| + |B| - inter.
 
-    inter via shingle-equality self-join; union = |A| + |B| - inter.
+    ``candidates`` defaults to lsh_candidate_pairs(docs). Restricting to
+    candidates is the scale-critical property: an unrestricted
+    shingle-equality self-join makes every hot shingle of multiplicity m
+    produce m^2 join rows (stopword-heavy 3-grams on a real corpus).
+    Here each candidate pair fans out only by its own shingle count —
+    O(candidates x doc_len) — at the price of LSH recall, which is the
+    standard MinHash-LSH contract.
     """
+    if candidates is None:
+        candidates = lsh_candidate_pairs(docs)
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        candidates.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_count"))
     )
     out = (

@@ -78,7 +78,11 @@ def expand_volume(
     if seed_prev_last is not None:
         prev = F.coalesce(prev, F.lit(seed_prev_last))
     df = ticks_raw.withColumn("prev_last", prev)
-    df = df.withColumn("replica_idx", F.explode(F.sequence(F.lit(1), F.col("volume"))))
+    # volume < 1 must yield ZERO replicas (Julia `for 1:0` is empty), but
+    # Spark's sequence(start, stop) auto-steps -1 when stop < start — so
+    # gate it; explode(NULL) emits no rows, matching generate_series(1,0).
+    seq = F.when(F.col("volume") >= 1, F.sequence(F.lit(1), F.col("volume")))
+    df = df.withColumn("replica_idx", F.explode(seq))
     delta = (
         F.when(F.col("prev_last").isNull(), F.lit(0))
         .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))

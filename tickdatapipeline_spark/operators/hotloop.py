@@ -253,13 +253,3 @@ def hot_loop(
     if keep_internals:
         out_cols += ["is_valid", "is_core", "core_seq", "delta_w", "bar_ord", "bars_done", "inv_q16", "nq16", "ratio"]
     return df.select(*out_cols)
-
-
-def ema_columns(processed: DataFrame, cfg: SignalProcessingConfig, stream_id: str | None = None) -> DataFrame:
-    """Reserved EMA/AGC state (TickHotLoopF32.jl:55-58, :361-375).
-
-    Never affects reference output; surfaced for analytics as float EMAs
-    via a pandas-scan-free approximation is NOT possible (true recurrence),
-    so this uses applyInPandas per stream. See streaming/stateful.py.
-    """
-    raise NotImplementedError("surfaced in operators/stateful.py (round 2)")

@@ -178,26 +178,39 @@ sig AS (
 
 MINHASH_SQL = f"WITH {MINHASH_CTE} SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(sig AS BIGINT) AS sig FROM sig"
 
-LSH_PAIRS_SQL = f"""
-WITH {MINHASH_CTE},
+# bands + candidate pairs, shared by the LSH query and Jaccard verification
+_LSH_CAND_CTE = f"""
 bands AS (
     SELECT doc_id, j // {BAND_SIZE} AS band,
            string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
     FROM sig GROUP BY doc_id, j // {BAND_SIZE}
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 )
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+LSH_PAIRS_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE}
+SELECT doc_a, doc_b FROM cand
 """
 
 JACCARD_THRESHOLD = 0.5
+# mirrors operators.dedup.jaccard_pairs: verification runs ONLY on LSH
+# candidates (never an unrestricted shingle self-join)
 JACCARD_SQL = f"""
-WITH {SHINGLES_CTE},
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_count
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, inter_count,
        sa.n_sh + sb.n_sh - inter_count AS union_count,

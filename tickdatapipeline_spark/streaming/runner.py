@@ -128,15 +128,30 @@ class StreamingTickPipeline:
         )
 
     def await_idle(self, timeout_s: float = 60.0) -> None:
-        """Block until all currently-visible input is processed."""
-        import time
+        """Block until all currently-visible input is processed, or raise
+        TimeoutError after ``timeout_s``.
+
+        processAllAvailable() has no timeout of its own, so it runs on a
+        worker thread that we join with the deadline; on timeout the
+        stream keeps processing in the background (call stop() to halt)."""
+        import threading
 
         assert self._query is not None, "start() first"
-        deadline = time.time() + timeout_s
-        while time.time() < deadline:
-            self._query.processAllAvailable()
-            return
-        raise TimeoutError("stream did not drain in time")
+        exc: list[BaseException] = []
+
+        def _drain() -> None:
+            try:
+                self._query.processAllAvailable()
+            except BaseException as e:  # surfaced on the caller thread
+                exc.append(e)
+
+        t = threading.Thread(target=_drain, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            raise TimeoutError(f"stream did not drain within {timeout_s}s")
+        if exc:
+            raise exc[0]
 
     def stop(self) -> None:
         """Graceful stop (O3, PipelineOrchestrator.jl:454-457)."""
