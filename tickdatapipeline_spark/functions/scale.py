@@ -20,6 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise a too-narrow DataFrame to the session's parallelism before a
+    row-multiplying map stage (explode of shingles/n-grams, per-row
+    hashing): a single small parquet file arrives as ONE partition, and
+    everything downstream of it — however cheap per row — runs on one
+    core. The shuffle moves only the narrow input rows, which is far
+    cheaper than single-threading the explosion.
+
+    No-op when the input already has enough partitions (the 100 TB case:
+    a large scan arrives with thousands of splits and must NOT pick up
+    an extra exchange here)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import rnd
+from tickdatapipeline_spark.functions.scale import fan_out
 
 from tickdatapipeline_spark.operators.text import h60, tokens
 
@@ -47,7 +48,9 @@ def _exploded_grams(docs: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    # a small single-file docs table arrives as ONE partition; the gram
+    # explosion multiplies rows ~100x and must run on every core
+    return fan_out(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(grams).alias("shingle")
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import rnd
+from tickdatapipeline_spark.functions.scale import fan_out
 
 TOKEN_RE = "[a-z0-9]+"
 
@@ -117,7 +118,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     explosion; shuffle volume is O(docs x bits) packed into one row per
     doc, independent of document length.
     """
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens(F.col("text"))).alias("tok"),
     ).withColumn("h", h60(F.col("tok")))
