@@ -99,6 +99,63 @@ def test_bar_microbatches_equal_batch(spark, method, tpb):
             assert g[c] == w[c], f"bar {w['bar_idx']} col {c}: stream={g[c]} batch={w[c]}"
 
 
+@pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+def test_multistream_bar_microbatches_equal_batch(spark, method, tpb):
+    """Per-stream BarSeed continuation: a 2-stream micro-batched run must
+    equal the 2-stream batch plan bar for bar (BarProcessor.jl per-stream
+    state, :41-68). Batch splits deliberately leave each stream mid-bar."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.config import BarProcessingConfig
+    from tickdatapipeline_spark.operators.bars import bar_aggregate
+    from tickdatapipeline_spark.streaming.state import advance_bars_streams
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=tpb, bar_method=method,
+                             normalization_window_bars=2)
+    rows_a = tick_rows(34)
+    rows_b = [(i + 1, TS, 42100 + (i * 5) % 13, 1 + i % 2) for i in range(26)]
+
+    def processed(rows):
+        return hot_loop(expand_volume(make_ticks_raw(spark, rows)), cfg,
+                        stats_ticks_per_bar=N_STATS).select(*OUT_COLS)
+
+    two = (
+        processed(rows_a).withColumn("stream", F.lit("A"))
+        .unionByName(processed(rows_b).withColumn("stream", F.lit("B")))
+    )
+    whole = bar_aggregate(two, bp, stream_id="stream").orderBy("stream", "bar_idx").collect()
+    assert len(whole) >= 8 and {w["stream"] for w in whole} == {"A", "B"}
+
+    # micro-batches: uneven per-stream splits so partial bars carry over;
+    # batch 3 contains stream A only (B idles and must keep its state)
+    states = {"A": StreamState(), "B": StreamState()}
+    seeds: dict = {}
+    splits = [{"A": (0, 11), "B": (0, 7)}, {"A": (11, 19), "B": (7, 20)},
+              {"A": (19, 26)}, {"A": (26, 34), "B": (20, 26)}]
+    got = []
+    for split in splits:
+        parts = []
+        for key, (lo, hi) in split.items():
+            rows = rows_a if key == "A" else rows_b
+            batch = make_ticks_raw(spark, renumber(rows[lo:hi]))
+            p, states[key] = advance(batch, cfg, states[key], stats_ticks_per_bar=N_STATS)
+            parts.append(p.select(*OUT_COLS).withColumn("stream", F.lit(key)))
+        batch_df = parts[0]
+        for extra in parts[1:]:
+            batch_df = batch_df.unionByName(extra)
+        bars, seeds = advance_bars_streams(batch_df, bp, seeds, "stream")
+        got.extend(bars.orderBy("stream", "bar_idx").collect())
+        bars.unpersist()
+
+    got.sort(key=lambda r: (r["stream"], r["bar_idx"]))
+    assert len(got) == len(whole)
+    cols = whole[0].asDict().keys()
+    for g, w in zip(got, whole):
+        for c in cols:
+            assert g[c] == w[c], f"{w['stream']} bar {w['bar_idx']} col {c}: stream={g[c]} batch={w[c]}"
+
+
 def test_empty_batch_keeps_state(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative")
     rows = tick_rows(20)

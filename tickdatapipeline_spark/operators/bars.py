@@ -109,25 +109,58 @@ def _fir_averages(
     )
 
 
+def _seed_table(ticks: DataFrame, seeds: dict, stream_id: str) -> DataFrame:
+    """Per-stream BarSeed scalars as a (tiny, broadcastable) DataFrame.
+    Explicit schema: optional fields may be all-None, which inference
+    cannot type; the key column matches the ticks' stream dtype."""
+    key_t = ticks.schema[stream_id].dataType.simpleString()
+    rows = [
+        (
+            k,
+            s.partial_cnt0, s.partial_open0, s.partial_high0, s.partial_low0,
+            s.bars_done0, s.prev_avg0, s.sum_high0, s.sum_low0, float(s.norm0),
+        )
+        for k, s in seeds.items()
+    ]
+    return ticks.sparkSession.createDataFrame(
+        rows,
+        f"{stream_id} {key_t}, _sd_pcnt long, _sd_popen long, _sd_phigh long, "
+        "_sd_plow long, _sd_bdone long, _sd_pavg long, _sd_shigh long, "
+        "_sd_slow long, _sd_norm double",
+    )
+
+
 def bar_aggregate(
     ticks: DataFrame,
     cfg: BarProcessingConfig,
     stream_id: str | None = None,
-    seed: BarSeed | None = None,
+    seed: "BarSeed | dict | None" = None,
 ) -> DataFrame:
     """Tick stream -> one row per completed bar.
 
     Input needs (tick_idx, raw_price, timestamp [, stream_id]).
     Output: bar_idx (1-based), OHLC, bar_average_raw, bar_price_delta,
     bar_sig_re, bar_sig_im, bar_normalization, bar_flags, bar_ticks,
-    bar_volume, bar_end_timestamp, end_tick_idx. ``seed`` continues a
-    stream from a prior micro-batch (BarSeed); None == start of stream.
+    bar_volume, bar_end_timestamp, end_tick_idx. ``seed`` continues from
+    a prior micro-batch: a single BarSeed (one-stream input) or, with
+    ``stream_id``, a {stream_key: BarSeed} mapping — per-stream state is
+    attached via a broadcast join of the (tiny) seed table, mirroring
+    the reference's per-stream BarProcessor state
+    (/root/reference/src/BarProcessor.jl:41-68). None == start of stream.
     """
     if not cfg.enabled:
         raise ValueError("bar processing disabled in config")
-    s = seed or BarSeed()
     part = [stream_id] if stream_id else []
     n = cfg.ticks_per_bar
+
+    seeds: dict | None = None
+    if isinstance(seed, dict):
+        if not stream_id:
+            raise ValueError("per-stream seeds require stream_id")
+        seeds = seed
+        s = BarSeed()  # defaults for streams absent from the mapping
+    else:
+        s = seed or BarSeed()
 
     df = ticks.withColumn("bar_id", ((F.col("tick_idx") - 1) / n).cast("long"))
     df = df.withColumn("bar_pos", ((F.col("tick_idx") - 1) % n).cast("long"))
@@ -141,24 +174,52 @@ def bar_aggregate(
         F.max(F.when(F.col("bar_pos") == n - 1, F.col("tick_idx"))).alias("end_tick_idx"),
         F.count(F.lit(1)).alias("_cnt"),
     )
-    if s.partial_cnt0 > 0:
-        # merge the carried unfinished OHLC bar into its batch remainder
-        pb = s.bars_done0
-        is_pb = F.col("bar_id") == pb
-        bars = (
-            bars.withColumn("bar_open_raw", F.when(is_pb, F.lit(s.partial_open0)).otherwise(F.col("bar_open_raw")))
-            .withColumn("bar_high_raw", F.when(is_pb, F.greatest("bar_high_raw", F.lit(s.partial_high0))).otherwise(F.col("bar_high_raw")))
-            .withColumn("bar_low_raw", F.when(is_pb, F.least("bar_low_raw", F.lit(s.partial_low0))).otherwise(F.col("bar_low_raw")))
-            .withColumn("_cnt", F.when(is_pb, F.col("_cnt") + s.partial_cnt0).otherwise(F.col("_cnt")))
-        )
+
+    # Attach seed scalars as columns: literals for the single-seed path,
+    # a broadcast-joined row per stream for the mapping path. Everything
+    # downstream reads the _sd_* columns, so both paths share one plan.
+    if seeds is not None:
+        sd = _seed_table(ticks, seeds, stream_id)
+        bars = bars.join(F.broadcast(sd), on=part, how="left")
+    else:
+        for name, val in [
+            ("_sd_pcnt", s.partial_cnt0), ("_sd_popen", s.partial_open0),
+            ("_sd_phigh", s.partial_high0), ("_sd_plow", s.partial_low0),
+            ("_sd_bdone", s.bars_done0), ("_sd_pavg", s.prev_avg0),
+            ("_sd_shigh", s.sum_high0), ("_sd_slow", s.sum_low0),
+        ]:
+            bars = bars.withColumn(name, F.lit(val).cast("long"))
+        bars = bars.withColumn("_sd_norm", F.lit(float(s.norm0)))
+
+    pcnt = F.coalesce(F.col("_sd_pcnt"), F.lit(0))
+    bdone = F.coalesce(F.col("_sd_bdone"), F.lit(0))
+    # merge the carried unfinished OHLC bar into its batch remainder
+    is_pb = (pcnt > 0) & (F.col("bar_id") == bdone)
+    bars = (
+        bars.withColumn("bar_open_raw", F.when(is_pb, F.col("_sd_popen")).otherwise(F.col("bar_open_raw")))
+        .withColumn("bar_high_raw", F.when(is_pb, F.greatest("bar_high_raw", F.col("_sd_phigh"))).otherwise(F.col("bar_high_raw")))
+        .withColumn("bar_low_raw", F.when(is_pb, F.least("bar_low_raw", F.col("_sd_plow"))).otherwise(F.col("bar_low_raw")))
+        .withColumn("_cnt", F.when(is_pb, F.col("_cnt") + pcnt).otherwise(F.col("_cnt")))
+    )
     bars = bars.where(F.col("_cnt") == n)  # partial trailing bar never completes
 
     if cfg.bar_method == "FIR":
         taps = design_decimation_filter(n)
         fir_src = ticks.select(*part, "tick_idx", "raw_price")
-        if s.tail_prices0:
-            if part:
-                raise NotImplementedError("BarSeed + stream_id: seed one stream at a time")
+        tail_rows: list = []
+        if seeds is not None:
+            tail_rows = [
+                (k, t_idx, price)
+                for k, sk in seeds.items()
+                for t_idx, price in sk.tail_prices0
+            ]
+            if tail_rows:
+                key_t = ticks.schema[stream_id].dataType.simpleString()
+                tail = ticks.sparkSession.createDataFrame(
+                    tail_rows, f"{stream_id} {key_t}, tick_idx long, raw_price long"
+                )
+                fir_src = fir_src.unionByName(tail)
+        elif s.tail_prices0:
             tail = ticks.sparkSession.createDataFrame(
                 list(s.tail_prices0), "tick_idx long, raw_price long"
             )
@@ -182,10 +243,10 @@ def bar_aggregate(
     # B4: normalization recomputed every W bars from cumulative H/L sums
     # (BarProcessor.jl:247-270). bars_completed k is 1-based; a recompute
     # happens AT bar k when k % W == 0 and uses stats through bar k.
-    k = (F.row_number().over(wb) + F.lit(s.bars_done0)).cast("long")
+    k = (F.row_number().over(wb) + F.coalesce(F.col("_sd_bdone"), F.lit(0))).cast("long")
     bars = bars.withColumn("k", k)
-    cum_high = (F.sum("bar_high_raw").over(wcum) + F.lit(s.sum_high0)).cast("double")
-    cum_low = (F.sum("bar_low_raw").over(wcum) + F.lit(s.sum_low0)).cast("double")
+    cum_high = (F.sum("bar_high_raw").over(wcum) + F.coalesce(F.col("_sd_shigh"), F.lit(0))).cast("double")
+    cum_low = (F.sum("bar_low_raw").over(wcum) + F.coalesce(F.col("_sd_slow"), F.lit(0))).cast("double")
     norm_at_k = F.greatest(cum_high / F.col("k").cast("double") - cum_low / F.col("k").cast("double"), F.lit(1.0))
     w_recalc = cfg.normalization_window_bars
     bars = bars.withColumn(
@@ -195,15 +256,14 @@ def bar_aggregate(
         "bar_normalization",
         F.coalesce(
             F.last("_norm_recalc", ignorenulls=True).over(wcum),
-            F.lit(float(s.norm0)),  # preload 1.0 (BarProcessor.jl:126) or carried recalc
+            F.col("_sd_norm"),   # carried recalc from the previous batch
+            F.lit(1.0),          # preload (BarProcessor.jl:126)
         ),
     )
 
     # B5: bar delta = avg_raw - prev avg_raw (UNclipped prev), first bar 0
     # (:272-291); jump guard + winsorize collapse to one clamp.
-    prev_avg = F.lag("bar_average_raw").over(wb)
-    if s.prev_avg0 is not None:
-        prev_avg = F.coalesce(prev_avg, F.lit(s.prev_avg0))
+    prev_avg = F.coalesce(F.lag("bar_average_raw").over(wb), F.col("_sd_pavg"))
     raw_delta = F.when(prev_avg.isNull(), F.lit(0)).otherwise(F.col("bar_average_raw") - prev_avg)
     bars = bars.withColumn("_raw_delta", raw_delta.cast("long"))
     eff = min(cfg.max_bar_jump, cfg.winsorize_bar_threshold)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark import constants as C
@@ -231,3 +231,124 @@ def advance_bars(
         tail_prices0=tail,
     )
     return bars, next_seed
+
+
+def advance_bars_streams(
+    ticks_batch: DataFrame,
+    bp,
+    seeds: dict,
+    stream_id: str,
+):
+    """Bar stage for a micro-batch holding SEVERAL streams at once.
+
+    ``seeds`` maps stream key -> BarSeed (missing keys = start of
+    stream); returns (bars_df, next_seeds). Mirrors the reference's
+    per-stream BarProcessor state (/root/reference/src/BarProcessor.jl:41-68)
+    without a per-stream driver loop: every extraction below is ONE
+    grouped aggregation collecting O(streams) rows — the shape that holds
+    when a micro-batch carries thousands of streams.
+    """
+    from tickdatapipeline_spark.functions.fir import design_decimation_filter
+    from tickdatapipeline_spark.operators.bars import BarSeed, bar_aggregate
+
+    n = bp.ticks_per_bar
+    bars = bar_aggregate(ticks_batch, bp, stream_id=stream_id, seed=seeds).cache()
+    stats = {
+        r[stream_id]: r
+        for r in bars.groupBy(stream_id).agg(
+            F.sum("bar_high_raw").alias("add_high"),
+            F.sum("bar_low_raw").alias("add_low"),
+            F.max_by("bar_average_raw", "bar_idx").alias("last_avg"),
+            F.max_by("bar_normalization", "bar_idx").alias("last_norm"),
+            F.max("bar_idx").alias("max_bar_idx"),
+        ).collect()
+    }
+    keys = set(seeds) | set(stats) | {
+        r[stream_id] for r in ticks_batch.select(stream_id).distinct().collect()
+    }
+    bars_done = {
+        k: (int(stats[k]["max_bar_idx"]) if k in stats and stats[k]["max_bar_idx"] is not None
+            else seeds.get(k, BarSeed()).bars_done0)
+        for k in keys
+    }
+
+    # trailing partial OHLC bar per stream: one grouped agg over the ticks
+    # whose bar_id equals that stream's bars_done (broadcast-joined map)
+    bd_df = F.broadcast(
+        ticks_batch.sparkSession.createDataFrame(
+            list(bars_done.items()),
+            f"{stream_id} {ticks_batch.schema[stream_id].dataType.simpleString()}, _bd long",
+        )
+    )
+    part_rows = {
+        r[stream_id]: r
+        for r in (
+            ticks_batch.withColumn("_bar_id", ((F.col("tick_idx") - 1) / n).cast("long"))
+            .join(bd_df, on=stream_id)
+            .where(F.col("_bar_id") == F.col("_bd"))
+            .groupBy(stream_id)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min_by("raw_price", "tick_idx").alias("first_price"),
+                F.max("raw_price").alias("high"),
+                F.min("raw_price").alias("low"),
+            )
+            .collect()
+        )
+    }
+
+    tails: dict = {k: () for k in keys}
+    if bp.bar_method == "FIR":
+        L = len(design_decimation_filter(n))
+        w = Window.partitionBy(stream_id).orderBy(F.col("tick_idx").desc())
+        tail_rows = (
+            ticks_batch.select(stream_id, "tick_idx", "raw_price")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= L - 1)
+            .collect()
+        )
+        by_key: dict = {}
+        for r in tail_rows:
+            by_key.setdefault(r[stream_id], {})[int(r["tick_idx"])] = int(r["raw_price"])
+        for k in keys:
+            merged = by_key.get(k, {})
+            for t_idx, price in seeds.get(k, BarSeed()).tail_prices0:
+                merged.setdefault(t_idx, price)
+            tails[k] = tuple(sorted(merged.items())[-(L - 1):])
+
+    next_seeds: dict = {}
+    for k in keys:
+        sk = seeds.get(k, BarSeed())
+        st = stats.get(k)
+        pr = part_rows.get(k)
+        p_cnt = int(pr["cnt"]) if pr is not None else 0
+        if bars_done[k] == sk.bars_done0 and sk.partial_cnt0 > 0:
+            p_open = sk.partial_open0
+            p_high = sk.partial_high0 if p_cnt == 0 else max(int(pr["high"]), sk.partial_high0)
+            p_low = sk.partial_low0 if p_cnt == 0 else min(int(pr["low"]), sk.partial_low0)
+            p_cnt += sk.partial_cnt0
+        elif p_cnt > 0:
+            p_open = int(pr["first_price"])
+            p_high = int(pr["high"])
+            p_low = int(pr["low"])
+        else:
+            p_open = p_high = p_low = None
+        next_seeds[k] = BarSeed(
+            partial_cnt0=p_cnt,
+            partial_open0=p_open,
+            partial_high0=p_high,
+            partial_low0=p_low,
+            bars_done0=bars_done[k],
+            prev_avg0=(
+                int(st["last_avg"]) if st is not None and st["last_avg"] is not None
+                else sk.prev_avg0
+            ),
+            sum_high0=sk.sum_high0 + (int(st["add_high"] or 0) if st is not None else 0),
+            sum_low0=sk.sum_low0 + (int(st["add_low"] or 0) if st is not None else 0),
+            norm0=(
+                float(st["last_norm"]) if st is not None and st["last_norm"] is not None
+                else sk.norm0
+            ),
+            tail_prices0=tails[k],
+        )
+    return bars, next_seeds
