@@ -166,3 +166,44 @@ def test_bar_stats_normalization_recompute(spark):
     assert rows[8].inv_q16 == expected_inv
     # while core tick 7 still uses the preload
     assert rows[7].inv_q16 == C.PRELOAD_INV_NORM_Q16
+
+
+def test_inv_q16_half_even_tie(spark):
+    """Q16 reciprocal rounds half-to-EVEN like Julia round()
+    (TickHotLoopF32.jl:397): a stats bar spanning exactly 131072 gives
+    65536/131072 = 0.5, which must round DOWN to 0 (HALF_UP would give 1).
+    Exact in every engine: 131072 and 0.5 are exact in f32 and f64."""
+    cfg = SignalProcessingConfig(
+        encoder_type="derivative",
+        winsorize_delta_threshold=70000,
+        max_jump=70000,
+        min_price=1,
+        max_price=500000,
+    )
+    # tick 1 first-valid; core deltas +65536, -65536, +2, -2 fill stats
+    # bar 1 (n=4): bmax-bmin = 131072
+    prices = [200000, 265536, 200000, 200002, 200000, 200001]
+    rows = run(spark, prices, cfg, stats_ticks_per_bar=4)
+    assert rows[4].inv_q16 == 0  # bar-completing tick sees the recompute
+    assert rows[5].inv_q16 == 0
+    assert rows[5].nq16 == 0 and rows[5].ratio == 0.0
+    assert round(65536.0 / 131072.0) == 0  # Python round = half-even too
+
+
+def test_cpm_phase_half_even_tie(spark):
+    """CPM phase increment rounds half-to-EVEN like Julia round()
+    (TickHotLoopF32.jl:166): at h = 2^-17 the increment is nq16/2, an
+    exact .5 tie for odd nq16. nq16 = 3*7559 = 22677 (== 1 mod 4) gives
+    11338.5 -> 11338 (HALF_UP would give 11339). theta granularity is far
+    below the 10-bit LUT index, hence the keep_internals observable."""
+    cfg = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=2.0**-17)
+    rows = run(spark, [41970, 41973], cfg)
+    assert rows[1].nq16 == 22677
+    assert rows[1].cpm_theta == 11338
+    # streaming seed accumulates dp with the same policy
+    from tests.conftest import make_ticks_raw as _mk
+    from tickdatapipeline_spark.streaming.state import StreamState, advance
+
+    batch = make_ticks_raw(spark, [(1, TS, 41970, 1), (2, TS, 41973, 1)])
+    _, state = advance(batch, cfg, StreamState())
+    assert state.hot.cpm_theta0 == 11338

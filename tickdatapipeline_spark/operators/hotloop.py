@@ -167,7 +167,10 @@ def hot_loop(
     norms = bars.select(
         *part,
         (F.col("bar_ord") + 1).alias("bars_done"),
-        F.round(F.lit(65536.0) / norm, 0).cast("long").alias("inv_q16"),
+        # bround = half-even, matching Julia round() at exact .5 ties
+        # (TickHotLoopF32.jl:397 Int32(round(65536f0/norm))); reachable
+        # e.g. at norm = 131072 where 0.5 must round DOWN to 0.
+        F.bround(F.lit(65536.0) / norm, 0).cast("long").alias("inv_q16"),
     )
 
     # NO broadcast hint: norms is rows/144 — tiny locally (AQE broadcasts
@@ -184,9 +187,15 @@ def hot_loop(
     df = df.withColumn("nq16", F.col("delta_w") * F.col("inv_q16"))
     ratio = F.when(F.col("is_core"), F.col("nq16").cast("double") * F.lit(C.Q16_INV)).otherwise(F.lit(0.0))
     df = df.withColumn("ratio", ratio)
+    # inv_q16 can be 0 (norm >= 131072 rounds the reciprocal to zero);
+    # the reference's float division then yields Inf32
+    # (TickHotLoopF32.jl:413) — Spark ANSI would throw, so emit inf
+    # explicitly.
     norm_out = F.when(
         F.col("is_core"),
-        F.lit(1.0) / (F.col("inv_q16").cast("double") * F.lit(C.Q16_INV)),
+        F.when(F.col("inv_q16") == 0, F.lit(float("inf"))).otherwise(
+            F.lit(1.0) / (F.col("inv_q16").cast("double") * F.lit(C.Q16_INV))
+        ),
     ).otherwise(F.lit(1.0))
     df = df.withColumn("normalization", norm_out)
 
@@ -219,13 +228,20 @@ def hot_loop(
     elif enc == "cpm":
         # Phase accumulation is an associative cumulative sum (:160-176):
         # dp = trunc32(round(ratio * 2h * 2^31)); theta = cumsum(dp) mod 2^32.
+        # bround = half-even like Julia round(); ties are impossible at
+        # h=0.5 (integral product, see the pi/2 golden) but reachable at
+        # h values with >16 fractional bits (e.g. h=2^-17).
         scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
-        dp = F.when(F.col("is_core"), F.round(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
+        dp = F.when(F.col("is_core"), F.bround(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
         theta = F.pmod(F.sum(dp).over(wcum) + F.lit(s.cpm_theta0), F.lit(C.Q32_MOD))
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")  # top 10 bits (:173-176)
         lre, lim = _lut_trig(idx)
         sig_re = F.when(invoked, lre).otherwise(F.lit(0.0))
         sig_im = F.when(invoked, lim).otherwise(F.lit(0.0))
+        # theta is observable under keep_internals so the half-even tie
+        # policy can be pinned by a golden (a +-1 in theta is invisible
+        # through the 10-bit LUT index).
+        df = df.withColumn("cpm_theta", theta)
     elif enc == "amc":
         # Carrier advances by a constant 2^32/16 per *invocation* (:203-230);
         # closed form: theta = incr * (# invoked rows so far) mod 2^32.
@@ -252,4 +268,6 @@ def hot_loop(
     ]
     if keep_internals:
         out_cols += ["is_valid", "is_core", "core_seq", "delta_w", "bar_ord", "bars_done", "inv_q16", "nq16", "ratio"]
+        if enc == "cpm":
+            out_cols += ["cpm_theta"]
     return df.select(*out_cols)

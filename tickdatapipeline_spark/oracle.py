@@ -138,10 +138,11 @@ stat_bars AS (
 ),
 bar_norms AS (
     SELECT {sc}bar_ord + 1 AS bars_done,
-           CAST(round(65536.0::DOUBLE / greatest(
+           -- round_even = half-even, matching Spark bround / Julia round()
+           CAST(round_even(65536.0::DOUBLE / greatest(
                 CAST(sum(bmax) OVER wb AS DOUBLE) / CAST(bar_ord + 1 AS DOUBLE)
               - CAST(sum(bmin) OVER wb AS DOUBLE) / CAST(bar_ord + 1 AS DOUBLE),
-                1.0::DOUBLE)) AS BIGINT) AS inv_q16
+                1.0::DOUBLE), 0) AS BIGINT) AS inv_q16
     FROM stat_bars WHERE cnt = {n}
     WINDOW wb AS ({pby}ORDER BY bar_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
@@ -153,7 +154,10 @@ joined AS (
                 THEN CAST(h.delta_w * COALESCE(b.inv_q16, {C.PRELOAD_INV_NORM_Q16}) AS DOUBLE) * {dlit(C.Q16_INV)}
                 ELSE 0.0::DOUBLE END AS ratio,
            CASE WHEN h.is_core
-                THEN 1.0::DOUBLE / (CAST(COALESCE(b.inv_q16, {C.PRELOAD_INV_NORM_Q16}) AS DOUBLE) * {dlit(C.Q16_INV)})
+                -- inv_q16 = 0: reference float division emits Inf32
+                -- (TickHotLoopF32.jl:413); DuckDB /0 is NULL, so explicit
+                THEN CASE WHEN COALESCE(b.inv_q16, {C.PRELOAD_INV_NORM_Q16}) = 0 THEN 'infinity'::DOUBLE
+                     ELSE 1.0::DOUBLE / (CAST(COALESCE(b.inv_q16, {C.PRELOAD_INV_NORM_Q16}) AS DOUBLE) * {dlit(C.Q16_INV)}) END
                 ELSE 1.0::DOUBLE END AS normalization,
            CAST(CASE WHEN h.is_hold THEN {C.FLAG_HOLDLAST}
                      WHEN h.clipped THEN {C.FLAG_CLIPPED}
@@ -162,7 +166,10 @@ joined AS (
 ),
 phased AS (
     SELECT *,
-           ((sum(CASE WHEN is_core THEN CAST(round(ratio * {cpm_scale}) AS BIGINT) ELSE 0 END)
+           ((sum(CASE WHEN is_core THEN CAST(round_even(ratio * {cpm_scale}, 0) AS BIGINT) ELSE 0 END)
+                 OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             % 4294967296 + 4294967296) % 4294967296) AS cpm_theta,
+           ((sum(CASE WHEN is_core THEN CAST(round_even(ratio * {cpm_scale}, 0) AS BIGINT) ELSE 0 END)
                  OVER ({pby}ORDER BY tick_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              % 4294967296 + 4294967296) % 4294967296) // 4194304 AS cpm_idx,
            ((count(CASE WHEN NOT is_zero THEN 1 END)
@@ -174,7 +181,7 @@ ticks_out AS (
     SELECT {sc}tick_idx, timestamp, raw_price, price_delta,
            {sig},
            normalization, status_flag,
-           is_valid, is_core, is_zero, core_seq, delta_w, bar_ord, bars_done, inv_q16, nq16, ratio
+           is_valid, is_core, is_zero, core_seq, delta_w, bar_ord, bars_done, inv_q16, nq16, ratio{", cpm_theta" if enc == "cpm" else ""}
     FROM phased
 )
 """

@@ -75,7 +75,7 @@ def advance(
         F.max_by(F.col("ratio"), F.when(F.col("is_core"), F.col("tick_idx"))).alias("last_core_ratio"),
         F.max_by(F.col("inv_q16"), F.when(F.col("is_core"), F.col("tick_idx"))).alias("last_inv"),
         F.sum(
-            F.when(F.col("is_core"), F.round(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
+            F.when(F.col("is_core"), F.bround(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
         ).alias("dp_sum"),
     ).collect()[0]
 
