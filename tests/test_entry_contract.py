@@ -53,8 +53,12 @@ def test_registry_shape():
     # every callable is (spark, sf_dir) -> DataFrame; names are unique
     missing_oracle = set(qs) - set(oracles)
     # only genuinely non-SQL ops may omit the oracle: a stubbed demuxer,
-    # a true recurrence, and a sketch-based approximation
-    assert missing_oracle <= {"media_frame_sample", "ema_state", "q2_percentiles_approx"}
+    # a true recurrence, a sketch-based approximation, and a wall-clock
+    # latency report
+    assert missing_oracle <= {
+        "media_frame_sample", "ema_state", "q2_percentiles_approx",
+        "pipeline_latency_metrics",
+    }
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)

@@ -278,3 +278,46 @@ def test_file_source_runner_end_to_end(spark, tmp_path):
     for g, w in zip(collected, whole):
         for c in OUT_COLS:
             assert g[c] == w[c], f"tick {w['tick_idx']} col {c}"
+
+
+def test_pipeline_metrics_accumulation(spark):
+    """PipelineMetrics mirrors the reference accumulator
+    (PipelineOrchestrator.jl:166-176): cumulative sums, max over all
+    observations, min over nonzero ones; percentiles use benchmark.jl's
+    floor-index selection sorted[max(1, div(k*n, 100))]."""
+    from tickdatapipeline_spark.streaming.metrics import PipelineMetrics
+
+    m = PipelineMetrics()
+    for us in [300, 100, 0, 200, 500]:
+        m.record_batch(ticks=10, total_us=us, signal_us=us - us // 4,
+                       broadcast_us=us // 4, broadcasts=1)
+    assert m.ticks_processed == 50 and m.broadcasts_sent == 5
+    assert m.max_latency_us == 500
+    assert m.min_latency_us == 100  # zero-latency obs excluded (:175)
+    row = m.summary_df(spark).collect()[0]
+    assert row.sample_size == 5 and row.errors == 0
+    assert row.min_latency_us == 0  # report min is sorted[1] incl. zero
+    # sorted = [0,100,200,300,500]; 1-based idx = max(1, k*5//100)
+    assert row.p50_latency_us == 100   # idx 2
+    assert row.p90_latency_us == 300   # idx 4
+    assert row.p99_latency_us == 300
+    assert row.max_latency_us == 500
+    assert row.avg_latency_us == pytest.approx(1100 / 5)
+
+
+def test_latency_metrics_query(spark):
+    """O2 latency surface: micro-batched run over sf0.001 reports one
+    row whose deterministic fields (ticks, batches, errors) are exact
+    and whose percentile fields are ordered."""
+    from tickdatapipeline_spark.plans.analytics import latency_metrics_fn
+    from tickdatapipeline_spark.plans.common import SP_DERIV, processed_ticks
+
+    sf = "/root/testdata/sf0.001"
+    rows = latency_metrics_fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.ticks_processed == processed_ticks(spark, sf, SP_DERIV).count()
+    assert r.sample_size >= 2 and r.errors == 0
+    assert (r.min_latency_us <= r.p50_latency_us <= r.p90_latency_us
+            <= r.p95_latency_us <= r.p99_latency_us <= r.max_latency_us)
+    assert r.broadcasts_sent == r.sample_size

@@ -424,6 +424,42 @@ GROUP BY nt
 """
 
 
+def latency_metrics_fn(spark: SparkSession, sf_dir: str, n_batches: int = 6) -> DataFrame:
+    """O2 per-batch latency metrics: run the derivative pipeline
+    micro-batched (line_no slices through the seeded streaming state
+    machine) and report the reference's PipelineMetrics latency summary
+    (PipelineOrchestrator.jl:19-33, benchmark.jl:104-123 percentile
+    shape). Wall-clock values are nondeterministic -> rows-only gate."""
+    import time
+
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events
+    from tickdatapipeline_spark.streaming.metrics import PipelineMetrics
+    from tickdatapipeline_spark.streaming.state import StreamState, advance
+
+    raw = ticks_from_events(spark, sf_dir)
+    hi = raw.agg(F.max("line_no")).collect()[0][0] or 0
+    metrics = PipelineMetrics()
+    state = StreamState()
+    per = max(1, (hi + n_batches - 1) // n_batches)
+    for b in range(n_batches):
+        lo, up = b * per + 1, min((b + 1) * per, hi)
+        if lo > up:
+            break
+        batch = raw.where((F.col("line_no") >= lo) & (F.col("line_no") <= up))
+        ticks_before = state.tick0
+        t0 = time.perf_counter()
+        processed, state = advance(batch, SP_DERIV, state)
+        signal_us = int((time.perf_counter() - t0) * 1e6)
+        processed.unpersist()
+        metrics.record_batch(
+            ticks=state.tick0 - ticks_before,
+            total_us=int((time.perf_counter() - t0) * 1e6),
+            signal_us=signal_us,
+            broadcasts=1,
+        )
+    return metrics.summary_df(spark)
+
+
 def queries() -> dict[str, tuple]:
     d_fn, d_sql = _tick_query(SP_DERIV, round_sig=False)
     h_fn, h_sql = _tick_query(SP_HEXAD, round_sig=False)
@@ -451,4 +487,6 @@ def queries() -> dict[str, tuple]:
         "q8_value_percentiles": (q8_fn, Q8_SQL),
         "q9_range_slice": (q9_fn, Q9_SQL),
         "q10_bar_audit": (q10_fn, Q10_SQL),
+        # rows-only: wall-clock latencies are nondeterministic by nature
+        "pipeline_latency_metrics": (latency_metrics_fn, None),
     }

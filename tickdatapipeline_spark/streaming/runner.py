@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from tickdatapipeline_spark.config import SignalProcessingConfig
 from tickdatapipeline_spark.sources.tickfile import read_tick_file
 from tickdatapipeline_spark.streaming.fanout import TripleSplitManager
+from tickdatapipeline_spark.streaming.metrics import PipelineMetrics
 from tickdatapipeline_spark.streaming.state import OUT_COLS, StreamState, advance
 
 
@@ -72,14 +73,20 @@ class StreamingTickPipeline:
         self.states: dict[str, StreamState] = {}
         self.bar_states: dict[str, BarSeed] = {}
         self.ticks_processed = 0
+        self.metrics = PipelineMetrics()  # O2 accumulator, one obs/batch
         self._query = None
 
     # -- one micro-batch: resolve files -> ordered read -> seeded ops -----
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
         from tickdatapipeline_spark.streaming.state import advance_bars
 
         from tickdatapipeline_spark.operators.bars import BarSeed
 
+        batch_t0 = time.perf_counter()
+        signal_us = broadcast_us = broadcasts = 0
+        ticks_before = self.ticks_processed
         files = sorted(
             r["f"] for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
         )
@@ -90,11 +97,16 @@ class StreamingTickPipeline:
                 self._single_bars if key is None else self.bar_states.get(key, BarSeed())
             )
             raw = read_tick_file(self.spark, path)
+            t_sig = time.perf_counter()
             processed, state = advance(raw, self.cfg, state)
+            signal_us += int((time.perf_counter() - t_sig) * 1e6)
             out = processed.select(*OUT_COLS)
             if key is not None:
                 out = out.withColumn("stream", F.lit(key))
+            t_bc = time.perf_counter()
             self.manager.broadcast_batch(out, batch_id)
+            broadcast_us += int((time.perf_counter() - t_bc) * 1e6)
+            broadcasts += 1
             if self.bar_cfg is not None and self.bar_cfg.enabled:
                 bars, bar_state = advance_bars(
                     processed.select(*OUT_COLS), self.bar_cfg, bar_state
@@ -111,6 +123,13 @@ class StreamingTickPipeline:
         self.ticks_processed = (
             self._single.tick0 if self.stream_key is None
             else sum(s.tick0 for s in self.states.values())
+        )
+        self.metrics.record_batch(
+            ticks=self.ticks_processed - ticks_before,
+            total_us=int((time.perf_counter() - batch_t0) * 1e6),
+            signal_us=signal_us,
+            broadcast_us=broadcast_us,
+            broadcasts=broadcasts,
         )
         if self.on_batch is not None:
             self.on_batch(batch_id, self.ticks_processed)
