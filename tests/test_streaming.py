@@ -321,3 +321,116 @@ def test_latency_metrics_query(spark):
     assert (r.min_latency_us <= r.p50_latency_us <= r.p90_latency_us
             <= r.p95_latency_us <= r.p99_latency_us <= r.max_latency_us)
     assert r.broadcasts_sent == r.sample_size
+
+
+@pytest.mark.parametrize("encoder", ["derivative", "cpm", "amc"])
+def test_multistream_advance_equals_batch(spark, encoder):
+    """advance_streams: a 2-stream micro-batched run (uneven splits, one
+    batch where stream B idles) must be bit-identical to the 2-stream
+    batch plan — per-stream seeds ride broadcast joins, state extraction
+    is O(streams) rows, a constant number of jobs per batch."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.streaming.state import advance_streams
+
+    cfg = SignalProcessingConfig(encoder_type=encoder, cpm_modulation_index=0.2,
+                                 tick_derivative_imag_scale=2.0)
+    rows_a = tick_rows(34)
+    rows_b = [(i + 1, TS, 42100 + (i * 5) % 13, 1 + i % 2) for i in range(26)]
+    if encoder != "derivative":
+        rows_b[3] = (4, TS, 99999, 1)  # hold row exercises encoder seeds
+
+    def tagged(rows, key):
+        return make_ticks_raw(spark, rows).withColumn("stream", F.lit(key))
+
+    whole_raw = tagged(rows_a, "A").unionByName(tagged(rows_b, "B"))
+    whole = (
+        hot_loop(expand_volume(whole_raw, "stream"), cfg, stream_id="stream",
+                 stats_ticks_per_bar=N_STATS)
+        .orderBy("stream", "tick_idx").collect()
+    )
+
+    states: dict = {}
+    splits = [{"A": (0, 11), "B": (0, 7)}, {"A": (11, 19), "B": (7, 20)},
+              {"A": (19, 26)}, {"A": (26, 34), "B": (20, 26)}]
+    got = []
+    for split in splits:
+        parts = []
+        for key, (lo, hi) in split.items():
+            rows = rows_a if key == "A" else rows_b
+            parts.append(tagged(renumber(rows[lo:hi]), key))
+        batch = parts[0]
+        for extra in parts[1:]:
+            batch = batch.unionByName(extra)
+        processed, states = advance_streams(batch, cfg, states, "stream",
+                                            stats_ticks_per_bar=N_STATS)
+        got.extend(
+            processed.select("stream", *OUT_COLS).orderBy("stream", "tick_idx").collect()
+        )
+        processed.unpersist()
+
+    got.sort(key=lambda r: (r["stream"], r["tick_idx"]))
+    assert len(got) == len(whole)
+    for g, w in zip(got, whole):
+        for c in OUT_COLS:
+            assert g[c] == w[c], f"{w['stream']} tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
+
+
+def test_runner_multistream_fast_path(spark, tmp_path):
+    """max_files_per_trigger=2 + one-file-per-stream batches take the
+    constant-job fast path (advance_streams); results must equal solo
+    runs per stream, including per-stream bar continuation."""
+    import os
+
+    from tickdatapipeline_spark.config import BarProcessingConfig
+    from tickdatapipeline_spark.operators.bars import bar_aggregate
+    from tickdatapipeline_spark.streaming import StreamingTickPipeline
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=5, bar_method="boxcar",
+                             normalization_window_bars=2)
+    rows_a, rows_b = tick_rows(16), [(i + 1, TS, 42100 + (i * 5) % 13, 1 + i % 2)
+                                     for i in range(14)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    chunks = [("000-symA.txt", rows_a[:9]), ("001-symB.txt", rows_b[:7]),
+              ("002-symA.txt", rows_a[9:]), ("003-symB.txt", rows_b[7:])]
+    for i, (fname, chunk) in enumerate(chunks):
+        with open(in_dir / fname, "w") as f:
+            for _, ts, price, vol in chunk:
+                f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+        os.utime(in_dir / fname, (1700000000 + i // 2, 1700000000 + i // 2))
+
+    collected, collected_bars = [], []
+    mgr = TripleSplitManager()
+    mgr.subscribe("cap", ConsumerType.PRIORITY,
+                  lambda df, bid: collected.extend(df.collect()))
+    pipe = StreamingTickPipeline(
+        spark, str(in_dir), cfg, mgr, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        stream_key=lambda p: p.rsplit("-", 1)[-1],
+        bar_cfg=bp,
+        bar_sink=lambda df, bid: collected_bars.extend(df.collect()),
+    )
+    pipe.start()
+    try:
+        pipe.await_idle()
+    finally:
+        pipe.stop()
+
+    assert pipe.metrics.broadcasts_sent < len(chunks)  # fast path engaged
+    for key, rows in [("symA.txt", rows_a), ("symB.txt", rows_b)]:
+        whole_ticks = hot_loop(expand_volume(make_ticks_raw(spark, rows)), cfg)
+        whole = whole_ticks.orderBy("tick_idx").collect()
+        got = sorted((r for r in collected if r.stream == key), key=lambda r: r.tick_idx)
+        assert len(got) == len(whole)
+        for g, w in zip(got, whole):
+            for c in OUT_COLS:
+                assert g[c] == w[c], f"{key} tick {w['tick_idx']} col {c}"
+        whole_bars = bar_aggregate(whole_ticks.select(*OUT_COLS), bp).orderBy("bar_idx").collect()
+        got_bars = sorted((r for r in collected_bars if r.stream == key),
+                          key=lambda r: r.bar_idx)
+        assert len(got_bars) == len(whole_bars) >= 3
+        for g, w in zip(got_bars, whole_bars):
+            for c in w.asDict().keys():
+                assert g[c] == w[c], f"{key} bar {w['bar_idx']} col {c}"

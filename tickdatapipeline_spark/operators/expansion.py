@@ -59,6 +59,7 @@ def expand_volume(
     *,
     seed_prev_last: int | None = None,
     seed_tick0: int = 0,
+    seeds: "dict | None" = None,
 ) -> DataFrame:
     """ticks_raw(line_no, ts_str, bid, ask, last, volume) -> expanded ticks.
 
@@ -68,14 +69,29 @@ def expand_volume(
     Streaming seeds (micro-batch continuation, see streaming/state.py):
     ``seed_prev_last`` is the last price of the previous batch (the first
     line's delta becomes last - seed instead of 0); ``seed_tick0`` offsets
-    tick_idx so numbering stays dense across batches.
+    tick_idx so numbering stays dense across batches. With ``stream_id``,
+    ``seeds`` = {stream_key: (prev_last | None, tick0)} carries BOTH per
+    stream via a broadcast join of the (tiny) seed table — the shape that
+    holds when one micro-batch carries thousands of streams.
     """
     part = [stream_id] if stream_id else []
     w_lines = Window.partitionBy(*part).orderBy("line_no")
     w_ticks = Window.partitionBy(*part).orderBy("line_no", "replica_idx")
 
+    tick0_col = F.lit(seed_tick0)
     prev = F.lag("last").over(w_lines)
-    if seed_prev_last is not None:
+    if seeds is not None:
+        if not stream_id:
+            raise ValueError("per-stream seeds require stream_id")
+        key_t = ticks_raw.schema[stream_id].dataType.simpleString()
+        sd = ticks_raw.sparkSession.createDataFrame(
+            [(k, pl, t0) for k, (pl, t0) in seeds.items()],
+            f"{stream_id} {key_t}, _xp_prev long, _xp_t0 long",
+        )
+        ticks_raw = ticks_raw.join(F.broadcast(sd), on=stream_id, how="left")
+        prev = F.coalesce(prev, F.col("_xp_prev"))
+        tick0_col = F.coalesce(F.col("_xp_t0"), F.lit(0))
+    elif seed_prev_last is not None:
         prev = F.coalesce(prev, F.lit(seed_prev_last))
     df = ticks_raw.withColumn("prev_last", prev)
     # volume < 1 must yield ZERO replicas (Julia `for 1:0` is empty), but
@@ -91,7 +107,7 @@ def expand_volume(
     keep = ([stream_id] if stream_id else []) + ["line_no", "replica_idx"]
     return df.select(
         *keep,
-        (F.row_number().over(w_ticks) + F.lit(seed_tick0)).cast("long").alias("tick_idx"),
+        (F.row_number().over(w_ticks) + tick0_col).cast("long").alias("tick_idx"),
         packed_timestamp(F.col("ts_str")).alias("timestamp"),
         F.col("last").cast("long").alias("raw_price"),
         delta.cast("long").alias("price_delta"),

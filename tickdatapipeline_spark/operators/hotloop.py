@@ -85,25 +85,77 @@ def hot_loop(
     stream_id: str | None = None,
     stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR,
     keep_internals: bool = False,
-    seed: HotLoopSeed | None = None,
+    seed: "HotLoopSeed | dict | None" = None,
 ) -> DataFrame:
     """expanded ticks -> processed ticks.
 
     Input: (tick_idx, timestamp, raw_price, price_delta [, stream_id]).
     Output: input cols + (sig_re, sig_im, normalization, status_flag)
-    [+ internals when keep_internals]. ``seed`` continues a stream from a
-    prior micro-batch (see HotLoopSeed); None == start of stream.
+    [+ internals when keep_internals]. ``seed`` continues from a prior
+    micro-batch (see HotLoopSeed): a single seed (one-stream input) or,
+    with ``stream_id``, a {stream_key: HotLoopSeed} mapping — per-stream
+    state is attached via a broadcast join of the (tiny) seed table,
+    mirroring the reference's one-TickHotLoopState-per-stream model.
+    None == start of stream.
     """
-    s = seed or HotLoopSeed()
     part = [stream_id] if stream_id else []
     w = Window.partitionBy(*part).orderBy("tick_idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    df = expanded.withColumn(
+    # Seed scalars become _hs_* columns: literals for the single-seed
+    # path, a broadcast-joined row per stream for a {key: HotLoopSeed}
+    # mapping (mirrors bar_aggregate's per-stream BarSeed; reference
+    # keeps one TickHotLoopState per stream). Downstream reads only the
+    # columns, so both paths share one plan.
+    _HS_FIELDS = [
+        ("_hs_nvalid", "n_valid0", "long", 0),
+        ("_hs_cseq", "core_seq0", "long", 0),
+        ("_hs_sbmin", "sum_bmin0", "long", 0),
+        ("_hs_sbmax", "sum_bmax0", "long", 0),
+        ("_hs_pcnt", "partial_cnt0", "long", 0),
+        ("_hs_pmin", "partial_min0", "long", None),
+        ("_hs_pmax", "partial_max0", "long", None),
+        ("_hs_inv", "inv_q16_0", "long", C.PRELOAD_INV_NORM_Q16),
+        ("_hs_theta", "cpm_theta0", "long", 0),
+        ("_hs_amcn", "amc_n0", "long", 0),
+        ("_hs_lratio", "last_core_ratio0", "double", 0.0),
+    ]
+
+    if isinstance(seed, dict):
+        if not stream_id:
+            raise ValueError("per-stream seeds require stream_id")
+        key_t = expanded.schema[stream_id].dataType.simpleString()
+        schema = f"{stream_id} {key_t}, " + ", ".join(
+            f"{c} {t}" for c, _a, t, _d in _HS_FIELDS
+        )
+        seed_tbl = F.broadcast(expanded.sparkSession.createDataFrame(
+            [tuple([k] + [getattr(sk, a) for _c, a, _t, _d in _HS_FIELDS])
+             for k, sk in seed.items()],
+            schema,
+        ))
+
+        def _with_seed_cols(frame: DataFrame) -> DataFrame:
+            return frame.join(seed_tbl, on=part, how="left")
+    else:
+        s = seed or HotLoopSeed()
+
+        def _with_seed_cols(frame: DataFrame) -> DataFrame:
+            for c, a, t, _d in _HS_FIELDS:
+                frame = frame.withColumn(c, F.lit(getattr(s, a)).cast(t))
+            return frame
+
+    def _hs(col: str) -> F.Column:
+        default = next(d for c, _a, _t, d in _HS_FIELDS if c == col)
+        if default is None:
+            return F.col(col)
+        return F.coalesce(F.col(col), F.lit(default))
+
+    df = _with_seed_cols(expanded)
+    df = df.withColumn(
         "is_valid", F.col("raw_price").between(cfg.min_price, cfg.max_price)
     )
     df = df.withColumn(
-        "n_valid_upto", F.count(F.when(F.col("is_valid"), 1)).over(wcum) + F.lit(s.n_valid0)
+        "n_valid_upto", F.count(F.when(F.col("is_valid"), 1)).over(wcum) + _hs("_hs_nvalid")
     )
     is_core = F.col("is_valid") & (F.col("n_valid_upto") >= 2)
     is_first = F.col("is_valid") & (F.col("n_valid_upto") == 1)
@@ -125,7 +177,7 @@ def hot_loop(
 
     # Bar position over core (accepted) ticks only (:377-381).
     df = df.withColumn(
-        "core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum) + F.lit(s.core_seq0)
+        "core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum) + _hs("_hs_cseq")
     )
     n = stats_ticks_per_bar
     df = df.withColumn(
@@ -142,26 +194,30 @@ def hot_loop(
         F.min("delta_w").alias("bmin"),
         F.max("delta_w").alias("bmax"),
         F.count(F.lit(1)).alias("cnt"),
+        # seed scalars are constant per stream — carry them through
+        *[F.min(c).alias(c) for c, _a, _t, _d in _HS_FIELDS],
     )
-    if s.partial_cnt0 > 0:
-        # merge the carried unfinished stats bar into its batch remainder
-        pb = s.core_seq0 // n
-        bars = bars.withColumn(
-            "bmin",
-            F.when(F.col("bar_ord") == pb, F.least(F.col("bmin"), F.lit(s.partial_min0))).otherwise(F.col("bmin")),
-        ).withColumn(
-            "bmax",
-            F.when(F.col("bar_ord") == pb, F.greatest(F.col("bmax"), F.lit(s.partial_max0))).otherwise(F.col("bmax")),
-        ).withColumn(
-            "cnt",
-            F.when(F.col("bar_ord") == pb, F.col("cnt") + s.partial_cnt0).otherwise(F.col("cnt")),
-        )
+    # merge the carried unfinished stats bar into its batch remainder;
+    # least/greatest skip NULL partial min/max for streams with no carry
+    is_pb = (_hs("_hs_pcnt") > 0) & (
+        F.col("bar_ord") == (_hs("_hs_cseq") / n).cast("long")
+    )
+    bars = bars.withColumn(
+        "bmin",
+        F.when(is_pb, F.least(F.col("bmin"), F.col("_hs_pmin"))).otherwise(F.col("bmin")),
+    ).withColumn(
+        "bmax",
+        F.when(is_pb, F.greatest(F.col("bmax"), F.col("_hs_pmax"))).otherwise(F.col("bmax")),
+    ).withColumn(
+        "cnt",
+        F.when(is_pb, F.col("cnt") + _hs("_hs_pcnt")).otherwise(F.col("cnt")),
+    )
     bars = bars.where(F.col("cnt") == n)
     wb = Window.partitionBy(*part).orderBy("bar_ord").rowsBetween(Window.unboundedPreceding, 0)
     k = (F.col("bar_ord") + 1).cast("double")
     norm = F.greatest(
-        (F.sum("bmax").over(wb) + F.lit(s.sum_bmax0)).cast("double") / k
-        - (F.sum("bmin").over(wb) + F.lit(s.sum_bmin0)).cast("double") / k,
+        (F.sum("bmax").over(wb) + _hs("_hs_sbmax")).cast("double") / k
+        - (F.sum("bmin").over(wb) + _hs("_hs_sbmin")).cast("double") / k,
         F.lit(1.0),
     )
     norms = bars.select(
@@ -179,7 +235,7 @@ def hot_loop(
     join_keys = part + ["bars_done"]
     df = df.join(norms, on=join_keys, how="left")
     inv = F.when(
-        F.col("is_core"), F.coalesce(F.col("inv_q16"), F.lit(s.inv_q16_0))
+        F.col("is_core"), F.coalesce(F.col("inv_q16"), _hs("_hs_inv"))
     )
     df = df.withColumn("inv_q16", inv)
 
@@ -216,7 +272,7 @@ def hot_loop(
             F.last(F.when(F.col("is_core"), F.col("ratio")), ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, -1)
             ),
-            F.lit(s.last_core_ratio0),
+            _hs("_hs_lratio"),
         )
         sig_re = F.when(F.col("is_core"), F.col("ratio")).otherwise(F.lit(0.0))
         sig_im = F.when(
@@ -233,7 +289,7 @@ def hot_loop(
         # h values with >16 fractional bits (e.g. h=2^-17).
         scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
         dp = F.when(F.col("is_core"), F.bround(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
-        theta = F.pmod(F.sum(dp).over(wcum) + F.lit(s.cpm_theta0), F.lit(C.Q32_MOD))
+        theta = F.pmod(F.sum(dp).over(wcum) + _hs("_hs_theta"), F.lit(C.Q32_MOD))
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")  # top 10 bits (:173-176)
         lre, lim = _lut_trig(idx)
         sig_re = F.when(invoked, lre).otherwise(F.lit(0.0))
@@ -245,7 +301,7 @@ def hot_loop(
     elif enc == "amc":
         # Carrier advances by a constant 2^32/16 per *invocation* (:203-230);
         # closed form: theta = incr * (# invoked rows so far) mod 2^32.
-        amc_n = F.count(F.when(invoked, 1)).over(wcum) + F.lit(s.amc_n0)
+        amc_n = F.count(F.when(invoked, 1)).over(wcum) + _hs("_hs_amcn")
         theta = F.pmod(amc_n * F.lit(C.AMC_CARRIER_INCREMENT_Q32), F.lit(C.Q32_MOD))
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")
         lre, lim = _lut_trig(idx)

@@ -90,6 +90,17 @@ class StreamingTickPipeline:
         files = sorted(
             r["f"] for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
         )
+        if self.stream_key is not None and len(files) > 1:
+            by_stream: dict[str, list[str]] = {}
+            for path in files:
+                by_stream.setdefault(self.stream_key(path), []).append(path)
+            if len(by_stream) > 1 and all(len(v) == 1 for v in by_stream.values()):
+                # scale path: thousands of streams, one file each -> a
+                # CONSTANT number of Spark jobs for the whole batch
+                self._process_batch_multistream(
+                    {k: v[0] for k, v in by_stream.items()}, batch_id, batch_t0
+                )
+                return
         for path in files:
             key = self.stream_key(path) if self.stream_key else None
             state = self._single if key is None else self.states.get(key, StreamState())
@@ -130,6 +141,50 @@ class StreamingTickPipeline:
             signal_us=signal_us,
             broadcast_us=broadcast_us,
             broadcasts=broadcasts,
+        )
+        if self.on_batch is not None:
+            self.on_batch(batch_id, self.ticks_processed)
+
+    def _process_batch_multistream(
+        self, file_of: dict[str, str], batch_id: int, batch_t0: float
+    ) -> None:
+        """One-file-per-stream batch: union the tagged reads and run the
+        whole thing through advance_streams / advance_bars_streams — per
+        -stream seeds travel as broadcast-joined tables, state extraction
+        is O(streams) collected rows (streaming/state.py). Batches where
+        one stream spans several files keep the ordered per-file loop."""
+        import time
+
+        from tickdatapipeline_spark.streaming.state import advance_streams, advance_bars_streams
+
+        raw = None
+        for key, path in sorted(file_of.items()):
+            part = read_tick_file(self.spark, path).withColumn("stream", F.lit(key))
+            raw = part if raw is None else raw.unionByName(part)
+
+        t_sig = time.perf_counter()
+        processed, self.states = advance_streams(raw, self.cfg, self.states, "stream")
+        signal_us = int((time.perf_counter() - t_sig) * 1e6)
+        out = processed.select("stream", *OUT_COLS)
+        t_bc = time.perf_counter()
+        self.manager.broadcast_batch(out, batch_id)
+        broadcast_us = int((time.perf_counter() - t_bc) * 1e6)
+        if self.bar_cfg is not None and self.bar_cfg.enabled:
+            bars, self.bar_states = advance_bars_streams(
+                out, self.bar_cfg, self.bar_states, "stream"
+            )
+            if self.bar_sink is not None:
+                self.bar_sink(bars, batch_id)
+            bars.unpersist()
+        processed.unpersist()
+        ticks_before = self.ticks_processed
+        self.ticks_processed = sum(s.tick0 for s in self.states.values())
+        self.metrics.record_batch(
+            ticks=self.ticks_processed - ticks_before,
+            total_us=int((time.perf_counter() - batch_t0) * 1e6),
+            signal_us=signal_us,
+            broadcast_us=broadcast_us,
+            broadcasts=1,
         )
         if self.on_batch is not None:
             self.on_batch(batch_id, self.ticks_processed)

@@ -352,3 +352,147 @@ def advance_bars_streams(
             tail_prices0=tails[k],
         )
     return bars, next_seeds
+
+
+def advance_streams(
+    raw_batch: DataFrame,
+    cfg: SignalProcessingConfig,
+    states: dict,
+    stream_id: str,
+    stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR,
+) -> tuple[DataFrame, dict]:
+    """advance() for a micro-batch holding MANY streams at once.
+
+    ``states`` maps stream key -> StreamState (missing keys = start of
+    stream); returns (processed, next_states). Mirrors the reference's
+    one-TickHotLoopState-per-stream model without a per-stream driver
+    loop: expansion and hot loop run ONCE over the whole batch with
+    per-stream seeds broadcast-joined in, and every state extraction is
+    a grouped aggregation collecting O(streams) rows — a constant number
+    of Spark jobs per batch no matter how many streams it carries.
+    """
+    n = stats_ticks_per_bar
+    expanded = expand_volume(
+        raw_batch, stream_id,
+        seeds={k: (st.prev_last, st.tick0) for k, st in states.items()},
+    )
+    processed = hot_loop(
+        expanded, cfg, stream_id=stream_id, stats_ticks_per_bar=n,
+        keep_internals=True, seed={k: st.hot for k, st in states.items()},
+    ).cache()
+    n_rows = processed.count()
+    if n_rows == 0:
+        processed.unpersist()
+        return processed, dict(states)
+
+    scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
+    top = {
+        r[stream_id]: r
+        for r in processed.groupBy(stream_id).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("tick_idx").alias("max_tick"),
+            F.max_by("raw_price", "tick_idx").alias("last_price"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid_b"),
+            F.max("core_seq").alias("core_total"),
+            F.min(F.when(F.col("is_valid"), F.col("tick_idx"))).alias("first_valid_tick"),
+            F.max_by(F.col("ratio"), F.when(F.col("is_core"), F.col("tick_idx"))).alias("last_core_ratio"),
+            F.max_by(F.col("inv_q16"), F.when(F.col("is_core"), F.col("tick_idx"))).alias("last_inv"),
+            F.sum(
+                F.when(F.col("is_core"), F.bround(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
+            ).alias("dp_sum"),
+        ).collect()
+    }
+    keys = set(states) | set(top)
+    seed_of = {k: states.get(k, StreamState()) for k in keys}
+    core_total = {
+        k: (int(top[k]["core_total"]) if k in top and top[k]["core_total"] is not None
+            else seed_of[k].hot.core_seq0)
+        for k in keys
+    }
+
+    # stats-bar bookkeeping, one grouped agg: the carried partial bar and
+    # each stream's new trailing-partial ordinal ride in via a broadcast
+    # seed table keyed by stream.
+    key_t = raw_batch.schema[stream_id].dataType.simpleString()
+    sd_rows = [
+        (
+            k,
+            seed_of[k].hot.core_seq0 // n,
+            seed_of[k].hot.partial_cnt0,
+            seed_of[k].hot.partial_min0,
+            seed_of[k].hot.partial_max0,
+            core_total[k] // n if core_total[k] % n != 0 else None,
+        )
+        for k in keys
+    ]
+    sd = F.broadcast(processed.sparkSession.createDataFrame(
+        sd_rows, f"{stream_id} {key_t}, _pb long, _pcnt long, _pmin long, _pmax long, _npo long"
+    ))
+    bars = (
+        processed.where(F.col("is_core"))
+        .groupBy(stream_id, "bar_ord")
+        .agg(F.min("delta_w").alias("bmin"), F.max("delta_w").alias("bmax"),
+             F.count(F.lit(1)).alias("cnt"))
+        .join(sd, on=stream_id, how="left")
+    )
+    is_pb = (F.coalesce(F.col("_pcnt"), F.lit(0)) > 0) & (F.col("bar_ord") == F.col("_pb"))
+    bars = bars.withColumn(
+        "bmin", F.when(is_pb, F.least("bmin", F.col("_pmin"))).otherwise(F.col("bmin"))
+    ).withColumn(
+        "bmax", F.when(is_pb, F.greatest("bmax", F.col("_pmax"))).otherwise(F.col("bmax"))
+    ).withColumn(
+        "cnt", F.when(is_pb, F.col("cnt") + F.col("_pcnt")).otherwise(F.col("cnt"))
+    )
+    brow = {
+        r[stream_id]: r
+        for r in bars.groupBy(stream_id).agg(
+            F.sum(F.when(F.col("cnt") == n, F.col("bmin"))).alias("add_bmin"),
+            F.sum(F.when(F.col("cnt") == n, F.col("bmax"))).alias("add_bmax"),
+            F.max(F.when(F.col("bar_ord") == F.col("_npo"), F.col("bmin"))).alias("p_min"),
+            F.max(F.when(F.col("bar_ord") == F.col("_npo"), F.col("bmax"))).alias("p_max"),
+            F.max(F.when(F.col("bar_ord") == F.col("_npo"), F.col("cnt"))).alias("p_cnt"),
+        ).collect()
+    }
+
+    next_states: dict = {}
+    for k in keys:
+        st = seed_of[k]
+        s = st.hot
+        if k not in top:  # stream idle this batch: unchanged
+            next_states[k] = st
+            continue
+        t, b = top[k], brow.get(k)
+        nr = int(t["n_rows"])
+        if s.n_valid0 > 0:
+            zero_b = 0
+        elif t["first_valid_tick"] is None:
+            zero_b = nr
+        else:
+            zero_b = int(t["first_valid_tick"]) - st.tick0 - 1
+        p_cnt = int(b["p_cnt"] or 0) if b is not None else 0
+        p_min = int(b["p_min"]) if b is not None and b["p_min"] is not None else None
+        p_max = int(b["p_max"]) if b is not None and b["p_max"] is not None else None
+        npo = core_total[k] // n if core_total[k] % n != 0 else None
+        if p_cnt == 0 and npo == s.core_seq0 // n and s.partial_cnt0 > 0:
+            # carried partial bar got no new core ticks this batch
+            p_cnt, p_min, p_max = s.partial_cnt0, s.partial_min0, s.partial_max0
+        next_hot = HotLoopSeed(
+            n_valid0=s.n_valid0 + int(t["valid_b"] or 0),
+            core_seq0=core_total[k],
+            sum_bmin0=s.sum_bmin0 + (int(b["add_bmin"] or 0) if b is not None else 0),
+            sum_bmax0=s.sum_bmax0 + (int(b["add_bmax"] or 0) if b is not None else 0),
+            partial_cnt0=p_cnt,
+            partial_min0=p_min,
+            partial_max0=p_max,
+            inv_q16_0=int(t["last_inv"]) if t["last_inv"] is not None else s.inv_q16_0,
+            cpm_theta0=(s.cpm_theta0 + int(t["dp_sum"] or 0)) % C.Q32_MOD,
+            amc_n0=s.amc_n0 + (nr - zero_b),
+            last_core_ratio0=(
+                float(t["last_core_ratio"]) if t["last_core_ratio"] is not None
+                else s.last_core_ratio0
+            ),
+        )
+        next_states[k] = StreamState(
+            tick0=int(t["max_tick"]), prev_last=int(t["last_price"]), hot=next_hot
+        )
+    return processed, next_states
