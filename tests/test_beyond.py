@@ -163,3 +163,28 @@ def test_media_plumbing(spark):
     assert all(f.media_id == 2 for f in frames)  # only the video row
     n_frames = 12 % 16 + 1  # 13 frames -> sampled 0,2,4,...,12
     assert sorted(f.frame_idx for f in frames) == list(range(0, n_frames, 2))
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Connected components must merge chains: A~B and B~C (never A~C as
+    a direct LSH pair is fine) land in ONE cluster keyed by min doc_id;
+    singletons are absent."""
+    from tickdatapipeline_spark.operators.dedup import duplicate_clusters
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    d = docs_df(spark, [
+        (1, t1, "en"),
+        (2, t1, "en"),                     # identical to 1
+        (3, t1 + " iota", "en"),           # near-dup of 1/2
+        (4, "unrelated words entirely different content here", "en"),
+        (7, "another singleton document with its own text body", "en"),
+        (8, "another singleton document with its own text body", "en"),  # =7
+    ])
+    rows = {r.doc_id: r for r in duplicate_clusters(d, threshold=0.5).collect()}
+    assert set(rows) == {1, 2, 3, 7, 8}
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[1].cluster_size == 3
+    assert rows[7].cluster_id == rows[8].cluster_id == 7
+    assert rows[7].cluster_size == 2
+    assert rows[1].is_representative == 1 and rows[2].is_representative == 0
+    assert rows[7].is_representative == 1 and rows[8].is_representative == 0

@@ -184,3 +184,59 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("doc_a", "doc_b", "inter_count", "union_count", "jaccard")
     )
     return out
+
+
+def duplicate_clusters(docs: DataFrame, threshold: float = 0.5,
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate graph: group every
+    verified near-dup pair (jaccard_pairs) into clusters and elect the
+    min-doc_id representative — the "keep one copy" step of corpus dedup.
+
+    Output: (doc_id, cluster_id, cluster_size, is_representative) for
+    every document in a cluster of size >= 2.
+
+    Scale design: iterative min-label propagation — per round ONE
+    shuffle join (edges x labels) plus a map-side-combinable min
+    aggregation, converging in O(cluster diameter) rounds (near-dup
+    clusters are shallow; bounded by ``max_iter``). Lineage is truncated
+    every round (localCheckpoint), so plans stay flat no matter the
+    iteration count. Equivalent of the reference-absent "dedup
+    clustering" stage; deterministic, so DuckDB's recursive CTE can
+    reproduce it exactly.
+    """
+    pairs = jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = edges.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "nbr"), on="nbr"
+        ).select("node", "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, on="node")
+            .where(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    csizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(csizes, on="label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("node") == F.col("label")).cast("long").alias("is_representative"),
+        )
+    )

@@ -22,6 +22,7 @@ from tickdatapipeline_spark.operators.dedup import (
     BAND_SIZE,
     MERSENNE_P,
     NUM_PERM,
+    duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -219,6 +220,45 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+"""
+
+# connected components over the verified near-dup graph: DuckDB's
+# recursive CTE computes min-reachable-id per node — exactly what the
+# Spark side's iterative min-label propagation converges to.
+CLUSTERS_SQL = f"""
+WITH RECURSIVE {MINHASH_CTE},
+{_LSH_CAND_CTE},
+shsizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN shsizes sa ON doc_a = sa.doc_id
+    JOIN shsizes sb ON doc_b = sb.doc_id
+    WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS node, doc_b AS nbr FROM pairs
+    UNION ALL
+    SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT node, node FROM edges
+    UNION
+    SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)
 """
 
 # ================= similarity search =================
@@ -506,6 +546,7 @@ def queries() -> dict[str, tuple]:
         ),
         "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d)), LSH_PAIRS_SQL),
         "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD), JACCARD_SQL),
+        "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD), CLUSTERS_SQL),
         "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
         "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
         "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
