@@ -205,9 +205,21 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.5,
     reproduce it exactly.
     """
     pairs = jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b", max_iter=max_iter,
+                                id_col="doc_id")
+
+
+def connected_components(pairs: DataFrame, a_col: str, b_col: str,
+                         max_iter: int = 20, id_col: str = "node") -> DataFrame:
+    """Generic undirected connected components over an edge list.
+
+    Output: (id_col, cluster_id, cluster_size, is_representative) for
+    every node appearing in an edge; cluster_id = min node id of the
+    component. See duplicate_clusters for the scale rationale.
+    """
     edges = (
-        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
-        .unionByName(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")))
+        pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
+        .unionByName(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
         .localCheckpoint()
     )
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
@@ -234,7 +246,7 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.5,
     return (
         labels.join(csizes, on="label")
         .select(
-            F.col("node").alias("doc_id"),
+            F.col("node").alias(id_col),
             F.col("label").alias("cluster_id"),
             F.col("cluster_size").cast("long").alias("cluster_size"),
             (F.col("node") == F.col("label")).cast("long").alias("is_representative"),

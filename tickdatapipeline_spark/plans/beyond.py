@@ -22,6 +22,7 @@ from tickdatapipeline_spark.operators.dedup import (
     BAND_SIZE,
     MERSENNE_P,
     NUM_PERM,
+    connected_components,
     duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
@@ -236,14 +237,14 @@ inter AS (
     JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY c.doc_a, c.doc_b
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT doc_a, doc_b
     FROM inter
     JOIN shsizes sa ON doc_a = sa.doc_id
     JOIN shsizes sb ON doc_b = sb.doc_id
     WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT doc_a AS node, doc_b AS nbr FROM pairs
     UNION ALL
     SELECT doc_b AS node, doc_a AS nbr FROM pairs
@@ -353,6 +354,37 @@ SELECT vec_a, vec_b, cosine FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_pair_cos} AS cosine
     FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) WHERE cosine >= {EMBED_NEAR_DUP_THRESHOLD}
+"""
+
+# components over the embedding near-dup graph (same recursive-CTE
+# equivalence as CLUSTERS_SQL)
+EMBED_CLUSTERS_SQL = f"""
+WITH RECURSIVE base AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v, {_sql_bucket(SQL_VEC)} AS bucket
+    FROM embeddings
+),
+pairs AS MATERIALIZED (
+    SELECT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_pair_cos} AS cosine
+        FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {EMBED_NEAR_DUP_THRESHOLD}
+),
+edges AS MATERIALIZED (
+    SELECT vec_a AS node, vec_b AS nbr FROM pairs
+    UNION ALL
+    SELECT vec_b AS node, vec_a AS nbr FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT node, node FROM edges
+    UNION
+    SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.node AS vec_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)
 """
 
 ANN_TOPK_LSH_SQL = f"""
@@ -547,6 +579,13 @@ def queries() -> dict[str, tuple]:
         "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d)), LSH_PAIRS_SQL),
         "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD), JACCARD_SQL),
         "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD), CLUSTERS_SQL),
+        "dedup_embedding_clusters": (
+            lambda s, d: connected_components(
+                embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
+                "vec_a", "vec_b", id_col="vec_id",
+            ),
+            EMBED_CLUSTERS_SQL,
+        ),
         "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
         "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
         "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
