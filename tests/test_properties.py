@@ -99,3 +99,43 @@ def test_streaming_split_equivalence(spark, lines, split):
         processed.unpersist()
 
     assert [tuple(r) for r in got] == [tuple(r) for r in whole]
+
+
+@given(
+    lines=st.lists(
+        st.tuples(spike_strategy, st.integers(min_value=1, max_value=3)),
+        min_size=4, max_size=14,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=13), min_size=1, max_size=3),
+    data=st.data(),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_advance_random_splits_equal_batch(spark, lines, cuts, data):
+    """The streaming continuation contract, property-form: ANY split of
+    the input into micro-batches equals the batch plan bit-for-bit."""
+    from tickdatapipeline_spark.streaming.state import StreamState, advance
+    from tickdatapipeline_spark.streaming import OUT_COLS
+
+    enc = data.draw(st.sampled_from(["derivative", "cpm"]))
+    cfg = SignalProcessingConfig(encoder_type=enc)
+    rows = [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)]
+    whole = hot_loop(
+        expand_volume(make_ticks_raw(spark, rows)), cfg, stats_ticks_per_bar=4
+    ).orderBy("tick_idx").collect()
+
+    bounds = sorted({c for c in cuts if c < len(rows)} | {len(rows)})
+    state, got, lo = StreamState(), [], 0
+    for hi in bounds:
+        chunk = [(j + 1, ts, p, v) for j, (_, ts, p, v) in enumerate(rows[lo:hi])]
+        processed, state = advance(
+            make_ticks_raw(spark, chunk), cfg, state, stats_ticks_per_bar=4
+        )
+        got.extend(processed.select(*OUT_COLS).orderBy("tick_idx").collect())
+        processed.unpersist()
+        lo = hi
+
+    assert len(got) == len(whole)
+    for g, w in zip(got, whole):
+        for c in OUT_COLS:
+            assert g[c] == w[c], f"tick {w['tick_idx']} col {c} ({enc})"
