@@ -89,3 +89,33 @@ def test_engine_matches_f32_reference_trace(spark, enc):
             assert g.sig_im == pytest.approx(s["sig_im"], abs=1e-6), ctx
     # the scenario must actually exercise recomputed normalization
     assert n_bars_seen > 50, f"stats-bar recompute never engaged ({n_bars_seen})"
+
+
+def test_cpm_f32_drift_bounded_at_inexact_h(spark):
+    """At h values whose f32 product rounds coarsely (h=0.3), the engine's
+    float64 CPM phase may drift from the reference's float32 phase — the
+    documented width divergence. Pin it QUANTITATIVELY: per-tick dp
+    differs by at most half an f32 ulp of the product magnitude
+    (<= 2^31 * 2^-24 = 128), so |theta_engine - theta_ref| after N core
+    ticks is <= 128*N — far below the 2^22 LUT-index granularity for any
+    realistic batch."""
+    cfg = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=0.3)
+    lines = _scenario()
+    sim = simulate(lines, cfg, stats_ticks_per_bar=N_STATS)
+    raw = make_ticks_raw(spark, [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)])
+    got = (
+        hot_loop(expand_volume(raw), cfg, stats_ticks_per_bar=N_STATS,
+                 keep_internals=True)
+        .orderBy("tick_idx")
+        .collect()
+    )
+    n_core = 0
+    worst = 0
+    for g, s in zip(got, sim):
+        if g.inv_q16 is not None:
+            n_core += 1
+        d = abs(g.cpm_theta - s["theta"])
+        d = min(d, 2**32 - d)  # wrap distance
+        worst = max(worst, d)
+        assert d <= 128 * max(n_core, 1), f"tick {s['tick_idx']}: drift {d}"
+    assert n_core > 200  # the bound was actually exercised
