@@ -249,13 +249,17 @@ def test_file_source_runner_end_to_end(spark, tmp_path):
     rows = tick_rows(24)
     in_dir = tmp_path / "in"
     in_dir.mkdir()
-    # two session files; lexicographic name order == stream order
-    for fname, chunk in [("ticks-000.txt", rows[:13]), ("ticks-001.txt", rows[13:])]:
+    # two session files; distinct mtimes pin arrival order (same-ms
+    # writes tie and the file source breaks ties arbitrarily)
+    import os
+
+    for i, (fname, chunk) in enumerate([("ticks-000.txt", rows[:13]), ("ticks-001.txt", rows[13:])]):
         with open(in_dir / fname, "w") as f:
             for _, ts, price, vol in chunk:
                 f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
             f.write("\n")          # blank line: skipped
             f.write("garbage;;\n")  # malformed: skipped
+        os.utime(in_dir / fname, (1700000000 + i, 1700000000 + i))
 
     collected = []
     mgr = TripleSplitManager()
@@ -434,3 +438,60 @@ def test_runner_multistream_fast_path(spark, tmp_path):
         for g, w in zip(got_bars, whole_bars):
             for c in w.asDict().keys():
                 assert g[c] == w[c], f"{key} bar {w['bar_idx']} col {c}"
+
+
+def test_runner_enriched_output_equals_batch(spark, tmp_path):
+    """enrich=True: the broadcast frames carry B7 bar columns on exactly
+    the completing ticks, equal to the batch enrichment over the whole
+    input — across micro-batch boundaries (a carried partial bar's
+    completing tick lands in a later batch)."""
+    from tickdatapipeline_spark.config import BarProcessingConfig
+    from tickdatapipeline_spark.operators.bars import bar_aggregate, enrich_ticks_with_bars
+    from tickdatapipeline_spark.streaming import StreamingTickPipeline
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=5, bar_method="boxcar",
+                             normalization_window_bars=2)
+    rows = tick_rows(24)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # 13/11 split leaves a partial bar carried across the file boundary;
+    # distinct mtimes pin the arrival order (same-ms writes tie and the
+    # file source breaks ties arbitrarily)
+    import os
+
+    for i, (fname, chunk) in enumerate([("t-000.txt", rows[:13]), ("t-001.txt", rows[13:])]):
+        with open(in_dir / fname, "w") as f:
+            for _, ts, price, vol in chunk:
+                f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+        os.utime(in_dir / fname, (1700000000 + i, 1700000000 + i))
+
+    collected = []
+    mgr = TripleSplitManager()
+    mgr.subscribe("cap", ConsumerType.PRIORITY,
+                  lambda df, bid: collected.extend(df.collect()))
+    pipe = StreamingTickPipeline(
+        spark, str(in_dir), cfg, mgr, checkpoint_dir=str(tmp_path / "ckpt"),
+        bar_cfg=bp, enrich=True,
+    )
+    pipe.start()
+    try:
+        pipe.await_idle()
+    finally:
+        pipe.stop()
+
+    ticks = hot_loop(expand_volume(make_ticks_raw(spark, rows)), cfg).select(*OUT_COLS)
+    whole = (
+        enrich_ticks_with_bars(ticks, bar_aggregate(ticks, bp))
+        .orderBy("tick_idx").collect()
+    )
+    got = sorted(collected, key=lambda r: r.tick_idx)
+    assert len(got) == len(whole)
+    cols = whole[0].asDict().keys()
+    n_enriched = 0
+    for g, w in zip(got, whole):
+        for c in cols:
+            assert g[c] == w[c], f"tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
+        if w["bar_idx"] is not None:
+            n_enriched += 1
+    assert n_enriched >= 4  # several bars completed, incl. across the split

@@ -51,11 +51,19 @@ class StreamingTickPipeline:
         bar_cfg=None,
         bar_sink: Callable[[DataFrame, int], None] | None = None,
         stream_key: Callable[[str], str] | None = None,
+        enrich: bool = False,
     ) -> None:
         """``stream_key`` maps a file path to a logical stream id; files
         of the same stream continue each other's state, different streams
         are independent (e.g. per-symbol or per-day files). None = the
-        reference's model: every file continues ONE stream."""
+        reference's model: every file continues ONE stream.
+
+        ``enrich`` broadcasts B7-enriched ticks (bar columns on each
+        bar-completing tick, nulls elsewhere — the managed live loop's
+        process_tick_for_bars! message enrichment,
+        /root/reference/src/PipelineOrchestrator.jl:155-156); requires
+        an enabled ``bar_cfg``. Exact across batch splits because a
+        bar's completing tick is always in the bar's completing batch."""
         from tickdatapipeline_spark.operators.bars import BarSeed
 
         self.spark = spark
@@ -68,6 +76,9 @@ class StreamingTickPipeline:
         self.bar_cfg = bar_cfg
         self.bar_sink = bar_sink
         self.stream_key = stream_key
+        if enrich and (bar_cfg is None or not bar_cfg.enabled):
+            raise ValueError("enrich=True requires an enabled bar_cfg")
+        self.enrich = enrich
         self._single = StreamState()
         self._single_bars = BarSeed()
         self.states: dict[str, StreamState] = {}
@@ -112,16 +123,22 @@ class StreamingTickPipeline:
             processed, state = advance(raw, self.cfg, state)
             signal_us += int((time.perf_counter() - t_sig) * 1e6)
             out = processed.select(*OUT_COLS)
+            bars = None
+            if self.bar_cfg is not None and self.bar_cfg.enabled:
+                bars, bar_state = advance_bars(
+                    processed.select(*OUT_COLS), self.bar_cfg, bar_state
+                )
+            if self.enrich:
+                from tickdatapipeline_spark.operators.bars import enrich_ticks_with_bars
+
+                out = enrich_ticks_with_bars(out, bars)
             if key is not None:
                 out = out.withColumn("stream", F.lit(key))
             t_bc = time.perf_counter()
             self.manager.broadcast_batch(out, batch_id)
             broadcast_us += int((time.perf_counter() - t_bc) * 1e6)
             broadcasts += 1
-            if self.bar_cfg is not None and self.bar_cfg.enabled:
-                bars, bar_state = advance_bars(
-                    processed.select(*OUT_COLS), self.bar_cfg, bar_state
-                )
+            if bars is not None:
                 if self.bar_sink is not None:
                     out_bars = bars.withColumn("stream", F.lit(key)) if key is not None else bars
                     self.bar_sink(out_bars, batch_id)
@@ -166,13 +183,20 @@ class StreamingTickPipeline:
         processed, self.states = advance_streams(raw, self.cfg, self.states, "stream")
         signal_us = int((time.perf_counter() - t_sig) * 1e6)
         out = processed.select("stream", *OUT_COLS)
-        t_bc = time.perf_counter()
-        self.manager.broadcast_batch(out, batch_id)
-        broadcast_us = int((time.perf_counter() - t_bc) * 1e6)
+        bars = None
         if self.bar_cfg is not None and self.bar_cfg.enabled:
             bars, self.bar_states = advance_bars_streams(
                 out, self.bar_cfg, self.bar_states, "stream"
             )
+        bc_out = out
+        if self.enrich:
+            from tickdatapipeline_spark.operators.bars import enrich_ticks_with_bars
+
+            bc_out = enrich_ticks_with_bars(out, bars, stream_id="stream")
+        t_bc = time.perf_counter()
+        self.manager.broadcast_batch(bc_out, batch_id)
+        broadcast_us = int((time.perf_counter() - t_bc) * 1e6)
+        if bars is not None:
             if self.bar_sink is not None:
                 self.bar_sink(bars, batch_id)
             bars.unpersist()
