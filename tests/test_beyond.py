@@ -188,3 +188,29 @@ def test_duplicate_clusters_transitive(spark):
     assert rows[7].cluster_size == 2
     assert rows[1].is_representative == 1 and rows[2].is_representative == 0
     assert rows[7].is_representative == 1 and rows[8].is_representative == 0
+
+
+def test_bucket_skew_guards(spark):
+    """max_band_bucket / max_bucket_size drop oversized buckets BEFORE
+    the quadratic join (100 TB skew guard); with a cap above every
+    bucket the output is unchanged."""
+    from tickdatapipeline_spark.operators.dedup import lsh_candidate_pairs
+    from tickdatapipeline_spark.operators.similarity import embedding_near_duplicates
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    d = docs_df(spark, [(i, t1, "en") for i in range(1, 5)]  # 4 identical docs
+                + [(9, "other words completely unrelated here", "en")])
+    # identical docs share every band: bucket size 4 -> 6 pairs uncapped
+    assert lsh_candidate_pairs(d).count() == 6
+    # cap 3 drops the size-4 buckets entirely
+    assert lsh_candidate_pairs(d, max_band_bucket=3).count() == 0
+    # cap above every bucket: identical output
+    assert lsh_candidate_pairs(d, max_band_bucket=100).count() == 6
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(1, 5)] + [(9, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    assert embedding_near_duplicates(emb, 0.25).count() == 6
+    assert embedding_near_duplicates(emb, 0.25, max_bucket_size=3).count() == 0
+    assert embedding_near_duplicates(emb, 0.25, max_bucket_size=100).count() == 6

@@ -107,12 +107,21 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
+                        max_band_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing any band signature.
 
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct. Band keys come
     straight off the wide signature row (no per-lane shuffle); the only
     shuffles are the shingle groupBy and the band-key equi-join.
+
+    ``max_band_bucket`` is the 100 TB skew guard: a band bucket of m
+    docs emits m^2/2 join rows, and on a real corpus a degenerate band
+    key (boilerplate-heavy shards) can hold millions of docs. Buckets
+    larger than the cap are dropped BEFORE the self-join (standard LSH
+    practice — an oversized bucket is a low-information band whose
+    members are still recalled by their other bands). None = off, which
+    keeps the oracle-compared output exhaustive at test scale.
     """
     wide = _minhash_wide(docs, num_perm)
     n_bands = num_perm // band_size
@@ -133,6 +142,15 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     # deployment scale this is "write signatures to parquet, then join";
     # in-session, localCheckpoint is the same cut applied to the plan.
     bands = bands.localCheckpoint(eager=False)
+    if max_band_bucket is not None:
+        # map-side-combinable count per (band, band_key); the anti-filter
+        # is a broadcast-able join at any realistic cap
+        sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
+        bands = (
+            bands.join(sizes.where(F.col("_m") <= max_band_bucket),
+                       on=["band", "band_key"], how="inner")
+            .drop("_m")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (

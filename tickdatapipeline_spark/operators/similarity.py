@@ -167,16 +167,27 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
-def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
+                              max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed (the scale path):
     only pairs sharing a signed-hyperplane bucket are scored, so cost is
     sum of per-bucket n^2 instead of global n^2. Output: (vec_a, vec_b,
-    cosine) for cosine >= threshold, vec_a < vec_b."""
+    cosine) for cosine >= threshold, vec_a < vec_b.
+
+    ``max_bucket_size`` is the skew guard for degenerate buckets (e.g.
+    millions of near-identical embeddings all hashing together): buckets
+    above the cap are dropped before the n^2 join. None = off (test
+    scale / oracle-compared output)."""
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_m"))
+        base = base.join(
+            sizes.where(F.col("_m") <= max_bucket_size), on="bucket", how="inner"
+        ).drop("_m")
     a, b = base.alias("a"), base.alias("b")
     cos = rnd(
         _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
