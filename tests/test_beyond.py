@@ -214,3 +214,37 @@ def test_bucket_skew_guards(spark):
     assert embedding_near_duplicates(emb, 0.25).count() == 6
     assert embedding_near_duplicates(emb, 0.25, max_bucket_size=3).count() == 0
     assert embedding_near_duplicates(emb, 0.25, max_bucket_size=100).count() == 6
+
+
+def test_ivf_kmeans_recall(spark):
+    """kmeans-trained IVF must behave like a real ANN index: valid top-k
+    contract, and recall@5 vs brute force at least as good as chance by
+    a wide margin. Also sanity-check Lloyd's training moved centroids."""
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_topk_ivf, ann_topk_ivf_kmeans, cosine_topk, kmeans_train)
+    from tickdatapipeline_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+
+    cents = kmeans_train(emb, k=8, iters=3)
+    assert len(cents) == 8 and all(len(v) > 0 for _, v in cents)
+    init = {int(r.vec_id): list(r.embedding)
+            for r in emb.where("vec_id < 8").collect()}
+    moved = sum(1 for cell, v in cents
+                if [float(x) for x in init[cell]] != v)
+    assert moved >= 6  # training actually updated centroids
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_sets(cosine_topk(emb, 5, 50))
+    got = topk_sets(ann_topk_ivf_kmeans(emb, 5, 50, n_cells=8, nprobe=2, iters=3))
+    assert set(got) == set(truth)          # every query answered
+    assert all(len(v) <= 5 for v in got.values())
+    hits = sum(len(got[q] & truth[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    assert recall >= 0.4, f"kmeans-IVF recall@5 = {recall:.2f}"

@@ -102,11 +102,62 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF coarse quantization: centroids are the vectors with
-    vec_id < n_cells (deterministic, oracle-reproducible — a real
-    deployment would train k-means once on the driver and broadcast the
-    centroids the same way).
+def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4) -> list:
+    """Distributed Lloyd's k-means for IVF coarse quantizers.
+
+    Per iteration: ONE broadcast join (k centroid rows against all
+    vectors) for assignment, one groupBy(cell, dim) mean for the update
+    — k x DIM rows collected to the driver, nothing else leaves the
+    executors. Deterministic: init = the k lowest vec_ids (the same
+    stand-in centroids the oracle-gated IVF uses), ties broken by cell
+    id. Returns [(cell, [centroid floats])]. Centroid means are float
+    sums (order-dependent) — hence the k-means IVF variant is rows-only
+    on the correctness gate.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cell long, c array<double>")
+        assigned = (
+            base.join(F.broadcast(cdf))
+            .select(
+                "vec_id", "v", "cell",
+                (_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (cell, [by_cell[cell][i] for i in range(len(old))] if cell in by_cell else old)
+            for cell, old in cents  # empty cells keep their old centroid
+        ]
+    return cents
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+               centroids: "list | None" = None) -> DataFrame:
+    """IVF coarse quantization: by default centroids are the vectors
+    with vec_id < n_cells (deterministic, oracle-reproducible); pass
+    ``centroids`` = [(cell, [floats])] (e.g. from kmeans_train) to use a
+    trained quantizer broadcast the same way.
 
     Output: (vec_id, v, cell, probe_cells) where cell = argmax cosine
     against the centroids and probe_cells = the nprobe nearest cells
@@ -115,9 +166,12 @@ def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROB
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     )
-    cents = base.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("c")
-    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(centroids, "cell long, c array<double>")
+    else:
+        cents = base.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("c")
+        )
     scored = base.join(F.broadcast(cents)).select(
         "vec_id", "v", "cell",
         rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
@@ -137,13 +191,14 @@ def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROB
 
 
 def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
-                 n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+                 n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                 centroids: "list | None" = None) -> DataFrame:
     """IVF top-k: each query probes its nprobe nearest cells; neighbors
     are scored only within those cells. Same output contract as
     cosine_topk (recall < 1, cost ~ nprobe/n_cells of brute force)."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(emb, n_cells, nprobe)
+    assigned = ivf_assign(emb, n_cells, nprobe, centroids=centroids)
     queries = assigned.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
         F.explode("probe_cells").alias("probe_cell"),
@@ -224,3 +279,14 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ann_topk_ivf_kmeans(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                        n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                        iters: int = 4) -> DataFrame:
+    """IVF top-k with a k-means-trained coarse quantizer (kmeans_train):
+    the deployment-shaped ANN path — train once, broadcast k centroids,
+    probe nprobe cells. Rows-only on the correctness gate (centroid
+    means are order-dependent float sums)."""
+    return ann_topk_ivf(emb, k, query_mod, n_cells, nprobe,
+                        centroids=kmeans_train(emb, n_cells, iters))

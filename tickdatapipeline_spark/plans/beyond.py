@@ -40,6 +40,7 @@ from tickdatapipeline_spark.operators.similarity import (
     _plane_weight,
     ann_bucket_histogram,
     ann_topk_ivf,
+    ann_topk_ivf_kmeans,
     ann_topk_lsh,
     cosine_topk,
     embedding_near_duplicates,
@@ -589,6 +590,10 @@ def queries() -> dict[str, tuple]:
         "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
         "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
         "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
+        "sim_ann_topk_ivf_kmeans": (
+            lambda s, d: ann_topk_ivf_kmeans(_emb(s, d), TOPK_K, QUERY_MOD),
+            None,  # rows-only: centroid means are order-dependent float sums
+        ),
         "sim_ann_topk_ivf": (
             lambda s, d: ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
             IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K),
