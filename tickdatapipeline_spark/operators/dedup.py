@@ -270,3 +270,24 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
             (F.col("node") == F.col("label")).cast("long").alias("is_representative"),
         )
     )
+
+
+def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The APPLY step of corpus dedup: drop every non-representative
+    member of a near-dup cluster (duplicate_clusters) and keep the rest
+    of the corpus untouched. Output: (doc_id, n_chars) of the surviving
+    documents — what a training-data pipeline actually materializes.
+
+    Scale: the drop list is tiny relative to the corpus (only clustered
+    non-representatives), so the anti-join broadcasts.
+    """
+    drop = (
+        duplicate_clusters(docs, threshold)
+        .where(F.col("is_representative") == 0)
+        .select("doc_id")
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("n_chars"))
+        .join(F.broadcast(drop), on="doc_id", how="left_anti")
+    )

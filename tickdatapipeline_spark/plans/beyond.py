@@ -23,6 +23,7 @@ from tickdatapipeline_spark.operators.dedup import (
     MERSENNE_P,
     NUM_PERM,
     connected_components,
+    deduplicated_corpus,
     duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
@@ -262,6 +263,19 @@ SELECT c.node AS doc_id, c.cluster_id,
        CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
 FROM comp c JOIN csizes s USING (cluster_id)
 """
+
+# the APPLY step: corpus minus non-representative cluster members
+DEDUP_CORPUS_SQL = CLUSTERS_SQL.replace(
+    """SELECT c.node AS doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)""",
+    """SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+ANTI JOIN (SELECT node FROM comp WHERE node <> cluster_id) dr
+  ON CAST(d.doc_id AS BIGINT) = dr.node""",
+)
 
 # ================= similarity search =================
 
@@ -580,6 +594,10 @@ def queries() -> dict[str, tuple]:
         "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d)), LSH_PAIRS_SQL),
         "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD), JACCARD_SQL),
         "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD), CLUSTERS_SQL),
+        "dedup_corpus_filtered": (
+            lambda s, d: deduplicated_corpus(_docs(s, d), JACCARD_THRESHOLD),
+            DEDUP_CORPUS_SQL,
+        ),
         "dedup_embedding_clusters": (
             lambda s, d: connected_components(
                 embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
