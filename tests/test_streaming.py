@@ -495,3 +495,57 @@ def test_runner_enriched_output_equals_batch(spark, tmp_path):
         if w["bar_idx"] is not None:
             n_enriched += 1
     assert n_enriched >= 4  # several bars completed, incl. across the split
+
+
+def test_runner_restart_resumes_from_snapshot(spark, tmp_path):
+    """state_path survives a full runner restart: a NEW pipeline object
+    (same checkpoint + snapshot) continues mid-stream — including
+    mid-stats-bar — and its output equals the batch plan's tail."""
+    import os
+
+    from tickdatapipeline_spark.streaming import StreamingTickPipeline
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    rows = tick_rows(24)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    snap = str(tmp_path / "state.json")
+
+    def write(fname, chunk, i):
+        with open(in_dir / fname, "w") as f:
+            for _, ts, price, vol in chunk:
+                f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+        os.utime(in_dir / fname, (1700000000 + i, 1700000000 + i))
+
+    def run_pipe(sink):
+        mgr = TripleSplitManager()
+        mgr.subscribe("cap", ConsumerType.PRIORITY,
+                      lambda df, bid: sink.extend(df.collect()))
+        pipe = StreamingTickPipeline(
+            spark, str(in_dir), cfg, mgr,
+            checkpoint_dir=str(tmp_path / "ckpt"), state_path=snap,
+        )
+        pipe.start()
+        try:
+            pipe.await_idle()
+        finally:
+            pipe.stop()
+        return pipe
+
+    write("t-000.txt", rows[:13], 0)
+    first = []
+    run_pipe(first)          # session 1 processes file 1, snapshots, dies
+    write("t-001.txt", rows[13:], 1)
+    second = []
+    pipe2 = run_pipe(second)  # brand-new object resumes from the snapshot
+
+    whole = hot_loop(expand_volume(make_ticks_raw(spark, rows)),
+                     cfg).orderBy("tick_idx").collect()
+    n1 = len(first)
+    assert n1 == sum(v for *_, v in rows[:13])
+    got = sorted(first + second, key=lambda r: r.tick_idx)
+    assert len(got) == len(whole)
+    for g, w in zip(got, whole):
+        for c in OUT_COLS:
+            assert g[c] == w[c], f"tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
+    assert pipe2.ticks_processed == len(whole)

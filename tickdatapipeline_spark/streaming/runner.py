@@ -52,11 +52,17 @@ class StreamingTickPipeline:
         bar_sink: Callable[[DataFrame, int], None] | None = None,
         stream_key: Callable[[str], str] | None = None,
         enrich: bool = False,
+        state_path: str | None = None,
     ) -> None:
         """``stream_key`` maps a file path to a logical stream id; files
         of the same stream continue each other's state, different streams
         are independent (e.g. per-symbol or per-day files). None = the
         reference's model: every file continues ONE stream.
+
+        ``state_path`` makes continuation state durable: a post-batch
+        JSON snapshot (streaming/persistence.py) restored on restart;
+        replayed batches (id <= snapshot's) are skipped, so state
+        evolves exactly once even though foreachBatch is at-least-once.
 
         ``enrich`` broadcasts B7-enriched ticks (bar columns on each
         bar-completing tick, nulls elsewhere — the managed live loop's
@@ -79,13 +85,33 @@ class StreamingTickPipeline:
         if enrich and (bar_cfg is None or not bar_cfg.enabled):
             raise ValueError("enrich=True requires an enabled bar_cfg")
         self.enrich = enrich
+        self.state_path = state_path
         self._single = StreamState()
         self._single_bars = BarSeed()
         self.states: dict[str, StreamState] = {}
         self.bar_states: dict[str, BarSeed] = {}
         self.ticks_processed = 0
+        self._last_batch_id = -1
+        if state_path is not None:
+            from tickdatapipeline_spark.streaming.persistence import load_snapshot
+
+            snap = load_snapshot(state_path)
+            if snap is not None:
+                (self._last_batch_id, self._single, self._single_bars,
+                 self.states, self.bar_states, self.ticks_processed) = snap
         self.metrics = PipelineMetrics()  # O2 accumulator, one obs/batch
         self._query = None
+
+    def _commit_state(self, batch_id: int) -> None:
+        self._last_batch_id = batch_id
+        if self.state_path is not None:
+            from tickdatapipeline_spark.streaming.persistence import save_snapshot
+
+            save_snapshot(
+                self.state_path, batch_id=batch_id, single=self._single,
+                single_bars=self._single_bars, states=self.states,
+                bar_states=self.bar_states, ticks_processed=self.ticks_processed,
+            )
 
     # -- one micro-batch: resolve files -> ordered read -> seeded ops -----
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -95,6 +121,8 @@ class StreamingTickPipeline:
 
         from tickdatapipeline_spark.operators.bars import BarSeed
 
+        if batch_id <= self._last_batch_id:
+            return  # replayed batch: state already reflects it
         batch_t0 = time.perf_counter()
         signal_us = broadcast_us = broadcasts = 0
         ticks_before = self.ticks_processed
@@ -159,6 +187,7 @@ class StreamingTickPipeline:
             broadcast_us=broadcast_us,
             broadcasts=broadcasts,
         )
+        self._commit_state(batch_id)
         if self.on_batch is not None:
             self.on_batch(batch_id, self.ticks_processed)
 
@@ -210,6 +239,7 @@ class StreamingTickPipeline:
             broadcast_us=broadcast_us,
             broadcasts=1,
         )
+        self._commit_state(batch_id)
         if self.on_batch is not None:
             self.on_batch(batch_id, self.ticks_processed)
 
