@@ -142,7 +142,7 @@ SELECT count(*) AS n_ticks,
        max(price_delta) AS max_delta,
        {sql_rnd('avg(abs(CAST(price_delta AS DOUBLE)))')} AS mean_abs_delta,
        max(abs(price_delta)) AS max_abs_delta,
-       sum(CASE WHEN price_delta = 0 THEN 1 ELSE 0 END) AS n_zero
+       CAST(sum(CASE WHEN price_delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
 FROM ticks_out
 """
 
@@ -199,7 +199,7 @@ def q3_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = f"""
 WITH {pipeline_ctes(SP_DERIV)}
 SELECT count(*) AS n_ticks,
-       sum(CASE WHEN price_delta = 0 THEN 1 ELSE 0 END) AS n_zero,
+       CAST(sum(CASE WHEN price_delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        {sql_rnd('sum(CASE WHEN price_delta = 0 THEN 1.0 ELSE 0.0 END) / CAST(count(*) AS DOUBLE) * 100.0')} AS zero_pct
 FROM ticks_out
 """
@@ -235,7 +235,7 @@ def q4_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q4_SQL = f"""
 WITH {pipeline_ctes(SP_DERIV)}
 SELECT threshold,
-       sum(CASE WHEN abs(price_delta) > threshold THEN 1 ELSE 0 END) AS n_beyond,
+       CAST(sum(CASE WHEN abs(price_delta) > threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond,
        {sql_rnd('sum(CASE WHEN abs(price_delta) > threshold THEN 1.0 ELSE 0.0 END) / CAST(count(*) AS DOUBLE) * 100.0')} AS pct_beyond
 FROM ticks_out, (SELECT CAST(unnest({THRESHOLDS}) AS BIGINT) AS threshold) t
 GROUP BY threshold ORDER BY threshold
@@ -295,7 +295,7 @@ bucketed AS (
 ),
 agg AS (
     SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
-           sum(CASE WHEN (status_flag & {C.FLAG_CLIPPED}) <> 0 THEN 1 ELSE 0 END) AS n_clipped
+           CAST(sum(CASE WHEN (status_flag & {C.FLAG_CLIPPED}) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM bucketed GROUP BY 1
 ),
 tot AS (SELECT sum(n) AS total FROM agg)
@@ -407,14 +407,14 @@ Q10_SQL = f"""
 WITH {pipeline_ctes(SP_DERIV)}, {bars_ctes(SP_DERIV, BP_BOX)},
 nt AS (SELECT count(*) AS nt FROM ticks_out)
 SELECT count(*) AS n_bars,
-       sum(CASE WHEN bar_high_raw < bar_low_raw THEN 1 ELSE 0 END) AS high_lt_low,
-       sum(CASE WHEN bar_high_raw < bar_open_raw THEN 1 ELSE 0 END) AS high_lt_open,
-       sum(CASE WHEN bar_high_raw < bar_close_raw THEN 1 ELSE 0 END) AS high_lt_close,
-       sum(CASE WHEN bar_low_raw > bar_open_raw THEN 1 ELSE 0 END) AS low_gt_open,
-       sum(CASE WHEN bar_low_raw > bar_close_raw THEN 1 ELSE 0 END) AS low_gt_close,
-       sum(CASE WHEN bar_ticks <> {BP_BOX.ticks_per_bar} THEN 1 ELSE 0 END) AS bad_tick_counts,
-       sum(CASE WHEN isnan(bar_sig_re) OR isnan(bar_sig_im) THEN 1 ELSE 0 END) AS nan_signals,
-       sum(CASE WHEN (bar_flags & {C.FLAG_CLIPPED}) <> 0 THEN 1 ELSE 0 END) AS clipped_bars,
+       CAST(sum(CASE WHEN bar_high_raw < bar_low_raw THEN 1 ELSE 0 END) AS BIGINT) AS high_lt_low,
+       CAST(sum(CASE WHEN bar_high_raw < bar_open_raw THEN 1 ELSE 0 END) AS BIGINT) AS high_lt_open,
+       CAST(sum(CASE WHEN bar_high_raw < bar_close_raw THEN 1 ELSE 0 END) AS BIGINT) AS high_lt_close,
+       CAST(sum(CASE WHEN bar_low_raw > bar_open_raw THEN 1 ELSE 0 END) AS BIGINT) AS low_gt_open,
+       CAST(sum(CASE WHEN bar_low_raw > bar_close_raw THEN 1 ELSE 0 END) AS BIGINT) AS low_gt_close,
+       CAST(sum(CASE WHEN bar_ticks <> {BP_BOX.ticks_per_bar} THEN 1 ELSE 0 END) AS BIGINT) AS bad_tick_counts,
+       CAST(sum(CASE WHEN isnan(bar_sig_re) OR isnan(bar_sig_im) THEN 1 ELSE 0 END) AS BIGINT) AS nan_signals,
+       CAST(sum(CASE WHEN (bar_flags & {C.FLAG_CLIPPED}) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS clipped_bars,
        min(bar_average_raw) AS min_bar_avg,
        max(bar_average_raw) AS max_bar_avg,
        CAST(nt // {BP_BOX.ticks_per_bar} AS BIGINT) AS expected_bars,
