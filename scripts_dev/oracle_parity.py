@@ -28,11 +28,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
-def equal(a: pd.Series, b: pd.Series) -> bool:
-    if a.dtype.kind == "f" or b.dtype.kind == "f":
-        av, bv = a.astype(float).to_numpy(), b.astype(float).to_numpy()
-        return bool(np.all((av == bv) | (np.isnan(av) & np.isnan(bv))))
-    return bool((a.fillna("\0").to_numpy() == b.fillna("\0").to_numpy()).all())
+def equal(a: pd.Series, b: pd.Series) -> tuple[bool, str]:
+    """Dtype-STRICT compare. The driver's value-hash is dtype-sensitive,
+    so int64-vs-float64 (e.g. DuckDB sum(int)→HUGEINT→float64 vs Spark
+    int64) must FAIL here even when values match — this blind spot
+    shipped red rows in rounds 1 and 2."""
+    if a.dtype.kind in "iuf" or b.dtype.kind in "iuf":
+        if a.dtype != b.dtype:
+            return False, f"DTYPE spark={a.dtype} duckdb={b.dtype}"
+        if a.dtype.kind == "f":
+            av, bv = a.to_numpy(), b.to_numpy()
+            same = bool(np.all((av == bv) | (np.isnan(av) & np.isnan(bv))))
+            return same, "" if same else "values"
+    same = bool((a.fillna("\0").to_numpy() == b.fillna("\0").to_numpy()).all())
+    return same, "" if same else "values"
 
 
 def main() -> None:
@@ -78,13 +87,20 @@ def main() -> None:
             print(f"[{name}] COLUMNS spark={list(s.columns)} duckdb={list(d.columns)}")
             bad_n += 1
             continue
-        bad_cols = [c for c in s.columns if not equal(s[c], d[c])]
+        bad_cols = []
+        for c in s.columns:
+            same, why = equal(s[c], d[c])
+            if not same:
+                bad_cols.append((c, why))
         if bad_cols:
-            print(f"[{name}] VALUE MISMATCH in {bad_cols}")
-            for c in bad_cols[:2]:
-                neq = ~((s[c] == d[c]) | (s[c].isna() & d[c].isna()))
-                i = int(neq.idxmax())
-                print(f"  {c}[{i}]: spark={s[c][i]!r} duckdb={d[c][i]!r}")
+            print(f"[{name}] MISMATCH in {[c for c, _ in bad_cols]}")
+            for c, why in bad_cols[:3]:
+                if why.startswith("DTYPE"):
+                    print(f"  {c}: {why}")
+                else:
+                    neq = ~((s[c] == d[c]) | (s[c].isna() & d[c].isna()))
+                    i = int(neq.idxmax())
+                    print(f"  {c}[{i}]: spark={s[c][i]!r} duckdb={d[c][i]!r}")
             bad_n += 1
         else:
             print(f"[{name}] OK ({len(s)} rows, {len(s.columns)} cols, {time.time()-t0:.1f}s)")

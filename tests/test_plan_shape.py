@@ -64,6 +64,21 @@ def test_jaccard_is_candidate_restricted(spark):
     assert shingle_selfjoin is None, "unrestricted shingle self-join still present"
 
 
+def test_dedup_has_no_forced_per_document_broadcasts(spark):
+    """The Jaccard size join and the corpus anti-join consume
+    one-row-per-document tables — at 100 TB neither fits in a broadcast,
+    so the plans must carry NO broadcast hint (AQE decides from observed
+    sizes), and the Jaccard size table must be semi-join-restricted to
+    candidate docs before it is joined."""
+    from tickdatapipeline_spark.operators.dedup import deduplicated_corpus, jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (jaccard_pairs(docs), deduplicated_corpus(docs)):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "hint" not in opt.lower(), "forced broadcast hint survived"
+    assert "LeftSemi" in jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_dimension_joins_broadcast(spark):
     from tickdatapipeline_spark.plans.relational import r3_fn
 

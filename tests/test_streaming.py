@@ -192,6 +192,37 @@ def test_fanout_priority_vs_dropping(spark):
     assert mgr.unsubscribe("m") and not mgr.unsubscribe("m")
 
 
+def test_fanout_slow_consumer_buffer_carryover(spark):
+    """C3 channel emulation (TripleSplitSystem.jl:221-259): a slow
+    best-effort consumer's buffer occupancy carries across batches and
+    overflow rows drop, while PRIORITY's blocking put delivers 100%."""
+    mgr = TripleSplitManager()
+    got: dict[str, list[int]] = {"p": [], "m": []}
+    mgr.subscribe("p", ConsumerType.PRIORITY,
+                  lambda df, bid: got["p"].extend(r.tick_idx for r in df.collect()),
+                  buffer_size=6)
+    mgr.subscribe("m", ConsumerType.MONITORING,
+                  lambda df, bid: got["m"].extend(r.tick_idx for r in df.collect()),
+                  buffer_size=6, drain_rate=2)
+
+    for b in range(3):  # 3 batches x 5 rows
+        batch = spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "tick_idx")
+        mgr.broadcast_batch(batch, b)
+
+    st = mgr.stats()
+    # PRIORITY: every row of every batch, zero drops
+    assert sorted(got["p"]) == list(range(15))
+    assert st["p"]["messages_sent"] == 15 and st["p"]["messages_dropped"] == 0
+    # MONITORING: b0 accepts 5 (fill 5, drain 2 -> 3); b1 space 3 -> drop 2
+    # (fill 6, drain -> 4); b2 space 2 -> drop 3 (fill 6, drain -> 4)
+    assert st["m"]["messages_sent"] == 10 and st["m"]["messages_dropped"] == 5
+    assert st["m"]["fill_ratio"] == pytest.approx(4 / 6)
+    # drained rows leave the buffer head in tick_idx order: 2 per interval
+    assert got["m"] == [0, 1, 2, 3, 4, 5]
+    # accepted-but-not-yet-drained rows are buffered, not dropped
+    assert sum(n for _, n in mgr._consumers["m"]._pending) == 4
+
+
 def test_runner_independent_streams_per_key(spark, tmp_path):
     """stream_key routes files to independent stream states: two symbols
     interleaved across files each process exactly like a solo run."""
@@ -438,6 +469,69 @@ def test_runner_multistream_fast_path(spark, tmp_path):
         for g, w in zip(got_bars, whole_bars):
             for c in w.asDict().keys():
                 assert g[c] == w[c], f"{key} bar {w['bar_idx']} col {c}"
+
+
+def test_runner_enriched_multistream_fast_path_equals_batch(spark, tmp_path):
+    """enrich=True through the constant-job multistream fast path: the
+    broadcast frames of each stream carry B7 bar columns equal to the
+    batch enrichment of that stream's whole input, across a micro-batch
+    split that carries a partial bar over the boundary."""
+    import os
+
+    from tickdatapipeline_spark.config import BarProcessingConfig
+    from tickdatapipeline_spark.operators.bars import bar_aggregate, enrich_ticks_with_bars
+    from tickdatapipeline_spark.streaming import StreamingTickPipeline
+
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=5, bar_method="boxcar",
+                             normalization_window_bars=2)
+    rows_a = tick_rows(16)
+    rows_b = [(i + 1, TS, 42100 + (i * 5) % 13, 1 + i % 2) for i in range(14)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # 9/7 then 7/7 splits leave partial bars carried across the batch
+    # boundary for both streams; mtimes pin batch grouping (2 files/batch)
+    chunks = [("000-symA.txt", rows_a[:9]), ("001-symB.txt", rows_b[:7]),
+              ("002-symA.txt", rows_a[9:]), ("003-symB.txt", rows_b[7:])]
+    for i, (fname, chunk) in enumerate(chunks):
+        with open(in_dir / fname, "w") as f:
+            for _, ts, price, vol in chunk:
+                f.write(f"{ts};{price - 1};{price + 1};{price};{vol}\n")
+        os.utime(in_dir / fname, (1700000000 + i // 2, 1700000000 + i // 2))
+
+    collected = []
+    mgr = TripleSplitManager()
+    mgr.subscribe("cap", ConsumerType.PRIORITY,
+                  lambda df, bid: collected.extend(df.collect()))
+    pipe = StreamingTickPipeline(
+        spark, str(in_dir), cfg, mgr, checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        stream_key=lambda p: p.rsplit("-", 1)[-1],
+        bar_cfg=bp, enrich=True,
+    )
+    pipe.start()
+    try:
+        pipe.await_idle()
+    finally:
+        pipe.stop()
+
+    assert pipe.metrics.broadcasts_sent < len(chunks)  # fast path engaged
+    for key, rows in [("symA.txt", rows_a), ("symB.txt", rows_b)]:
+        ticks = hot_loop(expand_volume(make_ticks_raw(spark, rows)), cfg).select(*OUT_COLS)
+        whole = (
+            enrich_ticks_with_bars(ticks, bar_aggregate(ticks, bp))
+            .orderBy("tick_idx").collect()
+        )
+        got = sorted((r for r in collected if r.stream == key), key=lambda r: r.tick_idx)
+        assert len(got) == len(whole)
+        cols = whole[0].asDict().keys()
+        n_enriched = 0
+        for g, w in zip(got, whole):
+            for c in cols:
+                assert g[c] == w[c], f"{key} tick {w['tick_idx']} col {c}"
+            if w["bar_idx"] is not None:
+                n_enriched += 1
+        assert n_enriched >= 2  # bars completed, incl. across the split
 
 
 def test_runner_enriched_output_equals_batch(spark, tmp_path):

@@ -311,14 +311,20 @@ def enrich_ticks_with_bars(
     """B7 pass-through enrichment: bar columns only on the completing tick
     (BarProcessor.jl:134-161); everyone else keeps nulls — Spark null
     semantics match the reference's Union{T,Nothing} exactly."""
+    # bars usually derives from `ticks` itself, so its join-key columns can
+    # carry the SAME attribute ids — column-reference equality/drop would
+    # silently bind to the wrong side (drop(bars[stream_id]) removed the
+    # ticks-side column, nulling `stream` on non-completing rows). Renaming
+    # the bars-side keys breaks the ambiguity outright.
     part = [stream_id] if stream_id else []
-    cond = ticks["tick_idx"] == bars["end_tick_idx"]
+    renamed = bars.withColumnRenamed("end_tick_idx", "_b_end_tick_idx")
     for c in part:
-        cond = cond & (ticks[c] == bars[c])
+        renamed = renamed.withColumnRenamed(c, f"_b_{c}")
+    cond = ticks["tick_idx"] == renamed["_b_end_tick_idx"]
+    for c in part:
+        cond = cond & (ticks[c] == renamed[f"_b_{c}"])
     # no broadcast hint: bars is rows/N — AQE broadcasts when small, and
     # at 100 TB this is a co-partitioned shuffle join per stream
-    out = ticks.join(bars, cond, "left")
-    out = out.drop(bars["end_tick_idx"])
-    for c in part:
-        out = out.drop(bars[c])
-    return out
+    return ticks.join(renamed, cond, "left").drop(
+        "_b_end_tick_idx", *[f"_b_{c}" for c in part]
+    )

@@ -183,7 +183,20 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     if candidates is None:
         candidates = lsh_candidate_pairs(docs)
     sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # size only the docs that appear in a candidate pair: at corpus scale
+    # `sizes` is one row per document (unbroadcastable), but the candidate
+    # doc set is tiny, so the semi-join keeps both joins below AQE's
+    # broadcast threshold without forcing a hint.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes = (
+        sh.join(cand_docs, on="doc_id", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
         candidates.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
         .join(
@@ -194,8 +207,8 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .agg(F.count(F.lit(1)).alias("inter_count"))
     )
     out = (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn("union_count", F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_count"))
         .withColumn("jaccard", rnd(F.col("inter_count").cast("double") / F.col("union_count").cast("double"), 6))
         .where(F.col("jaccard") >= threshold)
@@ -278,8 +291,10 @@ def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     of the corpus untouched. Output: (doc_id, n_chars) of the surviving
     documents — what a training-data pipeline actually materializes.
 
-    Scale: the drop list is tiny relative to the corpus (only clustered
-    non-representatives), so the anti-join broadcasts.
+    Scale: on a real web corpus the drop list can be 30-50 % of all
+    documents — far beyond broadcast range — so the anti-join is left
+    unhinted: AQE broadcasts it when it is small and shuffles on doc_id
+    otherwise.
     """
     drop = (
         duplicate_clusters(docs, threshold)
@@ -289,5 +304,5 @@ def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.length("text").cast("long").alias("n_chars"))
-        .join(F.broadcast(drop), on="doc_id", how="left_anti")
+        .join(drop, on="doc_id", how="left_anti")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import sql_rnd
-from tickdatapipeline_spark.sources.io import read_parquet
+from tickdatapipeline_spark.sources.io import read_events, read_parquet
 from tickdatapipeline_spark.operators.asof import asof_join
 from tickdatapipeline_spark.operators.dedup import (
     BAND_SIZE,
@@ -427,7 +427,7 @@ def asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Right side pre-aggregated to one row per (user_id, ts) so tie-breaks
     are deterministic in both engines.
     """
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = (
         ev.where(F.col("event_type") == "purchase")
@@ -463,7 +463,7 @@ def windowed_events_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nanosAsLong), so the bucket is integer epoch math — which also
     keeps the oracle comparison free of timestamp-dtype skew.
     """
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     bucket = F.expr("(ts DIV 1000000000 DIV 3600) * 3600")
     vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")  # exact cents
     return (
@@ -491,7 +491,7 @@ def sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact microseconds on both engines (ts is an epoch-nanos long in
     # Spark under nanosAsLong; DuckDB uses epoch_us — both integer-exact)
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+    ev = read_events(spark, sf_dir).select(
         "user_id", "event_id", F.expr("ts DIV 1000").alias("tus")
     )
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")

@@ -286,7 +286,7 @@ SELECT event_type,
        count(*) AS n_events,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

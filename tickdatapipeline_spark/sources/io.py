@@ -1,21 +1,23 @@
 """Session-independent parquet reading.
 
-The driver's testdata writes `events.ts` as INT64 TIMESTAMP(NANOS), which
-Spark refuses to read unless ``spark.sql.legacy.parquet.nanosAsLong`` is
-set. Our own session builder (session.py) sets it at build time, but the
-query surface (``__spark_entry__.queries()``) must run on ANY caller-built
-SparkSession — the correctness harness constructs a plain one. The conf is
-runtime-settable, so every shared reader goes through this helper instead
-of assuming who built the session.
+The driver's testdata generator has emitted `events.ts` under two
+physical types across rounds: INT64 TIMESTAMP(NANOS) (which Spark only
+reads with ``spark.sql.legacy.parquet.nanosAsLong``, surfacing epoch-nanos
+BIGINT) and TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ).
+``read_events`` normalizes both to epoch-nanos BIGINT so every event-time
+plan does integer epoch math — the cross-engine-exact representation the
+DuckDB oracle can reproduce (``epoch_us(ts) * 1000``).
 
-Under nanosAsLong the ts column surfaces as epoch-nanos BIGINT; all
-event-time plans do integer epoch math on it (see plans/beyond.py), which
-is also the cross-engine-exact representation for the DuckDB oracle.
+The query surface (``__spark_entry__.queries()``) must run on ANY
+caller-built SparkSession — the correctness harness constructs a plain
+one. Both confs involved are runtime-settable, so every shared reader
+goes through these helpers instead of assuming who built the session.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -24,3 +26,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.parquet that works on a plain session for nanos-ts files."""
     spark.conf.set(NANOS_CONF, "true")
     return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` with ts normalized to epoch-nanos BIGINT whatever the
+    parquet physical type. The TIMESTAMP_NTZ branch uses timestampdiff
+    against the NTZ epoch literal — wall-time micros, independent of the
+    session time zone (matches DuckDB's ``epoch_us``)."""
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    if ev.schema["ts"].dataType.simpleString() != "bigint":
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz))"
+            ) * F.lit(1000),
+        )
+    return ev

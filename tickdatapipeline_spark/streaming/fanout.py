@@ -5,18 +5,29 @@ Mirrors the reference's TripleSplitManager
 consumers of type PRIORITY / MONITORING / ANALYTICS, duplicate-id
 rejection, broadcast-to-all with per-consumer delivery accounting.
 
-Spark's unit of fan-out is the micro-batch, not the row, so the
-channel-full drop rule is emulated per batch: a PRIORITY consumer always
-receives the whole batch (backpressure — the batch simply takes longer);
-MONITORING/ANALYTICS consumers receive at most `buffer_size` rows per
-batch and the remainder is counted as dropped. This is a documented
-semantic translation of the reference's n_avail_items check
-(TripleSplitSystem.jl:230-258), not a per-row replica of it.
+Channel emulation (TripleSplitSystem.jl:221-259): every consumer owns a
+bounded buffer whose occupancy carries over between micro-batches.
+
+- PRIORITY: blocking put — every row is always delivered; the producer
+  absorbs the wait as batch latency (`put!` on a full Channel blocks the
+  broadcaster, it never drops). `messages_dropped` stays 0 by
+  construction, exactly like the reference's PRIORITY branch.
+- MONITORING / ANALYTICS: drop-on-full — a batch first fills the free
+  space (`buffer_size - fill`); overflow rows are counted in
+  `messages_dropped` and never delivered (the reference's
+  `n_avail_items < buffer_size` check). The consumer then drains at most
+  `drain_rate` rows from the buffer head per batch interval (its
+  processing speed); `drain_rate=None` models a consumer that keeps up.
+
+`fill_ratio` is buffer occupancy (`n_avail_items / buffer_size`,
+TripleSplitSystem.jl:296-305), not a delivery percentage. Rows enter the
+buffer in `tick_idx` order, so which rows drop is deterministic.
 """
 
 from __future__ import annotations
 
 import threading
+from collections import deque
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from enum import Enum
@@ -33,14 +44,9 @@ class ConsumerType(Enum):
 
 @dataclass
 class ConsumerStats:
-    messages_sent: int = 0
-    messages_dropped: int = 0
+    messages_sent: int = 0      # rows successfully enqueued (reference: put! ok)
+    messages_dropped: int = 0   # rows rejected on a full buffer
     batches: int = 0
-
-    @property
-    def fill_ratio(self) -> float:
-        total = self.messages_sent + self.messages_dropped
-        return self.messages_sent / total if total else 0.0
 
 
 @dataclass
@@ -49,7 +55,14 @@ class Consumer:
     ctype: ConsumerType
     buffer_size: int
     sink: Callable[[DataFrame, int], None]  # (batch_df, batch_id) -> None
+    drain_rate: int | None = None  # rows processed per batch interval; None = keeps up
     stats: ConsumerStats = field(default_factory=ConsumerStats)
+    fill: int = 0                                   # buffered, not yet drained
+    _pending: deque = field(default_factory=deque)  # (DataFrame, n_rows) FIFO
+
+    @property
+    def fill_ratio(self) -> float:
+        return self.fill / self.buffer_size if self.buffer_size else 0.0
 
 
 class TripleSplitManager:
@@ -67,17 +80,53 @@ class TripleSplitManager:
         ctype: ConsumerType,
         sink: Callable[[DataFrame, int], None],
         buffer_size: int = 2048,
+        drain_rate: int | None = None,
     ) -> Consumer:
         with self._lock:
             if consumer_id in self._consumers:
                 raise ValueError(f"consumer id already subscribed: {consumer_id}")
-            c = Consumer(consumer_id, ctype, buffer_size, sink)
+            c = Consumer(consumer_id, ctype, buffer_size, sink, drain_rate)
             self._consumers[consumer_id] = c
             return c
 
     def unsubscribe(self, consumer_id: str) -> bool:
         with self._lock:
             return self._consumers.pop(consumer_id, None) is not None
+
+    @staticmethod
+    def _deliver(c: Consumer, df: DataFrame, n_rows: int, batch_id: int) -> int:
+        """One batch interval for one consumer; returns rows dropped."""
+        if c.ctype is ConsumerType.PRIORITY:
+            # blocking put: always delivered in full, never buffered-out
+            c.sink(df, batch_id)
+            c.stats.messages_sent += n_rows
+            return 0
+        # drop-on-full enqueue
+        space = max(c.buffer_size - c.fill, 0)
+        accepted = min(n_rows, space)
+        dropped = n_rows - accepted
+        if accepted > 0:
+            head = df.orderBy(F.col("tick_idx")).limit(accepted) if accepted < n_rows else df
+            c._pending.append((head, accepted))
+            c.fill += accepted
+        c.stats.messages_sent += accepted
+        c.stats.messages_dropped += dropped
+        # drain: the consumer processes up to drain_rate rows this interval
+        quota = c.fill if c.drain_rate is None else min(c.drain_rate, c.fill)
+        while quota > 0 and c._pending:
+            part, m = c._pending[0]
+            if m <= quota:
+                c._pending.popleft()
+                c.sink(part, batch_id)
+                c.fill -= m
+                quota -= m
+            else:
+                ordered = part.orderBy(F.col("tick_idx"))
+                c.sink(ordered.limit(quota), batch_id)
+                c._pending[0] = (ordered.offset(quota), m - quota)
+                c.fill -= quota
+                quota = 0
+        return dropped
 
     def broadcast_batch(self, df: DataFrame, batch_id: int = 0) -> tuple[int, int, int]:
         """Deliver one batch to every consumer; returns
@@ -89,15 +138,7 @@ class TripleSplitManager:
         dropped_total = 0
         for c in consumers:
             try:
-                if c.ctype is ConsumerType.PRIORITY or n_rows <= c.buffer_size:
-                    c.sink(df, batch_id)
-                    c.stats.messages_sent += n_rows
-                else:
-                    c.sink(df.orderBy(F.col("tick_idx")).limit(c.buffer_size), batch_id)
-                    c.stats.messages_sent += c.buffer_size
-                    dropped = n_rows - c.buffer_size
-                    c.stats.messages_dropped += dropped
-                    dropped_total += dropped
+                dropped_total += self._deliver(c, df, n_rows, batch_id)
                 c.stats.batches += 1
                 successful += 1
             except Exception:
@@ -115,7 +156,7 @@ class TripleSplitManager:
                     "type": c.ctype.value,
                     "messages_sent": c.stats.messages_sent,
                     "messages_dropped": c.stats.messages_dropped,
-                    "fill_ratio": c.stats.fill_ratio,
+                    "fill_ratio": c.fill_ratio,
                     "batches": c.stats.batches,
                 }
                 for cid, c in self._consumers.items()
