@@ -36,11 +36,32 @@ BP_FIR = BarProcessingConfig(enabled=True, ticks_per_bar=5, normalization_window
 from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd  # noqa: E402,F401  (shared float policy)
 
 
+# session-scoped persist cache: q1-q10 (and the bar suites) all recompute
+# the same expand->hot-loop lineage; materializing it once per
+# (session, sf_dir, config) cuts the whole analytics suite to one pipeline
+# pass. Keyed by applicationId so entries die with their session; the
+# handful of (config x sf) combinations is O(10), no eviction needed.
+# At deployment scale the equivalent is "write ticks_out to parquet once,
+# point every analysis query at it".
+_TICKS_CACHE: dict[tuple, DataFrame] = {}
+
+
+_PLAIN_COLS = ["tick_idx", "timestamp", "raw_price", "price_delta",
+               "sig_re", "sig_im", "normalization", "status_flag"]
+
+
 def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig = SP_DERIV,
                     keep_internals: bool = False) -> DataFrame:
     """events -> ticks_raw -> expanded -> hot loop (the flagship chain)."""
-    return hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
-                    keep_internals=keep_internals)
+    key = (spark.sparkContext.applicationId, sf_dir, repr(sp))
+    df = _TICKS_CACHE.get(key)
+    if df is None:
+        # always materialize WITH internals: the plain shape is a strict
+        # column subset, so one cached frame serves both callers
+        df = hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
+                      keep_internals=True).persist()
+        _TICKS_CACHE[key] = df
+    return df if keep_internals else df.select(*_PLAIN_COLS)
 
 
 def pipeline_bars(spark: SparkSession, sf_dir: str, bp: BarProcessingConfig,
