@@ -102,17 +102,23 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
+KMEANS_Q = 2**30  # fixed-point scale for centroid means (|x| < 1, sums < 2^43)
+
+
 def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4) -> list:
     """Distributed Lloyd's k-means for IVF coarse quantizers.
 
     Per iteration: ONE broadcast join (k centroid rows against all
     vectors) for assignment, one groupBy(cell, dim) mean for the update
     — k x DIM rows collected to the driver, nothing else leaves the
-    executors. Deterministic: init = the k lowest vec_ids (the same
-    stand-in centroids the oracle-gated IVF uses), ties broken by cell
-    id. Returns [(cell, [centroid floats])]. Centroid means are float
-    sums (order-dependent) — hence the k-means IVF variant is rows-only
-    on the correctness gate.
+    executors. Deterministic AND order-independent: init = the k lowest
+    vec_ids (the same stand-in centroids the oracle-gated IVF uses);
+    assignment sims are rounded (rnd) with ties broken by cell id; the
+    centroid mean is a Q30 fixed-point integer SUM (exact whatever the
+    partition order, like the FIR Q33 accumulators) divided once in
+    doubles — so the whole training run is reproducible in DuckDB SQL
+    and the k-means IVF query is oracle-gated. Returns
+    [(cell, [centroid floats])].
     """
     spark = emb.sparkSession
     base = emb.select(
@@ -131,20 +137,23 @@ def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4) -> list:
             base.join(F.broadcast(cdf))
             .select(
                 "vec_id", "v", "cell",
-                (_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+                rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
             )
             .withColumn("r", F.row_number().over(w))
             .where(F.col("r") == 1)
         )
         rows = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .withColumn("xq", F.floor(F.col("x") * KMEANS_Q + F.lit(0.5)).cast("long"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
         by_cell: dict = {}
         for r in rows:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                float(r["sq"]) / float(r["cnt"])
+            ) / KMEANS_Q
         cents = [
             (cell, [by_cell[cell][i] for i in range(len(old))] if cell in by_cell else old)
             for cell, old in cents  # empty cells keep their old centroid
@@ -286,7 +295,8 @@ def ann_topk_ivf_kmeans(emb: DataFrame, k: int = 5, query_mod: int = 50,
                         iters: int = 4) -> DataFrame:
     """IVF top-k with a k-means-trained coarse quantizer (kmeans_train):
     the deployment-shaped ANN path — train once, broadcast k centroids,
-    probe nprobe cells. Rows-only on the correctness gate (centroid
-    means are order-dependent float sums)."""
+    probe nprobe cells. Oracle-gated: training uses Q30 fixed-point
+    centroid sums, so DuckDB reproduces it exactly (plans/beyond.py::
+    ivf_kmeans_sql)."""
     return ann_topk_ivf(emb, k, query_mod, n_cells, nprobe,
                         centroids=kmeans_train(emb, n_cells, iters))

@@ -354,6 +354,71 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 ) WHERE rank <= {{k}}
 """
 
+def ivf_kmeans_sql(query_mod: int, k: int, n_cells: int = 8, nprobe: int = 2,
+                   iters: int = 4) -> str:
+    """DuckDB twin of kmeans_train + ann_topk_ivf: Lloyd's iterations
+    unrolled as chained CTEs. Reproducible because the Spark trainer
+    (operators/similarity.py::kmeans_train) uses rounded assignment sims
+    (deterministic argmax) and Q30 fixed-point integer centroid sums
+    (order-independent), so every iteration matches bit-for-bit."""
+    from tickdatapipeline_spark.operators.similarity import KMEANS_Q
+
+    sim = sql_rnd(
+        SQL_DOT.format(a="b.v", b="c.c")
+        + " / (" + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c.c") + ")"
+    )
+    ctes = [
+        f"base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells})",
+    ]
+    for i in range(1, iters + 1):
+        p = f"cents{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT b.vec_id, b.v, c.cell, {sim} AS sim "
+            f"FROM base b CROSS JOIN {p} c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r "
+            f"FROM s{i}) WHERE r = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cell, pos, "
+            f"CAST(sum(CAST(floor(x * {KMEANS_Q} + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / {KMEANS_Q} AS m "
+            f"FROM (SELECT cell, i AS pos, v[i] AS x FROM a{i} "
+            f"CROSS JOIN (SELECT unnest(range(1, len((SELECT v FROM base LIMIT 1)) + 1)) AS i)) "
+            f"GROUP BY cell, pos)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT p.cell, CASE WHEN n.c IS NULL THEN p.c ELSE n.c END AS c "
+            f"FROM {p} p LEFT JOIN "
+            f"(SELECT cell, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cell) n USING (cell))"
+        )
+    search_sim = sim  # same expression, now against the trained centroids
+    qcos = sql_rnd(
+        SQL_DOT.format(a="q.q", b="cand.v")
+        + " / (" + SQL_NORM.format(a="q.q") + " * " + SQL_NORM.format(a="cand.v") + ")"
+    )
+    ctes += [
+        f"cscored AS (SELECT b.vec_id, b.v, c.cell, {search_sim} AS sim "
+        f"FROM base b CROSS JOIN cents{iters} c)",
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS crank FROM cscored)",
+        "assigned AS (SELECT vec_id, cell FROM ranked WHERE crank = 1)",
+        f"probes AS (SELECT vec_id, cell AS probe_cell FROM ranked WHERE crank <= {nprobe})",
+        f"q AS (SELECT p.vec_id AS query_id, b.v AS q, p.probe_cell "
+        f"FROM probes p JOIN base b ON p.vec_id = b.vec_id WHERE p.vec_id % {query_mod} = 0)",
+        "cand AS (SELECT a.vec_id, b.v, a.cell FROM assigned a JOIN base b ON a.vec_id = b.vec_id)",
+        f"scored AS (SELECT q.query_id, cand.vec_id AS neighbor_id, {qcos} AS cosine "
+        f"FROM cand JOIN q ON cand.cell = q.probe_cell AND cand.vec_id <> q.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, neighbor_id, rank, cosine FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+
+
 EMBED_NEAR_DUP_THRESHOLD = 0.25
 _pair_cos = sql_rnd(
     SQL_DOT.format(a="a.v", b="b.v")
@@ -610,7 +675,7 @@ def queries() -> dict[str, tuple]:
         "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
         "sim_ann_topk_ivf_kmeans": (
             lambda s, d: ann_topk_ivf_kmeans(_emb(s, d), TOPK_K, QUERY_MOD),
-            None,  # rows-only: centroid means are order-dependent float sums
+            ivf_kmeans_sql(QUERY_MOD, TOPK_K),  # Q30 fixed-point means -> reproducible
         ),
         "sim_ann_topk_ivf": (
             lambda s, d: ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
