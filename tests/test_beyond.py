@@ -97,6 +97,60 @@ def test_simhash_equal_for_equal_docs(spark):
     assert sigs[1] != sigs[3]
 
 
+def test_simhash_pairs_match_bruteforce(spark):
+    """Band pigeonholing is EXACT for hamming <= n_bands - 1: the banded
+    join must find precisely the pairs a brute-force all-pairs hamming
+    scan finds on the real corpus slice."""
+    from tickdatapipeline_spark.operators.dedup import simhash_near_dup_pairs
+    from tickdatapipeline_spark.operators.text import simhash as _sh
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = sorted((r.doc_id, r.simhash) for r in _sh(docs).collect())
+    brute = {
+        (a_id, b_id, bin(a_s ^ b_s).count("1"))
+        for i, (a_id, a_s) in enumerate(sigs)
+        for b_id, b_s in sigs[i + 1:]
+        if bin(a_s ^ b_s).count("1") <= 3
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_vocab_topk_golden(spark):
+    from tickdatapipeline_spark.operators.text import vocab_topk
+
+    d = docs_df(spark, [(1, "the cat and the hat", "en"),
+                        (2, "the cat sat", "en"),
+                        (3, "a hat", "en")])
+    rows = vocab_topk(d, k=3).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("the", 3, 2), ("cat", 2, 2), ("hat", 2, 2)]  # count desc, token asc
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    """Hash-based sampling: identical draw under any partitioning, and
+    per-stratum keep rates track the configured permille."""
+    from tickdatapipeline_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 350, "es": 800}
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(docs.repartition(7), rates).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    by_lang_total = {r["lang"]: r["n"] for r in
+                     docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_lang_kept = {r["lang"]: r["n"] for r in
+                    stratified_sample(docs, rates).groupBy("lang")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, pm in rates.items():
+        if by_lang_total.get(lang, 0) >= 20:
+            frac = by_lang_kept.get(lang, 0) / by_lang_total[lang]
+            assert abs(frac - pm / 1000) < 0.25, (lang, frac)
+
+
 def test_cosine_topk_golden(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],

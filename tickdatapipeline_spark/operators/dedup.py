@@ -217,6 +217,56 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     return out
 
 
+def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: docs whose signatures differ in at
+    most ``max_hamming`` bits, found via band pigeonholing — the
+    signature splits into ``n_bands`` equal bit-bands, and any pair
+    within ``max_hamming`` <= n_bands - 1 must share at least one intact
+    band, so a band-key equi-join finds every such pair EXACTLY (no
+    recall loss, unlike MinHash-LSH banding).
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale: signatures are one row per doc; the join shuffles on
+    (band, band_key) like LSH banding; verification is one bit_count per
+    candidate pair. Degenerate bands (e.g. all-zero signatures of empty
+    docs) would need the same max-bucket guard as LSH at corpus scale.
+    """
+    assert bits % n_bands == 0 and max_hamming <= n_bands - 1
+    from tickdatapipeline_spark.operators.text import simhash
+
+    width = bits // n_bands
+    sig = simhash(docs, bits).localCheckpoint(eager=False)  # reused by both join sides
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    bands = sig.select("doc_id", "simhash", F.explode(band_structs).alias("r")).select(
+        "doc_id", "simhash", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
+    )
+    pairs = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.5,
                        max_iter: int = 20) -> DataFrame:
     """Connected components over the near-duplicate graph: group every

@@ -109,6 +109,53 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens with occurrence and
+    document frequencies (the fast first look at any training corpus).
+
+    Output: (token, n_occurrences, n_docs), deterministic order
+    (count desc, token asc).
+
+    Scale: one map-side-combinable groupBy over exploded tokens, then
+    orderBy+limit — Spark plans this as TakeOrderedAndProject (per
+    -partition partial top-k merged on the driver), so the full
+    vocabulary is never globally sorted or single-partitioned.
+    """
+    tok = fan_out(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int],
+                      default_permille: int = 1000, salt: str = "sample:") -> DataFrame:
+    """Deterministic per-language downsampling: keep a document iff
+    h60(salt || doc_id) % 1000 < permille(lang) — the 'rebalance
+    overrepresented languages' step of corpus curation.
+
+    Hash-based (not rand()) so the sample is reproducible across runs,
+    engines and partitionings; changing the salt redraws it. Output:
+    (doc_id, lang) of the survivors. Pure map-side filter — no shuffle,
+    scales trivially.
+    """
+    pm = F.lit(default_permille)
+    for lang, rate in sorted(rates.items()):
+        pm = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(pm)
+    keep = h60(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 1000 < pm
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    ).where(keep)
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over tokens: per bit, majority vote of token-hash bits
     (sum of +-1 > 0), reassembled into a `bits`-wide signature.

@@ -29,6 +29,7 @@ from tickdatapipeline_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash_near_dup_pairs,
 )
 from tickdatapipeline_spark.operators.multimodal import (
     extract_features,
@@ -55,7 +56,9 @@ from tickdatapipeline_spark.operators.text import (
     lang_id,
     quality_score,
     simhash,
+    stratified_sample,
     token_stats,
+    vocab_topk,
 )
 
 
@@ -621,7 +624,9 @@ def media_features_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_frames_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_from_documents(_docs(spark, sf_dir))
-    return sample_frames(media).select("media_id", "frame_idx", F.length("frame_bytes").alias("frame_len"))
+    return sample_frames(media).select(
+        "media_id", "frame_idx", F.length("frame_bytes").cast("long").alias("frame_len")
+    )
 
 
 # the feature kernel is a deterministic byte-histogram (see operators/
@@ -638,6 +643,83 @@ FROM documents
 -- non-ASCII payloads this oracle entry would drop to a rows-only check.
 """
 
+# the frame split is a STUB demuxer, but a deterministic one (fixed-size
+# byte slices of the payload, every 4th frame) — so the (media_id,
+# frame_idx, frame_len) contract is exactly reproducible in SQL. A real
+# demuxer would return this oracle to rows-only.
+MEDIA_FRAMES_SQL = """
+WITH v AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(strlen(text) AS BIGINT) AS L,
+           CAST(n_chars % 16 + 1 AS BIGINT) AS n
+    FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+    SELECT media_id, L, greatest(L // n, 1) AS fsize,
+           unnest(range(0, n, 4)) AS frame_idx
+    FROM v
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(greatest(least((frame_idx + 1) * fsize, L) - least(frame_idx * fsize, L), 0) AS BIGINT) AS frame_len
+FROM f
+"""
+
+
+VOCAB_TOPK_K = 100
+
+VOCAB_TOPK_SQL = f"""
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS token
+    FROM documents
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_TOPK_K}
+"""
+
+# per-language keep-permille for the deterministic stratified sampler;
+# chosen to exercise every branch (downsample en hard, es mildly, de/fr
+# fall through to the default)
+SAMPLE_RATES = {"en": 350, "es": 800}
+SAMPLE_DEFAULT_PM = 1000
+
+_sample_pm = "CASE lang WHEN 'en' THEN 350 WHEN 'es' THEN 800 ELSE 1000 END"
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE {sql_h60("'sample:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000 < {_sample_pm}
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS tok
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, {sql_h60('tok')} AS h, unnest(range(0, {SIMHASH_BITS})) AS bit
+    FROM tok
+),
+votes AS (
+    SELECT doc_id, bit, sum(((h // (1::BIGINT << CAST(bit AS INTEGER))) % 2) * 2 - 1) AS v
+    FROM bits GROUP BY doc_id, bit
+),
+sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash, band, (simhash // (1::BIGINT << CAST(band * 8 AS INTEGER))) % 256 AS band_key
+    FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sig)
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
 
 # ================= registry =================
 
@@ -649,6 +731,15 @@ def queries() -> dict[str, tuple]:
         "text_lang_id": (lambda s, d: lang_id(_docs(s, d)), LANG_ID_SQL),
         "text_fingerprint": (lambda s, d: fingerprint(_docs(s, d)), FINGERPRINT_SQL),
         "text_simhash": (lambda s, d: simhash(_docs(s, d)), SIMHASH_SQL),
+        "text_vocab_topk": (lambda s, d: vocab_topk(_docs(s, d), VOCAB_TOPK_K), VOCAB_TOPK_SQL),
+        "docs_stratified_sample": (
+            lambda s, d: stratified_sample(_docs(s, d), SAMPLE_RATES, SAMPLE_DEFAULT_PM),
+            STRATIFIED_SAMPLE_SQL,
+        ),
+        "dedup_simhash_pairs": (
+            lambda s, d: simhash_near_dup_pairs(_docs(s, d)),
+            SIMHASH_PAIRS_SQL,
+        ),
         "dedup_exact": (lambda s, d: exact_duplicates(_docs(s, d)), EXACT_DUP_SQL),
         "dedup_minhash_signatures": (
             lambda s, d: minhash_signatures(_docs(s, d)).select(
@@ -690,5 +781,5 @@ def queries() -> dict[str, tuple]:
         "events_windowed_hourly": (windowed_events_fn, WINDOWED_EVENTS_SQL),
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
-        "media_frame_sample": (media_frames_fn, None),  # rows-only: frame split is a stubbed demuxer
+        "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
     }
