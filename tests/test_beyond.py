@@ -151,6 +151,67 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
             assert abs(frac - pm / 1000) < 0.25, (lang, frac)
 
 
+def test_tfidf_topk_golden(spark):
+    """Integer reciprocal-df weighting: corpus-wide tokens rank below
+    document-specific ones; ties break by token asc."""
+    from tickdatapipeline_spark.operators.text import tfidf_topk
+
+    d = docs_df(spark, [(1, "alpha alpha shared", "en"),
+                        (2, "beta shared shared", "en"),
+                        (3, "gamma shared", "en")])
+    rows = tfidf_topk(d, k=2).orderBy("doc_id", "rank").collect()
+    got = [(r.doc_id, r.rank, r.token, r.tf, r.doc_freq, r.score_q) for r in rows]
+    assert got == [
+        (1, 1, "alpha", 2, 1, 2_000_000), (1, 2, "shared", 1, 3, 333_333),
+        (2, 1, "beta", 1, 1, 1_000_000), (2, 2, "shared", 2, 3, 666_666),
+        (3, 1, "gamma", 1, 1, 1_000_000), (3, 2, "shared", 1, 3, 333_333),
+    ]
+
+
+def test_binned_range_join_matches_naive(spark):
+    """The binned equi-join must produce exactly the rows of the naive
+    inequality join, including intervals spanning many bins, empty
+    intervals, and points on both bounds."""
+    from tickdatapipeline_spark.operators.rangejoin import binned_range_join
+
+    points = spark.createDataFrame(
+        [(k, i, 10 * i + k) for k in (1, 2) for i in range(40)],
+        "k long, pid long, t long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, 0, 35), (1, 101, 35, 36), (1, 102, 390, 391),  # touches last point
+         (2, 200, 5, 250), (2, 201, 999, 1000), (3, 300, 0, 400)],  # no k=3 points
+        "k long, iid long, lo long, hi long",
+    )
+    for bin_size in (7, 100, 1):
+        got = {
+            (r.k, r.pid, r.iid)
+            for r in binned_range_join(points, intervals, ["k"], "t", "lo", "hi",
+                                       bin_size=bin_size).collect()
+        }
+        naive = {
+            (r.k, r.pid, r.iid)
+            for r in points.alias("p").join(
+                intervals.alias("i"),
+                (F.col("p.k") == F.col("i.k"))
+                & (F.col("p.t") >= F.col("i.lo"))
+                & (F.col("p.t") <= F.col("i.hi")),
+            ).collect()
+        }
+        assert got == naive and len(naive) > 0, bin_size
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The point of the operator: the physical plan must be a hash/sort
+    -merge EQUI-join on (key, bin), never BroadcastNestedLoopJoin or
+    CartesianProduct (what a naive BETWEEN join degrades to)."""
+    from tickdatapipeline_spark.plans.beyond import attribution_fn
+
+    plan = attribution_fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_cosine_topk_golden(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],

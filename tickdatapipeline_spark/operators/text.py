@@ -156,6 +156,41 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int],
     ).where(keep)
 
 
+def tfidf_topk(docs: DataFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
+    """Per-document top-k characteristic terms by an integer-exact
+    tf-idf variant: score = tf * scale // doc_freq (reciprocal-df
+    weighting — same monotone tf/df intent as classic log-idf, but pure
+    64-bit integer arithmetic so both engines rank identically; a float
+    log idf would be ulp-unstable across engines at ranking boundaries).
+
+    Output: (doc_id, token, tf, doc_freq, score_q, rank), rank 1..k by
+    (score desc, token asc).
+
+    Scale: two map-side-combinable groupBys (term frequency, document
+    frequency), one unhinted join on token (AQE: broadcast while the
+    vocabulary fits, shuffle beyond), and a per-document rank window —
+    partitioned by doc_id, never global.
+    """
+    tok = fan_out(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("token"))
+    return (
+        tf.join(dfreq, on="token")
+        .withColumn("score_q", F.expr(f"tf * {scale} DIV doc_freq"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "score_q", "rank")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over tokens: per bit, majority vote of token-hash bits
     (sum of +-1 > 0), reassembled into a `bits`-wide signature.

@@ -57,6 +57,7 @@ from tickdatapipeline_spark.operators.text import (
     quality_score,
     simhash,
     stratified_sample,
+    tfidf_topk,
     token_stats,
     vocab_topk,
 )
@@ -665,6 +666,70 @@ FROM f
 """
 
 
+ATTRIB_LOOKBACK_US = 4 * 3600 * 1_000_000  # clicks within 4h before a purchase
+ATTRIB_BIN_US = 3600 * 1_000_000
+
+
+def attribution_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (binned): attribute each click to every purchase by the
+    same user within the 4h lookback window — the point-in-interval join
+    Spark would otherwise plan as a per-key nested loop
+    (operators/rangejoin.py). Integer epoch-micros on both engines."""
+    from tickdatapipeline_spark.operators.rangejoin import binned_range_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"),
+        F.expr("ts DIV 1000").alias("click_tus"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        (F.expr("ts DIV 1000") - ATTRIB_LOOKBACK_US).alias("lo"),
+        F.expr("ts DIV 1000").alias("hi"),
+    )
+    out = binned_range_join(
+        clicks, purchases, on=["user_id"], point_col="click_tus",
+        lo_col="lo", hi_col="hi", bin_size=ATTRIB_BIN_US,
+    )
+    return out.select(
+        "user_id", "click_event_id", "purchase_event_id",
+        F.expr("(hi - click_tus) DIV 1000000").alias("lag_s"),
+    )
+
+
+ATTRIBUTION_SQL = f"""
+SELECT c.user_id, c.event_id AS click_event_id, p.event_id AS purchase_event_id,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_s
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {ATTRIB_LOOKBACK_US} AND epoch_us(p.ts)
+"""
+
+
+TFIDF_K, TFIDF_SCALE = 3, 1_000_000
+
+TFIDF_TOPK_SQL = f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (
+    SELECT token, count(*) AS doc_freq
+    FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+           CAST(tf.tf * {TFIDF_SCALE} // dfreq.doc_freq AS BIGINT) AS score_q
+    FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token, tf, doc_freq, score_q, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
 VOCAB_TOPK_K = 100
 
 VOCAB_TOPK_SQL = f"""
@@ -739,6 +804,11 @@ def queries() -> dict[str, tuple]:
         "dedup_simhash_pairs": (
             lambda s, d: simhash_near_dup_pairs(_docs(s, d)),
             SIMHASH_PAIRS_SQL,
+        ),
+        "events_attribution_rangejoin": (attribution_fn, ATTRIBUTION_SQL),
+        "text_tfidf_topk": (
+            lambda s, d: tfidf_topk(_docs(s, d), TFIDF_K, TFIDF_SCALE),
+            TFIDF_TOPK_SQL,
         ),
         "dedup_exact": (lambda s, d: exact_duplicates(_docs(s, d)), EXACT_DUP_SQL),
         "dedup_minhash_signatures": (
