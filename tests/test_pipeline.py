@@ -96,3 +96,28 @@ def test_capture_skip_take_and_csv(spark, tmp_path):
     back = spark.read.option("header", "true").csv(str(csv_dir))
     assert back.count() == 25
     assert "sig_re" in back.columns
+
+
+def test_capture_partitioned_prunes(spark, tmp_path):
+    """partition_by writes hive-style dirs and a per-partition read
+    plans a partition-pruned scan (the 100 TB capture layout)."""
+    import pyspark.sql.functions as F
+
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.sources.tickfile import read_tick_file
+
+    path = write_tick_file(tmp_path / "ticks.txt")
+    processed = hot_loop(
+        expand_volume(read_tick_file(spark, path)),
+        SignalProcessingConfig(encoder_type="derivative"),
+    ).withColumn("stream", F.when(F.col("tick_idx") % 2 == 0, "even").otherwise("odd"))
+    cap = tmp_path / "cap_part"
+    n = capture(processed, str(cap), partition_by=("stream",))
+    assert n == processed.count()
+    assert (cap / "stream=even").is_dir() and (cap / "stream=odd").is_dir()
+    pruned = spark.read.parquet(str(cap)).where(F.col("stream") == "even")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters: [isnotnull(stream" in scan
+    assert pruned.count() == n // 2

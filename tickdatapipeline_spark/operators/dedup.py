@@ -314,14 +314,17 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
+        # convergence probe: isEmpty short-circuits at the first changed
+        # row (limit-1 scan), so a non-converged round costs O(first
+        # partition with a change), not a full count
+        converged = (
             new_labels.withColumnRenamed("label", "new")
             .join(labels, on="node")
             .where(F.col("new") != F.col("label"))
-            .count()
+            .isEmpty()
         )
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     csizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -99,18 +99,30 @@ def run_pipeline_managed(
 
 
 def capture(processed: DataFrame, output_path: str, *, tick_start: int = 0,
-            num_records: int | None = None, bars: DataFrame | None = None) -> int:
+            num_records: int | None = None, bars: DataFrame | None = None,
+            partition_by: tuple[str, ...] = ()) -> int:
     """S4/S6 capture: skip `tick_start` ticks, take `num_records`, write
-    the columnar tick (or bar) capture to parquet. Returns rows written."""
+    the columnar tick (or bar) capture to parquet. Returns rows written.
+
+    ``partition_by`` is the deployment knob: partitioning the capture by
+    (stream, day, ...) makes every downstream read partition-prunable —
+    at 100 TB a per-stream analysis query then scans only its stream's
+    files instead of the whole capture."""
     if bars is not None:
-        df = bars.where(F.col("bar_idx") > tick_start).select(*BAR_CAPTURE_COLS)
+        df = bars.where(F.col("bar_idx") > tick_start)
+        cols = BAR_CAPTURE_COLS
         if num_records is not None:
             df = df.where(F.col("bar_idx") <= tick_start + num_records)
     else:
-        df = processed.where(F.col("tick_idx") > tick_start).select(*TICK_CAPTURE_COLS)
+        df = processed.where(F.col("tick_idx") > tick_start)
+        cols = TICK_CAPTURE_COLS
         if num_records is not None:
             df = df.where(F.col("tick_idx") <= tick_start + num_records)
-    df.write.mode("overwrite").parquet(output_path)
+    df = df.select(*[*partition_by, *cols]) if partition_by else df.select(*cols)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(output_path)
     return df.sparkSession.read.parquet(output_path).count()
 
 

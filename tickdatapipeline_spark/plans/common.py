@@ -53,11 +53,17 @@ _PLAIN_COLS = ["tick_idx", "timestamp", "raw_price", "price_delta",
 def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig = SP_DERIV,
                     keep_internals: bool = False) -> DataFrame:
     """events -> ticks_raw -> expanded -> hot loop (the flagship chain)."""
-    key = (spark.sparkContext.applicationId, sf_dir, repr(sp))
+    if sp is not SP_DERIV:
+        # only the default config's lineage is shared across queries
+        # (bars, enrichment, q1-q10); the other encoders are one-shot —
+        # persisting them would cost a materialization nobody reuses
+        return hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
+                        keep_internals=keep_internals)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _TICKS_CACHE.get(key)
     if df is None:
-        # always materialize WITH internals: the plain shape is a strict
-        # column subset, so one cached frame serves both callers
+        # materialize WITH internals: the plain shape is a strict column
+        # subset, so one cached frame serves both callers
         df = hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
                       keep_internals=True).persist()
         _TICKS_CACHE[key] = df
@@ -86,7 +92,7 @@ def exact_percentiles(df: DataFrame, value_col: str, pcts: list[float],
 
     ranked = df.select(F.col(value_col).alias("_v")).withColumn(
         "_r", F.row_number().over(Window.orderBy("_v")) - 1
-    )
+    ).localCheckpoint(eager=False)  # consumed twice (lo + hi joins)
     n = ranked.count()
     pdf = df.sparkSession.createDataFrame([(p,) for p in pcts], "pct double")
     pos = pdf.select(
