@@ -70,34 +70,38 @@ FIR_Q = 2**33
 
 
 def _fir_averages(
-    ticks: DataFrame, completions: DataFrame, part: list[str], taps: tuple[float, ...]
+    ticks: DataFrame, part: list[str], taps: tuple[float, ...], step: int
 ) -> DataFrame:
-    """FIR bar averages at completion ticks only.
+    """FIR bar averages at bar-end ticks.
 
     out(end) = round(sum_i taps[i] * price[end - i]) — the reference's
     newest-to-oldest circular-buffer convolution (BarProcessor.jl:345-358)
-    with zeros before stream start (dropped join rows == zero terms).
+    with zeros before stream start (absent scatter rows == zero terms).
 
-    Physical shape: completions x len(taps) exploded offsets joined back
-    to the tick stream on tick_idx, then one integer-SUM groupBy. The
-    1087 MACs/bar run only at the 1-in-N completion rows, exactly like
-    the reference; shuffle volume is rows x L/N, distributed (no
-    single-partition trailing window).
+    Physical shape: SCATTER, not gather — each tick explodes into the
+    ~L/step bar-end positions it contributes to (bar ends sit at
+    multiples of ``step`` in global tick numbering, so a stepped
+    sequence enumerates them directly), then ONE integer-SUM groupBy.
+    No join against the tick stream at all, and because partitions hold
+    contiguous tick ranges the map-side combiner collapses the L/step
+    blow-up back to O(ends) rows before the only shuffle. (The previous
+    gather formulation exploded completions x L and equi-joined 65 M
+    rows back to ticks at sf0.1 — 2 shuffles of the blown-up set.)
+
+    Output may contain ends whose bar never completes (trailing partial);
+    the caller's inner join against completed bars drops them.
     """
     L = len(taps)
     taps_q = F.array(*[F.lit(round(c * FIR_Q)) for c in taps])
-    offs = completions.select(
-        *part,
-        F.col("end_tick_idx"),
-        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("_off"),
-    ).withColumn("_src_idx", F.col("end_tick_idx") - F.col("_off"))
-    offs = offs.where(F.col("_src_idx") >= 1).withColumn(
-        "_tap_q", F.element_at(taps_q, (F.col("_off") + 1).cast("int"))
+    t = F.col("tick_idx")
+    first_end = F.expr(f"((tick_idx + {step - 1}) DIV {step}) * {step}")
+    scattered = (
+        ticks.select(*part, "tick_idx", "raw_price")
+        .withColumn("_e", F.explode(F.sequence(first_end, t + F.lit(L - 1), F.lit(step))))
+        .withColumn("_tap_q", F.element_at(taps_q, (F.col("_e") - t + 1).cast("int")))
     )
-    src = ticks.select(*part, F.col("tick_idx").alias("_src_idx"), "raw_price")
-    j = offs.join(src, on=part + ["_src_idx"])
     return (
-        j.groupBy(*part, "end_tick_idx")
+        scattered.groupBy(*part, F.col("_e").alias("end_tick_idx"))
         .agg(F.sum(F.col("raw_price") * F.col("_tap_q")).alias("_fir_q"))
         .select(
             *part,
@@ -224,7 +228,7 @@ def bar_aggregate(
                 list(s.tail_prices0), "tick_idx long, raw_price long"
             )
             fir_src = fir_src.unionByName(tail)
-        firs = _fir_averages(fir_src, bars.select(*part, "end_tick_idx"), part, taps)
+        firs = _fir_averages(fir_src, part, taps, step=n)
         bars = bars.join(firs, on=part + ["end_tick_idx"])
     else:
         # boxcar: Int(round((H+L+C)/3)) (BarProcessor.jl:239-245);
