@@ -471,6 +471,130 @@ def test_runner_multistream_fast_path(spark, tmp_path):
                 assert g[c] == w[c], f"{key} bar {w['bar_idx']} col {c}"
 
 
+def test_ema_stream_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState EMA: two streams split across three
+    micro-batches equal the single-pass recurrence over each stream's
+    whole input (the A1/A2 stream==batch contract via Spark's native
+    arbitrary-state API, not foreachBatch bookkeeping)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import ema_stream
+
+    rows = {
+        "a": [(i + 1, (i * 7) % 11 - 5, i % 3 != 0) for i in range(30)],
+        "b": [(i + 1, (i * 5) % 9 - 4, True) for i in range(24)],
+    }
+
+    def reference(seq):
+        e, v, a, init, out = 0, 1, 10, False, []
+        for _, d, core in seq:
+            if core:
+                ad = abs(d)
+                if init:
+                    e = e + ((d - e) >> 4)
+                    v = v + ((abs(d - e) - v) >> 4)
+                else:
+                    e, v, init = d, max(ad, 1), True
+                a = a + round((float(ad) - float(a)) * 0.125)
+            out.append((e, v, a))
+        return out
+
+    (tmp_path / "in").mkdir()
+    cuts = [(0, 11), (11, 17), (17, 30)]
+    for i, (lo, hi) in enumerate(cuts):
+        with open(tmp_path / "in" / f"b{i}.json", "w") as f:
+            for s, sl in rows.items():
+                for t, d, core in sl[lo:hi]:
+                    f.write(json.dumps({"stream": s, "tick_idx": t,
+                                        "delta_w": d, "is_core": core}) + "\n")
+        os.utime(tmp_path / "in" / f"b{i}.json", (1700000000 + i, 1700000000 + i))
+
+    src = (
+        spark.readStream.schema("stream string, tick_idx long, delta_w long, is_core boolean")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(tmp_path / "in"))
+    )
+    q = (
+        ema_stream(src).writeStream.format("memory").queryName("ema_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table("ema_stream_test").collect()
+    for s, sl in rows.items():
+        expected = reference(sl)
+        mine = sorted((r for r in got if r.stream == s), key=lambda r: r.tick_idx)
+        assert len(mine) == len(sl)
+        for r, (e, v, a) in zip(mine, expected):
+            assert (r.ema_delta, r.ema_delta_dev, r.ema_abs_delta) == (e, v, a), r.tick_idx
+
+
+def test_watermarked_windowed_events_late_data(spark, tmp_path):
+    """Event-time streaming with a watermark: late-but-within-watermark
+    rows merge into their window before it finalizes; rows later than
+    the watermark are dropped; append mode emits each finalized window
+    exactly once."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_windowed_events_to_memory
+
+    H = 3600 * 1_000_000  # an hour in epoch-micros
+
+    def write(fname, rows, i):
+        p = tmp_path / "in" / fname
+        with open(p, "w") as f:
+            for eid, tus, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "event_type": et, "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    (tmp_path / "in").mkdir()
+    # batch 0: hours 0, 1, 2
+    write("b0.json", [(1, 0 * H + 60_000_000, "click", 1.0),
+                      (2, 1 * H + 10_000_000, "click", 2.0),
+                      (3, 1 * H + 20_000_000, "click", 3.0),
+                      (4, 2 * H + 5_000_000, "click", 4.0)], 0)
+    # batch 1: hour 10 advances the watermark to hour 8 (2h watermark);
+    # the hour-1:30 row is LATE but within watermark -> merges into its
+    # window before finalization
+    write("b1.json", [(5, 10 * H, "click", 10.0),
+                      (6, 1 * H + 30 * 60_000_000, "click", 5.0)], 1)
+    # batch 2: the watermark crosses hour 8 at the START of this batch,
+    # so its end evicts + emits windows 0-2 (Spark applies watermark
+    # filtering/eviction with the PREVIOUS batch's max event time)
+    write("b2.json", [(8, 10 * H + 60_000_000, "click", 20.0)], 2)
+    # batch 3: hour-2:15 row arrives after its window was evicted -> dropped
+    write("b3.json", [(7, 2 * H + 15 * 60_000_000, "click", 100.0)], 3)
+
+    q = run_windowed_events_to_memory(
+        spark, str(tmp_path / "in"), str(tmp_path / "ckpt"),
+        table_name="we_test",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.window_start_s: (r.n_events, r.sum_value)
+        for r in spark.table("we_test").collect()
+    }
+    # windows 0-2 finalized (watermark hour 8 > their ends); hour-10
+    # window not yet emitted; the dropped row's 100.0 appears nowhere
+    assert got == {
+        0 * 3600: (1, 1.0),
+        1 * 3600: (3, 10.0),  # includes the late-but-in-watermark row
+        2 * 3600: (1, 4.0),   # the too-late row was dropped
+    }
+
+
 def test_runner_enriched_multistream_fast_path_equals_batch(spark, tmp_path):
     """enrich=True through the constant-job multistream fast path: the
     broadcast frames of each stream carry B7 bar columns equal to the

@@ -1,0 +1,78 @@
+"""Event-time streaming: watermarked windowed aggregation.
+
+The tick pipeline itself is count-ordered by contract (SURVEY §2.9 — the
+reference's Channel guarantees order, so the runner uses foreachBatch
+with exact prefix-aggregate state and no watermark). The EVENTS surface
+is different: event streams arrive out of order in any real deployment,
+and the idiomatic Spark answer is `withWatermark` + `F.window` — late
+rows within the watermark are merged into their window, rows later than
+the watermark are dropped, and window results emit once finalized
+(append mode). This module is the streaming twin of
+plans/beyond.py::windowed_events_fn, sharing its bucket semantics
+(1-hour tumbling, exact integer cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = "event_id long, tus long, event_type string, value double"
+
+
+def windowed_events_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """readStream over JSON event files -> watermarked tumbling-window
+    aggregation. Returns the streaming DataFrame; callers attach a sink
+    (append mode — a window emits exactly once, after the watermark
+    passes its end).
+
+    `tus` is epoch-micros (the cross-engine integer convention of the
+    batch plans); it converts to a TIMESTAMP column only for the
+    watermark/window machinery, and the emitted `window_start_s` is
+    integer epoch-seconds again, matching the batch twin's output.
+    """
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("tus")))
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")  # exact cents
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), (F.sum(vc) / 100.0).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_events_to_memory(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "windowed_events_stream",
+    **kwargs,
+) -> "object":
+    """Start the watermarked aggregation into an in-memory append sink
+    (finalized windows only). Returns the StreamingQuery; callers drive
+    it with processAllAvailable()/stop() and read
+    `spark.table(table_name)`."""
+    df = windowed_events_stream(spark, input_dir, **kwargs)
+    return (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
