@@ -317,6 +317,77 @@ GROUP BY CUBE (c_mktsegment, o_orderpriority)
 """
 
 
+# ---- R11: pivot (orders count by year x priority, priorities as columns) ----
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def r11_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("order_year"), "o_orderpriority"
+    )
+    piv = (
+        orders.groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)  # explicit values: no extra distinct pass
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "order_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c) for p, c in zip(_PRIORITIES, _PIV_COLS)],
+    )
+    return renamed.orderBy("order_year")
+
+
+R11_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# ---- R12: ntile quartiles of customers by balance within nation ----
+
+def r12_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    # unique (bal, custkey) order makes ntile deterministic cross-engine
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey")
+    )
+    q = cust.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return (
+        q.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("bal_cents") / 100.0).alias("total_balance"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+R12_SQL = f"""
+WITH q AS (
+    SELECT c_nationkey,
+           {_CENTS.format(x='c_acctbal')} AS bal_cents,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY {_CENTS.format(x='c_acctbal')} DESC, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+)
+SELECT c_nationkey, quartile, count(*) AS n_customers,
+       sum(bal_cents) / 100.0 AS total_balance
+FROM q GROUP BY c_nationkey, quartile
+ORDER BY c_nationkey, quartile
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -329,4 +400,6 @@ def queries() -> dict[str, tuple]:
         "rel_supplier_revenue": (r8_fn, R8_SQL),
         "rel_events_json_props": (r9_fn, R9_SQL),
         "rel_cube_segment_priority": (r10_fn, R10_SQL),
+        "rel_pivot_year_priority": (r11_fn, R11_SQL),
+        "rel_customer_balance_quartiles": (r12_fn, R12_SQL),
     }
