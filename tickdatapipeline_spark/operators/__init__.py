@@ -5,11 +5,15 @@ from tickdatapipeline_spark.operators.bars import (
     enrich_ticks_with_bars,
 )
 from tickdatapipeline_spark.operators.dedup import (
+    connected_components,
+    deduplicated_corpus,
+    duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     shingles,
+    simhash_near_dup_pairs,
 )
 from tickdatapipeline_spark.operators.expansion import expand_volume, packed_timestamp
 from tickdatapipeline_spark.operators.hotloop import HotLoopSeed, hot_loop
@@ -18,12 +22,15 @@ from tickdatapipeline_spark.operators.multimodal import (
     sample_frames,
     synth_media_from_documents,
 )
+from tickdatapipeline_spark.operators.rangejoin import binned_range_join
 from tickdatapipeline_spark.operators.similarity import (
     ann_bucket_histogram,
     ann_topk_ivf,
+    ann_topk_ivf_kmeans,
     ann_topk_lsh,
     cosine_topk,
     embedding_near_duplicates,
+    kmeans_train,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
@@ -31,19 +38,25 @@ from tickdatapipeline_spark.operators.text import (
     lang_id,
     quality_score,
     simhash,
+    stratified_sample,
+    tfidf_topk,
     token_stats,
+    vocab_topk,
 )
 
 __all__ = [
     "asof_join",
     "BarSeed", "bar_aggregate", "enrich_ticks_with_bars",
+    "connected_components", "deduplicated_corpus", "duplicate_clusters",
     "exact_duplicates", "jaccard_pairs", "lsh_candidate_pairs",
-    "minhash_signatures", "shingles",
+    "minhash_signatures", "shingles", "simhash_near_dup_pairs",
+    "binned_range_join",
     "expand_volume", "packed_timestamp",
     "HotLoopSeed", "hot_loop",
     "extract_features", "sample_frames", "synth_media_from_documents",
-    "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_lsh",
-    "cosine_topk", "embedding_near_duplicates",
+    "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_ivf_kmeans",
+    "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates", "kmeans_train",
     "ema_columns",
-    "fingerprint", "lang_id", "quality_score", "simhash", "token_stats",
+    "fingerprint", "lang_id", "quality_score", "simhash", "stratified_sample",
+    "tfidf_topk", "token_stats", "vocab_topk",
 ]

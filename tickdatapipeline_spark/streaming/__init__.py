@@ -4,8 +4,13 @@ from tickdatapipeline_spark.streaming.fanout import (
     ConsumerType,
     TripleSplitManager,
 )
+from tickdatapipeline_spark.streaming.eventtime import (
+    run_windowed_events_to_memory,
+    windowed_events_stream,
+)
 from tickdatapipeline_spark.streaming.runner import StreamingTickPipeline
 from tickdatapipeline_spark.streaming.state import OUT_COLS, StreamState, advance
+from tickdatapipeline_spark.streaming.stateful import ema_stream
 
 __all__ = [
     "Consumer",
@@ -16,4 +21,7 @@ __all__ = [
     "StreamState",
     "advance",
     "OUT_COLS",
+    "windowed_events_stream",
+    "run_windowed_events_to_memory",
+    "ema_stream",
 ]
