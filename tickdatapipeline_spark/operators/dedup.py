@@ -81,13 +81,13 @@ def _minhash_wide(docs: DataFrame, num_perm: int) -> DataFrame:
     map-side-combinable groupBy — no lanes row explosion, shuffle volume
     O(docs x num_perm) packed into one row per doc.
     """
-    # distinct on the 60-bit hash, not the shingle string: per-lane minima
-    # are unchanged (identical h -> identical hashed lane values) and the
-    # distinct shuffle moves 8-byte longs instead of n-gram strings.
-    sh = (
-        _exploded_grams(docs)
-        .select("doc_id", (h60(F.col("shingle")) % MERSENNE_P).alias("h"))
-        .distinct()
+    # NO shingle-dedup pass: MIN over a multiset equals MIN over its
+    # distinct set, so duplicate shingles cannot change any lane minimum,
+    # and the groupBy's map-side combiner already collapses each
+    # partition to one row per doc — a distinct() here would add a full
+    # extra shuffle of the token stream for nothing.
+    sh = _exploded_grams(docs).select(
+        "doc_id", (h60(F.col("shingle")) % MERSENNE_P).alias("h")
     )
     aggs = [
         F.min((F.lit(perm_a(j)) * F.col("h") + F.lit(perm_b(j))) % MERSENNE_P).alias(f"s{j}")
