@@ -38,7 +38,8 @@ def _registry() -> dict[str, tuple]:
     # dev parity harness still verifies it out-of-band).
     GATED_TAIL = ["media_frame_sample", "text_vocab_topk",
                   "docs_stratified_sample", "dedup_simhash_pairs",
-                  "events_attribution_rangejoin", "text_tfidf_topk",
+                  "events_attribution_rangejoin", "events_time_rollup",
+                  "text_tfidf_topk",
                   "rel_pivot_year_priority", "rel_customer_balance_quartiles"]
     gated = {n: p for n, p in reg.items()
              if p[1] is not None and n not in GATED_TAIL}

@@ -79,6 +79,19 @@ def test_dedup_has_no_forced_per_document_broadcasts(spark):
     assert "LeftSemi" in jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_vocab_topk_plans_as_take_ordered(spark):
+    """Top-k over the corpus vocabulary must plan as
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver) — a global Sort of the full vocabulary would single-partition
+    at corpus scale."""
+    from tickdatapipeline_spark.operators.text import vocab_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(vocab_topk(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
 def test_dimension_joins_broadcast(spark):
     from tickdatapipeline_spark.plans.relational import r3_fn
 

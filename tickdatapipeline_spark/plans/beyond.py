@@ -666,6 +666,41 @@ FROM f
 """
 
 
+def time_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: ONE pass over events
+    producing hourly, daily and grand-total aggregates via GROUPING SETS
+    (the continuous-aggregate hierarchy a time-series store maintains).
+    grouping_id disambiguates the level; integer epoch buckets keep both
+    engines exact."""
+    ev = read_events(spark, sf_dir)
+    hour = F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s")
+    day = F.expr("(ts DIV 1000000000 DIV 86400) * 86400").alias("day_s")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select(hour, day, vc.alias("vc"))
+        .groupingSets([["hour_s", "day_s"], ["day_s"], []], "hour_s", "day_s")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT hour_s, day_s, CAST(grouping(hour_s) * 2 + grouping(day_s) AS BIGINT) AS level,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+           (epoch_us(ts) // 1000000 // 86400) * 86400 AS day_s,
+           value
+    FROM events
+)
+GROUP BY GROUPING SETS ((hour_s, day_s), (day_s), ())
+"""
+
+
 ATTRIB_LOOKBACK_US = 4 * 3600 * 1_000_000  # clicks within 4h before a purchase
 ATTRIB_BIN_US = 3600 * 1_000_000
 
@@ -806,6 +841,7 @@ def queries() -> dict[str, tuple]:
             SIMHASH_PAIRS_SQL,
         ),
         "events_attribution_rangejoin": (attribution_fn, ATTRIBUTION_SQL),
+        "events_time_rollup": (time_rollup_fn, TIME_ROLLUP_SQL),
         "text_tfidf_topk": (
             lambda s, d: tfidf_topk(_docs(s, d), TFIDF_K, TFIDF_SCALE),
             TFIDF_TOPK_SQL,
