@@ -51,6 +51,10 @@ def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     queries = base.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
+    # scale contract: the QUERY side must be small (a probe set, not the
+    # corpus) — broadcast is then the right plan at any corpus size. A
+    # corpus-sized query side is all-pairs similarity, which is what the
+    # LSH/IVF variants and embedding_near_duplicates exist for.
     joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
     scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))

@@ -88,7 +88,7 @@ def r2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("order_rank") <= 3)
     )
     return (
-        top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey)
+        top.join(cust, top.o_custkey == cust.c_custkey)  # cust scales with SF: AQE decides
         .select(
             "c_custkey", "c_name", "o_orderkey", "order_rank",
             (F.col("total_cents") / 100.0).alias("o_totalprice"),
@@ -119,7 +119,7 @@ def r3_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)  # scales with SF: AQE decides
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -208,7 +208,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 def r7_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_size") >= 40).select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+    j = li.join(part, li.l_partkey == part.p_partkey, "inner")  # part scales with SF: AQE decides
     return (
         j.groupBy("p_brand")
         .agg(
@@ -242,7 +242,7 @@ def r8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)  # supplier scales with SF: AQE decides
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -298,7 +298,7 @@ ORDER BY event_type
 def r10_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)  # cust scales with SF: AQE decides
     return (
         j.cube("c_mktsegment", "o_orderpriority")
         .agg(
