@@ -151,6 +151,28 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
             assert abs(frac - pm / 1000) < 0.25, (lang, frac)
 
 
+def test_new_ops_edge_cases(spark):
+    """Degenerate inputs: token-free docs have NO signature row (so they
+    never pair — an all-zero signature would false-match every other
+    empty doc), no vocab/tfidf rows; stratified rates 0 and 1000 are
+    drop-all / keep-all strata."""
+    from tickdatapipeline_spark.operators.dedup import simhash_near_dup_pairs
+    from tickdatapipeline_spark.operators.text import (
+        simhash,
+        stratified_sample,
+        tfidf_topk,
+        vocab_topk,
+    )
+
+    d = docs_df(spark, [(1, "", "en"), (2, "   ", "en"), (3, "real text here", "de")])
+    assert vocab_topk(d, k=10).count() == 3  # only doc 3's tokens
+    assert tfidf_topk(d).where(F.col("doc_id") != 3).count() == 0
+    assert {r.doc_id for r in simhash(d).collect()} == {3}
+    assert simhash_near_dup_pairs(d).count() == 0
+    kept = stratified_sample(d, {"en": 0, "de": 1000}).collect()
+    assert {r.doc_id for r in kept} == {3}
+
+
 def test_tfidf_topk_golden(spark):
     """Integer reciprocal-df weighting: corpus-wide tokens rank below
     document-specific ones; ties break by token asc."""

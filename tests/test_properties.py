@@ -139,3 +139,42 @@ def test_advance_random_splits_equal_batch(spark, lines, cuts, data):
     for g, w in zip(got, whole):
         for c in OUT_COLS:
             assert g[c] == w[c], f"tick {w['tick_idx']} col {c} ({enc})"
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    intervals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=300),
+                  st.integers(min_value=0, max_value=80)),
+        min_size=1, max_size=15,
+    ),
+    bin_size=st.sampled_from([1, 3, 10, 64, 301]),
+)
+def test_binned_range_join_equals_naive_property(spark, points, intervals, bin_size):
+    """Random points/intervals/bin sizes: the binned equi-join always
+    equals the naive inequality join (incl. empty results, zero-length
+    intervals, bins larger than the whole domain)."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.rangejoin import binned_range_join
+
+    pdf = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(points)], "k long, pid long, t long"
+    )
+    idf = spark.createDataFrame(
+        [(1, j, lo, lo + span) for j, (lo, span) in enumerate(intervals)],
+        "k long, iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_range_join(pdf, idf, ["k"], "t", "lo", "hi", bin_size).collect()
+    }
+    naive = {
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (lo, span) in enumerate(intervals)
+        if lo <= t <= lo + span
+    }
+    assert got == naive
