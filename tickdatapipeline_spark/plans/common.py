@@ -44,6 +44,15 @@ from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd  # noqa: E402
 # At deployment scale the equivalent is "write ticks_out to parquet once,
 # point every analysis query at it".
 _TICKS_CACHE: dict[tuple, DataFrame] = {}
+_CACHE_ENABLED = True
+
+
+def set_ticks_cache(enabled: bool) -> None:
+    """Toggle the shared ticks materialization (bench.py measures the
+    flagship pipeline queries with it OFF — true end-to-end chain cost —
+    and the analytics suite with it ON — the staged-table shape)."""
+    global _CACHE_ENABLED
+    _CACHE_ENABLED = enabled
 
 
 _PLAIN_COLS = ["tick_idx", "timestamp", "raw_price", "price_delta",
@@ -53,7 +62,7 @@ _PLAIN_COLS = ["tick_idx", "timestamp", "raw_price", "price_delta",
 def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig = SP_DERIV,
                     keep_internals: bool = False) -> DataFrame:
     """events -> ticks_raw -> expanded -> hot loop (the flagship chain)."""
-    if sp is not SP_DERIV:
+    if sp is not SP_DERIV or not _CACHE_ENABLED:
         # only the default config's lineage is shared across queries
         # (bars, enrichment, q1-q10); the other encoders are one-shot —
         # persisting them would cost a materialization nobody reuses
