@@ -49,11 +49,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
 
-    # warm the JVM (codegen, window exec, parquet readers) on the tiny sf
-    # so headline timings measure the plans, not first-call JIT costs
-    qs["tick_pipeline_derivative"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm the JVM on the tiny sf — every headline query shape runs once
+    # at sf0.001 so headline timings measure the plans, not first-call
+    # codegen/JIT costs (worth 1-2 s per distinct encoder shape)
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     # the flagship tick_pipeline_* queries are measured with the shared
