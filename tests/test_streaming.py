@@ -595,6 +595,57 @@ def test_watermarked_windowed_events_late_data(spark, tmp_path):
     }
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """F.session_window sessionization under a watermark: a gap closes
+    the session, a late-but-in-watermark row extends it before
+    finalization, and append mode emits each session once the watermark
+    passes session end + gap."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import sessionized_events_stream
+
+    M = 60 * 1_000_000  # a minute in micros
+
+    def write(fname, rows, i):
+        p = tmp_path / "in" / fname
+        with open(p, "w") as f:
+            for eid, tus, uid in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus, "user_id": uid}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    (tmp_path / "in").mkdir()
+    # user 1: events at 0, 10, 20 min (one session), then 120 min (a second)
+    write("b0.json", [(1, 0, 1), (2, 10 * M, 1), (3, 20 * M, 1), (4, 120 * M, 1)], 0)
+    # late row at 25 min (extends session 1 before finalization) + a
+    # far-future row pushing the watermark past everything
+    write("b1.json", [(5, 25 * M, 1), (6, 24 * 60 * M, 9)], 1)
+    write("b2.json", [(7, 24 * 60 * M + M, 9)], 2)  # eviction batch
+
+    q = (
+        sessionized_events_stream(spark, str(tmp_path / "in"))
+        .writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.session_start_s): (r.n_events, r.duration_s)
+        for r in spark.table("sess_stream").collect()
+    }
+    # session 1: 0-25min + 30min gap -> duration 55min, 4 events (late
+    # row merged); session 2: single event at 120min -> gap-only duration
+    assert got == {
+        (1, 0): (4, 55 * 60),
+        (1, 120 * 60): (1, 30 * 60),
+    }
+
+
 def test_runner_enriched_multistream_fast_path_equals_batch(spark, tmp_path):
     """enrich=True through the constant-job multistream fast path: the
     broadcast frames of each stream carry B7 bar columns equal to the

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENT_SCHEMA = "event_id long, tus long, event_type string, value double"
+SESSION_SCHEMA = "event_id long, tus long, user_id long"
 
 
 def windowed_events_stream(
@@ -53,6 +54,45 @@ def windowed_events_stream(
             "event_type",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+def sessionized_events_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """readStream -> F.session_window sessionization: per-user sessions
+    close after a `gap` of inactivity, finalize once the watermark
+    passes session end + gap, and emit exactly once (append mode) — the
+    streaming twin of the batch gaps-and-islands sessionization
+    (plans/beyond.py::sessionize_fn, same 30-min default gap).
+
+    Output: (user_id, session_start_s, n_events, duration_s) — session
+    ids are start-times here rather than per-user ordinals (a streaming
+    operator cannot number sessions it has not seen yet), and
+    duration_s spans start to last-event + gap (F.session_window's end
+    bound), unlike the batch twin's last-minus-first."""
+    raw = (
+        spark.readStream.schema(SESSION_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("tus")))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start_s"),
+            "n_events",
+            (F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start")))
+            .cast("long")
+            .alias("duration_s"),
         )
     )
 
