@@ -79,6 +79,24 @@ def test_dedup_has_no_forced_per_document_broadcasts(spark):
     assert "LeftSemi" in jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_fir_averages_is_join_free(spark):
+    """The FIR convolution must stay in scatter form: each tick explodes
+    into its contributing bar ends and ONE groupBy sums — no join of a
+    blown-up taps table back to the tick stream (the gather formulation
+    shuffled 65 M rows twice at sf0.1)."""
+    from tickdatapipeline_spark.functions.fir import design_decimation_filter
+    from tickdatapipeline_spark.operators.bars import _fir_averages
+
+    ticks = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_id AS tick_idx", "CAST(event_id % 100 + 42000 AS LONG) AS raw_price")
+    )
+    plan = physical(_fir_averages(ticks, [], design_decimation_filter(5), step=5))
+    assert "Join" not in plan
+    assert "Generate explode" in plan  # the scatter
+    assert plan.count("HashAggregate") >= 2  # partial (combiner) + final
+
+
 def test_vocab_topk_plans_as_take_ordered(spark):
     """Top-k over the corpus vocabulary must plan as
     TakeOrderedAndProject (per-partition partial top-k merged on the
