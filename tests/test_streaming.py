@@ -595,6 +595,48 @@ def test_watermarked_windowed_events_late_data(spark, tmp_path):
     }
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed events (same event_id)
+    within the watermark emit exactly once, across micro-batch
+    boundaries."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import deduped_events_stream
+
+    M = 60 * 1_000_000
+    T0 = 100 * 60 * M  # away from the epoch (ts == initial watermark edge)
+
+    def write(fname, rows, i):
+        p = tmp_path / "in" / fname
+        with open(p, "w") as f:
+            for eid, tus in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "event_type": "click", "value": 1.0}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    (tmp_path / "in").mkdir()
+    # batch 0 carries an in-batch duplicate of event 1
+    write("b0.json", [(1, T0), (1, T0), (2, T0 + 10 * M)], 0)
+    # batch 1 replays events 1 and 2 (at-least-once upstream) + a new one
+    write("b1.json", [(1, T0), (2, T0 + 10 * M), (3, T0 + 20 * M)], 1)
+
+    q = (
+        deduped_events_stream(spark, str(tmp_path / "in"))
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.event_id for r in spark.table("dedup_stream").collect())
+    assert got == [1, 2, 3]
+
+
 def test_streaming_session_window(spark, tmp_path):
     """F.session_window sessionization under a watermark: a gap closes
     the session, a late-but-in-watermark row extends it before

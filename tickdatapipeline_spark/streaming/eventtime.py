@@ -97,6 +97,34 @@ def sessionized_events_stream(
     )
 
 
+def deduped_events_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming exactly-once event dedup: `dropDuplicatesWithinWatermark`
+    on event_id — at-least-once upstream delivery (retries, replayed
+    files) collapses to one row per event as long as the duplicate
+    arrives within the watermark of the original. State is one entry per
+    event_id seen inside the watermark horizon, evicted as the watermark
+    advances — bounded state, unlike a global dropDuplicates.
+
+    The training-data analog: ingest-time dedup of a crawled event/log
+    stream before it ever lands in the corpus."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("tus")))
+    return (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "tus", "event_type", "value")
+    )
+
+
 def run_windowed_events_to_memory(
     spark: SparkSession,
     input_dir: str,
