@@ -223,6 +223,30 @@ def test_binned_range_join_matches_naive(spark):
         assert got == naive and len(naive) > 0, bin_size
 
 
+def test_range_join_epoch_nanos_and_invalid_intervals(spark):
+    """Bin math must be exact integer division — epoch-nanos exceed 2^53
+    where float division rounds — and hi < lo intervals must yield no
+    rows instead of raising from F.sequence."""
+    from tickdatapipeline_spark.operators.rangejoin import binned_range_join
+
+    base = 2**61  # far beyond double's exact-integer range
+    points = spark.createDataFrame(
+        [(1, 0, base + 10), (1, 1, base + 999), (1, 2, base + 1000)],
+        "k long, pid long, t long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, base + 0, base + 999),   # catches pid 0,1
+         (1, 101, base + 500, base + 400)],  # hi < lo: must match nothing
+        "k long, iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_range_join(points, intervals, ["k"], "t", "lo", "hi",
+                                   bin_size=250).collect()
+    }
+    assert got == {(0, 100), (1, 100)}
+
+
 def test_range_join_plans_as_equi_join(spark):
     """The point of the operator: the physical plan must be a hash/sort
     -merge EQUI-join on (key, bin), never BroadcastNestedLoopJoin or

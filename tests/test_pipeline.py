@@ -121,3 +121,8 @@ def test_capture_partitioned_prunes(spark, tmp_path):
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
     assert "PartitionFilters: [isnotnull(stream" in scan
     assert pruned.count() == n // 2
+
+    # partition col overlapping the capture schema must not duplicate it
+    cap2 = tmp_path / "cap_overlap"
+    n2 = capture(processed, str(cap2), partition_by=("tick_idx",))
+    assert n2 == n

@@ -47,13 +47,15 @@ def binned_range_join(
     """
     if how != "inner":
         raise ValueError("binned_range_join supports how='inner' only")
-    p = points.withColumn("_bin", (F.col(point_col) / bin_size).cast("long"))
-    iv = intervals.withColumn(
+    # Integer DIV, not float `/`: epoch-nanos exceed 2^53, where double
+    # division silently rounds and bin ids drift from exact integer math.
+    p = points.withColumn("_bin", F.expr(f"`{point_col}` DIV {bin_size}"))
+    iv = intervals.where(F.col(hi_col) >= F.col(lo_col)).withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                (F.col(lo_col) / bin_size).cast("long"),
-                (F.col(hi_col) / bin_size).cast("long"),
+                F.expr(f"`{lo_col}` DIV {bin_size}"),
+                F.expr(f"`{hi_col}` DIV {bin_size}"),
             )
         ),
     )

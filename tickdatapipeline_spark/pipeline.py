@@ -118,7 +118,12 @@ def capture(processed: DataFrame, output_path: str, *, tick_start: int = 0,
         cols = TICK_CAPTURE_COLS
         if num_records is not None:
             df = df.where(F.col("tick_idx") <= tick_start + num_records)
-    df = df.select(*[*partition_by, *cols]) if partition_by else df.select(*cols)
+    if partition_by:
+        # partition cols may overlap the capture schema (e.g. bars
+        # partitioned by bar_idx) — select each column exactly once
+        df = df.select(*partition_by, *[c for c in cols if c not in partition_by])
+    else:
+        df = df.select(*cols)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -30,16 +30,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` with ts normalized to epoch-nanos BIGINT whatever the
-    parquet physical type. The TIMESTAMP_NTZ branch uses timestampdiff
-    against the NTZ epoch literal — wall-time micros, independent of the
-    session time zone (matches DuckDB's ``epoch_us``)."""
+    parquet physical type, branching on the SURFACED Spark type:
+
+    - bigint: already epoch nanos (INT64 TIMESTAMP(NANOS) + nanosAsLong).
+    - timestamp (TIMESTAMP_LTZ, from isAdjustedToUTC=true micros): an
+      absolute instant — ``unix_micros`` is timezone-independent; casting
+      it to NTZ first would bake in the session zone and silently skew
+      every event-time plan vs the DuckDB oracle's ``epoch_us``.
+    - timestamp_ntz (isAdjustedToUTC=false micros): wall time with no
+      zone — timestampdiff against the NTZ epoch literal yields the same
+      micros DuckDB's ``epoch_us`` computes, independent of session TZ.
+    """
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    if ev.schema["ts"].dataType.simpleString() != "bigint":
+    surfaced = ev.schema["ts"].dataType.simpleString()
+    if surfaced == "timestamp":
+        ev = ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    elif surfaced == "timestamp_ntz":
         ev = ev.withColumn(
             "ts",
             F.expr(
-                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-                " cast(ts as timestamp_ntz))"
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
             ) * F.lit(1000),
         )
+    elif surfaced != "bigint":
+        raise TypeError(f"events.ts surfaced as unsupported type {surfaced}")
     return ev
