@@ -326,6 +326,46 @@ def test_media_plumbing(spark):
     assert sorted(f.frame_idx for f in frames) == list(range(0, n_frames, 2))
 
 
+def test_media_features_oracle_survives_non_ascii(spark, tmp_path):
+    """The MEDIA_FEATURES_SQL oracle must match the Spark side for ANY
+    corpus, not just ASCII: exercise 2/3/4-byte UTF-8 codepoints so a
+    driver testdata regeneration with non-ASCII text can't flip the
+    gated row red (round-4 verdict, 'What's wrong' #3)."""
+    import duckdb
+
+    from tickdatapipeline_spark.plans.beyond import (
+        MEDIA_FEATURES_SQL,
+        media_features_fn,
+    )
+
+    texts = ["plain ascii", "héllo wörld", "日本語テキスト", "emoji 😀🚀 mix é中",
+             ""]
+    rows = [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)]
+    docs_dir = tmp_path / "docs_sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(docs_dir / "documents.parquet"))
+
+    got = {r.media_id: r for r in media_features_fn(spark, str(docs_dir)).collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docs_dir}/documents.parquet/*.parquet')"
+    )
+    want = {r[0]: r for r in con.sql(MEDIA_FEATURES_SQL).fetchall()}
+
+    assert set(got) == set(want)
+    for mid, (_, kind, n_bytes, byte_mean) in want.items():
+        assert got[mid].kind == kind
+        assert got[mid].n_bytes == n_bytes, texts[mid]
+        assert got[mid].byte_mean == pytest.approx(byte_mean, abs=0), texts[mid]
+        # ground truth straight from the utf-8 encoding
+        enc = texts[mid].encode("utf-8")
+        assert got[mid].n_bytes == len(enc)
+        assert got[mid].byte_mean == (sum(enc) / len(enc) if enc else 0.0)
+
+
 def test_duplicate_clusters_transitive(spark):
     """Connected components must merge chains: A~B and B~C (never A~C as
     a direct LSH pair is fine) land in ONE cluster keyed by min doc_id;

@@ -637,11 +637,24 @@ MEDIA_FEATURES_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(range(1, length(text) + 1), i -> ord(text[i]))) AS DOUBLE)
-            / CAST(strlen(text) AS DOUBLE) AS byte_mean
+       CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+       CAST(list_sum(list_transform(range(1, length(text) + 1), i ->
+            CASE WHEN ord(text[i]) < 128 THEN ord(text[i])
+                 WHEN ord(text[i]) < 2048
+                     THEN 320 + ord(text[i]) // 64 + ord(text[i]) % 64
+                 WHEN ord(text[i]) < 65536
+                     THEN 480 + ord(text[i]) // 4096
+                          + (ord(text[i]) // 64) % 64 + ord(text[i]) % 64
+                 ELSE 624 + ord(text[i]) // 262144 + (ord(text[i]) // 4096) % 64
+                          + (ord(text[i]) // 64) % 64 + ord(text[i]) % 64
+            END)) AS DOUBLE)
+            / CAST(strlen(text) AS DOUBLE) END AS byte_mean
 FROM documents
--- byte==codepoint holds because the corpus is pure ASCII (checked); with
--- non-ASCII payloads this oracle entry would drop to a rows-only check.
+-- byte_mean sums the UTF-8 encoding of each codepoint in closed form
+-- (1/2/3/4-byte arithmetic: lead-byte constant 0/320/480/624 plus the
+-- 6-bit continuation digits), matching the Spark side's sum over
+-- encode(text,'utf-8') bytes exactly for ANY corpus — no ASCII
+-- assumption. strlen() is already utf-8 bytes in DuckDB.
 """
 
 # the frame split is a STUB demuxer, but a deterministic one (fixed-size
