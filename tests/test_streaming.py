@@ -220,7 +220,40 @@ def test_fanout_slow_consumer_buffer_carryover(spark):
     # drained rows leave the buffer head in tick_idx order: 2 per interval
     assert got["m"] == [0, 1, 2, 3, 4, 5]
     # accepted-but-not-yet-drained rows are buffered, not dropped
-    assert sum(n for _, n in mgr._consumers["m"]._pending) == 4
+    assert sum(len(rows) for rows, _ in mgr._consumers["m"]._pending) == 4
+
+
+def test_fanout_buffered_rows_pinned_against_source_mutation(spark, tmp_path):
+    """A drain several intervals after the enqueue must deliver the rows
+    AS ACCEPTED — a channel copies messages into its buffer. If the
+    buffer held lazy plans, overwriting the source (file rotation, or the
+    runner unpersisting the micro-batch frame) would silently recompute
+    different rows at drain time."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, 100 + i) for i in range(4)], "tick_idx long, v long"
+    ).write.mode("overwrite").parquet(src)
+
+    mgr = TripleSplitManager()
+    got: list[tuple[int, int]] = []
+    mgr.subscribe("m", ConsumerType.MONITORING,
+                  lambda df, bid: got.extend((r.tick_idx, r.v) for r in df.collect()),
+                  buffer_size=8, drain_rate=2)
+
+    mgr.broadcast_batch(spark.read.parquet(src), 0)  # accepts 4, drains 2
+    assert got == [(0, 100), (1, 101)]
+
+    # rotate the source: same schema, entirely different contents
+    spark.createDataFrame(
+        [(i, 900 + i) for i in range(4)], "tick_idx long, v long"
+    ).write.mode("overwrite").parquet(src)
+
+    # an empty interval just drains the buffer
+    empty = spark.createDataFrame([], "tick_idx long, v long")
+    mgr.broadcast_batch(empty, 1)
+    assert got == [(0, 100), (1, 101), (2, 102), (3, 103)]  # original rows
+    st = mgr.stats()
+    assert st["m"]["messages_sent"] == 4 and st["m"]["messages_dropped"] == 0
 
 
 def test_runner_independent_streams_per_key(spark, tmp_path):

@@ -22,6 +22,15 @@ bounded buffer whose occupancy carries over between micro-batches.
 `fill_ratio` is buffer occupancy (`n_avail_items / buffer_size`,
 TripleSplitSystem.jl:296-305), not a delivery percentage. Rows enter the
 buffer in `tick_idx` order, so which rows drop is deterministic.
+
+Buffered rows are MATERIALIZED at enqueue (collect of the accepted head
+slice): a real channel copies messages into its buffer, so a drain
+several batch intervals later must deliver the rows as they were
+accepted — never re-execute a lazy plan against a source that may have
+rotated or a micro-batch frame the runner has since unpersisted. The
+driver-side footprint is bounded by `buffer_size` rows per consumer by
+construction, the same memory the reference's `Channel{BroadcastMessage}`
+holds in-process (TripleSplitSystem.jl:230-258).
 """
 
 from __future__ import annotations
@@ -58,7 +67,7 @@ class Consumer:
     drain_rate: int | None = None  # rows processed per batch interval; None = keeps up
     stats: ConsumerStats = field(default_factory=ConsumerStats)
     fill: int = 0                                   # buffered, not yet drained
-    _pending: deque = field(default_factory=deque)  # (DataFrame, n_rows) FIFO
+    _pending: deque = field(default_factory=deque)  # (list[Row], schema) FIFO
 
     @property
     def fill_ratio(self) -> float:
@@ -101,31 +110,32 @@ class TripleSplitManager:
             c.sink(df, batch_id)
             c.stats.messages_sent += n_rows
             return 0
-        # drop-on-full enqueue
+        # drop-on-full enqueue: pin the accepted head slice NOW (channel
+        # copy semantics) — a later drain must not re-execute this plan
         space = max(c.buffer_size - c.fill, 0)
         accepted = min(n_rows, space)
         dropped = n_rows - accepted
         if accepted > 0:
-            head = df.orderBy(F.col("tick_idx")).limit(accepted) if accepted < n_rows else df
-            c._pending.append((head, accepted))
+            head = df.orderBy(F.col("tick_idx"))
+            if accepted < n_rows:
+                head = head.limit(accepted)
+            c._pending.append((head.collect(), df.schema))
             c.fill += accepted
         c.stats.messages_sent += accepted
         c.stats.messages_dropped += dropped
         # drain: the consumer processes up to drain_rate rows this interval
         quota = c.fill if c.drain_rate is None else min(c.drain_rate, c.fill)
+        spark = df.sparkSession
         while quota > 0 and c._pending:
-            part, m = c._pending[0]
-            if m <= quota:
+            rows, schema = c._pending[0]
+            take = rows if len(rows) <= quota else rows[:quota]
+            c.sink(spark.createDataFrame(take, schema=schema), batch_id)
+            if len(rows) <= quota:
                 c._pending.popleft()
-                c.sink(part, batch_id)
-                c.fill -= m
-                quota -= m
             else:
-                ordered = part.orderBy(F.col("tick_idx"))
-                c.sink(ordered.limit(quota), batch_id)
-                c._pending[0] = (ordered.offset(quota), m - quota)
-                c.fill -= quota
-                quota = 0
+                c._pending[0] = (rows[quota:], schema)
+            c.fill -= len(take)
+            quota -= len(take)
         return dropped
 
     def broadcast_batch(self, df: DataFrame, batch_id: int = 0) -> tuple[int, int, int]:
