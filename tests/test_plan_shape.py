@@ -119,3 +119,27 @@ def test_dimension_joins_broadcast(spark):
     # scale the fact-fact join flips to SortMergeJoin by size — that
     # decision is Catalyst's, which is the point)
     assert plan.count("BroadcastHashJoin") >= 3
+
+def test_single_stream_two_pass_has_no_single_partition(spark):
+    """SURVEY §4 item 1: above the size cutover the single-stream
+    flagship chain takes the chunked two-pass formulation and must plan
+    ZERO SinglePartition exchanges — every window is chunk-local,
+    offsets are in-plan broadcast subqueries."""
+    from tickdatapipeline_spark.plans.common import (
+        SP_DERIV,
+        processed_ticks,
+        set_ticks_cache,
+        set_two_pass_threshold,
+    )
+
+    set_ticks_cache(False)
+    set_two_pass_threshold(0)  # force the at-scale plan on test data
+    try:
+        df = processed_ticks(spark, SF, SP_DERIV)
+        assert "SinglePartition" not in physical(df)
+        assert df.count() > 0
+        # and still none in the post-execution (AQE-final) plan
+        assert "SinglePartition" not in physical(df)
+    finally:
+        set_two_pass_threshold(None)
+        set_ticks_cache(True)

@@ -60,6 +60,8 @@ def expand_volume(
     seed_prev_last: int | None = None,
     seed_tick0: int = 0,
     seeds: "dict | None" = None,
+    chunk_size: int | None = None,
+    chunk_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """ticks_raw(line_no, ts_str, bid, ask, last, volume) -> expanded ticks.
 
@@ -73,7 +75,22 @@ def expand_volume(
     ``seeds`` = {stream_key: (prev_last | None, tick0)} carries BOTH per
     stream via a broadcast join of the (tiny) seed table — the shape that
     holds when one micro-batch carries thousands of streams.
+
+    ``chunk_size`` (single-stream batch only): use the two-pass chunked
+    formulation (operators/globalorder.py) — no SinglePartition window.
+    The lag's cross-chunk patch is the previous chunk's final price; the
+    tick numbering offset is the running sum of per-chunk expanded-row
+    counts (sum of volumes) — both in-plan broadcast subqueries, or
+    injected pre-fused via ``chunk_offsets`` (a (GO_CHUNK, _go_prev,
+    _go_t0) frame, see plans/common._chain). Output additionally
+    carries the chunk column for downstream reuse.
     """
+    if chunk_size is not None and stream_id is None and seeds is None:
+        return _expand_volume_chunked(
+            ticks_raw, chunk_size,
+            seed_prev_last=seed_prev_last, seed_tick0=seed_tick0,
+            chunk_offsets=chunk_offsets,
+        )
     part = [stream_id] if stream_id else []
     w_lines = Window.partitionBy(*part).orderBy("line_no")
     w_ticks = Window.partitionBy(*part).orderBy("line_no", "replica_idx")
@@ -111,4 +128,59 @@ def expand_volume(
         packed_timestamp(F.col("ts_str")).alias("timestamp"),
         F.col("last").cast("long").alias("raw_price"),
         delta.cast("long").alias("price_delta"),
+    )
+
+
+def _expand_volume_chunked(
+    ticks_raw: DataFrame,
+    chunk_size: int,
+    *,
+    seed_prev_last: int | None,
+    seed_tick0: int,
+    chunk_offsets: DataFrame | None = None,
+) -> DataFrame:
+    """Two-pass expand_volume (see expand_volume docstring)."""
+    from tickdatapipeline_spark.operators.globalorder import (
+        GO_CHUNK,
+        add_chunk,
+        chunk_offsets_plan,
+    )
+
+    lines = add_chunk(ticks_raw, "line_no", chunk_size)
+    if chunk_offsets is None:
+        # in-plan offsets: (final price of preceding chunks, expanded-row
+        # count of preceding chunks)
+        chunk_offsets = chunk_offsets_plan(
+            lines,
+            sums={
+                "_go_t0": F.when(
+                    F.col("volume") >= 1, F.col("volume")
+                ).otherwise(F.lit(0))
+            },
+            carries={"_go_prev": (F.col("line_no"), F.col("last"))},
+        )
+    df = lines.join(F.broadcast(chunk_offsets), on=GO_CHUNK, how="left")
+
+    w_lines = Window.partitionBy(GO_CHUNK).orderBy("line_no")
+    w_ticks = Window.partitionBy(GO_CHUNK).orderBy("line_no", "replica_idx")
+    prev = F.coalesce(F.lag("last").over(w_lines), F.col("_go_prev"))
+    if seed_prev_last is not None:
+        prev = F.coalesce(prev, F.lit(seed_prev_last))
+    df = df.withColumn("prev_last", prev)
+    seq = F.when(F.col("volume") >= 1, F.sequence(F.lit(1), F.col("volume")))
+    df = df.withColumn("replica_idx", F.explode(seq))
+    delta = (
+        F.when(F.col("prev_last").isNull(), F.lit(0))
+        .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))
+        .otherwise(F.lit(0))
+    )
+    return df.select(
+        "line_no", "replica_idx",
+        (F.row_number().over(w_ticks)
+         + F.coalesce("_go_t0", F.lit(0)) + F.lit(seed_tick0))
+        .cast("long").alias("tick_idx"),
+        packed_timestamp(F.col("ts_str")).alias("timestamp"),
+        F.col("last").cast("long").alias("raw_price"),
+        delta.cast("long").alias("price_delta"),
+        GO_CHUNK,
     )

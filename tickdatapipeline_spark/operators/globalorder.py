@@ -1,0 +1,153 @@
+"""Two-pass exact global ordering: chunk-local prefixes + broadcast
+chunk offsets, computed entirely IN-PLAN (SURVEY.md §4 item 1).
+
+``Window.partitionBy()`` with no keys plans a SinglePartition exchange —
+the one plan shape that cannot survive a single 100 TB stream. The
+distributed formulation used by ``ticks_from_events`` / ``expand_volume``
+/ ``hot_loop`` when a ``chunk_size`` is supplied:
+
+1. derive a **monotone chunk id** from the stream's natural ordering key
+   (``key DIV chunk_size``) — a pure deterministic column (stable under
+   task retries), no extra exchange to define;
+2. compute every running quantity **locally per chunk** with
+   ``Window.partitionBy(chunk).orderBy(key)`` — one hash exchange on the
+   chunk id, fully parallel;
+3. compute each chunk's offset (the aggregate over all PRECEDING chunks)
+   as a small in-plan subquery — ``chunk_offsets_plan`` below — and
+   broadcast-join it back;
+4. final value = local prefix + chunk offset.
+
+The offsets subplan never touches the driver and never collapses to one
+partition: per-chunk totals (distributed groupBy) get an exclusive
+prefix WITHIN each super-chunk of ``super_size`` chunks (window keyed by
+super-chunk id), and the across-super remainder comes from a triangular
+broadcast join over the per-super summaries (#chunks / super_size rows —
+tiny). Keeping everything in one plan matters for latency as much as
+scale: a driver-side scan (collect + re-broadcast) costs one extra Spark
+job per stage, and the checkpointed inputs those jobs would share are
+computed once per job, not once per query.
+
+Exactness: counts/sums are associative; "last non-null before this row"
+splits into (last in my chunk before me) else (carry from preceding
+chunks), and because any in-super predecessor chunk is later than every
+earlier super, the carry is coalesce(within-super carry, across-super
+carry).
+
+Scale accounting: with the default ``super_size`` 1024, a stream of
+10^9 chunks (at chunk_size 2^20, that is an exabyte-class single
+stream) broadcasts ~10^6 super rows and the triangular join does
+#supers^2/2 comparisons distributed across #supers rows — add a third
+level before that bites; the multi-stream path, which needs none of
+this, remains the first-choice deployment shape.
+
+The reference engine is single-threaded-serial over one stream
+(/root/reference/src/PipelineOrchestrator.jl:192-196), so any parallel
+formulation is beyond-reference; outputs are bit-identical to the
+single-window plan (tests/test_hotloop.py pins equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+GO_CHUNK = "_go_chunk"
+
+
+def add_chunk(df: DataFrame, key_expr: str, chunk_size: int) -> DataFrame:
+    """Attach the monotone chunk id ``(key_expr) DIV chunk_size``.
+
+    ``key_expr`` must be non-decreasing in the stream's global order so
+    chunk ids are contiguous, ordered spans of the stream. Reused if
+    already present (one chunk column serves the whole source->expand->
+    hot-loop chain: downstream windows keyed on it satisfy the same
+    hashpartitioning, so the chain pays ONE full-data exchange total).
+    """
+    if GO_CHUNK in df.columns:
+        return df
+    return df.withColumn(GO_CHUNK, F.expr(f"({key_expr}) DIV {int(chunk_size)}"))
+
+
+def chunk_offsets_plan(
+    df: DataFrame,
+    sums: "dict[str, Column] | None" = None,
+    carries: "dict[str, tuple[Column, Column]] | None" = None,
+    mods: "dict[str, int] | None" = None,
+    super_size: int = 1024,
+) -> DataFrame:
+    """Per-chunk offsets as a broadcast-ready (GO_CHUNK, <out>...) frame,
+    built without any driver action or SinglePartition exchange.
+
+    - ``sums[name] = expr``: exclusive prefix sum of ``expr`` over all
+      preceding chunks (0 for the first chunk).
+    - ``carries[name] = (order, value)``: ``value`` at the greatest
+      ``order`` among preceding chunks where ``value`` is non-null
+      (NULL until one exists) — the cross-chunk patch for lag /
+      last-ignorenulls.
+    - ``mods[name] = m``: reduce that sum mod m at every level, keeping
+      the int64 column math bounded for arbitrarily long streams.
+
+    Join the result back with ``F.broadcast`` on GO_CHUNK.
+    """
+    sums = sums or {}
+    carries = carries or {}
+    mods = mods or {}
+
+    def _mod(name: str, col: Column) -> Column:
+        return F.pmod(col, F.lit(mods[name])) if name in mods else col
+
+    aggs = [F.sum(e).alias(f"_t_{k}") for k, e in sums.items()]
+    aggs += [
+        F.max(
+            F.when(v.isNotNull(), F.struct(o.alias("o"), v.alias("v")))
+        ).alias(f"_f_{k}")
+        for k, (o, v) in carries.items()
+    ]
+    s1 = df.groupBy(GO_CHUNK).agg(*aggs).withColumn(
+        "_sc", F.expr(f"{GO_CHUNK} DIV {int(super_size)}")
+    )
+    w = (
+        Window.partitionBy("_sc").orderBy(GO_CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = s1.select(
+        GO_CHUNK,
+        "_sc",
+        *[
+            F.coalesce(F.sum(f"_t_{k}").over(w), F.lit(0)).alias(f"_w_{k}")
+            for k in sums
+        ],
+        *[F.max(f"_f_{k}").over(w).alias(f"_wf_{k}") for k in carries],
+    )
+    s2 = s1.groupBy("_sc").agg(
+        *[_mod(k, F.sum(f"_t_{k}")).alias(f"_st_{k}") for k in sums],
+        *[F.max(f"_f_{k}").alias(f"_sf_{k}") for k in carries],
+    )
+    prev = s2.select(
+        F.col("_sc").alias("_sc_b"),
+        *[F.col(f"_st_{k}").alias(f"_st_{k}_b") for k in sums],
+        *[F.col(f"_sf_{k}").alias(f"_sf_{k}_b") for k in carries],
+    )
+    tri = (
+        s2.select("_sc")
+        .join(F.broadcast(prev), F.col("_sc_b") < F.col("_sc"), "left")
+        .groupBy("_sc")
+        .agg(
+            *[_mod(k, F.sum(f"_st_{k}_b")).alias(f"_sup_{k}") for k in sums],
+            *[F.max(f"_sf_{k}_b").alias(f"_supf_{k}") for k in carries],
+        )
+    )
+    return within.join(F.broadcast(tri), on="_sc", how="left").select(
+        GO_CHUNK,
+        *[
+            _mod(k, F.col(f"_w_{k}") + F.coalesce(f"_sup_{k}", F.lit(0))).alias(k)
+            for k in sums
+        ],
+        *[
+            # any within-super predecessor chunk is later than every
+            # earlier super, so within wins whenever present
+            F.coalesce(F.col(f"_wf_{k}"), F.col(f"_supf_{k}"))
+            .getField("v").alias(k)
+            for k in carries
+        ],
+    )

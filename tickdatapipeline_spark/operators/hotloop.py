@@ -86,6 +86,8 @@ def hot_loop(
     stats_ticks_per_bar: int = C.STATS_TICKS_PER_BAR,
     keep_internals: bool = False,
     seed: "HotLoopSeed | dict | None" = None,
+    chunk_size: int | None = None,
+    valid_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """expanded ticks -> processed ticks.
 
@@ -97,9 +99,32 @@ def hot_loop(
     state is attached via a broadcast join of the (tiny) seed table,
     mirroring the reference's one-TickHotLoopState-per-stream model.
     None == start of stream.
+
+    ``chunk_size`` (single-stream batch only; ignored with stream_id or
+    per-stream seeds): two-pass chunked global order — every running
+    quantity becomes a chunk-local window prefix plus a broadcast
+    per-chunk offset (operators/globalorder.py), removing the
+    SinglePartition exchange. The cumulative-valid offsets come from one
+    summary collect; core_seq then needs NO second pass — it is the
+    row-local function valid_cum - 1[seed==0 and a first-valid row seen],
+    because exactly one valid row per cold stream is non-core. Bit-
+    identical to the windowed plan (pinned by tests).
     """
+    use_chunks = (
+        chunk_size is not None and stream_id is None and not isinstance(seed, dict)
+    )
+    if use_chunks:
+        from tickdatapipeline_spark.operators.globalorder import (
+            GO_CHUNK,
+            add_chunk,
+            chunk_offsets_plan,
+        )
+
+        expanded = add_chunk(expanded, "tick_idx - 1", chunk_size)
+        w = Window.partitionBy(GO_CHUNK).orderBy("tick_idx")
+    else:
+        w = Window.partitionBy(*([stream_id] if stream_id else [])).orderBy("tick_idx")
     part = [stream_id] if stream_id else []
-    w = Window.partitionBy(*part).orderBy("tick_idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
 
     # Seed scalars become _hs_* columns: literals for the single-seed
@@ -154,9 +179,26 @@ def hot_loop(
     df = df.withColumn(
         "is_valid", F.col("raw_price").between(cfg.min_price, cfg.max_price)
     )
-    df = df.withColumn(
-        "n_valid_upto", F.count(F.when(F.col("is_valid"), 1)).over(wcum) + _hs("_hs_nvalid")
-    )
+    if use_chunks:
+        # shared by the offsets subplans, the bar aggregate and the main
+        # plan — pin once so the single job computes the lineage once
+        df = df.localCheckpoint(eager=False)
+        if valid_offsets is None:
+            valid_offsets = chunk_offsets_plan(
+                df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)}
+            )
+        df = df.join(F.broadcast(valid_offsets), on=GO_CHUNK, how="left")
+        batch_valid_cum = (
+            F.count(F.when(F.col("is_valid"), 1)).over(wcum)
+            + F.coalesce("_go_v0", F.lit(0))
+        )
+        df = df.withColumn("_go_bvc", batch_valid_cum)
+        df = df.withColumn("n_valid_upto", F.col("_go_bvc") + _hs("_hs_nvalid"))
+    else:
+        df = df.withColumn(
+            "n_valid_upto",
+            F.count(F.when(F.col("is_valid"), 1)).over(wcum) + _hs("_hs_nvalid"),
+        )
     is_core = F.col("is_valid") & (F.col("n_valid_upto") >= 2)
     is_first = F.col("is_valid") & (F.col("n_valid_upto") == 1)
     is_hold = (~F.col("is_valid")) & (F.col("n_valid_upto") >= 1)
@@ -176,9 +218,21 @@ def hot_loop(
     )
 
     # Bar position over core (accepted) ticks only (:377-381).
-    df = df.withColumn(
-        "core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum) + _hs("_hs_cseq")
-    )
+    if use_chunks:
+        # row-local: valid rows are all core except the single `first`
+        # row a cold stream has (seed n_valid0 == 0) — no second pass
+        first_corr = (
+            F.when(F.col("_go_bvc") >= 1, F.lit(1)).otherwise(F.lit(0))
+            if (seed or HotLoopSeed()).n_valid0 == 0
+            else F.lit(0)
+        )
+        df = df.withColumn(
+            "core_seq", F.col("_go_bvc") - first_corr + _hs("_hs_cseq")
+        )
+    else:
+        df = df.withColumn(
+            "core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum) + _hs("_hs_cseq")
+        )
     n = stats_ticks_per_bar
     df = df.withColumn(
         "bars_done", F.when(F.col("is_core"), (F.col("core_seq") / n).cast("long"))
@@ -213,11 +267,30 @@ def hot_loop(
         F.when(is_pb, F.col("cnt") + _hs("_hs_pcnt")).otherwise(F.col("cnt")),
     )
     bars = bars.where(F.col("cnt") == n)
-    wb = Window.partitionBy(*part).orderBy("bar_ord").rowsBetween(Window.unboundedPreceding, 0)
+    if use_chunks:
+        # same two-pass shape one level up the hierarchy: the bar frame
+        # is rows/144 but still unbounded for a single 100 TB stream
+        bars_chunk = max(chunk_size // n, 1)
+        bars = add_chunk(bars, "bar_ord", bars_chunk).localCheckpoint(eager=False)
+        bar_offs = chunk_offsets_plan(
+            bars,
+            sums={"_go_bmin0": F.col("bmin"), "_go_bmax0": F.col("bmax")},
+        )
+        bars = bars.join(F.broadcast(bar_offs), on=GO_CHUNK, how="left")
+        wb = (
+            Window.partitionBy(GO_CHUNK).orderBy("bar_ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum_bmin = F.sum("bmin").over(wb) + F.coalesce("_go_bmin0", F.lit(0))
+        cum_bmax = F.sum("bmax").over(wb) + F.coalesce("_go_bmax0", F.lit(0))
+    else:
+        wb = Window.partitionBy(*part).orderBy("bar_ord").rowsBetween(Window.unboundedPreceding, 0)
+        cum_bmin = F.sum("bmin").over(wb)
+        cum_bmax = F.sum("bmax").over(wb)
     k = (F.col("bar_ord") + 1).cast("double")
     norm = F.greatest(
-        (F.sum("bmax").over(wb) + _hs("_hs_sbmax")).cast("double") / k
-        - (F.sum("bmin").over(wb) + _hs("_hs_sbmin")).cast("double") / k,
+        (cum_bmax + _hs("_hs_sbmax")).cast("double") / k
+        - (cum_bmin + _hs("_hs_sbmin")).cast("double") / k,
         F.lit(1.0),
     )
     norms = bars.select(
@@ -228,6 +301,10 @@ def hot_loop(
         # e.g. at norm = 131072 where 0.5 must round DOWN to 0.
         F.bround(F.lit(65536.0) / norm, 0).cast("long").alias("inv_q16"),
     )
+    if use_chunks:
+        # tiny relative to ticks; pin so the encoder-stage summary job
+        # and the final plan don't both recompute the bar aggregation
+        norms = norms.localCheckpoint(eager=False)
 
     # NO broadcast hint: norms is rows/144 — tiny locally (AQE broadcasts
     # it automatically) but far too large to broadcast at 100 TB, where
@@ -265,15 +342,31 @@ def hot_loop(
     # ---- encoders (E1-E5, dispatch :416-432) ----
     enc = cfg.encoder_type
     invoked = ~F.col("is_zero")  # encoders run on every row except `zero` rows
+    if use_chunks and enc != "hexad16":
+        # the encoder prefix needs one more chunk summary over the
+        # post-join frame — pin it so summary + final plan share work
+        df = df.localCheckpoint(eager=False)
     if enc == "derivative":
         # prev ratio over core rows only (:257-282; hold/first rows fall to
         # the hexad16 branch in the reference and do not touch prev state).
-        prev = F.coalesce(
-            F.last(F.when(F.col("is_core"), F.col("ratio")), ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            _hs("_hs_lratio"),
-        )
+        local_prev = F.last(
+            F.when(F.col("is_core"), F.col("ratio")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        if use_chunks:
+            # cross-chunk carry: last core ratio of preceding chunks
+            off2 = chunk_offsets_plan(
+                df,
+                carries={
+                    "_go_lr": (
+                        F.col("tick_idx"),
+                        F.when(F.col("is_core"), F.col("ratio")),
+                    )
+                },
+            )
+            df = df.join(F.broadcast(off2), on=GO_CHUNK, how="left")
+            prev = F.coalesce(local_prev, F.col("_go_lr"), _hs("_hs_lratio"))
+        else:
+            prev = F.coalesce(local_prev, _hs("_hs_lratio"))
         sig_re = F.when(F.col("is_core"), F.col("ratio")).otherwise(F.lit(0.0))
         sig_im = F.when(
             F.col("is_core"),
@@ -289,7 +382,23 @@ def hot_loop(
         # h values with >16 fractional bits (e.g. h=2^-17).
         scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
         dp = F.when(F.col("is_core"), F.bround(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
-        theta = F.pmod(F.sum(dp).over(wcum) + _hs("_hs_theta"), F.lit(C.Q32_MOD))
+        if use_chunks:
+            # offsets are reduced mod 2^32 at every level so the int64
+            # column sum (<= chunk_size*2^31 + 2^32 + 2^32) cannot
+            # overflow — the chunked form is MORE exact at extreme
+            # length than a single running int64 sum
+            df = df.withColumn("_go_dp", dp)
+            off2 = chunk_offsets_plan(
+                df, sums={"_go_th0": F.col("_go_dp")}, mods={"_go_th0": C.Q32_MOD}
+            )
+            df = df.join(F.broadcast(off2), on=GO_CHUNK, how="left")
+            theta = F.pmod(
+                F.sum("_go_dp").over(wcum)
+                + F.coalesce("_go_th0", F.lit(0)) + _hs("_hs_theta"),
+                F.lit(C.Q32_MOD),
+            )
+        else:
+            theta = F.pmod(F.sum(dp).over(wcum) + _hs("_hs_theta"), F.lit(C.Q32_MOD))
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")  # top 10 bits (:173-176)
         lre, lim = _lut_trig(idx)
         sig_re = F.when(invoked, lre).otherwise(F.lit(0.0))
@@ -301,8 +410,25 @@ def hot_loop(
     elif enc == "amc":
         # Carrier advances by a constant 2^32/16 per *invocation* (:203-230);
         # closed form: theta = incr * (# invoked rows so far) mod 2^32.
-        amc_n = F.count(F.when(invoked, 1)).over(wcum) + _hs("_hs_amcn")
-        theta = F.pmod(amc_n * F.lit(C.AMC_CARRIER_INCREMENT_Q32), F.lit(C.Q32_MOD))
+        if use_chunks:
+            off2 = chunk_offsets_plan(
+                df, sums={"_go_n0": F.when(invoked, 1).otherwise(0)}
+            )
+            df = df.join(F.broadcast(off2), on=GO_CHUNK, how="left")
+            amc_n = (
+                F.count(F.when(invoked, 1)).over(wcum)
+                + F.coalesce("_go_n0", F.lit(0)) + _hs("_hs_amcn")
+            )
+        else:
+            amc_n = F.count(F.when(invoked, 1)).over(wcum) + _hs("_hs_amcn")
+        # reduce mod 16 before the multiply: INCR*16 == 2^32 exactly, so
+        # theta depends only on amc_n mod 16 — and amc_n * INCR would
+        # overflow int64 past 2^35 rows
+        assert C.AMC_CARRIER_INCREMENT_Q32 * 16 == C.Q32_MOD
+        theta = F.pmod(
+            F.pmod(amc_n, F.lit(16)) * F.lit(C.AMC_CARRIER_INCREMENT_Q32),
+            F.lit(C.Q32_MOD),
+        )
         idx = (theta / F.lit(2**C.CPM_INDEX_SHIFT)).cast("long")
         lre, lim = _lut_trig(idx)
         sig_re = F.when(invoked, F.col("ratio") * lre).otherwise(F.lit(0.0))

@@ -49,6 +49,22 @@ def _tick_query(sp_cfg, round_sig: bool):
     return fn, sql
 
 
+def twopass_derivative_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale single-stream formulation, driver-gated on its own:
+    forces the chunked two-pass plan (zero SinglePartition exchanges,
+    operators/globalorder.py) regardless of input size, so the scale
+    plan — not just the small-input window plan — is hash-verified
+    against the DuckDB oracle every round. Small chunk_size exercises
+    many chunk boundaries at sf0.01."""
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events
+
+    raw = ticks_from_events(spark, sf_dir, chunk_size=997)
+    df = hot_loop(expand_volume(raw, chunk_size=997), SP_DERIV, chunk_size=997)
+    return df.select(*TICK_COLS)
+
+
 BAR_COLS = ["bar_idx", "bar_ticks", "bar_volume", "bar_open_raw", "bar_high_raw",
             "bar_low_raw", "bar_close_raw", "bar_average_raw", "bar_price_delta",
             "bar_sig_re", "bar_sig_im", "bar_normalization", "bar_flags",
@@ -469,6 +485,9 @@ def queries() -> dict[str, tuple]:
     bf_fn, bf_sql = _bar_query(BP_FIR)
     return {
         "tick_pipeline_derivative": (d_fn, d_sql),
+        # same oracle as the windowed flagship: the two formulations
+        # must be indistinguishable to the gate
+        "tick_pipeline_derivative_twopass": (twopass_derivative_fn, d_sql),
         "tick_pipeline_hexad16": (h_fn, h_sql),
         "tick_pipeline_cpm": (c_fn, c_sql),
         "tick_pipeline_amc": (a_fn, a_sql),

@@ -58,6 +58,64 @@ def set_ticks_cache(enabled: bool) -> None:
 _PLAIN_COLS = ["tick_idx", "timestamp", "raw_price", "price_delta",
                "sig_re", "sig_im", "normalization", "status_flag"]
 
+# Single-stream global-order strategy (SURVEY §4 item 1): below the
+# threshold the serial single-window plan wins outright (the stream fits
+# one partition; the two-pass plan's ~30 extra scheduling-bound stages
+# cost more than the whole query — measured 2.5 s vs 6.5-7.5 s at sf0.1,
+# PERF.md r05); above it the windowed plan stops scaling and the chunked
+# two-pass formulation (operators/globalorder.py — chunk-local window
+# prefixes + in-plan broadcast offsets, zero SinglePartition exchanges)
+# takes over. A deterministic size rule, same spirit as Spark's own
+# broadcast-join threshold; both plans are bit-identical
+# (tests/test_hotloop.py) and the scale plan's shape is pinned by
+# tests/test_plan_shape.py via set_two_pass_threshold(0).
+TWO_PASS_CHUNK = 8192
+# measured crossover (PERF.md r05): 100K events — window 2.5 s vs
+# two-pass 6.5 s; 1M — 15.0 vs 12.5; 4M — 96.6 vs 36.0 (2.7x)
+TWO_PASS_MIN_EVENTS = 500_000
+_TWO_PASS_THRESHOLD = TWO_PASS_MIN_EVENTS
+
+
+def set_two_pass_threshold(n: int | None) -> None:
+    """Override the two-pass cutover (tests / scale probes); None resets."""
+    global _TWO_PASS_THRESHOLD
+    _TWO_PASS_THRESHOLD = TWO_PASS_MIN_EVENTS if n is None else n
+
+
+def _events_rows(sf_dir: str) -> int:
+    """Row count from parquet footer metadata — no Spark job. Handles
+    both a single file (driver testdata) and a directory of parts."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(f"{sf_dir}/events.parquet")
+    if p.is_dir():
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows for f in p.glob("*.parquet")
+        )
+    return pq.ParquetFile(str(p)).metadata.num_rows
+
+
+def _chain(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig,
+           keep_internals: bool) -> DataFrame:
+    """Flagship chain with the size-adaptive global-order strategy.
+
+    Two-pass mode: each operator builds its own in-plan chunk-offset
+    subquery, all keyed on the ONE chunk column the source assigns, so
+    the chain pays a single full-data exchange and zero SinglePartition
+    windows; chunk_size scales with the stream so #chunks stays O(10^4)."""
+    n = _events_rows(sf_dir)
+    if n < _TWO_PASS_THRESHOLD:
+        return hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
+                        keep_internals=keep_internals)
+    chunk = max(TWO_PASS_CHUNK, n // 10_000)
+    raw = ticks_from_events(spark, sf_dir, chunk_size=chunk)
+    return hot_loop(
+        expand_volume(raw, chunk_size=chunk), sp,
+        keep_internals=keep_internals, chunk_size=chunk,
+    )
+
 
 def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig = SP_DERIV,
                     keep_internals: bool = False) -> DataFrame:
@@ -66,15 +124,13 @@ def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig
         # only the default config's lineage is shared across queries
         # (bars, enrichment, q1-q10); the other encoders are one-shot —
         # persisting them would cost a materialization nobody reuses
-        return hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
-                        keep_internals=keep_internals)
+        return _chain(spark, sf_dir, sp, keep_internals)
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _TICKS_CACHE.get(key)
     if df is None:
         # materialize WITH internals: the plain shape is a strict column
         # subset, so one cached frame serves both callers
-        df = hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
-                      keep_internals=True).persist()
+        df = _chain(spark, sf_dir, sp, keep_internals=True).persist()
         _TICKS_CACHE[key] = df
     return df if keep_internals else df.select(*_PLAIN_COLS)
 

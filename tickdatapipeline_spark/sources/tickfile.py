@@ -65,9 +65,12 @@ def read_tick_file(spark: SparkSession, path: str) -> DataFrame:
 # event (exercises hold-last, TickHotLoopF32.jl:304-326) and +75 jumps
 # every 97th event (exercises the jump guard :347-351).
 
-_TICKS_FROM_EVENTS_CORE = """
+# field derivation without the line_no window, so the Spark two-pass
+# path can number lines distributedly; the windowed wrapper below is the
+# oracle/default shape
+_TICKS_FIELDS_CORE = """
 SELECT
-    row_number() OVER (ORDER BY event_id)                         AS line_no,
+    event_id,
     printf('%08d %06d 0000000',
            20250319 + event_id // 240000,
            event_id % 240000)                                     AS ts_str,
@@ -89,19 +92,73 @@ FROM (
 )
 """
 
+_TICKS_FROM_EVENTS_CORE = (
+    "SELECT row_number() OVER (ORDER BY event_id) AS line_no,\n"
+    "       ts_str, bid, ask, last, volume\n"
+    "FROM (" + _TICKS_FIELDS_CORE + ")"
+)
+
 # DuckDB dialect: // is integer division, printf is C-style.
 TICKS_FROM_EVENTS_SQL = _TICKS_FROM_EVENTS_CORE.format(events="events")
 
-# Spark dialect: DIV for integer division; format_string == printf.
-_TICKS_FROM_EVENTS_SPARK = _TICKS_FROM_EVENTS_CORE.replace(
-    "event_id // 240000", "event_id DIV 240000"
-).replace("printf(", "format_string(")
+
+def _spark_dialect(sql: str) -> str:
+    # Spark dialect: DIV for integer division; format_string == printf.
+    return sql.replace("event_id // 240000", "event_id DIV 240000").replace(
+        "printf(", "format_string(")
 
 
-def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ticks_raw fixture derived from {sf_dir}/events.parquet (FIXTURES.md F1)."""
+def ticks_base_from_events(
+    spark: SparkSession, sf_dir: str, chunk_size: int
+) -> DataFrame:
+    """Chunked pre-numbering fixture frame: fields + the shared chunk id
+    (event_id DIV chunk_size), pinned once. plans/common._chain computes
+    ONE fused per-chunk summary over this frame that serves the whole
+    source->expand->hot-loop chain (line offsets, lag carry, tick
+    offsets, valid-count offsets) — one collect instead of three."""
+    from tickdatapipeline_spark.operators.globalorder import add_chunk
+
     read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
-    return spark.sql(_TICKS_FROM_EVENTS_SPARK.format(events="__events_src"))
+    base = spark.sql(_spark_dialect(_TICKS_FIELDS_CORE).format(events="__events_src"))
+    return add_chunk(base, "event_id", chunk_size).localCheckpoint(eager=False)
+
+
+def ticks_from_events(
+    spark: SparkSession, sf_dir: str, chunk_size: int | None = None,
+    *, base: DataFrame | None = None, line_offsets: DataFrame | None = None,
+) -> DataFrame:
+    """ticks_raw fixture derived from {sf_dir}/events.parquet (FIXTURES.md F1).
+
+    With ``chunk_size``, line numbering uses the two-pass chunked
+    formulation (operators/globalorder.py) instead of a SinglePartition
+    row_number window: local row_number per event_id-chunk + broadcast
+    in-plan count offsets. Values are identical; the output carries the
+    chunk column so downstream operators reuse its partitioning.
+    ``base`` / ``line_offsets`` inject the pre-built frame and the fused
+    offsets frame (see ticks_base_from_events / plans/common._chain);
+    otherwise they are computed here standalone.
+    """
+    if chunk_size is None:
+        read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
+        return spark.sql(_spark_dialect(_TICKS_FROM_EVENTS_CORE).format(events="__events_src"))
+
+    from pyspark.sql import Window as W
+
+    from tickdatapipeline_spark.operators.globalorder import GO_CHUNK, chunk_offsets_plan
+
+    if base is None:
+        base = ticks_base_from_events(spark, sf_dir, chunk_size)
+    if line_offsets is None:
+        line_offsets = chunk_offsets_plan(base, sums={"_go_ln0": F.lit(1)})
+    wloc = W.partitionBy(GO_CHUNK).orderBy("event_id")
+    return (
+        base.join(F.broadcast(line_offsets), on=GO_CHUNK, how="left")
+        .select(
+            (F.row_number().over(wloc) + F.coalesce("_go_ln0", F.lit(0)))
+            .cast("long").alias("line_no"),
+            "ts_str", "bid", "ask", "last", "volume", GO_CHUNK,
+        )
+    )
 
 
 def read_tick_files(spark: SparkSession, path_glob: str) -> DataFrame:
