@@ -893,3 +893,100 @@ def test_runner_restart_resumes_from_snapshot(spark, tmp_path):
         for c in OUT_COLS:
             assert g[c] == w[c], f"tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
     assert pipe2.ticks_processed == len(whole)
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks x purchases):
+    in-watermark data produces exactly the batch join's rows; a click
+    arriving later than the watermark is dropped and never joins."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.streaming.eventtime import attributed_clicks_stream
+
+    H = 3600 * 1_000_000  # an hour in epoch-micros
+    B = 24 * H  # base offset: a row at EXACTLY epoch 0 equals the
+    # initial watermark and is filtered as late (engine predicate is
+    # event_time <= watermark) — real event times are never epoch 0
+
+    def write(d, fname, rows, i):
+        p = tmp_path / d / fname
+        with open(p, "w") as f:
+            for eid, tus, uid in rows:
+                f.write(json.dumps({"event_id": eid, "tus": B + tus,
+                                    "user_id": uid}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "purchases").mkdir()
+    # batch 0 (both sides): user 1 clicks at h0 and h3, user 2 at h1;
+    # purchases: user 1 at h2 (lookback 4h catches both of user 1's
+    # in-window clicks... h3 > h2 so only the h0 click), user 2 at h6
+    # (h1 click is 5h before -> outside the 4h lookback)
+    write("clicks", "c0.json", [(101, 0 * H, 1), (102, 3 * H, 1),
+                                (103, 1 * H, 2)], 0)
+    write("purchases", "p0.json", [(201, 2 * H, 1), (202, 6 * H, 2)], 0)
+    # batch 1: advance both watermarks far past the early hours
+    write("clicks", "c1.json", [(104, 30 * H, 3)], 1)
+    write("purchases", "p1.json", [(203, 30 * H + 1, 3)], 1)
+    # batch 2: one more advancing batch — join state eviction runs at
+    # the END of the batch in which the watermark has passed, so the
+    # purchase-201 state (h2) is dropped when this batch completes
+    write("clicks", "c2.json", [(106, 31 * H, 4)], 2)
+    write("purchases", "p2.json", [(204, 31 * H + 1, 5)], 2)
+    # batch 3: a LATE click at h1 for user 1 (watermark is ~h29) — must
+    # be dropped, even though a state-free batch join would pair it
+    # with purchase 201 if purchases replayed
+    write("clicks", "c3.json", [(105, 1 * H + 60_000_000, 1)], 3)
+    write("purchases", "p3.json", [], 3)
+
+    df = attributed_clicks_stream(
+        spark, str(tmp_path / "clicks"), str(tmp_path / "purchases"),
+        lookback="4 hours", watermark="2 hours",
+    )
+    q = (
+        df.writeStream.format("memory").queryName("attrib_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.click_event_id, r.purchase_event_id, r.lag_s)
+        for r in spark.table("attrib_stream").collect()
+    }
+    # batch-equality on in-watermark data: the naive batch join over the
+    # SAME on-time rows (everything except the late click 105)
+    clicks = spark.createDataFrame(
+        [(101, B + 0 * H, 1), (102, B + 3 * H, 1), (103, B + 1 * H, 2),
+         (104, B + 30 * H, 3), (106, B + 31 * H, 4)],
+        "event_id long, tus long, user_id long",
+    )
+    purchases = spark.createDataFrame(
+        [(201, B + 2 * H, 1), (202, B + 6 * H, 2), (203, B + 30 * H + 1, 3),
+         (204, B + 31 * H + 1, 5)],
+        "event_id long, tus long, user_id long",
+    )
+    want = {
+        (r.user_id, r.click_event_id, r.purchase_event_id, r.lag_s)
+        for r in clicks.alias("c").join(
+            purchases.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.tus") >= F.col("p.tus") - 4 * H)
+            & (F.col("c.tus") <= F.col("p.tus")),
+        ).select(
+            F.col("c.user_id"),
+            F.col("c.event_id").alias("click_event_id"),
+            F.col("p.event_id").alias("purchase_event_id"),
+            F.expr("(p.tus - c.tus) DIV 1000000").alias("lag_s"),
+        ).collect()
+    }
+    assert got == want
+    assert (1, 101, 201, 7200) in got          # the joined pair
+    assert all(c != 105 for _, c, _p, _l in got)  # late click dropped

@@ -125,6 +125,80 @@ def deduped_events_stream(
     )
 
 
+CLICK_SCHEMA = "event_id long, tus long, user_id long"
+PURCHASE_SCHEMA = "event_id long, tus long, user_id long"
+
+
+def attributed_clicks_stream(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    lookback: str = "4 hours",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream-stream watermarked interval join — the streaming twin of
+    the batch attribution range join (plans/beyond.py::attribution_fn):
+    each click joins every purchase by the same user whose timestamp is
+    within ``lookback`` AFTER the click.
+
+    Spark's stream-stream inner join keeps BOTH sides in state; the
+    watermarks plus the explicit event-time range condition are what
+    bound it — the engine derives, from ``click_ts >= purchase_ts -
+    lookback`` and ``click_ts <= purchase_ts``, exactly how long a
+    buffered click can still find a future purchase (lookback +
+    watermark) and how long a purchase can still meet a late click
+    (watermark), and evicts state past those horizons. Without the range
+    condition the state would grow without bound; with it this runs
+    forever on an unbounded clickstream. Late contract (append mode):
+    a row later than its side's watermark can no longer join once the
+    engine has run state eviction for the passed watermark — eviction
+    executes at the END of the micro-batch in which the watermark
+    advanced, so the guarantee takes effect from the following batch
+    (pinned in test_streaming).
+
+    Output matches the batch twin's shape: (user_id, click_event_id,
+    purchase_event_id, lag_s).
+    """
+    clicks = (
+        spark.readStream.schema(CLICK_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(clicks_dir)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_event_id"),
+            F.timestamp_micros(F.col("tus")).alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(PURCHASE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(purchases_dir)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.timestamp_micros(F.col("tus")).alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_event_id",
+        "purchase_event_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 1000000"
+        ).alias("lag_s"),
+    )
+
+
 def run_windowed_events_to_memory(
     spark: SparkSession,
     input_dir: str,
