@@ -126,3 +126,33 @@ def test_capture_partitioned_prunes(spark, tmp_path):
     cap2 = tmp_path / "cap_overlap"
     n2 = capture(processed, str(cap2), partition_by=("tick_idx",))
     assert n2 == n
+
+
+def test_ticks_cache_accounting_and_eviction(spark):
+    """The shared ticks cache reports per-entry persisted bytes and
+    evicts FIFO past the cap — at sf10+ an unbounded persist cache is
+    the first OOM candidate (r04 verdict stretch item)."""
+    from tickdatapipeline_spark.plans import common as C
+
+    C._TICKS_CACHE.clear()
+    C.set_ticks_cache(True)
+    C.set_ticks_cache_cap(1)
+    try:
+        a = C.processed_ticks(spark, "/root/testdata/sf0.001")
+        a.count()  # materialize the persist
+        info = C.ticks_cache_info(spark)
+        assert len(info) == 1 and info[0]["materialized"]
+        assert info[0]["mem_bytes"] + info[0]["disk_bytes"] > 0
+
+        b = C.processed_ticks(spark, "/root/testdata/sf0.01")
+        b.count()
+        info = C.ticks_cache_info(spark)  # cap 1: sf0.001 evicted
+        assert [e["sf_dir"] for e in info] == ["/root/testdata/sf0.01"]
+        assert len(C._TICKS_CACHE) == 1
+        # the evicted frame is still usable — it just recomputes
+        assert a.count() > 0
+    finally:
+        C.set_ticks_cache_cap(4)
+        for df in C._TICKS_CACHE.values():
+            df.unpersist()
+        C._TICKS_CACHE.clear()
