@@ -98,3 +98,56 @@ def test_enrichment_nulls_except_completing_tick(spark):
             assert r.bar_close_raw is not None
         else:
             assert r.bar_idx is None and r.bar_close_raw is None
+
+
+@pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+def test_chunked_bars_equal_windowed(spark, method, tpb):
+    """Two-pass chunked bar_aggregate must be bit-identical to the
+    windowed plan across many chunk boundaries, both averaging methods,
+    with and without a continuation seed."""
+    from tickdatapipeline_spark.operators.bars import BarSeed
+
+    prices = [41970 + (i * 7) % 23 - 11 for i in range(120)]
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=tpb, bar_method=method,
+                             normalization_window_bars=3)
+    ticks = processed(spark, prices)
+    win = bar_aggregate(ticks, bp).orderBy("bar_idx").toPandas()
+    # chunk_size is in ticks; tpb*2 -> 2-bar chunks, many boundaries
+    chk = bar_aggregate(ticks, bp, chunk_size=tpb * 2).orderBy("bar_idx")
+    chk = chk.select(list(win.columns)).toPandas()
+    assert win.equals(chk)
+
+    seed = BarSeed(partial_cnt0=2, partial_open0=41960, partial_high0=41980,
+                   partial_low0=41950, bars_done0=7, prev_avg0=41965,
+                   sum_high0=293860, sum_low0=293630, norm0=12.5,
+                   tail_prices0=tuple((i - 20, 41900 + i) for i in range(8)))
+    # seeded continuation: batch ticks continue the numbering
+    from pyspark.sql import functions as F
+
+    cont = ticks.withColumn("tick_idx", F.col("tick_idx") + 7 * tpb + 2)
+    win_s = bar_aggregate(cont, bp, seed=seed).orderBy("bar_idx").toPandas()
+    chk_s = bar_aggregate(cont, bp, seed=seed, chunk_size=tpb * 2).orderBy("bar_idx")
+    chk_s = chk_s.select(list(win_s.columns)).toPandas()
+    assert win_s.equals(chk_s)
+
+
+def test_chunked_bars_plan_has_no_single_partition(spark):
+    """End-to-end bars query in at-scale mode: ticks chain AND bar
+    frame both two-pass -> zero SinglePartition exchanges anywhere."""
+    from tickdatapipeline_spark.plans.common import (
+        BP_BOX,
+        pipeline_bars,
+        set_ticks_cache,
+        set_two_pass_threshold,
+    )
+
+    set_ticks_cache(False)
+    set_two_pass_threshold(0)
+    try:
+        df = pipeline_bars(spark, "/root/testdata/sf0.001", BP_BOX)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert df.count() > 0
+    finally:
+        set_two_pass_threshold(None)
+        set_ticks_cache(True)

@@ -139,6 +139,7 @@ def bar_aggregate(
     cfg: BarProcessingConfig,
     stream_id: str | None = None,
     seed: "BarSeed | dict | None" = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Tick stream -> one row per completed bar.
 
@@ -151,11 +152,25 @@ def bar_aggregate(
     attached via a broadcast join of the (tiny) seed table, mirroring
     the reference's per-stream BarProcessor state
     (/root/reference/src/BarProcessor.jl:41-68). None == start of stream.
+
+    ``chunk_size`` (single-stream batch, measured in TICKS like
+    hot_loop's): two-pass chunked global order over the bar frame — the
+    bar stream is ticks/n rows but still unbounded for a single 100 TB
+    stream, so B4's cumulative H/L sums, the norm carry-forward and
+    B5's prev-average lag each become chunk-local prefixes plus in-plan
+    broadcast offsets (operators/globalorder.py), and ``k`` (1-based
+    bars-completed) reduces to the row-local ``bar_id + 1 + seed`` —
+    bar ids are dense, the trailing-partial filter only ever drops the
+    last bar. Zero SinglePartition exchanges; bit-identical to the
+    windowed plan (tests/test_bars.py).
     """
     if not cfg.enabled:
         raise ValueError("bar processing disabled in config")
     part = [stream_id] if stream_id else []
     n = cfg.ticks_per_bar
+    use_chunks = (
+        chunk_size is not None and stream_id is None and not isinstance(seed, dict)
+    )
 
     seeds: dict | None = None
     if isinstance(seed, dict):
@@ -241,33 +256,90 @@ def bar_aggregate(
             ).cast("long"),
         )
 
-    wb = Window.partitionBy(*part).orderBy("bar_id")
+    if use_chunks:
+        from tickdatapipeline_spark.operators.globalorder import (
+            GO_CHUNK,
+            add_chunk,
+            chunk_offsets_plan,
+        )
+
+        bars = add_chunk(bars, "bar_id", max(chunk_size // n, 1))
+        # shared by two offsets subplans and the main plan — pin once
+        bars = bars.localCheckpoint(eager=False)
+        wb = Window.partitionBy(GO_CHUNK).orderBy("bar_id")
+    else:
+        wb = Window.partitionBy(*part).orderBy("bar_id")
     wcum = wb.rowsBetween(Window.unboundedPreceding, 0)
 
     # B4: normalization recomputed every W bars from cumulative H/L sums
     # (BarProcessor.jl:247-270). bars_completed k is 1-based; a recompute
     # happens AT bar k when k % W == 0 and uses stats through bar k.
-    k = (F.row_number().over(wb) + F.coalesce(F.col("_sd_bdone"), F.lit(0))).cast("long")
+    if use_chunks:
+        # bar ids are dense (ticks are dense; the trailing-partial
+        # filter only drops the final bar) and the batch's first bar has
+        # bar_id == _sd_bdone, so row_number + _sd_bdone == bar_id + 1:
+        # k is row-local, no window needed
+        k = (F.col("bar_id") + 1).cast("long")
+        bars_off = chunk_offsets_plan(
+            bars,
+            sums={"_go_h0": F.col("bar_high_raw"), "_go_l0": F.col("bar_low_raw")},
+        )
+        bars = bars.join(F.broadcast(bars_off), on=GO_CHUNK, how="left")
+        cum_high = (
+            F.sum("bar_high_raw").over(wcum) + F.coalesce("_go_h0", F.lit(0))
+            + F.coalesce(F.col("_sd_shigh"), F.lit(0))
+        ).cast("double")
+        cum_low = (
+            F.sum("bar_low_raw").over(wcum) + F.coalesce("_go_l0", F.lit(0))
+            + F.coalesce(F.col("_sd_slow"), F.lit(0))
+        ).cast("double")
+    else:
+        k = (F.row_number().over(wb) + F.coalesce(F.col("_sd_bdone"), F.lit(0))).cast("long")
+        cum_high = (F.sum("bar_high_raw").over(wcum) + F.coalesce(F.col("_sd_shigh"), F.lit(0))).cast("double")
+        cum_low = (F.sum("bar_low_raw").over(wcum) + F.coalesce(F.col("_sd_slow"), F.lit(0))).cast("double")
     bars = bars.withColumn("k", k)
-    cum_high = (F.sum("bar_high_raw").over(wcum) + F.coalesce(F.col("_sd_shigh"), F.lit(0))).cast("double")
-    cum_low = (F.sum("bar_low_raw").over(wcum) + F.coalesce(F.col("_sd_slow"), F.lit(0))).cast("double")
     norm_at_k = F.greatest(cum_high / F.col("k").cast("double") - cum_low / F.col("k").cast("double"), F.lit(1.0))
     w_recalc = cfg.normalization_window_bars
     bars = bars.withColumn(
         "_norm_recalc", F.when(F.col("k") % w_recalc == 0, norm_at_k)
     )
-    bars = bars.withColumn(
-        "bar_normalization",
-        F.coalesce(
-            F.last("_norm_recalc", ignorenulls=True).over(wcum),
-            F.col("_sd_norm"),   # carried recalc from the previous batch
-            F.lit(1.0),          # preload (BarProcessor.jl:126)
-        ),
-    )
+    if use_chunks:
+        # one more offsets pass for the carry-forward quantities that
+        # depend on columns computed above: the last norm recalc and the
+        # previous bar's (unclipped) average
+        carry_off = chunk_offsets_plan(
+            bars,
+            carries={
+                "_go_nr": (F.col("bar_id"), F.col("_norm_recalc")),
+                "_go_pavg": (F.col("bar_id"), F.col("bar_average_raw")),
+            },
+        )
+        bars = bars.join(F.broadcast(carry_off), on=GO_CHUNK, how="left")
+        bars = bars.withColumn(
+            "bar_normalization",
+            F.coalesce(
+                F.last("_norm_recalc", ignorenulls=True).over(wcum),
+                F.col("_go_nr"),     # last recalc in preceding chunks
+                F.col("_sd_norm"),   # carried recalc from the previous batch
+                F.lit(1.0),          # preload (BarProcessor.jl:126)
+            ),
+        )
+        prev_avg = F.coalesce(
+            F.lag("bar_average_raw").over(wb), F.col("_go_pavg"), F.col("_sd_pavg")
+        )
+    else:
+        bars = bars.withColumn(
+            "bar_normalization",
+            F.coalesce(
+                F.last("_norm_recalc", ignorenulls=True).over(wcum),
+                F.col("_sd_norm"),   # carried recalc from the previous batch
+                F.lit(1.0),          # preload (BarProcessor.jl:126)
+            ),
+        )
+        prev_avg = F.coalesce(F.lag("bar_average_raw").over(wb), F.col("_sd_pavg"))
 
     # B5: bar delta = avg_raw - prev avg_raw (UNclipped prev), first bar 0
     # (:272-291); jump guard + winsorize collapse to one clamp.
-    prev_avg = F.coalesce(F.lag("bar_average_raw").over(wb), F.col("_sd_pavg"))
     raw_delta = F.when(prev_avg.isNull(), F.lit(0)).otherwise(F.col("bar_average_raw") - prev_avg)
     bars = bars.withColumn("_raw_delta", raw_delta.cast("long"))
     eff = min(cfg.max_bar_jump, cfg.winsorize_bar_threshold)

@@ -188,7 +188,9 @@ def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig
 
 def pipeline_bars(spark: SparkSession, sf_dir: str, bp: BarProcessingConfig,
                   sp: SignalProcessingConfig = SP_DERIV) -> DataFrame:
-    return bar_aggregate(processed_ticks(spark, sf_dir, sp), bp)
+    n = _events_rows(sf_dir)
+    chunk = max(TWO_PASS_CHUNK, n // 10_000) if n >= _TWO_PASS_THRESHOLD else None
+    return bar_aggregate(processed_ticks(spark, sf_dir, sp), bp, chunk_size=chunk)
 
 
 def exact_percentiles(df: DataFrame, value_col: str, pcts: list[float],
