@@ -24,7 +24,9 @@ from tickdatapipeline_spark.sources.io import read_parquet
 # (README.md:137-154, VolumeExpansion.jl:84-113)
 
 
-def read_tick_file(spark: SparkSession, path: str) -> DataFrame:
+def read_tick_file(
+    spark: SparkSession, path: str, distributed_numbering: bool = False
+) -> DataFrame:
     """Parse a semicolon tick file into (line_no, ts_str, bid, ask, last, volume).
 
     Mirrors parse_tick_line (VolumeExpansion.jl:95-113): split on ';',
@@ -32,11 +34,21 @@ def read_tick_file(spark: SparkSession, path: str) -> DataFrame:
     silently drop empty/malformed lines (:162-171). `line_no` numbers the
     *parsed* lines, matching the reference's first_tick/previous_last
     bookkeeping which only advances on successful parses.
+
+    ``distributed_numbering``: number lines with the two-pass chunked
+    formulation instead of a SinglePartition row_number window. The
+    natural chunk is the FILE SPLIT: ``monotonically_increasing_id()``
+    is (partition_index << 33) + offset for a text scan, so its high
+    bits are a monotone chunk id in file-byte order and the low bits
+    order lines within the split — line_no = split-local row_number +
+    broadcast per-split count offsets (operators/globalorder.py). Same
+    values; the output carries the chunk column for downstream reuse.
     """
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), ";")
     df = (
-        lines.where(F.length(F.trim(F.col("value"))) > 0)
+        lines.withColumn("_mid", F.monotonically_increasing_id())
+        .where(F.length(F.trim(F.col("value"))) > 0)
         .withColumn("_parts", parts)
         # F.get is 0-based and null-safe on short arrays (ANSI mode keeps
         # element_at strict); try_cast nulls out non-integer fields.
@@ -52,10 +64,29 @@ def read_tick_file(spark: SparkSession, path: str) -> DataFrame:
             & F.col("last").isNotNull()
             & F.col("volume").isNotNull()
         )
-        .withColumn("line_no", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())))
-        .select("line_no", "ts_str", "bid", "ask", "last", "volume")
     )
-    return df
+    if not distributed_numbering:
+        return (
+            df.withColumn("line_no", F.row_number().over(Window.orderBy("_mid")))
+            .select("line_no", "ts_str", "bid", "ask", "last", "volume")
+        )
+
+    from tickdatapipeline_spark.operators.globalorder import (
+        GO_CHUNK,
+        chunk_offsets_plan,
+    )
+
+    df = df.withColumn(GO_CHUNK, F.shiftrightunsigned("_mid", 33))
+    off = chunk_offsets_plan(df, sums={"_go_ln0": F.lit(1)})
+    wloc = Window.partitionBy(GO_CHUNK).orderBy("_mid")
+    return (
+        df.join(F.broadcast(off), on=GO_CHUNK, how="left")
+        .select(
+            (F.row_number().over(wloc) + F.coalesce("_go_ln0", F.lit(0)))
+            .cast("long").alias("line_no"),
+            "ts_str", "bid", "ask", "last", "volume", GO_CHUNK,
+        )
+    )
 
 
 # --- deterministic events -> ticks derivation (shared with DuckDB oracle) ---
