@@ -48,12 +48,12 @@ def _registry() -> dict[str, tuple]:
             reg[name] = pair
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
-    # there are more gated queries (59 as of round 5) than the driver's
-    # 50-entry correctness window. Rotating the gated ordering by 9
-    # positions per round makes consecutive rounds' out-of-window sets
-    # disjoint, so every gated query lands a driver-verified CORRECTNESS
-    # row at least every other round; scripts_dev/oracle_parity.py (and
-    # the marked-slow pytest sweep wrapping it) still verifies ALL gated
+    # there are more gated queries (62 as of round 5) than the driver's
+    # 50-entry correctness window. The gated ordering rotates by 9
+    # positions per round (gcd(9, 62) = 1), so every gated query cycles
+    # through the window and lands a driver-verified CORRECTNESS row at
+    # least every third round; scripts_dev/oracle_parity.py (and the
+    # marked-slow pytest sweep wrapping it) still verifies ALL gated
     # queries in-repo every round.
     gated_names = [n for n, p in reg.items() if p[1] is not None]
     offset = (9 * _round_number()) % len(gated_names)

@@ -449,3 +449,56 @@ def test_ivf_kmeans_recall(spark):
     total = sum(len(truth[q]) for q in truth)
     recall = hits / total
     assert recall >= 0.4, f"kmeans-IVF recall@5 = {recall:.2f}"
+
+
+def test_event_funnel_golden(spark):
+    """Hand-computed funnel: stage entry must be strictly after the
+    previous stage's entry and within the conversion window; the first
+    qualifying event wins; avg_secs measures from first view."""
+    from tickdatapipeline_spark.plans.beyond import event_funnel
+
+    H = 3600 * 1_000_000
+    rows = [
+        # u1 converts fully: view@0, click@1h, purchase@2h
+        (1, "view", 0), (1, "click", H), (1, "purchase", 2 * H),
+        # u2: click BEFORE first view -> not a conversion; none after
+        (2, "click", 0), (2, "view", H),
+        # u3: click after view but outside the 24h window
+        (3, "view", 0), (3, "click", 30 * H),
+        # u4: view+click, purchase before click -> stops at click
+        (4, "view", 0), (4, "purchase", H), (4, "click", 2 * H),
+        # u5: two clicks after view -> earliest wins for the next window
+        (5, "view", 0), (5, "click", 2 * H), (5, "click", H),
+        (5, "purchase", H + 23 * H),  # within 24h of the FIRST click
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, tus long")
+    out = {r.stage: r for r in event_funnel(ev).collect()}
+    assert out["view_1"].n_users == 5
+    assert out["click_2"].n_users == 3          # u1, u4, u5
+    assert out["purchase_3"].n_users == 2       # u1, u5
+    assert out["view_1"].avg_secs_from_view == 0.0
+    # u1 entered click at 1h, u4 at 2h, u5 at 1h -> mean 4/3 h
+    assert out["click_2"].avg_secs_from_view == pytest.approx(4 / 3 * 3600, abs=1e-4)
+    # u1 purchase@2h, u5 purchase@24h -> mean 13h
+    assert out["purchase_3"].avg_secs_from_view == pytest.approx(13 * 3600, abs=1e-4)
+
+
+def test_curate_corpus_each_filter_discriminates(spark):
+    """Every curation stage drops its intended doc: the near-dup twin,
+    the unknown-language doc, the too-short doc, the stopword-free doc,
+    and the repetitive (low unique-ratio) doc."""
+    from tickdatapipeline_spark.plans.beyond import curate_corpus
+
+    base = ("the cat sat of the mat and it was that good for a while "
+            "quick brown fox jumps over lazy dog near the old river bank")
+    rows = [
+        (1, base, "en"),                                   # keeper
+        (2, base + " extra", "en"),                        # near-dup of 1 -> dropped
+        (3, "xyzzy plugh qwerty azerty " * 8, "xx"),       # no lang markers -> und
+        (4, "the cat sat", "en"),                          # too short
+        (5, " ".join(f"w{i}" for i in range(40)), "en"),   # no stopwords
+        (6, "the the the the the " * 8, "en"),             # low unique ratio
+    ]
+    d = docs_df(spark, rows)
+    kept = {r.doc_id for r in curate_corpus(d).collect()}
+    assert kept == {1}

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tickdatapipeline_spark.functions.rounding import sql_rnd
+from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd
 from tickdatapipeline_spark.sources.io import read_events, read_parquet
 from tickdatapipeline_spark.operators.asof import asof_join
 from tickdatapipeline_spark.operators.dedup import (
@@ -59,6 +59,7 @@ from tickdatapipeline_spark.operators.text import (
     stratified_sample,
     tfidf_topk,
     token_stats,
+    tokens,
     vocab_topk,
 )
 
@@ -279,6 +280,97 @@ FROM comp c JOIN csizes s USING (cluster_id)""",
 FROM documents d
 ANTI JOIN (SELECT node FROM comp WHERE node <> cluster_id) dr
   ON CAST(d.doc_id AS BIGINT) = dr.node""",
+)
+
+# ================= corpus curation (end-to-end composition) =============
+
+# curation thresholds — tuned against the synthetic corpus so every
+# predicate actually discriminates (sf0.01: 500 docs -> 305 kept)
+CURATE_MIN_TOKENS, CURATE_MAX_TOKENS = 20, 90
+CURATE_MIN_STOPWORD = 0.02
+CURATE_MIN_UNIQ = 0.35
+
+
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE query:
+    near-dup removal (LSH -> Jaccard -> connected components, keep the
+    cluster representative) ∘ language filter (lang_id != 'und') ∘
+    quality filter (token count band, stopword ratio floor, unique-token
+    ratio floor). This is the composition a real corpus build runs — each
+    stage is individually gated elsewhere; this entry gates that the
+    stages compose without re-reading the corpus per stage.
+
+    Scale: one pass computes all per-doc stats (token stats, quality,
+    lang scores are column expressions over the same projection — no
+    self-joins); the only heavy lifting is the dedup sub-DAG, whose
+    bucket-restricted shape is documented at operators/dedup.py. The
+    final filters are pushed into the post-anti-join projection.
+    """
+    t = tokens(F.col("text"))
+    ntok = F.size(t)
+    stats = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+        rnd(
+            F.when(
+                ntok > 0,
+                F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN))).cast("double")
+                / ntok.cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("stopword_ratio"),
+        rnd(
+            F.when(
+                ntok > 0,
+                F.size(F.array_distinct(t)).cast("double") / ntok.cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("uniq_ratio"),
+    )
+    langs = lang_id(docs).select("doc_id", "pred_lang")
+    kept = deduplicated_corpus(docs, JACCARD_THRESHOLD).select("doc_id")
+    return (
+        stats.join(kept, "doc_id")
+        .join(langs, "doc_id")
+        .where(
+            F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+            & (F.col("stopword_ratio") >= CURATE_MIN_STOPWORD)
+            & (F.col("uniq_ratio") >= CURATE_MIN_UNIQ)
+            & (F.col("pred_lang") != "und")
+        )
+        .select("doc_id", "pred_lang", "n_tokens", "n_chars",
+                "stopword_ratio", "uniq_ratio")
+    )
+
+
+def curated_corpus_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+_CURATE_STATS_SUB = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       {sql_rnd(f"CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN {STOPWORDS_EN!r})) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS stopword_ratio,
+       {sql_rnd("CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS uniq_ratio
+FROM (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
+"""
+
+# reuse the full dedup-cluster CTE chain; swap only the final projection
+CURATED_CORPUS_SQL = CLUSTERS_SQL.replace(
+    """SELECT c.node AS doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)""",
+    f"""SELECT s.doc_id, l.pred_lang, s.n_tokens, s.n_chars,
+       s.stopword_ratio, s.uniq_ratio
+FROM ({_CURATE_STATS_SUB}) s
+JOIN ({LANG_ID_SQL}) l USING (doc_id)
+ANTI JOIN (SELECT node FROM comp WHERE node <> cluster_id) dr
+  ON s.doc_id = dr.node
+WHERE s.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+  AND s.stopword_ratio >= {CURATE_MIN_STOPWORD}
+  AND s.uniq_ratio >= {CURATE_MIN_UNIQ}
+  AND l.pred_lang <> 'und'""",
 )
 
 # ================= similarity search =================
@@ -755,6 +847,115 @@ JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+# ================= sequential funnel (absent in the reference) ==========
+
+# conversion deadline per stage: the next stage must happen within 24h of
+# entering the previous one (tuned so the synthetic corpus actually
+# discriminates: sf0.01 converts 150 -> 60 -> 25 users)
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(ev: DataFrame, window_us: int = FUNNEL_WINDOW_US) -> DataFrame:
+    """Sequential conversion funnel view -> click -> purchase: a user
+    enters stage k+1 at their FIRST stage-k+1 event strictly after
+    entering stage k and within ``window_us`` of it. Input:
+    (user_id, event_type, tus epoch-micros). Output: one row per stage
+    with the user count and the mean seconds from first view to stage
+    entry (exact integer-micros sum, divided once — no accumulation-order
+    float skew).
+
+    Scale: each stage is a map-side-combinable min-aggregate shuffled on
+    user_id; the stage joins are user_id-equi-joins over per-user rows
+    (co-partitioned under AQE, broadcast when a stage's survivors are
+    small — typical for deep funnels). Nothing is ever globally sorted
+    or collected.
+    """
+    win = F.lit(window_us)
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("tus") > F.col("t1")) & (F.col("tus") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("tus") > F.col("t2")) & (F.col("tus") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"), F.min("t1").alias("t1"))
+    )
+
+    def stage_row(df: DataFrame, name: str, entered) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(entered - F.col("t1")).alias("_sum_us"),
+        )
+        return agg.select(
+            F.lit(name).alias("stage"),
+            F.col("n_users"),
+            F.when(
+                F.col("n_users") > 0,
+                rnd(F.col("_sum_us").cast("double") / F.col("n_users") / F.lit(1e6)),
+            ).otherwise(F.lit(0.0)).alias("avg_secs_from_view"),
+        )
+
+    return (
+        stage_row(v, "view_1", F.col("t1"))
+        .unionAll(stage_row(c, "click_2", F.col("t2")))
+        .unionAll(stage_row(p, "purchase_3", F.col("t3")))
+    )
+
+
+def funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_funnel(
+        read_events(spark, sf_dir).select(
+            "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+        )
+    )
+
+
+FUNNEL_SQL = f"""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(v.t1) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.t1 AND epoch_us(e.ts) <= v.t1 + {FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(c.t1) AS t1
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.t2 AND epoch_us(e.ts) <= c.t2 + {FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+)
+SELECT 'view_1' AS stage, count(*) AS n_users, 0.0 AS avg_secs_from_view FROM v
+UNION ALL
+SELECT 'click_2', count(*),
+       CASE WHEN count(*) > 0
+            THEN {sql_rnd('CAST(sum(t2 - t1) AS DOUBLE) / count(*) / 1000000.0')}
+            ELSE 0.0 END
+FROM c
+UNION ALL
+SELECT 'purchase_3', count(*),
+       CASE WHEN count(*) > 0
+            THEN {sql_rnd('CAST(sum(t3 - t1) AS DOUBLE) / count(*) / 1000000.0')}
+            ELSE 0.0 END
+FROM p
+"""
+
+
 TFIDF_K, TFIDF_SCALE = 3, 1_000_000
 
 TFIDF_TOPK_SQL = f"""
@@ -873,6 +1074,8 @@ def queries() -> dict[str, tuple]:
             lambda s, d: deduplicated_corpus(_docs(s, d), JACCARD_THRESHOLD),
             DEDUP_CORPUS_SQL,
         ),
+        "docs_curated_corpus": (curated_corpus_fn, CURATED_CORPUS_SQL),
+        "events_funnel": (funnel_fn, FUNNEL_SQL),
         "dedup_embedding_clusters": (
             lambda s, d: connected_components(
                 embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
