@@ -4,6 +4,7 @@ operator contracts that the golden tests spot-check."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -178,3 +179,61 @@ def test_binned_range_join_equals_naive_property(spark, points, intervals, bin_s
         if lo <= t <= lo + span
     }
     assert got == naive
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),          # user
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=50),          # hours
+        ),
+        min_size=1, max_size=30, unique=True,
+    ),
+    window_h=st.sampled_from([1, 10, 24]),
+)
+def test_event_funnel_equals_naive_property(spark, events, window_h):
+    """Random event streams: the distributed funnel equals a per-user
+    Python walk of the stage machine (first qualifying event within the
+    window, strictly after the previous stage's entry)."""
+    from tickdatapipeline_spark.plans.beyond import event_funnel
+
+    H = 3600 * 1_000_000
+    win = window_h * H
+
+    def naive():
+        entered = {"view_1": [], "click_2": [], "purchase_3": []}
+        users = {u for u, _t, _h in events}
+        for u in sorted(users):
+            ts = sorted((h * H, t) for uu, t, h in events if uu == u)
+            t1 = min((x for x, t in ts if t == "view"), default=None)
+            if t1 is None:
+                continue
+            entered["view_1"].append(0)
+            t2 = min((x for x, t in ts if t == "click" and t1 < x <= t1 + win),
+                     default=None)
+            if t2 is None:
+                continue
+            entered["click_2"].append(t2 - t1)
+            t3 = min((x for x, t in ts if t == "purchase" and t2 < x <= t2 + win),
+                     default=None)
+            if t3 is None:
+                continue
+            entered["purchase_3"].append(t3 - t1)
+        return {
+            s: (len(v), (sum(v) / len(v) / 1e6) if v else 0.0)
+            for s, v in entered.items()
+        }
+
+    ev = spark.createDataFrame(
+        [(u, t, h * H) for u, t, h in events],
+        "user_id long, event_type string, tus long",
+    )
+    got = {r.stage: (r.n_users, r.avg_secs_from_view)
+           for r in event_funnel(ev, window_us=win).collect()}
+    want = naive()
+    assert {s: c for s, (c, _a) in got.items()} == {s: c for s, (c, _a) in want.items()}
+    for s in want:
+        assert got[s][1] == pytest.approx(want[s][1], abs=1e-6), s
