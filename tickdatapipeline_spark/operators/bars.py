@@ -261,11 +261,12 @@ def bar_aggregate(
             GO_CHUNK,
             add_chunk,
             chunk_offsets_plan,
+            pin,
         )
 
         bars = add_chunk(bars, "bar_id", max(chunk_size // n, 1))
         # shared by two offsets subplans and the main plan — pin once
-        bars = bars.localCheckpoint(eager=False)
+        bars = pin(bars)
         wb = Window.partitionBy(GO_CHUNK).orderBy("bar_id")
     else:
         wb = Window.partitionBy(*part).orderBy("bar_id")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from tickdatapipeline_spark.functions.rounding import rnd
 from tickdatapipeline_spark.functions.scale import fan_out
@@ -141,7 +142,9 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     # recompute the full shingle->minhash lineage for BOTH sides. At
     # deployment scale this is "write signatures to parquet, then join";
     # in-session, localCheckpoint is the same cut applied to the plan.
-    bands = bands.localCheckpoint(eager=False)
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    bands = pin(bands)
     if max_band_bucket is not None:
         # map-side-combinable count per (band, band_key); the anti-filter
         # is a broadcast-able join at any realistic cap
@@ -237,7 +240,9 @@ def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,
     from tickdatapipeline_spark.operators.text import simhash
 
     width = bits // n_bands
-    sig = simhash(docs, bits).localCheckpoint(eager=False)  # reused by both join sides
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    sig = pin(simhash(docs, bits))  # reused by both join sides
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -301,7 +306,7 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
     edges = (
         pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
         .unionByName(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_iter):
@@ -312,7 +317,7 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         # convergence probe: isEmpty short-circuits at the first changed
         # row (limit-1 scan), so a non-converged round costs O(first

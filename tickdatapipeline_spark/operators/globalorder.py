@@ -50,8 +50,26 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 GO_CHUNK = "_go_chunk"
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Stage a frame consumed by both an offsets subquery and the main
+    plan, so its lineage executes once.
+
+    DISK_ONLY, deliberately: checkpoint blocks are not safely evictable
+    (truncated lineage — dropping one loses the only copy), so a
+    memory-levelled pin of an unbounded stream frame squats in the
+    unified pool and starves execution memory — the exact failure seen
+    at 24M ticks on an 8g heap (SparkOutOfMemoryError UNABLE_TO_ACQUIRE
+    while the windowed plan survived). Disk blocks cost one write and
+    sequential reads (absorbed by the OS page cache locally) and leave
+    the whole pool to sorts/aggregations — the only level whose memory
+    footprint is O(1) in stream length.
+    """
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def add_chunk(df: DataFrame, key_expr: str, chunk_size: int) -> DataFrame:

@@ -118,6 +118,7 @@ def hot_loop(
             GO_CHUNK,
             add_chunk,
             chunk_offsets_plan,
+            pin,
         )
 
         expanded = add_chunk(expanded, "tick_idx - 1", chunk_size)
@@ -182,7 +183,7 @@ def hot_loop(
     if use_chunks:
         # shared by the offsets subplans, the bar aggregate and the main
         # plan — pin once so the single job computes the lineage once
-        df = df.localCheckpoint(eager=False)
+        df = pin(df)
         if valid_offsets is None:
             valid_offsets = chunk_offsets_plan(
                 df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)}
@@ -271,7 +272,7 @@ def hot_loop(
         # same two-pass shape one level up the hierarchy: the bar frame
         # is rows/144 but still unbounded for a single 100 TB stream
         bars_chunk = max(chunk_size // n, 1)
-        bars = add_chunk(bars, "bar_ord", bars_chunk).localCheckpoint(eager=False)
+        bars = pin(add_chunk(bars, "bar_ord", bars_chunk))
         bar_offs = chunk_offsets_plan(
             bars,
             sums={"_go_bmin0": F.col("bmin"), "_go_bmax0": F.col("bmax")},
@@ -304,7 +305,7 @@ def hot_loop(
     if use_chunks:
         # tiny relative to ticks; pin so the encoder-stage summary job
         # and the final plan don't both recompute the bar aggregation
-        norms = norms.localCheckpoint(eager=False)
+        norms = pin(norms)
 
     # NO broadcast hint: norms is rows/144 — tiny locally (AQE broadcasts
     # it automatically) but far too large to broadcast at 100 TB, where
@@ -345,7 +346,7 @@ def hot_loop(
     if use_chunks and enc != "hexad16":
         # the encoder prefix needs one more chunk summary over the
         # post-join frame — pin it so summary + final plan share work
-        df = df.localCheckpoint(eager=False)
+        df = pin(df)
     if enc == "derivative":
         # prev ratio over core rows only (:257-282; hold/first rows fall to
         # the hexad16 branch in the reference and do not touch prev state).

@@ -956,6 +956,78 @@ FROM p
 """
 
 
+# ================= retention cohorts (absent in the reference) ==========
+
+RETENTION_DAY_US = 86400 * 1_000_000
+RETENTION_MAX_OFFSET = 13  # track each cohort for two weeks
+
+
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """Daily retention matrix: cohort = the day of a user's first
+    'signup' event; a cohort member is active on day k if they have ANY
+    event on cohort_day + k (0 <= k <= RETENTION_MAX_OFFSET). Input:
+    (user_id, event_type, tus epoch-micros). Output one matrix cell per
+    (cohort_day_s, day_offset) with the distinct-user count — the table
+    every growth dashboard renders.
+
+    Scale: first-signup is a map-side-combinable min per user; the
+    activity join is a user_id equi-join (co-partitioned with the
+    signup aggregate's shuffle); the per-cell count runs on
+    (user, cohort, offset)-distinct rows whose cardinality is bounded by
+    users x (RETENTION_MAX_OFFSET+1) — never events x offsets.
+    """
+    # integer DIV on both engines — exact at any epoch magnitude (the
+    # double-division route can land a hair under an exact multiple)
+    day_of = lambda c: F.expr(f"{c} DIV {RETENTION_DAY_US}")  # noqa: E731
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day_of("tus")).alias("cohort_day"))
+    )
+    act = (
+        ev.select("user_id", day_of("tus").alias("ev_day"))
+        .join(su, "user_id")
+        .where(
+            (F.col("ev_day") >= F.col("cohort_day"))
+            & (F.col("ev_day") <= F.col("cohort_day") + RETENTION_MAX_OFFSET)
+        )
+        .select(
+            "user_id", "cohort_day",
+            (F.col("ev_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        (F.col("cohort_day") * 86400).alias("cohort_day_s"), "day_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+def retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(
+        read_events(spark, sf_dir).select(
+            "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+        )
+    )
+
+
+RETENTION_SQL = f"""
+WITH su AS (
+    SELECT user_id, min(epoch_us(ts)) // {RETENTION_DAY_US} AS cohort_day
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+    SELECT DISTINCT e.user_id, su.cohort_day,
+           epoch_us(e.ts) // {RETENTION_DAY_US} - su.cohort_day AS day_offset
+    FROM events e JOIN su ON e.user_id = su.user_id
+    WHERE epoch_us(e.ts) // {RETENTION_DAY_US} >= su.cohort_day
+      AND epoch_us(e.ts) // {RETENTION_DAY_US} <= su.cohort_day + {RETENTION_MAX_OFFSET}
+)
+SELECT cohort_day * 86400 AS cohort_day_s, day_offset,
+       count(*) AS n_active_users
+FROM act GROUP BY 1, 2
+"""
+
+
 TFIDF_K, TFIDF_SCALE = 3, 1_000_000
 
 TFIDF_TOPK_SQL = f"""
@@ -1076,6 +1148,7 @@ def queries() -> dict[str, tuple]:
         ),
         "docs_curated_corpus": (curated_corpus_fn, CURATED_CORPUS_SQL),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
+        "events_retention_cohorts": (retention_fn, RETENTION_SQL),
         "dedup_embedding_clusters": (
             lambda s, d: connected_components(
                 embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),

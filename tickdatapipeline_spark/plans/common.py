@@ -210,7 +210,10 @@ def exact_percentiles(df: DataFrame, value_col: str, pcts: list[float],
 
     ranked = df.select(F.col(value_col).alias("_v")).withColumn(
         "_r", F.row_number().over(Window.orderBy("_v")) - 1
-    ).localCheckpoint(eager=False)  # consumed twice (lo + hi joins)
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    ranked = pin(ranked)  # consumed twice (lo + hi joins); DISK_ONLY — full-length frame
     n = ranked.count()
     pdf = df.sparkSession.createDataFrame([(p,) for p in pcts], "pct double")
     pos = pdf.select(

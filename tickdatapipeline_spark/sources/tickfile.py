@@ -147,11 +147,11 @@ def ticks_base_from_events(
     ONE fused per-chunk summary over this frame that serves the whole
     source->expand->hot-loop chain (line offsets, lag carry, tick
     offsets, valid-count offsets) — one collect instead of three."""
-    from tickdatapipeline_spark.operators.globalorder import add_chunk
+    from tickdatapipeline_spark.operators.globalorder import add_chunk, pin
 
     read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
     base = spark.sql(_spark_dialect(_TICKS_FIELDS_CORE).format(events="__events_src"))
-    return add_chunk(base, "event_id", chunk_size).localCheckpoint(eager=False)
+    return pin(add_chunk(base, "event_id", chunk_size))
 
 
 def ticks_from_events(
