@@ -48,15 +48,21 @@ def _registry() -> dict[str, tuple]:
             reg[name] = pair
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
-    # there are more gated queries (62 as of round 5) than the driver's
-    # 50-entry correctness window. The gated ordering rotates by 9
-    # positions per round (gcd(9, 62) = 1), so every gated query cycles
-    # through the window and lands a driver-verified CORRECTNESS row at
-    # least every third round; scripts_dev/oracle_parity.py (and the
-    # marked-slow pytest sweep wrapping it) still verifies ALL gated
-    # queries in-repo every round.
+    # there are more gated queries (63 as of round 5) than the driver's
+    # 50-entry correctness window. The gated ordering rotates per round
+    # by the smallest step >= 9 that is coprime with the gated count, so
+    # the rotation is a full cycle whatever the registry size: every
+    # gated query enters the window within a few rounds (pinned by
+    # test_registry_rotation_covers_every_gated_query);
+    # scripts_dev/oracle_parity.py (and the marked-slow pytest sweep
+    # wrapping it) still verifies ALL gated queries in-repo every round.
+    import math
+
     gated_names = [n for n, p in reg.items() if p[1] is not None]
-    offset = (9 * _round_number()) % len(gated_names)
+    step = 9
+    while math.gcd(step, len(gated_names)) != 1:
+        step += 1
+    offset = (step * _round_number()) % len(gated_names)
     rotated = gated_names[offset:] + gated_names[:offset]
     gated = {n: reg[n] for n in rotated}
     rows_only = {n: p for n, p in reg.items() if p[1] is None}

@@ -502,3 +502,38 @@ def test_curate_corpus_each_filter_discriminates(spark):
     d = docs_df(spark, rows)
     kept = {r.doc_id for r in curate_corpus(d).collect()}
     assert kept == {1}
+
+
+def test_retention_cohorts_golden(spark):
+    """Hand-computed cohort matrix: cohort day = first signup day;
+    activity counts any event type, capped at the offset horizon;
+    pre-signup and never-signed-up users don't appear."""
+    from tickdatapipeline_spark.plans.beyond import (
+        RETENTION_MAX_OFFSET,
+        retention_cohorts,
+    )
+
+    D = 86400 * 1_000_000
+    rows = [
+        # u1 signs up day 0, active days 0, 1, 3
+        (1, "signup", 0), (1, "click", D + 5), (1, "view", 3 * D),
+        # u2 signs up day 0 too (second signup ignored), active day 0 only
+        (2, "signup", D // 2), (2, "signup", 5 * D),
+        # u3 signs up day 1; also has a PRE-signup event (not counted)
+        (3, "view", 0), (3, "signup", D), (3, "purchase", 2 * D),
+        # u4 never signs up -> excluded entirely
+        (4, "view", 0), (4, "click", D),
+        # u5 signs up day 0 but next activity is past the horizon
+        (5, "signup", 0), (5, "view", (RETENTION_MAX_OFFSET + 5) * D),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, tus long")
+    got = {(r.cohort_day_s, r.day_offset): r.n_active_users
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        (0, 0): 3,            # u1, u2, u5 (signup itself counts as activity)
+        (0, 1): 1,            # u1
+        (0, 3): 1,            # u1
+        (0, 5): 1,            # u2's second signup day
+        (86400, 0): 1,        # u3 cohort day 1
+        (86400, 1): 1,        # u3 purchase day 2
+    }
