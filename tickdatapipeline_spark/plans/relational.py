@@ -388,6 +388,50 @@ ORDER BY c_nationkey, quartile
 """
 
 
+# ---- R13: running + sliding window frames (per-customer spend) ----
+
+
+def r13_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running total and 3-order moving average of order
+    value — the ROWS-frame window shapes (UNBOUNDED PRECEDING and
+    k PRECEDING) the suite did not yet cover. The unique
+    (o_orderdate, o_orderkey) sort key makes frames deterministic
+    cross-engine; integer-cents sums keep float parity.
+
+    Scale: both windows partition by o_custkey — one hash exchange,
+    no global sort, frames evaluated in a single pass per partition.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum("cents").over(wrun) / 100.0).alias("running_spend"),
+        rnd(
+            F.sum("cents").over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3) / F.lit(100.0)
+        ).alias("moving_avg3"),
+    )
+
+
+R13_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       sum(cents) OVER wrun / 100.0 AS running_spend,
+       {sql_rnd('CAST(sum(cents) OVER w3 AS DOUBLE) / count(*) OVER w3 / 100.0')} AS moving_avg3
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             {_CENTS.format(x='o_totalprice')} AS cents FROM orders)
+WINDOW wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w3   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -402,4 +446,5 @@ def queries() -> dict[str, tuple]:
         "rel_cube_segment_priority": (r10_fn, R10_SQL),
         "rel_pivot_year_priority": (r11_fn, R11_SQL),
         "rel_customer_balance_quartiles": (r12_fn, R12_SQL),
+        "rel_customer_running_spend": (r13_fn, R13_SQL),
     }
