@@ -990,3 +990,69 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     assert got == want
     assert (1, 101, 201, 7200) in got          # the joined pair
     assert all(c != 105 for _, c, _p, _l in got)  # late click dropped
+
+
+def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
+    """Two dimension-join contracts: (a) the plain stream-static join is
+    stateless and left-null for unmatched keys, with the dimension fixed
+    at query start; (b) the foreachBatch variant re-reads the dimension
+    every micro-batch, so an on-disk overwrite between batches is
+    reflected without restarting the query."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import (
+        enriched_events_stream,
+        run_enriched_events_refreshable,
+    )
+
+    def write(fname, rows, i):
+        p = tmp_path / "in" / fname
+        with open(p, "w") as f:
+            for eid, tus, uid in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "user_id": uid}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    (tmp_path / "in").mkdir()
+    dim_path = tmp_path / "dim.parquet"
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(str(dim_path))
+
+    write("b0.json", [(10, 1_000_000, 1), (11, 2_000_000, 3)], 0)
+
+    # (a) plain stream-static join: enrichment + left-null semantics
+    dim = spark.read.parquet(str(dim_path))
+    q = (
+        enriched_events_stream(spark, str(tmp_path / "in"), dim)
+        .writeStream.format("memory").queryName("enrich_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_a"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.tier for r in spark.table("enrich_stream").collect()}
+    assert got == {10: "gold", 11: None}  # user 3 unmatched -> null
+
+    # (b) refreshable variant: dimension overwritten between batches
+    out_dir = tmp_path / "out"
+    q = run_enriched_events_refreshable(
+        spark, str(tmp_path / "in"), str(dim_path), str(out_dir),
+        str(tmp_path / "ckpt_b"),
+    )
+    try:
+        q.processAllAvailable()  # batch with the ORIGINAL dim
+        spark.createDataFrame(
+            [(1, "platinum"), (3, "bronze")], "user_id long, tier string"
+        ).write.mode("overwrite").parquet(str(dim_path))
+        write("b1.json", [(12, 3_000_000, 1), (13, 4_000_000, 3)], 1)
+        q.processAllAvailable()  # batch with the REFRESHED dim
+    finally:
+        q.stop()
+
+    got = {r.event_id: r.tier for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {10: "gold", 11: None, 12: "platinum", 13: "bronze"}

@@ -218,3 +218,76 @@ def run_windowed_events_to_memory(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def enriched_events_stream(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    on: str = "user_id",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch
+    dimension table — the remaining Structured Streaming join class
+    (stream-stream lives in ``attributed_clicks_stream``). Stateless
+    (each micro-batch joins independently, no watermark); Spark
+    broadcasts the dimension when small.
+
+    The static side's plan — including a file source's LISTING — is
+    resolved ONCE at query start, so a dimension rewritten on disk
+    mid-query is NOT picked up (Spark fails the batch with
+    FILE_NOT_EXIST); ``spark.catalog.refreshByPath`` only helps plans
+    built after the refresh, not a running stream. For a dimension that
+    must refresh without a query restart use
+    ``run_enriched_events_refreshable`` (foreachBatch re-reads the
+    dimension every batch — the standard pattern).
+    """
+    raw = (
+        spark.readStream.schema(SESSION_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    return raw.join(dim, on=on, how="left")
+
+
+def run_enriched_events_refreshable(
+    spark: SparkSession,
+    input_dir: str,
+    dim_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    on: str = "user_id",
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Slowly-changing-dimension enrichment that picks up dimension
+    refreshes WITHOUT restarting the query: ``foreachBatch`` constructs
+    the dimension frame from ``dim_path`` inside every micro-batch, so
+    each batch joins against the files present at that moment
+    (overwrites included — nothing is cached across batches). Output
+    appends parquet to ``out_dir``; exactly-once comes from the
+    checkpoint + idempotent-by-batch-id parquet writer contract.
+
+    This is the deployment answer to "my user table updates hourly":
+    the stream-static plan-capture limitation (see
+    ``enriched_events_stream``) disappears because the static plan is
+    rebuilt per batch — at the cost of re-resolving + (when not
+    broadcast) re-shuffling the dimension each interval.
+    """
+    raw = (
+        spark.readStream.schema(SESSION_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        (
+            batch_df.join(dim, on=on, how="left")
+            .write.mode("append").parquet(out_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
