@@ -5,7 +5,12 @@ from tickdatapipeline_spark.streaming.fanout import (
     TripleSplitManager,
 )
 from tickdatapipeline_spark.streaming.eventtime import (
+    attributed_clicks_stream,
+    deduped_events_stream,
+    enriched_events_stream,
+    run_enriched_events_refreshable,
     run_windowed_events_to_memory,
+    sessionized_events_stream,
     windowed_events_stream,
 )
 from tickdatapipeline_spark.streaming.runner import StreamingTickPipeline
@@ -22,6 +27,11 @@ __all__ = [
     "advance",
     "OUT_COLS",
     "windowed_events_stream",
+    "sessionized_events_stream",
+    "deduped_events_stream",
+    "attributed_clicks_stream",
+    "enriched_events_stream",
+    "run_enriched_events_refreshable",
     "run_windowed_events_to_memory",
     "ema_stream",
 ]
