@@ -432,6 +432,50 @@ WINDOW wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# ---- R14: full-outer join (the one join type the suite lacked) ----
+
+R14_CUST_BAL, R14_SUPP_BAL = 9800, 7000  # both sides miss nations at sf0.01
+
+
+def r14_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations' high-balance customer vs supplier counts via FULL OUTER
+    join — nations rich on only one side surface with a NULL other side
+    (2 customer-only and 8 supplier-only nations at sf0.01). Spark's
+    ``join(on=..., how="full_outer")`` coalesces the key like SQL USING.
+
+    Scale: both inputs are pre-aggregated to nation cardinality before
+    the join — the outer join runs on two tiny frames, never on the raw
+    tables.
+    """
+    hc = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") >= R14_CUST_BAL)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    hs = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") >= R14_SUPP_BAL)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return hc.join(hs, on="nationkey", how="full_outer")
+
+
+R14_SQL = f"""
+WITH hc AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+    FROM customer WHERE c_acctbal >= {R14_CUST_BAL} GROUP BY 1
+),
+hs AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+    FROM supplier WHERE s_acctbal >= {R14_SUPP_BAL} GROUP BY 1
+)
+SELECT nationkey, n_rich_customers, n_rich_suppliers
+FROM hc FULL OUTER JOIN hs USING (nationkey)
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -447,4 +491,5 @@ def queries() -> dict[str, tuple]:
         "rel_pivot_year_priority": (r11_fn, R11_SQL),
         "rel_customer_balance_quartiles": (r12_fn, R12_SQL),
         "rel_customer_running_spend": (r13_fn, R13_SQL),
+        "rel_nation_gap_full_outer": (r14_fn, R14_SQL),
     }
