@@ -1149,6 +1149,8 @@ def queries() -> dict[str, tuple]:
         "docs_curated_corpus": (curated_corpus_fn, CURATED_CORPUS_SQL),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "events_retention_cohorts": (retention_fn, RETENTION_SQL),
+        "events_value_percentiles_by_type": (
+            events_value_percentiles_fn, _events_value_percentiles_sql()),
         "dedup_embedding_clusters": (
             lambda s, d: connected_components(
                 embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
@@ -1178,3 +1180,27 @@ def queries() -> dict[str, tuple]:
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
     }
+
+
+# ================= grouped exact percentiles (scale path) ================
+
+EVT_PCTS = [0.25, 0.5, 0.9]
+
+
+def events_value_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value percentiles via group-partitioned
+    ranking windows (plans/common.py::grouped_exact_percentiles) — the
+    at-scale exact-quantile formulation: no global sort, groups
+    distribute across the cluster."""
+    from tickdatapipeline_spark.plans.common import grouped_exact_percentiles
+
+    ev = read_events(spark, sf_dir).select("event_type", "value")
+    return grouped_exact_percentiles(ev, "event_type", "value", EVT_PCTS)
+
+
+def _events_value_percentiles_sql() -> str:
+    from tickdatapipeline_spark.plans.common import sql_grouped_exact_percentiles
+
+    return sql_grouped_exact_percentiles(
+        "SELECT event_type, value FROM events", "event_type", "value", EVT_PCTS
+    )

@@ -269,3 +269,78 @@ JOIN (SELECT _r AS _hi, _v AS _vhi FROM _ranked) USING (_hi)
 def register_tables(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     for t in tables:
         read_parquet(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def grouped_exact_percentiles(df: DataFrame, group_col: str, value_col: str,
+                              pcts: list[float], out_value: str = "q") -> DataFrame:
+    """Exact linear-interpolated percentiles PER GROUP — the at-scale
+    counterpart of ``exact_percentiles``: ranking windows partition by
+    the group key, so nothing is globally sorted and groups distribute
+    across the cluster (the global variant's full sort is the one
+    documented exact-by-design scale cost).
+
+    Output: (group_col, pct, q) — one row per group x pct.
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(group_col), F.col(value_col).alias("_v")
+    ).withColumn("_r", F.row_number().over(
+        Window.partitionBy(group_col).orderBy("_v")) - 1
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    ranked = pin(ranked)  # consumed by both the lo and hi joins
+    pdf = df.sparkSession.createDataFrame([(p,) for p in pcts], "pct double")
+    pos = (
+        ranked.select(group_col, "_n").distinct()
+        .crossJoin(pdf)
+        .select(
+            group_col, "pct",
+            (F.col("pct") * (F.col("_n") - 1)).alias("_rank"),
+            F.floor(F.col("pct") * (F.col("_n") - 1)).cast("long").alias("_lo"),
+            F.least(
+                F.floor(F.col("pct") * (F.col("_n") - 1)).cast("long") + 1,
+                F.col("_n") - 1,
+            ).alias("_hi"),
+        )
+    )
+    lo = ranked.select(group_col, F.col("_r").alias("_lo"), F.col("_v").alias("_vlo"))
+    hi = ranked.select(group_col, F.col("_r").alias("_hi"), F.col("_v").alias("_vhi"))
+    return (
+        pos.join(lo, [group_col, "_lo"]).join(hi, [group_col, "_hi"])
+        .select(
+            group_col, "pct",
+            rnd(
+                F.col("_vlo").cast("double")
+                + (F.col("_rank") - F.col("_lo").cast("double"))
+                * (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
+            ).alias(out_value),
+        )
+    )
+
+
+def sql_grouped_exact_percentiles(source_sql: str, group_col: str, value_expr: str,
+                                  pcts: list[float], out_value: str = "q") -> str:
+    """DuckDB twin of grouped_exact_percentiles (same interpolation)."""
+    pct_rows = ", ".join(f"({p!r}e0)" for p in pcts)
+    q = "_vlo + (_rank - CAST(_lo AS DOUBLE)) * (_vhi - _vlo)"
+    return f"""
+WITH _src AS ({source_sql}),
+_ranked AS (
+    SELECT {group_col}, CAST({value_expr} AS DOUBLE) AS _v,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY CAST({value_expr} AS DOUBLE)) - 1 AS _r,
+           count(*) OVER (PARTITION BY {group_col}) AS _n
+    FROM _src
+),
+_pos AS (
+    SELECT {group_col}, pct, pct * (_n - 1) AS _rank,
+           CAST(floor(pct * (_n - 1)) AS BIGINT) AS _lo,
+           least(CAST(floor(pct * (_n - 1)) AS BIGINT) + 1, _n - 1) AS _hi
+    FROM (SELECT DISTINCT {group_col}, _n FROM _ranked), (VALUES {pct_rows}) p(pct)
+)
+SELECT {group_col}, pct, {sql_rnd(q)} AS {out_value}
+FROM _pos
+JOIN (SELECT {group_col}, _r AS _lo, _v AS _vlo FROM _ranked) USING ({group_col}, _lo)
+JOIN (SELECT {group_col}, _r AS _hi, _v AS _vhi FROM _ranked) USING ({group_col}, _hi)
+"""
