@@ -143,3 +143,29 @@ def test_single_stream_two_pass_has_no_single_partition(spark):
     finally:
         set_two_pass_threshold(None)
         set_ticks_cache(True)
+
+
+def test_partitioned_capture_read_prunes_partitions(spark, tmp_path):
+    """A capture written with partition_by must be partition-prunable on
+    read: an equality filter on the partition column reaches the scan as
+    a PartitionFilter (only that partition's files are listed), not a
+    post-scan Filter over the whole capture — the 100 TB contract of
+    pipeline.capture(partition_by=...)."""
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.pipeline import capture
+    from tickdatapipeline_spark.plans.common import SP_DERIV
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events
+
+    processed = hot_loop(expand_volume(ticks_from_events(spark, SF)), SP_DERIV)
+    # partition by status_flag: a low-cardinality column a real capture
+    # would key by (stream/day in deployment)
+    out = str(tmp_path / "cap")
+    n = capture(processed, out, partition_by=("status_flag",))
+    assert n > 0
+
+    rd = spark.read.parquet(out).where(F.col("status_flag") == 0)
+    plan = physical(rd)
+    # the equality predicate must appear as a PartitionFilter on the scan
+    assert "PartitionFilters" in plan
+    assert "status_flag" in plan.split("PartitionFilters")[1][:120]
