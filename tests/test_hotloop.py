@@ -255,3 +255,37 @@ def test_chunked_equals_windowed_with_seed(spark):
         a = win.orderBy("tick_idx").toPandas()
         b = chk.orderBy("tick_idx").select(list(a.columns)).toPandas()
         assert a.equals(b), enc
+
+
+@pytest.mark.parametrize("enc", ["derivative", "hexad16", "cpm", "amc"])
+def test_multistream_chunked_equals_windowed(spark, enc):
+    """Per-stream chunking (windows partitioned by (stream, chunk) with
+    per-stream broadcast offsets) must be BIT-identical to the per-stream
+    windowed plan — for every encoder, with unequal stream lengths,
+    spikes, jumps and awkward chunk boundaries."""
+    cfg = SignalProcessingConfig(encoder_type=enc, tick_derivative_imag_scale=2.0,
+                                 cpm_modulation_index=0.2)
+    rows = []
+    for s, n in (("A", 41), ("B", 29), ("C", 7)):
+        price = 41970 + ord(s)
+        for i in range(n):
+            price += (i * 7) % 11 - 5
+            if i == 13:
+                rows.append((s, i + 1, TS, 99990, 99990, 99999, 1))
+                continue
+            if i == 21:
+                rows.append((s, i + 1, TS, price + 79, price + 81, price + 80, 2))
+                continue
+            rows.append((s, i + 1, TS, price - 1, price + 1, price, 1 + i % 3))
+    raw = spark.createDataFrame(
+        rows,
+        "stream string, line_no long, ts_str string, bid long, ask long, "
+        "last long, volume long",
+    )
+    win = hot_loop(expand_volume(raw, stream_id="stream"), cfg,
+                   stream_id="stream", stats_ticks_per_bar=8)
+    chk = hot_loop(expand_volume(raw, stream_id="stream", chunk_size=9), cfg,
+                   stream_id="stream", stats_ticks_per_bar=8, chunk_size=9)
+    a = win.orderBy("stream", "tick_idx").toPandas()
+    b = chk.orderBy("stream", "tick_idx").select(list(a.columns)).toPandas()
+    assert a.equals(b)

@@ -169,3 +169,17 @@ def test_partitioned_capture_read_prunes_partitions(spark, tmp_path):
     # the equality predicate must appear as a PartitionFilter on the scan
     assert "PartitionFilters" in plan
     assert "status_flag" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_multistream_two_pass_windows_are_chunk_partitioned(spark):
+    """The combined scale plan (streams x within-stream chunks) must key
+    every window/exchange on the chunk column — no per-stream serial
+    window survives — and still have zero SinglePartition exchanges."""
+    from tickdatapipeline_spark.plans.analytics import multistream_twopass_fn
+
+    plan = physical(multistream_twopass_fn(spark, SF))
+    assert "SinglePartition" not in plan
+    # every Window operator's partition spec includes the chunk column
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("\n")[0]
+        assert "_go_chunk" in spec, f"stream-serial window survived: {spec[:120]}"

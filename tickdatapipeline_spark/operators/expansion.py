@@ -85,9 +85,9 @@ def expand_volume(
     _go_t0) frame, see plans/common._chain). Output additionally
     carries the chunk column for downstream reuse.
     """
-    if chunk_size is not None and stream_id is None and seeds is None:
+    if chunk_size is not None and seeds is None:
         return _expand_volume_chunked(
-            ticks_raw, chunk_size,
+            ticks_raw, chunk_size, stream_id=stream_id,
             seed_prev_last=seed_prev_last, seed_tick0=seed_tick0,
             chunk_offsets=chunk_offsets,
         )
@@ -135,17 +135,21 @@ def _expand_volume_chunked(
     ticks_raw: DataFrame,
     chunk_size: int,
     *,
+    stream_id: str | None = None,
     seed_prev_last: int | None,
     seed_tick0: int,
     chunk_offsets: DataFrame | None = None,
 ) -> DataFrame:
-    """Two-pass expand_volume (see expand_volume docstring)."""
+    """Two-pass expand_volume (see expand_volume docstring). With
+    ``stream_id`` the chunk order — and every offsets prefix — is local
+    to the stream: windows partition by (stream, chunk)."""
     from tickdatapipeline_spark.operators.globalorder import (
         GO_CHUNK,
         add_chunk,
         chunk_offsets_plan,
     )
 
+    part = [stream_id] if stream_id else []
     lines = add_chunk(ticks_raw, "line_no", chunk_size)
     if chunk_offsets is None:
         # in-plan offsets: (final price of preceding chunks, expanded-row
@@ -158,11 +162,12 @@ def _expand_volume_chunked(
                 ).otherwise(F.lit(0))
             },
             carries={"_go_prev": (F.col("line_no"), F.col("last"))},
+            keys=part,
         )
-    df = lines.join(F.broadcast(chunk_offsets), on=GO_CHUNK, how="left")
+    df = lines.join(F.broadcast(chunk_offsets), on=part + [GO_CHUNK], how="left")
 
-    w_lines = Window.partitionBy(GO_CHUNK).orderBy("line_no")
-    w_ticks = Window.partitionBy(GO_CHUNK).orderBy("line_no", "replica_idx")
+    w_lines = Window.partitionBy(*part, GO_CHUNK).orderBy("line_no")
+    w_ticks = Window.partitionBy(*part, GO_CHUNK).orderBy("line_no", "replica_idx")
     prev = F.coalesce(F.lag("last").over(w_lines), F.col("_go_prev"))
     if seed_prev_last is not None:
         prev = F.coalesce(prev, F.lit(seed_prev_last))
@@ -175,7 +180,7 @@ def _expand_volume_chunked(
         .otherwise(F.lit(0))
     )
     return df.select(
-        "line_no", "replica_idx",
+        *part, "line_no", "replica_idx",
         (F.row_number().over(w_ticks)
          + F.coalesce("_go_t0", F.lit(0)) + F.lit(seed_tick0))
         .cast("long").alias("tick_idx"),

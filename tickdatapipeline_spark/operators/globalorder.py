@@ -92,9 +92,10 @@ def chunk_offsets_plan(
     carries: "dict[str, tuple[Column, Column]] | None" = None,
     mods: "dict[str, int] | None" = None,
     super_size: int = 1024,
+    keys: "list[str] | None" = None,
 ) -> DataFrame:
-    """Per-chunk offsets as a broadcast-ready (GO_CHUNK, <out>...) frame,
-    built without any driver action or SinglePartition exchange.
+    """Per-chunk offsets as a broadcast-ready (keys..., GO_CHUNK, <out>)
+    frame, built without any driver action or SinglePartition exchange.
 
     - ``sums[name] = expr``: exclusive prefix sum of ``expr`` over all
       preceding chunks (0 for the first chunk).
@@ -104,12 +105,17 @@ def chunk_offsets_plan(
       last-ignorenulls.
     - ``mods[name] = m``: reduce that sum mod m at every level, keeping
       the int64 column math bounded for arbitrarily long streams.
+    - ``keys``: partition columns the chunk order is LOCAL to (e.g. the
+      stream id). Every prefix is then per-key — the multistream x
+      within-stream-chunked formulation; the triangular join stays a
+      broadcast (#keys x #supers rows).
 
-    Join the result back with ``F.broadcast`` on GO_CHUNK.
+    Join the result back with ``F.broadcast`` on keys + [GO_CHUNK].
     """
     sums = sums or {}
     carries = carries or {}
     mods = mods or {}
+    keys = keys or []
 
     def _mod(name: str, col: Column) -> Column:
         return F.pmod(col, F.lit(mods[name])) if name in mods else col
@@ -121,14 +127,15 @@ def chunk_offsets_plan(
         ).alias(f"_f_{k}")
         for k, (o, v) in carries.items()
     ]
-    s1 = df.groupBy(GO_CHUNK).agg(*aggs).withColumn(
+    s1 = df.groupBy(*keys, GO_CHUNK).agg(*aggs).withColumn(
         "_sc", F.expr(f"{GO_CHUNK} DIV {int(super_size)}")
     )
     w = (
-        Window.partitionBy("_sc").orderBy(GO_CHUNK)
+        Window.partitionBy(*keys, "_sc").orderBy(GO_CHUNK)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = s1.select(
+        *keys,
         GO_CHUNK,
         "_sc",
         *[
@@ -137,25 +144,32 @@ def chunk_offsets_plan(
         ],
         *[F.max(f"_f_{k}").over(w).alias(f"_wf_{k}") for k in carries],
     )
-    s2 = s1.groupBy("_sc").agg(
+    s2 = s1.groupBy(*keys, "_sc").agg(
         *[_mod(k, F.sum(f"_t_{k}")).alias(f"_st_{k}") for k in sums],
         *[F.max(f"_f_{k}").alias(f"_sf_{k}") for k in carries],
     )
     prev = s2.select(
+        *[F.col(c).alias(f"_k_{c}_b") for c in keys],
         F.col("_sc").alias("_sc_b"),
         *[F.col(f"_st_{k}").alias(f"_st_{k}_b") for k in sums],
         *[F.col(f"_sf_{k}").alias(f"_sf_{k}_b") for k in carries],
     )
+    cond = F.col("_sc_b") < F.col("_sc")
+    for c in keys:
+        cond = cond & (F.col(f"_k_{c}_b") == F.col(c))
     tri = (
-        s2.select("_sc")
-        .join(F.broadcast(prev), F.col("_sc_b") < F.col("_sc"), "left")
-        .groupBy("_sc")
+        s2.select(*keys, "_sc")
+        .join(F.broadcast(prev), cond, "left")
+        .groupBy(*keys, "_sc")
         .agg(
             *[_mod(k, F.sum(f"_st_{k}_b")).alias(f"_sup_{k}") for k in sums],
             *[F.max(f"_sf_{k}_b").alias(f"_supf_{k}") for k in carries],
         )
     )
-    return within.join(F.broadcast(tri), on="_sc", how="left").select(
+    return within.join(
+        F.broadcast(tri), on=keys + ["_sc"], how="left"
+    ).select(
+        *keys,
         GO_CHUNK,
         *[
             _mod(k, F.col(f"_w_{k}") + F.coalesce(f"_sup_{k}", F.lit(0))).alias(k)

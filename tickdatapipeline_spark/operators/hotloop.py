@@ -110,9 +110,12 @@ def hot_loop(
     because exactly one valid row per cold stream is non-core. Bit-
     identical to the windowed plan (pinned by tests).
     """
-    use_chunks = (
-        chunk_size is not None and stream_id is None and not isinstance(seed, dict)
-    )
+    # chunked two-pass applies to the single-stream batch plan AND, with
+    # stream_id, to multistream batches whose INDIVIDUAL streams are long
+    # (windows partition by (stream, chunk); every offsets subquery is
+    # per-stream). Per-stream seed dicts stay on the windowed path.
+    use_chunks = chunk_size is not None and not isinstance(seed, dict)
+    part = [stream_id] if stream_id else []
     if use_chunks:
         from tickdatapipeline_spark.operators.globalorder import (
             GO_CHUNK,
@@ -122,10 +125,9 @@ def hot_loop(
         )
 
         expanded = add_chunk(expanded, "tick_idx - 1", chunk_size)
-        w = Window.partitionBy(GO_CHUNK).orderBy("tick_idx")
+        w = Window.partitionBy(*part, GO_CHUNK).orderBy("tick_idx")
     else:
-        w = Window.partitionBy(*([stream_id] if stream_id else [])).orderBy("tick_idx")
-    part = [stream_id] if stream_id else []
+        w = Window.partitionBy(*part).orderBy("tick_idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
 
     # Seed scalars become _hs_* columns: literals for the single-seed
@@ -186,9 +188,10 @@ def hot_loop(
         df = pin(df)
         if valid_offsets is None:
             valid_offsets = chunk_offsets_plan(
-                df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)}
+                df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)},
+                keys=part,
             )
-        df = df.join(F.broadcast(valid_offsets), on=GO_CHUNK, how="left")
+        df = df.join(F.broadcast(valid_offsets), on=part + [GO_CHUNK], how="left")
         batch_valid_cum = (
             F.count(F.when(F.col("is_valid"), 1)).over(wcum)
             + F.coalesce("_go_v0", F.lit(0))
@@ -276,10 +279,11 @@ def hot_loop(
         bar_offs = chunk_offsets_plan(
             bars,
             sums={"_go_bmin0": F.col("bmin"), "_go_bmax0": F.col("bmax")},
+            keys=part,
         )
-        bars = bars.join(F.broadcast(bar_offs), on=GO_CHUNK, how="left")
+        bars = bars.join(F.broadcast(bar_offs), on=part + [GO_CHUNK], how="left")
         wb = (
-            Window.partitionBy(GO_CHUNK).orderBy("bar_ord")
+            Window.partitionBy(*part, GO_CHUNK).orderBy("bar_ord")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         cum_bmin = F.sum("bmin").over(wb) + F.coalesce("_go_bmin0", F.lit(0))
@@ -363,8 +367,9 @@ def hot_loop(
                         F.when(F.col("is_core"), F.col("ratio")),
                     )
                 },
+                keys=part,
             )
-            df = df.join(F.broadcast(off2), on=GO_CHUNK, how="left")
+            df = df.join(F.broadcast(off2), on=part + [GO_CHUNK], how="left")
             prev = F.coalesce(local_prev, F.col("_go_lr"), _hs("_hs_lratio"))
         else:
             prev = F.coalesce(local_prev, _hs("_hs_lratio"))
@@ -390,9 +395,10 @@ def hot_loop(
             # length than a single running int64 sum
             df = df.withColumn("_go_dp", dp)
             off2 = chunk_offsets_plan(
-                df, sums={"_go_th0": F.col("_go_dp")}, mods={"_go_th0": C.Q32_MOD}
+                df, sums={"_go_th0": F.col("_go_dp")}, mods={"_go_th0": C.Q32_MOD},
+                keys=part,
             )
-            df = df.join(F.broadcast(off2), on=GO_CHUNK, how="left")
+            df = df.join(F.broadcast(off2), on=part + [GO_CHUNK], how="left")
             theta = F.pmod(
                 F.sum("_go_dp").over(wcum)
                 + F.coalesce("_go_th0", F.lit(0)) + _hs("_hs_theta"),
@@ -413,9 +419,9 @@ def hot_loop(
         # closed form: theta = incr * (# invoked rows so far) mod 2^32.
         if use_chunks:
             off2 = chunk_offsets_plan(
-                df, sums={"_go_n0": F.when(invoked, 1).otherwise(0)}
+                df, sums={"_go_n0": F.when(invoked, 1).otherwise(0)}, keys=part,
             )
-            df = df.join(F.broadcast(off2), on=GO_CHUNK, how="left")
+            df = df.join(F.broadcast(off2), on=part + [GO_CHUNK], how="left")
             amc_n = (
                 F.count(F.when(invoked, 1)).over(wcum)
                 + F.coalesce("_go_n0", F.lit(0)) + _hs("_hs_amcn")

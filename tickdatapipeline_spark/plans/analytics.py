@@ -108,6 +108,25 @@ def _multistream_sql() -> str:
     return f"WITH {ctes} SELECT stream, {', '.join(TICK_COLS)} FROM ticks_out"
 
 
+def multistream_twopass_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined scale axes, driver-gated on its own: streams
+    partition the work AND every window within a stream is chunked
+    (partitionBy(stream, chunk) + per-stream broadcast offsets) — the
+    plan for a deployment whose INDIVIDUAL streams are too long for one
+    partition. Same oracle as the windowed multistream query; small
+    chunk_size exercises many per-stream chunk boundaries at sf0.01."""
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events_streams
+
+    raw = ticks_from_events_streams(spark, sf_dir, chunk_size=997)
+    df = hot_loop(
+        expand_volume(raw, stream_id="stream", chunk_size=997),
+        SP_DERIV, stream_id="stream", chunk_size=997,
+    )
+    return df.select("stream", *TICK_COLS)
+
+
 # ---- B7 pass-through enrichment: bar fields only on completing ticks ----
 
 ENRICH_BAR_COLS = ["bar_idx", "bar_open_raw", "bar_high_raw", "bar_low_raw",
@@ -492,6 +511,9 @@ def queries() -> dict[str, tuple]:
         "tick_pipeline_cpm": (c_fn, c_sql),
         "tick_pipeline_amc": (a_fn, a_sql),
         "tick_pipeline_multistream": (multistream_fn, _multistream_sql()),
+        # same oracle as the windowed multistream plan
+        "tick_pipeline_multistream_twopass": (
+            multistream_twopass_fn, _multistream_sql()),
         "bars_boxcar": (bb_fn, bb_sql),
         "bars_fir": (bf_fn, bf_sql),
         "ticks_enriched": (enriched_fn, ENRICHED_SQL),

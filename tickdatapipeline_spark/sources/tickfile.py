@@ -264,10 +264,27 @@ def ticks_streams_sql(n_streams: int = N_STREAMS) -> str:
 
 
 def ticks_from_events_streams(
-    spark: SparkSession, sf_dir: str, n_streams: int = N_STREAMS
+    spark: SparkSession, sf_dir: str, n_streams: int = N_STREAMS,
+    chunk_size: int | None = None,
 ) -> DataFrame:
+    """With ``chunk_size``: the at-scale variant — per-stream line_no
+    comes from the closed form ``event_id DIV n_streams + 1`` (exact for
+    the driver generator's contiguous 0-based event_ids, identical to
+    the row_number the windowed form computes) and the frame carries the
+    per-stream chunk column, so not even the SOURCE plans a per-stream
+    serial window."""
     read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
     sql = _TICKS_STREAMS_CORE.format(
         n_streams=n_streams, intdiv="DIV", events="__events_src"
     ).replace("printf(", "format_string(")
-    return spark.sql(sql)
+    if chunk_size is None:
+        return spark.sql(sql)
+    from tickdatapipeline_spark.operators.globalorder import add_chunk, pin
+
+    closed = sql.replace(
+        f"row_number() OVER (PARTITION BY event_id % {n_streams}\n"
+        f"                       ORDER BY event_id)",
+        f"CAST(event_id DIV {n_streams} + 1 AS BIGINT)",
+    )
+    assert closed != sql, "line_no window not found for closed-form rewrite"
+    return pin(add_chunk(spark.sql(closed), "line_no - 1", chunk_size))
