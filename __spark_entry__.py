@@ -48,7 +48,7 @@ def _registry() -> dict[str, tuple]:
             reg[name] = pair
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
-    # there are more gated queries (67 as of round 5) than the driver's
+    # there are more gated queries (68 as of round 5) than the driver's
     # 50-entry correctness window. The gated ordering rotates per round
     # by the smallest step >= 9 that is coprime with the gated count, so
     # the rotation is a full cycle whatever the registry size: every

@@ -476,6 +476,50 @@ FROM hc FULL OUTER JOIN hs USING (nationkey)
 """
 
 
+# ---- R15: RANGE window frame (time-based trailing aggregate) ----
+
+R15_TRAIL_DAYS = 30
+
+
+def r15_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-30-day spend at each order — the RANGE
+    window frame (value-based, includes ALL rows tied on the ordering
+    value, so it is deterministic under same-day order ties where a ROWS
+    frame would not be). Integer epoch-day ordering keeps the frame
+    arithmetic exact on both engines.
+
+    Scale: one hash exchange on o_custkey; the range frame evaluates in
+    a single pass per partition.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day_num"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey").orderBy("day_num")
+        .rangeBetween(-(R15_TRAIL_DAYS - 1), 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", "day_num",
+        (F.sum("cents").over(w) / 100.0).alias("trailing_spend"),
+        F.count(F.lit(1)).over(w).alias("n_orders_window"),
+    )
+
+
+R15_SQL = f"""
+SELECT o_custkey, o_orderkey, day_num,
+       sum(cents) OVER w / 100.0 AS trailing_spend,
+       count(*) OVER w AS n_orders_window
+FROM (SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS day_num,
+             {_CENTS.format(x='o_totalprice')} AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN {R15_TRAIL_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -492,4 +536,5 @@ def queries() -> dict[str, tuple]:
         "rel_customer_balance_quartiles": (r12_fn, R12_SQL),
         "rel_customer_running_spend": (r13_fn, R13_SQL),
         "rel_nation_gap_full_outer": (r14_fn, R14_SQL),
+        "rel_customer_trailing_spend": (r15_fn, R15_SQL),
     }
