@@ -151,3 +151,40 @@ def test_chunked_bars_plan_has_no_single_partition(spark):
     finally:
         set_two_pass_threshold(None)
         set_ticks_cache(True)
+
+
+@pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+def test_multistream_chunked_bars_equal_windowed(spark, method, tpb):
+    """Per-stream chunked bar aggregation (windows keyed by
+    (stream, chunk), per-stream offsets) must be BIT-identical to the
+    per-stream windowed plan — unequal stream lengths, normalization
+    recalcs crossing chunk boundaries, both bar methods."""
+    from tickdatapipeline_spark.config import BarProcessingConfig, SignalProcessingConfig
+    from tickdatapipeline_spark.operators.bars import bar_aggregate
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+
+    rows = []
+    for s, n in (("A", 53), ("B", 31)):
+        price = 41970 + ord(s)
+        for i in range(n):
+            price += (i * 7) % 11 - 5
+            rows.append((s, i + 1, "20250319 120000 0000000",
+                         price - 1, price + 1, price, 1 + i % 3))
+    raw = spark.createDataFrame(
+        rows,
+        "stream string, line_no long, ts_str string, bid long, ask long, "
+        "last long, volume long",
+    )
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=tpb, bar_method=method,
+                             normalization_window_bars=2)
+    ticks_w = hot_loop(expand_volume(raw, stream_id="stream"), cfg,
+                       stream_id="stream", stats_ticks_per_bar=8)
+    win = bar_aggregate(ticks_w, bp, stream_id="stream")
+    ticks_c = hot_loop(expand_volume(raw, stream_id="stream", chunk_size=9), cfg,
+                       stream_id="stream", stats_ticks_per_bar=8, chunk_size=9)
+    chk = bar_aggregate(ticks_c, bp, stream_id="stream", chunk_size=9)
+    a = win.orderBy("stream", "bar_idx").toPandas()
+    b = chk.select(*win.columns).orderBy("stream", "bar_idx").toPandas()
+    assert len(a) >= 10 and a.equals(b)

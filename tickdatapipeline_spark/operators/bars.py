@@ -168,9 +168,7 @@ def bar_aggregate(
         raise ValueError("bar processing disabled in config")
     part = [stream_id] if stream_id else []
     n = cfg.ticks_per_bar
-    use_chunks = (
-        chunk_size is not None and stream_id is None and not isinstance(seed, dict)
-    )
+    use_chunks = chunk_size is not None and not isinstance(seed, dict)
 
     seeds: dict | None = None
     if isinstance(seed, dict):
@@ -267,7 +265,7 @@ def bar_aggregate(
         bars = add_chunk(bars, "bar_id", max(chunk_size // n, 1))
         # shared by two offsets subplans and the main plan — pin once
         bars = pin(bars)
-        wb = Window.partitionBy(GO_CHUNK).orderBy("bar_id")
+        wb = Window.partitionBy(*part, GO_CHUNK).orderBy("bar_id")
     else:
         wb = Window.partitionBy(*part).orderBy("bar_id")
     wcum = wb.rowsBetween(Window.unboundedPreceding, 0)
@@ -284,8 +282,9 @@ def bar_aggregate(
         bars_off = chunk_offsets_plan(
             bars,
             sums={"_go_h0": F.col("bar_high_raw"), "_go_l0": F.col("bar_low_raw")},
+            keys=part,
         )
-        bars = bars.join(F.broadcast(bars_off), on=GO_CHUNK, how="left")
+        bars = bars.join(F.broadcast(bars_off), on=part + [GO_CHUNK], how="left")
         cum_high = (
             F.sum("bar_high_raw").over(wcum) + F.coalesce("_go_h0", F.lit(0))
             + F.coalesce(F.col("_sd_shigh"), F.lit(0))
@@ -314,8 +313,9 @@ def bar_aggregate(
                 "_go_nr": (F.col("bar_id"), F.col("_norm_recalc")),
                 "_go_pavg": (F.col("bar_id"), F.col("bar_average_raw")),
             },
+            keys=part,
         )
-        bars = bars.join(F.broadcast(carry_off), on=GO_CHUNK, how="left")
+        bars = bars.join(F.broadcast(carry_off), on=part + [GO_CHUNK], how="left")
         bars = bars.withColumn(
             "bar_normalization",
             F.coalesce(
