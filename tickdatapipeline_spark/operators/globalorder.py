@@ -54,6 +54,19 @@ from pyspark.storagelevel import StorageLevel
 
 GO_CHUNK = "_go_chunk"
 
+# chunks per super-chunk (level-2 of the offsets hierarchy). Module-wide
+# so tests can force the multi-super triangular-join path at tiny scale
+# (set_super_size(2)) — with the production default of 1024 a fixture
+# would need >1024 chunks to reach it.
+_SUPER_SIZE = 1024
+
+
+def set_super_size(n: "int | None") -> None:
+    """Override the offsets hierarchy's super-chunk size (tests / probes);
+    None resets to the production default."""
+    global _SUPER_SIZE
+    _SUPER_SIZE = 1024 if n is None else max(int(n), 1)
+
 
 def pin(df: DataFrame) -> DataFrame:
     """Stage a frame consumed by both an offsets subquery and the main
@@ -91,7 +104,7 @@ def chunk_offsets_plan(
     sums: "dict[str, Column] | None" = None,
     carries: "dict[str, tuple[Column, Column]] | None" = None,
     mods: "dict[str, int] | None" = None,
-    super_size: int = 1024,
+    super_size: "int | None" = None,
     keys: "list[str] | None" = None,
 ) -> DataFrame:
     """Per-chunk offsets as a broadcast-ready (keys..., GO_CHUNK, <out>)
@@ -116,6 +129,7 @@ def chunk_offsets_plan(
     carries = carries or {}
     mods = mods or {}
     keys = keys or []
+    super_size = super_size or _SUPER_SIZE
 
     def _mod(name: str, col: Column) -> Column:
         return F.pmod(col, F.lit(mods[name])) if name in mods else col
