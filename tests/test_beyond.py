@@ -537,3 +537,20 @@ def test_retention_cohorts_golden(spark):
         (86400, 0): 1,        # u3 cohort day 1
         (86400, 1): 1,        # u3 purchase day 2
     }
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 40-node path graph (diameter 39) must fully collapse to ONE
+    cluster labelled by the min node — pointer jumping makes this take
+    ~6 rounds; plain one-hop propagation would exhaust max_iter=20 and
+    previously returned silently split clusters."""
+    from tickdatapipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "a long, b long"
+    )
+    out = connected_components(pairs, "a", "b").collect()
+    assert len(out) == 40
+    assert {r.cluster_id for r in out} == {1}
+    assert all(r.cluster_size == 40 for r in out)
+    assert sum(r.is_representative for r in out) == 1

@@ -302,6 +302,15 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
     Output: (id_col, cluster_id, cluster_size, is_representative) for
     every node appearing in an edge; cluster_id = min node id of the
     component. See duplicate_clusters for the scale rationale.
+
+    Each round combines neighbor propagation with POINTER JUMPING
+    (label <- label of my label — every label value is itself a node
+    id), so convergence is O(log diameter) rounds, not O(diameter):
+    max_iter=20 covers components with diameter up to ~2^20 — without
+    the jump, a 30-deep near-dup CHAIN (pathological but real in
+    boilerplate corpora) would exhaust 20 one-hop rounds and silently
+    return split clusters. Non-convergence now raises instead of
+    returning wrong labels.
     """
     edges = (
         pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
@@ -309,12 +318,21 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
+    converged_early = False
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("node", "nbr"), on="nbr"
         ).select("node", "label")
+        jump = (
+            labels.select(F.col("node").alias("_jn"), F.col("label").alias("_mid"))
+            .join(
+                labels.select(F.col("node").alias("_mid"), F.col("label").alias("_jl")),
+                on="_mid",
+            )
+            .select(F.col("_jn").alias("node"), F.col("_jl").alias("label"))
+        )
         new_labels = (
-            labels.unionByName(prop)
+            labels.unionByName(prop).unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
@@ -330,7 +348,13 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
         )
         labels = new_labels
         if converged:
+            converged_early = True
             break
+    if not converged_early:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter > ~2^{max_iter}); raise max_iter"
+        )
     csizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(csizes, on="label")
