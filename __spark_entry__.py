@@ -23,21 +23,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from tickdatapipeline_spark.plans import analytics, beyond, relational  # noqa: E402
 
 
-def _round_number() -> int:
-    """Current build round, inferred from the CORRECTNESS_r{N}.json files
-    the driver has committed for PAST rounds (when round N's verify runs,
-    r01..r{N-1} exist). Used only to rotate the registry ordering; any
-    deterministic integer works."""
+def _last_green_round() -> dict[str, int]:
+    """Map query name -> most recent PAST round whose committed
+    CORRECTNESS_r{N}.json holds a fully-green row (rows+schema+hash, no
+    err) for it. Names never green in any committed file are absent.
+    Drives the registry ordering below; any deterministic map works."""
     import glob
+    import json
     import re
 
     here = Path(__file__).resolve().parent
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(str(here / "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    return max(rounds) + 1 if rounds else 1
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(Path(p).read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _registry() -> dict[str, tuple]:
@@ -49,22 +64,21 @@ def _registry() -> dict[str, tuple]:
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
     # there are more gated queries (68 as of round 5) than the driver's
-    # 50-entry correctness window. The gated ordering rotates per round
-    # by the smallest step >= 9 that is coprime with the gated count, so
-    # the rotation is a full cycle whatever the registry size: every
-    # gated query enters the window within a few rounds (pinned by
+    # 50-entry correctness window. Gated ordering is least-recently-
+    # verified first, computed from the committed CORRECTNESS_r*.json
+    # files: never-green queries lead, then ascending by the round of
+    # their latest green row (ties keep registry order, so the ordering
+    # is deterministic). With a 50-entry window over <=100 gated queries
+    # this covers every query within 2 rounds from ANY starting state and
+    # self-heals if the driver ever skips a round (pinned by
     # test_registry_rotation_covers_every_gated_query);
     # scripts_dev/oracle_parity.py (and the marked-slow pytest sweep
     # wrapping it) still verifies ALL gated queries in-repo every round.
-    import math
-
+    last = _last_green_round()
     gated_names = [n for n, p in reg.items() if p[1] is not None]
-    step = 9
-    while math.gcd(step, len(gated_names)) != 1:
-        step += 1
-    offset = (step * _round_number()) % len(gated_names)
-    rotated = gated_names[offset:] + gated_names[:offset]
-    gated = {n: reg[n] for n in rotated}
+    order = {n: i for i, n in enumerate(gated_names)}
+    gated_names.sort(key=lambda n: (last.get(n, 0), order[n]))
+    gated = {n: reg[n] for n in gated_names}
     rows_only = {n: p for n, p in reg.items() if p[1] is None}
     return {**gated, **rows_only}
 

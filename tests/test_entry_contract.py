@@ -78,19 +78,36 @@ def test_oracle_agreement_fast_subset(spark, con, name):
 
 def test_registry_rotation_covers_every_gated_query(monkeypatch):
     """The driver hash-verifies only the FIRST 50 registry entries; the
-    gated ordering rotates by 9 per round so every gated query must land
-    inside that window within a bounded number of rounds."""
+    gated ordering is least-recently-verified first (from the committed
+    CORRECTNESS files), so from ANY starting coverage state every gated
+    query lands inside the window within ceil(n_gated/50) = 2 rounds."""
     import __spark_entry__ as mod
 
     n_gated = sum(1 for s in mod.oracle_sql().values() if s is not None)
+
+    # simulate the driver loop from a worst-case empty coverage state:
+    # each simulated round marks its 50-entry window green, feeding the
+    # next round's ordering.
+    coverage: dict[str, int] = {}
     seen: dict[str, int] = {}
-    for rnd_no in range(5, 5 + 8):
-        monkeypatch.setattr(mod, "_round_number", lambda r=rnd_no: r)
+    for rnd_no in range(1, 3):
+        monkeypatch.setattr(mod, "_last_green_round", lambda c=dict(coverage): c)
         window = list(mod.queries())[:50]
         gated_in_window = [n for n in window if n in mod.oracle_sql()]
         assert len(gated_in_window) == 50  # rows-only entries sort last
         for n in gated_in_window:
+            coverage[n] = rnd_no
             seen.setdefault(n, rnd_no)
     assert len(seen) == n_gated, "some gated query never enters the window"
-    # no query waits more than 3 rounds for its first driver-verified row
-    assert max(seen.values()) <= 5 + 2
+    assert max(seen.values()) <= 2
+
+    # and with the REAL committed CORRECTNESS files: any query that has
+    # never had a green driver row must lead the very next window.
+    monkeypatch.undo()
+    real_last = mod._last_green_round()
+    window = list(mod.queries())[:50]
+    never_green = [n for n in mod.oracle_sql() if n not in real_last]
+    assert all(n in window for n in never_green), (
+        f"never-verified queries missing from next window: "
+        f"{[n for n in never_green if n not in window]}"
+    )
