@@ -326,6 +326,62 @@ def test_media_plumbing(spark):
     assert sorted(f.frame_idx for f in frames) == list(range(0, n_frames, 2))
 
 
+def test_media_frame_kernel_golden_slices(spark):
+    """The vectorized explode kernel must reproduce the per-row stub
+    contract exactly: frame f of a payload of length L split into n
+    frames is payload[f*size:(f+1)*size] with size = max(L // n, 1);
+    n_frames null/0 clamps to 1; non-video and null-content rows drop."""
+    from tickdatapipeline_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        (1, "video", b"abcdefghij", 0, 0, 5),   # 10 bytes / 5 frames -> size 2
+        (2, "video", b"xyz", 0, 0, None),        # null n_frames -> 1 frame
+        (3, "video", b"pq", 0, 0, 0),            # 0 clamps to 1
+        (4, "image", b"ignored", 0, 0, 9),       # wrong kind drops
+        (5, "video", None, 0, 0, 3),             # null payload drops
+        (6, "video", b"a", 0, 0, 7),             # size clamps to 1, 7 frames
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r.media_id, r.frame_idx): bytes(r.frame_bytes)
+           for r in sample_frames(media, every=2).collect()}
+    assert got == {
+        (1, 0): b"ab", (1, 2): b"ef", (1, 4): b"ij",
+        (2, 0): b"xyz",
+        (3, 0): b"pq",
+        (6, 0): b"a", (6, 2): b"", (6, 4): b"", (6, 6): b"",
+    }
+
+
+def test_media_codec_injection(spark):
+    """Deployments swap the stub kernels for real codecs without touching
+    the Spark plumbing: extract_features(decode=...) and
+    sample_frames(demux=...) run the injected callables on executors."""
+    from tickdatapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        sample_frames,
+    )
+
+    rows = [(1, "video", b"abcdef", 0, 0, 3), (2, "image", b"zz", 0, 0, 1)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def fake_decode(payload: bytes) -> list[float]:
+        return [float(len(payload)), float(payload[0])]
+
+    feats = {r.media_id: list(r.features)
+             for r in extract_features(media, dim=2, decode=fake_decode).collect()}
+    assert feats == {1: [6.0, float(b"a"[0])], 2: [2.0, float(b"z"[0])]}
+
+    def fake_demux(payload: bytes, n_frames: int) -> list[bytes]:
+        # a "real" demuxer: reversed per-frame chunks, to prove the stub
+        # slicer was NOT used
+        return [payload[i::n_frames][::-1] for i in range(n_frames)]
+
+    frames = {(r.media_id, r.frame_idx): bytes(r.frame_bytes)
+              for r in sample_frames(media, every=2, demux=fake_demux).collect()}
+    assert frames == {(1, 0): b"da", (1, 2): b"fc"}
+
+
 def test_media_features_oracle_survives_non_ascii(spark, tmp_path):
     """The MEDIA_FEATURES_SQL oracle must match the Spark side for ANY
     corpus, not just ASCII: exercise 2/3/4-byte UTF-8 codepoints so a

@@ -14,7 +14,7 @@ for a real decoder and nothing else changes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
 
@@ -89,17 +89,27 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return [float(x) for x in acc]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    decode: "Callable[[bytes], list[float]] | None" = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 
     Real plumbing: batches arrive as pandas DataFrames (Arrow transfer),
     output schema is fixed, and the kernel is vectorizable per batch.
+
+    A deployment with a real codec injects it via ``decode``: a callable
+    ``payload_bytes -> list[float]`` (length ``dim``), e.g. a PIL decode
+    + embedding. The callable must be importable/picklable on executors.
+    Default is the deterministic byte-histogram stub.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decode if decode is not None else (lambda b: _fake_decode_features(b, dim))
         for pdf in batches:
             content = pdf["content"]
-            feats = content.map(lambda b: _fake_decode_features(b, dim))
+            feats = content.map(lambda b: [0.0] * dim if b is None else dec(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -115,29 +125,70 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+def sample_frames(
+    media: DataFrame,
+    every: int = 4,
+    demux: "Callable[[bytes, int], Sequence[bytes]] | None" = None,
+) -> DataFrame:
     """Frame sampling for video payloads: emits every `every`-th frame as
-    its own row. STUB frame split (fixed-size byte slices) standing in
-    for a real demuxer; the explode-shaped mapInPandas contract is real.
+    its own row.
+
+    The kernel is batch-shaped: numpy repeat/offset arrays compute the
+    whole explode (which input row each output frame belongs to, and its
+    frame index) with no per-row Python loop — this is the template to
+    copy when a real demuxer lands. The default frame split is the STUB
+    fixed-size byte slicer; a deployment injects a real demuxer via
+    ``demux``: a callable ``(payload_bytes, n_frames) -> sequence of
+    frame byte-strings`` (e.g. ffmpeg keyframe extraction), called once
+    per video payload. Must be picklable on executors.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "media_id": pd.Series([], dtype="int64"),
+                "frame_idx": pd.Series([], dtype="int64"),
+                "frame_bytes": pd.Series([], dtype=object),
+            }
+        )
         for pdf in batches:
-            out_ids, out_idx, out_bytes = [], [], []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video" or row["content"] is None:
-                    continue
-                payload = row["content"]
-                n = max(int(row["n_frames"] or 1), 1)
-                size = max(len(payload) // n, 1)
-                for f in range(0, n, every):
-                    out_ids.append(row["media_id"])
-                    out_idx.append(f)
-                    out_bytes.append(payload[f * size : (f + 1) * size])
+            mask = (pdf["kind"] == "video").to_numpy() & pdf["content"].notna().to_numpy()
+            if not mask.any():
+                yield empty
+                continue
+            sub = pdf.loc[mask]
+            payloads = sub["content"].to_numpy(dtype=object)
+            n_rows = len(sub)
+            n = np.maximum(sub["n_frames"].fillna(1).to_numpy(dtype=np.int64), 1)
+            # explode shape: row i emits k[i] = ceil(n[i]/every) frames
+            k = (n + every - 1) // every
+            row_of = np.repeat(np.arange(n_rows), k)  # output frame -> input row
+            local = np.arange(row_of.size) - np.repeat(np.cumsum(k) - k, k)
+            frame_idx = local * every
+            if demux is not None:
+                frames = [demux(p, int(nf)) for p, nf in zip(payloads, n)]
+                frame_bytes = [frames[r][f] for r, f in zip(row_of, frame_idx)]
+            else:
+                # STUB demux: fixed-size byte slices of the payload
+                lengths = np.fromiter(
+                    (len(b) for b in payloads), dtype=np.int64, count=n_rows
+                )
+                size = np.maximum(lengths // n, 1)
+                starts = frame_idx * size[row_of]
+                stops = starts + size[row_of]
+                frame_bytes = [
+                    payloads[r][s:e] for r, s, e in zip(row_of, starts, stops)
+                ]
             yield pd.DataFrame(
-                {"media_id": pd.Series(out_ids, dtype="int64"),
-                 "frame_idx": pd.Series(out_idx, dtype="int64"),
-                 "frame_bytes": out_bytes}
+                {
+                    "media_id": pd.Series(
+                        sub["media_id"].to_numpy(dtype=np.int64)[row_of], dtype="int64"
+                    ),
+                    "frame_idx": pd.Series(frame_idx, dtype="int64"),
+                    "frame_bytes": frame_bytes,
+                }
             )
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
