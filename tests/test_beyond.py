@@ -447,29 +447,60 @@ def test_duplicate_clusters_transitive(spark):
     assert rows[7].is_representative == 1 and rows[8].is_representative == 0
 
 
-def test_bucket_skew_guards(spark):
+def test_bucket_skew_guards(spark, caplog):
     """max_band_bucket / max_bucket_size drop oversized buckets BEFORE
     the quadratic join (100 TB skew guard); with a cap above every
-    bucket the output is unchanged."""
+    bucket the output is unchanged. The DEPLOYMENT defaults are finite
+    (a degenerate corpus must not silently go n^2 per bucket) and a
+    tripped guard logs how much it dropped; None = exhaustive."""
+    import logging
+
+    from tickdatapipeline_spark.operators import dedup as dedup_mod
+    from tickdatapipeline_spark.operators import similarity as sim_mod
     from tickdatapipeline_spark.operators.dedup import lsh_candidate_pairs
     from tickdatapipeline_spark.operators.similarity import embedding_near_duplicates
+
+    # the corpus-scale entry points ship with the guard ON
+    assert dedup_mod.DEFAULT_MAX_BAND_BUCKET is not None
+    assert sim_mod.DEFAULT_MAX_BUCKET_SIZE is not None
+    import inspect
+
+    assert (inspect.signature(lsh_candidate_pairs).parameters["max_band_bucket"].default
+            == dedup_mod.DEFAULT_MAX_BAND_BUCKET)
+    assert (inspect.signature(embedding_near_duplicates).parameters["max_bucket_size"].default
+            == sim_mod.DEFAULT_MAX_BUCKET_SIZE)
 
     t1 = "alpha beta gamma delta epsilon zeta"
     d = docs_df(spark, [(i, t1, "en") for i in range(1, 5)]  # 4 identical docs
                 + [(9, "other words completely unrelated here", "en")])
-    # identical docs share every band: bucket size 4 -> 6 pairs uncapped
+    # identical docs share every band: bucket size 4 < default cap -> 6 pairs
     assert lsh_candidate_pairs(d).count() == 6
-    # cap 3 drops the size-4 buckets entirely
-    assert lsh_candidate_pairs(d, max_band_bucket=3).count() == 0
-    # cap above every bucket: identical output
-    assert lsh_candidate_pairs(d, max_band_bucket=100).count() == 6
+    # exhaustive mode unchanged
+    assert lsh_candidate_pairs(d, max_band_bucket=None).count() == 6
+    # degenerate corpus: cap 3 drops the size-4 buckets entirely, logged
+    with caplog.at_level(logging.WARNING, logger="tickdatapipeline_spark.operators.dedup"):
+        capped = lsh_candidate_pairs(d, max_band_bucket=3)
+    assert any("skew guard" in r.message and "max_band_bucket=3" in r.message
+               for r in caplog.records)
+    assert capped.count() == 0
+    caplog.clear()
+    # cap above every bucket: identical output, nothing logged
+    with caplog.at_level(logging.WARNING, logger="tickdatapipeline_spark.operators.dedup"):
+        assert lsh_candidate_pairs(d, max_band_bucket=100).count() == 6
+    assert not any("skew guard" in r.message for r in caplog.records)
 
     emb = spark.createDataFrame(
         [(i, [1.0] * 8) for i in range(1, 5)] + [(9, [-1.0] * 8)],
         "vec_id long, embedding array<double>",
     )
     assert embedding_near_duplicates(emb, 0.25).count() == 6
-    assert embedding_near_duplicates(emb, 0.25, max_bucket_size=3).count() == 0
+    assert embedding_near_duplicates(emb, 0.25, max_bucket_size=None).count() == 6
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="tickdatapipeline_spark.operators.similarity"):
+        capped = embedding_near_duplicates(emb, 0.25, max_bucket_size=3)
+    assert any("skew guard" in r.message and "max_bucket_size=3" in r.message
+               for r in caplog.records)
+    assert capped.count() == 0
     assert embedding_near_duplicates(emb, 0.25, max_bucket_size=100).count() == 6
 
 

@@ -5,6 +5,7 @@ from tickdatapipeline_spark.operators.bars import (
     enrich_ticks_with_bars,
 )
 from tickdatapipeline_spark.operators.dedup import (
+    DEFAULT_MAX_BAND_BUCKET,
     connected_components,
     deduplicated_corpus,
     duplicate_clusters,
@@ -24,6 +25,7 @@ from tickdatapipeline_spark.operators.multimodal import (
 )
 from tickdatapipeline_spark.operators.rangejoin import binned_range_join
 from tickdatapipeline_spark.operators.similarity import (
+    DEFAULT_MAX_BUCKET_SIZE,
     ann_bucket_histogram,
     ann_topk_ivf,
     ann_topk_ivf_kmeans,
@@ -45,6 +47,7 @@ from tickdatapipeline_spark.operators.text import (
 )
 
 __all__ = [
+    "DEFAULT_MAX_BAND_BUCKET", "DEFAULT_MAX_BUCKET_SIZE",
     "asof_join",
     "BarSeed", "bar_aggregate", "enrich_ticks_with_bars",
     "connected_components", "deduplicated_corpus", "duplicate_clusters",

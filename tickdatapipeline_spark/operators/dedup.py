@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -26,9 +28,17 @@ from tickdatapipeline_spark.functions.scale import fan_out
 
 from tickdatapipeline_spark.operators.text import h60, tokens
 
+logger = logging.getLogger(__name__)
+
 MERSENNE_P = 2147483647  # 2^31 - 1
 NUM_PERM = 32
 BAND_SIZE = 4  # 8 bands of 4 rows
+
+# Deployment default for the LSH band-bucket skew guard: a bucket of m
+# docs emits ~m^2/2 candidate rows in ONE join task, so the default caps
+# the worst bucket at ~500K pairs. Pass None explicitly for exhaustive
+# (oracle-compared / small-corpus) output.
+DEFAULT_MAX_BAND_BUCKET = 1000
 
 
 def perm_a(j: int) -> int:
@@ -109,7 +119,7 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
-                        max_band_bucket: int | None = None) -> DataFrame:
+                        max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing any band signature.
 
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct. Band keys come
@@ -121,8 +131,13 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     key (boilerplate-heavy shards) can hold millions of docs. Buckets
     larger than the cap are dropped BEFORE the self-join (standard LSH
     practice — an oversized bucket is a low-information band whose
-    members are still recalled by their other bands). None = off, which
-    keeps the oracle-compared output exhaustive at test scale.
+    members are still recalled by their other bands). The deployment
+    default is DEFAULT_MAX_BAND_BUCKET; when the guard trips, the number
+    of dropped buckets/rows is computed eagerly off the pinned band
+    table (one cheap aggregation job at plan-build time) and logged —
+    a silent quadratic blowup is worse than a logged cap. Pass None
+    explicitly for exhaustive output (the oracle-compared registry
+    entries do), which also skips the eager sizing job.
     """
     wide = _minhash_wide(docs, num_perm)
     n_bands = num_perm // band_size
@@ -149,6 +164,16 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
         # map-side-combinable count per (band, band_key); the anti-filter
         # is a broadcast-able join at any realistic cap
         sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
+        dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
+            F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
+        ).first()
+        if dropped["buckets"]:
+            logger.warning(
+                "lsh_candidate_pairs skew guard: dropped %d band bucket(s) "
+                "holding %d doc-band rows (> max_band_bucket=%d); members "
+                "remain recallable via their other bands",
+                dropped["buckets"], dropped["rows"], max_band_bucket,
+            )
         bands = (
             bands.join(sizes.where(F.col("_m") <= max_band_bucket),
                        on=["band", "band_key"], how="inner")
@@ -170,10 +195,14 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
     """n-gram Jaccard verification over LSH candidate pairs only.
     Output: (doc_a, doc_b, inter_count, union_count, jaccard) for
     jaccard >= threshold; union = |A| + |B| - inter.
+
+    ``max_band_bucket`` passes through to the default candidate
+    generation (ignored when ``candidates`` is given); None = exhaustive.
 
     ``candidates`` defaults to lsh_candidate_pairs(docs). Restricting to
     candidates is the scale-critical property: an unrestricted
@@ -184,7 +213,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     standard MinHash-LSH contract.
     """
     if candidates is None:
-        candidates = lsh_candidate_pairs(docs)
+        candidates = lsh_candidate_pairs(docs, max_band_bucket=max_band_bucket)
     sh = shingles(docs)
     # size only the docs that appear in a candidate pair: at corpus scale
     # `sizes` is one row per document (unbroadcastable), but the candidate
@@ -273,7 +302,8 @@ def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,
 
 
 def duplicate_clusters(docs: DataFrame, threshold: float = 0.5,
-                       max_iter: int = 20) -> DataFrame:
+                       max_iter: int = 20,
+                       max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
     """Connected components over the near-duplicate graph: group every
     verified near-dup pair (jaccard_pairs) into clusters and elect the
     min-doc_id representative — the "keep one copy" step of corpus dedup.
@@ -290,7 +320,9 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.5,
     clustering" stage; deterministic, so DuckDB's recursive CTE can
     reproduce it exactly.
     """
-    pairs = jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(
+        docs, threshold, max_band_bucket=max_band_bucket
+    ).select("doc_a", "doc_b")
     return connected_components(pairs, "doc_a", "doc_b", max_iter=max_iter,
                                 id_col="doc_id")
 
@@ -367,7 +399,8 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str,
     )
 
 
-def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5,
+                        max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
     """The APPLY step of corpus dedup: drop every non-representative
     member of a near-dup cluster (duplicate_clusters) and keep the rest
     of the corpus untouched. Output: (doc_id, n_chars) of the surviving
@@ -379,7 +412,7 @@ def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     otherwise.
     """
     drop = (
-        duplicate_clusters(docs, threshold)
+        duplicate_clusters(docs, threshold, max_band_bucket=max_band_bucket)
         .where(F.col("is_representative") == 0)
         .select("doc_id")
     )

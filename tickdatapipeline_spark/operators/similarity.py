@@ -15,13 +15,22 @@ All vector math uses Catalyst higher-order functions on doubles
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import rnd
 
+logger = logging.getLogger(__name__)
+
 LSH_PLANES = 8
 DIM = 64
+
+# Deployment default for the near-dup bucket skew guard: caps the worst
+# LSH bucket's self-join at ~500K pairs. Pass None explicitly for
+# exhaustive (oracle-compared / small-corpus) output.
+DEFAULT_MAX_BUCKET_SIZE = 1000
 
 
 def _as_double(vec: Column) -> Column:
@@ -236,7 +245,7 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
 
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
-                              max_bucket_size: int | None = None) -> DataFrame:
+                              max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed (the scale path):
     only pairs sharing a signed-hyperplane bucket are scored, so cost is
     sum of per-bucket n^2 instead of global n^2. Output: (vec_a, vec_b,
@@ -244,15 +253,34 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
 
     ``max_bucket_size`` is the skew guard for degenerate buckets (e.g.
     millions of near-identical embeddings all hashing together): buckets
-    above the cap are dropped before the n^2 join. None = off (test
-    scale / oracle-compared output)."""
+    above the cap are dropped before the n^2 join. Deployment default is
+    DEFAULT_MAX_BUCKET_SIZE; when the guard trips, the dropped
+    bucket/row counts are computed eagerly off a pinned projection (one
+    small job at plan-build time) and logged. Pass None explicitly for
+    exhaustive output (the oracle-compared registry entries do) — that
+    also skips the eager sizing job."""
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
         lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     if max_bucket_size is not None:
+        # pin so the eager sizing job and both self-join sides reuse one
+        # materialization instead of re-deriving the projection 3x
+        from tickdatapipeline_spark.operators.globalorder import pin
+
+        base = pin(base)
         sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_m"))
+        dropped = sizes.where(F.col("_m") > max_bucket_size).agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("_m"), F.lit(0)).alias("rows"),
+        ).first()
+        if dropped["buckets"]:
+            logger.warning(
+                "embedding_near_duplicates skew guard: dropped %d LSH "
+                "bucket(s) holding %d vectors (> max_bucket_size=%d)",
+                dropped["buckets"], dropped["rows"], max_bucket_size,
+            )
         base = base.join(
             sizes.where(F.col("_m") <= max_bucket_size), on="bucket", how="inner"
         ).drop("_m")

@@ -20,6 +20,7 @@ from tickdatapipeline_spark.sources.io import read_events, read_parquet
 from tickdatapipeline_spark.operators.asof import asof_join
 from tickdatapipeline_spark.operators.dedup import (
     BAND_SIZE,
+    DEFAULT_MAX_BAND_BUCKET,
     MERSENNE_P,
     NUM_PERM,
     connected_components,
@@ -291,7 +292,8 @@ CURATE_MIN_STOPWORD = 0.02
 CURATE_MIN_UNIQ = 0.35
 
 
-def curate_corpus(docs: DataFrame) -> DataFrame:
+def curate_corpus(docs: DataFrame,
+                  max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
     """The end-to-end training-data curation pipeline as ONE query:
     near-dup removal (LSH -> Jaccard -> connected components, keep the
     cluster representative) ∘ language filter (lang_id != 'und') ∘
@@ -327,7 +329,9 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         ).alias("uniq_ratio"),
     )
     langs = lang_id(docs).select("doc_id", "pred_lang")
-    kept = deduplicated_corpus(docs, JACCARD_THRESHOLD).select("doc_id")
+    kept = deduplicated_corpus(
+        docs, JACCARD_THRESHOLD, max_band_bucket=max_band_bucket
+    ).select("doc_id")
     return (
         stats.join(kept, "doc_id")
         .join(langs, "doc_id")
@@ -343,7 +347,8 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
 
 
 def curated_corpus_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curate_corpus(_docs(spark, sf_dir))
+    # oracle-compared: exhaustive dedup, no skew cap
+    return curate_corpus(_docs(spark, sf_dir), max_band_bucket=None)
 
 
 _CURATE_STATS_SUB = f"""
@@ -1139,11 +1144,11 @@ def queries() -> dict[str, tuple]:
             ),
             MINHASH_SQL,
         ),
-        "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d)), LSH_PAIRS_SQL),
-        "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD), JACCARD_SQL),
-        "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD), CLUSTERS_SQL),
+        "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d), max_band_bucket=None), LSH_PAIRS_SQL),
+        "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None), JACCARD_SQL),
+        "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None), CLUSTERS_SQL),
         "dedup_corpus_filtered": (
-            lambda s, d: deduplicated_corpus(_docs(s, d), JACCARD_THRESHOLD),
+            lambda s, d: deduplicated_corpus(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None),
             DEDUP_CORPUS_SQL,
         ),
         "docs_curated_corpus": (curated_corpus_fn, CURATED_CORPUS_SQL),
@@ -1153,7 +1158,7 @@ def queries() -> dict[str, tuple]:
             events_value_percentiles_fn, _events_value_percentiles_sql()),
         "dedup_embedding_clusters": (
             lambda s, d: connected_components(
-                embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
+                embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
                 "vec_a", "vec_b", id_col="vec_id",
             ),
             EMBED_CLUSTERS_SQL,
@@ -1170,7 +1175,7 @@ def queries() -> dict[str, tuple]:
             IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K),
         ),
         "dedup_embedding_cosine": (
-            lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD),
+            lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
             EMBED_NEAR_DUP_SQL,
         ),
         "ema_state": (ema_state_fn, None),  # rows-only: true recurrence
