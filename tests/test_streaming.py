@@ -1056,3 +1056,35 @@ def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
 
     got = {r.event_id: r.tier for r in spark.read.parquet(str(out_dir)).collect()}
     assert got == {10: "gold", 11: None, 12: "platinum", 13: "bronze"}
+
+
+def test_refreshable_dim_writer_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a failure
+    between write and checkpoint commit runs the writer again. The
+    writer must therefore be idempotent by batch id — replaying a batch
+    (same batch_id, same or re-joined data) rewrites its own
+    batch_id partition instead of appending duplicates, and never
+    touches other batches' partitions."""
+    from tickdatapipeline_spark.streaming.eventtime import _idempotent_enrich_writer
+
+    dim_path = tmp_path / "dim"
+    out_dir = tmp_path / "out"
+    spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    ).write.parquet(str(dim_path))
+    writer = _idempotent_enrich_writer(str(dim_path), str(out_dir), "user_id")
+
+    b0 = spark.createDataFrame([(10, 1), (11, 2)], "event_id long, user_id long")
+    b1 = spark.createDataFrame([(12, 1)], "event_id long, user_id long")
+    writer(b0, 0)
+    writer(b1, 1)
+    first = sorted((r.event_id, r.tier, r.batch_id)
+                   for r in spark.read.parquet(str(out_dir)).collect())
+    assert first == [(10, "gold", 0), (11, None, 0), (12, "gold", 1)]
+
+    # replay batch 0 (e.g. failure after write, before checkpoint commit)
+    writer(b0, 0)
+    spark.catalog.refreshByPath(str(out_dir))
+    replayed = sorted((r.event_id, r.tier, r.batch_id)
+                      for r in spark.read.parquet(str(out_dir)).collect())
+    assert replayed == first  # no duplicate rows, batch 1 untouched

@@ -263,9 +263,18 @@ def run_enriched_events_refreshable(
     refreshes WITHOUT restarting the query: ``foreachBatch`` constructs
     the dimension frame from ``dim_path`` inside every micro-batch, so
     each batch joins against the files present at that moment
-    (overwrites included — nothing is cached across batches). Output
-    appends parquet to ``out_dir``; exactly-once comes from the
-    checkpoint + idempotent-by-batch-id parquet writer contract.
+    (overwrites included — nothing is cached across batches).
+
+    Output is parquet under ``out_dir`` partitioned by ``batch_id``
+    (readers see it as an extra partition column). foreachBatch is
+    at-least-once — a micro-batch replayed after a failure between the
+    write and the checkpoint commit runs the writer again — so the
+    writer is made idempotent BY batch id: each batch dynamically
+    overwrites exactly its own ``batch_id=N`` partition, and a replay
+    rewrites the same files instead of appending duplicates. That
+    checkpoint + idempotent-writer pair is what upgrades the sink to
+    effectively exactly-once (the contract Delta's txn-id dedup gives
+    for free; plain parquet needs the partition trick).
 
     This is the deployment answer to "my user table updates hourly":
     the stream-static plan-capture limitation (see
@@ -279,15 +288,28 @@ def run_enriched_events_refreshable(
         .json(input_dir)
     )
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        dim = batch_df.sparkSession.read.parquet(dim_path)
-        (
-            batch_df.join(dim, on=on, how="left")
-            .write.mode("append").parquet(out_dir)
-        )
-
     return (
-        raw.writeStream.foreachBatch(_process)
+        raw.writeStream.foreachBatch(_idempotent_enrich_writer(dim_path, out_dir, on))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def _idempotent_enrich_writer(dim_path: str, out_dir: str, on: str):
+    """Batch writer for run_enriched_events_refreshable: re-reads the
+    dimension, joins, and dynamically overwrites ONLY the batch's own
+    ``batch_id=N`` partition — calling it twice with the same batch_id
+    (a foreachBatch replay) leaves the sink unchanged."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        (
+            batch_df.join(dim, on=on, how="left")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return _process
