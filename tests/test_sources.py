@@ -81,3 +81,34 @@ def test_read_tick_file_distributed_numbering(spark, tmp_path):
     for a, b in zip(win, dist):
         assert (a.line_no, a.ts_str, a.bid, a.ask, a.last, a.volume) == \
                (b.line_no, b.ts_str, b.bid, b.ask, b.last, b.volume)
+
+
+def test_events_event_id_contiguity_contract():
+    """The chunked multistream source (sources/tickfile.py,
+    ticks_from_events_streams with chunk_size) rewrites per-stream
+    line_no to the closed form `event_id DIV n_streams + 1`, which
+    equals the windowed row_number ONLY when event_ids are contiguous
+    from 0. Pin that contract against every driver-generated events
+    fixture so a regeneration with gaps/duplicates fails loudly here
+    instead of silently skewing the *_twopass queries."""
+    import duckdb
+    from pathlib import Path
+
+    con = duckdb.connect()
+    checked = 0
+    for sf_dir in sorted(Path("/root/testdata").glob("sf*")):
+        ev = sf_dir / "events.parquet"
+        if not ev.exists():
+            continue
+        n, lo, hi, nd = con.sql(
+            f"SELECT COUNT(*), MIN(event_id), MAX(event_id), "
+            f"COUNT(DISTINCT event_id) FROM read_parquet('{ev}')"
+        ).fetchone()
+        assert (lo, hi, nd) == (0, n - 1, n), (
+            f"{ev}: event_id not contiguous 0-based "
+            f"(count={n}, min={lo}, max={hi}, distinct={nd}) — the "
+            f"closed-form line_no in ticks_from_events_streams is "
+            f"invalid for this fixture"
+        )
+        checked += 1
+    assert checked >= 3  # sf0.001 / sf0.01 / sf0.1 all present
