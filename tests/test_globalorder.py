@@ -124,3 +124,27 @@ def test_hot_loop_chunked_equality_survives_multi_super(spark):
         a = win.orderBy("tick_idx").toPandas()
         b = chk.orderBy("tick_idx").select(list(a.columns)).toPandas()
         assert a.equals(b), enc
+
+
+def test_max_supers_guard(spark):
+    """The two-level offsets hierarchy broadcasts one row per super; a
+    super id at/past max_supers (misconfigured tiny chunk_size on an
+    enormous stream) must RAISE at execution, not degrade the broadcast.
+    Within the bound the guard is invisible."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tickdatapipeline_spark.operators.globalorder import MAX_SUPERS
+
+    assert MAX_SUPERS >= 1 << 20  # production default stays exabyte-class
+
+    df, rows, chunk = make(spark, 30)  # super_size=2, chunks 0-9 -> supers 0-4
+    ok = chunk_offsets_plan(df, sums={"off": F.coalesce("v", F.lit(0))},
+                            keys=["k"], max_supers=5)
+    naive = naive_offsets(rows, chunk)
+    got = {(r.k, r[GO_CHUNK]): r.off for r in ok.collect()}
+    assert got == {kc: s for kc, (s, _l) in naive.items()}
+
+    bad = chunk_offsets_plan(df, sums={"off": F.coalesce("v", F.lit(0))},
+                             keys=["k"], max_supers=4)
+    with pytest.raises(SparkRuntimeException, match="max_supers=4"):
+        bad.collect()

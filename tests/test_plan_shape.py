@@ -145,6 +145,63 @@ def test_single_stream_two_pass_has_no_single_partition(spark):
         set_ticks_cache(True)
 
 
+def test_two_pass_flagship_full_data_exchange_count(spark):
+    """Pin the globalorder claim (operators/globalorder.py::add_chunk):
+    downstream windows keyed on the shared chunk column mean the final
+    segment of the chunked flagship pays exactly ONE exchange over
+    full-data rows — every other hashpartitioning exchange carries
+    per-chunk/per-super aggregates (a partial Aggregate sits below it).
+
+    Classification walks the initial physical plan tree: an exchange is
+    "full-data" iff its subtree — pruning at BroadcastExchange build
+    sides, which are bounded by construction — contains no Aggregate.
+    The total count is pinned too; if AQE/planner changes move it,
+    re-derive: 1 window repartition + 2 per-chunk groupBys + 2
+    within-super exchanges + 1 distinct-supers exchange = 6."""
+    from tickdatapipeline_spark.plans.common import (
+        SP_DERIV,
+        processed_ticks,
+        set_ticks_cache,
+        set_two_pass_threshold,
+    )
+
+    def walk(node, prune_broadcast):
+        acc, stack = [], [node]
+        while stack:
+            n = stack.pop()
+            acc.append(n)
+            if prune_broadcast and "BroadcastExchange" in n.nodeName():
+                continue
+            ch = n.children()
+            stack += [ch.apply(i) for i in range(ch.length())]
+        return acc
+
+    set_ticks_cache(False)
+    set_two_pass_threshold(0)
+    try:
+        df = processed_ticks(spark, SF, SP_DERIV)
+        root = df._jdf.queryExecution().executedPlan()
+        if root.nodeName() == "AdaptiveSparkPlan":
+            root = root.initialPlan()
+        exchanges = [
+            n for n in walk(root, prune_broadcast=False)
+            if n.nodeName() == "Exchange" and "hashpartitioning" in n.simpleString(200)
+        ]
+        assert len(exchanges) == 6, [e.simpleString(120) for e in exchanges]
+        full_data = [
+            e for e in exchanges
+            if not any(
+                "Aggregate" in c.nodeName()
+                for c in walk(e, prune_broadcast=True)[1:]
+            )
+        ]
+        assert len(full_data) == 1, [e.simpleString(120) for e in full_data]
+        assert "_go_chunk" in full_data[0].simpleString(200)
+    finally:
+        set_two_pass_threshold(None)
+        set_ticks_cache(True)
+
+
 def test_partitioned_capture_read_prunes_partitions(spark, tmp_path):
     """A capture written with partition_by must be partition-prunable on
     read: an equality filter on the partition column reaches the scan as

@@ -60,6 +60,15 @@ GO_CHUNK = "_go_chunk"
 # would need >1024 chunks to reach it.
 _SUPER_SIZE = 1024
 
+# Guard on the two-level design bound: the triangular join broadcasts
+# one row per super-chunk, so #supers must stay broadcast-sized. 2^21
+# supers x 1024 chunks/super ~= 2x10^9 chunks — the docstring's
+# exabyte-class bound. Beyond it the offsets hierarchy needs a third
+# level (or a larger chunk_size); the in-plan assert below fails loudly
+# instead of letting a misconfigured tiny chunk_size degrade the
+# broadcast into a multi-GB one.
+MAX_SUPERS = 1 << 21
+
 
 def set_super_size(n: "int | None") -> None:
     """Override the offsets hierarchy's super-chunk size (tests / probes);
@@ -92,7 +101,11 @@ def add_chunk(df: DataFrame, key_expr: str, chunk_size: int) -> DataFrame:
     chunk ids are contiguous, ordered spans of the stream. Reused if
     already present (one chunk column serves the whole source->expand->
     hot-loop chain: downstream windows keyed on it satisfy the same
-    hashpartitioning, so the chain pays ONE full-data exchange total).
+    hashpartitioning, so each pinned segment of the chain pays exactly
+    ONE exchange over full-data rows — every other hashpartitioning
+    exchange carries per-chunk/per-super aggregates; pinned by
+    tests/test_plan_shape.py::
+    test_two_pass_flagship_full_data_exchange_count).
     """
     if GO_CHUNK in df.columns:
         return df
@@ -106,6 +119,7 @@ def chunk_offsets_plan(
     mods: "dict[str, int] | None" = None,
     super_size: "int | None" = None,
     keys: "list[str] | None" = None,
+    max_supers: "int | None" = None,
 ) -> DataFrame:
     """Per-chunk offsets as a broadcast-ready (keys..., GO_CHUNK, <out>)
     frame, built without any driver action or SinglePartition exchange.
@@ -122,6 +136,12 @@ def chunk_offsets_plan(
       stream id). Every prefix is then per-key — the multistream x
       within-stream-chunked formulation; the triangular join stays a
       broadcast (#keys x #supers rows).
+    - ``max_supers``: hierarchy-depth guard (default MAX_SUPERS). The
+      two-level design broadcasts one row per super-chunk; if the data
+      ever produces a super id at or past this cap (a misconfigured
+      tiny chunk_size on an enormous stream), the plan RAISES at
+      execution instead of silently degrading the triangular broadcast
+      — raise chunk_size/super_size, or add a third offsets level.
 
     Join the result back with ``F.broadcast`` on keys + [GO_CHUNK].
     """
@@ -130,6 +150,7 @@ def chunk_offsets_plan(
     mods = mods or {}
     keys = keys or []
     super_size = super_size or _SUPER_SIZE
+    max_supers = max_supers or MAX_SUPERS
 
     def _mod(name: str, col: Column) -> Column:
         return F.pmod(col, F.lit(mods[name])) if name in mods else col
@@ -161,6 +182,21 @@ def chunk_offsets_plan(
     s2 = s1.groupBy(*keys, "_sc").agg(
         *[_mod(k, F.sum(f"_t_{k}")).alias(f"_st_{k}") for k in sums],
         *[F.max(f"_f_{k}").alias(f"_sf_{k}") for k in carries],
+    )
+    # hierarchy-depth guard: one row per super, so this costs nothing;
+    # assert_true returns NULL when the bound holds, so the filter keeps
+    # every row (and cannot be pruned — it references the column)
+    s2 = s2.where(
+        F.assert_true(
+            F.col("_sc") < F.lit(int(max_supers)),
+            F.lit(
+                f"chunk_offsets_plan: super-chunk id exceeded max_supers="
+                f"{int(max_supers)} (> ~{int(max_supers) * int(super_size)} "
+                f"chunks) — the two-level offsets hierarchy's broadcast "
+                f"bound; raise chunk_size or super_size, or add a third "
+                f"offsets level"
+            ),
+        ).isNull()
     )
     prev = s2.select(
         *[F.col(c).alias(f"_k_{c}_b") for c in keys],
