@@ -60,6 +60,48 @@ def test_ema_holdlast_does_not_advance_state(spark):
     )
 
 
+def test_single_stream_streaming_kernel_bit_equal(spark):
+    """The single-stream path streams ONE sorted partition through
+    mapInPandas, carrying the recurrence state across Arrow batches
+    (memory O(batch), not O(stream)). Force tiny Arrow batches so the
+    carry actually exercises — results must be bit-equal to the
+    reference recurrence AND to the per-stream group kernel run on the
+    same rows under a constant stream id."""
+    cfg = SignalProcessingConfig(encoder_type="derivative")
+    prices, p = [], 41970
+    for i in range(200):
+        p += (i * 11) % 17 - 8
+        prices.append(p)
+    raw = make_ticks_raw(spark, [(i + 1, TS, pr, 1 + i % 3) for i, pr in enumerate(prices)])
+    internals = hot_loop(expand_volume(raw), cfg, keep_internals=True)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        streamed = ema_columns(internals, cfg).orderBy("tick_idx").collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # vs the straight-line reference recurrence over core deltas
+    expected = reference_ema([r.delta_w for r in streamed if r.is_core])
+    got = [(r.ema_delta, r.ema_delta_dev, r.ema_abs_delta) for r in streamed if r.is_core]
+    assert got == expected
+
+    # vs the per-stream group kernel (same rows, constant stream id)
+    from pyspark.sql import functions as F
+
+    grouped = (
+        ema_columns(internals.withColumn("sid", F.lit(1)), cfg, stream_id="sid")
+        .orderBy("tick_idx")
+        .collect()
+    )
+    assert [(r.tick_idx, r.ema_delta, r.ema_delta_dev, r.ema_abs_delta) for r in streamed] \
+        == [(r.tick_idx, r.ema_delta, r.ema_delta_dev, r.ema_abs_delta) for r in grouped]
+
+
 def test_embedding_near_duplicates_golden(spark):
     from tickdatapipeline_spark.operators.similarity import embedding_near_duplicates
 

@@ -4,9 +4,24 @@ The reference computes three EMA recurrences per accepted tick but never
 reads them ("reserved", /root/reference/src/TickHotLoopF32.jl:55-58,
 361-375). They are TRUE recurrences — ema' = ema + ((x - ema) >> 4) is
 not associative — so unlike the rest of the hot loop they cannot be a
-window expression. This is the engine's one genuinely sequential
-operator: an Arrow-batched ``applyInPandas`` per stream, exactly the
-escape hatch SURVEY.md §2.3 prescribes.
+window expression or a two-pass chunked plan (a chunk's end state
+depends on its start state, so chunk offsets cannot be computed
+independently). This is the engine's ONE intentionally sequential
+operator: the serial contract below is explicit and tested, and the
+cost is bounded wall-clock-serial but MEMORY-BOUNDED:
+
+- per-stream (``stream_id`` given): Arrow-batched ``applyInPandas`` per
+  stream — streams process in parallel, each group is a bounded unit
+  (session/day), the same unit the reference processes sequentially by
+  construction.
+- single-stream (no ``stream_id``): a streaming ``mapInPandas`` over
+  ONE sorted partition, carrying the (ema, dev, agc) state across
+  Arrow batches — the task is serial (inherent to the recurrence; the
+  plan's SinglePartition exchange is the documented contract), but
+  memory is O(arrow batch), not O(stream), so an arbitrarily long
+  stream cannot OOM the one python worker. Bit-equality of the two
+  kernels is structural (one shared stepper) and pinned by
+  tests/test_stateful.py::test_single_stream_streaming_kernel_bit_equal.
 
 Update rules mirrored from TickHotLoopF32.jl:361-375 (:92 preload 10):
 - first core tick: ema_delta = d; ema_dev = max(|d|, 1)
@@ -14,11 +29,6 @@ Update rules mirrored from TickHotLoopF32.jl:361-375 (:92 preload 10):
          ema_dev   += (|d - ema_delta'| - ema_dev) >> 4   (uses updated ema)
 - AGC:   ema_abs   += round((|d| - ema_abs) * agc_alpha), init 10
   (round half-to-even, like Julia's round; exact for alpha=0.125)
-
-Scale: one pandas group per stream, rows pre-sorted by Spark within the
-group; the per-row loop is O(n) driver-free Python over numpy arrays.
-At 100 TB each stream (session/day) is a bounded partition — the same
-unit the reference processes sequentially by construction.
 """
 
 from __future__ import annotations
@@ -40,6 +50,33 @@ EMA_SCHEMA_EXTRA = [
     StructField("ema_abs_delta", LongType(), False),
 ]
 
+# (ema_delta, ema_dev, ema_abs, initialized) before the first core tick
+EMA_STATE0 = (0, 1, 10, False)
+
+
+def _ema_step(deltas: np.ndarray, core: np.ndarray, alpha: float, state: tuple):
+    """Advance the recurrence over one batch of rows from ``state``;
+    returns the per-row state arrays and the carry-out state. Shared by
+    the per-stream group kernel and the single-stream batch-streaming
+    kernel so the two are bit-identical by construction."""
+    e, v, a, init = state
+    n = len(deltas)
+    ema = np.zeros(n, dtype=np.int64)
+    dev = np.zeros(n, dtype=np.int64)
+    agc = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if core[i]:
+            d = int(deltas[i])
+            ad = abs(d)
+            if init:
+                e = e + ((d - e) >> 4)
+                v = v + ((abs(d - e) - v) >> 4)
+            else:
+                e, v, init = d, max(ad, 1), True
+            a = a + round((float(ad) - float(a)) * alpha)
+        ema[i], dev[i], agc[i] = e, v, a
+    return ema, dev, agc, (e, v, a, init)
+
 
 def ema_columns(
     processed_internals: DataFrame,
@@ -51,7 +88,8 @@ def ema_columns(
 
     Only core ticks advance the state (the reference's early returns for
     zero/hold/first rows skip steps 5-6); every row reports the state as
-    of that tick.
+    of that tick. See the module docstring for the serial contract of
+    each path.
     """
     alpha = float(cfg.agc_alpha)
     in_cols = ["tick_idx", "delta_w", "is_core"]
@@ -61,34 +99,43 @@ def ema_columns(
         [src.schema[c] for c in part] + [src.schema["tick_idx"]] + EMA_SCHEMA_EXTRA
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("tick_idx")
-        deltas = pdf["delta_w"].to_numpy()
-        core = pdf["is_core"].to_numpy()
-        n = len(pdf)
-        ema = np.zeros(n, dtype=np.int64)
-        dev = np.zeros(n, dtype=np.int64)
-        agc = np.zeros(n, dtype=np.int64)
-        e, v, a, init = 0, 1, 10, False
-        for i in range(n):
-            if core[i]:
-                d = int(deltas[i])
-                ad = abs(d)
-                if init:
-                    e = e + ((d - e) >> 4)
-                    v = v + ((abs(d - e) - v) >> 4)
-                else:
-                    e, v, init = d, max(ad, 1), True
-                a = a + round((float(ad) - float(a)) * alpha)
-            ema[i], dev[i], agc[i] = e, v, a
-        out = {c: pdf[c] for c in part}
-        out["tick_idx"] = pdf["tick_idx"]
-        out["ema_delta"] = ema
-        out["ema_delta_dev"] = dev
-        out["ema_abs_delta"] = agc
-        return pd.DataFrame(out)
+    if part:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("tick_idx")
+            ema, dev, agc, _ = _ema_step(
+                pdf["delta_w"].to_numpy(), pdf["is_core"].to_numpy(), alpha, EMA_STATE0
+            )
+            out = {c: pdf[c] for c in part}
+            out["tick_idx"] = pdf["tick_idx"]
+            out["ema_delta"] = ema
+            out["ema_delta_dev"] = dev
+            out["ema_abs_delta"] = agc
+            return pd.DataFrame(out)
 
-    grouped = src.groupBy(*part) if part else src.groupBy(F.lit(0).alias("_g"))
-    out = grouped.applyInPandas(kernel, schema=out_schema)
+        out = src.groupBy(*part).applyInPandas(kernel, schema=out_schema)
+    else:
+        # single stream: one sorted partition streamed through mapInPandas
+        # with the state carried across Arrow batches — memory O(batch)
+        def stream_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state = EMA_STATE0
+            for pdf in batches:
+                # batches are ordered slices of the sorted partition
+                ema, dev, agc, state = _ema_step(
+                    pdf["delta_w"].to_numpy(), pdf["is_core"].to_numpy(), alpha, state
+                )
+                yield pd.DataFrame(
+                    {
+                        "tick_idx": pdf["tick_idx"],
+                        "ema_delta": ema,
+                        "ema_delta_dev": dev,
+                        "ema_abs_delta": agc,
+                    }
+                )
+
+        out = (
+            src.repartition(1)
+            .sortWithinPartitions("tick_idx")
+            .mapInPandas(stream_kernel, schema=out_schema)
+        )
     join_keys = part + ["tick_idx"]
     return processed_internals.join(out.select(*join_keys, "ema_delta", "ema_delta_dev", "ema_abs_delta"), on=join_keys)
