@@ -63,22 +63,35 @@ def main() -> None:
     # end-to-end chain cost (parse -> expand -> hot loop -> encode). The
     # analytics/bar suite is then measured against a staged ticks_out
     # (warmed below), the deployment shape where it is a written table.
+    #
+    # Each query is timed over TWO full passes of the headline list
+    # (back-to-back) and reported as the per-query MIN: a single-shot
+    # timing is hostage to whatever else the host is running (the r05
+    # driver bench read individual queries 4-7x their solo cost purely
+    # from box contention), while the min of two well-separated runs
+    # tracks the plan cost. ~30 s extra at sf0.1 buys a signal that can
+    # tell a real regression from a noisy neighbor.
     from tickdatapipeline_spark.plans.common import set_ticks_cache
 
+    def run_pass(timings: dict[str, float]) -> None:
+        staged = False
+        for name in HEADLINE:
+            if not name.startswith("tick_pipeline") and not staged:
+                set_ticks_cache(True)
+                qs["q1_delta_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                staged = True
+            if not staged:
+                set_ticks_cache(False)
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(dt, timings.get(name, dt))
+        set_ticks_cache(True)
+
     timings: dict[str, float] = {}
-    staged = False
-    for name in HEADLINE:
-        if not name.startswith("tick_pipeline") and not staged:
-            set_ticks_cache(True)
-            qs["q1_delta_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            staged = True
-        if not staged:
-            set_ticks_cache(False)
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    set_ticks_cache(True)
+    run_pass(timings)
+    run_pass(timings)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
