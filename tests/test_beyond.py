@@ -504,6 +504,105 @@ def test_bucket_skew_guards(spark, caplog):
     assert embedding_near_duplicates(emb, 0.25, max_bucket_size=100).count() == 6
 
 
+def test_cross_corpus_contamination(spark, caplog):
+    """Benchmark decontamination: train docs near-duplicating an eval
+    doc are flagged (LSH band join BETWEEN corpora + Jaccard verify);
+    sub-threshold overlap is not; the skew cap applies to the TRAIN
+    side only (dropping eval docs would silently un-decontaminate)."""
+    import logging
+
+    from tickdatapipeline_spark.operators.dedup import cross_corpus_contamination
+
+    leak = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs tonight")
+    train = docs_df(spark, [
+        (1, leak, "en"),                               # verbatim eval leak
+        (2, leak + " extra trailing words here", "en"),  # near-dup of eval
+        (3, "completely unrelated training text about spark plans and "
+            "shuffle exchanges in distributed query engines", "en"),
+    ])
+    eval_d = docs_df(spark, [(100, leak, "en")])
+    out = {(r.train_doc_id, r.eval_doc_id): r.jaccard
+           for r in cross_corpus_contamination(train, eval_d, 0.5).collect()}
+    assert (1, 100) in out and out[(1, 100)] == 1.0
+    assert (2, 100) in out and 0.5 <= out[(2, 100)] < 1.0
+    assert all(t != 3 for t, _e in out)
+
+    # train-side skew cap: every train doc shares every band -> bucket
+    # size 3; cap 2 drops them all, logged; eval side is never capped
+    with caplog.at_level(logging.WARNING, logger="tickdatapipeline_spark.operators.dedup"):
+        capped = cross_corpus_contamination(
+            docs_df(spark, [(i, leak, "en") for i in (1, 2, 3)]),
+            eval_d, 0.5, max_band_bucket=2)
+    assert any("train-side" in r.message for r in caplog.records)
+    assert capped.count() == 0
+
+
+def test_token_budget_sample_matches_naive_order(spark):
+    """The two-level (bucket prefix + within-bucket window) plan must
+    admit EXACTLY the docs a naive single-ordered scan admits, and the
+    admitted token total can overshoot the budget by at most the last
+    admitted document."""
+    from tickdatapipeline_spark.operators.text import h60, token_budget_sample
+
+    texts = [(i, " ".join(f"w{j}" for j in range((i * 13) % 29 + 1)), "en")
+             for i in range(60)]
+    d = docs_df(spark, texts)
+    # naive order: (h % n_buckets, h, doc_id), exclusive prefix < budget
+    hashes = {
+        r.doc_id: r.h
+        for r in d.select("doc_id", h60(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h")
+        ).collect()
+    }
+    ntok = {i: (i * 13) % 29 + 1 for i, _t, _l in texts}
+    order = sorted(ntok, key=lambda i: (hashes[i] % 16, hashes[i], i))
+    budget = 300
+    run, want = 0, {}
+    for i in order:
+        if run < budget:
+            want[i] = ntok[i]
+        run += ntok[i]
+    got = {r.doc_id: r.n_tokens
+           for r in token_budget_sample(d, budget, n_buckets=16).collect()}
+    assert got == want
+    assert sum(want.values()) < budget + max(ntok.values())
+    # degenerate budgets
+    assert token_budget_sample(d, 0, n_buckets=16).count() == 0
+    first = token_budget_sample(d, 1, n_buckets=16).collect()
+    assert len(first) == 1 and first[0].doc_id == order[0]
+
+
+def test_token_budget_sample_single_partitions_only_aggregates(spark):
+    """Scale shape: the only SinglePartition exchange in the plan is the
+    bucket-offsets window over n_buckets AGGREGATE rows — full-data rows
+    flow through hash exchanges only."""
+    from tickdatapipeline_spark.operators.text import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = token_budget_sample(docs, 1500)
+    root = df._jdf.queryExecution().executedPlan()
+    if root.nodeName() == "AdaptiveSparkPlan":
+        root = root.initialPlan()
+
+    def walk(node):
+        acc, stack = [], [node]
+        while stack:
+            n = stack.pop()
+            acc.append(n)
+            ch = n.children()
+            stack += [ch.apply(i) for i in range(ch.length())]
+        return acc
+
+    singles = [n for n in walk(root)
+               if n.nodeName() == "Exchange" and "SinglePartition" in n.simpleString(200)]
+    assert singles, "expected the tiny bucket-offsets window to single-partition"
+    for ex in singles:
+        assert any("Aggregate" in c.nodeName() for c in walk(ex)[1:]), (
+            f"full-data rows reach a SinglePartition exchange: {ex.simpleString(200)}"
+        )
+
+
 def test_ivf_kmeans_recall(spark):
     """kmeans-trained IVF must behave like a real ANN index: valid top-k
     contract, and recall@5 vs brute force at least as good as chance by

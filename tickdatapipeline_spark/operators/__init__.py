@@ -7,6 +7,7 @@ from tickdatapipeline_spark.operators.bars import (
 from tickdatapipeline_spark.operators.dedup import (
     DEFAULT_MAX_BAND_BUCKET,
     connected_components,
+    cross_corpus_contamination,
     deduplicated_corpus,
     duplicate_clusters,
     exact_duplicates,
@@ -42,6 +43,7 @@ from tickdatapipeline_spark.operators.text import (
     simhash,
     stratified_sample,
     tfidf_topk,
+    token_budget_sample,
     token_stats,
     vocab_topk,
 )
@@ -50,7 +52,8 @@ __all__ = [
     "DEFAULT_MAX_BAND_BUCKET", "DEFAULT_MAX_BUCKET_SIZE",
     "asof_join",
     "BarSeed", "bar_aggregate", "enrich_ticks_with_bars",
-    "connected_components", "deduplicated_corpus", "duplicate_clusters",
+    "connected_components", "cross_corpus_contamination",
+    "deduplicated_corpus", "duplicate_clusters",
     "exact_duplicates", "jaccard_pairs", "lsh_candidate_pairs",
     "minhash_signatures", "shingles", "simhash_near_dup_pairs",
     "binned_range_join",
@@ -61,5 +64,5 @@ __all__ = [
     "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates", "kmeans_train",
     "ema_columns",
     "fingerprint", "lang_id", "quality_score", "simhash", "stratified_sample",
-    "tfidf_topk", "token_stats", "vocab_topk",
+    "tfidf_topk", "token_budget_sample", "token_stats", "vocab_topk",
 ]

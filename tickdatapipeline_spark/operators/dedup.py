@@ -139,27 +139,11 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     explicitly for exhaustive output (the oracle-compared registry
     entries do), which also skips the eager sizing job.
     """
-    wide = _minhash_wide(docs, num_perm)
-    n_bands = num_perm // band_size
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[
-                F.col(f"s{b * band_size + r}").cast("string") for r in range(band_size)
-            ]).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ])
-    bands = wide.select("doc_id", F.explode(band_structs).alias("r")).select(
-        "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
-    )
-    # materialize the band table once: the self-join below would otherwise
-    # recompute the full shingle->minhash lineage for BOTH sides. At
-    # deployment scale this is "write signatures to parquet, then join";
-    # in-session, localCheckpoint is the same cut applied to the plan.
-    from tickdatapipeline_spark.operators.globalorder import pin
-
-    bands = pin(bands)
+    # the band table is pinned (see _band_table): the self-join below
+    # would otherwise recompute the full shingle->minhash lineage for
+    # BOTH sides. At deployment scale this is "write signatures to
+    # parquet, then join"; in-session, localCheckpoint is the same cut.
+    bands = _band_table(docs, num_perm, band_size)
     if max_band_bucket is not None:
         # map-side-combinable count per (band, band_key); the anti-filter
         # is a broadcast-able join at any realistic cap
@@ -247,6 +231,119 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("doc_a", "doc_b", "inter_count", "union_count", "jaccard")
     )
     return out
+
+
+def cross_corpus_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that near-duplicate
+    any evaluation document — the "remove test-set overlap from the
+    training corpus" operator of an LLM data pipeline.
+
+    Output: (train_doc_id, eval_doc_id, inter_count, union_count,
+    jaccard) for jaccard >= threshold.
+
+    Scale design: MinHash signatures are per-document (independent of
+    which corpus a doc sits in), so each side gets its own wide
+    signature pass; candidates come from an LSH band-key equi-join
+    BETWEEN the corpora — never a self-join, never a shingle-level
+    join. The eval side is typically tiny (benchmarks: 10^3-10^5 docs
+    vs 10^9 train docs), so its band table broadcasts and the train
+    side streams map-side; Jaccard verification is candidate-restricted
+    on both sides (semi-joined shingle tables), exactly like
+    jaccard_pairs. ``max_band_bucket`` caps the TRAIN side's band
+    buckets (a boilerplate band key shared by millions of train docs
+    would otherwise fan every matching eval doc out by the bucket
+    size); the eval side is left uncapped — dropping eval docs would
+    silently un-decontaminate.
+    """
+    t_bands = _band_table(train_docs, num_perm, band_size)
+    e_bands = _band_table(eval_docs, num_perm, band_size)
+    if max_band_bucket is not None:
+        sizes = t_bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
+        dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
+            F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
+        ).first()
+        if dropped["buckets"]:
+            logger.warning(
+                "cross_corpus_contamination skew guard: dropped %d train-side "
+                "band bucket(s) holding %d doc-band rows (> max_band_bucket=%d)",
+                dropped["buckets"], dropped["rows"], max_band_bucket,
+            )
+        t_bands = t_bands.join(
+            sizes.where(F.col("_m") <= max_band_bucket), on=["band", "band_key"], how="inner"
+        ).drop("_m")
+    cand = (
+        t_bands.alias("t")
+        .join(
+            e_bands.alias("e"),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+        )
+        .distinct()
+    )
+    t_sh = shingles(train_docs)
+    e_sh = shingles(eval_docs)
+    t_sizes = (
+        t_sh.join(cand.select(F.col("train_doc_id").alias("doc_id")).distinct(),
+                  on="doc_id", how="left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    e_sizes = (
+        e_sh.join(cand.select(F.col("eval_doc_id").alias("doc_id")).distinct(),
+                  on="doc_id", how="left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    inter = (
+        cand.join(t_sh.alias("a"), F.col("train_doc_id") == F.col("a.doc_id"))
+        .join(
+            e_sh.alias("b"),
+            (F.col("eval_doc_id") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("inter_count"))
+    )
+    return (
+        inter.join(t_sizes.alias("sa"), F.col("train_doc_id") == F.col("sa.doc_id"))
+        .join(e_sizes.alias("sb"), F.col("eval_doc_id") == F.col("sb.doc_id"))
+        .withColumn("union_count", F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_count"))
+        .withColumn("jaccard", rnd(F.col("inter_count").cast("double") / F.col("union_count").cast("double"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("train_doc_id", "eval_doc_id", "inter_count", "union_count", "jaccard")
+    )
+
+
+def _band_table(docs: DataFrame, num_perm: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key) LSH band table off the wide signature
+    row, pinned so both consumers reuse one materialization."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    wide = _minhash_wide(docs, num_perm)
+    n_bands = num_perm // band_size
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"s{b * band_size + r}").cast("string") for r in range(band_size)
+            ]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    return pin(
+        wide.select("doc_id", F.explode(band_structs).alias("r")).select(
+            "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
+        )
+    )
 
 
 def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,

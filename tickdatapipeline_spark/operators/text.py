@@ -156,6 +156,58 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int],
     ).where(keep)
 
 
+def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
+                        salt: str = "budget:") -> DataFrame:
+    """Deterministic token-budget sampling: admit documents in a
+    reproducible hash order until the cumulative token count reaches
+    ``budget`` — the "cut an N-token mix from a much larger corpus"
+    step of training-data assembly.
+
+    Admission order is (bucket, h, doc_id) with h = h60(salt||doc_id)
+    and bucket = h % n_buckets; a document is kept iff the EXCLUSIVE
+    prefix sum of n_tokens before it in that order is < budget (so the
+    admitted set may overshoot by at most one document). Hash order
+    (not rand()) makes the cut reproducible across runs, engines and
+    partitionings; changing the salt redraws it.
+
+    Scale design: the naive formulation is ONE global ordered cumsum —
+    a SinglePartition window over the corpus. Instead, the same
+    two-level algebra as operators/globalorder.py: per-bucket token
+    totals (n_buckets rows — tiny) get an exclusive prefix over the
+    bucket order, broadcast back; within each bucket the ordered
+    window partitions BY bucket. The only full-data operations are one
+    hash exchange on bucket and a per-bucket sort; the single-partition
+    window runs over n_buckets aggregate rows only.
+
+    Output: (doc_id, n_tokens) of the admitted documents.
+    """
+    from pyspark.sql import Window
+
+    h = h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+    bucket_sums = base.groupBy("bucket").agg(F.sum("n_tokens").alias("_bt"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = bucket_sums.select(
+        "bucket", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_boff")
+    )
+    ww = (
+        Window.partitionBy("bucket").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(bucket_offsets), on="bucket")
+        .withColumn(
+            "_pre", F.col("_boff") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+        )
+        .where(F.col("_pre") < budget)
+        .select("doc_id", "n_tokens")
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
     """Per-document top-k characteristic terms by an integer-exact
     tf-idf variant: score = tf * scale // doc_freq (reciprocal-df

@@ -24,6 +24,7 @@ from tickdatapipeline_spark.operators.dedup import (
     MERSENNE_P,
     NUM_PERM,
     connected_components,
+    cross_corpus_contamination,
     deduplicated_corpus,
     duplicate_clusters,
     exact_duplicates,
@@ -59,6 +60,7 @@ from tickdatapipeline_spark.operators.text import (
     simhash,
     stratified_sample,
     tfidf_topk,
+    token_budget_sample,
     token_stats,
     tokens,
     vocab_topk,
@@ -189,12 +191,16 @@ sig AS (
 MINHASH_SQL = f"WITH {MINHASH_CTE} SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(sig AS BIGINT) AS sig FROM sig"
 
 # bands + candidate pairs, shared by the LSH query and Jaccard verification
-_LSH_CAND_CTE = f"""
+_BANDS_CTE = f"""
 bands AS (
     SELECT doc_id, j // {BAND_SIZE} AS band,
            string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
     FROM sig GROUP BY doc_id, j // {BAND_SIZE}
-),
+)
+"""
+
+_LSH_CAND_CTE = f"""
+{_BANDS_CTE.strip()},
 cand AS (
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
     FROM bands l JOIN bands r
@@ -228,6 +234,38 @@ SELECT doc_a, doc_b, inter_count,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+"""
+
+# benchmark decontamination: the same LSH+Jaccard machinery joined
+# BETWEEN the train and eval sides of the corpus (deterministic split
+# by doc_id mod). MinHash signatures are per-document, so computing
+# them over the whole table then splitting equals per-side computation.
+DECON_EVAL_MOD = 5
+
+DECONTAMINATE_SQL = f"""
+WITH {MINHASH_CTE},
+{_BANDS_CTE.strip()},
+cand AS (
+    SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+    FROM bands t JOIN bands e
+      ON t.band = e.band AND t.band_key = e.band_key
+    WHERE t.doc_id % {DECON_EVAL_MOD} <> 0 AND e.doc_id % {DECON_EVAL_MOD} = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.train_doc_id, c.eval_doc_id, count(*) AS inter_count
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.train_doc_id
+    JOIN shingles b ON b.doc_id = c.eval_doc_id AND b.shingle = a.shingle
+    GROUP BY c.train_doc_id, c.eval_doc_id
+)
+SELECT train_doc_id, eval_doc_id, inter_count,
+       sa.n_sh + sb.n_sh - inter_count AS union_count,
+       {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} AS jaccard
+FROM inter
+JOIN sizes sa ON train_doc_id = sa.doc_id
+JOIN sizes sb ON eval_doc_id = sb.doc_id
 WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
 """
 
@@ -1082,6 +1120,29 @@ FROM documents
 WHERE {sql_h60("'sample:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000 < {_sample_pm}
 """
 
+TOKEN_BUDGET = 1500
+TOKEN_BUDGET_BUCKETS = 256
+
+# global-order equivalent of operators.text.token_budget_sample's
+# two-level (bucket prefix + within-bucket window) plan: admission
+# order (bucket, h, doc_id), exclusive prefix sum < budget
+TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           {sql_h60("'budget:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
+    FROM documents
+)
+SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h % {TOKEN_BUDGET_BUCKETS}, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+    FROM base
+)
+WHERE p < {TOKEN_BUDGET}
+"""
+
 SIMHASH_PAIRS_SQL = f"""
 WITH tok AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS tok
@@ -1152,6 +1213,20 @@ def queries() -> dict[str, tuple]:
             DEDUP_CORPUS_SQL,
         ),
         "docs_curated_corpus": (curated_corpus_fn, CURATED_CORPUS_SQL),
+        "dedup_decontaminate": (
+            lambda s, d: cross_corpus_contamination(
+                _docs(s, d).where(F.col("doc_id") % DECON_EVAL_MOD != 0),
+                _docs(s, d).where(F.col("doc_id") % DECON_EVAL_MOD == 0),
+                JACCARD_THRESHOLD,
+                max_band_bucket=None,
+            ),
+            DECONTAMINATE_SQL,
+        ),
+        "docs_token_budget_sample": (
+            lambda s, d: token_budget_sample(_docs(s, d), TOKEN_BUDGET,
+                                             TOKEN_BUDGET_BUCKETS),
+            TOKEN_BUDGET_SQL,
+        ),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "events_retention_cohorts": (retention_fn, RETENTION_SQL),
         "events_value_percentiles_by_type": (
