@@ -1058,6 +1058,60 @@ def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
     assert got == {10: "gold", 11: None, 12: "platinum", 13: "bronze"}
 
 
+def test_ingest_decontamination_stream(spark, tmp_path):
+    """Ingest-time decontamination: new documents stream in per
+    micro-batch and are checked against the precomputed corpus LSH
+    index (write_corpus_index) — verbatim and near-dup leaks flagged
+    with their best corpus match, clean docs pass with NULL verdict
+    columns, output partitioned by batch_id (idempotent sink)."""
+    import json
+
+    from tickdatapipeline_spark.operators.dedup import write_corpus_index
+    from tickdatapipeline_spark.streaming.eventtime import run_ingest_decontamination
+
+    leak = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs tonight")
+    corpus = spark.createDataFrame(
+        [(1, leak, "en"),
+         (2, "an entirely different corpus document about query engines "
+             "and columnar storage formats for analytics", "en")],
+        "doc_id long, text string, lang string",
+    )
+    index = tmp_path / "index"
+    write_corpus_index(corpus, str(index))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "lang": "en"}) + "\n")
+
+    out_dir = tmp_path / "out"
+    write_docs("b0.json", [
+        (500, leak + " with a few extra trailing words appended"),  # near-dup
+        (501, "totally unrelated fresh crawl content about gardening tips"),
+    ])
+    q = run_ingest_decontamination(
+        spark, str(in_dir), str(index), str(out_dir), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_docs("b1.json", [(502, leak)])                         # verbatim
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert set(rows) == {500, 501, 502}
+    assert rows[500].is_contaminated and rows[500].corpus_doc_id == 1
+    assert 0.5 <= rows[500].jaccard < 1.0
+    assert not rows[501].is_contaminated and rows[501].corpus_doc_id is None
+    assert rows[502].is_contaminated and rows[502].jaccard == 1.0
+    # batch provenance survives in the idempotent sink's partition column
+    assert rows[500].batch_id == 0 and rows[502].batch_id == 1
+
+
 def test_refreshable_dim_writer_is_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a batch replayed after a failure
     between write and checkpoint commit runs the writer again. The

@@ -7,6 +7,7 @@ from tickdatapipeline_spark.operators.bars import (
 from tickdatapipeline_spark.operators.dedup import (
     DEFAULT_MAX_BAND_BUCKET,
     connected_components,
+    contamination_against_index,
     cross_corpus_contamination,
     deduplicated_corpus,
     duplicate_clusters,
@@ -16,6 +17,7 @@ from tickdatapipeline_spark.operators.dedup import (
     minhash_signatures,
     shingles,
     simhash_near_dup_pairs,
+    write_corpus_index,
 )
 from tickdatapipeline_spark.operators.expansion import expand_volume, packed_timestamp
 from tickdatapipeline_spark.operators.hotloop import HotLoopSeed, hot_loop
@@ -52,10 +54,12 @@ __all__ = [
     "DEFAULT_MAX_BAND_BUCKET", "DEFAULT_MAX_BUCKET_SIZE",
     "asof_join",
     "BarSeed", "bar_aggregate", "enrich_ticks_with_bars",
-    "connected_components", "cross_corpus_contamination",
+    "connected_components", "contamination_against_index",
+    "cross_corpus_contamination",
     "deduplicated_corpus", "duplicate_clusters",
     "exact_duplicates", "jaccard_pairs", "lsh_candidate_pairs",
     "minhash_signatures", "shingles", "simhash_near_dup_pairs",
+    "write_corpus_index",
     "binned_range_join",
     "expand_volume", "packed_timestamp",
     "HotLoopSeed", "hot_loop",

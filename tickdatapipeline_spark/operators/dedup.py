@@ -262,64 +262,113 @@ def cross_corpus_contamination(
     size); the eval side is left uncapped — dropping eval docs would
     silently un-decontaminate.
     """
-    t_bands = _band_table(train_docs, num_perm, band_size)
-    e_bands = _band_table(eval_docs, num_perm, band_size)
+    out = contamination_against_index(
+        eval_docs,
+        _band_table(train_docs, num_perm, band_size),
+        shingles(train_docs),
+        threshold=threshold,
+        num_perm=num_perm,
+        band_size=band_size,
+        max_band_bucket=max_band_bucket,
+        guard_label="cross_corpus_contamination skew guard: dropped "
+                    "%d train-side band bucket(s) holding %d doc-band rows "
+                    "(> max_band_bucket=%d)",
+    )
+    return out.select(
+        F.col("corpus_doc_id").alias("train_doc_id"),
+        F.col("probe_doc_id").alias("eval_doc_id"),
+        "inter_count", "union_count", "jaccard",
+    )
+
+
+def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
+                       band_size: int = BAND_SIZE) -> None:
+    """Materialize the corpus's LSH decontamination index as parquet:
+    the band table (``path``/bands) and shingle table (``path``/shingles)
+    that ``contamination_against_index`` joins against. This is the
+    deployment artifact for ingest-time checks — computed once per
+    corpus build, refreshed when the corpus changes, NOT recomputed per
+    micro-batch."""
+    _band_table(docs, num_perm, band_size).write.mode("overwrite").parquet(f"{path}/bands")
+    shingles(docs).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def contamination_against_index(
+    probe_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    guard_label: str = "contamination_against_index skew guard: dropped "
+                       "%d corpus band bucket(s) holding %d doc-band rows "
+                       "(> max_band_bucket=%d)",
+) -> DataFrame:
+    """Probe documents that near-duplicate a corpus whose LSH index
+    (band + shingle tables, see ``write_corpus_index``) is precomputed.
+
+    Output: (corpus_doc_id, probe_doc_id, inter_count, union_count,
+    jaccard) for jaccard >= threshold.
+
+    Scale posture: only the PROBE side (a micro-batch / an eval set —
+    small) computes signatures here; the corpus side is an index lookup,
+    shuffled on compact band keys. ``max_band_bucket`` caps the CORPUS
+    side's band buckets only — dropping probe docs would silently skip
+    checks."""
+    p_bands = _band_table(probe_docs, num_perm, band_size)
     if max_band_bucket is not None:
-        sizes = t_bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
+        sizes = corpus_bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
         dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
             F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
         ).first()
         if dropped["buckets"]:
-            logger.warning(
-                "cross_corpus_contamination skew guard: dropped %d train-side "
-                "band bucket(s) holding %d doc-band rows (> max_band_bucket=%d)",
-                dropped["buckets"], dropped["rows"], max_band_bucket,
-            )
-        t_bands = t_bands.join(
+            logger.warning(guard_label, dropped["buckets"], dropped["rows"], max_band_bucket)
+        corpus_bands = corpus_bands.join(
             sizes.where(F.col("_m") <= max_band_bucket), on=["band", "band_key"], how="inner"
         ).drop("_m")
     cand = (
-        t_bands.alias("t")
+        corpus_bands.alias("t")
         .join(
-            e_bands.alias("e"),
+            p_bands.alias("e"),
             (F.col("t.band") == F.col("e.band"))
             & (F.col("t.band_key") == F.col("e.band_key")),
         )
         .select(
-            F.col("t.doc_id").alias("train_doc_id"),
-            F.col("e.doc_id").alias("eval_doc_id"),
+            F.col("t.doc_id").alias("corpus_doc_id"),
+            F.col("e.doc_id").alias("probe_doc_id"),
         )
         .distinct()
     )
-    t_sh = shingles(train_docs)
-    e_sh = shingles(eval_docs)
+    p_sh = shingles(probe_docs)
     t_sizes = (
-        t_sh.join(cand.select(F.col("train_doc_id").alias("doc_id")).distinct(),
-                  on="doc_id", how="left_semi")
+        corpus_shingles.join(
+            cand.select(F.col("corpus_doc_id").alias("doc_id")).distinct(),
+            on="doc_id", how="left_semi")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    e_sizes = (
-        e_sh.join(cand.select(F.col("eval_doc_id").alias("doc_id")).distinct(),
+    p_sizes = (
+        p_sh.join(cand.select(F.col("probe_doc_id").alias("doc_id")).distinct(),
                   on="doc_id", how="left_semi")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     )
     inter = (
-        cand.join(t_sh.alias("a"), F.col("train_doc_id") == F.col("a.doc_id"))
+        cand.join(corpus_shingles.alias("a"), F.col("corpus_doc_id") == F.col("a.doc_id"))
         .join(
-            e_sh.alias("b"),
-            (F.col("eval_doc_id") == F.col("b.doc_id"))
+            p_sh.alias("b"),
+            (F.col("probe_doc_id") == F.col("b.doc_id"))
             & (F.col("a.shingle") == F.col("b.shingle")),
         )
-        .groupBy("train_doc_id", "eval_doc_id")
+        .groupBy("corpus_doc_id", "probe_doc_id")
         .agg(F.count(F.lit(1)).alias("inter_count"))
     )
     return (
-        inter.join(t_sizes.alias("sa"), F.col("train_doc_id") == F.col("sa.doc_id"))
-        .join(e_sizes.alias("sb"), F.col("eval_doc_id") == F.col("sb.doc_id"))
+        inter.join(t_sizes.alias("sa"), F.col("corpus_doc_id") == F.col("sa.doc_id"))
+        .join(p_sizes.alias("sb"), F.col("probe_doc_id") == F.col("sb.doc_id"))
         .withColumn("union_count", F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_count"))
         .withColumn("jaccard", rnd(F.col("inter_count").cast("double") / F.col("union_count").cast("double"), 6))
         .where(F.col("jaccard") >= threshold)
-        .select("train_doc_id", "eval_doc_id", "inter_count", "union_count", "jaccard")
+        .select("corpus_doc_id", "probe_doc_id", "inter_count", "union_count", "jaccard")
     )
 
 

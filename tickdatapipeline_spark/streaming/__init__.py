@@ -9,6 +9,7 @@ from tickdatapipeline_spark.streaming.eventtime import (
     deduped_events_stream,
     enriched_events_stream,
     run_enriched_events_refreshable,
+    run_ingest_decontamination,
     run_windowed_events_to_memory,
     sessionized_events_stream,
     windowed_events_stream,
@@ -32,6 +33,7 @@ __all__ = [
     "attributed_clicks_stream",
     "enriched_events_stream",
     "run_enriched_events_refreshable",
+    "run_ingest_decontamination",
     "run_windowed_events_to_memory",
     "ema_stream",
 ]

@@ -295,21 +295,103 @@ def run_enriched_events_refreshable(
     )
 
 
+def _write_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Idempotent-by-batch-id parquet write for foreachBatch sinks:
+    stamps the batch id and dynamically overwrites ONLY the batch's own
+    ``batch_id=N`` partition, so an at-least-once replay rewrites the
+    same files instead of appending duplicates."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def _idempotent_enrich_writer(dim_path: str, out_dir: str, on: str):
     """Batch writer for run_enriched_events_refreshable: re-reads the
-    dimension, joins, and dynamically overwrites ONLY the batch's own
-    ``batch_id=N`` partition — calling it twice with the same batch_id
-    (a foreachBatch replay) leaves the sink unchanged."""
+    dimension, joins, and writes via _write_batch_idempotent — calling
+    it twice with the same batch_id (a foreachBatch replay) leaves the
+    sink unchanged."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         dim = batch_df.sparkSession.read.parquet(dim_path)
-        (
-            batch_df.join(dim, on=on, how="left")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        _write_batch_idempotent(batch_df.join(dim, on=on, how="left"), out_dir, batch_id)
 
     return _process
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string"
+
+
+def run_ingest_decontamination(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Ingest-time decontamination: stream newly crawled documents and
+    flag, per micro-batch, any that near-duplicate the existing corpus
+    — the streaming composition of ``contamination_against_index``.
+
+    The corpus side is the precomputed LSH index written by
+    ``operators.dedup.write_corpus_index`` (band + shingle parquet
+    tables); only the incoming micro-batch computes signatures, so
+    per-batch cost is O(batch) map-side work plus index joins on
+    compact band keys. The index is re-read from ``index_path`` every
+    batch (same refresh contract as the refreshable dimension join:
+    an on-disk index rebuild is picked up without a query restart).
+
+    Output parquet under ``out_dir`` (partitioned by batch_id,
+    idempotent under replay — see _write_batch_idempotent): one row per
+    incoming document with its verdict —
+    (doc_id, is_contaminated, corpus_doc_id, jaccard), where
+    corpus_doc_id/jaccard describe the BEST matching corpus document
+    (max jaccard, ties to the highest corpus id) or NULL when clean.
+    """
+    from tickdatapipeline_spark.operators.dedup import contamination_against_index
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        hits = contamination_against_index(
+            batch_df,
+            sp.read.parquet(f"{index_path}/bands"),
+            sp.read.parquet(f"{index_path}/shingles"),
+            threshold=threshold,
+        )
+        best = (
+            hits.groupBy("probe_doc_id")
+            .agg(F.max(F.struct("jaccard", "corpus_doc_id")).alias("m"))
+            .select(
+                F.col("probe_doc_id").alias("doc_id"),
+                F.col("m.corpus_doc_id").alias("corpus_doc_id"),
+                F.col("m.jaccard").alias("jaccard"),
+            )
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(best, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.col("corpus_doc_id").isNotNull().alias("is_contaminated"),
+                "corpus_doc_id",
+                "jaccard",
+            )
+        )
+        _write_batch_idempotent(verdicts, out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
