@@ -573,6 +573,31 @@ def test_token_budget_sample_matches_naive_order(spark):
     assert len(first) == 1 and first[0].doc_id == order[0]
 
 
+def test_shard_assignments_contract(spark):
+    """Every doc lands in exactly one shard; positions are contiguous
+    0..k-1 within each shard; the assignment is deterministic and
+    independent of input partitioning; the window partitions BY shard
+    (no SinglePartition)."""
+    from tickdatapipeline_spark.operators.text import shard_assignments
+
+    d = docs_df(spark, [(i, f"doc number {i}", "en") for i in range(200)])
+    out = shard_assignments(d, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 200 and len({r.doc_id for r in rows}) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} gapped"
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.shard, r.pos)
+             for r in shard_assignments(d.repartition(13), n_shards=8).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_token_budget_sample_single_partitions_only_aggregates(spark):
     """Scale shape: the only SinglePartition exchange in the plan is the
     bucket-offsets window over n_buckets AGGREGATE rows — full-data rows

@@ -44,6 +44,7 @@ from tickdatapipeline_spark.operators.text import (
     quality_score,
     simhash,
     stratified_sample,
+    shard_assignments,
     tfidf_topk,
     token_budget_sample,
     token_stats,
@@ -67,6 +68,7 @@ __all__ = [
     "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_ivf_kmeans",
     "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates", "kmeans_train",
     "ema_columns",
-    "fingerprint", "lang_id", "quality_score", "simhash", "stratified_sample",
+    "fingerprint", "lang_id", "quality_score", "shard_assignments", "simhash",
+    "stratified_sample",
     "tfidf_topk", "token_budget_sample", "token_stats", "vocab_topk",
 ]

@@ -208,6 +208,33 @@ def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
     )
 
 
+def shard_assignments(docs: DataFrame, n_shards: int = 16,
+                      salt: str = "shard:") -> DataFrame:
+    """Deterministic global shuffle of a corpus into training shards:
+    shard = h % n_shards, position-within-shard by (h, doc_id) — the
+    "shuffle the corpus and write N shard files" step before training.
+    Hash order (not rand()) so the shuffle is reproducible across runs,
+    engines and partitionings; changing the salt redraws it.
+
+    Output: (doc_id, shard, pos) with pos 0-based within its shard.
+
+    Scale: shard assignment is map-side; the position window partitions
+    BY shard — n_shards-way parallel sorts, never a global one. The
+    downstream write is `df.repartition("shard").sortWithinPartitions
+    (...)` + partitionBy("shard") — no driver involvement.
+    """
+    from pyspark.sql import Window
+
+    h = h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
     """Per-document top-k characteristic terms by an integer-exact
     tf-idf variant: score = tf * scale // doc_freq (reciprocal-df

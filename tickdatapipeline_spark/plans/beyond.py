@@ -58,6 +58,7 @@ from tickdatapipeline_spark.operators.text import (
     lang_id,
     quality_score,
     simhash,
+    shard_assignments,
     stratified_sample,
     tfidf_topk,
     token_budget_sample,
@@ -1143,6 +1144,19 @@ SELECT doc_id, n_tokens FROM (
 WHERE p < {TOKEN_BUDGET}
 """
 
+N_SHARDS = 16
+
+SHARDS_SQL = f"""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {sql_h60("'shard:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h,
+           {sql_h60("'shard:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % {N_SHARDS} AS shard
+    FROM documents
+)
+"""
+
 SIMHASH_PAIRS_SQL = f"""
 WITH tok AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS tok
@@ -1221,6 +1235,10 @@ def queries() -> dict[str, tuple]:
                 max_band_bucket=None,
             ),
             DECONTAMINATE_SQL,
+        ),
+        "docs_shard_assignments": (
+            lambda s, d: shard_assignments(_docs(s, d), N_SHARDS),
+            SHARDS_SQL,
         ),
         "docs_token_budget_sample": (
             lambda s, d: token_budget_sample(_docs(s, d), TOKEN_BUDGET,
