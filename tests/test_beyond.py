@@ -573,6 +573,33 @@ def test_token_budget_sample_matches_naive_order(spark):
     assert len(first) == 1 and first[0].doc_id == order[0]
 
 
+def test_repetition_score_golden(spark):
+    """Gopher-style repetition metrics on engineered docs: a spam doc
+    (one token repeated), a clean doc (all unique), a half-repeated doc,
+    and the empty doc (all zeros)."""
+    from tickdatapipeline_spark.operators.text import repetition_score
+
+    d = docs_df(spark, [
+        (1, "buy buy buy buy", "en"),                  # pure spam
+        (2, "five distinct little words here", "en"),  # clean
+        (3, "red blue red blue red", "en"),            # alternating
+        (4, "", "en"),                                 # empty
+    ])
+    rows = {r.doc_id: r for r in repetition_score(d).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].dup_token_frac == 0.75      # 4 tokens, 1 unique
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[2].dup_token_frac == 0.0 and rows[2].dup_bigram_frac == 0.0
+    assert rows[2].top_token_frac == 0.2
+    assert rows[3].n_tokens == 5
+    assert rows[3].dup_token_frac == 0.6       # 5 tokens, 2 unique
+    assert rows[3].top_token_frac == 0.6       # 'red' x3
+    assert rows[3].dup_bigram_frac == 0.5      # 4 bigrams, 2 unique
+    assert (rows[4].n_tokens, rows[4].dup_token_frac, rows[4].top_token_frac,
+            rows[4].dup_bigram_frac) == (0, 0.0, 0.0, 0.0)
+
+
 def test_shard_assignments_contract(spark):
     """Every doc lands in exactly one shard; positions are contiguous
     0..k-1 within each shard; the assignment is deterministic and

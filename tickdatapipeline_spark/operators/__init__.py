@@ -42,9 +42,10 @@ from tickdatapipeline_spark.operators.text import (
     fingerprint,
     lang_id,
     quality_score,
+    repetition_score,
+    shard_assignments,
     simhash,
     stratified_sample,
-    shard_assignments,
     tfidf_topk,
     token_budget_sample,
     token_stats,
@@ -68,7 +69,8 @@ __all__ = [
     "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_ivf_kmeans",
     "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates", "kmeans_train",
     "ema_columns",
-    "fingerprint", "lang_id", "quality_score", "shard_assignments", "simhash",
+    "fingerprint", "lang_id", "quality_score", "repetition_score",
+    "shard_assignments", "simhash",
     "stratified_sample",
     "tfidf_topk", "token_budget_sample", "token_stats", "vocab_topk",
 ]

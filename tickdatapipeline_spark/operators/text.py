@@ -208,6 +208,68 @@ def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
     )
 
 
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-style quality rules
+    that catch boilerplate/spam (Rae et al. 2021 §A1.1 family):
+
+    - dup_token_frac:  fraction of tokens that are repeats of an
+      earlier token (1 - unique/total)
+    - top_token_frac:  share of the single most frequent token
+    - dup_bigram_frac: fraction of repeated word bigrams
+
+    Output: (doc_id, n_tokens, dup_token_frac, top_token_frac,
+    dup_bigram_frac); empty docs score 0.0 everywhere.
+
+    Scale: array stats (sizes, distincts) are pure map-side JVM
+    expressions; the one aggregation pair (per-doc token mode) is two
+    map-side-combinable groupBys on (doc_id, token) — never a window,
+    never a global sort.
+    """
+    t = tokens(F.col("text"))
+    bg = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int"))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = fan_out(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        t.alias("toks"),
+        bg.alias("bigrams"),
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("_n_uniq"),
+        F.size("bigrams").cast("long").alias("_n_bg"),
+        F.size(F.array_distinct("bigrams")).cast("long").alias("_n_bg_uniq"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id").agg(F.max("_c").alias("_top_cnt"))
+    )
+
+    def frac(num, den):
+        return rnd(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+        )
+
+    return (
+        stats.join(top, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            frac(F.col("n_tokens") - F.col("_n_uniq"), F.col("n_tokens")).alias("dup_token_frac"),
+            frac(F.coalesce("_top_cnt", F.lit(0)), F.col("n_tokens")).alias("top_token_frac"),
+            frac(F.col("_n_bg") - F.col("_n_bg_uniq"), F.col("_n_bg")).alias("dup_bigram_frac"),
+        )
+    )
+
+
 def shard_assignments(docs: DataFrame, n_shards: int = 16,
                       salt: str = "shard:") -> DataFrame:
     """Deterministic global shuffle of a corpus into training shards:

@@ -58,6 +58,7 @@ from tickdatapipeline_spark.operators.text import (
     lang_id,
     quality_score,
     simhash,
+    repetition_score,
     shard_assignments,
     stratified_sample,
     tfidf_topk,
@@ -1144,6 +1145,34 @@ SELECT doc_id, n_tokens FROM (
 WHERE p < {TOKEN_BUDGET}
 """
 
+REPETITION_SQL = f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {SQL_TOKENS} AS t FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE [] END AS b
+    FROM base
+),
+top AS (
+    SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+        GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       {sql_rnd("CASE WHEN len(t) > 0 THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS dup_token_frac,
+       {sql_rnd("CASE WHEN len(t) > 0 THEN CAST(COALESCE(top_cnt, 0) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS top_token_frac,
+       {sql_rnd("CASE WHEN len(b) > 0 THEN CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / CAST(len(b) AS DOUBLE) ELSE 0.0 END")} AS dup_bigram_frac
+FROM base
+JOIN bg USING (doc_id)
+LEFT JOIN top USING (doc_id)
+"""
+
 N_SHARDS = 16
 
 SHARDS_SQL = f"""
@@ -1235,6 +1264,10 @@ def queries() -> dict[str, tuple]:
                 max_band_bucket=None,
             ),
             DECONTAMINATE_SQL,
+        ),
+        "text_repetition_score": (
+            lambda s, d: repetition_score(_docs(s, d)),
+            REPETITION_SQL,
         ),
         "docs_shard_assignments": (
             lambda s, d: shard_assignments(_docs(s, d), N_SHARDS),
