@@ -1145,6 +1145,50 @@ SELECT doc_id, n_tokens FROM (
 WHERE p < {TOKEN_BUDGET}
 """
 
+LENGTH_FILTER_LO, LENGTH_FILTER_HI = 0.05, 0.95
+
+
+def length_percentile_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based length filtering: keep documents whose token count
+    lies within [p05, p95] of the corpus length distribution — the
+    outlier trim of corpus curation (too-short fragments, too-long
+    dumps). Uses the exact interpolated percentile (oracle-reproducible;
+    at 100 TB swap in percentile_approx, same pattern as the q2 twins);
+    the two bounds broadcast back over the corpus as a 1-row frame.
+    Output: (doc_id, n_tokens) of the surviving documents."""
+    from tickdatapipeline_spark.operators.text import tokens
+    from tickdatapipeline_spark.plans.common import exact_percentiles
+
+    stats = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    pcts = exact_percentiles(stats, "n_tokens", [LENGTH_FILTER_LO, LENGTH_FILTER_HI])
+    bounds = pcts.agg(F.min("q").alias("_lo"), F.max("q").alias("_hi"))
+    return (
+        stats.crossJoin(F.broadcast(bounds))
+        .where(F.col("n_tokens").between(F.col("_lo"), F.col("_hi")))
+        .select("doc_id", "n_tokens")
+    )
+
+
+def _length_filter_sql() -> str:
+    from tickdatapipeline_spark.plans.common import sql_exact_percentiles
+
+    stats_sql = (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents"
+    )
+    pct_sql = sql_exact_percentiles(stats_sql, "n_tokens",
+                                    [LENGTH_FILTER_LO, LENGTH_FILTER_HI])
+    return f"""
+WITH bounds AS (SELECT min(q) AS lo, max(q) AS hi FROM ({pct_sql}))
+SELECT doc_id, n_tokens
+FROM ({stats_sql}), bounds
+WHERE n_tokens BETWEEN lo AND hi
+"""
+
+
 REPETITION_SQL = f"""
 WITH base AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, {SQL_TOKENS} AS t FROM documents
@@ -1265,6 +1309,7 @@ def queries() -> dict[str, tuple]:
             ),
             DECONTAMINATE_SQL,
         ),
+        "docs_length_filter": (length_percentile_filter_fn, _length_filter_sql()),
         "text_repetition_score": (
             lambda s, d: repetition_score(_docs(s, d)),
             REPETITION_SQL,
