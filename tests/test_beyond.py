@@ -573,6 +573,28 @@ def test_token_budget_sample_matches_naive_order(spark):
     assert len(first) == 1 and first[0].doc_id == order[0]
 
 
+def test_embedding_outliers_golden(spark):
+    """The far-from-centroid vector ranks first with an exactly
+    computable integer distance; top-N plans TakeOrdered (no global
+    sort of the corpus)."""
+    from tickdatapipeline_spark.operators.similarity import OUTLIER_Q, embedding_outliers
+
+    emb = spark.createDataFrame(
+        [(i, [0.5, -0.5]) for i in range(9)] + [(9, [-1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_outliers(emb, top_n=3)
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == [9, 0, 1]  # outlier, then id ties
+    # centroid_q = trunc((9*0.5Q - 1.0Q)/10) per dim = 0.35Q exactly
+    q = OUTLIER_Q
+    c = (9 * (q // 2) - q) // 10
+    assert rows[0].dist_q == (-q - c) ** 2 + (q + c) ** 2
+    assert rows[1].dist_q == (q // 2 - c) ** 2 * 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_repetition_score_golden(spark):
     """Gopher-style repetition metrics on engineered docs: a spam doc
     (one token repeated), a clean doc (all unique), a half-repeated doc,

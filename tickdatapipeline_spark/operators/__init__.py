@@ -35,6 +35,7 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
     embedding_near_duplicates,
+    embedding_outliers,
     kmeans_train,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
@@ -67,7 +68,8 @@ __all__ = [
     "HotLoopSeed", "hot_loop",
     "extract_features", "sample_frames", "synth_media_from_documents",
     "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_ivf_kmeans",
-    "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates", "kmeans_train",
+    "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates",
+    "embedding_outliers", "kmeans_train",
     "ema_columns",
     "fingerprint", "lang_id", "quality_score", "repetition_score",
     "shard_assignments", "simhash",

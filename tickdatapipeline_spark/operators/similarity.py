@@ -295,6 +295,62 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
     )
 
 
+OUTLIER_Q = 1 << 20
+
+
+def embedding_outliers(emb: DataFrame, top_n: int = 50, q: int = OUTLIER_Q) -> DataFrame:
+    """Corpus-centroid outlier detection: the top_n vectors by squared
+    distance from the corpus mean embedding — the "flag corrupt /
+    out-of-distribution embeddings" sweep of corpus curation.
+
+    Output: (vec_id, dist_q) ordered (dist_q desc, vec_id), dist_q in
+    Q20^2 integer units.
+
+    Exactness: vectors quantize to Q20 integers (floor(x*q + 0.5), the
+    same scheme as the k-means Q30 sums); the centroid is per-dim
+    integer sum DIV n — order-independent integer math end to end, so
+    DuckDB reproduces every distance bit-for-bit (float sums would be
+    partition-order dependent). 64 dims x (2^21)^2 < 2^48: no overflow.
+
+    Scale: one posexplode groupBy(dim) -> DIM aggregate rows collapsed
+    to a single broadcast array row; the distance is a map-side
+    zip_with fold; top-N plans TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+        ).alias("vq"),
+    )
+    cent = (
+        base.select(F.posexplode("vq").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        # sign-safe truncation toward zero: integer-division semantics
+        # for negative sums differ between engines; abs() removes the
+        # ambiguity so the oracle matches on any corpus
+        .select("pos", F.expr("CASE WHEN sx < 0 THEN -(ABS(sx) DIV n) ELSE sx DIV n END").alias("c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cent")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("vq", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", dist.alias("dist_q"))
+        .orderBy(F.col("dist_q").desc(), "vec_id")
+        .limit(top_n)
+    )
+
+
 def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     """Bucket-restricted cosine top-k: same contract as cosine_topk but
     only neighbors sharing the query's LSH bucket are scored (recall<1,

@@ -48,6 +48,7 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
     embedding_near_duplicates,
+    embedding_outliers,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
@@ -1189,6 +1190,39 @@ WHERE n_tokens BETWEEN lo AND hi
 """
 
 
+OUTLIER_TOP_N = 50
+
+def _embedding_outliers_sql() -> str:
+    from tickdatapipeline_spark.operators.similarity import OUTLIER_Q
+
+    return f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_transform({SQL_VEC},
+                          x -> CAST(floor(x * {OUTLIER_Q} + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+),
+dims AS (
+    SELECT i AS pos, sum(vq[i]) AS sx, count(*) AS n
+    FROM base
+    CROSS JOIN (SELECT unnest(range(1, len((SELECT vq FROM base LIMIT 1)) + 1)) AS i)
+    GROUP BY i
+),
+cent AS (
+    SELECT list(CASE WHEN sx < 0 THEN -(abs(sx) // n) ELSE sx // n END
+                ORDER BY pos) AS c
+    FROM dims
+)
+SELECT vec_id,
+       CAST(list_reduce(list_transform(range(1, len(vq) + 1),
+                                       i -> (vq[i] - c[i]) * (vq[i] - c[i])),
+                        (x, y) -> x + y) AS BIGINT) AS dist_q
+FROM base, cent
+ORDER BY dist_q DESC, vec_id
+LIMIT {OUTLIER_TOP_N}
+"""
+
+
 REPETITION_SQL = f"""
 WITH base AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, {SQL_TOKENS} AS t FROM documents
@@ -1308,6 +1342,10 @@ def queries() -> dict[str, tuple]:
                 max_band_bucket=None,
             ),
             DECONTAMINATE_SQL,
+        ),
+        "sim_embedding_outliers": (
+            lambda s, d: embedding_outliers(_emb(s, d), OUTLIER_TOP_N),
+            _embedding_outliers_sql(),
         ),
         "docs_length_filter": (length_percentile_filter_fn, _length_filter_sql()),
         "text_repetition_score": (
