@@ -647,6 +647,32 @@ def test_shard_assignments_contract(spark):
     assert "SinglePartition" not in plan
 
 
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Materialized shards: every doc lands in its assigned shard=N
+    partition directory, a single-shard read is partition-pruned, and
+    within a shard rows come back in the deterministic pos order."""
+    from tickdatapipeline_spark.operators.text import (
+        shard_assignments,
+        write_training_shards,
+    )
+
+    d = docs_df(spark, [(i, f"text of document {i}", "en") for i in range(120)])
+    out = str(tmp_path / "shards")
+    n = write_training_shards(d, out, n_shards=4)
+    assert n == 120
+
+    want = {r.doc_id: (r.shard, r.pos) for r in shard_assignments(d, 4).collect()}
+    rd = spark.read.parquet(out)
+    got = {r.doc_id: (r.shard, r.pos) for r in rd.collect()}
+    assert got == want
+
+    one = rd.where(F.col("shard") == 1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:120]
+    poss = [r.pos for r in one.collect()]
+    assert sorted(poss) == list(range(len(poss)))
+
+
 def test_token_budget_sample_single_partitions_only_aggregates(spark):
     """Scale shape: the only SinglePartition exchange in the plan is the
     bucket-offsets window over n_buckets AGGREGATE rows — full-data rows

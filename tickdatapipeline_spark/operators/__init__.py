@@ -51,6 +51,7 @@ from tickdatapipeline_spark.operators.text import (
     token_budget_sample,
     token_stats,
     vocab_topk,
+    write_training_shards,
 )
 
 __all__ = [
@@ -75,4 +76,5 @@ __all__ = [
     "shard_assignments", "simhash",
     "stratified_sample",
     "tfidf_topk", "token_budget_sample", "token_stats", "vocab_topk",
+    "write_training_shards",
 ]

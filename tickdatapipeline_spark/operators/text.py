@@ -297,6 +297,31 @@ def shard_assignments(docs: DataFrame, n_shards: int = 16,
     )
 
 
+def write_training_shards(docs: DataFrame, out_dir: str, n_shards: int = 16,
+                          salt: str = "shard:") -> int:
+    """Materialize the shuffled corpus as training shards: each
+    ``shard=N`` partition directory holds its documents parquet-encoded
+    in shard_assignments' deterministic (hash, doc_id) order.
+
+    Returns the number of documents written.
+
+    Scale: one hash exchange on shard + per-shard sorts
+    (repartition(shard) + sortWithinPartitions), then a partitioned
+    write — no global sort, no driver involvement. Readers stream one
+    shard per training worker with `spark.read.parquet(out).where(
+    shard = N)` (partition-pruned scan)."""
+    assigned = shard_assignments(docs, n_shards, salt)
+    full = docs.join(assigned, on="doc_id")
+    (
+        full.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return full.count()
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:
     """Per-document top-k characteristic terms by an integer-exact
     tf-idf variant: score = tf * scale // doc_freq (reciprocal-df
