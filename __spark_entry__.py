@@ -43,6 +43,8 @@ def _last_green_round() -> dict[str, int]:
             rows = json.loads(Path(p).read_text())
         except (OSError, json.JSONDecodeError):
             continue
+        if not isinstance(rows, dict):  # corrupt/partial file: skip, don't crash
+            continue
         for name, row in rows.items():
             if (
                 isinstance(row, dict)

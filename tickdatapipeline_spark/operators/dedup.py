@@ -282,14 +282,37 @@ def cross_corpus_contamination(
 
 
 def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
-                       band_size: int = BAND_SIZE) -> None:
+                       band_size: int = BAND_SIZE,
+                       max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> None:
     """Materialize the corpus's LSH decontamination index as parquet:
     the band table (``path``/bands) and shingle table (``path``/shingles)
     that ``contamination_against_index`` joins against. This is the
     deployment artifact for ingest-time checks — computed once per
     corpus build, refreshed when the corpus changes, NOT recomputed per
-    micro-batch."""
-    _band_table(docs, num_perm, band_size).write.mode("overwrite").parquet(f"{path}/bands")
+    micro-batch.
+
+    The skew cap is applied HERE, at build time (oversized band buckets
+    dropped once, logged), so per-batch probes pass
+    ``max_band_bucket=None`` and pay no per-batch sizing work — the
+    bucket sizes of a static index cannot change between batches.
+    Unpinned on purpose: the single parquet write is the
+    materialization; a localCheckpoint would write everything twice."""
+    bands = _band_table(docs, num_perm, band_size, pinned=False)
+    if max_band_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
+        dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
+            F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
+        ).first()
+        if dropped["buckets"]:
+            logger.warning(
+                "write_corpus_index skew guard: dropped %d band bucket(s) "
+                "holding %d doc-band rows (> max_band_bucket=%d) from the index",
+                dropped["buckets"], dropped["rows"], max_band_bucket,
+            )
+        bands = bands.join(
+            sizes.where(F.col("_m") <= max_band_bucket), on=["band", "band_key"], how="inner"
+        ).drop("_m")
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
     shingles(docs).write.mode("overwrite").parquet(f"{path}/shingles")
 
 
@@ -372,9 +395,12 @@ def contamination_against_index(
     )
 
 
-def _band_table(docs: DataFrame, num_perm: int, band_size: int) -> DataFrame:
+def _band_table(docs: DataFrame, num_perm: int, band_size: int,
+                pinned: bool = True) -> DataFrame:
     """(doc_id, band, band_key) LSH band table off the wide signature
-    row, pinned so both consumers reuse one materialization."""
+    row, pinned (default) so multiple consumers reuse one
+    materialization; pass pinned=False for single-consumer paths like
+    the index parquet write."""
     from tickdatapipeline_spark.operators.globalorder import pin
 
     wide = _minhash_wide(docs, num_perm)
@@ -388,11 +414,10 @@ def _band_table(docs: DataFrame, num_perm: int, band_size: int) -> DataFrame:
         )
         for b in range(n_bands)
     ])
-    return pin(
-        wide.select("doc_id", F.explode(band_structs).alias("r")).select(
-            "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
-        )
+    bands = wide.select("doc_id", F.explode(band_structs).alias("r")).select(
+        "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
     )
+    return pin(bands) if pinned else bands
 
 
 def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,

@@ -319,7 +319,9 @@ def write_training_shards(docs: DataFrame, out_dir: str, n_shards: int = 16,
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    return full.count()
+    # count from the written parquet footers (metadata-only scan) —
+    # counting `full` would re-run the whole join+window lineage
+    return docs.sparkSession.read.parquet(out_dir).count()
 
 
 def tfidf_topk(docs: DataFrame, k: int = 3, scale: int = 1_000_000) -> DataFrame:

@@ -368,6 +368,9 @@ def run_ingest_decontamination(
             sp.read.parquet(f"{index_path}/bands"),
             sp.read.parquet(f"{index_path}/shingles"),
             threshold=threshold,
+            # the index is skew-capped once at write_corpus_index time;
+            # None here avoids re-sizing the static index every batch
+            max_band_bucket=None,
         )
         best = (
             hits.groupBy("probe_doc_id")

@@ -32,44 +32,37 @@ EMA_STATE_SCHEMA = "e long, v long, a long, init boolean"
 
 
 def make_ema_kernel(agc_alpha: float = 0.125):
-    """Returns the applyInPandasWithState function for ema_stream."""
+    """Returns the applyInPandasWithState function for ema_stream.
+
+    The recurrence itself is the SHARED stepper
+    (operators.stateful._ema_step) — the same code the batch group
+    kernel and the single-stream batch-streaming kernel run, so
+    stream==batch bit-equality is structural, not coincidental; the
+    GroupState tuple is exactly the stepper's carry state."""
+    from tickdatapipeline_spark.operators.stateful import EMA_STATE0, _ema_step
 
     def kernel(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            e, v, a, init = state.get
-        else:
-            e, v, a, init = 0, 1, 10, False
+        carry = tuple(state.get) if state.exists else EMA_STATE0
         out_frames = []
         for pdf in pdfs:
             pdf = pdf.sort_values("tick_idx")
-            emas, devs, agcs = [], [], []
-            for d, core in zip(pdf["delta_w"], pdf["is_core"]):
-                if core:
-                    d = int(d)
-                    ad = abs(d)
-                    if init:
-                        e = e + ((d - e) >> 4)
-                        v = v + ((abs(d - e) - v) >> 4)
-                    else:
-                        e, v, init = d, max(ad, 1), True
-                    a = a + round((float(ad) - float(a)) * agc_alpha)
-                emas.append(e)
-                devs.append(v)
-                agcs.append(a)
+            ema, dev, agc, carry = _ema_step(
+                pdf["delta_w"].to_numpy(), pdf["is_core"].to_numpy(), agc_alpha, carry
+            )
             out_frames.append(
                 pd.DataFrame(
                     {
                         "stream": key[0],
                         "tick_idx": pdf["tick_idx"].to_numpy(),
-                        "ema_delta": emas,
-                        "ema_delta_dev": devs,
-                        "ema_abs_delta": agcs,
+                        "ema_delta": ema,
+                        "ema_delta_dev": dev,
+                        "ema_abs_delta": agc,
                     }
                 )
             )
-        state.update((e, v, a, init))
+        state.update(tuple(carry))
         yield from out_frames
 
     return kernel
