@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from tests.conftest import make_ticks_raw
 from tickdatapipeline_spark import constants as C
@@ -237,3 +238,71 @@ def test_event_funnel_equals_naive_property(spark, events, window_h):
     assert {s: c for s, (c, _a) in got.items()} == {s: c for s, (c, _a) in want.items()}
     for s in want:
         assert got[s][1] == pytest.approx(want[s][1], abs=1e-6), s
+
+
+corpus_strategy = st.lists(
+    st.integers(min_value=0, max_value=40),  # token count per doc
+    min_size=1, max_size=40,
+)
+
+
+@given(ntoks=corpus_strategy, budget=st.integers(min_value=0, max_value=600),
+       n_buckets=st.sampled_from([1, 4, 16]))
+@SET
+def test_token_budget_sample_property(spark, ntoks, budget, n_buckets):
+    """The two-level plan equals the naive single-order scan for ANY
+    corpus/budget/bucket count, and the admitted token total never
+    overshoots budget by more than the last admitted doc."""
+    from tickdatapipeline_spark.operators.text import h60, token_budget_sample
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), "en")
+            for i, n in enumerate(ntoks)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    hashes = {
+        r.doc_id: r.h
+        for r in d.select("doc_id", h60(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h")
+        ).collect()
+    }
+    order = sorted(range(len(ntoks)),
+                   key=lambda i: (hashes[i] % n_buckets, hashes[i], i))
+    run, want = 0, {}
+    for i in order:
+        if run < budget:
+            want[i] = ntoks[i]
+        run += ntoks[i]
+    got = {r.doc_id: r.n_tokens
+           for r in token_budget_sample(d, budget, n_buckets=n_buckets).collect()}
+    assert got == want
+    if want:
+        assert sum(want.values()) <= budget + max(ntoks)
+
+
+@given(ntoks=corpus_strategy, n_shards=st.sampled_from([1, 3, 8]))
+@SET
+def test_shard_assignments_property(spark, ntoks, n_shards):
+    """Partition property for ANY corpus: every doc in exactly one
+    shard, positions contiguous per shard, assignment matches the
+    direct hash computation."""
+    from tickdatapipeline_spark.operators.text import h60, shard_assignments
+
+    rows = [(i, f"doc {i}", "en") for i in range(len(ntoks))]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    hashes = {
+        r.doc_id: r.h
+        for r in d.select("doc_id", h60(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("h")
+        ).collect()
+    }
+    got = {r.doc_id: (r.shard, r.pos) for r in shard_assignments(d, n_shards).collect()}
+    assert set(got) == set(hashes)
+    by_shard: dict = {}
+    for doc_id, (shard, pos) in got.items():
+        assert shard == hashes[doc_id] % n_shards
+        by_shard.setdefault(shard, []).append((pos, doc_id))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _ in items] == list(range(len(items)))
+        # within-shard order is (h, doc_id)
+        assert [d_ for _, d_ in items] == sorted(
+            (d_ for _, d_ in items), key=lambda x: (hashes[x], x))
