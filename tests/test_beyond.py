@@ -538,6 +538,43 @@ def test_cross_corpus_contamination(spark, caplog):
     assert capped.count() == 0
 
 
+def test_corpus_index_build_time_cap(spark, tmp_path, caplog):
+    """write_corpus_index applies the skew cap ONCE at build time: an
+    oversized band bucket never reaches the parquet index (logged), so
+    per-batch probes pass max_band_bucket=None and pay no sizing work;
+    an uncapped build keeps everything."""
+    import logging
+
+    from tickdatapipeline_spark.operators.dedup import (
+        contamination_against_index,
+        shingles,
+        write_corpus_index,
+    )
+
+    leak = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs tonight")
+    corpus = docs_df(spark, [(i, leak, "en") for i in (1, 2, 3)])
+    probe = docs_df(spark, [(100, leak, "en")])
+
+    capped = tmp_path / "capped"
+    with caplog.at_level(logging.WARNING, logger="tickdatapipeline_spark.operators.dedup"):
+        write_corpus_index(corpus, str(capped), max_band_bucket=2)
+    assert any("write_corpus_index skew guard" in r.message for r in caplog.records)
+    assert spark.read.parquet(str(capped / "bands")).count() == 0  # all buckets size 3
+    hits = contamination_against_index(
+        probe, spark.read.parquet(str(capped / "bands")),
+        spark.read.parquet(str(capped / "shingles")), max_band_bucket=None)
+    assert hits.count() == 0
+
+    full = tmp_path / "full"
+    write_corpus_index(corpus, str(full), max_band_bucket=None)
+    hits = contamination_against_index(
+        probe, spark.read.parquet(str(full / "bands")),
+        spark.read.parquet(str(full / "shingles")), max_band_bucket=None)
+    assert hits.count() == 3  # verbatim leak matches every corpus doc
+    assert shingles(probe).count() > 0
+
+
 def test_token_budget_sample_matches_naive_order(spark):
     """The two-level (bucket prefix + within-bucket window) plan must
     admit EXACTLY the docs a naive single-ordered scan admits, and the

@@ -1173,6 +1173,29 @@ def length_percentile_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_percentile_filter_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale twin of docs_length_filter: percentile_approx
+    bounds (no full sort — one pass, mergeable sketches) with the same
+    broadcast-bounds filter shape. Rows-only in the registry: sketch
+    internals are not cross-engine reproducible (same contract as
+    q2_percentiles_approx)."""
+    from tickdatapipeline_spark.operators.text import tokens
+
+    stats = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    bounds = stats.agg(
+        F.percentile_approx("n_tokens", LENGTH_FILTER_LO, 10_000).alias("_lo"),
+        F.percentile_approx("n_tokens", LENGTH_FILTER_HI, 10_000).alias("_hi"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(bounds))
+        .where(F.col("n_tokens").between(F.col("_lo"), F.col("_hi")))
+        .select("doc_id", "n_tokens")
+    )
+
+
 def _length_filter_sql() -> str:
     from tickdatapipeline_spark.plans.common import sql_exact_percentiles
 
@@ -1348,6 +1371,7 @@ def queries() -> dict[str, tuple]:
             _embedding_outliers_sql(),
         ),
         "docs_length_filter": (length_percentile_filter_fn, _length_filter_sql()),
+        "docs_length_filter_approx": (length_percentile_filter_approx_fn, None),
         "text_repetition_score": (
             lambda s, d: repetition_score(_docs(s, d)),
             REPETITION_SQL,
