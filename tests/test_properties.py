@@ -306,3 +306,36 @@ def test_shard_assignments_property(spark, ntoks, n_shards):
         # within-shard order is (h, doc_id)
         assert [d_ for _, d_ in items] == sorted(
             (d_ for _, d_ in items), key=lambda x: (hashes[x], x))
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dog"]), min_size=0, max_size=12),
+    min_size=1, max_size=15,
+))
+@SET
+def test_repetition_score_property(spark, docs):
+    """For ANY corpus over a tiny vocabulary, every metric matches the
+    naive Python computation and sits in [0, 1]."""
+    from tickdatapipeline_spark.operators.text import repetition_score
+
+    rows = [(i, " ".join(toks), "en") for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in repetition_score(d).collect()}
+    for i, toks in enumerate(docs):
+        r = got[i]
+        n = len(toks)
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert r.n_tokens == n
+        for v in (r.dup_token_frac, r.top_token_frac, r.dup_bigram_frac):
+            assert 0.0 <= v <= 1.0
+        if n:
+            assert r.dup_token_frac == pytest.approx(1 - len(set(toks)) / n, abs=1e-6)
+            assert r.top_token_frac == pytest.approx(
+                max(toks.count(t) for t in set(toks)) / n, abs=1e-6)
+        else:
+            assert (r.dup_token_frac, r.top_token_frac) == (0.0, 0.0)
+        if bigrams:
+            assert r.dup_bigram_frac == pytest.approx(
+                1 - len(set(bigrams)) / len(bigrams), abs=1e-6)
+        else:
+            assert r.dup_bigram_frac == 0.0
