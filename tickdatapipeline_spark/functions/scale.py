@@ -37,6 +37,33 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def cap_group_sizes(df: DataFrame, keys: list[str], cap: int,
+                    label: str, cap_name: str, logger) -> DataFrame:
+    """Quadratic-blowup skew guard shared by the LSH dedup/ANN paths:
+    drop every group of ``keys`` holding more than ``cap`` rows BEFORE a
+    per-group self/equi-join (a group of m rows emits ~m^2 join rows).
+
+    The dropped group/row counts are computed EAGERLY (one map-side-
+    combinable aggregation job at plan-build time) and logged through
+    the caller's ``logger`` as "<label> skew guard: ... (> <cap_name>=
+    <cap>)" — a silent quadratic is worse than a logged cap. The
+    anti-filter join is broadcast-able at any realistic cap. cap=None
+    semantics belong to the caller: skip calling this at all."""
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_m"))
+    dropped = sizes.where(F.col("_m") > cap).agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("rows"),
+    ).first()
+    if dropped["groups"]:
+        logger.warning(
+            "%s skew guard: dropped %d bucket(s) holding %d rows (> %s=%d)",
+            label, dropped["groups"], dropped["rows"], cap_name, cap,
+        )
+    return df.join(
+        sizes.where(F.col("_m") <= cap), on=keys, how="inner"
+    ).drop("_m")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from tickdatapipeline_spark.functions.rounding import rnd
-from tickdatapipeline_spark.functions.scale import fan_out
+from tickdatapipeline_spark.functions.scale import cap_group_sizes, fan_out
 
 from tickdatapipeline_spark.operators.text import h60, tokens
 
@@ -145,24 +145,8 @@ def lsh_candidate_pairs(docs: DataFrame, num_perm: int = NUM_PERM, band_size: in
     # parquet, then join"; in-session, localCheckpoint is the same cut.
     bands = _band_table(docs, num_perm, band_size)
     if max_band_bucket is not None:
-        # map-side-combinable count per (band, band_key); the anti-filter
-        # is a broadcast-able join at any realistic cap
-        sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
-        dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
-            F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
-        ).first()
-        if dropped["buckets"]:
-            logger.warning(
-                "lsh_candidate_pairs skew guard: dropped %d band bucket(s) "
-                "holding %d doc-band rows (> max_band_bucket=%d); members "
-                "remain recallable via their other bands",
-                dropped["buckets"], dropped["rows"], max_band_bucket,
-            )
-        bands = (
-            bands.join(sizes.where(F.col("_m") <= max_band_bucket),
-                       on=["band", "band_key"], how="inner")
-            .drop("_m")
-        )
+        bands = cap_group_sizes(bands, ["band", "band_key"], max_band_bucket,
+                                "lsh_candidate_pairs", "max_band_bucket", logger)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -270,9 +254,7 @@ def cross_corpus_contamination(
         num_perm=num_perm,
         band_size=band_size,
         max_band_bucket=max_band_bucket,
-        guard_label="cross_corpus_contamination skew guard: dropped "
-                    "%d train-side band bucket(s) holding %d doc-band rows "
-                    "(> max_band_bucket=%d)",
+        guard_label="cross_corpus_contamination train-side",
     )
     return out.select(
         F.col("corpus_doc_id").alias("train_doc_id"),
@@ -299,19 +281,8 @@ def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
     materialization; a localCheckpoint would write everything twice."""
     bands = _band_table(docs, num_perm, band_size, pinned=False)
     if max_band_bucket is not None:
-        sizes = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
-        dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
-            F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
-        ).first()
-        if dropped["buckets"]:
-            logger.warning(
-                "write_corpus_index skew guard: dropped %d band bucket(s) "
-                "holding %d doc-band rows (> max_band_bucket=%d) from the index",
-                dropped["buckets"], dropped["rows"], max_band_bucket,
-            )
-        bands = bands.join(
-            sizes.where(F.col("_m") <= max_band_bucket), on=["band", "band_key"], how="inner"
-        ).drop("_m")
+        bands = cap_group_sizes(bands, ["band", "band_key"], max_band_bucket,
+                                "write_corpus_index", "max_band_bucket", logger)
     bands.write.mode("overwrite").parquet(f"{path}/bands")
     shingles(docs).write.mode("overwrite").parquet(f"{path}/shingles")
 
@@ -324,9 +295,7 @@ def contamination_against_index(
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
-    guard_label: str = "contamination_against_index skew guard: dropped "
-                       "%d corpus band bucket(s) holding %d doc-band rows "
-                       "(> max_band_bucket=%d)",
+    guard_label: str = "contamination_against_index corpus-side",
 ) -> DataFrame:
     """Probe documents that near-duplicate a corpus whose LSH index
     (band + shingle tables, see ``write_corpus_index``) is precomputed.
@@ -341,15 +310,9 @@ def contamination_against_index(
     checks."""
     p_bands = _band_table(probe_docs, num_perm, band_size)
     if max_band_bucket is not None:
-        sizes = corpus_bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_m"))
-        dropped = sizes.where(F.col("_m") > max_band_bucket).agg(
-            F.count(F.lit(1)).alias("buckets"), F.coalesce(F.sum("_m"), F.lit(0)).alias("rows")
-        ).first()
-        if dropped["buckets"]:
-            logger.warning(guard_label, dropped["buckets"], dropped["rows"], max_band_bucket)
-        corpus_bands = corpus_bands.join(
-            sizes.where(F.col("_m") <= max_band_bucket), on=["band", "band_key"], how="inner"
-        ).drop("_m")
+        corpus_bands = cap_group_sizes(corpus_bands, ["band", "band_key"],
+                                       max_band_bucket, guard_label,
+                                       "max_band_bucket", logger)
     cand = (
         corpus_bands.alias("t")
         .join(

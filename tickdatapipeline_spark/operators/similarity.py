@@ -267,23 +267,12 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
     if max_bucket_size is not None:
         # pin so the eager sizing job and both self-join sides reuse one
         # materialization instead of re-deriving the projection 3x
+        from tickdatapipeline_spark.functions.scale import cap_group_sizes
         from tickdatapipeline_spark.operators.globalorder import pin
 
-        base = pin(base)
-        sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("_m"))
-        dropped = sizes.where(F.col("_m") > max_bucket_size).agg(
-            F.count(F.lit(1)).alias("buckets"),
-            F.coalesce(F.sum("_m"), F.lit(0)).alias("rows"),
-        ).first()
-        if dropped["buckets"]:
-            logger.warning(
-                "embedding_near_duplicates skew guard: dropped %d LSH "
-                "bucket(s) holding %d vectors (> max_bucket_size=%d)",
-                dropped["buckets"], dropped["rows"], max_bucket_size,
-            )
-        base = base.join(
-            sizes.where(F.col("_m") <= max_bucket_size), on="bucket", how="inner"
-        ).drop("_m")
+        base = cap_group_sizes(pin(base), ["bucket"], max_bucket_size,
+                               "embedding_near_duplicates", "max_bucket_size",
+                               logger)
     a, b = base.alias("a"), base.alias("b")
     cos = rnd(
         _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6

@@ -42,6 +42,14 @@ def h60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 18, 15), 16, 10).cast("long")
 
 
+def salted_doc_hash(salt: str) -> Column:
+    """h60(salt || doc_id): the deterministic per-document draw behind
+    every sampler/shuffler here (stratified_sample, token_budget_sample,
+    shard_assignments) — reproducible across runs/engines/partitionings;
+    a new salt redraws."""
+    return h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace/regex tokens + uniques (SURVEY §2.9 /
     north-star text ops)."""
@@ -150,7 +158,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int],
     pm = F.lit(default_permille)
     for lang, rate in sorted(rates.items()):
         pm = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(pm)
-    keep = h60(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 1000 < pm
+    keep = salted_doc_hash(salt) % 1000 < pm
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang"
     ).where(keep)
@@ -183,11 +191,10 @@ def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
     """
     from pyspark.sql import Window
 
-    h = h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        h.alias("h"),
+        salted_doc_hash(salt).alias("h"),
     ).withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
     bucket_sums = base.groupBy("bucket").agg(F.sum("n_tokens").alias("_bt"))
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -287,10 +294,10 @@ def shard_assignments(docs: DataFrame, n_shards: int = 16,
     """
     from pyspark.sql import Window
 
-    h = h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), h.alias("h"))
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    salted_doc_hash(salt).alias("h"))
         .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select("doc_id", "shard", "pos")
