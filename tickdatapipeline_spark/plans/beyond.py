@@ -1387,6 +1387,7 @@ def queries() -> dict[str, tuple]:
         ),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "events_retention_cohorts": (retention_fn, RETENTION_SQL),
+        "events_value_anomalies": (value_anomalies_fn, VALUE_ANOMALIES_SQL),
         "events_value_percentiles_by_type": (
             events_value_percentiles_fn, _events_value_percentiles_sql()),
         "dedup_embedding_clusters": (
@@ -1434,6 +1435,68 @@ def events_value_percentiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir).select("event_type", "value")
     return grouped_exact_percentiles(ev, "event_type", "value", EVT_PCTS)
+
+
+ANOM_TOP_N = 100
+ANOM_Q = 100  # Q2 (cents) quantization for the anomaly moments
+
+
+def value_anomalies_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly sweep: the top-N events by |z| where
+    z = (value - group mean) / group std — the 'flag metric outliers'
+    monitoring query over event data.
+
+    Cross-engine exactness: values quantize to Q2 integers
+    (floor(v*100 + 0.5)); the group moments are EXACT integer sums
+    (count, sum, sum of squares — order-independent), and the double
+    mean/std/z derivation from those identical integers is IEEE
+    arithmetic both engines round identically. int64 sum-of-squares
+    bounds ~10^9 rows per group at this value range; beyond that lower
+    the quantization or shard the group.
+
+    Scale: one map-side-combinable groupBy (|event_type| rows)
+    broadcast back over the stream; top-N plans TakeOrdered — never a
+    global sort."""
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    q = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.floor(F.col("value") * ANOM_Q + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    stats = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("ss").cast("double") / F.col("n").cast("double") - mean * mean
+    z = (F.col("vq").cast("double") - mean) / F.sqrt(var)
+    return (
+        q.join(F.broadcast(stats), on="event_type")
+        .select("event_id", "event_type", rnd(z, 6).alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(ANOM_TOP_N)
+    )
+
+
+VALUE_ANOMALIES_SQL = f"""
+WITH q AS (
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(floor(value * {ANOM_Q} + 0.5) AS BIGINT) AS vq
+    FROM events
+),
+stats AS (
+    SELECT event_type, count(*) AS n, sum(vq) AS s, sum(vq * vq) AS ss
+    FROM q GROUP BY event_type
+)
+SELECT event_id, event_type, z FROM (
+    SELECT event_id, q.event_type,
+           (floor(((CAST(vq AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / sqrt((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0) AS z
+    FROM q JOIN stats ON q.event_type = stats.event_type
+)
+ORDER BY abs(z) DESC, event_id
+LIMIT {ANOM_TOP_N}
+"""
 
 
 def _events_value_percentiles_sql() -> str:
