@@ -145,6 +145,44 @@ def test_single_stream_two_pass_has_no_single_partition(spark):
         set_ticks_cache(True)
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100 TB lever for selective fact-dim joins that are too big to
+    broadcast: Spark's runtime bloom filter builds a filter from the
+    selective (orders) side and pushes a might_contain predicate into
+    the fact (lineitem) scan, pruning shuffle input before the join.
+    The thresholds here shrink Spark's size gates to fixture scale; at
+    deployment scale the defaults (10MB creation / 10GB application)
+    trigger on their own. Results must equal the unfiltered join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ: the runtime-filter case
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT")
+        return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice")
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = build()
+        plan = physical(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        with_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert with_bloom == build().count()  # pruning is semantics-free
+
+
 def test_two_pass_flagship_full_data_exchange_count(spark):
     """Pin the globalorder claim (operators/globalorder.py::add_chunk):
     downstream windows keyed on the shared chunk column mean the final
