@@ -188,3 +188,32 @@ def test_multistream_chunked_bars_equal_windowed(spark, method, tpb):
     a = win.orderBy("stream", "bar_idx").toPandas()
     b = chk.select(*win.columns).orderBy("stream", "bar_idx").toPandas()
     assert len(a) >= 10 and a.equals(b)
+
+
+def test_fir_single_seed_with_stream_column(spark):
+    """A single BarSeed carrying a FIR tail + a stream column must not
+    crash (the tail previously lacked the stream column and broke
+    unionByName) and must equal the per-stream dict-seed run with the
+    same seed for every stream — the single seed applies uniformly."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.bars import BarSeed
+
+    prices = [41970 + (i * 5) % 17 - 8 for i in range(24)]
+    bp = BarProcessingConfig(enabled=True, ticks_per_bar=4, bar_method="FIR",
+                             normalization_window_bars=2)
+    base = processed(spark, prices).withColumn("tick_idx", F.col("tick_idx") + 8)
+    two = base.withColumn("stream", F.lit("A")).unionByName(
+        base.withColumn("stream", F.lit("B")))
+    seed = BarSeed(bars_done0=2, tail_prices0=tuple((i + 1, 41900 + i) for i in range(8)))
+
+    single = bar_aggregate(two, bp, stream_id="stream", seed=seed)
+    single_rows = sorted((r.stream, r.bar_idx, r.bar_average_raw)
+                         for r in single.collect())
+    assert single_rows  # produced bars for both streams without crashing
+
+    per_stream = bar_aggregate(two, bp, stream_id="stream",
+                               seed={"A": seed, "B": seed})
+    dict_rows = sorted((r.stream, r.bar_idx, r.bar_average_raw)
+                       for r in per_stream.collect())
+    assert single_rows == dict_rows

@@ -179,7 +179,9 @@ def bar_aggregate(
     else:
         s = seed or BarSeed()
 
-    df = ticks.withColumn("bar_id", ((F.col("tick_idx") - 1) / n).cast("long"))
+    # DIV, not double '/'+cast: exact for any tick_idx (the double
+    # quotient is only floor-exact below 2^53)
+    df = ticks.withColumn("bar_id", F.expr(f"(tick_idx - 1) DIV {n}"))
     df = df.withColumn("bar_pos", ((F.col("tick_idx") - 1) % n).cast("long"))
 
     bars = df.groupBy(*part, "bar_id").agg(
@@ -240,7 +242,13 @@ def bar_aggregate(
             tail = ticks.sparkSession.createDataFrame(
                 list(s.tail_prices0), "tick_idx long, raw_price long"
             )
-            fir_src = fir_src.unionByName(tail)
+            if part:
+                # single seed + stream column: like the scalar seed
+                # columns above, the one seed applies uniformly to
+                # every stream — replicate the tail per distinct stream
+                # (an O(streams) frame)
+                tail = ticks.select(*part).distinct().crossJoin(tail)
+            fir_src = fir_src.unionByName(tail.select(*part, "tick_idx", "raw_price"))
         firs = _fir_averages(fir_src, part, taps, step=n)
         bars = bars.join(firs, on=part + ["end_tick_idx"])
     else:

@@ -27,12 +27,20 @@ def packed_timestamp(ts_col: Column) -> Column:
 
     result = fold over i=1..k of (acc << 8) | char_i  with k = min(8, len),
     equivalently sum(char_i * 256^(k-i)).
+
+    Each codepoint is masked to 8 bits: for the ASCII timestamps of the
+    tick format this is an exact match of the reference's byte fold,
+    and a malformed line with a NON-ASCII char in the timestamp packs
+    to a deterministic (reference-divergent) value instead of blowing
+    past 2^63 — under ANSI mode an unmasked codepoint >= 128 in the
+    leading position would kill the whole job with ARITHMETIC_OVERFLOW,
+    violating the source layer's drop-malformed-quietly policy.
     """
     k = F.least(F.lit(8), F.length(ts_col))
     parts = [
         F.when(
             F.lit(i) <= k,
-            F.ascii(F.substring(ts_col, i, 1)).cast("long")
+            F.ascii(F.substring(ts_col, i, 1)).bitwiseAND(F.lit(255)).cast("long")
             * F.pow(F.lit(256.0), (k - F.lit(i)).cast("double")).cast("long"),
         ).otherwise(F.lit(0))
         for i in range(1, 9)
@@ -53,6 +61,33 @@ def unpacked_timestamp(packed: Column) -> Column:
     return F.concat(*chars)
 
 
+def _expand_rows(df: DataFrame, part: list[str], w_ticks, tick0_col,
+                 extra_cols: tuple = ()) -> DataFrame:
+    """Shared explode+delta+select of both expand_volume formulations —
+    the semantics live here ONCE; the two callers differ only in window
+    specs and how prev_last/tick0 are derived.
+
+    Expects ``prev_last`` already attached. volume < 1 must yield ZERO
+    replicas (Julia `for 1:0` is empty), but Spark's sequence(start,
+    stop) auto-steps -1 when stop < start — so gate it; explode(NULL)
+    emits no rows, matching generate_series(1,0)."""
+    seq = F.when(F.col("volume") >= 1, F.sequence(F.lit(1), F.col("volume")))
+    df = df.withColumn("replica_idx", F.explode(seq))
+    delta = (
+        F.when(F.col("prev_last").isNull(), F.lit(0))
+        .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))
+        .otherwise(F.lit(0))
+    )
+    return df.select(
+        *part, "line_no", "replica_idx",
+        (F.row_number().over(w_ticks) + tick0_col).cast("long").alias("tick_idx"),
+        packed_timestamp(F.col("ts_str")).alias("timestamp"),
+        F.col("last").cast("long").alias("raw_price"),
+        delta.cast("long").alias("price_delta"),
+        *extra_cols,
+    )
+
+
 def expand_volume(
     ticks_raw: DataFrame,
     stream_id: str | None = None,
@@ -61,7 +96,6 @@ def expand_volume(
     seed_tick0: int = 0,
     seeds: "dict | None" = None,
     chunk_size: int | None = None,
-    chunk_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """ticks_raw(line_no, ts_str, bid, ask, last, volume) -> expanded ticks.
 
@@ -76,20 +110,19 @@ def expand_volume(
     stream via a broadcast join of the (tiny) seed table — the shape that
     holds when one micro-batch carries thousands of streams.
 
-    ``chunk_size`` (single-stream batch only): use the two-pass chunked
-    formulation (operators/globalorder.py) — no SinglePartition window.
+    ``chunk_size``: use the two-pass chunked formulation
+    (operators/globalorder.py) — no SinglePartition window; with
+    ``stream_id`` every chunk window and offsets prefix is per-stream.
+    Only per-stream seed dicts stay on the windowed path.
     The lag's cross-chunk patch is the previous chunk's final price; the
     tick numbering offset is the running sum of per-chunk expanded-row
-    counts (sum of volumes) — both in-plan broadcast subqueries, or
-    injected pre-fused via ``chunk_offsets`` (a (GO_CHUNK, _go_prev,
-    _go_t0) frame, see plans/common._chain). Output additionally
-    carries the chunk column for downstream reuse.
+    counts (sum of volumes) — both in-plan broadcast subqueries. Output
+    additionally carries the chunk column for downstream reuse.
     """
     if chunk_size is not None and seeds is None:
         return _expand_volume_chunked(
             ticks_raw, chunk_size, stream_id=stream_id,
             seed_prev_last=seed_prev_last, seed_tick0=seed_tick0,
-            chunk_offsets=chunk_offsets,
         )
     part = [stream_id] if stream_id else []
     w_lines = Window.partitionBy(*part).orderBy("line_no")
@@ -111,24 +144,7 @@ def expand_volume(
     elif seed_prev_last is not None:
         prev = F.coalesce(prev, F.lit(seed_prev_last))
     df = ticks_raw.withColumn("prev_last", prev)
-    # volume < 1 must yield ZERO replicas (Julia `for 1:0` is empty), but
-    # Spark's sequence(start, stop) auto-steps -1 when stop < start — so
-    # gate it; explode(NULL) emits no rows, matching generate_series(1,0).
-    seq = F.when(F.col("volume") >= 1, F.sequence(F.lit(1), F.col("volume")))
-    df = df.withColumn("replica_idx", F.explode(seq))
-    delta = (
-        F.when(F.col("prev_last").isNull(), F.lit(0))
-        .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))
-        .otherwise(F.lit(0))
-    )
-    keep = ([stream_id] if stream_id else []) + ["line_no", "replica_idx"]
-    return df.select(
-        *keep,
-        (F.row_number().over(w_ticks) + tick0_col).cast("long").alias("tick_idx"),
-        packed_timestamp(F.col("ts_str")).alias("timestamp"),
-        F.col("last").cast("long").alias("raw_price"),
-        delta.cast("long").alias("price_delta"),
-    )
+    return _expand_rows(df, part, w_ticks, tick0_col)
 
 
 def _expand_volume_chunked(
@@ -138,7 +154,6 @@ def _expand_volume_chunked(
     stream_id: str | None = None,
     seed_prev_last: int | None,
     seed_tick0: int,
-    chunk_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Two-pass expand_volume (see expand_volume docstring). With
     ``stream_id`` the chunk order — and every offsets prefix — is local
@@ -151,19 +166,18 @@ def _expand_volume_chunked(
 
     part = [stream_id] if stream_id else []
     lines = add_chunk(ticks_raw, "line_no", chunk_size)
-    if chunk_offsets is None:
-        # in-plan offsets: (final price of preceding chunks, expanded-row
-        # count of preceding chunks)
-        chunk_offsets = chunk_offsets_plan(
-            lines,
-            sums={
-                "_go_t0": F.when(
-                    F.col("volume") >= 1, F.col("volume")
-                ).otherwise(F.lit(0))
-            },
-            carries={"_go_prev": (F.col("line_no"), F.col("last"))},
-            keys=part,
-        )
+    # in-plan offsets: (final price of preceding chunks, expanded-row
+    # count of preceding chunks)
+    chunk_offsets = chunk_offsets_plan(
+        lines,
+        sums={
+            "_go_t0": F.when(
+                F.col("volume") >= 1, F.col("volume")
+            ).otherwise(F.lit(0))
+        },
+        carries={"_go_prev": (F.col("line_no"), F.col("last"))},
+        keys=part,
+    )
     df = lines.join(F.broadcast(chunk_offsets), on=part + [GO_CHUNK], how="left")
 
     w_lines = Window.partitionBy(*part, GO_CHUNK).orderBy("line_no")
@@ -172,20 +186,5 @@ def _expand_volume_chunked(
     if seed_prev_last is not None:
         prev = F.coalesce(prev, F.lit(seed_prev_last))
     df = df.withColumn("prev_last", prev)
-    seq = F.when(F.col("volume") >= 1, F.sequence(F.lit(1), F.col("volume")))
-    df = df.withColumn("replica_idx", F.explode(seq))
-    delta = (
-        F.when(F.col("prev_last").isNull(), F.lit(0))
-        .when(F.col("replica_idx") == 1, F.col("last") - F.col("prev_last"))
-        .otherwise(F.lit(0))
-    )
-    return df.select(
-        *part, "line_no", "replica_idx",
-        (F.row_number().over(w_ticks)
-         + F.coalesce("_go_t0", F.lit(0)) + F.lit(seed_tick0))
-        .cast("long").alias("tick_idx"),
-        packed_timestamp(F.col("ts_str")).alias("timestamp"),
-        F.col("last").cast("long").alias("raw_price"),
-        delta.cast("long").alias("price_delta"),
-        GO_CHUNK,
-    )
+    tick0_col = F.coalesce("_go_t0", F.lit(0)) + F.lit(seed_tick0)
+    return _expand_rows(df, part, w_ticks, tick0_col, extra_cols=(GO_CHUNK,))

@@ -155,7 +155,14 @@ def chunk_offsets_plan(
     def _mod(name: str, col: Column) -> Column:
         return F.pmod(col, F.lit(mods[name])) if name in mods else col
 
-    aggs = [F.sum(e).alias(f"_t_{k}") for k, e in sums.items()]
+    # ``mods`` really is applied at EVERY level (sum-then-mod == mod of
+    # partial mods): per-chunk totals here, the within-super prefix and
+    # the per-super totals below. The one un-modded accumulation left is
+    # the sum WITHIN a single chunk, so the caller's bound is
+    # chunk_size x max|row value| < 2^63 — for the CPM phase stream
+    # (|dp| < 2^35) that caps chunk_size at ~2^27; every modded level
+    # then stays below super_size x mod (~2^42 at the defaults).
+    aggs = [_mod(k, F.sum(e)).alias(f"_t_{k}") for k, e in sums.items()]
     aggs += [
         F.max(
             F.when(v.isNotNull(), F.struct(o.alias("o"), v.alias("v")))
@@ -174,7 +181,7 @@ def chunk_offsets_plan(
         GO_CHUNK,
         "_sc",
         *[
-            F.coalesce(F.sum(f"_t_{k}").over(w), F.lit(0)).alias(f"_w_{k}")
+            _mod(k, F.coalesce(F.sum(f"_t_{k}").over(w), F.lit(0))).alias(f"_w_{k}")
             for k in sums
         ],
         *[F.max(f"_f_{k}").over(w).alias(f"_wf_{k}") for k in carries],

@@ -87,7 +87,6 @@ def hot_loop(
     keep_internals: bool = False,
     seed: "HotLoopSeed | dict | None" = None,
     chunk_size: int | None = None,
-    valid_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """expanded ticks -> processed ticks.
 
@@ -100,13 +99,16 @@ def hot_loop(
     mirroring the reference's one-TickHotLoopState-per-stream model.
     None == start of stream.
 
-    ``chunk_size`` (single-stream batch only; ignored with stream_id or
-    per-stream seeds): two-pass chunked global order — every running
+    ``chunk_size``: two-pass chunked global order — every running
     quantity becomes a chunk-local window prefix plus a broadcast
     per-chunk offset (operators/globalorder.py), removing the
-    SinglePartition exchange. The cumulative-valid offsets come from one
-    summary collect; core_seq then needs NO second pass — it is the
-    row-local function valid_cum - 1[seed==0 and a first-valid row seen],
+    SinglePartition exchange. Applies to the single-stream batch plan
+    AND, with ``stream_id``, to multistream batches whose individual
+    streams are long (windows then partition by (stream, chunk));
+    only per-stream seed DICTS disable it (they stay on the windowed
+    path). The cumulative-valid offsets are an in-plan broadcast
+    subquery; core_seq then needs NO second pass — it is the row-local
+    function valid_cum - 1[seed==0 and a first-valid row seen],
     because exactly one valid row per cold stream is non-core. Bit-
     identical to the windowed plan (pinned by tests).
     """
@@ -186,11 +188,10 @@ def hot_loop(
         # shared by the offsets subplans, the bar aggregate and the main
         # plan — pin once so the single job computes the lineage once
         df = pin(df)
-        if valid_offsets is None:
-            valid_offsets = chunk_offsets_plan(
-                df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)},
-                keys=part,
-            )
+        valid_offsets = chunk_offsets_plan(
+            df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)},
+            keys=part,
+        )
         df = df.join(F.broadcast(valid_offsets), on=part + [GO_CHUNK], how="left")
         batch_valid_cum = (
             F.count(F.when(F.col("is_valid"), 1)).over(wcum)
@@ -204,7 +205,8 @@ def hot_loop(
             F.count(F.when(F.col("is_valid"), 1)).over(wcum) + _hs("_hs_nvalid"),
         )
     is_core = F.col("is_valid") & (F.col("n_valid_upto") >= 2)
-    is_first = F.col("is_valid") & (F.col("n_valid_upto") == 1)
+    # (the 'first' leg of the taxonomy needs no own column: it is the
+    # valid-but-not-core row, handled implicitly by is_core/is_hold)
     is_hold = (~F.col("is_valid")) & (F.col("n_valid_upto") >= 1)
     is_zero = (~F.col("is_valid")) & (F.col("n_valid_upto") == 0)
     df = df.withColumn("is_core", is_core).withColumn("is_zero", is_zero)
@@ -239,10 +241,10 @@ def hot_loop(
         )
     n = stats_ticks_per_bar
     df = df.withColumn(
-        "bars_done", F.when(F.col("is_core"), (F.col("core_seq") / n).cast("long"))
+        "bars_done", F.when(F.col("is_core"), F.expr(f"core_seq DIV {n}"))
     )
     df = df.withColumn(
-        "bar_ord", F.when(F.col("is_core"), ((F.col("core_seq") - 1) / n).cast("long"))
+        "bar_ord", F.when(F.col("is_core"), F.expr(f"(core_seq - 1) DIV {n}"))
     )
 
     # Per-bar min/max of winsorized deltas; only FULL bars trigger a
@@ -258,7 +260,7 @@ def hot_loop(
     # merge the carried unfinished stats bar into its batch remainder;
     # least/greatest skip NULL partial min/max for streams with no carry
     is_pb = (_hs("_hs_pcnt") > 0) & (
-        F.col("bar_ord") == (_hs("_hs_cseq") / n).cast("long")
+        F.col("bar_ord") == F.expr(f"coalesce(_hs_cseq, 0) DIV {n}")
     )
     bars = bars.withColumn(
         "bmin",
@@ -389,10 +391,14 @@ def hot_loop(
         scale = 2.0 * float(cfg.cpm_modulation_index) * 2.0**31
         dp = F.when(F.col("is_core"), F.bround(F.col("ratio") * F.lit(scale), 0).cast("long")).otherwise(F.lit(0))
         if use_chunks:
-            # offsets are reduced mod 2^32 at every level so the int64
-            # column sum (<= chunk_size*2^31 + 2^32 + 2^32) cannot
-            # overflow — the chunked form is MORE exact at extreme
-            # length than a single running int64 sum
+            # the offsets hierarchy reduces mod 2^32 at EVERY level
+            # (per-chunk totals, within-super prefixes, super totals —
+            # globalorder.chunk_offsets_plan), so the only un-modded
+            # int64 accumulations are the within-chunk sums: bounded by
+            # chunk_size x max|dp| (|dp| < 2^35 at config extremes),
+            # safe for chunk_size <= 2^27 — which plans/common caps.
+            # The chunked form therefore stays exact at stream lengths
+            # where a single running int64 sum would overflow.
             df = df.withColumn("_go_dp", dp)
             off2 = chunk_offsets_plan(
                 df, sums={"_go_th0": F.col("_go_dp")}, mods={"_go_th0": C.Q32_MOD},

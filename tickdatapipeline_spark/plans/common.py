@@ -155,12 +155,16 @@ def _chain(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig,
     Two-pass mode: each operator builds its own in-plan chunk-offset
     subquery, all keyed on the ONE chunk column the source assigns, so
     the chain pays a single full-data exchange and zero SinglePartition
-    windows; chunk_size scales with the stream so #chunks stays O(10^4)."""
+    windows; chunk_size scales with the stream so #chunks stays O(10^4)
+    — capped at 2^27 rows/chunk so the largest un-modded in-chunk
+    accumulation (CPM phase deltas, |dp| < 2^35) stays below 2^62; past
+    the cap #chunks grows instead, which the two-level offsets
+    hierarchy absorbs to ~2^31 chunks (globalorder.MAX_SUPERS)."""
     n = _events_rows(sf_dir)
     if n < _TWO_PASS_THRESHOLD:
         return hot_loop(expand_volume(ticks_from_events(spark, sf_dir)), sp,
                         keep_internals=keep_internals)
-    chunk = max(TWO_PASS_CHUNK, n // 10_000)
+    chunk = min(max(TWO_PASS_CHUNK, n // 10_000), 1 << 27)
     raw = ticks_from_events(spark, sf_dir, chunk_size=chunk)
     return hot_loop(
         expand_volume(raw, chunk_size=chunk), sp,
@@ -189,7 +193,7 @@ def processed_ticks(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig
 def pipeline_bars(spark: SparkSession, sf_dir: str, bp: BarProcessingConfig,
                   sp: SignalProcessingConfig = SP_DERIV) -> DataFrame:
     n = _events_rows(sf_dir)
-    chunk = max(TWO_PASS_CHUNK, n // 10_000) if n >= _TWO_PASS_THRESHOLD else None
+    chunk = min(max(TWO_PASS_CHUNK, n // 10_000), 1 << 27) if n >= _TWO_PASS_THRESHOLD else None
     return bar_aggregate(processed_ticks(spark, sf_dir, sp), bp, chunk_size=chunk)
 
 
@@ -208,7 +212,13 @@ def exact_percentiles(df: DataFrame, value_col: str, pcts: list[float],
     """
     from pyspark.sql import Window
 
-    ranked = df.select(F.col(value_col).alias("_v")).withColumn(
+    # percentiles are over the NON-NULL values (standard semantics);
+    # without the filter the two engines would rank NULLs on opposite
+    # ends (Spark NULLS FIRST, DuckDB NULLS LAST) and interpolate
+    # different pairs on any nullable input
+    ranked = df.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    ).withColumn(
         "_r", F.row_number().over(Window.orderBy("_v")) - 1
     )
     from tickdatapipeline_spark.operators.globalorder import pin
@@ -250,7 +260,7 @@ WITH _src AS ({source_sql}),
 _ranked AS (
     SELECT CAST({value_expr} AS DOUBLE) AS _v,
            row_number() OVER (ORDER BY CAST({value_expr} AS DOUBLE)) - 1 AS _r
-    FROM _src
+    FROM _src WHERE {value_expr} IS NOT NULL
 ),
 _n AS (SELECT count(*) AS n FROM _ranked),
 _pos AS (
@@ -283,9 +293,11 @@ def grouped_exact_percentiles(df: DataFrame, group_col: str, value_col: str,
     """
     from pyspark.sql import Window
 
+    # non-null values only — see exact_percentiles for the cross-engine
+    # NULL-ordering rationale
     ranked = df.select(
         F.col(group_col), F.col(value_col).alias("_v")
-    ).withColumn("_r", F.row_number().over(
+    ).where(F.col("_v").isNotNull()).withColumn("_r", F.row_number().over(
         Window.partitionBy(group_col).orderBy("_v")) - 1
     ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
     from tickdatapipeline_spark.operators.globalorder import pin
@@ -331,7 +343,7 @@ _ranked AS (
     SELECT {group_col}, CAST({value_expr} AS DOUBLE) AS _v,
            row_number() OVER (PARTITION BY {group_col} ORDER BY CAST({value_expr} AS DOUBLE)) - 1 AS _r,
            count(*) OVER (PARTITION BY {group_col}) AS _n
-    FROM _src
+    FROM _src WHERE {value_expr} IS NOT NULL
 ),
 _pos AS (
     SELECT {group_col}, pct, pct * (_n - 1) AS _rank,

@@ -143,10 +143,10 @@ def ticks_base_from_events(
     spark: SparkSession, sf_dir: str, chunk_size: int
 ) -> DataFrame:
     """Chunked pre-numbering fixture frame: fields + the shared chunk id
-    (event_id DIV chunk_size), pinned once. plans/common._chain computes
-    ONE fused per-chunk summary over this frame that serves the whole
-    source->expand->hot-loop chain (line offsets, lag carry, tick
-    offsets, valid-count offsets) — one collect instead of three."""
+    (event_id DIV chunk_size), pinned once so the chain's offsets
+    subqueries and the main plan all read one materialization (each
+    operator builds its own in-plan offsets over it — see
+    plans/common._chain)."""
     from tickdatapipeline_spark.operators.globalorder import add_chunk, pin
 
     read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
@@ -156,7 +156,6 @@ def ticks_base_from_events(
 
 def ticks_from_events(
     spark: SparkSession, sf_dir: str, chunk_size: int | None = None,
-    *, base: DataFrame | None = None, line_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """ticks_raw fixture derived from {sf_dir}/events.parquet (FIXTURES.md F1).
 
@@ -165,9 +164,6 @@ def ticks_from_events(
     row_number window: local row_number per event_id-chunk + broadcast
     in-plan count offsets. Values are identical; the output carries the
     chunk column so downstream operators reuse its partitioning.
-    ``base`` / ``line_offsets`` inject the pre-built frame and the fused
-    offsets frame (see ticks_base_from_events / plans/common._chain);
-    otherwise they are computed here standalone.
     """
     if chunk_size is None:
         read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
@@ -177,10 +173,8 @@ def ticks_from_events(
 
     from tickdatapipeline_spark.operators.globalorder import GO_CHUNK, chunk_offsets_plan
 
-    if base is None:
-        base = ticks_base_from_events(spark, sf_dir, chunk_size)
-    if line_offsets is None:
-        line_offsets = chunk_offsets_plan(base, sums={"_go_ln0": F.lit(1)})
+    base = ticks_base_from_events(spark, sf_dir, chunk_size)
+    line_offsets = chunk_offsets_plan(base, sums={"_go_ln0": F.lit(1)})
     wloc = W.partitionBy(GO_CHUNK).orderBy("event_id")
     return (
         base.join(F.broadcast(line_offsets), on=GO_CHUNK, how="left")
