@@ -877,3 +877,112 @@ def test_connected_components_deep_chain_converges(spark):
     assert {r.cluster_id for r in out} == {1}
     assert all(r.cluster_size == 40 for r in out)
     assert sum(r.is_representative for r in out) == 1
+
+
+def test_pack_sequences_contiguous_layout(spark):
+    """Packing must lay the corpus out as ONE contiguous token stream:
+    sorted by (pack_id, pack_offset), each doc starts exactly where the
+    previous one ended, the first at 0; n_packs counts the example
+    boundaries a doc straddles; empty docs are excluded."""
+    from tickdatapipeline_spark.operators.text import pack_sequences
+
+    texts = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23)), "en")
+             for i in range(50)]  # i % 23 == 0 -> empty docs exist
+    d = docs_df(spark, texts)
+    seq_len = 16
+    rows = pack_sequences(d, seq_len=seq_len, n_buckets=8).collect()
+    ntok = {i: (i * 7) % 23 for i, _t, _l in texts}
+    assert {r.doc_id for r in rows} == {i for i, t in ntok.items() if t > 0}
+    assert all(r.n_tokens == ntok[r.doc_id] for r in rows)
+    assert all(0 <= r.pack_offset < seq_len for r in rows)
+    # reconstruct global start positions and check contiguity
+    starts = sorted((r.pack_id * seq_len + r.pack_offset, r.n_tokens, r.n_packs)
+                    for r in rows)
+    pos = 0
+    for start, n, n_packs in starts:
+        assert start == pos
+        assert n_packs == (start + n - 1) // seq_len - start // seq_len + 1
+        pos += n
+    assert pos == sum(ntok.values())
+    # determinism + salt redraw
+    again = pack_sequences(d, seq_len=seq_len, n_buckets=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    other = pack_sequences(d, seq_len=seq_len, n_buckets=8, salt="pack2:").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
+
+
+def test_ngram_overlap_golden(spark):
+    """Exact verbatim overlap: only train docs sharing a full n-gram
+    with the eval corpus appear; counts are distinct-gram exact."""
+    from tickdatapipeline_spark.operators.dedup import ngram_overlap_contamination
+
+    eval_docs = docs_df(spark, [
+        (100, "the quick brown fox jumps over the lazy dog", "en"),
+    ])
+    train = docs_df(spark, [
+        # shares the 5-gram "the quick brown fox jumps" (and one more)
+        (1, "a tale of the quick brown fox jumps high today", "en"),
+        # shares words but no 5 consecutive tokens
+        (2, "quick brown dog sleeps while the lazy fox walks far", "en"),
+        # verbatim copy: every gram hits
+        (3, "the quick brown fox jumps over the lazy dog", "en"),
+        # too short for any 5-gram
+        (4, "tiny doc", "en"),
+    ])
+    out = {r.train_doc_id: r for r in
+           ngram_overlap_contamination(train, eval_docs, n=5).collect()}
+    assert set(out) == {1, 3}
+    # doc 1: grams at positions 1..6 of 10 tokens -> 6 grams, hits are
+    # "the quick brown fox jumps" + "quick brown fox jumps high"? no —
+    # eval has "quick brown fox jumps over", so exactly 1 hit
+    assert out[1].n_grams == 6 and out[1].n_hit == 1
+    assert out[3].n_grams == 5 and out[3].n_hit == 5
+    assert out[3].hit_frac == 1.0
+
+
+def test_redact_pii_golden(spark):
+    """Counts are per-category on the original text; placeholders land
+    in order; text without PII passes through untouched."""
+    from tickdatapipeline_spark.operators.text import redact_pii
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.example.org and b@y.io now"),
+            (2, "call 555-123-4567 or 800-555-0199 from 192.168.0.1"),
+            (3, "no pii here, just words and 1234 numbers"),
+            (4, "edge 999.999.999.999 still matches the ipv4 shape"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(d).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (2, 0, 0)
+    assert out[1].clean_text == "mail <EMAIL> and <EMAIL> now"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 2)
+    assert out[2].clean_text == "call <PHONE> or <PHONE> from <IP>"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    assert out[3].clean_text == out[3].text
+    # precision-leaning by design: the regex is shape-based, not
+    # range-validating — documented contract
+    assert out[4].n_ips == 1
+
+
+def test_ann_recall_contract(spark):
+    """Recall@k algebra: per-query hit counts against ground truth;
+    fully-missed queries still appear with n_hit = 0; a result compared
+    to itself scores 1.0 everywhere."""
+    from tickdatapipeline_spark.operators.similarity import ann_recall
+
+    schema = "query_id long, neighbor_id long, rank long, cosine double"
+    exact = spark.createDataFrame(
+        [(1, 10, 1, 0.9), (1, 11, 2, 0.8), (2, 10, 1, 0.7), (2, 12, 2, 0.6)],
+        schema,
+    )
+    ann = spark.createDataFrame(
+        [(1, 10, 1, 0.9), (1, 99, 2, 0.5), (2, 13, 1, 0.4), (2, 14, 2, 0.3)],
+        schema,
+    )
+    out = {r.query_id: r for r in ann_recall(ann, exact).collect()}
+    assert (out[1].n_exact, out[1].n_hit, out[1].recall) == (2, 1, 0.5)
+    assert (out[2].n_exact, out[2].n_hit, out[2].recall) == (2, 0, 0.0)
+    perfect = {r.query_id: r for r in ann_recall(exact, exact).collect()}
+    assert all(r.recall == 1.0 for r in perfect.values())

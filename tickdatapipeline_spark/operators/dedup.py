@@ -263,6 +263,53 @@ def cross_corpus_contamination(
     )
 
 
+def ngram_overlap_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Exact verbatim n-gram decontamination (the GPT-3 §C / PaLM-style
+    check, complementary to the MinHash path): a training document is
+    contaminated to the degree its word n-grams appear VERBATIM in any
+    evaluation document. Where cross_corpus_contamination finds fuzzy
+    near-duplicates, this finds exact phrase overlap — the standard
+    leakage filter for benchmark answers quoted inside training text.
+
+    Output, one row per train doc with at least one hit:
+    (train_doc_id, n_grams, n_hit, hit_frac) where n_grams is the
+    doc's distinct n-gram count, n_hit how many of those occur in the
+    eval corpus, hit_frac = n_hit/n_grams rounded to 6 places.
+    Thresholding (e.g. drop when hit_frac > 0.1, or n_hit >= 1 for the
+    strict GPT-3 rule) is the caller's policy.
+
+    Scale design: both sides reduce to distinct 60-bit n-gram hashes
+    before any join — shuffle volume is O(distinct grams x 8 bytes),
+    never gram strings. The eval-side distinct gram set is tiny versus
+    the train corpus (benchmarks vs a 10^9-doc crawl), so AQE
+    broadcasts it and the train side streams map-side; the per-doc
+    totals and hit counts are map-side-combinable groupBys on doc_id.
+    The 2^-60 hash-collision odds trade an exact-string join's string
+    shuffle for integer keys (same convention as the LSH path).
+    """
+    tg = shingles(train_docs, n).select(
+        "doc_id", h60(F.col("shingle")).alias("gh")
+    )
+    eg = shingles(eval_docs, n).select(h60(F.col("shingle")).alias("gh")).distinct()
+    totals = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = tg.join(eg, on="gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        totals.join(hits, on="doc_id")
+        .select(
+            F.col("doc_id").alias("train_doc_id"),
+            "n_grams",
+            "n_hit",
+            rnd(F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 6).alias("hit_frac"),
+        )
+    )
+
+
 def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
                        band_size: int = BAND_SIZE,
                        max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> None:

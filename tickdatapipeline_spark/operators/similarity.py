@@ -367,6 +367,37 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     )
 
 
+def ann_recall(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k evaluation of an ANN result against the brute-force
+    ground truth — the standard quality gauge when tuning
+    nprobe/n_cells/planes before a corpus-scale run.
+
+    Both inputs use the (query_id, neighbor_id, rank, cosine) contract
+    of cosine_topk / ann_topk_*. Output, one row per query:
+    (query_id, n_exact, n_hit, recall) with recall = n_hit/n_exact
+    rounded to 6; queries the ANN missed entirely still appear with
+    n_hit = 0.
+
+    Scale: two count aggregates on (query_id[, neighbor_id]) plus one
+    equi-join over the top-k rows — O(queries x k) rows end to end,
+    independent of corpus size (the expensive part is the two input
+    plans, shaped per their own contracts).
+    """
+    tot = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = (
+        exact.select("query_id", "neighbor_id")
+        .join(ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return tot.join(hit, on="query_id", how="left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        rnd(F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact").cast("double")).alias("recall"),
+    )
+
+
 def ann_topk_ivf_kmeans(emb: DataFrame, k: int = 5, query_mod: int = 50,
                         n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
                         iters: int = 4) -> DataFrame:

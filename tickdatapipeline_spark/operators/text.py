@@ -164,19 +164,12 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int],
     ).where(keep)
 
 
-def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
-                        salt: str = "budget:") -> DataFrame:
-    """Deterministic token-budget sampling: admit documents in a
-    reproducible hash order until the cumulative token count reaches
-    ``budget`` — the "cut an N-token mix from a much larger corpus"
-    step of training-data assembly.
-
-    Admission order is (bucket, h, doc_id) with h = h60(salt||doc_id)
-    and bucket = h % n_buckets; a document is kept iff the EXCLUSIVE
-    prefix sum of n_tokens before it in that order is < budget (so the
-    admitted set may overshoot by at most one document). Hash order
-    (not rand()) makes the cut reproducible across runs, engines and
-    partitionings; changing the salt redraws it.
+def _hash_order_token_prefix(docs: DataFrame, n_buckets: int,
+                             salt: str) -> DataFrame:
+    """(doc_id, n_tokens, _pre): each document's EXCLUSIVE global prefix
+    sum of token counts in the deterministic hash order (bucket, h,
+    doc_id) with h = h60(salt||doc_id), bucket = h % n_buckets — the
+    shared core of token_budget_sample and pack_sequences.
 
     Scale design: the naive formulation is ONE global ordered cumsum —
     a SinglePartition window over the corpus. Instead, the same
@@ -186,8 +179,6 @@ def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
     window partitions BY bucket. The only full-data operations are one
     hash exchange on bucket and a per-bucket sort; the single-partition
     window runs over n_buckets aggregate rows only.
-
-    Output: (doc_id, n_tokens) of the admitted documents.
     """
     from pyspark.sql import Window
 
@@ -210,8 +201,72 @@ def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
         .withColumn(
             "_pre", F.col("_boff") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
         )
+        .select("doc_id", "n_tokens", "_pre")
+    )
+
+
+def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
+                        salt: str = "budget:") -> DataFrame:
+    """Deterministic token-budget sampling: admit documents in a
+    reproducible hash order until the cumulative token count reaches
+    ``budget`` — the "cut an N-token mix from a much larger corpus"
+    step of training-data assembly.
+
+    Admission order is (bucket, h, doc_id) with h = h60(salt||doc_id)
+    and bucket = h % n_buckets; a document is kept iff the EXCLUSIVE
+    prefix sum of n_tokens before it in that order is < budget (so the
+    admitted set may overshoot by at most one document). Hash order
+    (not rand()) makes the cut reproducible across runs, engines and
+    partitionings; changing the salt redraws it.
+
+    Scale: two-level prefix algebra — see _hash_order_token_prefix.
+
+    Output: (doc_id, n_tokens) of the admitted documents.
+    """
+    return (
+        _hash_order_token_prefix(docs, n_buckets, salt)
         .where(F.col("_pre") < budget)
         .select("doc_id", "n_tokens")
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 128, n_buckets: int = 256,
+                   salt: str = "pack:") -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    virtual token stream in a deterministic hash order, then cut it
+    into fixed ``seq_len``-token training examples — the step that
+    turns a shuffled tokenized corpus into packed context windows
+    (the GPT-style "concatenate documents, split every ctx tokens"
+    batching scheme).
+
+    Each document (empty docs excluded — they occupy no tokens) gets:
+    - pack_id:     the training example its FIRST token lands in
+    - pack_offset: its starting offset within that example
+    - n_packs:     how many consecutive examples it spans
+      (= last_pack - pack_id + 1; >1 means the doc straddles one or
+      more example boundaries and will be split at training time)
+
+    The layout order is (bucket, h, doc_id) with h = h60(salt||doc_id)
+    — reproducible across runs, engines and partitionings; a new salt
+    reshuffles the packing. Position math is pure integer arithmetic on
+    the exclusive token prefix sum, so the assignment is exact at any
+    scale (int64 bounds ~9e18 total tokens).
+
+    Scale: identical two-level prefix algebra as token_budget_sample
+    (see _hash_order_token_prefix) — no SinglePartition window over
+    the corpus; the pack arithmetic is map-side.
+
+    Output: (doc_id, n_tokens, pack_id, pack_offset, n_packs).
+    """
+    pre = _hash_order_token_prefix(docs, n_buckets, salt).where(F.col("n_tokens") > 0)
+    first = F.expr(f"_pre DIV {seq_len}")
+    last = F.expr(f"(_pre + n_tokens - 1) DIV {seq_len}")
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        first.alias("pack_id"),
+        F.pmod(F.col("_pre"), F.lit(seq_len)).cast("long").alias("pack_offset"),
+        (last - first + 1).alias("n_packs"),
     )
 
 
@@ -390,3 +445,46 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# PII patterns shared with the DuckDB oracle: plain character classes
+# and ASCII word boundaries only — identical semantics under Java
+# regex (Spark) and RE2 (DuckDB). Deliberately precision-leaning
+# (training-data scrubbing wants few false redactions); a deployment
+# extends PII_PATTERNS with its own (placeholder, regex) rules.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+# applied in order: emails first (they contain dots and digits that
+# the later patterns could otherwise clip), then IPs, then phones
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", "<EMAIL>", PII_EMAIL_RE),
+    ("n_ips", "<IP>", PII_IP_RE),
+    ("n_phones", "<PHONE>", PII_PHONE_RE),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, IPv4
+    addresses and phone numbers with typed placeholders, keeping
+    per-category match counts for curation reporting.
+
+    Counts are taken against the ORIGINAL text (each pattern
+    independently), then the redactions apply in PII_PATTERNS order so
+    an earlier rewrite can't hide a later pattern's count. Adds
+    (n_emails, n_ips, n_phones, clean_text) to the input frame.
+
+    Scale: pure map-side JVM regexp expressions (whole-stage codegen)
+    — no shuffle, no Python; scales linearly with corpus bytes.
+    """
+    out = df
+    for count_col, _ph, pat in PII_PATTERNS:
+        out = out.withColumn(
+            count_col,
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long"),
+        )
+    clean = F.col(text_col)
+    for _cc, placeholder, pat in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, placeholder)
+    return out.withColumn("clean_text", clean)

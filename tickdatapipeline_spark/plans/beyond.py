@@ -43,6 +43,7 @@ from tickdatapipeline_spark.operators.similarity import (
     LSH_PLANES,
     _plane_weight,
     ann_bucket_histogram,
+    ann_recall,
     ann_topk_ivf,
     ann_topk_ivf_kmeans,
     ann_topk_lsh,
@@ -57,6 +58,7 @@ from tickdatapipeline_spark.operators.text import (
     TOKEN_RE,
     fingerprint,
     lang_id,
+    pack_sequences,
     quality_score,
     simhash,
     repetition_score,
@@ -495,6 +497,29 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     FROM scored
 ) WHERE rank <= {{k}}
 """
+
+def _ann_recall_ivf_sql() -> str:
+    """Recall@k of the IVF ANN path vs brute force: both existing
+    oracle plans composed as subqueries (DuckDB allows WITH inside a
+    parenthesized subquery), then the same count/join/round algebra as
+    operators.similarity.ann_recall."""
+    exact = COSINE_TOPK_SQL
+    approx = IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)
+    return f"""
+WITH exact AS (SELECT * FROM ({exact})),
+approx AS (SELECT * FROM ({approx})),
+tot AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+hit AS (
+    SELECT e.query_id, count(*) AS n_hit
+    FROM exact e JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT tot.query_id, n_exact, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       {sql_rnd("CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
+FROM tot LEFT JOIN hit ON tot.query_id = hit.query_id
+"""
+
 
 def ivf_kmeans_sql(query_mod: int, k: int, n_cells: int = 8, nprobe: int = 2,
                    iters: int = 4) -> str:
@@ -1146,6 +1171,119 @@ SELECT doc_id, n_tokens FROM (
 WHERE p < {TOKEN_BUDGET}
 """
 
+PACK_SEQ_LEN = 64
+PACK_BUCKETS = 256
+
+# global-order equivalent of operators.text.pack_sequences' two-level
+# plan: layout order (bucket, h, doc_id), exclusive token prefix sum,
+# integer pack arithmetic
+PACK_SEQUENCES_SQL = f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           {sql_h60("'pack:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
+    FROM documents
+),
+pre AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h % {PACK_BUCKETS}, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
+    FROM base
+)
+SELECT doc_id, n_tokens,
+       p // {PACK_SEQ_LEN} AS pack_id,
+       p % {PACK_SEQ_LEN} AS pack_offset,
+       (p + n_tokens - 1) // {PACK_SEQ_LEN} - p // {PACK_SEQ_LEN} + 1 AS n_packs
+FROM pre
+WHERE n_tokens > 0
+"""
+
+NGRAM_N = 5
+
+# word n-grams CTE shared by both sides of the exact-overlap check
+# (mirrors operators.dedup.shingles at n = NGRAM_N)
+_NGRAMS_CTE = f"""
+grams AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               unnest(CASE WHEN len(t) >= {NGRAM_N}
+                      THEN list_transform(range(1, len(t) - {NGRAM_N - 2}),
+                                          i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' '))
+                      ELSE [] END) AS g
+        FROM (SELECT doc_id, {SQL_TOKENS} AS t FROM documents)
+    )
+)
+"""
+
+NGRAM_OVERLAP_SQL = f"""
+WITH {_NGRAMS_CTE},
+tg AS (SELECT doc_id, {sql_h60('g')} AS gh FROM grams WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+eg AS (SELECT DISTINCT {sql_h60('g')} AS gh FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+hits AS (SELECT tg.doc_id, count(*) AS n_hit FROM tg JOIN eg USING (gh) GROUP BY tg.doc_id)
+SELECT totals.doc_id AS train_doc_id, n_grams, n_hit,
+       {sql_rnd("CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS hit_frac
+FROM totals JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+def ngram_overlap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdatapipeline_spark.operators.dedup import ngram_overlap_contamination
+
+    docs = _docs(spark, sf_dir)
+    return ngram_overlap_contamination(
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0),
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0),
+        NGRAM_N,
+    )
+
+
+# deterministic PII-bearing fixture: the synthetic documents hold no
+# real PII, so the query plants one email/phone/IP derived from each
+# row's own columns and the operator must scrub exactly those (plus
+# anything in the text, of which the word-soup has none)
+def pii_redaction_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickdatapipeline_spark.operators.text import redact_pii
+
+    synth = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("long").cast("string"),
+            F.lit("@"), F.col("source"), F.lit(".example.com or 555-867-"),
+            F.lpad((F.col("doc_id").cast("long") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id").cast("long") % 256).cast("string"),
+            F.lit(".1 "), F.col("text"),
+        ).alias("text"),
+    )
+    return redact_pii(synth).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "clean_text"
+    )
+
+
+def _pii_redaction_sql() -> str:
+    from tickdatapipeline_spark.operators.text import PII_PATTERNS
+
+    synth = (
+        "'contact user' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '@' || source"
+        " || '.example.com or 555-867-'"
+        " || lpad(CAST(CAST(doc_id AS BIGINT) % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.0.' || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR)"
+        " || '.1 ' || text"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {cc}"
+        for cc, _ph, pat in PII_PATTERNS
+    )
+    clean = "text"
+    for _cc, placeholder, pat in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{placeholder}', 'g')"
+    return f"""
+WITH synth AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {synth} AS text FROM documents)
+SELECT doc_id, {counts}, {clean} AS clean_text FROM synth
+"""
+
+
 LENGTH_FILTER_LO, LENGTH_FILTER_HI = 0.05, 0.95
 
 
@@ -1385,6 +1523,12 @@ def queries() -> dict[str, tuple]:
                                              TOKEN_BUDGET_BUCKETS),
             TOKEN_BUDGET_SQL,
         ),
+        "docs_pack_sequences": (
+            lambda s, d: pack_sequences(_docs(s, d), PACK_SEQ_LEN, PACK_BUCKETS),
+            PACK_SEQUENCES_SQL,
+        ),
+        "dedup_ngram_overlap": (ngram_overlap_fn, NGRAM_OVERLAP_SQL),
+        "text_pii_redaction": (pii_redaction_fn, _pii_redaction_sql()),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "events_retention_cohorts": (retention_fn, RETENTION_SQL),
         "events_value_anomalies": (value_anomalies_fn, VALUE_ANOMALIES_SQL),
@@ -1407,6 +1551,13 @@ def queries() -> dict[str, tuple]:
         "sim_ann_topk_ivf": (
             lambda s, d: ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
             IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K),
+        ),
+        "sim_ann_recall_ivf": (
+            lambda s, d: ann_recall(
+                ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
+                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
+            ),
+            _ann_recall_ivf_sql(),
         ),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
