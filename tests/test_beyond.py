@@ -711,16 +711,13 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
 
 
 def test_token_budget_sample_single_partitions_only_aggregates(spark):
-    """Scale shape: the only SinglePartition exchange in the plan is the
+    """Scale shape, for BOTH consumers of the shared two-level prefix
+    helper: the only SinglePartition exchange in the plan is the
     bucket-offsets window over n_buckets AGGREGATE rows — full-data rows
     flow through hash exchanges only."""
-    from tickdatapipeline_spark.operators.text import token_budget_sample
+    from tickdatapipeline_spark.operators.text import pack_sequences, token_budget_sample
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    df = token_budget_sample(docs, 1500)
-    root = df._jdf.queryExecution().executedPlan()
-    if root.nodeName() == "AdaptiveSparkPlan":
-        root = root.initialPlan()
 
     def walk(node):
         acc, stack = [], [node]
@@ -731,13 +728,17 @@ def test_token_budget_sample_single_partitions_only_aggregates(spark):
             stack += [ch.apply(i) for i in range(ch.length())]
         return acc
 
-    singles = [n for n in walk(root)
-               if n.nodeName() == "Exchange" and "SinglePartition" in n.simpleString(200)]
-    assert singles, "expected the tiny bucket-offsets window to single-partition"
-    for ex in singles:
-        assert any("Aggregate" in c.nodeName() for c in walk(ex)[1:]), (
-            f"full-data rows reach a SinglePartition exchange: {ex.simpleString(200)}"
-        )
+    for df in (token_budget_sample(docs, 1500), pack_sequences(docs, 64)):
+        root = df._jdf.queryExecution().executedPlan()
+        if root.nodeName() == "AdaptiveSparkPlan":
+            root = root.initialPlan()
+        singles = [n for n in walk(root)
+                   if n.nodeName() == "Exchange" and "SinglePartition" in n.simpleString(200)]
+        assert singles, "expected the tiny bucket-offsets window to single-partition"
+        for ex in singles:
+            assert any("Aggregate" in c.nodeName() for c in walk(ex)[1:]), (
+                f"full-data rows reach a SinglePartition exchange: {ex.simpleString(200)}"
+            )
 
 
 def test_ivf_kmeans_recall(spark):
@@ -986,3 +987,41 @@ def test_ann_recall_contract(spark):
     assert (out[2].n_exact, out[2].n_hit, out[2].recall) == (2, 0, 0.0)
     perfect = {r.query_id: r for r in ann_recall(exact, exact).collect()}
     assert all(r.recall == 1.0 for r in perfect.values())
+
+
+def test_sq8_quantization_error_bounded(spark):
+    """SQ8 reconstruction stays within half a quantization step per
+    dimension, and values already on the level grid reconstruct
+    EXACTLY (min 0 / max 255 / integer components -> step 1.0)."""
+    from tickdatapipeline_spark.operators.similarity import sq8_dequantized
+
+    vecs = [(i, [float((i * 7 + d * 13) % 256) for d in range(64)]) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: list(r.v) for r in sq8_dequantized(df).collect()}
+    for d in range(64):
+        col = [v[d] for _i, v in vecs]
+        lo, hi = min(col), max(col)
+        step = (hi - lo) / 255.0 if hi > lo else 0.0
+        for i, v in vecs:
+            assert abs(out[i][d] - v[d]) <= step / 2 + 1e-9
+    grid = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [255.0] * 64),
+         (2, [float((d * 3) % 256) for d in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: list(r.v) for r in sq8_dequantized(grid).collect()}
+    assert got[2] == [float((d * 3) % 256) for d in range(64)]
+    assert got[0] == [0.0] * 64 and got[1] == [255.0] * 64
+
+
+def test_sq8_topk_recall_near_exact(spark):
+    """With 255 levels the quantization error is tiny, so the SQ8
+    top-k must recover nearly all of the exact neighbors."""
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_recall, ann_topk_sq8, cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rec = ann_recall(ann_topk_sq8(emb), cosine_topk(emb))
+    mean = rec.agg(F.avg("recall").alias("m")).collect()[0].m
+    assert mean >= 0.7, mean

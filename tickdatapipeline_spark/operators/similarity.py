@@ -47,16 +47,10 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
-    """Brute-force cosine top-k for query vectors (vec_id % query_mod == 0)
-    against the full table (self excluded).
-
-    Output: (query_id, neighbor_id, rank, cosine) — cosine rounded to 6
-    so cross-engine ordering is on identical values.
-    """
-    base = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
-    )
+def _brute_topk(base: DataFrame, k: int, query_mod: int) -> DataFrame:
+    """Brute-force cosine top-k over a (vec_id, v) frame: query vectors
+    are vec_id % query_mod == 0, self excluded. Shared by cosine_topk
+    (raw vectors) and ann_topk_sq8 (dequantized vectors)."""
     queries = base.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
@@ -75,6 +69,69 @@ def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
+    """Brute-force cosine top-k for query vectors (vec_id % query_mod == 0)
+    against the full table (self excluded).
+
+    Output: (query_id, neighbor_id, rank, cosine) — cosine rounded to 6
+    so cross-engine ordering is on identical values.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    return _brute_topk(base, k, query_mod)
+
+
+def sq8_dequantized(emb: DataFrame, levels: int = 255) -> DataFrame:
+    """Scalar 8-bit quantization (SQ8): per-dimension corpus [min, max]
+    bounds split into ``levels`` uniform steps; each component is stored
+    as the nearest level code and reconstructed as
+    min_d + code * (max_d - min_d) / levels.
+
+    This is the memory-compression scale path for vector search: codes
+    are 1 byte/dim vs 4-8 for floats, so a corpus 4-8x too big for
+    executor memory fits after quantization, at a small recall cost
+    (measurable with ann_recall). Returns (vec_id, v) with v the
+    DEQUANTIZED double vector — drop-in for any scorer.
+
+    Cross-engine exactness: bounds are min/max (order-independent), the
+    quantize/dequantize chain is fixed-order IEEE double arithmetic +
+    floor, so DuckDB reproduces every reconstructed component bit-for-
+    bit. Scale: ONE map-side-combinable aggregate produces the 2xDIM
+    bounds row, broadcast back over the corpus; quantization itself is
+    map-side per-row arithmetic.
+
+    A constant dimension (max == min) carries zero information and
+    reconstructs as that constant.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    bounds = base.agg(
+        F.array(*[F.min(F.get("v", d)) for d in range(DIM)]).alias("mn"),
+        F.array(*[F.max(F.get("v", d)) for d in range(DIM)]).alias("mx"),
+    )
+    lv = float(levels)
+
+    def deq(x, i):
+        lo, hi = F.get(F.col("mn"), i), F.get(F.col("mx"), i)
+        code = F.floor((x - lo) * F.lit(lv) / (hi - lo) + F.lit(0.5))
+        return F.when(hi > lo, lo + code * (hi - lo) / F.lit(lv)).otherwise(lo)
+
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", F.transform("v", deq).alias("v")
+    )
+
+
+def ann_topk_sq8(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                 levels: int = 255) -> DataFrame:
+    """Cosine top-k over SQ8-quantized vectors: same output contract as
+    cosine_topk, scored against the dequantized reconstruction — the
+    "search the compressed corpus" path (recall < 1 by quantization
+    error only; gauge it with ann_recall vs cosine_topk)."""
+    return _brute_topk(sq8_dequantized(emb, levels), k, query_mod)
 
 
 def _plane_weight(p: int, d: int) -> int:

@@ -45,6 +45,7 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_bucket_histogram,
     ann_recall,
     ann_topk_ivf,
+    ann_topk_sq8,
     ann_topk_ivf_kmeans,
     ann_topk_lsh,
     cosine_topk,
@@ -497,6 +498,37 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     FROM scored
 ) WHERE rank <= {{k}}
 """
+
+def _sq8_topk_sql(levels: float = 255.0) -> str:
+    """DuckDB twin of sq8_dequantized + brute top-k: per-dimension
+    min/max bounds (one aggregate row), fixed-order quantize/dequantize
+    arithmetic (dlit literals — bare decimals parse as DECIMAL and can
+    lose a ulp), then the shared cosine top-k algebra."""
+    from tickdatapipeline_spark.oracle import dlit
+
+    lv, half = dlit(levels), dlit(0.5)
+    mn_list = "[" + ", ".join(f"min(v[{d + 1}])" for d in range(DIM)) + "]"
+    mx_list = "[" + ", ".join(f"max(v[{d + 1}])" for d in range(DIM)) + "]"
+    deq = (
+        f"list_transform(range(1, {DIM + 1}), i -> "
+        f"CASE WHEN mx[i] > mn[i] THEN mn[i] + floor((v[i] - mn[i]) * {lv} / (mx[i] - mn[i]) + {half})"
+        f" * (mx[i] - mn[i]) / {lv} ELSE mn[i] END)"
+    )
+    return f"""
+WITH raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+bounds AS (SELECT {mn_list} AS mn, {mx_list} AS mx FROM raw),
+base AS (SELECT vec_id, {deq} AS v FROM raw CROSS JOIN bounds),
+q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id, {_cos} AS cosine
+    FROM base b JOIN q ON b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
 
 def _ann_recall_ivf_sql() -> str:
     """Recall@k of the IVF ANN path vs brute force: both existing
@@ -1551,6 +1583,10 @@ def queries() -> dict[str, tuple]:
         "sim_ann_topk_ivf": (
             lambda s, d: ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
             IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K),
+        ),
+        "sim_ann_topk_sq8": (
+            lambda s, d: ann_topk_sq8(_emb(s, d), TOPK_K, QUERY_MOD),
+            _sq8_topk_sql(),
         ),
         "sim_ann_recall_ivf": (
             lambda s, d: ann_recall(
