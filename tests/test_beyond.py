@@ -1025,3 +1025,32 @@ def test_sq8_topk_recall_near_exact(spark):
     rec = ann_recall(ann_topk_sq8(emb), cosine_topk(emb))
     mean = rec.agg(F.avg("recall").alias("m")).collect()[0].m
     assert mean >= 0.7, mean
+
+
+def test_train_val_test_split_contract(spark):
+    """Split is exhaustive, stable under repartitioning and corpus
+    growth (a doc never migrates when others are added), rate-shaped,
+    and redrawn by a new salt; degenerate permilles are rejected."""
+    import pytest as _pytest
+
+    from tickdatapipeline_spark.operators.text import train_val_test_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.split for r in train_val_test_split(docs, 100, 50).collect()}
+    assert len(a) == docs.count() and set(a.values()) <= {"train", "val", "test"}
+    b = {r.doc_id: r.split
+         for r in train_val_test_split(docs.repartition(7), 100, 50).collect()}
+    assert a == b
+    # stability under corpus growth: the half-corpus assignment agrees
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    h = {r.doc_id: r.split for r in train_val_test_split(half, 100, 50).collect()}
+    assert all(a[k] == v for k, v in h.items())
+    n = len(a)
+    n_val = sum(1 for s in a.values() if s == "val")
+    n_test = sum(1 for s in a.values() if s == "test")
+    assert abs(n_val / n - 0.10) < 0.06 and abs(n_test / n - 0.05) < 0.05
+    redrawn = {r.doc_id: r.split
+               for r in train_val_test_split(docs, 100, 50, salt="s2:").collect()}
+    assert redrawn != a
+    with _pytest.raises(ValueError):
+        train_val_test_split(docs, 600, 400)

@@ -15,6 +15,7 @@ from tickdatapipeline_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_overlap_contamination,
     shingles,
     simhash_near_dup_pairs,
     write_corpus_index,
@@ -30,19 +31,24 @@ from tickdatapipeline_spark.operators.rangejoin import binned_range_join
 from tickdatapipeline_spark.operators.similarity import (
     DEFAULT_MAX_BUCKET_SIZE,
     ann_bucket_histogram,
+    ann_recall,
     ann_topk_ivf,
     ann_topk_ivf_kmeans,
     ann_topk_lsh,
+    ann_topk_sq8,
     cosine_topk,
     embedding_near_duplicates,
     embedding_outliers,
     kmeans_train,
+    sq8_dequantized,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
     fingerprint,
     lang_id,
+    pack_sequences,
     quality_score,
+    redact_pii,
     repetition_score,
     shard_assignments,
     simhash,
@@ -50,6 +56,7 @@ from tickdatapipeline_spark.operators.text import (
     tfidf_topk,
     token_budget_sample,
     token_stats,
+    train_val_test_split,
     vocab_topk,
     write_training_shards,
 )
@@ -62,19 +69,23 @@ __all__ = [
     "cross_corpus_contamination",
     "deduplicated_corpus", "duplicate_clusters",
     "exact_duplicates", "jaccard_pairs", "lsh_candidate_pairs",
-    "minhash_signatures", "shingles", "simhash_near_dup_pairs",
+    "minhash_signatures", "ngram_overlap_contamination", "shingles",
+    "simhash_near_dup_pairs",
     "write_corpus_index",
     "binned_range_join",
     "expand_volume", "packed_timestamp",
     "HotLoopSeed", "hot_loop",
     "extract_features", "sample_frames", "synth_media_from_documents",
-    "ann_bucket_histogram", "ann_topk_ivf", "ann_topk_ivf_kmeans",
-    "ann_topk_lsh", "cosine_topk", "embedding_near_duplicates",
-    "embedding_outliers", "kmeans_train",
+    "ann_bucket_histogram", "ann_recall", "ann_topk_ivf",
+    "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_sq8", "cosine_topk",
+    "embedding_near_duplicates", "embedding_outliers", "kmeans_train",
+    "sq8_dequantized",
     "ema_columns",
-    "fingerprint", "lang_id", "quality_score", "repetition_score",
+    "fingerprint", "lang_id", "pack_sequences", "quality_score",
+    "redact_pii", "repetition_score",
     "shard_assignments", "simhash",
     "stratified_sample",
-    "tfidf_topk", "token_budget_sample", "token_stats", "vocab_topk",
+    "tfidf_topk", "token_budget_sample", "token_stats",
+    "train_val_test_split", "vocab_topk",
     "write_training_shards",
 ]

@@ -205,6 +205,31 @@ def _hash_order_token_prefix(docs: DataFrame, n_buckets: int,
     )
 
 
+def train_val_test_split(docs: DataFrame, val_permille: int = 50,
+                         test_permille: int = 50,
+                         salt: str = "split:") -> DataFrame:
+    """Deterministic corpus split into train/val/test by a salted hash
+    draw: h60(salt||doc_id) % 1000 lands in [0, test) -> 'test',
+    [test, test+val) -> 'val', else 'train'. Hash-based (not rand())
+    so the split is stable across runs, engines, partitionings and
+    incremental corpus refreshes — a document never migrates between
+    splits when other documents are added or removed; a new salt
+    redraws the whole split.
+
+    Output: (doc_id, split). Pure map-side projection — no shuffle.
+    """
+    if val_permille + test_permille >= 1000:
+        raise ValueError("val_permille + test_permille must be < 1000")
+    draw = salted_doc_hash(salt) % 1000
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(draw < test_permille, F.lit("test"))
+        .when(draw < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def token_budget_sample(docs: DataFrame, budget: int, n_buckets: int = 256,
                         salt: str = "budget:") -> DataFrame:
     """Deterministic token-budget sampling: admit documents in a

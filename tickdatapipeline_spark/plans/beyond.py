@@ -69,6 +69,7 @@ from tickdatapipeline_spark.operators.text import (
     token_budget_sample,
     token_stats,
     tokens,
+    train_val_test_split,
     vocab_topk,
 )
 
@@ -1203,6 +1204,20 @@ SELECT doc_id, n_tokens FROM (
 WHERE p < {TOKEN_BUDGET}
 """
 
+SPLIT_VAL_PM, SPLIT_TEST_PM = 100, 50
+
+SPLIT_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN draw < {SPLIT_TEST_PM} THEN 'test'
+            WHEN draw < {SPLIT_TEST_PM + SPLIT_VAL_PM} THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+    SELECT doc_id,
+           {sql_h60("'split:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000 AS draw
+    FROM documents
+)
+"""
+
 PACK_SEQ_LEN = 64
 PACK_BUCKETS = 256
 
@@ -1554,6 +1569,10 @@ def queries() -> dict[str, tuple]:
             lambda s, d: token_budget_sample(_docs(s, d), TOKEN_BUDGET,
                                              TOKEN_BUDGET_BUCKETS),
             TOKEN_BUDGET_SQL,
+        ),
+        "docs_split_assignments": (
+            lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
+            SPLIT_SQL,
         ),
         "docs_pack_sequences": (
             lambda s, d: pack_sequences(_docs(s, d), PACK_SEQ_LEN, PACK_BUCKETS),
