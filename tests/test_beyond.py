@@ -1054,3 +1054,40 @@ def test_train_val_test_split_contract(spark):
     assert redrawn != a
     with _pytest.raises(ValueError):
         train_val_test_split(docs, 600, 400)
+
+
+def test_pack_and_budget_share_the_same_prefix_order(spark):
+    """Cross-operator invariant over the shared prefix helper: with the
+    SAME salt and buckets, token_budget_sample(B) admits exactly the
+    documents whose pack start position is < B — the budget cut is a
+    prefix of the packing layout."""
+    from tickdatapipeline_spark.operators.text import pack_sequences, token_budget_sample
+
+    texts = [(i, " ".join(f"w{j}" for j in range((i * 11) % 17 + 1)), "en")
+             for i in range(80)]
+    d = docs_df(spark, texts)
+    seq_len, budget = 32, 300
+    packed = pack_sequences(d, seq_len=seq_len, n_buckets=16, salt="x:").collect()
+    admitted = {r.doc_id for r in
+                token_budget_sample(d, budget, n_buckets=16, salt="x:").collect()}
+    by_start = {r.doc_id: r.pack_id * seq_len + r.pack_offset for r in packed}
+    assert admitted == {i for i, s in by_start.items() if s < budget}
+
+
+def test_redact_pii_is_a_fixed_point(spark):
+    """Redacted text contains no residual matches: running redact_pii
+    on its own clean_text changes nothing and counts zero everywhere
+    (placeholders hold no digits or @)."""
+    from tickdatapipeline_spark.operators.text import redact_pii
+
+    d = spark.createDataFrame(
+        [(i, f"u{i}@ex{i}.org 10.0.{i}.1 555-123-{1000 + i} and text {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    once = redact_pii(d).select("doc_id", F.col("clean_text").alias("text"))
+    twice = redact_pii(once).collect()
+    assert all(
+        (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0) and r.clean_text == r.text
+        for r in twice
+    )
