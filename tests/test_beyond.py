@@ -1054,6 +1054,8 @@ def test_train_val_test_split_contract(spark):
     assert redrawn != a
     with _pytest.raises(ValueError):
         train_val_test_split(docs, 600, 400)
+    with _pytest.raises(ValueError):
+        train_val_test_split(docs, -100, 200)
 
 
 def test_pack_and_budget_share_the_same_prefix_order(spark):
@@ -1091,3 +1093,18 @@ def test_redact_pii_is_a_fixed_point(spark):
         (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0) and r.clean_text == r.text
         for r in twice
     )
+
+
+def test_sq8_rejects_wrong_dimension(spark):
+    """The bounds row covers exactly DIM components, so a wider or
+    narrower vector must fail loudly instead of dequantizing its tail
+    to NULL."""
+    from pyspark.errors import PySparkException
+
+    from tickdatapipeline_spark.operators.similarity import sq8_dequantized
+
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(PySparkException, match="DIM"):
+        sq8_dequantized(bad).collect()

@@ -294,13 +294,25 @@ def ngram_overlap_contamination(
     tg = shingles(train_docs, n).select(
         "doc_id", h60(F.col("shingle")).alias("gh")
     )
-    eg = shingles(eval_docs, n).select(h60(F.col("shingle")).alias("gh")).distinct()
-    totals = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = tg.join(eg, on="gh").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
+    eg = (
+        shingles(eval_docs, n)
+        .select(h60(F.col("shingle")).alias("gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
+    # ONE pass over the expensive train-side gram lineage: a left join
+    # against the eval hashes marks hits, then a single groupBy counts
+    # totals (all rows) and hits (non-null marker) together — the gram
+    # explosion + distinct shuffle of the train corpus runs once, not
+    # once per aggregate.
     return (
-        totals.join(hits, on="doc_id")
+        tg.join(eg, on="gh", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .where(F.col("n_hit") > 0)
         .select(
             F.col("doc_id").alias("train_doc_id"),
             "n_grams",

@@ -109,6 +109,16 @@ def sq8_dequantized(emb: DataFrame, levels: int = 255) -> DataFrame:
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     )
+    # bounds cover exactly DIM components, so a wider/narrower vector
+    # would silently dequantize its tail to NULL — fail loudly instead
+    # (per-row integer compare, costs nothing; assert_true returns NULL
+    # when the bound holds, so the filter keeps every row)
+    base = base.where(
+        F.assert_true(
+            F.size("v") == DIM,
+            F.lit(f"sq8_dequantized: embedding length != DIM={DIM}"),
+        ).isNull()
+    )
     bounds = base.agg(
         F.array(*[F.min(F.get("v", d)) for d in range(DIM)]).alias("mn"),
         F.array(*[F.max(F.get("v", d)) for d in range(DIM)]).alias("mx"),

@@ -218,8 +218,10 @@ def train_val_test_split(docs: DataFrame, val_permille: int = 50,
 
     Output: (doc_id, split). Pure map-side projection — no shuffle.
     """
-    if val_permille + test_permille >= 1000:
-        raise ValueError("val_permille + test_permille must be < 1000")
+    if min(val_permille, test_permille) < 0 or val_permille + test_permille >= 1000:
+        raise ValueError(
+            "val_permille and test_permille must be >= 0 and sum to < 1000"
+        )
     draw = salted_doc_hash(salt) % 1000
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -437,8 +437,12 @@ _cos = sql_rnd(
     + " / (" + SQL_NORM.format(a="q.v") + " * " + SQL_NORM.format(a="b.v") + ")"
 )
 
-COSINE_TOPK_SQL = f"""
-WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+def _brute_topk_sql(prelude_ctes: str) -> str:
+    """q/scored/rank algebra shared by the brute-force and SQ8 oracles
+    — the SQL twin of operators.similarity._brute_topk. ``prelude_ctes``
+    must define a CTE ``base`` with (vec_id, v)."""
+    return f"""
+WITH {prelude_ctes},
 q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id % {QUERY_MOD} = 0),
 scored AS (
     SELECT q.query_id, b.vec_id AS neighbor_id, {_cos} AS cosine
@@ -449,6 +453,11 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     FROM scored
 ) WHERE rank <= {TOPK_K}
 """
+
+
+COSINE_TOPK_SQL = _brute_topk_sql(
+    f"base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings)"
+)
 
 
 def _sql_plane_list(p: int) -> str:
@@ -515,20 +524,11 @@ def _sq8_topk_sql(levels: float = 255.0) -> str:
         f"CASE WHEN mx[i] > mn[i] THEN mn[i] + floor((v[i] - mn[i]) * {lv} / (mx[i] - mn[i]) + {half})"
         f" * (mx[i] - mn[i]) / {lv} ELSE mn[i] END)"
     )
-    return f"""
-WITH raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
-bounds AS (SELECT {mn_list} AS mn, {mx_list} AS mx FROM raw),
-base AS (SELECT vec_id, {deq} AS v FROM raw CROSS JOIN bounds),
-q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id % {QUERY_MOD} = 0),
-scored AS (
-    SELECT q.query_id, b.vec_id AS neighbor_id, {_cos} AS cosine
-    FROM base b JOIN q ON b.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, rank, cosine FROM (
-    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-    FROM scored
-) WHERE rank <= {TOPK_K}
-"""
+    return _brute_topk_sql(
+        f"raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),\n"
+        f"bounds AS (SELECT {mn_list} AS mn, {mx_list} AS mx FROM raw),\n"
+        f"base AS (SELECT vec_id, {deq} AS v FROM raw CROSS JOIN bounds)"
+    )
 
 
 def _ann_recall_ivf_sql() -> str:
@@ -1184,24 +1184,29 @@ WHERE {sql_h60("'sample:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000 <
 TOKEN_BUDGET = 1500
 TOKEN_BUDGET_BUCKETS = 256
 
-# global-order equivalent of operators.text.token_budget_sample's
-# two-level (bucket prefix + within-bucket window) plan: admission
-# order (bucket, h, doc_id), exclusive prefix sum < budget
-TOKEN_BUDGET_SQL = f"""
-WITH base AS (
+def _hash_prefix_ctes(salt: str, n_buckets: int) -> str:
+    """base + exclusive-token-prefix CTEs shared by the token-budget
+    and pack-sequences oracles — the SQL twin of
+    operators.text._hash_order_token_prefix (global-order equivalent
+    of the two-level bucket-prefix + within-bucket-window plan)."""
+    return f"""base AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
-           {sql_h60("'budget:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
+           {sql_h60(f"'{salt}' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
     FROM documents
-)
-SELECT doc_id, n_tokens FROM (
+),
+pre AS (
     SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
-               ORDER BY h % {TOKEN_BUDGET_BUCKETS}, h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h % {n_buckets}, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
     FROM base
-)
-WHERE p < {TOKEN_BUDGET}
+)"""
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH {_hash_prefix_ctes("budget:", TOKEN_BUDGET_BUCKETS)}
+SELECT doc_id, n_tokens FROM pre WHERE p < {TOKEN_BUDGET}
 """
 
 SPLIT_VAL_PM, SPLIT_TEST_PM = 100, 50
@@ -1221,23 +1226,9 @@ FROM (
 PACK_SEQ_LEN = 64
 PACK_BUCKETS = 256
 
-# global-order equivalent of operators.text.pack_sequences' two-level
-# plan: layout order (bucket, h, doc_id), exclusive token prefix sum,
-# integer pack arithmetic
+# integer pack arithmetic over the shared exclusive prefix
 PACK_SEQUENCES_SQL = f"""
-WITH base AS (
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
-           {sql_h60("'pack:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
-    FROM documents
-),
-pre AS (
-    SELECT doc_id, n_tokens,
-           CAST(COALESCE(SUM(n_tokens) OVER (
-               ORDER BY h % {PACK_BUCKETS}, h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p
-    FROM base
-)
+WITH {_hash_prefix_ctes("pack:", PACK_BUCKETS)}
 SELECT doc_id, n_tokens,
        p // {PACK_SEQ_LEN} AS pack_id,
        p % {PACK_SEQ_LEN} AS pack_offset,
