@@ -1108,3 +1108,41 @@ def test_sq8_rejects_wrong_dimension(spark):
     )
     with pytest.raises(PySparkException, match="DIM"):
         sq8_dequantized(bad).collect()
+
+
+def test_bpe_token_stats_golden(spark):
+    """GPT-2-style pre-split: contraction suffixes split off, space
+    glues to the following run, punctuation and residual whitespace
+    count as 'other'."""
+    from tickdatapipeline_spark.operators.text import bpe_token_stats
+
+    d = spark.createDataFrame(
+        [(1, "I'll pay 42 dollars, OK?"), (2, ""), (3, "   "),
+         (4, "naïve café 3x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_token_stats(d).collect()}
+    # doc 1: [I]["'ll"][ pay][ 42][ dollars][,][ OK][?] -> 8 pre-tokens
+    assert out[1].n_bpe_tokens == 8
+    assert out[1].n_word == 4   # I, ' pay', ' dollars', ' OK'
+    assert out[1].n_num == 1    # ' 42'
+    assert out[1].n_other == 3  # "'ll", ',', '?'
+    assert out[2].n_bpe_tokens == 0 and out[2].chars_per_token == 0.0
+    assert out[3].n_bpe_tokens == 1 and out[3].n_other == 1  # one ws run
+    # unicode letters stay in word runs; '3x' splits digit/letter
+    assert out[4].n_word == 3 and out[4].n_num == 1  # naïve, café, x | 3
+
+
+def test_source_quality_report_golden(spark):
+    from tickdatapipeline_spark.operators.text import source_quality_report
+
+    d = spark.createDataFrame(
+        [(1, "one two three", "en", "a"), (2, "vier fünf", "de", "a"),
+         (3, "six", "en", "b")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.source: r for r in source_quality_report(d).collect()}
+    # "vier fünf" -> vier, f, nf under the ascii [a-z0-9]+ tokenizer
+    assert (out["a"].n_docs, out["a"].n_langs, out["a"].total_tokens) == (2, 2, 6)
+    assert out["a"].avg_tokens == 3.0
+    assert (out["b"].n_docs, out["b"].n_langs, out["b"].total_tokens) == (1, 1, 1)

@@ -44,6 +44,7 @@ from tickdatapipeline_spark.operators.similarity import (
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
+    bpe_token_stats,
     fingerprint,
     lang_id,
     pack_sequences,
@@ -52,6 +53,7 @@ from tickdatapipeline_spark.operators.text import (
     repetition_score,
     shard_assignments,
     simhash,
+    source_quality_report,
     stratified_sample,
     tfidf_topk,
     token_budget_sample,
@@ -81,9 +83,10 @@ __all__ = [
     "embedding_near_duplicates", "embedding_outliers", "kmeans_train",
     "sq8_dequantized",
     "ema_columns",
+    "bpe_token_stats",
     "fingerprint", "lang_id", "pack_sequences", "quality_score",
     "redact_pii", "repetition_score",
-    "shard_assignments", "simhash",
+    "shard_assignments", "simhash", "source_quality_report",
     "stratified_sample",
     "tfidf_topk", "token_budget_sample", "token_stats",
     "train_val_test_split", "vocab_topk",

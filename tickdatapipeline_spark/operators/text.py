@@ -474,6 +474,74 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def source_quality_report(docs: DataFrame) -> DataFrame:
+    """Per-source curation report: document counts, language spread,
+    token volume and average document shape — the first dashboard over
+    any multi-source crawl (which sources are thin, which dominate the
+    token budget, which are single-language).
+
+    Output per source: (source, n_docs, n_langs, total_tokens,
+    avg_chars, avg_tokens) with the averages derived from exact integer
+    sums and rounded to 6.
+
+    Scale: ONE map-side-combinable groupBy on source (|sources| result
+    rows); the count-distinct on lang expands to the standard two-level
+    aggregate, still keyed on the compact (source, lang) pair.
+    """
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    base = docs.select("source", "lang", F.length("text").cast("long").alias("n_chars"),
+                       n_tok.alias("n_tokens"))
+    n = F.count(F.lit(1))
+    return base.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        rnd(F.sum("n_chars").cast("double") / n.cast("double")).alias("avg_chars"),
+        rnd(F.sum("n_tokens").cast("double") / n.cast("double")).alias("avg_tokens"),
+    )
+
+
+# GPT-2-style pre-tokenizer regex, lookahead-free so Java regex (Spark)
+# and RE2 (DuckDB) split identically: contraction suffixes, space-glued
+# letter runs, space-glued digit runs, space-glued punctuation runs,
+# residual whitespace. The real BPE merge table comes from the
+# tokenizer artifact; this pre-split is the piece a corpus engine needs
+# for token accounting, and its counts track BPE counts closely enough
+# for budget math (each pre-token maps to >= 1 BPE token).
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_WORD_RE = r"^ ?\p{L}+$"
+_BPE_NUM_RE = r"^ ?\p{N}+$"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token accounting under a BPE-ish pre-tokenizer (vs token_stats'
+    plain [a-z0-9]+ words): per document, the pre-token count, its
+    word/number/other breakdown, and chars-per-token — the unit that
+    token budgets, packing and pricing are denominated in.
+
+    Output: (doc_id, n_bpe_tokens, n_word, n_num, n_other,
+    chars_per_token rounded to 6; whitespace runs count as 'other').
+
+    Scale: one regexp_extract_all + array stats per row — pure map-side
+    JVM expressions, no shuffle.
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    n = F.size(toks)
+    n_word = F.size(F.filter(toks, lambda t: t.rlike(_BPE_WORD_RE)))
+    n_num = F.size(F.filter(toks, lambda t: t.rlike(_BPE_NUM_RE)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_bpe_tokens"),
+        n_word.cast("long").alias("n_word"),
+        n_num.cast("long").alias("n_num"),
+        (n - n_word - n_num).cast("long").alias("n_other"),
+        rnd(
+            F.when(n > 0, F.length("text").cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0))
+        ).alias("chars_per_token"),
+    )
+
+
 # PII patterns shared with the DuckDB oracle: plain character classes
 # and ASCII word boundaries only — identical semantics under Java
 # regex (Spark) and RE2 (DuckDB). Deliberately precision-leaning

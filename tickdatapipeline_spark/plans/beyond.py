@@ -57,10 +57,12 @@ from tickdatapipeline_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
     TOKEN_RE,
+    bpe_token_stats,
     fingerprint,
     lang_id,
     pack_sequences,
     quality_score,
+    source_quality_report,
     simhash,
     repetition_score,
     shard_assignments,
@@ -1209,6 +1211,52 @@ WITH {_hash_prefix_ctes("budget:", TOKEN_BUDGET_BUCKETS)}
 SELECT doc_id, n_tokens FROM pre WHERE p < {TOKEN_BUDGET}
 """
 
+def _bpe_stats_sql() -> str:
+    from tickdatapipeline_spark.operators.text import BPE_PRETOKEN_RE
+
+    # the pre-tokenizer pattern contains apostrophes -> double them for
+    # the SQL literal; the \p{L}/\p{N} classes are RE2 == Java regex
+    bpe = BPE_PRETOKEN_RE.replace("'", "''")
+    word, num = r"^ ?\p{L}+$", r"^ ?\p{N}+$"
+    return f"""
+WITH t AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+           regexp_extract_all(text, '{bpe}') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> regexp_matches(x, '{word}'))) AS n_word,
+           len(list_filter(toks, x -> regexp_matches(x, '{num}'))) AS n_num
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(n_word AS BIGINT) AS n_word,
+       CAST(n_num AS BIGINT) AS n_num,
+       CAST(len(toks) - n_word - n_num AS BIGINT) AS n_other,
+       {sql_rnd("CASE WHEN len(toks) > 0 THEN CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END")} AS chars_per_token
+FROM c
+"""
+
+
+SOURCE_REPORT_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {sql_rnd("CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_chars,
+       {sql_rnd("CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_tokens
+FROM (
+    SELECT source, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+    FROM documents
+)
+GROUP BY source
+"""
+
+
 SPLIT_VAL_PM, SPLIT_TEST_PM = 100, 50
 
 SPLIT_SQL = f"""
@@ -1560,6 +1608,14 @@ def queries() -> dict[str, tuple]:
             lambda s, d: token_budget_sample(_docs(s, d), TOKEN_BUDGET,
                                              TOKEN_BUDGET_BUCKETS),
             TOKEN_BUDGET_SQL,
+        ),
+        "text_bpe_token_stats": (
+            lambda s, d: bpe_token_stats(_docs(s, d)),
+            _bpe_stats_sql(),
+        ),
+        "docs_source_report": (
+            lambda s, d: source_quality_report(_docs(s, d)),
+            SOURCE_REPORT_SQL,
         ),
         "docs_split_assignments": (
             lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
