@@ -1146,3 +1146,21 @@ def test_source_quality_report_golden(spark):
     assert (out["a"].n_docs, out["a"].n_langs, out["a"].total_tokens) == (2, 2, 6)
     assert out["a"].avg_tokens == 3.0
     assert (out["b"].n_docs, out["b"].n_langs, out["b"].total_tokens) == (1, 1, 1)
+
+
+def test_vocab_drift_golden(spark):
+    """Exact counts and shares for a tiny two-slice corpus; one-sided
+    tokens count zero on the other side; top-k order is (combined
+    count desc, token asc)."""
+    from tickdatapipeline_spark.operators.text import vocab_drift
+
+    a = docs_df(spark, [(1, "x x y", "en"), (2, "x z", "en")])
+    b = docs_df(spark, [(3, "x y y", "en")])
+    rows = vocab_drift(a, b, k=10).collect()
+    assert [(r.token, r.cnt_a, r.cnt_b) for r in rows] == [
+        ("x", 3, 1), ("y", 1, 2), ("z", 1, 0)]
+    x = rows[0]
+    assert x.share_a == 0.6 and abs(x.share_b - 0.333333) < 1e-9
+    assert abs(x.drift - 0.266667) < 1e-9
+    z = rows[2]
+    assert z.share_b == 0.0 and z.drift == 0.2

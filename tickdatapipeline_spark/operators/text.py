@@ -474,6 +474,55 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def vocab_drift(docs_a: DataFrame, docs_b: DataFrame, k: int = 100) -> DataFrame:
+    """Vocabulary drift between two corpus slices (yesterday's crawl vs
+    today's, source A vs source B): for the k highest-combined-count
+    tokens, each side's occurrence count and corpus share, and the
+    absolute share difference — the distribution-shift monitor that
+    catches a scraper regression or a topic flood before training does.
+
+    Output: (token, cnt_a, cnt_b, share_a, share_b, drift), ordered
+    (cnt_a + cnt_b desc, token), shares/drift rounded to 6. Tokens
+    absent from one side count 0 there.
+
+    Scale: both sides union into ONE map-side-combinable groupBy on
+    token (conditional sums — no join between the sides); the two
+    corpus totals broadcast back as a 1-row frame; top-k plans
+    TakeOrdered, so the full vocabulary is never globally sorted.
+    """
+    tagged = fan_out(docs_a).select(
+        F.explode(tokens(F.col("text"))).alias("token"), F.lit(0).alias("side")
+    ).unionByName(
+        fan_out(docs_b).select(
+            F.explode(tokens(F.col("text"))).alias("token"), F.lit(1).alias("side")
+        )
+    )
+    counts = tagged.groupBy("token").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")
+    )
+    share_a = F.when(
+        F.col("_ta") > 0, F.col("cnt_a").cast("double") / F.col("_ta").cast("double")
+    ).otherwise(F.lit(0.0))
+    share_b = F.when(
+        F.col("_tb") > 0, F.col("cnt_b").cast("double") / F.col("_tb").cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token", "cnt_a", "cnt_b",
+            rnd(share_a).alias("share_a"),
+            rnd(share_b).alias("share_b"),
+            rnd(F.abs(share_a - share_b)).alias("drift"),
+        )
+        .orderBy((F.col("cnt_a") + F.col("cnt_b")).desc(), "token")
+        .limit(k)
+    )
+
+
 def source_quality_report(docs: DataFrame) -> DataFrame:
     """Per-source curation report: document counts, language spread,
     token volume and average document shape — the first dashboard over

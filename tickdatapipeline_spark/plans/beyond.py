@@ -72,6 +72,7 @@ from tickdatapipeline_spark.operators.text import (
     token_stats,
     tokens,
     train_val_test_split,
+    vocab_drift,
     vocab_topk,
 )
 
@@ -1240,6 +1241,43 @@ FROM c
 """
 
 
+VOCAB_DRIFT_K = 100
+
+_sha = "CASE WHEN ta > 0 THEN CAST(cnt_a AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END"
+_shb = "CASE WHEN tb > 0 THEN CAST(cnt_b AS DOUBLE) / CAST(tb AS DOUBLE) ELSE 0.0 END"
+
+# sides: even doc_ids vs odd (stand-in for two crawl snapshots)
+VOCAB_DRIFT_SQL = f"""
+WITH tok AS (
+    SELECT unnest({SQL_TOKENS}) AS token, CAST(doc_id AS BIGINT) % 2 AS side
+    FROM documents
+),
+counts AS (
+    SELECT token,
+           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+    FROM tok GROUP BY token
+),
+totals AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS ta, CAST(sum(cnt_b) AS BIGINT) AS tb FROM counts)
+SELECT token, cnt_a, cnt_b,
+       {sql_rnd(_sha)} AS share_a,
+       {sql_rnd(_shb)} AS share_b,
+       {sql_rnd(f"abs(({_sha}) - ({_shb}))")} AS drift
+FROM counts CROSS JOIN totals
+ORDER BY cnt_a + cnt_b DESC, token
+LIMIT {VOCAB_DRIFT_K}
+"""
+
+
+def vocab_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return vocab_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        VOCAB_DRIFT_K,
+    )
+
+
 SOURCE_REPORT_SQL = f"""
 SELECT source,
        count(*) AS n_docs,
@@ -1617,6 +1655,7 @@ def queries() -> dict[str, tuple]:
             lambda s, d: source_quality_report(_docs(s, d)),
             SOURCE_REPORT_SQL,
         ),
+        "docs_vocab_drift": (vocab_drift_fn, VOCAB_DRIFT_SQL),
         "docs_split_assignments": (
             lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
             SPLIT_SQL,
