@@ -1164,3 +1164,38 @@ def test_vocab_drift_golden(spark):
     assert abs(x.drift - 0.266667) < 1e-9
     z = rows[2]
     assert z.share_b == 0.0 and z.drift == 0.2
+
+
+def test_bpe_pretoken_vertical_tab_cross_engine(spark):
+    """Java \\s includes U+000B but RE2's does not, so the pre-tokenizer
+    spells whitespace explicitly — both engines must agree on a
+    vtab-adjacent-to-punctuation document."""
+    import duckdb
+
+    from tickdatapipeline_spark.operators.text import BPE_PRETOKEN_RE, bpe_token_stats
+
+    text = "x\x0b.y"
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_token_stats(d).collect()[0]
+    oracle = duckdb.sql(
+        "SELECT len(regexp_extract_all(?, ?)) AS n",
+        params=[text, BPE_PRETOKEN_RE],  # bound param: no quote-doubling
+    ).fetchone()[0]
+    assert got.n_bpe_tokens == oracle == 4  # x | \x0b | . | y
+
+
+def test_vocab_drift_tagged_matches_two_frame(spark):
+    """The single-scan tagged path must produce exactly the two-frame
+    result; NULL/other side values are excluded."""
+    from tickdatapipeline_spark.operators.text import vocab_drift, vocab_drift_tagged
+
+    rows = [(i, f"w{i % 5} shared", "en") for i in range(20)]
+    d = docs_df(spark, rows)
+    two = vocab_drift(
+        d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1), k=10
+    ).collect()
+    one = vocab_drift_tagged(d, F.col("doc_id") % 2, k=10).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+    # rows with an out-of-range side are dropped
+    dropped = vocab_drift_tagged(d, F.lit(None).cast("int"), k=10).collect()
+    assert dropped == []

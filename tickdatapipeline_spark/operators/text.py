@@ -489,6 +489,8 @@ def vocab_drift(docs_a: DataFrame, docs_b: DataFrame, k: int = 100) -> DataFrame
     token (conditional sums — no join between the sides); the two
     corpus totals broadcast back as a 1-row frame; top-k plans
     TakeOrdered, so the full vocabulary is never globally sorted.
+    When both slices live in ONE table, prefer vocab_drift_tagged —
+    it tags sides off a single scan instead of two filtered scans.
     """
     tagged = fan_out(docs_a).select(
         F.explode(tokens(F.col("text"))).alias("token"), F.lit(0).alias("side")
@@ -497,6 +499,24 @@ def vocab_drift(docs_a: DataFrame, docs_b: DataFrame, k: int = 100) -> DataFrame
             F.explode(tokens(F.col("text"))).alias("token"), F.lit(1).alias("side")
         )
     )
+    return _vocab_drift_core(tagged, k)
+
+
+def vocab_drift_tagged(docs: DataFrame, side: Column, k: int = 100) -> DataFrame:
+    """vocab_drift over ONE table: ``side`` is a column expression
+    evaluating to 0 (slice A) or 1 (slice B); rows where it is NULL or
+    any other value are excluded. Same output contract as vocab_drift,
+    but the corpus is scanned once instead of once per side."""
+    tagged = (
+        fan_out(docs)
+        .select(F.col("text"), side.alias("side"))
+        .where(F.col("side").isin(0, 1))
+        .select(F.explode(tokens(F.col("text"))).alias("token"), "side")
+    )
+    return _vocab_drift_core(tagged, k)
+
+
+def _vocab_drift_core(tagged: DataFrame, k: int) -> DataFrame:
     counts = tagged.groupBy("token").agg(
         F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
@@ -553,11 +573,19 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
 # GPT-2-style pre-tokenizer regex, lookahead-free so Java regex (Spark)
 # and RE2 (DuckDB) split identically: contraction suffixes, space-glued
 # letter runs, space-glued digit runs, space-glued punctuation runs,
-# residual whitespace. The real BPE merge table comes from the
-# tokenizer artifact; this pre-split is the piece a corpus engine needs
-# for token accounting, and its counts track BPE counts closely enough
-# for budget math (each pre-token maps to >= 1 BPE token).
-BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# residual whitespace. Whitespace is spelled as an explicit class
+# because the engines' \s differ (Java includes U+000B vertical tab,
+# RE2 does not — a \s here made a vtab-adjacent-to-punctuation doc
+# tokenize differently per engine). The real BPE merge table comes
+# from the tokenizer artifact; this pre-split is the piece a corpus
+# engine needs for token accounting, and its counts track BPE counts
+# closely enough for budget math (each pre-token maps to >= 1 BPE
+# token).
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^"
+    + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
+)
 _BPE_WORD_RE = r"^ ?\p{L}+$"
 _BPE_NUM_RE = r"^ ?\p{N}+$"
 

@@ -1213,12 +1213,18 @@ SELECT doc_id, n_tokens FROM pre WHERE p < {TOKEN_BUDGET}
 """
 
 def _bpe_stats_sql() -> str:
-    from tickdatapipeline_spark.operators.text import BPE_PRETOKEN_RE
+    from tickdatapipeline_spark.operators.text import (
+        _BPE_NUM_RE,
+        _BPE_WORD_RE,
+        BPE_PRETOKEN_RE,
+    )
 
     # the pre-tokenizer pattern contains apostrophes -> double them for
-    # the SQL literal; the \p{L}/\p{N} classes are RE2 == Java regex
+    # the SQL literal; the \p{L}/\p{N} classes are RE2 == Java regex,
+    # and the classifier patterns are shared constants so the two
+    # engines cannot drift apart
     bpe = BPE_PRETOKEN_RE.replace("'", "''")
-    word, num = r"^ ?\p{L}+$", r"^ ?\p{N}+$"
+    word, num = _BPE_WORD_RE, _BPE_NUM_RE
     return f"""
 WITH t AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
@@ -1246,11 +1252,14 @@ VOCAB_DRIFT_K = 100
 _sha = "CASE WHEN ta > 0 THEN CAST(cnt_a AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END"
 _shb = "CASE WHEN tb > 0 THEN CAST(cnt_b AS DOUBLE) / CAST(tb AS DOUBLE) ELSE 0.0 END"
 
-# sides: even doc_ids vs odd (stand-in for two crawl snapshots)
+# sides: even doc_ids vs odd (stand-in for two crawl snapshots); the
+# IN (0, 1) filter mirrors the Spark side-tagging exactly (NULL or
+# negative doc_ids match neither side on either engine)
 VOCAB_DRIFT_SQL = f"""
 WITH tok AS (
     SELECT unnest({SQL_TOKENS}) AS token, CAST(doc_id AS BIGINT) % 2 AS side
     FROM documents
+    WHERE CAST(doc_id AS BIGINT) % 2 IN (0, 1)
 ),
 counts AS (
     SELECT token,
@@ -1270,11 +1279,11 @@ LIMIT {VOCAB_DRIFT_K}
 
 
 def vocab_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return vocab_drift(
-        docs.where(F.col("doc_id") % 2 == 0),
-        docs.where(F.col("doc_id") % 2 == 1),
-        VOCAB_DRIFT_K,
+    from tickdatapipeline_spark.operators.text import vocab_drift_tagged
+
+    # single-scan tagged path: one parquet read, side computed per row
+    return vocab_drift_tagged(
+        _docs(spark, sf_dir), F.col("doc_id").cast("long") % 2, VOCAB_DRIFT_K
     )
 
 
