@@ -1142,3 +1142,60 @@ def test_refreshable_dim_writer_is_replay_idempotent(spark, tmp_path):
     replayed = sorted((r.event_id, r.tier, r.batch_id)
                       for r in spark.read.parquet(str(out_dir)).collect())
     assert replayed == first  # no duplicate rows, batch 1 untouched
+
+
+def test_ingest_curation_stream(spark, tmp_path):
+    """Full ingest gauntlet per micro-batch: PII scrubbed (counts kept,
+    keep unaffected), short and boilerplate docs fail quality, corpus
+    near-dups fail decontamination; keep = quality AND NOT
+    contaminated; batch provenance in the idempotent sink."""
+    import json
+
+    from tickdatapipeline_spark.operators.dedup import write_corpus_index
+    from tickdatapipeline_spark.streaming.eventtime import run_ingest_curation
+
+    leak = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs tonight")
+    corpus = spark.createDataFrame(
+        [(1, leak, "en")], "doc_id long, text string, lang string")
+    index = tmp_path / "index"
+    write_corpus_index(corpus, str(index))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "lang": "en"}) + "\n")
+
+    out_dir = tmp_path / "out"
+    write_docs("b0.json", [
+        (600, leak + " with a few extra trailing words appended"),   # contaminated
+        (601, "a perfectly ordinary fresh document about growing "
+              "tomatoes in small urban gardens this spring"),        # keep
+        (602, "contact me at alice@example.org or 555-123-4567 for "
+              "details about the upcoming community garden meetup"),  # PII, keep
+        (603, "spam " * 40),                                          # boilerplate
+        (604, "too short"),                                           # short
+    ])
+    q = run_ingest_curation(
+        spark, str(in_dir), str(index), str(out_dir), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_docs("b1.json", [(605, leak)])                          # verbatim
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert set(rows) == {600, 601, 602, 603, 604, 605}
+    assert rows[600].is_contaminated and not rows[600].keep
+    assert rows[601].keep and rows[601].n_pii == 0
+    assert rows[602].keep and rows[602].n_pii == 2
+    assert "<EMAIL>" in rows[602].clean_text and "<PHONE>" in rows[602].clean_text
+    assert "alice" not in rows[602].clean_text
+    assert not rows[603].quality_ok and rows[603].dup_token_frac > 0.9
+    assert not rows[604].quality_ok and rows[604].n_tokens == 2
+    assert rows[605].is_contaminated and rows[605].batch_id == 1
+    assert rows[600].batch_id == 0

@@ -398,3 +398,94 @@ def run_ingest_decontamination(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def run_ingest_curation(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_dup_token_frac: float = 0.9,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Ingest-time corpus curation: the full per-micro-batch gauntlet a
+    crawled document passes before it may join the training corpus —
+
+    1. PII scrubbing (operators.text.redact_pii): emails/IPs/phones
+       replaced with typed placeholders; per-category counts kept.
+    2. Quality gating on the SCRUBBED text: token count inside
+       [min_tokens, max_tokens] and duplicate-token fraction at most
+       ``max_dup_token_frac`` (the cheap Gopher-style boilerplate gate).
+    3. Decontamination against the precomputed corpus LSH index
+       (write_corpus_index), exactly like run_ingest_decontamination —
+       only the batch computes signatures; the index is re-read per
+       batch so an on-disk rebuild is picked up live.
+
+    Output, one row per incoming document, partitioned by batch_id and
+    idempotent under replay (_write_batch_idempotent):
+    (doc_id, lang, clean_text, n_pii, n_tokens, dup_token_frac,
+    quality_ok, is_contaminated, keep) with keep = quality_ok AND NOT
+    contaminated — the downstream corpus write consumes rows where
+    keep, reading clean_text only.
+
+    Scale: steps 1-2 are pure map-side JVM expressions over the batch;
+    step 3 joins compact band keys against the static index. Per-batch
+    cost is O(batch) plus index probes — nothing reprocesses the
+    corpus.
+    """
+    from tickdatapipeline_spark.functions.rounding import rnd
+    from tickdatapipeline_spark.operators.dedup import contamination_against_index
+    from tickdatapipeline_spark.operators.text import redact_pii, tokens
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        red = redact_pii(batch_df)
+        t = tokens(F.col("clean_text"))
+        n_tok = F.size(t)
+        dup = F.when(
+            n_tok > 0,
+            (n_tok - F.size(F.array_distinct(t))).cast("double") / n_tok.cast("double"),
+        ).otherwise(F.lit(0.0))
+        scored = red.select(
+            "doc_id", "lang", "clean_text",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+            n_tok.cast("long").alias("n_tokens"),
+            rnd(dup).alias("dup_token_frac"),
+        ).withColumn(
+            "quality_ok",
+            F.col("n_tokens").between(min_tokens, max_tokens)
+            & (F.col("dup_token_frac") <= max_dup_token_frac),
+        )
+        hits = contamination_against_index(
+            scored.select("doc_id", F.col("clean_text").alias("text")),
+            sp.read.parquet(f"{index_path}/bands"),
+            sp.read.parquet(f"{index_path}/shingles"),
+            threshold=threshold,
+            max_band_bucket=None,  # index is skew-capped at build time
+        )
+        contaminated = hits.select(F.col("probe_doc_id").alias("doc_id")).distinct()
+        verdicts = (
+            scored.join(
+                contaminated.withColumn("_c", F.lit(True)), on="doc_id", how="left"
+            )
+            .withColumn("is_contaminated", F.coalesce("_c", F.lit(False)))
+            .withColumn("keep", F.col("quality_ok") & ~F.col("is_contaminated"))
+            .drop("_c")
+        )
+        _write_batch_idempotent(verdicts, out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
