@@ -110,6 +110,26 @@ def test_vocab_topk_plans_as_take_ordered(spark):
     assert "Sort " not in plan
 
 
+def test_vocab_drift_plans_as_take_ordered_single_scan(spark):
+    """The tagged drift monitor must plan top-k as
+    TakeOrderedAndProject (never a global Sort of the vocabulary) and
+    read the documents parquet ONCE — the single-scan contract of
+    vocab_drift_tagged."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.text import vocab_drift_tagged
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(vocab_drift_tagged(docs, F.col("doc_id") % 2))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    # the counts frame is pinned, so both consumers read the cache and
+    # the scan+explode+groupBy lineage appears at most once (inside the
+    # cached relation) instead of once per consumer
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+    assert plan.count("documents.parquet") <= 1
+
+
 def test_dimension_joins_broadcast(spark):
     from tickdatapipeline_spark.plans.relational import r3_fn
 

@@ -517,9 +517,17 @@ def vocab_drift_tagged(docs: DataFrame, side: Column, k: int = 100) -> DataFrame
 
 
 def _vocab_drift_core(tagged: DataFrame, k: int) -> DataFrame:
-    counts = tagged.groupBy("token").agg(
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    # pinned: both the 1-row totals aggregate and the final projection
+    # consume `counts`, and the two consumers' plans are NOT identical
+    # exchanges (different column pruning), so without the pin the
+    # expensive scan+explode+groupBy lineage would execute twice
+    counts = pin(
+        tagged.groupBy("token").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
+        )
     )
     totals = counts.agg(
         F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")
