@@ -1199,3 +1199,21 @@ def test_vocab_drift_tagged_matches_two_frame(spark):
     # rows with an out-of-range side are dropped
     dropped = vocab_drift_tagged(d, F.lit(None).cast("int"), k=10).collect()
     assert dropped == []
+
+
+def test_sq8_precomputed_bounds_injection(spark):
+    """Deployment bounds injection: with the corpus's own [min,max]
+    lists passed in, reconstruction is identical to the self-computed
+    path, and a wrong-length bounds artifact is rejected."""
+    from tickdatapipeline_spark.operators.similarity import sq8_dequantized
+
+    vecs = [(i, [float((i * 7 + d * 13) % 256) for d in range(64)]) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    auto = {r.vec_id: list(r.v) for r in sq8_dequantized(df).collect()}
+    mn = [min(v[d] for _i, v in vecs) for d in range(64)]
+    mx = [max(v[d] for _i, v in vecs) for d in range(64)]
+    injected = {r.vec_id: list(r.v)
+                for r in sq8_dequantized(df, bounds=(mn, mx)).collect()}
+    assert injected == auto
+    with pytest.raises(ValueError, match="length-64"):
+        sq8_dequantized(df, bounds=([0.0] * 32, [1.0] * 32))

@@ -84,7 +84,8 @@ def cosine_topk(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     return _brute_topk(base, k, query_mod)
 
 
-def sq8_dequantized(emb: DataFrame, levels: int = 255) -> DataFrame:
+def sq8_dequantized(emb: DataFrame, levels: int = 255,
+                    bounds: "tuple[list, list] | None" = None) -> DataFrame:
     """Scalar 8-bit quantization (SQ8): per-dimension corpus [min, max]
     bounds split into ``levels`` uniform steps; each component is stored
     as the nearest level code and reconstructed as
@@ -105,6 +106,11 @@ def sq8_dequantized(emb: DataFrame, levels: int = 255) -> DataFrame:
 
     A constant dimension (max == min) carries zero information and
     reconstructs as that constant.
+
+    ``bounds``: optional precomputed ([min]*DIM, [max]*DIM) lists — the
+    deployment artifact (computed once per corpus build, like the IVF
+    ``centroids`` injection) so repeated queries skip the per-call
+    bounds aggregate; default None computes them from ``emb``.
     """
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
@@ -119,10 +125,19 @@ def sq8_dequantized(emb: DataFrame, levels: int = 255) -> DataFrame:
             F.lit(f"sq8_dequantized: embedding length != DIM={DIM}"),
         ).isNull()
     )
-    bounds = base.agg(
-        F.array(*[F.min(F.get("v", d)) for d in range(DIM)]).alias("mn"),
-        F.array(*[F.max(F.get("v", d)) for d in range(DIM)]).alias("mx"),
-    )
+    if bounds is not None:
+        mn_list, mx_list = bounds
+        if len(mn_list) != DIM or len(mx_list) != DIM:
+            raise ValueError(f"bounds must be two length-{DIM} lists")
+        bounds_df = emb.sparkSession.createDataFrame(
+            [(list(map(float, mn_list)), list(map(float, mx_list)))],
+            "mn array<double>, mx array<double>",
+        )
+    else:
+        bounds_df = base.agg(
+            F.array(*[F.min(F.get("v", d)) for d in range(DIM)]).alias("mn"),
+            F.array(*[F.max(F.get("v", d)) for d in range(DIM)]).alias("mx"),
+        )
     lv = float(levels)
 
     def deq(x, i):
@@ -130,7 +145,7 @@ def sq8_dequantized(emb: DataFrame, levels: int = 255) -> DataFrame:
         code = F.floor((x - lo) * F.lit(lv) / (hi - lo) + F.lit(0.5))
         return F.when(hi > lo, lo + code * (hi - lo) / F.lit(lv)).otherwise(lo)
 
-    return base.crossJoin(F.broadcast(bounds)).select(
+    return base.crossJoin(F.broadcast(bounds_df)).select(
         "vec_id", F.transform("v", deq).alias("v")
     )
 
