@@ -1217,3 +1217,31 @@ def test_sq8_precomputed_bounds_injection(spark):
     assert injected == auto
     with pytest.raises(ValueError, match="length-64"):
         sq8_dequantized(df, bounds=([0.0] * 32, [1.0] * 32))
+
+
+def test_user_journeys_golden(spark, tmp_path):
+    """Journey strings follow (time, event_id) order with ties broken
+    by event_id; counts and first/last activity are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import user_journeys_fn
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([2_000_000, 1_000_000, 1_000_000, 5_000_000],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+        "event_type": pa.array(["click", "view", "scroll", "purchase"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "props": pa.array(["{}"] * 4),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = {r.user_id: r for r in user_journeys_fn(spark, str(tmp_path / "sf")).collect()}
+    # user 7: ts ties at 1ms between event 2 (view) and 3 (scroll) ->
+    # event_id order; then event 1 (click) at 2ms
+    assert out[7].journey == "view>scroll>click"
+    assert out[7].n_events == 3
+    assert (out[7].first_us, out[7].last_us) == (1_000, 2_000)
+    assert out[8].journey == "purchase" and out[8].n_events == 1

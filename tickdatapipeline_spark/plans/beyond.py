@@ -1020,6 +1020,54 @@ def event_funnel(ev: DataFrame, window_us: int = FUNNEL_WINDOW_US) -> DataFrame:
     )
 
 
+def user_journeys_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered action sequence — the 'extract user journeys as
+    sequence data' step behind behavioral training sets and funnel
+    mining: each user's event types concatenated in (time, event_id)
+    order, with event count and first/last activity.
+
+    Determinism: the sort key (tus, event_id) is unique per row
+    (event_id is unique), so the journey string is reproducible on both
+    engines; array_sort on the packed struct orders exactly like the
+    oracle's string_agg ORDER BY.
+
+    Scale: ONE map-side-combinable groupBy on user_id; the collected
+    sequence is bounded by a user's own event count (the usual
+    power-user caveat — cap upstream with a per-user limit if a single
+    user can exceed executor row size).
+    """
+    ev = read_events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.expr("ts DIV 1000").alias("tus"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tus", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").alias("first_us"),
+        F.max("tus").alias("last_us"),
+        seq.alias("journey"),
+    )
+
+
+USER_JOURNEYS_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       count(*) AS n_events,
+       min(epoch_us(ts)) AS first_us,
+       max(epoch_us(ts)) AS last_us,
+       string_agg(event_type, '>' ORDER BY epoch_us(ts), CAST(event_id AS BIGINT)) AS journey
+FROM events
+GROUP BY CAST(user_id AS BIGINT)
+"""
+
+
 def funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(
         read_events(spark, sf_dir).select(
@@ -1676,6 +1724,7 @@ def queries() -> dict[str, tuple]:
         "dedup_ngram_overlap": (ngram_overlap_fn, NGRAM_OVERLAP_SQL),
         "text_pii_redaction": (pii_redaction_fn, _pii_redaction_sql()),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
+        "events_user_journeys": (user_journeys_fn, USER_JOURNEYS_SQL),
         "events_retention_cohorts": (retention_fn, RETENTION_SQL),
         "events_value_anomalies": (value_anomalies_fn, VALUE_ANOMALIES_SQL),
         "events_value_percentiles_by_type": (
