@@ -1245,3 +1245,38 @@ def test_user_journeys_golden(spark, tmp_path):
     assert out[7].n_events == 3
     assert (out[7].first_us, out[7].last_us) == (1_000, 2_000)
     assert out[8].journey == "purchase" and out[8].n_events == 1
+
+
+def test_oov_rate_golden(spark):
+    """With a 1-token vocabulary, OOV counts are exact; a fully
+    in-vocab doc scores 0.0; token-free docs are excluded."""
+    from tickdatapipeline_spark.operators.text import oov_rate
+
+    d = docs_df(spark, [
+        (1, "the the the rareword", "en"),   # 'the' dominates -> vocab
+        (2, "the the", "en"),
+        (3, "", "en"),
+    ])
+    out = {r.doc_id: r for r in oov_rate(d, vocab_k=1).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_tokens, out[1].n_oov, out[1].oov_rate) == (4, 1, 0.25)
+    assert (out[2].n_tokens, out[2].n_oov, out[2].oov_rate) == (2, 0, 0.0)
+
+
+def test_boilerplate_ngrams_golden(spark):
+    """Shared template sentences surface as high-df grams; unique
+    grams fall below min_docs and vanish."""
+    from tickdatapipeline_spark.operators.text import boilerplate_ngrams
+
+    footer = "all rights reserved contact us today"
+    d = docs_df(spark, [
+        (1, "alpha content here " + footer, "en"),
+        (2, "beta words differ " + footer, "en"),
+        (3, "gamma totally unique text " + footer, "en"),
+        (4, "unrelated document entirely alone", "en"),
+    ])
+    rows = boilerplate_ngrams(d, n=5, k=10, min_docs=2).collect()
+    assert all(r.n_docs >= 2 for r in rows)
+    top = rows[0]
+    assert top.n_docs == 3 and top.example_doc_id == 1
+    assert "rights reserved" in top.shingle or "contact us" in top.shingle

@@ -474,6 +474,68 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def oov_rate(docs: DataFrame, vocab_k: int = 1000) -> DataFrame:
+    """Out-of-vocabulary rate per document: the share of token
+    occurrences not in the corpus's top-``vocab_k`` vocabulary — the
+    tokenizer-coverage / domain-mismatch check run before committing a
+    vocabulary size or admitting a new source.
+
+    Output: (doc_id, n_tokens, n_oov, oov_rate rounded to 6);
+    token-free docs are excluded (no occurrences to measure).
+
+    Scale: the vocabulary is the top-k aggregate of the corpus
+    (TakeOrdered — never a global sort) and broadcasts; scoring is a
+    broadcast left join over the exploded tokens plus one map-side-
+    combinable groupBy on doc_id. Like the quantile length filter,
+    this is inherently two passes over the corpus (the vocab is itself
+    a corpus aggregate); at deployment scale compute the vocab once
+    per corpus build and score batches against the artifact.
+    """
+    voc = vocab_topk(docs, vocab_k).select("token").withColumn("_in", F.lit(1))
+    tok = fan_out(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    scored = tok.join(F.broadcast(voc), on="token", how="left")
+    n_tok = F.count(F.lit(1))
+    n_oov = F.count(F.when(F.col("_in").isNull(), 1))
+    return scored.groupBy("doc_id").agg(
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        rnd(n_oov.cast("double") / n_tok.cast("double")).alias("oov_rate"),
+    )
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 5, k: int = 100,
+                       min_docs: int = 2) -> DataFrame:
+    """Span-level boilerplate detector: the ``k`` word n-grams shared
+    by the most documents (document frequency >= ``min_docs``) — the
+    cheap first pass of exact-substring dedup (Lee et al. 2022's
+    motivation): headers, footers, license blocks and template
+    sentences surface as high-df grams long before doc-level dedup
+    fires.
+
+    Output: (shingle, n_docs, example_doc_id = min doc containing it),
+    ordered (n_docs desc, shingle asc), top k.
+
+    Scale: distinct (doc, gram) pairs -> ONE map-side-combinable
+    groupBy on the gram; top-k plans TakeOrdered, never a global sort.
+    """
+    from tickdatapipeline_spark.operators.dedup import shingles
+
+    return (
+        shingles(docs, n)
+        .groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), "shingle")
+        .limit(k)
+    )
+
+
 def vocab_drift(docs_a: DataFrame, docs_b: DataFrame, k: int = 100) -> DataFrame:
     """Vocabulary drift between two corpus slices (yesterday's crawl vs
     today's, source A vs source B): for the k highest-combined-count

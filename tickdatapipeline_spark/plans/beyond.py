@@ -57,9 +57,11 @@ from tickdatapipeline_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
     TOKEN_RE,
+    boilerplate_ngrams,
     bpe_token_stats,
     fingerprint,
     lang_id,
+    oov_rate,
     pack_sequences,
     quality_score,
     source_quality_report,
@@ -1295,6 +1297,32 @@ FROM c
 """
 
 
+OOV_VOCAB_K = 20  # small vs the word-soup vocabulary so OOV hits exist
+
+OOV_RATE_SQL = f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS token
+    FROM documents
+),
+voc AS (
+    SELECT token FROM (
+        SELECT token, count(*) AS c FROM tok
+        GROUP BY token ORDER BY c DESC, token LIMIT {OOV_VOCAB_K}
+    )
+),
+scored AS (
+    SELECT t.doc_id, v.token IS NOT NULL AS inv
+    FROM tok t LEFT JOIN voc v ON t.token = v.token
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       {sql_rnd("CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS oov_rate
+FROM scored GROUP BY doc_id
+"""
+
+BOILERPLATE_K, BOILERPLATE_MIN_DOCS = 100, 2
+
 VOCAB_DRIFT_K = 100
 
 _sha = "CASE WHEN ta > 0 THEN CAST(cnt_a AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END"
@@ -1406,6 +1434,17 @@ hits AS (SELECT tg.doc_id, count(*) AS n_hit FROM tg JOIN eg USING (gh) GROUP BY
 SELECT totals.doc_id AS train_doc_id, n_grams, n_hit,
        {sql_rnd("CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)")} AS hit_frac
 FROM totals JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+# reuses the 5-gram CTE of the exact-overlap check
+BOILERPLATE_SQL = f"""
+WITH {_NGRAMS_CTE}
+SELECT g AS shingle, count(*) AS n_docs, min(doc_id) AS example_doc_id
+FROM grams
+GROUP BY g HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, shingle
+LIMIT {BOILERPLATE_K}
 """
 
 
@@ -1713,6 +1752,15 @@ def queries() -> dict[str, tuple]:
             SOURCE_REPORT_SQL,
         ),
         "docs_vocab_drift": (vocab_drift_fn, VOCAB_DRIFT_SQL),
+        "docs_oov_rate": (
+            lambda s, d: oov_rate(_docs(s, d), OOV_VOCAB_K),
+            OOV_RATE_SQL,
+        ),
+        "text_boilerplate_ngrams": (
+            lambda s, d: boilerplate_ngrams(_docs(s, d), NGRAM_N,
+                                            BOILERPLATE_K, BOILERPLATE_MIN_DOCS),
+            BOILERPLATE_SQL,
+        ),
         "docs_split_assignments": (
             lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
             SPLIT_SQL,
