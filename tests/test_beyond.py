@@ -1280,3 +1280,24 @@ def test_boilerplate_ngrams_golden(spark):
     top = rows[0]
     assert top.n_docs == 3 and top.example_doc_id == 1
     assert "rights reserved" in top.shingle or "contact us" in top.shingle
+
+
+def test_sq8_frozen_bounds_saturate_out_of_range(spark):
+    """Against a frozen deployment bounds artifact, an out-of-range
+    component must saturate at the bound (as a real uint8 store
+    would), not reconstruct near-identically; inverted bounds are
+    rejected at injection."""
+    from tickdatapipeline_spark.operators.similarity import sq8_dequantized
+
+    mn, mx = [0.0] * 64, [1.0] * 64
+    df = spark.createDataFrame(
+        [(0, [10.0] * 64), (1, [-5.0] * 64), (2, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: list(r.v) for r in sq8_dequantized(df, bounds=(mn, mx)).collect()}
+    assert out[0] == [1.0] * 64   # saturates high
+    assert out[1] == [0.0] * 64   # saturates low
+    assert abs(out[2][0] - 0.5) <= 0.5 / 255 + 1e-12
+    bad = ([1.0] * 64, [0.0] * 64)
+    with pytest.raises(ValueError, match="mn\\[i\\] <= mx\\[i\\]"):
+        sq8_dequantized(df, bounds=bad)

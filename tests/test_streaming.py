@@ -1184,12 +1184,14 @@ def test_ingest_curation_stream(spark, tmp_path):
     try:
         q.processAllAvailable()
         write_docs("b1.json", [(605, leak)])                          # verbatim
+        with open(in_dir / "b2.json", "w") as f:                      # no text field
+            f.write(json.dumps({"doc_id": 606, "lang": "en"}) + "\n")
         q.processAllAvailable()
     finally:
         q.stop()
 
     rows = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
-    assert set(rows) == {600, 601, 602, 603, 604, 605}
+    assert set(rows) == {600, 601, 602, 603, 604, 605, 606}
     assert rows[600].is_contaminated and not rows[600].keep
     assert rows[601].keep and rows[601].n_pii == 0
     assert rows[602].keep and rows[602].n_pii == 2
@@ -1199,3 +1201,6 @@ def test_ingest_curation_stream(spark, tmp_path):
     assert not rows[604].quality_ok and rows[604].n_tokens == 2
     assert rows[605].is_contaminated and rows[605].batch_id == 1
     assert rows[600].batch_id == 0
+    # missing text -> clean reject verdict, never size(NULL)=-1 garbage
+    assert (rows[606].n_pii, rows[606].n_tokens) == (0, 0)
+    assert rows[606].quality_ok is False and rows[606].keep is False

@@ -129,6 +129,8 @@ def sq8_dequantized(emb: DataFrame, levels: int = 255,
         mn_list, mx_list = bounds
         if len(mn_list) != DIM or len(mx_list) != DIM:
             raise ValueError(f"bounds must be two length-{DIM} lists")
+        if any(float(lo) > float(hi) for lo, hi in zip(mn_list, mx_list)):
+            raise ValueError("bounds must satisfy mn[i] <= mx[i] per dimension")
         bounds_df = emb.sparkSession.createDataFrame(
             [(list(map(float, mn_list)), list(map(float, mx_list)))],
             "mn array<double>, mx array<double>",
@@ -142,7 +144,16 @@ def sq8_dequantized(emb: DataFrame, levels: int = 255,
 
     def deq(x, i):
         lo, hi = F.get(F.col("mn"), i), F.get(F.col("mx"), i)
-        code = F.floor((x - lo) * F.lit(lv) / (hi - lo) + F.lit(0.5))
+        # clamp to the storable code range: with self-computed bounds
+        # this is a no-op, but against a frozen deployment artifact a
+        # new out-of-range component must SATURATE (as a real uint8
+        # store would), not reconstruct near-identically
+        code = F.least(
+            F.greatest(
+                F.floor((x - lo) * F.lit(lv) / (hi - lo) + F.lit(0.5)), F.lit(0)
+            ),
+            F.lit(int(levels)),
+        )
         return F.when(hi > lo, lo + code * (hi - lo) / F.lit(lv)).otherwise(lo)
 
     return base.crossJoin(F.broadcast(bounds_df)).select(

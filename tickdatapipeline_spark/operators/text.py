@@ -527,7 +527,10 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 5, k: int = 100,
         shingles(docs, n)
         .groupBy("shingle")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            # shingles() already deduplicated (doc, gram) pairs, so a
+            # plain count IS the doc frequency — countDistinct would
+            # re-shuffle the gram stream for nothing
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("example_doc_id"),
         )
         .where(F.col("n_docs") >= min_docs)

@@ -526,7 +526,8 @@ def _sq8_topk_sql(levels: float = 255.0) -> str:
     mx_list = "[" + ", ".join(f"max(v[{d + 1}])" for d in range(DIM)) + "]"
     deq = (
         f"list_transform(range(1, {DIM + 1}), i -> "
-        f"CASE WHEN mx[i] > mn[i] THEN mn[i] + floor((v[i] - mn[i]) * {lv} / (mx[i] - mn[i]) + {half})"
+        f"CASE WHEN mx[i] > mn[i] THEN mn[i] + "
+        f"least(greatest(floor((v[i] - mn[i]) * {lv} / (mx[i] - mn[i]) + {half}), 0), {int(levels)})"
         f" * (mx[i] - mn[i]) / {lv} ELSE mn[i] END)"
     )
     return _brute_topk_sql(

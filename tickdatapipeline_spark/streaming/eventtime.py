@@ -448,8 +448,12 @@ def run_ingest_curation(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         sp = batch_df.sparkSession
-        red = redact_pii(batch_df)
+        # a crawled line with a missing/null text field must get a clean
+        # reject verdict, not size(NULL)=-1 garbage in every count
+        red = redact_pii(batch_df.withColumn("text", F.coalesce("text", F.lit(""))))
         t = tokens(F.col("clean_text"))
         n_tok = F.size(t)
         dup = F.when(
@@ -461,28 +465,36 @@ def run_ingest_curation(
             (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
             n_tok.cast("long").alias("n_tokens"),
             rnd(dup).alias("dup_token_frac"),
-        ).withColumn(
-            "quality_ok",
-            F.col("n_tokens").between(min_tokens, max_tokens)
-            & (F.col("dup_token_frac") <= max_dup_token_frac),
+            # gate on the EXACT fraction; the rounded column is display
+            (
+                n_tok.cast("long").between(min_tokens, max_tokens)
+                & (dup <= max_dup_token_frac)
+            ).alias("quality_ok"),
         )
-        hits = contamination_against_index(
-            scored.select("doc_id", F.col("clean_text").alias("text")),
-            sp.read.parquet(f"{index_path}/bands"),
-            sp.read.parquet(f"{index_path}/shingles"),
-            threshold=threshold,
-            max_band_bucket=None,  # index is skew-capped at build time
-        )
-        contaminated = hits.select(F.col("probe_doc_id").alias("doc_id")).distinct()
-        verdicts = (
-            scored.join(
-                contaminated.withColumn("_c", F.lit(True)), on="doc_id", how="left"
+        # the contamination probe consumes `scored` three times (band
+        # table, shingles, candidate joins) and the verdicts join a
+        # fourth — persist so the regex scrub + tokenize run ONCE
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            hits = contamination_against_index(
+                scored.select("doc_id", F.col("clean_text").alias("text")),
+                sp.read.parquet(f"{index_path}/bands"),
+                sp.read.parquet(f"{index_path}/shingles"),
+                threshold=threshold,
+                max_band_bucket=None,  # index is skew-capped at build time
             )
-            .withColumn("is_contaminated", F.coalesce("_c", F.lit(False)))
-            .withColumn("keep", F.col("quality_ok") & ~F.col("is_contaminated"))
-            .drop("_c")
-        )
-        _write_batch_idempotent(verdicts, out_dir, batch_id)
+            contaminated = hits.select(F.col("probe_doc_id").alias("doc_id")).distinct()
+            verdicts = (
+                scored.join(
+                    contaminated.withColumn("_c", F.lit(True)), on="doc_id", how="left"
+                )
+                .withColumn("is_contaminated", F.coalesce("_c", F.lit(False)))
+                .withColumn("keep", F.col("quality_ok") & ~F.col("is_contaminated"))
+                .drop("_c")
+            )
+            _write_batch_idempotent(verdicts, out_dir, batch_id)
+        finally:
+            scored.unpersist()
 
     return (
         raw.writeStream.foreachBatch(_process)
