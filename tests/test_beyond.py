@@ -1301,3 +1301,42 @@ def test_sq8_frozen_bounds_saturate_out_of_range(spark):
     bad = ([1.0] * 64, [0.0] * 64)
     with pytest.raises(ValueError, match="mn\\[i\\] <= mx\\[i\\]"):
         sq8_dequantized(df, bounds=bad)
+
+
+def test_training_examples_composition(spark, tmp_path):
+    """The assembly query equals manually composing its three stages:
+    quality gate, train-split selection, packing — stage fusion must
+    not change semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.operators.text import (
+        pack_sequences, tokens, train_val_test_split,
+    )
+    from tickdatapipeline_spark.plans.beyond import (
+        PACK_BUCKETS, PACK_SEQ_LEN, SPLIT_TEST_PM, SPLIT_VAL_PM,
+        TRAIN_MAX_TOKENS, TRAIN_MIN_TOKENS, training_examples_fn,
+    )
+
+    texts = [" ".join(f"w{j}" for j in range(i % 40)) for i in range(120)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 120),
+        "source": pa.array(["s"] * 120),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "documents.parquet")
+
+    got = sorted(map(tuple, training_examples_fn(spark, str(tmp_path / "sf")).collect()))
+    docs = spark.read.parquet(str(tmp_path / "sf" / "documents.parquet"))
+    elig = docs.where(
+        F.size(tokens(F.col("text"))).between(TRAIN_MIN_TOKENS, TRAIN_MAX_TOKENS))
+    keep = {r.doc_id for r in
+            train_val_test_split(elig, SPLIT_VAL_PM, SPLIT_TEST_PM)
+            .where(F.col("split") == "train").collect()}
+    manual = sorted(map(tuple, pack_sequences(
+        elig.where(F.col("doc_id").isin(list(keep))), PACK_SEQ_LEN, PACK_BUCKETS
+    ).collect()))
+    assert got == manual and len(got) > 0

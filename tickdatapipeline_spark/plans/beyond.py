@@ -1238,16 +1238,17 @@ WHERE {sql_h60("'sample:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000 <
 TOKEN_BUDGET = 1500
 TOKEN_BUDGET_BUCKETS = 256
 
-def _hash_prefix_ctes(salt: str, n_buckets: int) -> str:
-    """base + exclusive-token-prefix CTEs shared by the token-budget
-    and pack-sequences oracles — the SQL twin of
+def _hash_prefix_ctes(salt: str, n_buckets: int, source: str = "documents") -> str:
+    """base + exclusive-token-prefix CTEs shared by the token-budget,
+    pack-sequences and training-examples oracles — the SQL twin of
     operators.text._hash_order_token_prefix (global-order equivalent
-    of the two-level bucket-prefix + within-bucket-window plan)."""
+    of the two-level bucket-prefix + within-bucket-window plan).
+    ``source`` must expose (doc_id, text)."""
     return f"""base AS (
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
            {sql_h60(f"'{salt}' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
-    FROM documents
+    FROM {source}
 ),
 pre AS (
     SELECT doc_id, n_tokens,
@@ -1397,6 +1398,55 @@ FROM (
 
 PACK_SEQ_LEN = 64
 PACK_BUCKETS = 256
+
+TRAIN_MIN_TOKENS, TRAIN_MAX_TOKENS = 5, 500
+
+
+def training_examples_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-example assembly — the composition a real
+    data pipeline runs nightly: quality gate (token-count bounds) ∘
+    train-split selection (train_val_test_split) ∘ concat-and-chunk
+    packing (pack_sequences) as ONE declarative plan. Each stage is the
+    already-gated operator; Catalyst fuses the gate and the split draw
+    into the same scan, and the pack keeps its two-level zero-
+    SinglePartition shape over the filtered corpus."""
+    from tickdatapipeline_spark.operators.text import (
+        pack_sequences,
+        tokens,
+        train_val_test_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    eligible = docs.where(
+        F.size(tokens(F.col("text"))).between(TRAIN_MIN_TOKENS, TRAIN_MAX_TOKENS)
+    )
+    split = train_val_test_split(eligible, SPLIT_VAL_PM, SPLIT_TEST_PM)
+    train_ids = split.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("_train_id")
+    )
+    train = eligible.join(
+        train_ids, eligible["doc_id"].cast("long") == F.col("_train_id")
+    ).select(eligible["doc_id"], eligible["text"])
+    return pack_sequences(train, PACK_SEQ_LEN, PACK_BUCKETS)
+
+
+TRAINING_EXAMPLES_SQL = f"""
+WITH eligible AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+    FROM documents
+    WHERE len({SQL_TOKENS}) BETWEEN {TRAIN_MIN_TOKENS} AND {TRAIN_MAX_TOKENS}
+      AND {sql_h60("'split:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000
+          >= {SPLIT_TEST_PM + SPLIT_VAL_PM}
+),
+{_hash_prefix_ctes("pack:", PACK_BUCKETS, "eligible")}
+SELECT doc_id, n_tokens,
+       p // {PACK_SEQ_LEN} AS pack_id,
+       p % {PACK_SEQ_LEN} AS pack_offset,
+       (p + n_tokens - 1) // {PACK_SEQ_LEN} - p // {PACK_SEQ_LEN} + 1 AS n_packs
+FROM pre
+WHERE n_tokens > 0
+"""
+
 
 # integer pack arithmetic over the shared exclusive prefix
 PACK_SEQUENCES_SQL = f"""
@@ -1771,6 +1821,7 @@ def queries() -> dict[str, tuple]:
             PACK_SEQUENCES_SQL,
         ),
         "dedup_ngram_overlap": (ngram_overlap_fn, NGRAM_OVERLAP_SQL),
+        "docs_training_examples": (training_examples_fn, TRAINING_EXAMPLES_SQL),
         "text_pii_redaction": (pii_redaction_fn, _pii_redaction_sql()),
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "events_user_journeys": (user_journeys_fn, USER_JOURNEYS_SQL),
