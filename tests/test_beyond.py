@@ -912,6 +912,48 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Sliding-window chunking: chunks advance by stride, interior
+    chunks are exactly `window` tokens, the final chunk reaches the end
+    of the doc (never empty), consecutive chunks overlap by
+    window - stride tokens, and empty docs yield no chunks."""
+    import pytest as _pytest
+
+    from tickdatapipeline_spark.operators.text import chunk_windows
+
+    texts = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23)), "en")
+             for i in range(30)]  # includes empty docs and n < window docs
+    d = docs_df(spark, texts)
+    window, stride = 8, 5
+    rows = chunk_windows(d, window=window, stride=stride).collect()
+    ntok = {i: (i * 7) % 23 for i, _t, _l in texts}
+    assert {r.doc_id for r in rows} == {i for i, n in ntok.items() if n > 0}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        n = ntok[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_idx * stride
+            assert c.chunk_len == min(window, n - c.chunk_start)
+            assert c.chunk_len >= 1
+            toks = c.chunk_text.split(" ")
+            assert len(toks) == c.chunk_len
+            assert toks[0] == f"w{c.chunk_start}"
+            assert toks[-1] == f"w{c.chunk_start + c.chunk_len - 1}"
+        last = chunks[-1]
+        assert last.chunk_start + last.chunk_len == n  # reaches the end
+        if n > window:  # interior chunks are full-width; overlap is fixed
+            assert all(c.chunk_len == window for c in chunks[:-1])
+            assert len(chunks) == 1 + -(-(n - window) // stride)
+        else:
+            assert len(chunks) == 1
+    with _pytest.raises(ValueError):
+        chunk_windows(d, window=4, stride=5)
+
+
 def test_ngram_overlap_golden(spark):
     """Exact verbatim overlap: only train docs sharing a full n-gram
     with the eval corpus appear; counts are distinct-gram exact."""

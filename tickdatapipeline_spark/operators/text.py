@@ -297,6 +297,54 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128, n_buckets: int = 256,
     )
 
 
+def chunk_windows(docs: DataFrame, window: int = 64,
+                  stride: int = 48) -> DataFrame:
+    """Sliding-window document chunking: cut each document's token
+    stream into overlapping ``window``-token chunks advancing by
+    ``stride`` tokens — the RAG-indexing / long-doc-pretraining step
+    that turns whole documents into retrievable or trainable pieces
+    with ``window - stride`` tokens of overlap for context continuity.
+
+    Chunk count per doc is 1 + ceil(max(0, n - window) / stride), so
+    every token is covered and the final chunk always reaches the end
+    of the document (it may be shorter than ``window``; it is never
+    empty). Empty documents yield no chunks.
+
+    Scale: tokenize + explode is pure map-side JVM (whole-stage
+    codegen, no shuffle, no Python) — each input split fans out to its
+    own chunks independently, so the operator scales linearly with
+    corpus bytes and parallelizes to any partition count. Output rows
+    ≈ corpus_tokens / stride.
+
+    Output: (doc_id, chunk_idx, chunk_start, chunk_len, chunk_text).
+    """
+    if not 0 < stride <= window:
+        raise ValueError("require 0 < stride <= window")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens(F.col("text")).alias("t"),
+    ).withColumn("n", F.size("t").cast("long")).where(F.col("n") > 0)
+    # ceil on non-negative ints only: DIV (truncating) == floor division
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(0L, n - {window}) + {stride - 1}) DIV {stride}"
+    )
+    start = (F.col("chunk_idx") * stride).cast("long")
+    return (
+        base.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("chunk_start"),
+            F.least(F.lit(window).cast("long"), F.col("n") - start).alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("t"), (start + 1).cast("int"), window), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def repetition_score(docs: DataFrame) -> DataFrame:
     """Per-document repetition metrics — the Gopher-style quality rules
     that catch boilerplate/spam (Rae et al. 2021 §A1.1 family):

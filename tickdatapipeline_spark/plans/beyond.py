@@ -59,6 +59,7 @@ from tickdatapipeline_spark.operators.text import (
     TOKEN_RE,
     boilerplate_ngrams,
     bpe_token_stats,
+    chunk_windows,
     fingerprint,
     lang_id,
     oov_rate,
@@ -1459,6 +1460,30 @@ FROM pre
 WHERE n_tokens > 0
 """
 
+CHUNK_WINDOW = 24
+CHUNK_STRIDE = 16
+
+CHUNK_WINDOWS_SQL = f"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, t, CAST(len(t) AS BIGINT) AS n
+    FROM (SELECT doc_id, {SQL_TOKENS} AS t FROM documents)
+    WHERE len(t) > 0
+),
+c AS (
+    SELECT doc_id, t, n,
+           unnest(range(0, 1 + (greatest(0, n - {CHUNK_WINDOW}) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS chunk_idx
+    FROM b
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(least({CHUNK_WINDOW}, n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT) AS chunk_len,
+       array_to_string(
+           list_slice(t, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+                      CAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_WINDOW} AS INTEGER)),
+           ' ') AS chunk_text
+FROM c
+"""
+
 NGRAM_N = 5
 
 # word n-grams CTE shared by both sides of the exact-overlap check
@@ -1815,6 +1840,10 @@ def queries() -> dict[str, tuple]:
         "docs_split_assignments": (
             lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
             SPLIT_SQL,
+        ),
+        "docs_chunk_windows": (
+            lambda s, d: chunk_windows(_docs(s, d), CHUNK_WINDOW, CHUNK_STRIDE),
+            CHUNK_WINDOWS_SQL,
         ),
         "docs_pack_sequences": (
             lambda s, d: pack_sequences(_docs(s, d), PACK_SEQ_LEN, PACK_BUCKETS),
