@@ -140,6 +140,33 @@ def test_dimension_joins_broadcast(spark):
     # decision is Catalyst's, which is the point)
     assert plan.count("BroadcastHashJoin") >= 3
 
+def test_late_order_priority_plans_semi_join(spark):
+    """R17 (Q4 EXISTS shape) must plan a LEFT SEMI join — one pass,
+    no fan-out — rather than an inner join followed by a dedup
+    aggregate, and the year filter must push down to the orders scan."""
+    from tickdatapipeline_spark.plans.relational import r17_fn
+
+    df = r17_fn(spark, SF)
+    plan = physical(df)
+    assert "LeftSemi" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Join") == 1  # no dedup join/aggregate added
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_small_qty_parts_prunes_lineitem_columns(spark):
+    """R16 (Q17 shape) reads only the three lineitem columns it needs —
+    the self-agg threshold join must not widen the fact scan."""
+    from tickdatapipeline_spark.plans.relational import r16_fn
+
+    plan = physical(r16_fn(spark, SF))
+    for frag in plan.split("ReadSchema: ")[1:]:
+        schema = frag.split("\n")[0]
+        if "l_partkey" in schema:
+            assert "l_comment" not in schema
+            assert schema.count(",") <= 2  # l_partkey, l_quantity, l_extendedprice
+
+
 def test_single_stream_two_pass_has_no_single_partition(spark):
     """SURVEY §4 item 1: above the size cutover the single-stream
     flagship chain takes the chunked two-pass formulation and must plan

@@ -520,6 +520,136 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
 """
 
 
+# ---- R16: small-quantity revenue loss (TPC-H Q17 shape) ----
+
+
+def r16_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand yearly revenue that would be lost by dropping
+    small-quantity line items (quantity below 20% of the part's average
+    order quantity) — the TPC-H Q17 shape: a fact-table aggregate joined
+    back against the fact table as a per-key scalar threshold.
+
+    Cross-engine exactness: the 0.2x-average comparison is pure integer
+    algebra — qty < 0.2 * (sum_qty / n) is evaluated as
+    5 * qty_c * n < sum_qty_c with BIGINT cents, so no float threshold
+    crosses the engines; the final division on identical BIGINT sums is
+    one IEEE op per row.
+
+    Scale: the per-part stats groupBy is map-side combinable and
+    shuffles on l_partkey; the threshold join is a self equi-join on the
+    SAME key, so AQE plans it against the just-shuffled stats side (at
+    sf0.01 it broadcasts; at 100 TB both sides co-partition on
+    l_partkey with no extra exchange for the fact side). The part
+    dimension joins on p_partkey AFTER the filter has cut the fact rows
+    ~20x; the final per-brand rollup is |brands| rows.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _cents(F.col("l_quantity")).alias("qty_c"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum("qty_c").alias("sum_qty_c"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = li.join(stats, on="l_partkey").where(
+        F.col("qty_c") * 5 * F.col("n_li") < F.col("sum_qty_c")
+    )
+    return (
+        small.join(part, small["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            (F.sum("price_c") / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_li"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+R16_SQL = f"""
+WITH li AS (
+    SELECT l_partkey,
+           {_CENTS.format(x='l_quantity')} AS qty_c,
+           {_CENTS.format(x='l_extendedprice')} AS price_c
+    FROM lineitem
+),
+stats AS (
+    SELECT l_partkey, count(*) AS n_li,
+           CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+    FROM li GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(sum(price_c) AS BIGINT) / 100.0 / 7.0 AS avg_yearly,
+       count(*) AS n_small_li
+FROM li
+JOIN stats USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE qty_c * 5 * n_li < sum_qty_c
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---- R17: late-delivery order priority check (TPC-H Q4 shape) ----
+
+R17_LO = "1996-01-01"
+R17_HI = "1996-12-31"
+R17_LATE_DAYS = 45
+
+
+def r17_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority in one year that contain at least one
+    slow-shipping line item (shipped more than R17_LATE_DAYS days after
+    the order date) — the TPC-H Q4 EXISTS shape, the one classic join
+    mode the relational surface didn't yet exercise: a LEFT SEMI join
+    with a correlated non-equi term (existence test, no fan-out, so no
+    dedup pass afterwards). The synthetic lineitem carries no
+    commit/receipt dates, so lateness is ship lag vs the order date.
+
+    Dates compare as epoch-day integers on both engines (the fixture
+    timestamps are midnight-aligned; Spark datediff truncates to DATE
+    exactly like DuckDB's date_diff('day', ...) boundary count).
+
+    Scale: the order-side year filter prunes at the parquet scan; the
+    semi join shuffles both sides on the order key and emits each order
+    at most once, so the priority rollup is |priorities| rows. A plain
+    inner join + distinct would shuffle the same data twice; the semi
+    join is the single-pass formulation.
+    """
+    day = lambda c: F.datediff(c, F.lit("1970-01-01")).cast("long")  # noqa: E731
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= R17_LO) & (F.col("o_orderdate") <= R17_HI)
+    ).select("o_orderkey", "o_orderpriority", day(F.col("o_orderdate")).alias("o_day"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", day(F.col("l_shipdate")).alias("l_day")
+    )
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_day"] - orders["o_day"] > R17_LATE_DAYS
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+R17_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{R17_LO} 00:00:00'
+  AND o_orderdate <= TIMESTAMP '{R17_HI} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND date_diff('day', DATE '1970-01-01', l_shipdate)
+                    - date_diff('day', DATE '1970-01-01', o_orderdate)
+                    > {R17_LATE_DAYS})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -537,4 +667,6 @@ def queries() -> dict[str, tuple]:
         "rel_customer_running_spend": (r13_fn, R13_SQL),
         "rel_nation_gap_full_outer": (r14_fn, R14_SQL),
         "rel_customer_trailing_spend": (r15_fn, R15_SQL),
+        "rel_small_qty_parts": (r16_fn, R16_SQL),
+        "rel_late_order_priority": (r17_fn, R17_SQL),
     }
