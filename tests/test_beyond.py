@@ -775,6 +775,35 @@ def test_ivf_kmeans_recall(spark):
     assert recall >= 0.4, f"kmeans-IVF recall@5 = {recall:.2f}"
 
 
+def test_hourly_gapfill_golden(spark):
+    """Engineered gaps: missing hours appear with zero counts, the last
+    observed hourly average carries forward across the gap, and hours
+    before a type's first observation stay NULL."""
+    from tickdatapipeline_spark.plans.beyond import hourly_gapfill
+
+    HN = 3600 * 1_000_000_000  # one hour in nanos
+    rows = [
+        # type a: hours 0 and 3 observed; 1-2 are gaps
+        (0 * HN, "a", 2.0), (0 * HN + 5, "a", 4.0),   # hour 0: avg 3.00
+        (3 * HN, "a", 10.0),                          # hour 3: avg 10.00
+        # type b: first observation at hour 2 -> hours 0-1 lead with NULL
+        (2 * HN, "b", 7.5),
+    ]
+    ev = spark.createDataFrame(rows, "ts long, event_type string, value double")
+    out = {(r.hour_s // 3600, r.event_type): r
+           for r in hourly_gapfill(ev).collect()}
+    assert len(out) == 8  # 4 hours x 2 types: dense grid
+    assert out[(0, "a")].n_events == 2 and out[(0, "a")].sum_value == 6.0
+    assert out[(1, "a")].n_events == 0 and out[(1, "a")].sum_value == 0.0
+    assert out[(1, "a")].ffill_avg_value == 3.0     # carried across the gap
+    assert out[(2, "a")].ffill_avg_value == 3.0
+    assert out[(3, "a")].ffill_avg_value == 10.0    # new observation resets
+    assert out[(0, "b")].ffill_avg_value is None    # before first observation
+    assert out[(1, "b")].ffill_avg_value is None
+    assert out[(2, "b")].ffill_avg_value == 7.5
+    assert out[(3, "b")].n_events == 0 and out[(3, "b")].ffill_avg_value == 7.5
+
+
 def test_event_funnel_golden(spark):
     """Hand-computed funnel: stage entry must be strictly after the
     previous stage's entry and within the conversion window; the first

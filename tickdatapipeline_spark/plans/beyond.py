@@ -752,6 +752,83 @@ FROM events
 GROUP BY 1, 2
 """
 
+def hourly_gapfill(ev: DataFrame) -> DataFrame:
+    """Resample events onto a dense hourly grid per event type —
+    hours with no events appear with zero counts, and the last observed
+    hourly average value carries forward (the time-series gap-fill /
+    regularization step dashboards and feature pipelines need before
+    treating event data as an evenly spaced series). Input: an
+    events-shaped frame with ts (epoch nanos), event_type, value.
+
+    Cross-engine exactness: the grid is integer epoch-hour math; counts
+    and value sums are exact BIGINT cents; the forward-filled average is
+    derived from identical integers (one division) and rounded with the
+    shared rnd policy. Hours before a type's first observation stay
+    NULL (nothing to carry).
+
+    Scale: the hourly aggregate reduces the raw stream map-side first;
+    the grid frame is hours x types built from a 1-row bounds aggregate
+    (sequence + explode — never a driver loop) cross-joined with the
+    tiny distinct-types frame, so grid size is O(hours * |types|)
+    regardless of event volume. The forward-fill window partitions by
+    event_type over grid rows only (~10^4-10^5 rows/type even at
+    decade spans) — never over raw events.
+    """
+    from pyspark.sql import Window
+    hour = F.expr("(ts DIV 1000000000 DIV 3600) * 3600")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    with_h = ev.select(hour.alias("hour_s"), "event_type", vc.alias("vc"))
+    hourly = with_h.groupBy("hour_s", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("vc").alias("sum_vc")
+    )
+    bounds = with_h.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("long"))).alias("hour_s")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    w = Window.partitionBy("event_type").orderBy("hour_s")
+    avg_obs = F.col("sum_vc").cast("double") / F.col("n_events")
+    return (
+        grid.join(hourly, ["hour_s", "event_type"], "left")
+        .select(
+            "hour_s",
+            "event_type",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            (F.coalesce("sum_vc", F.lit(0).cast("long")) / 100.0).alias("sum_value"),
+            rnd(F.last(avg_obs, ignorenulls=True).over(w) / 100.0).alias("ffill_avg_value"),
+        )
+    )
+
+
+def hourly_gapfill_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_gapfill(read_events(spark, sf_dir))
+
+
+HOURLY_GAPFILL_SQL = f"""
+WITH e AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+    FROM events
+),
+hourly AS (
+    SELECT hour_s, event_type, count(*) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS sum_vc
+    FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+hours AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds),
+grid AS (SELECT hour_s, event_type
+         FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events))
+SELECT g.hour_s, g.event_type,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(sum_vc, 0) / 100.0 AS sum_value,
+       {sql_rnd("last_value(CAST(sum_vc AS DOUBLE) / n_events IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.hour_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0")} AS ffill_avg_value
+FROM grid g
+LEFT JOIN hourly h ON g.hour_s = h.hour_s AND g.event_type = h.event_type
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1894,6 +1971,7 @@ def queries() -> dict[str, tuple]:
         "ema_state": (ema_state_fn, None),  # rows-only: true recurrence
         "asof_join_events": (asof_fn, ASOF_SQL),
         "events_windowed_hourly": (windowed_events_fn, WINDOWED_EVENTS_SQL),
+        "events_hourly_gapfill": (hourly_gapfill_fn, HOURLY_GAPFILL_SQL),
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
