@@ -941,6 +941,43 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+def test_mixture_sample_rates_and_epochs(spark):
+    """Weighted mixing: epoch counts follow the closed-form admission
+    rule, full epochs contain the whole source, untargeted sources are
+    dropped, and the draw is deterministic with salt redraw."""
+    from tickdatapipeline_spark.operators.text import h60, mixture_sample
+
+    rows = []
+    for i in range(40):
+        src = f"s{i % 4}"  # s0..s3, 10 docs each, 5 tokens per doc
+        rows.append((i, "tok " * 5, "en", src))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    targets = {"s0": 500, "s1": 100}  # s2/s3 dropped
+    budget = 200  # s0: rate_pm = 100*500/50 = 2000 (2 epochs exactly)
+    #              s1: rate_pm = 200*100/50 = 400 (fractional)
+    out = mixture_sample(d, targets, budget).collect()
+    assert {r.source for r in out} == {"s0", "s1"}
+    s0 = [r for r in out if r.source == "s0"]
+    # rate_pm 2000: every doc admitted in exactly epochs 0 and 1
+    assert sorted((r.doc_id, r.epoch) for r in s0) == sorted(
+        (i, e) for i in range(0, 40, 4) for e in (0, 1)
+    )
+    # s1 rate_pm 400: admitted iff h60('mix:'||id) % 1000 < 400, epoch 0 only
+    import hashlib
+
+    def draw(doc_id):
+        return int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[17:], 16) % 1000
+
+    s1 = sorted(r.doc_id for r in out if r.source == "s1")
+    assert all(r.epoch == 0 for r in out if r.source == "s1")
+    assert s1 == [i for i in range(1, 40, 4) if draw(i) < 400]
+    # determinism + salt redraw
+    again = mixture_sample(d, targets, budget).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = mixture_sample(d, targets, budget, salt="mix2:").collect()
+    assert {r.doc_id for r in other if r.source == "s1"} != set(s1) or len(s1) in (0, 10)
+
+
 def test_chunk_windows_coverage_and_overlap(spark):
     """Sliding-window chunking: chunks advance by stride, interior
     chunks are exactly `window` tokens, the final chunk reaches the end

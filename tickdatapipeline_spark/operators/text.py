@@ -297,6 +297,64 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128, n_buckets: int = 256,
     )
 
 
+def mixture_sample(docs: DataFrame, targets: dict[str, int], budget: int,
+                   salt: str = "mix:") -> DataFrame:
+    """Weighted corpus mixing: draw a ``budget``-token training mix
+    whose per-source token shares match ``targets`` (source ->
+    permille of the budget), upsampling scarce sources by repeating
+    them across epochs — the Pile/Dolma-style "mix sources at fixed
+    weights" step of training-data assembly. Sources absent from
+    ``targets`` (or with share 0) are dropped.
+
+    Per source s: rate_pm = (budget * share_pm[s]) DIV avail_tokens[s]
+    (a per-mille sampling rate; > 1000 means the whole source repeats).
+    A document with draw h_pm = h60(salt||doc_id) % 1000 is admitted in
+    every epoch e >= 0 with e*1000 + h_pm < rate_pm, so the expected
+    admitted token mass is avail * rate_pm / 1000 ~ the source's budget
+    share, and full epochs contain the entire source (deterministic:
+    hash draws, not rand(); a new salt redraws the fractional epoch).
+
+    Scale: one map-side-combinable per-source aggregate (|sources|
+    rows) broadcast back over the corpus; admission + epoch fan-out is
+    map-side explode. Pure integer arithmetic (exact for budgets to
+    ~9e15 tokens at permille shares).
+
+    Output: (doc_id, source, epoch, n_tokens).
+    """
+    share_pm = F.lit(0)
+    for src, pm in sorted(targets.items()):
+        share_pm = F.when(F.col("source") == src, F.lit(pm)).otherwise(share_pm)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (salted_doc_hash(salt) % 1000).alias("h_pm"),
+        share_pm.alias("share_pm"),
+    )
+    avail = base.groupBy("source").agg(F.sum("n_tokens").alias("avail_tokens"))
+    return (
+        base.join(F.broadcast(avail), on="source")
+        .where((F.col("share_pm") > 0) & (F.col("avail_tokens") > 0))
+        .withColumn(
+            "rate_pm", F.expr(f"({budget}L * share_pm) DIV avail_tokens")
+        )
+        .withColumn(
+            "n_epochs",
+            F.greatest(F.lit(0).cast("long"),
+                       F.expr("(rate_pm - h_pm + 999) DIV 1000")),
+        )
+        .where(F.col("n_epochs") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_epochs") - 1)
+            ).alias("epoch"),
+            "n_tokens",
+        )
+    )
+
+
 def chunk_windows(docs: DataFrame, window: int = 64,
                   stride: int = 48) -> DataFrame:
     """Sliding-window document chunking: cut each document's token

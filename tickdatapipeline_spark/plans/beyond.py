@@ -62,6 +62,7 @@ from tickdatapipeline_spark.operators.text import (
     chunk_windows,
     fingerprint,
     lang_id,
+    mixture_sample,
     oov_rate,
     pack_sequences,
     quality_score,
@@ -1537,6 +1538,37 @@ FROM pre
 WHERE n_tokens > 0
 """
 
+MIX_TARGETS = {"src0": 250, "src1": 400, "src2": 250, "src3": 100}
+MIX_BUDGET = 12_000  # tokens; > src1's availability at its share -> epochs > 1
+
+_MIX_SHARE_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {pm}" for s, pm in sorted(MIX_TARGETS.items())
+) + " ELSE 0 END"
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           {sql_h60("'mix:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} % 1000 AS h_pm,
+           {_MIX_SHARE_CASE} AS share_pm
+    FROM documents
+),
+avail AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+    FROM base GROUP BY source
+),
+r AS (
+    SELECT b.doc_id, b.source, b.n_tokens, b.h_pm,
+           ({MIX_BUDGET} * b.share_pm) // a.avail_tokens AS rate_pm
+    FROM base b JOIN avail a USING (source)
+    WHERE b.share_pm > 0 AND a.avail_tokens > 0
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens
+FROM (SELECT doc_id, source, n_tokens,
+             unnest(range(0, greatest(0, (rate_pm - h_pm + 999) // 1000))) AS epoch
+      FROM r)
+"""
+
 CHUNK_WINDOW = 24
 CHUNK_STRIDE = 16
 
@@ -1917,6 +1949,10 @@ def queries() -> dict[str, tuple]:
         "docs_split_assignments": (
             lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
             SPLIT_SQL,
+        ),
+        "docs_mixture_sample": (
+            lambda s, d: mixture_sample(_docs(s, d), MIX_TARGETS, MIX_BUDGET),
+            MIXTURE_SAMPLE_SQL,
         ),
         "docs_chunk_windows": (
             lambda s, d: chunk_windows(_docs(s, d), CHUNK_WINDOW, CHUNK_STRIDE),
