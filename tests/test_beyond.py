@@ -775,6 +775,33 @@ def test_ivf_kmeans_recall(spark):
     assert recall >= 0.4, f"kmeans-IVF recall@5 = {recall:.2f}"
 
 
+def test_rolling_corr_golden(spark):
+    """Perfectly correlated, anti-correlated and constant count series
+    produce corr 1, -1 and NULL; missing hours zero-fill into the
+    window."""
+    from tickdatapipeline_spark.plans.beyond import rolling_corr
+
+    HN = 3600 * 1_000_000_000
+    rows = []
+    # hours 0-3: views = [1, 2, 3, 4]; clicks = 2*views (corr -> +1)
+    for h, v in enumerate([1, 2, 3, 4]):
+        rows += [(h * HN, "view", 0.0)] * v + [(h * HN, "click", 0.0)] * (2 * v)
+    # hours 4-5: views [3, 1], clicks [1, 3] with hour 6 EMPTY (gap)
+    rows += [(4 * HN, "view", 0.0)] * 3 + [(4 * HN, "click", 0.0)]
+    rows += [(5 * HN, "view", 0.0)] + [(5 * HN, "click", 0.0)] * 3
+    rows += [(6 * HN + 1, "error", 0.0)]  # keeps hour 6 on the grid, 0 views
+    ev = spark.createDataFrame(rows, "ts long, event_type string, value double")
+    out = {r.hour_s // 3600: r for r in rolling_corr(ev, window_h=2).collect()}
+    assert len(out) == 7
+    assert out[0].corr_24h is None            # single hour: zero variance
+    assert out[1].corr_24h == 1.0             # (1,2) vs (2,4)
+    assert out[3].corr_24h == 1.0
+    assert out[5].corr_24h == -1.0            # (3,1) vs (1,3)
+    assert out[6].sum_x == 1 and out[6].sum_y == 3  # gap hour zero-fills
+    assert out[6].corr_24h == 1.0             # (1,0) vs (3,0)
+    assert out[2].n_hours == 2
+
+
 def test_hourly_gapfill_golden(spark):
     """Engineered gaps: missing hours appear with zero counts, the last
     observed hourly average carries forward across the gap, and hours

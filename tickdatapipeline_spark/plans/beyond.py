@@ -830,6 +830,158 @@ LEFT JOIN hourly h ON g.hour_s = h.hour_s AND g.event_type = h.event_type
 """
 
 
+CORR_X_TYPE = "view"
+CORR_Y_TYPE = "click"
+CORR_WINDOW_H = 24
+
+
+def rolling_corr(ev: DataFrame, window_h: int = CORR_WINDOW_H) -> DataFrame:
+    """Trailing 24-hour Pearson correlation between the hourly counts
+    of two event types (view vs click) — the 'do these two activity
+    series move together' monitoring query over event streams.
+
+    Cross-engine exactness: hourly counts are exact integers on a dense
+    zero-filled grid; the correlation is derived from the five windowed
+    INTEGER sums (n, Sx, Sy, Sxy, Sxx, Syy) via the textbook closed
+    form, so the only float ops are one subtraction-product chain, two
+    sqrts and a division on identical integers — then the shared rnd
+    policy. Zero-variance windows yield NULL.
+
+    Scale: the raw stream reduces to one map-side-combinable hourly
+    aggregate first; every windowed quantity runs over GRID rows only
+    (O(hours) — ~9 K/year, bounded regardless of event volume), so the
+    global-order window is a post-aggregate micro-frame, not a stream
+    sort. Counts here bound the int64 cross-moments to ~10^9
+    events/hour; past that, pre-scale the counts.
+    """
+    from pyspark.sql import Window
+
+    hour = F.expr("(ts DIV 1000000000 DIV 3600) * 3600")
+    hourly = ev.groupBy(hour.alias("hour_s")).agg(
+        F.sum(F.when(F.col("event_type") == CORR_X_TYPE, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == CORR_Y_TYPE, 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    bounds = ev.select(hour.alias("h")).agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("long"))).alias("hour_s")
+    )
+    g = hours.join(hourly, on="hour_s", how="left").select(
+        "hour_s",
+        F.coalesce("x", F.lit(0).cast("long")).alias("x"),
+        F.coalesce("y", F.lit(0).cast("long")).alias("y"),
+    )
+    w = Window.orderBy("hour_s").rowsBetween(-(window_h - 1), 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    corr = F.when((dx > 0) & (dy > 0), rnd(num / (F.sqrt(dx) * F.sqrt(dy))))
+    return g.select(
+        "hour_s",
+        n.alias("n_hours"),
+        sx.alias("sum_x"),
+        sy.alias("sum_y"),
+        corr.alias("corr_24h"),
+    )
+
+
+def rolling_corr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_corr(read_events(spark, sf_dir))
+
+
+ROLLING_CORR_SQL = f"""
+WITH e AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type
+    FROM events
+),
+hourly AS (
+    SELECT hour_s,
+           CAST(sum(CASE WHEN event_type = '{CORR_X_TYPE}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = '{CORR_Y_TYPE}' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM e GROUP BY 1
+),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+g AS (
+    SELECT h.hour_s, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+    FROM (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds) h
+    LEFT JOIN hourly USING (hour_s)
+),
+m AS (
+    SELECT hour_s,
+           count(*) OVER w AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(y) OVER w AS BIGINT) AS sy,
+           CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(sum(y * y) OVER w AS BIGINT) AS syy
+    FROM g
+    WINDOW w AS (ORDER BY hour_s
+                 ROWS BETWEEN {CORR_WINDOW_H - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hour_s, n AS n_hours, sx AS sum_x, sy AS sum_y,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN {sql_rnd("CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")}
+       END AS corr_24h
+FROM m
+"""
+
+
+def distinct_users_daily_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily active users — count(DISTINCT user_id) per epoch day.
+
+    Scale: Catalyst expands the distinct count into a two-phase plan
+    (partial distinct on (day, user) map-side, then a count per day),
+    so the shuffle carries deduplicated pairs — the formulation that
+    survives billions of events/day. The HLL sketch swap for
+    cardinalities where even the pair shuffle is too wide is the
+    `events_distinct_users_daily_approx` registry twin (rows-only, like
+    the q2 percentile twins: sketches aren't cross-engine
+    reproducible).
+    """
+    ev = read_events(spark, sf_dir)
+    day = F.expr("(ts DIV 1000000000 DIV 86400) * 86400")
+    return (
+        ev.groupBy(day.alias("day_s"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def distinct_users_daily_approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ twin of distinct_users_daily: mergeable sketch, map-side
+    combinable, no pair shuffle — the at-scale swap (rows-only check:
+    sketch estimates aren't reproducible across engines)."""
+    ev = read_events(spark, sf_dir)
+    day = F.expr("(ts DIV 1000000000 DIV 86400) * 86400")
+    return (
+        ev.groupBy(day.alias("day_s"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day_s,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -2008,6 +2160,9 @@ def queries() -> dict[str, tuple]:
         "asof_join_events": (asof_fn, ASOF_SQL),
         "events_windowed_hourly": (windowed_events_fn, WINDOWED_EVENTS_SQL),
         "events_hourly_gapfill": (hourly_gapfill_fn, HOURLY_GAPFILL_SQL),
+        "events_rolling_corr": (rolling_corr_fn, ROLLING_CORR_SQL),
+        "events_distinct_users_daily": (distinct_users_daily_fn, DISTINCT_USERS_SQL),
+        "events_distinct_users_daily_approx": (distinct_users_daily_approx_fn, None),
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
