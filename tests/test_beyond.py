@@ -610,6 +610,27 @@ def test_token_budget_sample_matches_naive_order(spark):
     assert len(first) == 1 and first[0].doc_id == order[0]
 
 
+def test_label_centroid_cosine_golden(spark):
+    """Known group geometry: aligned centroids give cosine 1, orthogonal
+    0, opposite -1; unordered pairs appear once with label_a < label_b."""
+    from tickdatapipeline_spark.operators.similarity import label_centroid_cosine
+
+    rows = (
+        [(i, [1.0, 0.0], 0) for i in range(3)]          # centroid +e1
+        + [(10 + i, [0.0, 1.0], 1) for i in range(2)]   # centroid +e2
+        + [(20 + i, [2.0, 0.0], 2) for i in range(4)]   # +e1 again (scaled)
+        + [(30, [-1.0, 0.0], 3)]                        # -e1
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {(r.label_a, r.label_b): r for r in label_centroid_cosine(emb).collect()}
+    assert set(out) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    assert out[(0, 2)].cosine == 1.0    # same direction, different scale/count
+    assert out[(0, 1)].cosine == 0.0
+    assert out[(0, 3)].cosine == -1.0
+    assert out[(1, 3)].cosine == 0.0
+    assert (out[(0, 2)].n_a, out[(0, 2)].n_b) == (3, 4)
+
+
 def test_embedding_outliers_golden(spark):
     """The far-from-centroid vector ranks first with an exactly
     computable integer distance; top-N plans TakeOrdered (no global

@@ -433,6 +433,61 @@ def embedding_outliers(emb: DataFrame, top_n: int = 50, q: int = OUTLIER_Q) -> D
     )
 
 
+def label_centroid_cosine(emb: DataFrame, q: int = OUTLIER_Q) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid embeddings
+    — the 'how close are these groups in embedding space' map behind
+    cluster audits, source-similarity dashboards and label-collapse
+    checks.
+
+    Exactness: vectors quantize to Q20 integers; per-(label, dim)
+    INTEGER sums are order-independent, and cosine is scale-invariant,
+    so the un-normalized sum vector stands in for the centroid exactly
+    (the 1/n factors cancel) — no float accumulation ever crosses rows.
+    The final cosine folds the two identical integer-sum arrays in a
+    fixed left-to-right order (the shared _dot policy) and rounds.
+
+    Scale: ONE posexplode groupBy on (label, dim) — |labels| x DIM
+    aggregate rows — collapsed back to per-label arrays; the pairwise
+    stage is a broadcast self-join over |labels| rows (groups, not
+    vectors: |labels|^2 pairs is dashboard-sized at any corpus scale).
+
+    Output: (label_a, label_b, n_a, n_b, cosine), label_a < label_b.
+    """
+    base = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+        ).alias("vq"),
+    )
+    sums = (
+        base.select("label", F.posexplode("vq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sx"))),
+                lambda s: s["sx"].cast("double"),
+            ).alias("s"),
+            F.max("n").alias("n"),
+        )
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), F.col("s").alias("sa"), F.col("n").alias("n_a")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), F.col("s").alias("sb"), F.col("n").alias("n_b")
+    )
+    cos = rnd(
+        _dot(F.col("sa"), F.col("sb")) / (_norm(F.col("sa")) * _norm(F.col("sb"))), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", "n_a", "n_b", cos.alias("cosine"))
+    )
+
+
 def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     """Bucket-restricted cosine top-k: same contract as cosine_topk but
     only neighbors sharing the query's LSH bucket are scored (recall<1,

@@ -51,6 +51,7 @@ from tickdatapipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     embedding_outliers,
+    label_centroid_cosine,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
@@ -1910,6 +1911,36 @@ WHERE n_tokens BETWEEN lo AND hi
 
 OUTLIER_TOP_N = 50
 
+def _label_centroid_cosine_sql() -> str:
+    from tickdatapipeline_spark.operators.similarity import OUTLIER_Q
+
+    dot = SQL_DOT.format(a="a.s", b="b.s")
+    na = SQL_NORM.format(a="a.s")
+    nb = SQL_NORM.format(a="b.s")
+    return f"""
+WITH base AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           list_transform({SQL_VEC},
+                          x -> CAST(floor(x * {OUTLIER_Q} + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+),
+dims AS (
+    SELECT label, i AS pos, CAST(sum(vq[i]) AS BIGINT) AS sx, count(*) AS n
+    FROM base
+    CROSS JOIN (SELECT unnest(range(1, len((SELECT vq FROM base LIMIT 1)) + 1)) AS i)
+    GROUP BY label, i
+),
+sums AS (
+    SELECT label, list(CAST(sx AS DOUBLE) ORDER BY pos) AS s, max(n) AS n
+    FROM dims GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b,
+       {sql_rnd(f"({dot}) / ({na} * {nb})")} AS cosine
+FROM sums a JOIN sums b ON a.label < b.label
+"""
+
+
 def _embedding_outliers_sql() -> str:
     from tickdatapipeline_spark.operators.similarity import OUTLIER_Q
 
@@ -2060,6 +2091,10 @@ def queries() -> dict[str, tuple]:
                 max_band_bucket=None,
             ),
             DECONTAMINATE_SQL,
+        ),
+        "sim_label_centroid_cosine": (
+            lambda s, d: label_centroid_cosine(_emb(s, d)),
+            _label_centroid_cosine_sql(),
         ),
         "sim_embedding_outliers": (
             lambda s, d: embedding_outliers(_emb(s, d), OUTLIER_TOP_N),
