@@ -989,6 +989,31 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+def test_snapshot_diff_statuses(spark):
+    """All four statuses from engineered snapshots; whitespace-only
+    edits are NOT changes (shared normalized fingerprint)."""
+    from tickdatapipeline_spark.operators.text import snapshot_diff
+
+    old = docs_df(spark, [
+        (1, "alpha beta", "en"),
+        (2, "gamma delta", "en"),
+        (3, "kept  as is", "en"),
+        (4, "  kept\tas   is ", "en"),
+    ])
+    new = docs_df(spark, [
+        (1, "alpha beta EDITED", "en"),   # changed
+        (3, "kept as is", "en"),          # unchanged (ws-normalized)
+        (4, "kept as is", "en"),          # unchanged (ws-normalized)
+        (5, "brand new", "en"),           # added
+    ])                                     # 2 -> removed
+    out = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert {i: r.status for i, r in out.items()} == {
+        1: "changed", 2: "removed", 3: "unchanged", 4: "unchanged", 5: "added",
+    }
+    assert out[5].old_fingerprint is None and out[2].new_fingerprint is None
+    assert out[3].old_fingerprint == out[4].new_fingerprint
+
+
 def test_mixture_sample_rates_and_epochs(spark):
     """Weighted mixing: epoch counts follow the closed-form admission
     rule, full epochs contain the whole source, untargeted sources are

@@ -297,6 +297,39 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128, n_buckets: int = 256,
     )
 
 
+def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Corpus snapshot diff: classify every document across two crawl /
+    curation snapshots as added (new only), removed (old only), changed
+    (both, different content fingerprint) or unchanged — the
+    incremental-ingest audit that tells a pipeline what actually moved
+    between refreshes (and what downstream artifacts to invalidate).
+
+    Content identity is the shared 60-bit normalized-text fingerprint
+    (operators.text.fingerprint), so cosmetic whitespace changes do not
+    count as edits.
+
+    Scale: two map-side fingerprint projections + ONE full outer join
+    co-partitioned on doc_id (the only shuffle); output is one row per
+    doc_id ever seen. At 100 TB both sides shuffle compact (doc_id,
+    fp64) pairs, not text.
+
+    Output: (doc_id, status, old_fingerprint, new_fingerprint).
+    """
+    a = fingerprint(old_docs).withColumnRenamed("fingerprint", "old_fingerprint")
+    b = fingerprint(new_docs).withColumnRenamed("fingerprint", "new_fingerprint")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(F.col("old_fingerprint") != F.col("new_fingerprint"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, on="doc_id", how="full_outer")
+        .select("doc_id", status.alias("status"),
+                "old_fingerprint", "new_fingerprint")
+    )
+
+
 def mixture_sample(docs: DataFrame, targets: dict[str, int], budget: int,
                    salt: str = "mix:") -> DataFrame:
     """Weighted corpus mixing: draw a ``budget``-token training mix

@@ -1691,6 +1691,53 @@ FROM pre
 WHERE n_tokens > 0
 """
 
+DIFF_MOVE_OFFSET = 10_000_000
+
+
+def snapshot_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff over two engineered snapshots of the corpus so all
+    four statuses are exercised: the 'new' snapshot drops doc_id % 7 ==
+    0 (-> removed), rewrites text for doc_id % 5 == 0 (-> changed),
+    keeps the rest (-> unchanged), and re-adds the dropped docs under
+    shifted ids (-> added)."""
+    from tickdatapipeline_spark.operators.text import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    kept = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" refreshed")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    moved = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + DIFF_MOVE_OFFSET).alias("doc_id"), "text"
+    )
+    return snapshot_diff(docs, kept.unionByName(moved))
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {sql_h60(SQL_NORM_TEXT)} AS ofp
+    FROM documents
+),
+new_docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' refreshed' ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT) + {DIFF_MOVE_OFFSET}, text
+    FROM documents WHERE doc_id % 7 = 0
+),
+new AS (SELECT doc_id, {sql_h60(SQL_NORM_TEXT)} AS nfp FROM new_docs)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN ofp <> nfp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       ofp AS old_fingerprint, nfp AS new_fingerprint
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 MIX_TARGETS = {"src0": 250, "src1": 400, "src2": 250, "src3": 100}
 MIX_BUDGET = 12_000  # tokens; > src1's availability at its share -> epochs > 1
 
@@ -2137,6 +2184,7 @@ def queries() -> dict[str, tuple]:
             lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
             SPLIT_SQL,
         ),
+        "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "docs_mixture_sample": (
             lambda s, d: mixture_sample(_docs(s, d), MIX_TARGETS, MIX_BUDGET),
             MIXTURE_SAMPLE_SQL,

@@ -650,6 +650,67 @@ ORDER BY o_orderpriority
 """
 
 
+# ---- R18: table profiler (data-quality column stats) ----
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def r18_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the lineitem measures — row/null/distinct
+    counts plus min/max/sum in exact cents, one output row per column:
+    the 'what is actually in this table' data-quality sweep that runs
+    before any pipeline trusts a new drop of data.
+
+    Scale: ONE pass over the fact table — all per-column aggregates run
+    in a single groupBy-less agg (Catalyst expands the multiple
+    count-distincts; at extreme cardinalities swap them for
+    approx_count_distinct the way the DAU twin does). The unpivot to
+    long form happens on the single 1-row aggregate output, map-side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        cc = _cents(F.col(c))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(cc).alias(f"{c}__distinct"),
+            F.min(cc).alias(f"{c}__min"),
+            F.max(cc).alias(f"{c}__max"),
+            F.sum(cc).alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_c"),
+            F.col(f"{c}__max").alias("max_c"),
+            F.col(f"{c}__sum").alias("sum_c"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def _profile_col_sql(c: str) -> str:
+    cents = _CENTS.format(x=c)
+    return f"""
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {cents}) AS n_distinct,
+       min({cents}) AS min_c,
+       max({cents}) AS max_c,
+       CAST(sum({cents}) AS BIGINT) AS sum_c
+FROM lineitem"""
+
+
+R18_SQL = "\nUNION ALL\n".join(_profile_col_sql(c) for c in PROFILE_COLS)
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -669,4 +730,5 @@ def queries() -> dict[str, tuple]:
         "rel_customer_trailing_spend": (r15_fn, R15_SQL),
         "rel_small_qty_parts": (r16_fn, R16_SQL),
         "rel_late_order_priority": (r17_fn, R17_SQL),
+        "rel_lineitem_profile": (r18_fn, R18_SQL),
     }
