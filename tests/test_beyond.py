@@ -989,6 +989,28 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+def test_langid_confusion_golden(spark):
+    """Confusion counts and per-true-label fractions from engineered
+    marker texts (one German doc mislabeled as English)."""
+    from tickdatapipeline_spark.operators.text import langid_confusion
+
+    d = docs_df(spark, [
+        (1, "the cat and the dog", "en"),      # en -> en
+        (2, "the house is that big", "en"),    # en -> en
+        (3, "der hund und die katze", "en"),   # labeled en, predicted de
+        (4, "der die und das ist", "de"),      # de -> de
+        (5, "zzz qqq", "fr"),                  # no markers -> und
+    ])
+    out = {(r.lang_true, r.pred_lang): r for r in langid_confusion(d).collect()}
+    assert out[("en", "en")].n_docs == 2
+    assert out[("en", "de")].n_docs == 1
+    assert out[("de", "de")].n_docs == 1
+    assert out[("fr", "und")].n_docs == 1
+    assert abs(out[("en", "en")].frac_of_true - 2 / 3) < 1e-6
+    assert out[("de", "de")].frac_of_true == 1.0
+    assert len(out) == 4
+
+
 def test_snapshot_diff_statuses(spark):
     """All four statuses from engineered snapshots; whitespace-only
     edits are NOT changes (shared normalized fingerprint)."""

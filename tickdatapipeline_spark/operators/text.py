@@ -108,6 +108,34 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return df.select("doc_id", "lang_true", pred.alias("pred_lang"), best.alias("best_score"))
 
 
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    corpus's labeled language — the classifier-evaluation sweep that
+    says where the cheap detector can be trusted before it gates a
+    100 TB curation run.
+
+    Output: (lang_true, pred_lang, n_docs, frac_of_true) — the fraction
+    each predicted label takes of its true-label row (recall on the
+    diagonal). The fraction divides two exact integers (one IEEE op,
+    rounded with the shared policy).
+
+    Scale: lang_id is a pure map-side projection; the matrix is ONE
+    map-side-combinable groupBy producing |langs|^2 rows, plus a
+    broadcast join against the |langs|-row true-label totals.
+    """
+    m = lang_id(docs).groupBy("lang_true", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = m.groupBy("lang_true").agg(F.sum("n_docs").alias("n_true"))
+    return (
+        m.join(F.broadcast(totals), on="lang_true")
+        .select(
+            "lang_true", "pred_lang", "n_docs",
+            rnd(F.col("n_docs").cast("double") / F.col("n_true")).alias("frac_of_true"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: 60-bit hash of the whitespace-normalized
     lowercased text (stable content address for dedup joins)."""

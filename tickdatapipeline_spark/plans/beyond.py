@@ -63,6 +63,7 @@ from tickdatapipeline_spark.operators.text import (
     chunk_windows,
     fingerprint,
     lang_id,
+    langid_confusion,
     mixture_sample,
     oov_rate,
     pack_sequences,
@@ -144,6 +145,21 @@ FROM (
         FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents)
     )
 )
+"""
+
+LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+m AS (
+    SELECT lang_true, pred_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+),
+totals AS (
+    SELECT lang_true, CAST(sum(n_docs) AS BIGINT) AS n_true
+    FROM m GROUP BY 1
+)
+SELECT lang_true, pred_lang, n_docs,
+       {sql_rnd("CAST(n_docs AS DOUBLE) / n_true")} AS frac_of_true
+FROM m JOIN totals USING (lang_true)
 """
 
 FINGERPRINT_SQL = f"""
@@ -828,6 +844,46 @@ SELECT g.hour_s, g.event_type,
        {sql_rnd("last_value(CAST(sum_vc AS DOUBLE) / n_events IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.hour_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0")} AS ffill_avg_value
 FROM grid g
 LEFT JOIN hourly h ON g.hour_s = h.hour_s AND g.event_type = h.event_type
+"""
+
+
+HIST_BIN_CENTS = 2_000  # $20-wide equal bins over the value range
+
+
+def value_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of event values per event type — the
+    distribution sketch behind dashboards and drift monitors. Bins are
+    fixed-width in exact cents (bin_id = vc DIV width), so bucketing is
+    pure integer map-side math: one map-side-combinable groupBy on
+    (event_type, bin_id), output O(|types| * |bins|) rows regardless of
+    event volume. Empty bins are absent by construction (the gap-fill
+    twin is events_hourly_gapfill's job on the time axis).
+    """
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select("event_type", vc.alias("vc"))
+        .withColumn("bin_id", F.expr(f"vc DIV {HIST_BIN_CENTS}"))
+        .groupBy("event_type", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("sum_value"),
+        )
+        .select(
+            "event_type", "bin_id", "n_events",
+            (F.lit(HIST_BIN_CENTS) * F.col("bin_id") / 100.0).alias("bin_lo"),
+            "sum_value",
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type, vc // {HIST_BIN_CENTS} AS bin_id,
+       count(*) AS n_events,
+       {HIST_BIN_CENTS} * (vc // {HIST_BIN_CENTS}) / 100.0 AS bin_lo,
+       CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+GROUP BY 1, 2
 """
 
 
@@ -2098,6 +2154,10 @@ def queries() -> dict[str, tuple]:
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
         "text_quality_score": (lambda s, d: quality_score(_docs(s, d)), QUALITY_SQL),
         "text_lang_id": (lambda s, d: lang_id(_docs(s, d)), LANG_ID_SQL),
+        "docs_langid_confusion": (
+            lambda s, d: langid_confusion(_docs(s, d)),
+            LANGID_CONFUSION_SQL,
+        ),
         "text_fingerprint": (lambda s, d: fingerprint(_docs(s, d)), FINGERPRINT_SQL),
         "text_simhash": (lambda s, d: simhash(_docs(s, d)), SIMHASH_SQL),
         "text_vocab_topk": (lambda s, d: vocab_topk(_docs(s, d), VOCAB_TOPK_K), VOCAB_TOPK_SQL),
@@ -2244,6 +2304,7 @@ def queries() -> dict[str, tuple]:
         "events_windowed_hourly": (windowed_events_fn, WINDOWED_EVENTS_SQL),
         "events_hourly_gapfill": (hourly_gapfill_fn, HOURLY_GAPFILL_SQL),
         "events_rolling_corr": (rolling_corr_fn, ROLLING_CORR_SQL),
+        "events_value_histogram": (value_histogram_fn, VALUE_HISTOGRAM_SQL),
         "events_distinct_users_daily": (distinct_users_daily_fn, DISTINCT_USERS_SQL),
         "events_distinct_users_daily_approx": (distinct_users_daily_approx_fn, None),
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),

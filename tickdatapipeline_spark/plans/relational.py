@@ -711,6 +711,73 @@ FROM lineitem"""
 R18_SQL = "\nUNION ALL\n".join(_profile_col_sql(c) for c in PROFILE_COLS)
 
 
+# ---- R19: idle high-balance customers (TPC-H Q22 shape) ----
+
+
+R19_CUTOFF = "1999-01-01"
+
+
+def r19_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count and total balance of customers whose balance is
+    above the average positive balance AND who have placed no order
+    since R19_CUTOFF (churned-rich) — the TPC-H Q22 shape: a 1-row
+    scalar-aggregate threshold combined with a LEFT ANTI existence
+    join (every fixture customer has SOME order, so the anti side is
+    date-restricted to keep the query discriminating).
+
+    Cross-engine exactness: the above-average test is integer algebra
+    (bal_c * n_pos > sum_pos_c in BIGINT cents), so no float threshold
+    crosses engines; the final division on identical sums is one IEEE
+    op.
+
+    Scale: the positive-balance stats aggregate is ONE broadcast row;
+    the anti join shuffles customers and the orders key projection
+    co-partitioned on custkey (orders prunes to the single o_custkey
+    column at the scan); the nation rollup is |nations| rows.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    stats = cust.where(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("bal_c").alias("sum_pos_c")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= R19_CUTOFF
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("bal_c") / 100.0).alias("total_balance"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+R19_SQL = f"""
+WITH cust AS (
+    SELECT c_custkey, c_nationkey, {_CENTS.format(x='c_acctbal')} AS bal_c
+    FROM customer
+),
+stats AS (
+    SELECT count(*) AS n_pos, CAST(sum(bal_c) AS BIGINT) AS sum_pos_c
+    FROM cust WHERE bal_c > 0
+)
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_balance
+FROM cust, stats
+WHERE bal_c * n_pos > sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{R19_CUTOFF} 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -731,4 +798,5 @@ def queries() -> dict[str, tuple]:
         "rel_small_qty_parts": (r16_fn, R16_SQL),
         "rel_late_order_priority": (r17_fn, R17_SQL),
         "rel_lineitem_profile": (r18_fn, R18_SQL),
+        "rel_idle_rich_customers": (r19_fn, R19_SQL),
     }
