@@ -989,6 +989,25 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+def test_containment_pairs_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 even
+    though Jaccard is far below any dedup threshold (the asymmetric
+    case symmetric similarity misses)."""
+    from tickdatapipeline_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(30))
+    short_text = " ".join(f"w{i}" for i in range(8))  # prefix -> contained
+    d = docs_df(spark, [(1, long_text, "en"), (2, short_text, "en")])
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = containment_pairs(d, threshold=0.8, candidates=cand).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 3-gram shingles: short doc has 6, all present in the long doc
+    assert (r.inter_count, r.min_count, r.containment) == (6, 6, 1.0)
+    # symmetric Jaccard misses it: 6 / (28 + 6 - 6) = 0.214...
+    assert jaccard_pairs(d, threshold=0.5, candidates=cand).count() == 0
+
+
 def test_langid_confusion_golden(spark):
     """Confusion counts and per-true-label fractions from engineered
     marker texts (one German doc mislabeled as English)."""

@@ -180,6 +180,23 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     O(candidates x doc_len) — at the price of LSH recall, which is the
     standard MinHash-LSH contract.
     """
+    overlap = _candidate_overlap(docs, candidates, max_band_bucket)
+    out = (
+        overlap
+        .withColumn("union_count", F.col("n_a") + F.col("n_b") - F.col("inter_count"))
+        .withColumn("jaccard", rnd(F.col("inter_count").cast("double") / F.col("union_count").cast("double"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter_count", "union_count", "jaccard")
+    )
+    return out
+
+
+def _candidate_overlap(docs: DataFrame, candidates: DataFrame | None,
+                       max_band_bucket: int | None) -> DataFrame:
+    """(doc_a, doc_b, inter_count, n_a, n_b) shingle-overlap counts over
+    LSH candidate pairs — the shared core of jaccard_pairs and
+    containment_pairs (identical scale contract: candidate-restricted
+    joins, semi-join-restricted size table)."""
     if candidates is None:
         candidates = lsh_candidate_pairs(docs, max_band_bucket=max_band_bucket)
     sh = shingles(docs)
@@ -206,15 +223,44 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_count"))
     )
-    out = (
+    return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn("union_count", F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_count"))
-        .withColumn("jaccard", rnd(F.col("inter_count").cast("double") / F.col("union_count").cast("double"), 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter_count", "union_count", "jaccard")
+        .select(
+            "doc_a", "doc_b", "inter_count",
+            F.col("sa.n_sh").alias("n_a"), F.col("sb.n_sh").alias("n_b"),
+        )
     )
-    return out
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      candidates: DataFrame | None = None,
+                      max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
+    """Asymmetric near-duplicate detection: shingle CONTAINMENT
+    inter / min(|A|, |B|) over LSH candidate pairs — catches a short
+    document embedded verbatim in a longer one (quotes, boilerplate
+    wrappers, syndicated articles with added chrome), which symmetric
+    Jaccard misses whenever the size ratio is large (a fully contained
+    doc 10x smaller scores jaccard ~0.1 but containment 1.0).
+
+    Same candidate-restriction scale contract as jaccard_pairs; recall
+    inherits MinHash-LSH's symmetric-similarity bias, the standard
+    trade-off when containment candidates come from the same index.
+
+    Output: (doc_a, doc_b, inter_count, min_count, containment) for
+    containment >= threshold.
+    """
+    overlap = _candidate_overlap(docs, candidates, max_band_bucket)
+    return (
+        overlap
+        .withColumn("min_count", F.least(F.col("n_a"), F.col("n_b")))
+        .withColumn(
+            "containment",
+            rnd(F.col("inter_count").cast("double") / F.col("min_count").cast("double"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter_count", "min_count", "containment")
+    )
 
 
 def cross_corpus_contamination(

@@ -24,6 +24,7 @@ from tickdatapipeline_spark.operators.dedup import (
     MERSENNE_P,
     NUM_PERM,
     connected_components,
+    containment_pairs,
     cross_corpus_contamination,
     deduplicated_corpus,
     duplicate_clusters,
@@ -266,6 +267,28 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+"""
+
+CONTAINMENT_THRESHOLD = 0.8
+
+CONTAINMENT_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, inter_count,
+       least(sa.n_sh, sb.n_sh) AS min_count,
+       {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)')} AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)')} >= {CONTAINMENT_THRESHOLD}
 """
 
 # benchmark decontamination: the same LSH+Jaccard machinery joined
@@ -2184,6 +2207,10 @@ def queries() -> dict[str, tuple]:
         ),
         "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d), max_band_bucket=None), LSH_PAIRS_SQL),
         "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None), JACCARD_SQL),
+        "dedup_containment_pairs": (
+            lambda s, d: containment_pairs(_docs(s, d), CONTAINMENT_THRESHOLD, max_band_bucket=None),
+            CONTAINMENT_SQL,
+        ),
         "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None), CLUSTERS_SQL),
         "dedup_corpus_filtered": (
             lambda s, d: deduplicated_corpus(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None),
