@@ -167,6 +167,17 @@ def test_small_qty_parts_prunes_lineitem_columns(spark):
             assert schema.count(",") <= 2  # l_partkey, l_quantity, l_extendedprice
 
 
+def test_unshipped_topk_plans_take_ordered(spark):
+    """R20 (Q3 shape): the top-K must plan TakeOrderedAndProject
+    (per-partition partial top-K) — never a global Sort over the
+    aggregated orders."""
+    from tickdatapipeline_spark.plans.relational import r20_fn
+
+    plan = physical(r20_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
 def test_single_stream_two_pass_has_no_single_partition(spark):
     """SURVEY §4 item 1: above the size cutover the single-stream
     flagship chain takes the chunked two-pass formulation and must plan

@@ -870,6 +870,60 @@ LEFT JOIN hourly h ON g.hour_s = h.hour_s AND g.event_type = h.event_type
 """
 
 
+def interarrival_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics — min/mean/max gap between a
+    user's consecutive events (users with >= 2 events): the 'how bursty
+    is this actor' profile behind rate-limit tuning, bot detection and
+    session-gap calibration.
+
+    Cross-engine exactness: gaps are exact integer microseconds from a
+    per-user lag; min/max stay integral, and the mean divides two exact
+    integers (sum of gaps telescopes, but is computed as an explicit
+    SUM so duplicate timestamps need no special-casing), rounded with
+    the shared policy.
+
+    Scale: ONE hash exchange on user_id serves both the lag window and
+    the aggregate (same key, Catalyst reuses the partitioning); output
+    is one row per multi-event user.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = (F.col("tus") - F.lag("tus").over(w)).alias("gap_us")
+    return (
+        ev.select("user_id", gap)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            rnd(F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+        )
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(*) + 1 AS n_events,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       (floor((CAST(sum(gap_us) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) AS mean_gap_us
+FROM g
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 HIST_BIN_CENTS = 2_000  # $20-wide equal bins over the value range
 
 
@@ -2332,6 +2386,7 @@ def queries() -> dict[str, tuple]:
         "events_hourly_gapfill": (hourly_gapfill_fn, HOURLY_GAPFILL_SQL),
         "events_rolling_corr": (rolling_corr_fn, ROLLING_CORR_SQL),
         "events_value_histogram": (value_histogram_fn, VALUE_HISTOGRAM_SQL),
+        "events_user_interarrival": (interarrival_fn, INTERARRIVAL_SQL),
         "events_distinct_users_daily": (distinct_users_daily_fn, DISTINCT_USERS_SQL),
         "events_distinct_users_daily_approx": (distinct_users_daily_approx_fn, None),
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),

@@ -778,6 +778,74 @@ ORDER BY c_nationkey
 """
 
 
+# ---- R20: shipping-priority revenue top-k (TPC-H Q3 shape) ----
+
+R20_SEGMENT = "BUILDING"
+R20_DATE = "1998-06-30"
+R20_K = 10
+
+
+def r20_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K unshipped orders by outstanding revenue for one market
+    segment — the TPC-H Q3 shape: two date filters on opposite sides of
+    a cutoff, a three-table join, and a top-K that must plan as
+    TakeOrdered (per-partition partial top-K), never a global sort.
+
+    Cross-engine exactness: revenue accumulates as BIGINT
+    cents x (100 - discount%) units; the ORDER BY ranks the integer (no
+    float ties), and the final division is one IEEE op per output row.
+
+    Scale: both fact scans prune at parquet (segment/date pushdown);
+    the customer side reduces to the segment subset before the join;
+    revenue aggregates map-side-combinable on l_orderkey.
+    """
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == R20_SEGMENT
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < R20_DATE
+    ).select("o_orderkey", "o_custkey", "o_orderpriority",
+             F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("o_day"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > R20_DATE).select(
+        "l_orderkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_day", "o_orderpriority")
+        .agg(F.sum("rev_u").alias("rev_u"))
+        .orderBy(F.col("rev_u").desc(), "o_orderkey")
+        .limit(R20_K)
+        .select(
+            "o_orderkey",
+            (F.col("rev_u") / 10000.0).alias("revenue"),
+            "o_day",
+            "o_orderpriority",
+        )
+    )
+
+
+R20_SQL = f"""
+SELECT o_orderkey,
+       CAST(sum(rev_u) AS BIGINT) / 10000.0 AS revenue,
+       o_day, o_orderpriority
+FROM (
+    SELECT o.o_orderkey, o.o_orderpriority,
+           date_diff('day', DATE '1970-01-01', o.o_orderdate) AS o_day,
+           {_CENTS.format(x='l.l_extendedprice')} * (100 - {_CENTS.format(x='l.l_discount')}) AS rev_u
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = '{R20_SEGMENT}'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '{R20_DATE} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{R20_DATE} 00:00:00'
+)
+GROUP BY o_orderkey, o_day, o_orderpriority
+ORDER BY CAST(sum(rev_u) AS BIGINT) DESC, o_orderkey
+LIMIT {R20_K}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -799,4 +867,5 @@ def queries() -> dict[str, tuple]:
         "rel_late_order_priority": (r17_fn, R17_SQL),
         "rel_lineitem_profile": (r18_fn, R18_SQL),
         "rel_idle_rich_customers": (r19_fn, R19_SQL),
+        "rel_unshipped_topk_revenue": (r20_fn, R20_SQL),
     }
