@@ -65,14 +65,14 @@ def _registry() -> dict[str, tuple]:
             reg[name] = pair
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
-    # there are more gated queries (68 as of round 5) than the driver's
+    # there are more gated queries (105 as of round 6) than the driver's
     # 50-entry correctness window. Gated ordering is least-recently-
     # verified first, computed from the committed CORRECTNESS_r*.json
     # files: never-green queries lead, then ascending by the round of
     # their latest green row (ties keep registry order, so the ordering
-    # is deterministic). With a 50-entry window over <=100 gated queries
-    # this covers every query within 2 rounds from ANY starting state and
-    # self-heals if the driver ever skips a round (pinned by
+    # is deterministic). With a 50-entry window over n gated queries
+    # this covers every query within ceil(n/50) rounds from ANY starting
+    # state and self-heals if the driver ever skips a round (pinned by
     # test_registry_rotation_covers_every_gated_query);
     # scripts_dev/oracle_parity.py (and the marked-slow pytest sweep
     # wrapping it) still verifies ALL gated queries in-repo every round.

@@ -610,6 +610,26 @@ def test_token_budget_sample_matches_naive_order(spark):
     assert len(first) == 1 and first[0].doc_id == order[0]
 
 
+def test_power_iteration_finds_dominant_axis(spark):
+    """On a corpus dominated by one axis the fixed-iteration power
+    method lands on it: the unit-norm iterate concentrates on dim 0 and
+    the run is deterministic."""
+    from tickdatapipeline_spark.operators.similarity import power_iteration_top_component
+
+    rows = [(i, [0.9 if d == 0 else (0.02 if (i + d) % 3 == 0 else -0.01)
+                 for d in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(power_iteration_top_component(emb, iters=3).collect(),
+                 key=lambda r: r.pos)
+    assert len(out) == 8
+    comp = [r.component for r in out]
+    assert abs(comp[0]) > 0.95                      # dominant axis found
+    assert abs(sum(c * c for c in comp) - 1.0) < 1e-4  # unit norm (Q20)
+    again = sorted(power_iteration_top_component(emb, iters=3).collect(),
+                   key=lambda r: r.pos)
+    assert [r.component_q for r in again] == [r.component_q for r in out]
+
+
 def test_label_centroid_cosine_golden(spark):
     """Known group geometry: aligned centroids give cosine 1, orthogonal
     0, opposite -1; unordered pairs appear once with label_a < label_b."""

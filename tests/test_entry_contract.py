@@ -81,17 +81,20 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
     """The driver hash-verifies only the FIRST 50 registry entries; the
     gated ordering is least-recently-verified first (from the committed
     CORRECTNESS files), so from ANY starting coverage state every gated
-    query lands inside the window within ceil(n_gated/50) = 2 rounds."""
+    query lands inside the window within ceil(n_gated/50) rounds."""
+    import math
+
     import __spark_entry__ as mod
 
     n_gated = sum(1 for s in mod.oracle_sql().values() if s is not None)
+    n_rounds = math.ceil(n_gated / 50)
 
     # simulate the driver loop from a worst-case empty coverage state:
     # each simulated round marks its 50-entry window green, feeding the
     # next round's ordering.
     coverage: dict[str, int] = {}
     seen: dict[str, int] = {}
-    for rnd_no in range(1, 3):
+    for rnd_no in range(1, n_rounds + 1):
         monkeypatch.setattr(mod, "_last_green_round", lambda c=dict(coverage): c)
         window = list(mod.queries())[:50]
         gated_in_window = [n for n in window if n in mod.oracle_sql()]
@@ -100,7 +103,7 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
             coverage[n] = rnd_no
             seen.setdefault(n, rnd_no)
     assert len(seen) == n_gated, "some gated query never enters the window"
-    assert max(seen.values()) <= 2
+    assert max(seen.values()) <= n_rounds
 
     # and with the REAL committed CORRECTNESS files: any query that has
     # never had a green driver row must lead the very next window.

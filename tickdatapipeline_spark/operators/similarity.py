@@ -433,6 +433,80 @@ def embedding_outliers(emb: DataFrame, top_n: int = 50, q: int = OUTLIER_Q) -> D
     )
 
 
+PCA_Q = 1 << 20  # fixed-point scale for power-iteration vectors
+
+
+def power_iteration_top_component(emb: DataFrame, iters: int = 3,
+                                  q: int = PCA_Q) -> DataFrame:
+    """Leading principal direction of the (uncentered) embedding Gram
+    matrix by fixed-iteration power method — the 'what single axis
+    explains this corpus' probe behind anisotropy checks and cheap
+    1-D projections. Fixed ``iters`` (convergence is not asserted;
+    determinism is).
+
+    Per iteration: s_i = <x_i, v> as exact BIGINT dots (Q20 x Q20 x DIM
+    < 2^46), rescaled to Q20 by sign-safe truncating division (DIV vs
+    floor-div differ on negatives; abs() removes the ambiguity), then
+    y_d = sum_i s~_i * x_i[d] as BIGINT per-dim sums (< 2^55) — ALL
+    cross-row accumulation is integer, hence partition-order
+    independent, the same reproducibility scheme as the Q30 k-means.
+    The iterate renormalizes to Q20 through identical IEEE double ops
+    on identical integers, so DuckDB replays the whole run bit-for-bit
+    (oracle twin unrolls the iterations as CTEs).
+
+    Scale: per iteration ONE broadcast of the DIM-entry iterate, one
+    map-side dot, one posexplode groupBy(dim) -> DIM aggregate rows
+    collected to the driver (like kmeans_train's k x DIM): nothing
+    corpus-sized ever leaves the executors, iterations are O(1) jobs.
+
+    Output: (pos, component_q, component) — DIM rows, pos 0-based.
+    """
+    import math
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+        ).alias("vq"),
+    )
+    v = [int(x) for x in base.where(F.col("vec_id") == 0).collect()[0]["vq"]]
+    for _ in range(iters):
+        vdf = spark.createDataFrame([(v,)], "v array<long>")
+        s = base.crossJoin(F.broadcast(vdf)).select(
+            "vq",
+            F.aggregate(
+                F.zip_with("vq", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        ).withColumn(
+            "st",
+            F.expr(f"CASE WHEN s < 0 THEN -(ABS(s) DIV {q}) ELSE s DIV {q} END"),
+        )
+        rows = (
+            s.select("st", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("st") * F.col("x")).alias("y"))
+            .collect()
+        )
+        y = [0] * len(v)
+        for r in rows:
+            y[r["pos"]] = int(r["y"])
+        acc = 0.0
+        for yd in y:  # left fold in pos order — mirrors list_reduce
+            acc += float(yd) * float(yd)
+        nrm = math.sqrt(acc)
+        v = [math.floor(float(yd) / nrm * q + 0.5) for yd in y]
+    out = spark.createDataFrame([(v,)], "v array<long>")
+    return out.select(F.posexplode("v").alias("pos", "component_q")).select(
+        F.col("pos").cast("long").alias("pos"),
+        "component_q",
+        (F.col("component_q").cast("double") / q).alias("component"),
+    )
+
+
 def label_centroid_cosine(emb: DataFrame, q: int = OUTLIER_Q) -> DataFrame:
     """Pairwise cosine similarity between per-label centroid embeddings
     — the 'how close are these groups in embedding space' map behind

@@ -53,6 +53,7 @@ from tickdatapipeline_spark.operators.similarity import (
     embedding_near_duplicates,
     embedding_outliers,
     label_centroid_cosine,
+    power_iteration_top_component,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
@@ -2091,6 +2092,52 @@ WHERE n_tokens BETWEEN lo AND hi
 
 OUTLIER_TOP_N = 50
 
+def _power_iteration_sql(iters: int = 3) -> str:
+    """DuckDB twin of power_iteration_top_component: the fixed
+    iterations unroll as CTE chains; every cross-row accumulation is a
+    BIGINT sum and every float step is the same IEEE op sequence on
+    identical integers, so the replay is bit-exact (same scheme as
+    ivf_kmeans_sql)."""
+    from tickdatapipeline_spark.operators.similarity import PCA_Q as q
+
+    dims = "(SELECT unnest(range(1, len((SELECT vq FROM base LIMIT 1)) + 1)) AS i)"
+    ctes = [
+        f"base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        f"list_transform({SQL_VEC}, x -> CAST(floor(x * {q} + 0.5) AS BIGINT)) AS vq "
+        f"FROM embeddings)",
+        "v0 AS (SELECT vq AS v FROM base WHERE vec_id = 0)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"s{k} AS (SELECT b.vq, list_reduce(list_transform(range(1, len(b.vq) + 1), "
+            f"i -> b.vq[i] * v.v[i]), (x, y) -> x + y) AS s FROM base b, v{k - 1} v)"
+        )
+        ctes.append(
+            f"t{k} AS (SELECT vq, CASE WHEN s < 0 THEN -(abs(s) // {q}) "
+            f"ELSE s // {q} END AS st FROM s{k})"
+        )
+        ctes.append(
+            f"y{k} AS (SELECT i AS pos, CAST(sum(st * vq[i]) AS BIGINT) AS y "
+            f"FROM t{k} CROSS JOIN {dims} GROUP BY i)"
+        )
+        ctes.append(
+            f"n{k} AS (SELECT list(y ORDER BY pos) AS yl, "
+            f"sqrt(list_reduce(list_transform(list(CAST(y AS DOUBLE) ORDER BY pos), "
+            f"x -> x * x), (a, b) -> a + b)) AS nrm FROM y{k})"
+        )
+        ctes.append(
+            f"v{k} AS (SELECT list_transform(yl, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) / nrm * {q} + 0.5) AS BIGINT)) AS v FROM n{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT i - 1 AS pos, v[i] AS component_q, CAST(v[i] AS DOUBLE) / {q} AS component
+FROM v{iters} CROSS JOIN (SELECT unnest(range(1, len((SELECT v FROM v{iters})) + 1)) AS i)
+"""
+    )
+
+
 def _label_centroid_cosine_sql() -> str:
     from tickdatapipeline_spark.operators.similarity import OUTLIER_Q
 
@@ -2279,6 +2326,10 @@ def queries() -> dict[str, tuple]:
                 max_band_bucket=None,
             ),
             DECONTAMINATE_SQL,
+        ),
+        "sim_top_component": (
+            lambda s, d: power_iteration_top_component(_emb(s, d)),
+            _power_iteration_sql(),
         ),
         "sim_label_centroid_cosine": (
             lambda s, d: label_centroid_cosine(_emb(s, d)),
