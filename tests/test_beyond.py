@@ -1009,6 +1009,33 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+def test_token_commonness_and_source_top_tokens_golden(spark):
+    """Hand-computed corpus frequencies: common-token docs score high,
+    rare-token docs low; per-source top-k ranks count desc then token
+    asc."""
+    from tickdatapipeline_spark.operators.text import (
+        source_top_tokens,
+        token_commonness,
+    )
+
+    rows = [
+        (1, "aa aa bb", "en", "s0"),   # freq: aa=3, bb=2, zz=1
+        (2, "aa bb zz", "en", "s0"),
+        (3, "", "en", "s1"),           # empty: no tokens, no row
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in token_commonness(d).collect()}
+    assert set(out) == {1, 2}
+    # doc1: (3+3+2)/3 ; doc2: (3+2+1)/3
+    assert out[1].sum_freq == 8 and abs(out[1].mean_token_freq - 8 / 3) < 1e-6
+    assert out[2].sum_freq == 6 and out[2].mean_token_freq == 2.0
+    top = [(r.token, r.n_occurrences, r.rank)
+           for r in source_top_tokens(d, k=2).collect() if r.source == "s0"]
+    assert sorted(top, key=lambda t: t[2]) == [("aa", 3, 1), ("bb", 2, 2)]
+
+
 def test_containment_pairs_catches_embedded_doc(spark):
     """A short doc fully embedded in a long one: containment = 1.0 even
     though Jaccard is far below any dedup threshold (the asymmetric

@@ -112,3 +112,40 @@ def test_events_event_id_contiguity_contract():
         )
         checked += 1
     assert checked >= 3  # sf0.001 / sf0.01 / sf0.1 all present
+
+
+def test_read_documents_jsonl_permissive(spark, tmp_path):
+    """JSONL ingest: well-formed lines parse against the explicit
+    schema; malformed lines surface as all-NULL rows with the raw line
+    preserved in _corrupt_record instead of aborting the scan."""
+    import json
+
+    from tickdatapipeline_spark.sources.io import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    good = [
+        {"doc_id": 1, "text": "hello world", "lang": "en",
+         "source": "s0", "n_chars": 11},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr",
+         "source": "s1", "n_chars": 7},
+    ]
+    lines = [json.dumps(good[0]), "{not json at all", json.dumps(good[1])]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_documents_jsonl(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    ok = {r.doc_id: r for r in rows if r._corrupt_record is None}
+    assert set(ok) == {1, 2}
+    assert ok[1].text == "hello world" and ok[2].lang == "fr"
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1
+    assert bad[0]._corrupt_record == "{not json at all"
+    assert bad[0].doc_id is None and bad[0].text is None
+    # corrupt counting: the ingest-side health gauge. Spark disallows
+    # referencing ONLY _corrupt_record in a query over raw JSON
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, as documented.
+    df.cache()
+    try:
+        assert df.where(df["_corrupt_record"].isNotNull()).count() == 1
+    finally:
+        df.unpersist()

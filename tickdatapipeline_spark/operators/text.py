@@ -172,6 +172,71 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def source_top_tokens(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-source top-k vocabulary — the k most frequent tokens within
+    each source (count desc, token asc): the 'what does each crawl
+    actually talk about' fingerprint that makes source drift and
+    boilerplate floods visible at a glance.
+
+    Scale: ONE map-side-combinable groupBy on (source, token); the
+    rank window partitions by source over that aggregate's rows (unique
+    tokens per source, not occurrences). Output |sources| x k rows.
+
+    Output: (source, token, n_occurrences, rank).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("source", "token", "n_occurrences", "rank")
+    )
+
+
+def token_commonness(docs: DataFrame) -> DataFrame:
+    """Unigram-frequency commonness score: each document's mean corpus
+    frequency over its token OCCURRENCES — the integer-exact stand-in
+    for unigram-LM perplexity filtering (CCNet-style): very low means a
+    rare-token/gibberish document, very high means stopword soup; both
+    tails are curation candidates. Complements oov_rate (binary top-k
+    membership) with a frequency-weighted signal.
+
+    Cross-engine exactness: corpus frequencies and their per-doc sums
+    are exact BIGINTs; the mean divides two identical integers (one
+    IEEE op, shared rounding).
+
+    Scale: one groupBy(token) for the frequency table, one equi-join on
+    token (aggregate rows, not text), one groupBy(doc). The frequency
+    table is corpus-sized in distinct tokens — the join shuffles on the
+    token key; at deployment scale compute it once per corpus snapshot
+    and reuse.
+
+    Output: (doc_id, n_tokens, sum_freq, mean_token_freq).
+    """
+    occ = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        occ.join(freq, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            rnd(F.sum("freq").cast("double") / F.count(F.lit(1))).alias("mean_token_freq"),
+        )
+    )
+
+
 def stratified_sample(docs: DataFrame, rates: dict[str, int],
                       default_permille: int = 1000, salt: str = "sample:") -> DataFrame:
     """Deterministic per-language downsampling: keep a document iff

@@ -71,12 +71,14 @@ from tickdatapipeline_spark.operators.text import (
     pack_sequences,
     quality_score,
     source_quality_report,
+    source_top_tokens,
     simhash,
     repetition_score,
     shard_assignments,
     stratified_sample,
     tfidf_topk,
     token_budget_sample,
+    token_commonness,
     token_stats,
     tokens,
     train_val_test_split,
@@ -147,6 +149,37 @@ FROM (
         FROM (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents)
     )
 )
+"""
+
+SOURCE_TOP_TOKENS_K = 5
+
+SOURCE_TOP_TOKENS_SQL = f"""
+WITH counts AS (
+    SELECT source, tok AS token, count(*) AS n_occurrences
+    FROM (SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents)
+    GROUP BY 1, 2
+)
+SELECT source, token, n_occurrences, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n_occurrences DESC, token) AS rank
+    FROM counts
+)
+WHERE rank <= {SOURCE_TOP_TOKENS_K}
+"""
+
+TOKEN_COMMONNESS_SQL = f"""
+WITH occ AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, tok AS token
+    FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents)
+),
+freq AS (SELECT token, count(*) AS freq FROM occ GROUP BY token)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(freq) AS BIGINT) AS sum_freq,
+       {sql_rnd("CAST(sum(freq) AS DOUBLE) / count(*)")} AS mean_token_freq
+FROM occ JOIN freq USING (token)
+GROUP BY doc_id
 """
 
 LANGID_CONFUSION_SQL = f"""
@@ -2278,6 +2311,14 @@ def queries() -> dict[str, tuple]:
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
         "text_quality_score": (lambda s, d: quality_score(_docs(s, d)), QUALITY_SQL),
         "text_lang_id": (lambda s, d: lang_id(_docs(s, d)), LANG_ID_SQL),
+        "docs_source_top_tokens": (
+            lambda s, d: source_top_tokens(_docs(s, d), SOURCE_TOP_TOKENS_K),
+            SOURCE_TOP_TOKENS_SQL,
+        ),
+        "docs_token_commonness": (
+            lambda s, d: token_commonness(_docs(s, d)),
+            TOKEN_COMMONNESS_SQL,
+        ),
         "docs_langid_confusion": (
             lambda s, d: langid_confusion(_docs(s, d)),
             LANGID_CONFUSION_SQL,

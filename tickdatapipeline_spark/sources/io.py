@@ -55,3 +55,34 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif surfaced != "bigint":
         raise TypeError(f"events.ts surfaced as unsupported type {surfaced}")
     return ev
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str,
+                         schema: str = DOCUMENTS_SCHEMA) -> DataFrame:
+    """Documents from JSON-lines crawl drops — the wire format most raw
+    text corpora actually arrive in before anyone parquets them.
+
+    Reads PERMISSIVE with an explicit schema (never schema inference —
+    an inference pass is a full extra scan of 100 TB and makes the
+    surfaced types depend on the data): malformed lines do not abort
+    the job; they surface with every schema field NULL and the raw line
+    preserved in `_corrupt_record` so ingest can count/quarantine them
+    (``where col('_corrupt_record').isNotNull()``). Well-formed rows
+    carry NULL in `_corrupt_record`.
+
+    Scale: JSONL splits on newlines, so the scan parallelizes per
+    HDFS-block like any text source; with an explicit schema Spark
+    prunes unreferenced JSON fields at parse time.
+    """
+    full = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
