@@ -65,7 +65,7 @@ def _registry() -> dict[str, tuple]:
             reg[name] = pair
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
-    # there are more gated queries (105 as of round 6) than the driver's
+    # there are more gated queries (107 as of round 6) than the driver's
     # 50-entry correctness window. Gated ordering is least-recently-
     # verified first, computed from the committed CORRECTNESS_r*.json
     # files: never-green queries lead, then ascending by the round of

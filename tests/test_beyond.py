@@ -834,12 +834,12 @@ def test_rolling_corr_golden(spark):
     ev = spark.createDataFrame(rows, "ts long, event_type string, value double")
     out = {r.hour_s // 3600: r for r in rolling_corr(ev, window_h=2).collect()}
     assert len(out) == 7
-    assert out[0].corr_24h is None            # single hour: zero variance
-    assert out[1].corr_24h == 1.0             # (1,2) vs (2,4)
-    assert out[3].corr_24h == 1.0
-    assert out[5].corr_24h == -1.0            # (3,1) vs (1,3)
+    assert out[0].corr_2h is None             # single hour: zero variance
+    assert out[1].corr_2h == 1.0              # (1,2) vs (2,4)
+    assert out[3].corr_2h == 1.0
+    assert out[5].corr_2h == -1.0             # (3,1) vs (1,3)
     assert out[6].sum_x == 1 and out[6].sum_y == 3  # gap hour zero-fills
-    assert out[6].corr_24h == 1.0             # (1,0) vs (3,0)
+    assert out[6].corr_2h == 1.0              # (1,0) vs (3,0)
     assert out[2].n_hours == 2
 
 
@@ -1100,6 +1100,12 @@ def test_snapshot_diff_statuses(spark):
     }
     assert out[5].old_fingerprint is None and out[2].new_fingerprint is None
     assert out[3].old_fingerprint == out[4].new_fingerprint
+    # NULL text (e.g. a corrupt JSONL row) is PRESENT on its side:
+    # presence keys on doc_id, and the content comparison is null-safe
+    old2 = docs_df(spark, [(1, None, "en"), (2, None, "en"), (3, "same", "en")])
+    new2 = docs_df(spark, [(1, None, "en"), (2, "now text", "en"), (3, "same", "en")])
+    got = {r.doc_id: r.status for r in snapshot_diff(old2, new2).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged"}
 
 
 def test_mixture_sample_rates_and_epochs(spark):

@@ -160,11 +160,14 @@ def test_small_qty_parts_prunes_lineitem_columns(spark):
     from tickdatapipeline_spark.plans.relational import r16_fn
 
     plan = physical(r16_fn(spark, SF))
+    checked = 0
     for frag in plan.split("ReadSchema: ")[1:]:
         schema = frag.split("\n")[0]
         if "l_partkey" in schema:
             assert "l_comment" not in schema
             assert schema.count(",") <= 2  # l_partkey, l_quantity, l_extendedprice
+            checked += 1
+    assert checked >= 1  # the marker must actually appear, else vacuous
 
 
 def test_unshipped_topk_plans_take_ordered(spark):

@@ -442,7 +442,10 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
     matrix by fixed-iteration power method — the 'what single axis
     explains this corpus' probe behind anisotropy checks and cheap
     1-D projections. Fixed ``iters`` (convergence is not asserted;
-    determinism is).
+    determinism is). Precondition: the input must contain a vec_id == 0
+    row (the deterministic seed, like the IVF stand-in centroids);
+    raises ValueError otherwise — the SQL twin would silently return 0
+    rows, so the Spark side fails loudly instead.
 
     Per iteration: s_i = <x_i, v> as exact BIGINT dots (Q20 x Q20 x DIM
     < 2^46), rescaled to Q20 by sign-safe truncating division (DIV vs
@@ -471,7 +474,13 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
             lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
         ).alias("vq"),
     )
-    v = [int(x) for x in base.where(F.col("vec_id") == 0).collect()[0]["vq"]]
+    seed = base.where(F.col("vec_id") == 0).collect()
+    if not seed:
+        raise ValueError(
+            "power_iteration_top_component seeds from the vec_id == 0 row; "
+            "the input frame has none (re-id or pass a frame containing it)"
+        )
+    v = [int(x) for x in seed[0]["vq"]]
     for _ in range(iters):
         vdf = spark.createDataFrame([(v,)], "v array<long>")
         s = base.crossJoin(F.broadcast(vdf)).select(
@@ -498,6 +507,11 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
         for yd in y:  # left fold in pos order — mirrors list_reduce
             acc += float(yd) * float(yd)
         nrm = math.sqrt(acc)
+        if nrm == 0.0:
+            raise ValueError(
+                "power iteration degenerated to the zero vector "
+                "(all-zero corpus or a seed orthogonal to every vector)"
+            )
         v = [math.floor(float(yd) / nrm * q + 0.5) for yd in y]
     out = spark.createDataFrame([(v,)], "v array<long>")
     return out.select(F.posexplode("v").alias("pos", "component_q")).select(

@@ -408,12 +408,22 @@ def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
 
     Output: (doc_id, status, old_fingerprint, new_fingerprint).
     """
-    a = fingerprint(old_docs).withColumnRenamed("fingerprint", "old_fingerprint")
-    b = fingerprint(new_docs).withColumnRenamed("fingerprint", "new_fingerprint")
+    # presence is keyed on doc_id flags, NOT fingerprint NULL-ness: a
+    # NULL-text doc (e.g. a corrupt JSONL row) has a NULL fingerprint
+    # but IS present on its side; the content comparison is null-safe
+    # (NULL vs text -> changed, NULL vs NULL -> unchanged), matching
+    # the oracle's IS DISTINCT FROM.
+    a = fingerprint(old_docs).withColumnRenamed("fingerprint", "old_fingerprint") \
+        .withColumn("_in_old", F.lit(True))
+    b = fingerprint(new_docs).withColumnRenamed("fingerprint", "new_fingerprint") \
+        .withColumn("_in_new", F.lit(True))
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
-        .when(F.col("old_fingerprint") != F.col("new_fingerprint"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
     )
     return (

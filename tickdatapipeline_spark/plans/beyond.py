@@ -972,9 +972,17 @@ def value_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_events(spark, sf_dir)
     vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # FLOOR division whatever the sign (refund-shaped negative values):
+    # Spark DIV truncates toward zero while the oracle's // floors, so
+    # the negative branch is spelled out (same hazard as the power-
+    # iteration rescale).
+    w = HIST_BIN_CENTS
+    floor_div = (
+        f"CASE WHEN vc < 0 THEN -((-vc + {w - 1}) DIV {w}) ELSE vc DIV {w} END"
+    )
     return (
         ev.select("event_type", vc.alias("vc"))
-        .withColumn("bin_id", F.expr(f"vc DIV {HIST_BIN_CENTS}"))
+        .withColumn("bin_id", F.expr(floor_div))
         .groupBy("event_type", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1058,7 +1066,7 @@ def rolling_corr(ev: DataFrame, window_h: int = CORR_WINDOW_H) -> DataFrame:
         n.alias("n_hours"),
         sx.alias("sum_x"),
         sy.alias("sum_y"),
-        corr.alias("corr_24h"),
+        corr.alias(f"corr_{window_h}h"),  # named for the actual window
     )
 
 
@@ -1898,7 +1906,7 @@ new AS (SELECT doc_id, {sql_h60(SQL_NORM_TEXT)} AS nfp FROM new_docs)
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN ofp <> nfp THEN 'changed'
+            WHEN ofp IS DISTINCT FROM nfp THEN 'changed'
             ELSE 'unchanged' END AS status,
        ofp AS old_fingerprint, nfp AS new_fingerprint
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
