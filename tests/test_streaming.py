@@ -1204,3 +1204,45 @@ def test_ingest_curation_stream(spark, tmp_path):
     # missing text -> clean reject verdict, never size(NULL)=-1 garbage
     assert (rows[606].n_pii, rows[606].n_tokens) == (0, 0)
     assert rows[606].quality_ok is False and rows[606].keep is False
+
+
+def test_streaming_value_histogram_equals_batch(spark, tmp_path):
+    """The running streaming histogram, after draining all micro-batches,
+    equals the batch histogram over the same events bit-for-bit —
+    including a negative (refund-shaped) value whose bin must FLOOR
+    (bin -1), not truncate toward zero."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_value_histogram_to_memory
+
+    rows0 = [(1, 1_000_000, "click", 5.00), (2, 2_000_000, "click", 19.99),
+             (3, 3_000_000, "view", 25.00)]
+    rows1 = [(4, 4_000_000, "click", 20.00), (5, 5_000_000, "view", -0.50),
+             (6, 6_000_000, "click", 5.00)]
+    (tmp_path / "in").mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = tmp_path / "in" / f"b{i}.json"
+        with open(p, "w") as f:
+            for eid, tus, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "event_type": et, "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = run_value_histogram_to_memory(
+        spark, str(tmp_path / "in"), str(tmp_path / "ckpt"),
+        table_name="vh_test", bin_cents=2000,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.event_type, r.bin_id): (r.n_events, r.sum_value)
+           for r in spark.table("vh_test").collect()}
+    assert got == {
+        ("click", 0): (3, 29.99),   # 5.00 + 19.99 + 5.00 all in [0, 20)
+        ("click", 1): (1, 20.00),   # 20.00 lands in [20, 40)
+        ("view", 1): (1, 25.00),
+        ("view", -1): (1, -0.50),   # negative floors to bin -1
+    }

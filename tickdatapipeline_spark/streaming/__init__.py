@@ -10,8 +10,10 @@ from tickdatapipeline_spark.streaming.eventtime import (
     enriched_events_stream,
     run_enriched_events_refreshable,
     run_ingest_decontamination,
+    run_value_histogram_to_memory,
     run_windowed_events_to_memory,
     sessionized_events_stream,
+    value_histogram_stream,
     windowed_events_stream,
 )
 from tickdatapipeline_spark.streaming.runner import StreamingTickPipeline
@@ -33,6 +35,8 @@ __all__ = [
     "attributed_clicks_stream",
     "enriched_events_stream",
     "run_enriched_events_refreshable",
+    "run_value_histogram_to_memory",
+    "value_histogram_stream",
     "run_ingest_decontamination",
     "run_windowed_events_to_memory",
     "ema_stream",

@@ -220,6 +220,65 @@ def run_windowed_events_to_memory(
     )
 
 
+def value_histogram_stream(
+    spark: SparkSession,
+    input_dir: str,
+    bin_cents: int = 2_000,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of plans/beyond.py::value_histogram_fn: a running
+    equal-width histogram of event values per event type, updated every
+    micro-batch. Same exact integer-cents binning (sign-safe FLOOR
+    division) so the converged stream equals the batch histogram
+    bit-for-bit (pinned by the stream==batch test).
+
+    State posture: this is an UNWATERMARKED streaming aggregation — the
+    legitimate case, because the state is the histogram itself:
+    O(|types| x |bins|) rows bounded by the value range, NOT by stream
+    length (unlike per-key aggregations over unbounded key spaces,
+    which need a watermark to evict). Emit via complete/update mode.
+    """
+    ev = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+    )
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = bin_cents
+    floor_div = (
+        f"CASE WHEN vc < 0 THEN -((-vc + {w - 1}) DIV {w}) ELSE vc DIV {w} END"
+    )
+    return (
+        ev.select("event_type", vc.alias("vc"))
+        .withColumn("bin_id", F.expr(floor_div))
+        .groupBy("event_type", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def run_value_histogram_to_memory(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "value_histogram_stream",
+    **kwargs,
+) -> "object":
+    """Start the running histogram into an in-memory COMPLETE sink (the
+    whole small result re-emits per batch — correct for a dashboard
+    gauge of bounded size). Returns the StreamingQuery."""
+    df = value_histogram_stream(spark, input_dir, **kwargs)
+    return (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def enriched_events_stream(
     spark: SparkSession,
     input_dir: str,
