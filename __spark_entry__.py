@@ -57,6 +57,39 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+def _fingerprint(fn, sql: str) -> str:
+    """Implementation fingerprint of a gated query: sha256 of the plan
+    function's source + its oracle SQL. Factory-made closures share
+    source, but their SQL differs, so fingerprints stay distinct; an
+    edit to a shared factory body correctly flips every query built
+    from it."""
+    import functools
+    import hashlib
+    import inspect
+
+    target = fn.func if isinstance(fn, functools.partial) else fn
+    try:
+        src = inspect.getsource(target)
+    except (OSError, TypeError):  # builtins/C callables: degrade to name
+        src = getattr(target, "__qualname__", repr(target))
+    return hashlib.sha256((src + "\x00" + sql).encode()).hexdigest()[:16]
+
+
+def _recorded_fingerprints() -> dict[str, dict]:
+    """name -> {"fp": ..., "round": N} from the committed
+    FINGERPRINTS.json (see scripts_dev/update_fingerprints.py): the
+    fingerprint each query had when its implementation was last known
+    driver-verified, and the round of that verification."""
+    import json
+
+    p = Path(__file__).resolve().parent / "FINGERPRINTS.json"
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
 def _registry() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
     for mod in (analytics, beyond, relational):
@@ -66,20 +99,46 @@ def _registry() -> dict[str, tuple]:
     # Oracle-gated queries register first (rows-only entries — no oracle
     # SQL → weaker rows-only check regardless of position — go last), but
     # there are more gated queries (107 as of round 6) than the driver's
-    # 50-entry correctness window. Gated ordering is least-recently-
-    # verified first, computed from the committed CORRECTNESS_r*.json
-    # files: never-green queries lead, then ascending by the round of
-    # their latest green row (ties keep registry order, so the ordering
-    # is deterministic). With a 50-entry window over n gated queries
-    # this covers every query within ceil(n/50) rounds from ANY starting
-    # state and self-heals if the driver ever skips a round (pinned by
-    # test_registry_rotation_covers_every_gated_query);
+    # 50-entry correctness window. Gated ordering is two-tier:
+    #
+    # Tier 0 (leads the window) — queries the driver has never verified
+    # on their CURRENT implementation: never green in any committed
+    # CORRECTNESS_r*.json, OR their live fingerprint (plan-fn source +
+    # oracle SQL, see _fingerprint) differs from the committed
+    # FINGERPRINTS.json entry with no green row newer than that
+    # recording. An edited query is therefore driver-hash-checked the
+    # VERY NEXT round instead of waiting out the ceil(n/50)-round
+    # rotation; once a newer round greens it, it drops back to tier 1
+    # even before FINGERPRINTS.json is refreshed, so tier 0 drains
+    # itself and cannot starve the rotation.
+    #
+    # Tier 1 — everything else, least-recently-verified first (ascending
+    # latest-green round). Ties keep registry order, so the full
+    # ordering is deterministic. With a 50-entry window over n gated
+    # queries this covers every query within ceil(n/50) rounds from ANY
+    # state and self-heals if the driver skips a round (pinned by
+    # test_registry_rotation_covers_every_gated_query; the edited-query
+    # promotion by test_edited_query_leads_next_window);
     # scripts_dev/oracle_parity.py (and the marked-slow pytest sweep
     # wrapping it) still verifies ALL gated queries in-repo every round.
     last = _last_green_round()
+    recorded = _recorded_fingerprints()
     gated_names = [n for n, p in reg.items() if p[1] is not None]
     order = {n: i for i, n in enumerate(gated_names)}
-    gated_names.sort(key=lambda n: (last.get(n, 0), order[n]))
+
+    def tier(n: str) -> int:
+        if n not in last:
+            return 0  # never driver-green
+        rec = recorded.get(n)
+        if (
+            rec is not None
+            and rec.get("fp") != _fingerprint(*reg[n])
+            and last[n] <= rec.get("round", 0)
+        ):
+            return 0  # edited since its last verified recording
+        return 1
+
+    gated_names.sort(key=lambda n: (tier(n), last.get(n, 0), order[n]))
     gated = {n: reg[n] for n in gated_names}
     rows_only = {n: p for n, p in reg.items() if p[1] is None}
     return {**gated, **rows_only}

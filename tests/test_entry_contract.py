@@ -115,3 +115,61 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
         f"never-verified queries missing from next window: "
         f"{[n for n in never_green if n not in window]}"
     )
+
+
+def test_edited_query_leads_next_window(monkeypatch):
+    """Changed-lineage promotion: a gated query whose implementation
+    fingerprint drifted from its committed FINGERPRINTS.json recording
+    (with no newer green round) jumps to the HEAD of the gated ordering
+    — the driver hash-checks it the very next round instead of waiting
+    out the ceil(n/50)-round rotation. Once a NEWER round greens it, it
+    drops back into normal rotation even before FINGERPRINTS.json is
+    refreshed (tier 0 drains itself, no starvation)."""
+    import __spark_entry__ as mod
+
+    recorded = mod._recorded_fingerprints()
+    last = mod._last_green_round()
+    # pick the gated query that would otherwise sort LAST (most recently
+    # verified) so the promotion is unambiguous
+    baseline = [n for n in mod.oracle_sql() if n in recorded]
+    victim = max(baseline, key=lambda n: last.get(n, 0))
+    assert list(mod.queries())[0] != victim
+
+    # simulate "victim's plan fn / SQL was edited this session"
+    fake = dict(recorded)
+    fake[victim] = {"fp": "0" * 16, "round": recorded[victim]["round"]}
+    monkeypatch.setattr(mod, "_recorded_fingerprints", lambda: fake)
+    assert list(mod.queries())[0] == victim
+
+    # a green row NEWER than the recording clears the promotion
+    newer = dict(last)
+    newer[victim] = recorded[victim]["round"] + 1
+    monkeypatch.setattr(mod, "_last_green_round", lambda: newer)
+    assert list(mod.queries())[0] != victim
+
+
+def test_fingerprints_json_is_current():
+    """FINGERPRINTS.json must be refreshed (scripts_dev/
+    update_fingerprints.py) at session start on the driver-verified
+    snapshot: every green gated query has a recording, and recordings
+    whose round matches the query's latest green round should normally
+    match the live fingerprint (drift == a deliberate edit pending
+    re-verification, which the registry promotes — allowed, but bounded
+    so a stale file can't silently pin the whole surface to tier 0)."""
+    import __spark_entry__ as mod
+
+    recorded = mod._recorded_fingerprints()
+    last = mod._last_green_round()
+    reg = mod._registry()
+    green_gated = {n for n, (f, s) in reg.items() if s is not None and n in last}
+    missing = green_gated - set(recorded)
+    assert not missing, f"green queries with no fingerprint recording: {sorted(missing)[:10]}"
+    promoted = [
+        n for n in green_gated
+        if recorded[n]["fp"] != mod._fingerprint(*reg[n])
+        and last[n] <= recorded[n]["round"]
+    ]
+    assert len(promoted) <= 50, (
+        f"{len(promoted)} queries pending re-verification exceeds the driver "
+        f"window — refresh FINGERPRINTS.json at session start"
+    )

@@ -1238,11 +1238,14 @@ def test_streaming_value_histogram_equals_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    got = {(r.event_type, r.bin_id): (r.n_events, r.sum_value)
-           for r in spark.table("vh_test").collect()}
+    tbl = spark.table("vh_test")
+    # full batch-twin schema, including the derived bin_lo column
+    assert tbl.columns == ["event_type", "bin_id", "n_events", "bin_lo", "sum_value"]
+    got = {(r.event_type, r.bin_id): (r.n_events, r.bin_lo, r.sum_value)
+           for r in tbl.collect()}
     assert got == {
-        ("click", 0): (3, 29.99),   # 5.00 + 19.99 + 5.00 all in [0, 20)
-        ("click", 1): (1, 20.00),   # 20.00 lands in [20, 40)
-        ("view", 1): (1, 25.00),
-        ("view", -1): (1, -0.50),   # negative floors to bin -1
+        ("click", 0): (3, 0.0, 29.99),   # 5.00 + 19.99 + 5.00 all in [0, 20)
+        ("click", 1): (1, 20.0, 20.00),  # 20.00 lands in [20, 40)
+        ("view", 1): (1, 20.0, 25.00),
+        ("view", -1): (1, -20.0, -0.50),  # negative floors to bin -1
     }

@@ -382,9 +382,15 @@ def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
     dropped once, logged), so per-batch probes pass
     ``max_band_bucket=None`` and pay no per-batch sizing work — the
     bucket sizes of a static index cannot change between batches.
-    Unpinned on purpose: the single parquet write is the
-    materialization; a localCheckpoint would write everything twice."""
-    bands = _band_table(docs, num_perm, band_size, pinned=False)
+
+    Pinning: with the cap active the band table is consumed three times
+    (the guard's eager sizing job, the sizes side of its anti-filter
+    join, and the parquet write), so it is pinned to avoid re-deriving
+    the full shingle->minhash lineage per consumer. With the cap
+    disabled the parquet write is the only consumer and the unpinned
+    plan writes everything exactly once."""
+    bands = _band_table(docs, num_perm, band_size,
+                        pinned=max_band_bucket is not None)
     if max_band_bucket is not None:
         bands = cap_group_sizes(bands, ["band", "band_key"], max_band_bucket,
                                 "write_corpus_index", "max_band_bucket", logger)

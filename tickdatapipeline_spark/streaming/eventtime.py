@@ -256,6 +256,11 @@ def value_histogram_stream(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum("vc") / 100.0).alias("sum_value"),
         )
+        .select(
+            "event_type", "bin_id", "n_events",
+            (F.lit(bin_cents) * F.col("bin_id") / 100.0).alias("bin_lo"),
+            "sum_value",
+        )
     )
 
 
