@@ -59,20 +59,39 @@ def _last_green_round() -> dict[str, int]:
 
 def _fingerprint(fn, sql: str) -> str:
     """Implementation fingerprint of a gated query: sha256 of the plan
-    function's source + its oracle SQL. Factory-made closures share
-    source, but their SQL differs, so fingerprints stay distinct; an
-    edit to a shared factory body correctly flips every query built
-    from it."""
+    function's source + its oracle SQL + the source of every package
+    function/class the plan fn references directly (one level deep via
+    its code object's co_names — catches the common 'registry fn is a
+    thin wrapper over an operator helper' edit without hashing whole
+    modules, which would dump the entire surface into tier 0 on any
+    comment change). Factory-made closures share source, but their SQL
+    differs, so fingerprints stay distinct; an edit to a shared factory
+    body correctly flips every query built from it."""
     import functools
     import hashlib
     import inspect
 
     target = fn.func if isinstance(fn, functools.partial) else fn
+    parts: list[str] = []
     try:
-        src = inspect.getsource(target)
+        parts.append(inspect.getsource(target))
     except (OSError, TypeError):  # builtins/C callables: degrade to name
-        src = getattr(target, "__qualname__", repr(target))
-    return hashlib.sha256((src + "\x00" + sql).encode()).hexdigest()[:16]
+        parts.append(getattr(target, "__qualname__", repr(target)))
+    code = getattr(target, "__code__", None)
+    glb = getattr(target, "__globals__", {})
+    if code is not None:
+        for name in sorted(set(code.co_names)):
+            obj = glb.get(name)
+            mod = getattr(obj, "__module__", "") or ""
+            if (inspect.isfunction(obj) or inspect.isclass(obj)) and mod.startswith(
+                "tickdatapipeline_spark"
+            ):
+                try:
+                    parts.append(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    parts.append(f"{mod}.{name}")
+    parts.append(sql)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
 def _recorded_fingerprints() -> dict[str, dict]:

@@ -872,6 +872,31 @@ def test_hourly_gapfill_golden(spark):
     assert out[(3, "b")].n_events == 0 and out[(3, "b")].ffill_avg_value == 7.5
 
 
+def test_hourly_gapfill_rejects_corrupt_timestamp_span(spark):
+    """Dirty-timestamp guard: one epoch-0 row among 2026-era events
+    would inflate the dense grid by ~490K hours x |types| — the query
+    must fail loudly in-plan (raise_error folded into the grid bound,
+    so the optimizer can't prune it) instead of silently building it;
+    a generous explicit cap admits the same span."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tickdatapipeline_spark.plans.beyond import hourly_gapfill
+
+    HN = 3600 * 1_000_000_000
+    year_2026_h = 56 * 365 * 24  # ~hour index of 2026 in epoch hours
+    rows = [((year_2026_h + k) * HN, "a", 1.0) for k in range(3)]
+    rows.append((0, "a", 1.0))  # the one corrupt epoch-0 row
+    ev = spark.createDataFrame(rows, "ts long, event_type string, value double")
+    with pytest.raises(SparkRuntimeException, match="max_span_hours"):
+        hourly_gapfill(ev).collect()
+    # same data, explicit generous cap: grid spans the corrupt row
+    n = hourly_gapfill(ev, max_span_hours=60 * 366 * 24).count()
+    assert n == year_2026_h + 3
+    # clean data is untouched by the default guard
+    clean = spark.createDataFrame(rows[:3], "ts long, event_type string, value double")
+    assert hourly_gapfill(clean).count() == 3
+
+
 def test_event_funnel_golden(spark):
     """Hand-computed funnel: stage entry must be strictly after the
     previous stage's entry and within the conversion window; the first
@@ -1143,6 +1168,34 @@ def test_mixture_sample_rates_and_epochs(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     other = mixture_sample(d, targets, budget, salt="mix2:").collect()
     assert {r.doc_id for r in other if r.source == "s1"} != set(s1) or len(s1) in (0, 10)
+
+
+def test_mixture_sample_epoch_cap(spark, caplog):
+    """Degenerate-mix guard: a 10^12-token budget against a ~50-token
+    source asks for billions of epochs per doc; the default max_epochs
+    clamps the fan-out to a bounded row count and WARN-logs the clamped
+    source with its requested epoch count. An uncapped run
+    (max_epochs=None) keeps the closed-form fan-out for sane mixes."""
+    import logging
+
+    from tickdatapipeline_spark.operators.text import (
+        DEFAULT_MAX_EPOCHS,
+        mixture_sample,
+    )
+
+    rows = [(i, "tok " * 5, "en", "tiny") for i in range(10)]  # 50 tokens total
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    with caplog.at_level(logging.WARNING, logger="tickdatapipeline_spark.operators.text"):
+        out = mixture_sample(d, {"tiny": 1000}, budget=10**12).collect()
+    # bounded: every doc clamped to exactly DEFAULT_MAX_EPOCHS epochs
+    assert len(out) == 10 * DEFAULT_MAX_EPOCHS
+    assert max(r.epoch for r in out) == DEFAULT_MAX_EPOCHS - 1
+    assert any("epoch guard" in r.message and "tiny" in r.message
+               for r in caplog.records)
+    # sane mix: cap leaves the closed-form result untouched
+    sane = mixture_sample(d, {"tiny": 1000}, budget=100).collect()
+    unguarded = mixture_sample(d, {"tiny": 1000}, budget=100, max_epochs=None).collect()
+    assert sorted(map(tuple, sane)) == sorted(map(tuple, unguarded))
 
 
 def test_chunk_windows_coverage_and_overlap(spark):

@@ -12,13 +12,25 @@ Cross-engine conventions shared with the DuckDB oracle:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import rnd
 from tickdatapipeline_spark.functions.scale import fan_out
 
+logger = logging.getLogger(__name__)
+
 TOKEN_RE = "[a-z0-9]+"
+
+# Deployment default for the mixture-sampling epoch fan-out guard: a
+# misconfigured mix (huge budget against a tiny source) otherwise
+# explodes every doc of that source into millions of epoch rows. 100
+# full repetitions is already far beyond any published mixing recipe;
+# pass None for unguarded fan-out (oracle-compared entries pass an
+# explicit generous cap instead).
+DEFAULT_MAX_EPOCHS = 100
 
 # deterministic multilingual stopword marker lists for the n-gram
 # language-ID heuristic (public-knowledge common words)
@@ -434,7 +446,8 @@ def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
 
 
 def mixture_sample(docs: DataFrame, targets: dict[str, int], budget: int,
-                   salt: str = "mix:") -> DataFrame:
+                   salt: str = "mix:",
+                   max_epochs: int | None = DEFAULT_MAX_EPOCHS) -> DataFrame:
     """Weighted corpus mixing: draw a ``budget``-token training mix
     whose per-source token shares match ``targets`` (source ->
     permille of the budget), upsampling scarce sources by repeating
@@ -455,6 +468,18 @@ def mixture_sample(docs: DataFrame, targets: dict[str, int], budget: int,
     map-side explode. Pure integer arithmetic (exact for budgets to
     ~9e15 tokens at permille shares).
 
+    Epoch-fan-out guard: ``max_epochs`` (default DEFAULT_MAX_EPOCHS)
+    clamps each doc's repetitions — a degenerate mix (10^12-token
+    budget against a 1K-token source) otherwise asks for ~10^9 epochs
+    PER DOC and OOMs an executor mid-explode. Because the maximum
+    fan-out of a source is determined by rate_pm alone (the per-doc
+    draw only subtracts), the guard is evaluated on the |sources|-row
+    availability aggregate: it is collected once (tiny), each clamped
+    source is WARN-logged with its requested epoch count, and the
+    collected rows are fed back as the broadcast side — the corpus is
+    still scanned exactly once. Pass None for unguarded, fully lazy
+    fan-out.
+
     Output: (doc_id, source, epoch, n_tokens).
     """
     share_pm = F.lit(0)
@@ -468,17 +493,32 @@ def mixture_sample(docs: DataFrame, targets: dict[str, int], budget: int,
         share_pm.alias("share_pm"),
     )
     avail = base.groupBy("source").agg(F.sum("n_tokens").alias("avail_tokens"))
+    n_epochs = F.greatest(F.lit(0).cast("long"),
+                          F.expr("(rate_pm - h_pm + 999) DIV 1000"))
+    if max_epochs is not None:
+        rows = avail.collect()  # O(|sources|) rows — the guard's only job
+        for r in rows:
+            pm = targets.get(r["source"], 0)
+            if pm <= 0 or not r["avail_tokens"]:
+                continue
+            rate_pm = (budget * pm) // r["avail_tokens"]
+            want = (rate_pm + 999) // 1000  # max epochs at draw h_pm=0
+            if want > max_epochs:
+                logger.warning(
+                    "mixture_sample epoch guard: source %r wants up to %d "
+                    "epochs (rate %d pm); clamping to max_epochs=%d",
+                    r["source"], want, rate_pm, max_epochs,
+                )
+        if rows:
+            avail = docs.sparkSession.createDataFrame(rows, schema=avail.schema)
+        n_epochs = F.least(F.lit(max_epochs).cast("long"), n_epochs)
     return (
         base.join(F.broadcast(avail), on="source")
         .where((F.col("share_pm") > 0) & (F.col("avail_tokens") > 0))
         .withColumn(
             "rate_pm", F.expr(f"({budget}L * share_pm) DIV avail_tokens")
         )
-        .withColumn(
-            "n_epochs",
-            F.greatest(F.lit(0).cast("long"),
-                       F.expr("(rate_pm - h_pm + 999) DIV 1000")),
-        )
+        .withColumn("n_epochs", n_epochs)
         .where(F.col("n_epochs") > 0)
         .select(
             "doc_id",

@@ -827,7 +827,7 @@ FROM events
 GROUP BY 1, 2
 """
 
-def hourly_gapfill(ev: DataFrame) -> DataFrame:
+def hourly_gapfill(ev: DataFrame, max_span_hours: int = 24 * 366 * 20) -> DataFrame:
     """Resample events onto a dense hourly grid per event type —
     hours with no events appear with zero counts, and the last observed
     hourly average value carries forward (the time-series gap-fill /
@@ -848,6 +848,16 @@ def hourly_gapfill(ev: DataFrame) -> DataFrame:
     regardless of event volume. The forward-fill window partitions by
     event_type over grid rows only (~10^4-10^5 rows/type even at
     decade spans) — never over raw events.
+
+    Dirty-timestamp guard: the grid spans min..max observed hour, so at
+    corpus scale ONE corrupt row (epoch-0, or a far-future garbage
+    nanosecond value) silently inflates the grid ~100x or aborts at
+    sequence()'s array-length ceiling. If the observed span exceeds
+    ``max_span_hours`` (default 20 years) the query raises in-plan with
+    both bounds in the message — the check is folded into the grid's
+    upper bound itself, so the optimizer cannot prune it. Raising (vs
+    clamping) is deliberate: which end of the span is garbage is a data
+    call the pipeline owner must make; filter the input and rerun.
     """
     from pyspark.sql import Window
     hour = F.expr("(ts DIV 1000000000 DIV 3600) * 3600")
@@ -857,8 +867,23 @@ def hourly_gapfill(ev: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.sum("vc").alias("sum_vc")
     )
     bounds = with_h.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    # NULL-safe (empty input keeps hi NULL -> sequence NULL -> explode
+    # emits nothing, as before the guard)
+    span_ok = F.col("hi").isNull() | (
+        F.col("hi") - F.col("lo") <= F.lit(3600 * max_span_hours).cast("long")
+    )
+    hi_checked = F.when(span_ok, F.col("hi")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "hourly_gapfill: observed hour span [%s, %s] exceeds "
+                f"max_span_hours={max_span_hours} — corrupt timestamps in the "
+                "input? Filter them (or raise max_span_hours) and rerun.",
+                F.col("lo"), F.col("hi"),
+            )
+        )
+    )
     hours = bounds.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("long"))).alias("hour_s")
+        F.explode(F.sequence(F.col("lo"), hi_checked, F.lit(3600).cast("long"))).alias("hour_s")
     )
     types = ev.select("event_type").distinct()
     grid = hours.crossJoin(types)
@@ -2427,7 +2452,10 @@ def queries() -> dict[str, tuple]:
         ),
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "docs_mixture_sample": (
-            lambda s, d: mixture_sample(_docs(s, d), MIX_TARGETS, MIX_BUDGET),
+            # explicit generous cap: the guard stays exercised but can
+            # never clamp this mix, so the SQL twin needs no epoch cap
+            lambda s, d: mixture_sample(_docs(s, d), MIX_TARGETS, MIX_BUDGET,
+                                        max_epochs=10_000),
             MIXTURE_SAMPLE_SQL,
         ),
         "docs_chunk_windows": (
