@@ -628,6 +628,16 @@ def test_power_iteration_finds_dominant_axis(spark):
     again = sorted(power_iteration_top_component(emb, iters=3).collect(),
                    key=lambda r: r.pos)
     assert [r.component_q for r in again] == [r.component_q for r in out]
+    # single-plan formulation: the iterations unroll into ONE lazy tree
+    # (no driver-side collect between them), and the seed precondition
+    # rides the plan as an un-prunable raise_error
+    plan = power_iteration_top_component(emb, iters=3)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("raise_error") >= 4  # 1 seed + 3 zero-norm guards
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    no_seed = emb.where(F.col("vec_id") != 0)
+    with pytest.raises(SparkRuntimeException, match="vec_id == 0"):
+        power_iteration_top_component(no_seed, iters=1).collect()
 
 
 def test_label_centroid_cosine_golden(spark):
@@ -1196,6 +1206,126 @@ def test_mixture_sample_epoch_cap(spark, caplog):
     sane = mixture_sample(d, {"tiny": 1000}, budget=100).collect()
     unguarded = mixture_sample(d, {"tiny": 1000}, budget=100, max_epochs=None).collect()
     assert sorted(map(tuple, sane)) == sorted(map(tuple, unguarded))
+
+
+def test_source_cap_golden(spark):
+    """Per-source capping: a source under the cap passes through whole;
+    oversized sources keep exactly `cap` docs; the selection equals the
+    documented two-phase rule (oversample band on h60('cap:'||id), then
+    rank by (h, doc_id)) computed independently in Python — which, for
+    these fixtures, also equals the plain 'cap smallest hashes' rule."""
+    import hashlib
+
+    from tickdatapipeline_spark.operators.text import source_cap
+
+    rows = ([(i, "doc text", "en", "big") for i in range(30)]
+            + [(100 + i, "doc text", "en", "small") for i in range(5)]
+            + [(200 + i, "doc text", "en", "mid") for i in range(12)])
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    cap = 10
+    got = {(r.source, r.doc_id): r.sample_rank
+           for r in source_cap(d, cap).collect()}
+
+    def h(doc_id):
+        return int(hashlib.md5(f"cap:{doc_id}".encode()).hexdigest()[17:], 16)
+
+    expect = {}
+    for src, ids in (("big", range(30)), ("small", range(100, 105)),
+                     ("mid", range(200, 212))):
+        ids = list(ids)
+        frac = min(1.0, 2.0 * cap / len(ids))
+        band = [i for i in ids if float(h(i)) < frac * float(1 << 60)]
+        ranked = sorted(band, key=lambda i: (h(i), i))[:cap]
+        # fixture sanity: the band held enough docs, so two-phase == plain
+        assert ranked == sorted(ids, key=lambda i: (h(i), i))[:cap]
+        for rk, i in enumerate(ranked, start=1):
+            expect[(src, i)] = rk
+    assert got == expect
+    counts = {}
+    for (src, _i) in got:
+        counts[src] = counts.get(src, 0) + 1
+    assert counts == {"big": 10, "small": 5, "mid": 10}
+
+
+def test_ngram_novelty_golden(spark):
+    """First-occurrence attribution: the lowest doc_id containing a gram
+    owns it; later docs score only their genuinely new grams; docs with
+    fewer than n tokens are absent."""
+    from tickdatapipeline_spark.operators.dedup import ngram_novelty
+
+    d = spark.createDataFrame(
+        [(1, "a b c d", "en", "s"),      # grams {abc, bcd}: both novel
+         (2, "a b c x", "en", "s"),      # {abc(first=1), bcx(novel)} -> 0.5
+         (3, "a b", "en", "s"),          # no 3-grams -> absent
+         (4, "b c d", "en", "s")],       # {bcd(first=1)} -> 0.0
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(d).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty) == (2, 1, 0.5)
+    assert (out[4].n_grams, out[4].n_novel, out[4].novelty) == (1, 0, 0.0)
+
+
+def test_cross_source_dup_matrix_golden(spark):
+    """Near-dup pairs aggregate into an unordered source matrix: a
+    within-source pair lands on the diagonal, a cross-source pair on
+    the (least, greatest) cell; clean sources never appear."""
+    from tickdatapipeline_spark.operators.dedup import cross_source_dup_matrix
+
+    text = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "gently on the quiet village roofs tonight")
+    d = spark.createDataFrame(
+        [(1, text, "en", "feed_b"),
+         (2, text, "en", "feed_a"),          # cross-source dup of 1
+         (3, text + " extra", "en", "feed_b"),  # within-source near-dup of 1
+         (4, "completely different content about parquet file layouts and "
+             "columnar compression strategies", "en", "feed_c")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.source_a, r.source_b): r
+           for r in cross_source_dup_matrix(d, 0.5, max_band_bucket=None).collect()}
+    # pairs: (1,2) cross feed_a/feed_b; (1,3) and (2,3) mixed; feed_c clean
+    assert ("feed_a", "feed_b") in out and ("feed_b", "feed_b") in out
+    assert not any("feed_c" in k for k in out)
+    assert out[("feed_a", "feed_b")].max_jaccard == 1.0   # verbatim pair
+    total = sum(r.n_pairs for r in out.values())
+    assert total == 3
+    for r in out.values():
+        assert 0.5 <= r.min_jaccard <= r.max_jaccard <= 1.0
+
+
+def test_type_transitions_golden(spark):
+    """Markov bigram matrix: per-user consecutive pairs only (no
+    cross-user transitions), n_users counts distinct users per cell,
+    and shares sum to 1 within each prev_type row."""
+    from tickdatapipeline_spark.plans.beyond import type_transitions_fn
+
+    M = 1_000_000_000  # 1s in nanos
+    rows = [
+        (1, 10, 1 * M, "view", 0.0), (2, 10, 2 * M, "click", 0.0),
+        (3, 10, 3 * M, "purchase", 0.0),
+        (4, 20, 1 * M, "view", 0.0), (5, 20, 2 * M, "click", 0.0),
+        (6, 30, 1 * M, "view", 0.0), (7, 30, 2 * M, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double")
+    import tickdatapipeline_spark.plans.beyond as B
+    import tickdatapipeline_spark.sources.io as io_mod
+    orig = io_mod.read_events
+    try:
+        B.read_events = lambda s, d: ev
+        out = {(r.prev_type, r.next_type): r
+               for r in B.type_transitions_fn(spark, "ignored").collect()}
+    finally:
+        B.read_events = orig
+    assert out[("view", "click")].n_transitions == 2
+    assert out[("view", "click")].n_users == 2
+    assert out[("view", "view")].n_transitions == 1
+    assert out[("click", "purchase")].n_transitions == 1
+    assert out[("view", "click")].share == pytest.approx(2 / 3)
+    assert out[("view", "view")].share == pytest.approx(1 / 3)
+    assert out[("click", "purchase")].share == 1.0
 
 
 def test_chunk_windows_coverage_and_overlap(spark):

@@ -1112,6 +1112,63 @@ def test_ingest_decontamination_stream(spark, tmp_path):
     assert rows[500].batch_id == 0 and rows[502].batch_id == 1
 
 
+def test_snapshot_diff_stream_all_statuses(spark, tmp_path):
+    """Live crawl-refresh audit: each arriving file is a full snapshot;
+    every micro-batch diffs against the PREVIOUS snapshot's stored
+    fingerprints. Batch 0 (no seed) reports everything added; batch 1
+    exhibits all four statuses — unchanged (same text modulo
+    whitespace), changed, removed (doc absent from the new snapshot)
+    and added. Replaying a batch's writer rewrites the same files
+    (idempotent store + sink)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_snapshot_diff_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_snapshot(fname, rows, mtime):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "lang": "en"}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    write_snapshot("s0.json", [
+        (1, "stable document about parquet files"),
+        (2, "document that will be edited later"),
+        (3, "document that will disappear"),
+    ], 1700000000)
+    write_snapshot("s1.json", [
+        (1, "stable   document about parquet\tfiles"),  # whitespace only -> unchanged
+        (2, "document that WAS edited for real"),       # changed
+        (4, "brand new crawl discovery"),               # added; 3 -> removed
+    ], 1700000001)
+
+    store, out = tmp_path / "store", tmp_path / "out"
+    q = run_snapshot_diff_stream(
+        spark, str(in_dir), str(store), str(out), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(out)).collect()
+    b0 = {r.doc_id: r for r in rows if r.batch_id == 0}
+    b1 = {r.doc_id: r for r in rows if r.batch_id == 1}
+    assert {r.status for r in b0.values()} == {"added"}  # vs empty seed
+    assert set(b0) == {1, 2, 3}
+    assert set(b1) == {1, 2, 3, 4}
+    assert b1[1].status == "unchanged" and b1[1].old_fingerprint == b1[1].new_fingerprint
+    assert b1[2].status == "changed" and b1[2].old_fingerprint != b1[2].new_fingerprint
+    assert b1[3].status == "removed" and b1[3].new_fingerprint is None
+    assert b1[4].status == "added" and b1[4].old_fingerprint is None
+    # the store holds one fingerprint table per refresh
+    assert {r.doc_id for r in spark.read.parquet(str(store / "batch_id=1")).collect()} \
+        == {1, 2, 4}
+
+
 def test_refreshable_dim_writer_is_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a batch replayed after a failure
     between write and checkpoint commit runs the writer again. The

@@ -666,3 +666,92 @@ def deduplicated_corpus(docs: DataFrame, threshold: float = 0.5,
                     F.length("text").cast("long").alias("n_chars"))
         .join(drop, on="doc_id", how="left_anti")
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams whose FIRST corpus occurrence (minimum doc_id
+    over all documents containing the gram) is this document — the
+    "how much genuinely new text does each doc contribute" score used
+    to rank crawl increments and spot boilerplate-dominated sources
+    (complementary to dedup: a doc can be nobody's near-duplicate yet
+    still 95% previously-seen phrases).
+
+    Grams are keyed by their 60-bit hash (compact shuffle keys; a
+    collision merges two grams' first-occurrence attribution — odds
+    ~m^2/2^61, and the SQL twin hashes identically so the gate is
+    unaffected). Documents with fewer than ``n`` tokens have no grams
+    and are absent from the output.
+
+    Scale: shingle explosion is map-side; ONE groupBy on the gram hash
+    builds the first-occurrence map, reuses its exchange for the join
+    back (same key), then a map-side-combinable per-doc aggregate.
+    Nothing quadratic, no windows over the corpus.
+
+    Output: (doc_id, n_grams, n_novel, novelty).
+    """
+    sh = shingles(docs, n).select("doc_id", h60(F.col("shingle")).alias("g"))
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            rnd(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+def cross_source_dup_matrix(docs: DataFrame, threshold: float = 0.5,
+                            max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+                            ) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered pair of
+    sources, how many verified near-duplicate document pairs
+    (jaccard_pairs at ``threshold``) straddle them — the corpus-curation
+    dashboard that answers "which feeds are re-crawling each other"
+    before mixture weights are trusted. Diagonal rows (source_a ==
+    source_b) count within-source duplication.
+
+    Aggregates are integer counts plus MIN/MAX jaccard (order-
+    independent — a float MEAN across rows would not be reproducible
+    across partitionings and is deliberately absent).
+
+    Scale: the expensive part is the shared LSH+Jaccard sub-DAG, with
+    its usual skew caps; the source labels join pairs (small relative
+    to the corpus) against the compact (doc_id, source) projection, and
+    the final aggregate is |sources|^2-bounded.
+
+    Output: (source_a, source_b, n_pairs, min_jaccard, max_jaccard),
+    source_a <= source_b.
+    """
+    pairs = jaccard_pairs(docs, threshold, max_band_bucket=max_band_bucket)
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            on="doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            on="doc_b",
+        )
+    )
+    return (
+        lab.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

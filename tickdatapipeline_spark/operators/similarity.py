@@ -444,7 +444,7 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
     1-D projections. Fixed ``iters`` (convergence is not asserted;
     determinism is). Precondition: the input must contain a vec_id == 0
     row (the deterministic seed, like the IVF stand-in centroids);
-    raises ValueError otherwise — the SQL twin would silently return 0
+    raises in-plan otherwise — the SQL twin would silently return 0
     rows, so the Spark side fails loudly instead.
 
     Per iteration: s_i = <x_i, v> as exact BIGINT dots (Q20 x Q20 x DIM
@@ -457,16 +457,27 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
     on identical integers, so DuckDB replays the whole run bit-for-bit
     (oracle twin unrolls the iterations as CTEs).
 
-    Scale: per iteration ONE broadcast of the DIM-entry iterate, one
-    map-side dot, one posexplode groupBy(dim) -> DIM aggregate rows
-    collected to the driver (like kmeans_train's k x DIM): nothing
-    corpus-sized ever leaves the executors, iterations are O(1) jobs.
+    ONE plan, not ``iters`` driver-orchestrated jobs (like the SQL
+    twin's unrolled CTEs): each iteration's DIM aggregate rows fold
+    back into a 1-row array frame via sort_array(collect_list(...))
+    — a DIM-row final aggregate, never corpus-sized — whose
+    normalization replays the driver loop's exact IEEE sequence
+    (pos-ordered left fold of y_d^2, then (y_d / nrm) * q per entry);
+    the next iteration broadcasts that derived frame. The seed and
+    zero-norm degeneracy checks ride the plan as raise_error
+    expressions the optimizer cannot prune (they gate the arrays every
+    downstream expression consumes).
+
+    Scale: per iteration ONE broadcast of the DIM-entry iterate frame,
+    one map-side dot, one posexplode groupBy(dim) -> DIM aggregate rows
+    (like kmeans_train's k x DIM): nothing corpus-sized ever reaches a
+    single partition, and the whole run is one action / one explain()
+    tree (the corpus scan still executes once per iteration — the
+    iterate genuinely depends on the previous pass; pin ``emb``
+    upstream to trade memory for re-scans).
 
     Output: (pos, component_q, component) — DIM rows, pos 0-based.
     """
-    import math
-
-    spark = emb.sparkSession
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform(
@@ -474,15 +485,20 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
             lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
         ).alias("vq"),
     )
-    seed = base.where(F.col("vec_id") == 0).collect()
-    if not seed:
-        raise ValueError(
-            "power_iteration_top_component seeds from the vec_id == 0 row; "
-            "the input frame has none (re-id or pass a frame containing it)"
+    vdf = (
+        base.where(F.col("vec_id") == 0)
+        .agg(F.first("vq").alias("v0"), F.count(F.lit(1)).alias("c"))
+        .select(
+            F.when(F.col("c") > 0, F.col("v0"))
+            .otherwise(F.raise_error(F.lit(
+                "power_iteration_top_component seeds from the vec_id == 0 "
+                "row; the input frame has none (re-id or pass a frame "
+                "containing it)"
+            )))
+            .alias("v")
         )
-    v = [int(x) for x in seed[0]["vq"]]
+    )
     for _ in range(iters):
-        vdf = spark.createDataFrame([(v,)], "v array<long>")
         s = base.crossJoin(F.broadcast(vdf)).select(
             "vq",
             F.aggregate(
@@ -494,27 +510,44 @@ def power_iteration_top_component(emb: DataFrame, iters: int = 3,
             "st",
             F.expr(f"CASE WHEN s < 0 THEN -(ABS(s) DIV {q}) ELSE s DIV {q} END"),
         )
-        rows = (
+        y = (
             s.select("st", F.posexplode("vq").alias("pos", "x"))
             .groupBy("pos")
             .agg(F.sum(F.col("st") * F.col("x")).alias("y"))
-            .collect()
+            # DIM rows -> one pos-ordered array row (final aggregate over
+            # DIM rows only; sort_array on (pos, y) structs restores the
+            # deterministic dimension order collect_list lacks)
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "y"))).alias("ys"))
+            .select(F.transform("ys", lambda r: r["y"]).alias("y"))
         )
-        y = [0] * len(v)
-        for r in rows:
-            y[r["pos"]] = int(r["y"])
-        acc = 0.0
-        for yd in y:  # left fold in pos order — mirrors list_reduce
-            acc += float(yd) * float(yd)
-        nrm = math.sqrt(acc)
-        if nrm == 0.0:
-            raise ValueError(
-                "power iteration degenerated to the zero vector "
-                "(all-zero corpus or a seed orthogonal to every vector)"
+        # left fold of y_d^2 in pos order — the driver loop's exact
+        # accumulation sequence (and list_reduce's, on the oracle side)
+        nrm = F.sqrt(
+            F.aggregate(
+                "y",
+                F.lit(0.0),
+                lambda acc, yd: acc + yd.cast("double") * yd.cast("double"),
             )
-        v = [math.floor(float(yd) / nrm * q + 0.5) for yd in y]
-    out = spark.createDataFrame([(v,)], "v array<long>")
-    return out.select(F.posexplode("v").alias("pos", "component_q")).select(
+        )
+        vdf = y.select(
+            F.when(
+                nrm == 0.0,
+                F.raise_error(F.lit(
+                    "power iteration degenerated to the zero vector "
+                    "(all-zero corpus or a seed orthogonal to every vector)"
+                )),
+            )
+            .otherwise(
+                F.transform(
+                    "y",
+                    lambda yd: F.floor(
+                        yd.cast("double") / nrm * q + F.lit(0.5)
+                    ).cast("long"),
+                )
+            )
+            .alias("v")
+        )
+    return vdf.select(F.posexplode("v").alias("pos", "component_q")).select(
         F.col("pos").cast("long").alias("pos"),
         "component_q",
         (F.col("component_q").cast("double") / q).alias("component"),

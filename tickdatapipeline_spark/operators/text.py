@@ -420,14 +420,22 @@ def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
 
     Output: (doc_id, status, old_fingerprint, new_fingerprint).
     """
+    return fingerprint_diff(fingerprint(old_docs), fingerprint(new_docs))
+
+
+def fingerprint_diff(old_fp: DataFrame, new_fp: DataFrame) -> DataFrame:
+    """snapshot_diff's core over PRECOMPUTED (doc_id, fingerprint)
+    frames — the shape the streaming twin needs, where the previous
+    snapshot's fingerprints are read from parquet rather than recomputed
+    from text. Same single full-outer join, same statuses."""
     # presence is keyed on doc_id flags, NOT fingerprint NULL-ness: a
     # NULL-text doc (e.g. a corrupt JSONL row) has a NULL fingerprint
     # but IS present on its side; the content comparison is null-safe
     # (NULL vs text -> changed, NULL vs NULL -> unchanged), matching
     # the oracle's IS DISTINCT FROM.
-    a = fingerprint(old_docs).withColumnRenamed("fingerprint", "old_fingerprint") \
+    a = old_fp.withColumnRenamed("fingerprint", "old_fingerprint") \
         .withColumn("_in_old", F.lit(True))
-    b = fingerprint(new_docs).withColumnRenamed("fingerprint", "new_fingerprint") \
+    b = new_fp.withColumnRenamed("fingerprint", "new_fingerprint") \
         .withColumn("_in_new", F.lit(True))
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
@@ -442,6 +450,56 @@ def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
         a.join(b, on="doc_id", how="full_outer")
         .select("doc_id", status.alias("status"),
                 "old_fingerprint", "new_fingerprint")
+    )
+
+
+def source_cap(docs: DataFrame, cap: int, salt: str = "cap:",
+               oversample: float = 2.0) -> DataFrame:
+    """Per-source frequency capping: keep at most ``cap`` documents per
+    source, chosen hash-deterministically — the Common-Crawl-style
+    "no host may dominate the corpus" guard applied before mixing
+    (rate-based sampling is ``stratified_sample``; this is the absolute
+    ceiling variant curation recipes state as "top N per domain").
+
+    Selection rule (identical in the SQL twin, so it IS the contract):
+    a doc is admitted when its draw h = h60(salt||doc_id) falls in the
+    source's oversample band (h/2^60 < oversample*cap/n_src, computed
+    with the same IEEE ops both engines), then the admitted docs are
+    ranked by (h, doc_id) per source and rows ranked past ``cap`` drop.
+    Full sources (n_src <= cap/oversample band covers everything) pass
+    through whole.
+
+    Scale — why the band exists: a bare row_number over
+    partitionBy(source) ranks EVERY doc of a mega-source in one task.
+    The band pre-filter needs only the broadcast per-source counts and
+    map-side hashing, cutting the ranked set to ~oversample*cap rows
+    per source, so the window is bounded by the cap, not the corpus
+    (the same oversample-then-rank trick as distributed top-k). The
+    hash is uniform, so the band holds fewer than ``cap`` docs only
+    with vanishing probability (Chernoff at oversample=2) — and both
+    engines agree exactly even then.
+
+    Output: (doc_id, source, sample_rank), sample_rank 1..cap.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        salted_doc_hash(salt).alias("h"),
+    )
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    frac = F.least(
+        F.lit(1.0), F.lit(float(oversample * cap)) / F.col("n_src").cast("double")
+    )
+    pre = base.join(F.broadcast(counts), on="source").where(
+        F.col("h").cast("double") < frac * F.lit(float(1 << 60))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= cap)
+        .select("doc_id", "source", "sample_rank")
     )
 
 

@@ -26,12 +26,14 @@ from tickdatapipeline_spark.operators.dedup import (
     connected_components,
     containment_pairs,
     cross_corpus_contamination,
+    cross_source_dup_matrix,
     deduplicated_corpus,
     duplicate_clusters,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_novelty,
     simhash_near_dup_pairs,
 )
 from tickdatapipeline_spark.operators.multimodal import (
@@ -70,6 +72,7 @@ from tickdatapipeline_spark.operators.text import (
     oov_rate,
     pack_sequences,
     quality_score,
+    source_cap,
     source_quality_report,
     source_top_tokens,
     simhash,
@@ -2339,6 +2342,156 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 # ================= registry =================
 
 
+# ================= round-7 additions =================
+
+
+def type_transitions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition (Markov bigram) matrix: for every
+    ordered (prev_type, next_type) pair, how many consecutive-event
+    transitions occurred, across how many distinct users, and the share
+    of all transitions leaving prev_type — the behavioral fingerprint
+    behind journey mining and anomaly baselines ("view never goes
+    straight to refund").
+
+    Cross-engine exactness: transition counts are integers from a
+    per-user lag; the share divides two exact integers (the denominator
+    via a window over the |types|^2 aggregate rows) and rounds with the
+    shared policy.
+
+    Scale: ONE hash exchange on user_id serves the lag window; the
+    distinct-user count is a second map-side-combinable aggregate level
+    (groupBy (prev, next, user) then (prev, next)) — no expand-based
+    countDistinct over the raw stream; the share window runs over
+    |types|^2 rows only.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    per_user = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = per_user.groupBy("prev_type", "next_type").agg(
+        F.sum("n").alias("n_transitions"), F.count(F.lit(1)).alias("n_users")
+    )
+    wt = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type", "next_type", "n_transitions", "n_users",
+        rnd(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double")
+        ).alias("share"),
+    )
+
+
+TYPE_TRANSITIONS_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events
+),
+per_user AS (
+    SELECT prev_type, event_type AS next_type, user_id, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3
+),
+t AS (
+    SELECT prev_type, next_type, CAST(sum(n) AS BIGINT) AS n_transitions,
+           count(*) AS n_users
+    FROM per_user GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions, n_users,
+       {sql_rnd('CAST(n_transitions AS DOUBLE) / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)')} AS share
+FROM t
+"""
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH {SHINGLES_CTE},
+grams AS (SELECT doc_id, {sql_h60('shingle')} AS g FROM shingles),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT s.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {sql_rnd('CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)')} AS novelty
+FROM grams s JOIN firsts f ON s.g = f.g
+GROUP BY s.doc_id
+"""
+
+
+_JACCARD_EXPR = sql_rnd(
+    "CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)"
+)
+
+CROSS_SOURCE_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+jp AS (
+    SELECT doc_a, doc_b, {_JACCARD_EXPR} AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE {_JACCARD_EXPR} >= {JACCARD_THRESHOLD}
+),
+lab AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b, jaccard
+    FROM jp
+    JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents) da
+      ON jp.doc_a = da.doc_id
+    JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents) db
+      ON jp.doc_b = db.doc_id
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+FROM lab GROUP BY 1, 2
+"""
+
+
+SOURCE_CAP_N = 10  # caps every ~25-doc sf0.01 source, exercising the band
+
+
+def _source_cap_sql(cap: int, oversample: float = 2.0) -> str:
+    from tickdatapipeline_spark.oracle import dlit
+
+    band = (
+        f"least({dlit(1.0)}, {dlit(float(oversample * cap))} / CAST(c.n_src AS DOUBLE))"
+        f" * {dlit(float(1 << 60))}"
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           {sql_h60("'cap:' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)")} AS h
+    FROM documents
+),
+counts AS (SELECT source, count(*) AS n_src FROM base GROUP BY source),
+pre AS (
+    SELECT b.doc_id, b.source, b.h
+    FROM base b JOIN counts c ON b.source = c.source
+    WHERE CAST(b.h AS DOUBLE) < {band}
+),
+ranked AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT)
+               AS sample_rank
+    FROM pre
+)
+SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= {cap}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
@@ -2451,6 +2604,21 @@ def queries() -> dict[str, tuple]:
             SPLIT_SQL,
         ),
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
+        "events_type_transitions": (type_transitions_fn, TYPE_TRANSITIONS_SQL),
+        "docs_ngram_novelty": (
+            lambda s, d: ngram_novelty(_docs(s, d)),
+            NGRAM_NOVELTY_SQL,
+        ),
+        "dedup_cross_source_matrix": (
+            lambda s, d: cross_source_dup_matrix(
+                _docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None
+            ),
+            CROSS_SOURCE_SQL,
+        ),
+        "docs_source_cap": (
+            lambda s, d: source_cap(_docs(s, d), SOURCE_CAP_N),
+            _source_cap_sql(SOURCE_CAP_N),
+        ),
         "docs_mixture_sample": (
             # explicit generous cap: the guard stays exercised but can
             # never clamp this mix, so the SQL twin needs no epoch cap

@@ -846,6 +846,229 @@ LIMIT {R20_K}
 """
 
 
+# ---- R21: nation-pair trade volume (TPC-H Q7 shape) ----
+
+R21_NATION_A, R21_NATION_B = "NATION_1", "NATION_2"
+R21_LO, R21_HI = "1996-01-01", "1997-12-31"
+
+
+def r21_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations by ship year — the TPC-H Q7
+    shape: a five-table join where the two nation dimensions join the
+    SAME tiny table under different roles (supplier's vs customer's
+    nation), with a disjunctive nation-pair predicate and a ship-date
+    range.
+
+    Cross-engine exactness: revenue is the BIGINT
+    cents x (100 - discount%) accumulation; one IEEE division per
+    output row.
+
+    Scale: both nation sides and supplier broadcast; the date filter
+    prunes the lineitem scan at parquet; the only big shuffles are
+    lineitem->orders (orderkey) and orders->customer (custkey). The
+    pair predicate applies AFTER the nation joins on broadcast rows —
+    no fact-side OR in the scan, so pushdown stays simple equalities.
+    """
+    nations = (R21_NATION_A, R21_NATION_B)
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(R21_LO, R21_HI + " 23:59:59")
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    n1 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations)) \
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations)) \
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == R21_NATION_A) & (F.col("cust_nation") == R21_NATION_B))
+            | ((F.col("supp_nation") == R21_NATION_B) & (F.col("cust_nation") == R21_NATION_A))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_u") / 10000.0).alias("revenue"))
+    )
+
+
+R21_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_u) AS BIGINT) / 10000.0 AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_CENTS.format(x='l.l_extendedprice')} * (100 - {_CENTS.format(x='l.l_discount')}) AS rev_u
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{R21_NATION_A}' AND n2.n_name = '{R21_NATION_B}')
+        OR (n1.n_name = '{R21_NATION_B}' AND n2.n_name = '{R21_NATION_A}'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '{R21_LO} 00:00:00'
+                           AND TIMESTAMP '{R21_HI} 23:59:59'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---- R22: sole-late-supplier ranking (TPC-H Q21 shape) ----
+
+R22_LATE_DAYS = 90
+R22_K = 10
+
+
+def r22_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who, alone, held up multi-supplier finished orders —
+    the TPC-H Q21 shape (this schema has no commit/receipt dates, so
+    "late" is shipping more than {R22_LATE_DAYS} days after the order
+    date). Q21's correlated EXISTS ("another supplier in the order") /
+    NOT EXISTS ("no OTHER supplier was late") is re-expressed as ONE
+    per-order aggregate — n_suppliers >= 2 AND n_late_suppliers == 1 —
+    which Spark executes as map-side-combinable distinct counts instead
+    of two additional self-joins of the fact table; the SQL twin uses
+    the identical formulation, so the gate compares like for like.
+
+    Scale: one orderkey-partitioned aggregate over the pruned (status
+    F) join; the supplier attribution joins the per-order verdicts
+    (small) back to the distinct late (order, supplier) pairs; the
+    top-K plans as TakeOrdered.
+    """
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), R22_LATE_DAYS))
+            .alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole = (
+        li.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            on="l_orderkey",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(R22_K)
+    )
+
+
+R22_SQL = f"""
+WITH li AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           l.l_shipdate > o.o_orderdate + INTERVAL {R22_LATE_DAYS} DAY AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+    FROM li GROUP BY l_orderkey
+),
+sole AS (
+    SELECT DISTINCT w.l_orderkey, w.l_suppkey
+    FROM li w
+    JOIN per_order p ON w.l_orderkey = p.l_orderkey
+                    AND p.n_supp >= 2 AND p.n_late_supp = 1
+    WHERE w.late
+)
+SELECT s.s_name, count(*) AS numwait
+FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT {R22_K}
+"""
+
+
+# ---- R23: disjunctive-bracket revenue (TPC-H Q19 shape) ----
+
+R23_BRACKETS = (  # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def r23_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue over three disjunctive brand/size/quantity
+    brackets — the TPC-H Q19 shape: an OR-of-ANDs predicate spanning
+    BOTH join sides, the classic test that the optimizer still pushes
+    the per-side residuals (quantity range to lineitem, brand/size to
+    part) under a disjunction instead of filtering after the join.
+
+    Cross-engine exactness: quantities compare in exact cents (the
+    driver stores them as whole-number doubles); revenue is the shared
+    BIGINT cents x (100 - discount%) accumulation — one row out, one
+    division.
+
+    Scale: part is broadcast; lineitem keeps only the union quantity
+    range at the scan (Catalyst derives l_quantity bounds from the OR),
+    and the bracket predicate evaluates post-join on codegen'd columns.
+    """
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        _cents(F.col("l_quantity")).alias("qty_c"),
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    cond = None
+    for brand, max_size, lo, hi in R23_BRACKETS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("qty_c").between(lo * 100, hi * 100)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("rev_u") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+_R23_PRED = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {ms}"
+    f" AND {_CENTS.format(x='l.l_quantity')} BETWEEN {lo * 100} AND {hi * 100})"
+    for b, ms, lo, hi in R23_BRACKETS
+)
+
+R23_SQL = f"""
+SELECT count(*) AS n_lines,
+       CAST(sum({_CENTS.format(x='l.l_extendedprice')} * (100 - {_CENTS.format(x='l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_R23_PRED}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -868,4 +1091,7 @@ def queries() -> dict[str, tuple]:
         "rel_lineitem_profile": (r18_fn, R18_SQL),
         "rel_idle_rich_customers": (r19_fn, R19_SQL),
         "rel_unshipped_topk_revenue": (r20_fn, R20_SQL),
+        "rel_volume_shipping": (r21_fn, R21_SQL),
+        "rel_sole_late_supplier": (r22_fn, R22_SQL),
+        "rel_disjunctive_brackets": (r23_fn, R23_SQL),
     }

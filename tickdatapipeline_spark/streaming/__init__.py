@@ -11,6 +11,7 @@ from tickdatapipeline_spark.streaming.eventtime import (
     run_enriched_events_refreshable,
     run_ingest_curation,
     run_ingest_decontamination,
+    run_snapshot_diff_stream,
     run_value_histogram_to_memory,
     run_windowed_events_to_memory,
     sessionized_events_stream,
@@ -40,6 +41,7 @@ __all__ = [
     "value_histogram_stream",
     "run_ingest_curation",
     "run_ingest_decontamination",
+    "run_snapshot_diff_stream",
     "run_windowed_events_to_memory",
     "ema_stream",
 ]

@@ -464,6 +464,104 @@ def run_ingest_decontamination(
     )
 
 
+def run_snapshot_diff_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    seed_fingerprints: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Live crawl-refresh audit: each arriving file is a NEW FULL
+    corpus snapshot (one file per trigger); every micro-batch diffs it
+    against the PREVIOUS snapshot's fingerprint parquet and classifies
+    every doc_id as added / removed / changed / unchanged — the
+    streaming twin of ``operators.text.snapshot_diff``, sharing its
+    ``fingerprint_diff`` sub-DAG (one full-outer join on (doc_id,
+    fp64), never text).
+
+    Incremental by construction: the previous snapshot contributes only
+    its stored fingerprints (``store_dir``/batch_id=N parquet) — its
+    text is never re-read or re-hashed. The first batch diffs against
+    ``seed_fingerprints`` (a parquet written by
+    ``operators.text.fingerprint``) or, when None, an empty snapshot
+    (everything reports "added").
+
+    Replay-idempotent end to end: the diff goes through the
+    ``batch_id=N``-partitioned sink (_write_batch_idempotent), the new
+    fingerprints overwrite their own ``store_dir``/batch_id=N
+    directory, and the diff always reads the LATEST store entry with id
+    STRICTLY BELOW the current batch — so a foreachBatch replay of
+    batch N re-reads the same predecessor and rewrites the same files.
+
+    Scale: per batch, one fingerprint projection over the incoming
+    snapshot (map-side) + one co-partitioned full-outer join of compact
+    (doc_id, fp64) pairs; the store grows one fingerprint table per
+    refresh (the audit trail), with old entries free to age out —
+    only the latest is ever read.
+    """
+    from tickdatapipeline_spark.operators.text import fingerprint, fingerprint_diff
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _latest_store_batch(sp: SparkSession, below: int) -> int | None:
+        # enumerate store_dir/batch_id=N children via the JVM Hadoop FS
+        # (works on any supported filesystem, not just local paths)
+        jvm = sp._jvm
+        path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = path.getFileSystem(sp._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return None
+        best = None
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                try:
+                    n = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if n < below and (best is None or n > best):
+                    best = n
+        return best
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        new_fp = fingerprint(batch_df)
+        prev_id = _latest_store_batch(sp, batch_id)
+        if prev_id is not None:
+            old_fp = sp.read.parquet(f"{store_dir}/batch_id={prev_id}")
+        elif seed_fingerprints is not None:
+            old_fp = sp.read.parquet(seed_fingerprints)
+        else:
+            old_fp = sp.createDataFrame([], "doc_id long, fingerprint long")
+        old_fp = old_fp.select("doc_id", "fingerprint")
+        # store first, then sink: the diff reads the batch's OWN stored
+        # fingerprints back, so the hash pass over the snapshot runs
+        # exactly once per batch (the store write), not once per consumer
+        stored_path = _write_snapshot_fingerprints(new_fp, store_dir, batch_id)
+        stored = sp.read.parquet(stored_path).select("doc_id", "fingerprint")
+        diff = fingerprint_diff(old_fp, stored)
+        _write_batch_idempotent(diff, out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _write_snapshot_fingerprints(fp: DataFrame, store_dir: str, batch_id: int) -> str:
+    """Overwrite this batch's own fingerprint directory (replay-safe)."""
+    target = f"{store_dir}/batch_id={batch_id}"
+    fp.write.mode("overwrite").parquet(target)
+    return target
+
+
 def run_ingest_curation(
     spark: SparkSession,
     input_dir: str,
