@@ -133,19 +133,37 @@ def test_edited_query_leads_next_window(monkeypatch):
     # verified) so the promotion is unambiguous
     baseline = [n for n in mod.oracle_sql() if n in recorded]
     victim = max(baseline, key=lambda n: last.get(n, 0))
-    assert list(mod.queries())[0] != victim
+
+    def tier1_names(order):
+        # queries with a green row AND an unchanged recording — the
+        # rotating tier the promoted victim must lead
+        rec = mod._recorded_fingerprints()
+        return [n for n in order
+                if n in last and n in rec and n != victim]
+
+    order = list(mod.queries())
+    assert order.index(victim) > 0
 
     # simulate "victim's plan fn / SQL was edited this session"
     fake = dict(recorded)
     fake[victim] = {"fp": "0" * 16, "round": recorded[victim]["round"]}
     monkeypatch.setattr(mod, "_recorded_fingerprints", lambda: fake)
-    assert list(mod.queries())[0] == victim
+    order = list(mod.queries())
+    vi = order.index(victim)
+    # the victim now precedes EVERY tier-1 query (never-green newcomers
+    # may legitimately share tier 0 ahead of it) — in particular it is
+    # inside the driver's 50-entry window
+    assert all(vi < order.index(n) for n in tier1_names(order))
+    assert vi < 50
 
-    # a green row NEWER than the recording clears the promotion
+    # a green row NEWER than the recording clears the promotion: the
+    # victim drops back to the TAIL (it is the most recently verified)
     newer = dict(last)
     newer[victim] = recorded[victim]["round"] + 1
     monkeypatch.setattr(mod, "_last_green_round", lambda: newer)
-    assert list(mod.queries())[0] != victim
+    order = list(mod.queries())
+    vi = order.index(victim)
+    assert all(vi > order.index(n) for n in tier1_names(order))
 
 
 def test_fingerprints_json_is_current():
