@@ -240,6 +240,11 @@ shingles AS (
 )
 """
 
+# hashed join-side shingles (mirrors operators.dedup.hashed_shingles):
+# every shingle-equality join below compares 60-bit hashes, exactly as
+# the Spark side shuffles 8-byte keys instead of gram strings
+_HSH_CTE = f"hsh AS (SELECT doc_id, {sql_h60('shingle')} AS g FROM shingles)"
+
 EXACT_DUP_SQL = f"""
 SELECT content_hash, count(*) AS dup_count, min(doc_id) AS keeper_doc_id
 FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {sql_h60(SQL_NORM_TEXT)} AS content_hash FROM documents)
@@ -289,12 +294,13 @@ JACCARD_THRESHOLD = 0.5
 JACCARD_SQL = f"""
 WITH {MINHASH_CTE},
 {_LSH_CAND_CTE},
+{_HSH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS inter_count
     FROM cand c
-    JOIN shingles a ON a.doc_id = c.doc_a
-    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, inter_count,
@@ -311,12 +317,13 @@ CONTAINMENT_THRESHOLD = 0.8
 CONTAINMENT_SQL = f"""
 WITH {MINHASH_CTE},
 {_LSH_CAND_CTE},
+{_HSH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS inter_count
     FROM cand c
-    JOIN shingles a ON a.doc_id = c.doc_a
-    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, inter_count,
@@ -343,12 +350,13 @@ cand AS (
       ON t.band = e.band AND t.band_key = e.band_key
     WHERE t.doc_id % {DECON_EVAL_MOD} <> 0 AND e.doc_id % {DECON_EVAL_MOD} = 0
 ),
+{_HSH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
     SELECT c.train_doc_id, c.eval_doc_id, count(*) AS inter_count
     FROM cand c
-    JOIN shingles a ON a.doc_id = c.train_doc_id
-    JOIN shingles b ON b.doc_id = c.eval_doc_id AND b.shingle = a.shingle
+    JOIN hsh a ON a.doc_id = c.train_doc_id
+    JOIN hsh b ON b.doc_id = c.eval_doc_id AND b.g = a.g
     GROUP BY c.train_doc_id, c.eval_doc_id
 )
 SELECT train_doc_id, eval_doc_id, inter_count,
@@ -366,12 +374,13 @@ WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_cou
 CLUSTERS_SQL = f"""
 WITH RECURSIVE {MINHASH_CTE},
 {_LSH_CAND_CTE},
+{_HSH_CTE},
 shsizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS inter_count
     FROM cand c
-    JOIN shingles a ON a.doc_id = c.doc_a
-    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
     GROUP BY c.doc_a, c.doc_b
 ),
 pairs AS MATERIALIZED (
@@ -2430,12 +2439,13 @@ _JACCARD_EXPR = sql_rnd(
 CROSS_SOURCE_SQL = f"""
 WITH {MINHASH_CTE},
 {_LSH_CAND_CTE},
+{_HSH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS inter_count
     FROM cand c
-    JOIN shingles a ON a.doc_id = c.doc_a
-    JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
     GROUP BY c.doc_a, c.doc_b
 ),
 jp AS (
