@@ -1169,6 +1169,78 @@ def test_snapshot_diff_stream_all_statuses(spark, tmp_path):
         == {1, 2, 4}
 
 
+def test_type_transitions_stream_equals_batch(spark, tmp_path):
+    """The streaming Markov-transition feed equals the batch lag-window
+    formulation over the concatenated input — including a transition
+    whose two events arrive in DIFFERENT micro-batches (the GroupState
+    carry), which a per-batch window would drop."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import (
+        TRANSITION_IN_SCHEMA,
+        type_transitions_stream,
+    )
+
+    rows0 = [  # (event_id, tus, user_id, event_type)
+        (1, 100, 10, "view"), (2, 200, 10, "click"),
+        (4, 100, 20, "view"),
+    ]
+    rows1 = [
+        (3, 300, 10, "purchase"),       # cross-batch: click -> purchase
+        (5, 200, 20, "view"),           # cross-batch: view -> view
+        (6, 300, 20, "click"), (7, 400, 20, "click"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for eid, tus, uid, et in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "user_id": uid, "event_type": et}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    raw = (
+        spark.readStream.schema(TRANSITION_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        type_transitions_stream(raw)
+        .writeStream.format("memory").queryName("tt_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.user_id, r.prev_type, r.next_type, r.tus)
+        for r in spark.table("tt_stream").collect()
+    )
+    # batch twin: lag window over the concatenated input
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    all_rows = spark.createDataFrame(rows0 + rows1, TRANSITION_IN_SCHEMA.replace(
+        "event_id long, tus long, user_id long", "event_id long, tus long, user_id long"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    batch = (
+        all_rows.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .select("user_id", "prev_type", F.col("event_type").alias("next_type"), "tus")
+    )
+    want = sorted((r.user_id, r.prev_type, r.next_type, r.tus) for r in batch.collect())
+    assert got == want
+    # the two cross-batch transitions made it through the state carry
+    assert (10, "click", "purchase", 300) in got
+    assert (20, "view", "view", 200) in got
+
+
 def test_refreshable_dim_writer_is_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a batch replayed after a failure
     between write and checkpoint commit runs the writer again. The

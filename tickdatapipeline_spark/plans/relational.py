@@ -1005,6 +1005,129 @@ LIMIT {R22_K}
 """
 
 
+# ---- R24: promo revenue share (TPC-H Q14 shape) ----
+
+R24_LO, R24_HI = "1997-09-01", "1997-09-30"
+
+
+def r24_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from promotional parts — the TPC-H
+    Q14 shape: a conditional aggregate ratio over a date-windowed
+    fact/dimension join, the pattern behind every "what fraction of X
+    was Y" KPI.
+
+    Cross-engine exactness: both the promo and total revenue
+    accumulate as BIGINT cents x (100 - discount%); the percentage is
+    ONE double division of two exact integers, rounded with the shared
+    policy — no float SUM ever crosses rows.
+
+    Scale: the month filter prunes the lineitem scan; part (projected
+    to two columns) broadcasts; the ratio is a single
+    map-side-combinable conditional aggregate — no second pass, no
+    join reordering hazard.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(R24_LO, R24_HI + " 23:59:59")
+    ).select(
+        "l_partkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(F.lit(0).cast("long"))).alias("promo_u"),
+        F.sum("rev_u").alias("total_u"),
+    ).select(
+        (F.col("promo_u") / 10000.0).alias("promo_revenue"),
+        (F.col("total_u") / 10000.0).alias("total_revenue"),
+        rnd(F.lit(100.0) * F.col("promo_u").cast("double") / F.col("total_u").cast("double")).alias("promo_share_pct"),
+    )
+
+
+R24_SQL = f"""
+SELECT CAST(promo_u AS BIGINT) / 10000.0 AS promo_revenue,
+       CAST(total_u AS BIGINT) / 10000.0 AS total_revenue,
+       {sql_rnd('100.0 * CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE)')} AS promo_share_pct
+FROM (
+    SELECT sum(CASE WHEN p.p_type = 'PROMO' THEN rev_u ELSE 0 END) AS promo_u,
+           sum(rev_u) AS total_u
+    FROM (
+        SELECT l_partkey,
+               {_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')}) AS rev_u
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '{R24_LO} 00:00:00'
+                             AND TIMESTAMP '{R24_HI} 23:59:59'
+    ) l
+    JOIN part p ON l.l_partkey = p.p_partkey
+)
+"""
+
+
+# ---- R25: large-volume customers (TPC-H Q18 shape) ----
+
+R25_MIN_QTY = 300
+R25_K = 20
+
+
+def r25_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose single orders exceed a total-quantity threshold —
+    the TPC-H Q18 shape: a HAVING aggregate over the fact table whose
+    survivors (a tiny set) join back to orders and customer; the
+    classic aggregate-then-semi-join pattern that must NEVER join the
+    full fact table to customers first.
+
+    Cross-engine exactness: quantities sum as exact cents; the top-K
+    ranks (total price cents, orderkey) — all integers, no float ties.
+
+    Scale: the HAVING aggregate is map-side-combinable on l_orderkey;
+    its survivor set (orders over the threshold) is small enough that
+    AQE broadcasts it into both subsequent joins; top-K plans as
+    TakeOrdered.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _cents(F.col("l_quantity")).alias("qty_c")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("qty_c_sum"))
+        .where(F.col("qty_c_sum") > R25_MIN_QTY * 100)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("o_day"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("price_c").desc(), "o_orderkey")
+        .limit(R25_K)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_day",
+            (F.col("price_c") / 100.0).alias("total_price"),
+            (F.col("qty_c_sum") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+R25_SQL = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       date_diff('day', DATE '1970-01-01', o.o_orderdate) AS o_day,
+       {_CENTS.format(x='o.o_totalprice')} / 100.0 AS total_price,
+       CAST(b.qty_c_sum AS BIGINT) / 100.0 AS sum_qty
+FROM (
+    SELECT l_orderkey, sum({_CENTS.format(x='l_quantity')}) AS qty_c_sum
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum({_CENTS.format(x='l_quantity')}) > {R25_MIN_QTY * 100}
+) b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY {_CENTS.format(x='o.o_totalprice')} DESC, o.o_orderkey
+LIMIT {R25_K}
+"""
+
+
 # ---- R23: disjunctive-bracket revenue (TPC-H Q19 shape) ----
 
 R23_BRACKETS = (  # (brand, max_size, qty_lo, qty_hi)
@@ -1094,4 +1217,6 @@ def queries() -> dict[str, tuple]:
         "rel_volume_shipping": (r21_fn, R21_SQL),
         "rel_sole_late_supplier": (r22_fn, R22_SQL),
         "rel_disjunctive_brackets": (r23_fn, R23_SQL),
+        "rel_promo_share": (r24_fn, R24_SQL),
+        "rel_large_volume_customers": (r25_fn, R25_SQL),
     }

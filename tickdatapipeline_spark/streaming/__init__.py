@@ -20,7 +20,10 @@ from tickdatapipeline_spark.streaming.eventtime import (
 )
 from tickdatapipeline_spark.streaming.runner import StreamingTickPipeline
 from tickdatapipeline_spark.streaming.state import OUT_COLS, StreamState, advance
-from tickdatapipeline_spark.streaming.stateful import ema_stream
+from tickdatapipeline_spark.streaming.stateful import (
+    ema_stream,
+    type_transitions_stream,
+)
 
 __all__ = [
     "Consumer",
@@ -44,4 +47,5 @@ __all__ = [
     "run_snapshot_diff_stream",
     "run_windowed_events_to_memory",
     "ema_stream",
+    "type_transitions_stream",
 ]

@@ -82,3 +82,73 @@ def ema_stream(ticks: DataFrame, agc_alpha: float = 0.125) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_IN_SCHEMA = "event_id long, tus long, user_id long, event_type string"
+TRANSITION_OUT_SCHEMA = (
+    "user_id long, prev_type string, next_type string, tus long"
+)
+TRANSITION_STATE_SCHEMA = "last_type string, last_tus long, last_eid long"
+
+
+def make_transition_kernel():
+    """applyInPandasWithState kernel for type_transitions_stream: one
+    GroupState per user carries (last event type, its (tus, event_id)
+    order key) across micro-batches, so a transition whose two events
+    arrive in DIFFERENT batches is still emitted — the property a
+    per-batch lag window cannot have."""
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        last_type, last_tus, last_eid = (
+            tuple(state.get) if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["tus", "event_id"])
+            users, prevs, nexts, tss = [], [], [], []
+            for tus, eid, et in zip(
+                pdf["tus"].to_numpy(), pdf["event_id"].to_numpy(),
+                pdf["event_type"].to_numpy(),
+            ):
+                if last_type is not None:
+                    users.append(key[0])
+                    prevs.append(last_type)
+                    nexts.append(et)
+                    tss.append(int(tus))
+                last_type, last_tus, last_eid = et, int(tus), int(eid)
+            if users:
+                yield pd.DataFrame(
+                    {"user_id": users, "prev_type": prevs,
+                     "next_type": nexts, "tus": tss}
+                )
+        state.update((last_type, last_tus, last_eid))
+
+    return kernel
+
+
+def type_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch Markov-transition matrix
+    (plans.beyond.type_transitions_fn): per-user consecutive event-type
+    pairs emitted live, with the previous event carried in a GroupState
+    per user so cross-micro-batch transitions are not lost.
+
+    ``events`` must be a streaming frame with (user_id, event_id, tus,
+    event_type), in per-user event order across batches (the same
+    in-order ingest contract as ema_stream; out-of-order feeds belong
+    to the watermarked operators). Emits one row PER TRANSITION — the
+    matrix itself is a downstream rollup (groupBy(prev, next).count()),
+    which stays tiny; the streaming contract is exactness of the
+    transition stream, pinned bit-for-bit against the batch lag window
+    by the stream==batch test.
+
+    Scale: state is one (type, order-key) tuple per user in the state
+    store; each micro-batch touches only the users present in it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_transition_kernel(),
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
