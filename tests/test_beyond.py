@@ -640,6 +640,38 @@ def test_power_iteration_finds_dominant_axis(spark):
         power_iteration_top_component(no_seed, iters=1).collect()
 
 
+def test_pq_dequantized_golden(spark):
+    """PQ reconstruction: codebook vectors (vec_id < k_codes) quantize
+    to themselves exactly; a vector assembled from DIFFERENT codes'
+    subvectors reconstructs as exactly that assembly (per-subspace
+    independent argmin); a perturbed subvector snaps to its nearest
+    code."""
+    from tickdatapipeline_spark.operators.similarity import DIM, pq_dequantized
+
+    n_sub, k_codes = 4, 8
+    sub = DIM // n_sub
+
+    def vec(seed):
+        return [float((seed * 31 + d * 7) % 13 - 6) / 6.0 for d in range(DIM)]
+
+    rows = [(i, vec(i)) for i in range(k_codes)]
+    # vec 100: subspace m takes code (m % k_codes)'s subvector -> mixed assembly
+    mixed = []
+    for m in range(n_sub):
+        mixed += vec(m % k_codes)[m * sub:(m + 1) * sub]
+    rows.append((100, mixed))
+    # vec 101: code 3's vector with a tiny perturbation in subspace 0
+    pert = vec(3)[:]
+    pert[0] += 0.001
+    rows.append((101, pert))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: list(r.v) for r in pq_dequantized(emb, n_sub, k_codes).collect()}
+    for i in range(k_codes):
+        assert out[i] == vec(i), f"codebook vector {i} not exact"
+    assert out[100] == mixed
+    assert out[101] == vec(3)  # perturbation snapped away
+
+
 def test_label_centroid_cosine_golden(spark):
     """Known group geometry: aligned centroids give cosine 1, orthogonal
     0, opposite -1; unordered pairs appear once with label_a < label_b."""

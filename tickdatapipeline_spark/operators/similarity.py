@@ -170,6 +170,97 @@ def ann_topk_sq8(emb: DataFrame, k: int = 5, query_mod: int = 50,
     return _brute_topk(sq8_dequantized(emb, levels), k, query_mod)
 
 
+PQ_M = 4   # subspaces (DIM/PQ_M dims each)
+PQ_K = 8   # codes per subspace codebook
+
+
+def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
+                   k_codes: int = PQ_K) -> DataFrame:
+    """Product quantization (PQ): each vector splits into ``n_sub``
+    contiguous subvectors; each subvector is replaced by its nearest
+    entry (L2, ties to the lowest code) from that subspace's
+    ``k_codes``-entry codebook. Storage per vector is n_sub small codes
+    (here 4 x 3 bits) against SQ8's DIM bytes — the memory-compression
+    step beyond scalar quantization, at k_codes^n_sub effective
+    centroids (8^4 = 4096 here) for k_codes * n_sub stored subvectors.
+
+    Codebooks are the subvectors of the ``k_codes`` lowest vec_ids —
+    the same deterministic stand-in convention as the untrained IVF
+    quantizer (ivf_assign), which keeps the whole path oracle-
+    reproducible; a deployment trains per-subspace k-means exactly like
+    kmeans_train and injects the result the same way.
+
+    Cross-engine exactness: squared distances fold left in dimension
+    order (the shared _dot/list_reduce convention) and round before the
+    argmin; reconstruction re-concatenates codebook entries in subspace
+    order — every arithmetic step replays in DuckDB bit-for-bit.
+
+    Scale: the codebook is n_sub x k_codes rows (broadcast); subvector
+    explosion is map-side; the argmin window partitions by
+    (vec_id, m) — n_sub rows per vector, never corpus-wide.
+
+    Returns (vec_id, v) with v the reconstructed double vector —
+    drop-in for any scorer, like sq8_dequantized.
+    """
+    from pyspark.sql import Window
+
+    if DIM % n_sub != 0:
+        raise ValueError(f"n_sub must divide DIM={DIM}")
+    sub_dim = DIM // n_sub
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    base = base.where(
+        F.assert_true(
+            F.size("v") == DIM,
+            F.lit(f"pq_dequantized: embedding length != DIM={DIM}"),
+        ).isNull()
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(mm).cast("long").alias("m"),
+            F.slice("v", mm * sub_dim + 1, sub_dim).alias("s"),
+        )
+        for mm in range(n_sub)
+    ])
+    sub = base.select("vec_id", F.explode(subs).alias("r")).select(
+        "vec_id", F.col("r.m").alias("m"), F.col("r.s").alias("s")
+    )
+    cb = sub.where(F.col("vec_id") < k_codes).select(
+        F.col("vec_id").alias("code"), "m", F.col("s").alias("c")
+    )
+    d2 = rnd(
+        F.aggregate(
+            F.zip_with("s", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = sub.join(F.broadcast(cb), on="m").select(
+        "vec_id", "m", "code", "c", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    win = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return win.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "c"))), lambda r: r["c"]
+            )
+        ).alias("v")
+    )
+
+
+def ann_topk_pq(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                n_sub: int = PQ_M, k_codes: int = PQ_K) -> DataFrame:
+    """Cosine top-k over the PQ-reconstructed corpus (symmetric
+    distance: queries score through their own reconstruction too —
+    the conservative variant; ADC with raw queries is one select away).
+    Same output contract as cosine_topk; recall < 1 by quantization
+    error only (gauge with ann_recall vs cosine_topk)."""
+    return _brute_topk(pq_dequantized(emb, n_sub, k_codes), k, query_mod)
+
+
 def _plane_weight(p: int, d: int) -> int:
     """Deterministic small-integer hyperplane component in [-3, 3]."""
     return ((p * 64 + d) * 2654435761) % 7 - 3

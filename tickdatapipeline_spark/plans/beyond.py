@@ -48,6 +48,7 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_bucket_histogram,
     ann_recall,
     ann_topk_ivf,
+    ann_topk_pq,
     ann_topk_sq8,
     ann_topk_ivf_kmeans,
     ann_topk_lsh,
@@ -622,6 +623,39 @@ def _sq8_topk_sql(levels: float = 255.0) -> str:
         f"raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),\n"
         f"bounds AS (SELECT {mn_list} AS mn, {mx_list} AS mx FROM raw),\n"
         f"base AS (SELECT vec_id, {deq} AS v FROM raw CROSS JOIN bounds)"
+    )
+
+
+def _pq_topk_sql(n_sub: int = 4, k_codes: int = 8) -> str:
+    """DuckDB twin of pq_dequantized + brute top-k: stand-in codebooks
+    from the k_codes lowest vec_ids' subvectors, fixed-order L2^2 folds
+    rounded before the argmin, reconstruction re-concatenated in
+    subspace order (list(c ORDER BY m) -> flatten), then the shared
+    cosine top-k algebra."""
+    sub = DIM // n_sub
+    d2 = sql_rnd(
+        f"list_reduce(list_transform(range(1, {sub + 1}), "
+        f"i -> (t.s[i] - cb.c[i]) * (t.s[i] - cb.c[i])), (x, y) -> x + y)",
+        6,
+    )
+    return _brute_topk_sql(
+        f"""raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+sub AS (
+    SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> v[m * {sub} + i]) AS s
+    FROM raw, (SELECT unnest(range(0, {n_sub})) AS m) ms
+),
+cb AS (SELECT vec_id AS code, m, s AS c FROM sub WHERE vec_id < {k_codes}),
+pqscored AS (
+    SELECT t.vec_id, t.m, cb.code, cb.c, {d2} AS d2
+    FROM sub t JOIN cb ON t.m = cb.m
+),
+win AS (
+    SELECT vec_id, m, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM pqscored
+    ) WHERE rn = 1
+),
+base AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS v FROM win GROUP BY vec_id)"""
     )
 
 
@@ -2674,6 +2708,10 @@ def queries() -> dict[str, tuple]:
         "sim_ann_topk_sq8": (
             lambda s, d: ann_topk_sq8(_emb(s, d), TOPK_K, QUERY_MOD),
             _sq8_topk_sql(),
+        ),
+        "sim_ann_topk_pq": (
+            lambda s, d: ann_topk_pq(_emb(s, d), TOPK_K, QUERY_MOD),
+            _pq_topk_sql(),
         ),
         "sim_ann_recall_ivf": (
             lambda s, d: ann_recall(
