@@ -1112,6 +1112,66 @@ def test_ingest_decontamination_stream(spark, tmp_path):
     assert rows[500].batch_id == 0 and rows[502].batch_id == 1
 
 
+def test_ingest_ann_stream(spark, tmp_path):
+    """Ingest-time semantic lookup: probe embeddings stream in per
+    micro-batch and are searched against the precomputed IVF index —
+    a probe identical to a corpus vector finds it at rank 1 / cosine
+    1.0, every probe gets exactly k (or cell-bounded) neighbors, and
+    the sink is batch_id-partitioned."""
+    import json
+    import math
+    import os
+
+    from tickdatapipeline_spark.operators.similarity import DIM, write_ann_index
+    from tickdatapipeline_spark.streaming.eventtime import run_ingest_ann_stream
+
+    def unit(axis, mix=0.0):
+        # mostly-axis unit vectors so cell structure is predictable
+        v = [mix] * DIM
+        v[axis] = 1.0
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = [(i, unit(i % 8, mix=0.01 * (i % 3))) for i in range(40)]
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    index = tmp_path / "annidx"
+    write_ann_index(emb, str(index), n_cells=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    probes = [
+        ("b0.json", [(500, corpus[13][1])]),       # verbatim corpus vector 13
+        ("b1.json", [(501, unit(2, mix=0.005))]),  # near cell-2 vectors
+    ]
+    for i, (fname, rows) in enumerate(probes):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for vid, v in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = run_ingest_ann_stream(
+        spark, str(in_dir), str(index), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), k=3, nprobe=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {500, 501}
+    top500 = min(by_q[500], key=lambda r: r.rank)
+    assert top500.neighbor_id == 13 and top500.cosine == 1.0
+    assert len(by_q[500]) == 3 and len(by_q[501]) == 3
+    assert {r.batch_id for r in by_q[500]} == {0}
+    assert {r.batch_id for r in by_q[501]} == {1}
+    # every reported neighbor of 501 really is a cell-2-ish vector
+    assert all(r.cosine > 0.9 for r in by_q[501])
+
+
 def test_snapshot_diff_stream_all_statuses(spark, tmp_path):
     """Live crawl-refresh audit: each arriving file is a full snapshot;
     every micro-batch diffs against the PREVIOUS snapshot's stored

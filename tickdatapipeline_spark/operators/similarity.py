@@ -428,6 +428,81 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
+def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
+                    centroids: "list | None" = None) -> None:
+    """Materialize the IVF search index as parquet: the centroid table
+    (``path``/centroids: cell, c) and the cell-assigned corpus
+    (``path``/vectors: vec_id, cell, v) that
+    ``ann_probe_against_index`` searches. The deployment artifact for
+    ingest-time semantic lookups — computed once per corpus build (pass
+    ``centroids`` from kmeans_train for a trained quantizer), NOT
+    recomputed per micro-batch; the embedding analogue of
+    ``dedup.write_corpus_index``.
+
+    At 100 TB the vectors table is written cell-partitioned so a probe
+    reads only its nprobe cells; partitionBy keeps that pruning
+    available to the parquet scan."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(centroids, "cell long, c array<double>")
+    else:
+        cents = base.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("c")
+        )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(emb, n_cells, nprobe=1, centroids=centroids)
+    assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
+        .partitionBy("cell").parquet(f"{path}/vectors")
+
+
+def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
+                            vectors_df: DataFrame, k: int = 5,
+                            nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Top-k cosine neighbors for PROBE vectors against a corpus whose
+    IVF index (see ``write_ann_index``) is precomputed: each probe
+    ranks the broadcast centroids, searches only its nprobe nearest
+    cells, and keeps the k best — the per-micro-batch core of the
+    streaming semantic-lookup path, with NO corpus-side recomputation
+    (the index tables come straight off parquet).
+
+    Output: (query_id, neighbor_id, rank, cosine) — the shared ANN
+    contract. A probe whose vec_id collides with a corpus vec_id is
+    still scored (no self-exclusion: the sides are different corpora).
+
+    Scale: centroids broadcast (n_cells rows); the probe side of a
+    micro-batch is small, so its exploded (probe x nprobe) frame
+    broadcasts into the cell-restricted join; with a cell-partitioned
+    vectors table the scan prunes to the probed cells.
+    """
+    from pyspark.sql import Window
+
+    q = probe_emb.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        _as_double(F.col("embedding")).alias("q"),
+    )
+    csim = rnd(_dot(F.col("q"), F.col("c")) / (_norm(F.col("q")) * _norm(F.col("c"))))
+    wc = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(centroids_df))
+        .select("query_id", "q", "cell", csim.alias("sim"))
+        .withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "q", F.col("cell").alias("probe_cell"))
+    )
+    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+    scored = vectors_df.join(
+        F.broadcast(probes), F.col("cell") == F.col("probe_cell")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
                               max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed (the scale path):

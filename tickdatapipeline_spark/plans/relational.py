@@ -1192,6 +1192,168 @@ WHERE {_R23_PRED}
 """
 
 
+# ---- R26: national market share (TPC-H Q8 shape) ----
+
+R26_REGION = "ASIA"
+R26_NATION = "NATION_2"
+R26_PTYPE = "STANDARD"
+
+
+def r26_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of a region's market for one part type, by
+    order year — the TPC-H Q8 shape: a six-table join where nation
+    joins twice under different roles (the customer's nation scopes the
+    MARKET via region; the supplier's nation is the SHARE numerator),
+    finished by a conditional-aggregate ratio per group.
+
+    Cross-engine exactness: both ratio legs accumulate BIGINT cents;
+    one rounded double division per year row.
+
+    Scale: every dimension chain (part-type subset, supplier->nation,
+    customer->nation->region) broadcasts; the only big shuffles are
+    lineitem->orders and orders->customer on their keys; the ratio is
+    a map-side-combinable conditional aggregate over |years| rows.
+    """
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == R26_PTYPE) \
+        .select("p_partkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == R26_REGION) \
+        .select("r_regionkey")
+    mkt_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("mkt_nkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey") \
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey") \
+        .join(F.broadcast(mkt_nations), F.col("c_nationkey") == F.col("mkt_nkey")) \
+        .select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == R26_NATION, F.col("rev_u"))
+                  .otherwise(F.lit(0).cast("long"))).alias("nation_u"),
+            F.sum("rev_u").alias("total_u"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_u") / 10000.0).alias("nation_revenue"),
+            (F.col("total_u") / 10000.0).alias("total_revenue"),
+            rnd(F.col("nation_u").cast("double") / F.col("total_u").cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+R26_SQL = f"""
+SELECT o_year,
+       CAST(nation_u AS BIGINT) / 10000.0 AS nation_revenue,
+       CAST(total_u AS BIGINT) / 10000.0 AS total_revenue,
+       {sql_rnd('CAST(nation_u AS DOUBLE) / CAST(total_u AS DOUBLE)')} AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           sum(CASE WHEN ns.n_name = '{R26_NATION}' THEN rev_u ELSE 0 END) AS nation_u,
+           sum(rev_u) AS total_u
+    FROM (
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               {_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')}) AS rev_u
+        FROM lineitem
+    ) l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{R26_PTYPE}'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = '{R26_REGION}'
+    GROUP BY 1
+)
+"""
+
+
+# ---- R27: returned-item revenue ranking (TPC-H Q10 shape) ----
+
+R27_LO, R27_HI = "1997-01-01", "1997-03-31"
+R27_K = 20
+
+
+def r27_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue in one quarter — the
+    TPC-H Q10 shape: a date-windowed fact join filtered to returned
+    lines (l_returnflag = 'R'), aggregated per customer with nation
+    context, top-K by lost revenue.
+
+    Cross-engine exactness: revenue accumulates as BIGINT cents units;
+    the top-K ranks (revenue units, custkey) — all integers.
+
+    Scale: the quarter filter prunes orders at the scan and the
+    returnflag filter prunes lineitem (both pushed); nation broadcasts;
+    the per-customer aggregate is map-side-combinable; top-K plans as
+    TakeOrdered.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(R27_LO, R27_HI + " 23:59:59")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", _cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_u").alias("rev_u"))
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("rev_u").desc(), "c_custkey")
+        .limit(R27_K)
+        .select(
+            "c_custkey", "c_name",
+            (F.col("rev_u") / 10000.0).alias("lost_revenue"),
+            (F.col("bal_c") / 100.0).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+R27_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(b.rev_u AS BIGINT) / 10000.0 AS lost_revenue,
+       {_CENTS.format(x='c.c_acctbal')} / 100.0 AS acctbal,
+       n.n_name AS nation
+FROM (
+    SELECT o.o_custkey,
+           sum({_CENTS.format(x='l.l_extendedprice')} * (100 - {_CENTS.format(x='l.l_discount')})) AS rev_u
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate BETWEEN TIMESTAMP '{R27_LO} 00:00:00'
+                            AND TIMESTAMP '{R27_HI} 23:59:59'
+    GROUP BY o.o_custkey
+) b
+JOIN customer c ON b.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY CAST(b.rev_u AS BIGINT) DESC, c.c_custkey
+LIMIT {R27_K}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -1219,4 +1381,6 @@ def queries() -> dict[str, tuple]:
         "rel_disjunctive_brackets": (r23_fn, R23_SQL),
         "rel_promo_share": (r24_fn, R24_SQL),
         "rel_large_volume_customers": (r25_fn, R25_SQL),
+        "rel_market_share": (r26_fn, R26_SQL),
+        "rel_returned_revenue_topk": (r27_fn, R27_SQL),
     }

@@ -9,6 +9,7 @@ from tickdatapipeline_spark.streaming.eventtime import (
     deduped_events_stream,
     enriched_events_stream,
     run_enriched_events_refreshable,
+    run_ingest_ann_stream,
     run_ingest_curation,
     run_ingest_decontamination,
     run_snapshot_diff_stream,
@@ -42,6 +43,7 @@ __all__ = [
     "run_enriched_events_refreshable",
     "run_value_histogram_to_memory",
     "value_histogram_stream",
+    "run_ingest_ann_stream",
     "run_ingest_curation",
     "run_ingest_decontamination",
     "run_snapshot_diff_stream",

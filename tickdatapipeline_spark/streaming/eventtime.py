@@ -562,6 +562,60 @@ def _write_snapshot_fingerprints(fp: DataFrame, store_dir: str, batch_id: int) -
     return target
 
 
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def run_ingest_ann_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    nprobe: int = 2,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Ingest-time semantic lookup: stream newly embedded items and
+    report, per micro-batch, each one's top-k cosine neighbors in the
+    existing corpus — the embedding-side analogue of
+    ``run_ingest_decontamination`` (semantic dedup, related-content
+    lookup, or embedding-space contamination checks at ingest).
+
+    The corpus side is the precomputed IVF index written by
+    ``operators.similarity.write_ann_index`` (centroids + cell-
+    partitioned vectors parquet); only the incoming micro-batch scores
+    centroids, and the search touches just each probe's nprobe cells.
+    The index is re-read per batch, so an on-disk rebuild is picked up
+    without a query restart. Output parquet under ``out_dir``
+    (batch_id-partitioned, replay-idempotent): (query_id, neighbor_id,
+    rank, cosine).
+    """
+    from tickdatapipeline_spark.operators.similarity import ann_probe_against_index
+
+    raw = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        hits = ann_probe_against_index(
+            batch_df,
+            sp.read.parquet(f"{index_path}/centroids"),
+            sp.read.parquet(f"{index_path}/vectors"),
+            k=k,
+            nprobe=nprobe,
+        )
+        _write_batch_idempotent(hits, out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_ingest_curation(
     spark: SparkSession,
     input_dir: str,
