@@ -2388,6 +2388,66 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 # ================= round-7 additions =================
 
 
+def hourly_ohlc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles of event values per event type — the bar
+    engine's open/high/low/close semantics (operators/bars.py B1)
+    re-applied to the generic event stream on TIME-based windows
+    instead of count-based ones: the resampling step every metrics
+    dashboard runs before charting a value series.
+
+    Open/close are the values of the FIRST/LAST event in the hour with
+    ties broken by event_id (min_by/max_by on the packed (tus,
+    event_id) order key — deterministic, like the tick engine's
+    first_tick bookkeeping). All four legs are exact integer cents; no
+    float crosses rows.
+
+    Scale: ONE map-side-combinable groupBy on (hour, type) — min_by/
+    max_by carry one (key, value) pair per partial aggregate; output is
+    O(hours x types) rows.
+    """
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # one BIGINT order key: micros WITHIN the hour (< 2^32) packed above
+    # event_id (< 2^31 by the driver generator; in-plan guard keeps the
+    # packing honest) — absolute micros would overflow the shift
+    okey = F.expr(
+        "((ts DIV 1000) % 3600000000) * 2147483648 + "
+        "CASE WHEN event_id BETWEEN 0 AND 2147483647 THEN event_id "
+        "ELSE raise_error(printf('hourly_ohlc: event_id %d outside packable range', event_id)) END"
+    )
+    return (
+        ev.select(
+            F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+            "event_type", vc.alias("vc"), okey.alias("ok"),
+        )
+        .groupBy("hour_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min_by("vc", "ok") / 100.0).alias("open"),
+            (F.max("vc") / 100.0).alias("high"),
+            (F.min("vc") / 100.0).alias("low"),
+            (F.max_by("vc", "ok") / 100.0).alias("close"),
+        )
+    )
+
+
+HOURLY_OHLC_SQL = """
+SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type,
+       count(*) AS n_events,
+       arg_min(vc, ok) / 100.0 AS open,
+       max(vc) / 100.0 AS high,
+       min(vc) / 100.0 AS low,
+       arg_max(vc, ok) / 100.0 AS close
+FROM (
+    SELECT ts, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+           (epoch_us(ts) % 3600000000) * 2147483648 + event_id AS ok
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 def type_transitions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition (Markov bigram) matrix: for every
     ordered (prev_type, next_type) pair, how many consecutive-event
@@ -2649,6 +2709,7 @@ def queries() -> dict[str, tuple]:
         ),
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "events_type_transitions": (type_transitions_fn, TYPE_TRANSITIONS_SQL),
+        "events_hourly_ohlc": (hourly_ohlc_fn, HOURLY_OHLC_SQL),
         "docs_ngram_novelty": (
             lambda s, d: ngram_novelty(_docs(s, d)),
             NGRAM_NOVELTY_SQL,

@@ -1354,6 +1354,74 @@ LIMIT {R27_K}
 """
 
 
+# ---- R28: per-customer order cadence (lead/percent_rank windows) ----
+
+R28_MIN_ORDERS = 8
+
+
+def r28_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: the gap in days to each customer's
+    NEXT order (lead window) and where that gap sits in the customer's
+    own gap distribution (percent_rank) — the repeat-purchase /
+    churn-risk signal, and the window-function breadth the surface
+    lacked (lead + percent_rank; lag/ntile/running frames live in
+    r13/r12/r15).
+
+    Only customers with at least {R28_MIN_ORDERS} orders report (a
+    distribution over 2 gaps is noise). Deterministic: order dates tie-
+    break by o_orderkey; percent_rank runs on the integer (gap_days,
+    next o_orderkey) pair so equal gaps rank identically cross-engine.
+
+    Scale: ONE hash exchange on o_custkey serves the lead window, the
+    gap-rank window and the per-customer count (same key — Catalyst
+    reuses the partitioning); output is one row per kept gap.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("o_day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_day", "o_orderkey")
+    gaps = (
+        o.withColumn("next_day", F.lead("o_day").over(w))
+        .withColumn("next_key", F.lead("o_orderkey").over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(Window.partitionBy("o_custkey")))
+        .where(F.col("next_day").isNotNull() & (F.col("n_orders") >= R28_MIN_ORDERS))
+        .select(
+            "o_custkey", "o_orderkey", "o_day",
+            (F.col("next_day") - F.col("o_day")).alias("gap_days"),
+            "next_key",
+        )
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("gap_days", "next_key")
+    return gaps.select(
+        "o_custkey", "o_orderkey", "o_day", "gap_days",
+        rnd(F.percent_rank().over(wr)).alias("gap_pct_rank"),
+    )
+
+
+R28_SQL = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', DATE '1970-01-01', o_orderdate) AS o_day
+    FROM orders
+),
+gaps AS (
+    SELECT o_custkey, o_orderkey, o_day,
+           lead(o_day) OVER w - o_day AS gap_days,
+           lead(o_orderkey) OVER w AS next_key,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, o_day, gap_days,
+       {sql_rnd('percent_rank() OVER (PARTITION BY o_custkey ORDER BY gap_days, next_key)')} AS gap_pct_rank
+FROM gaps
+WHERE gap_days IS NOT NULL AND n_orders >= {R28_MIN_ORDERS}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -1383,4 +1451,5 @@ def queries() -> dict[str, tuple]:
         "rel_large_volume_customers": (r25_fn, R25_SQL),
         "rel_market_share": (r26_fn, R26_SQL),
         "rel_returned_revenue_topk": (r27_fn, R27_SQL),
+        "rel_order_cadence": (r28_fn, R28_SQL),
     }
