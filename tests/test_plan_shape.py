@@ -339,3 +339,60 @@ def test_multistream_two_pass_windows_are_chunk_partitioned(spark):
     for frag in plan.split("Window ")[1:]:
         spec = frag.split("\n")[0]
         assert "_go_chunk" in spec, f"stream-serial window survived: {spec[:120]}"
+
+
+def test_round7_topk_queries_plan_take_ordered(spark):
+    """The new top-K relational shapes must plan as
+    TakeOrderedAndProject (per-partition partial top-K), never a global
+    sort feeding a limit."""
+    from tickdatapipeline_spark.plans.relational import r22_fn, r25_fn, r27_fn
+
+    for fn in (r22_fn, r25_fn, r27_fn):
+        plan = physical(fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert "GlobalLimit" not in plan, fn.__name__  # no sort-then-limit
+
+
+def test_source_cap_window_is_band_bounded(spark):
+    """source_cap's rank window must consume the oversample-band
+    pre-filter (the h < frac * 2^60 comparison joins BELOW the window
+    in the tree), so the window never ranks a mega-source's full
+    partition; the per-source counts join must broadcast; and Spark
+    additionally plans WindowGroupLimit Partial+Final, so each task
+    keeps only its own top-cap rows before the exchange."""
+    from tickdatapipeline_spark.operators.text import source_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(source_cap(docs, 10))
+    assert "BroadcastHashJoin" in plan
+    w_at = plan.index("Window ")
+    band_at = plan.index("1.15292150460684698E18")  # 2^60 as a double
+    assert band_at > w_at, "band filter must sit below (after) the window in the tree"
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final top-cap
+    assert "SinglePartition" not in plan
+
+
+def test_sole_late_supplier_is_single_fact_pass(spark):
+    """rel_sole_late_supplier replaces Q21's two correlated fact
+    self-joins with ONE per-order aggregate: the physical plan must
+    scan lineitem at most twice (the verdict chain + the distinct late
+    pairs), never four times, and must contain no nested-loop join."""
+    from tickdatapipeline_spark.plans.relational import r22_fn
+
+    plan = physical(r22_fn(spark, SF))
+    scans = plan.count("FileScan parquet") and sum(
+        1 for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert scans <= 2, f"lineitem scanned {scans}x"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hourly_ohlc_is_one_partial_aggregate(spark):
+    """events_hourly_ohlc must be a single hash aggregate pair (partial
+    -> final) over one scan — min_by/max_by ride the same aggregate,
+    no join, no window."""
+    from tickdatapipeline_spark.plans.beyond import hourly_ohlc_fn
+
+    plan = physical(hourly_ohlc_fn(spark, SF))
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan and "Window" not in plan
