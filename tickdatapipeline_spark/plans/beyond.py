@@ -664,8 +664,13 @@ def _ann_recall_ivf_sql() -> str:
     oracle plans composed as subqueries (DuckDB allows WITH inside a
     parenthesized subquery), then the same count/join/round algebra as
     operators.similarity.ann_recall."""
+    return _ann_recall_sql(IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K))
+
+
+def _ann_recall_sql(approx: str) -> str:
+    """Shared recall@k composition: any approximate plan's SQL against
+    the brute-force ground truth."""
     exact = COSINE_TOPK_SQL
-    approx = IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)
     return f"""
 WITH exact AS (SELECT * FROM ({exact})),
 approx AS (SELECT * FROM ({approx})),
@@ -2388,6 +2393,73 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 # ================= round-7 additions =================
 
 
+_JACCARD_EXPR = sql_rnd(
+    "CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)"
+)
+
+SWEEP_FLOOR = 0.2  # sweep well below the production threshold
+
+
+def dedup_sweep_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep: a 0.05-wide histogram of verified
+    pair similarities down to a low floor — the calibration query you
+    run BEFORE trusting a dedup threshold (a cliff in the histogram is
+    where the corpus's natural duplication ends; the production
+    JACCARD_THRESHOLD should sit in the valley). Mirrors the tick
+    engine's q4_threshold_sweep posture on the corpus side.
+
+    Exactness: bucket = floor(jaccard * 20) on the already-rounded
+    jaccard values, so both engines bucket identical doubles; per-
+    bucket MIN/MAX are order-independent.
+
+    Scale: the full LSH+overlap sub-DAG at a lower verification floor
+    (more verified pairs, same candidate set), then an O(buckets)
+    aggregate.
+    """
+    pairs = jaccard_pairs(_docs(spark, sf_dir), SWEEP_FLOOR, max_band_bucket=None)
+    b = F.floor(F.col("jaccard") * 20).cast("long")
+    return (
+        pairs.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .select(
+            "bucket", (F.col("bucket") / 20.0).alias("bucket_lo"),
+            "n_pairs", "min_jaccard", "max_jaccard",
+        )
+    )
+
+
+DEDUP_SWEEP_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+{_HSH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+),
+jp AS (
+    SELECT {_JACCARD_EXPR} AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE {_JACCARD_EXPR} >= {SWEEP_FLOOR}
+)
+SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+       CAST(floor(jaccard * 20) AS BIGINT) / 20.0 AS bucket_lo,
+       count(*) AS n_pairs,
+       min(jaccard) AS min_jaccard,
+       max(jaccard) AS max_jaccard
+FROM jp GROUP BY 1
+"""
+
+
 def hourly_ohlc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles of event values per event type — the bar
     engine's open/high/low/close semantics (operators/bars.py B1)
@@ -2525,10 +2597,6 @@ FROM grams s JOIN firsts f ON s.g = f.g
 GROUP BY s.doc_id
 """
 
-
-_JACCARD_EXPR = sql_rnd(
-    "CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)"
-)
 
 CROSS_SOURCE_SQL = f"""
 WITH {MINHASH_CTE},
@@ -2710,6 +2778,7 @@ def queries() -> dict[str, tuple]:
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "events_type_transitions": (type_transitions_fn, TYPE_TRANSITIONS_SQL),
         "events_hourly_ohlc": (hourly_ohlc_fn, HOURLY_OHLC_SQL),
+        "dedup_threshold_sweep": (dedup_sweep_fn, DEDUP_SWEEP_SQL),
         "docs_ngram_novelty": (
             lambda s, d: ngram_novelty(_docs(s, d)),
             NGRAM_NOVELTY_SQL,
@@ -2780,6 +2849,13 @@ def queries() -> dict[str, tuple]:
                 cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
             ),
             _ann_recall_ivf_sql(),
+        ),
+        "sim_ann_recall_pq": (
+            lambda s, d: ann_recall(
+                ann_topk_pq(_emb(s, d), TOPK_K, QUERY_MOD),
+                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
+            ),
+            _ann_recall_sql(_pq_topk_sql()),
         ),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
