@@ -490,6 +490,100 @@ def curated_corpus_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(_docs(spark, sf_dir), max_band_bucket=None)
 
 
+CURATION_STAGES = ["ingested", "lang_ok", "length_ok", "quality_ok", "dedup_kept"]
+
+
+def curation_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: how many documents (and tokens) survive
+    each successive gate of the corpus build — ingest -> language ->
+    length band -> quality ratios -> near-dup removal. The report every
+    pipeline owner reads before trusting a corpus delta ("why did this
+    crawl lose 40% at the quality gate?"); the per-doc verdicts are
+    exactly ``curate_corpus``'s predicates, so stage 4's totals equal
+    the curated corpus by construction.
+
+    Scale: one projection computes all flags (the dedup drop list joins
+    as a nullable marker); the funnel itself is ONE conditional
+    aggregate over the flagged corpus — 5 output rows, unpivoted
+    map-side from a single aggregate row, no per-stage re-scan.
+    """
+    from tickdatapipeline_spark.operators.dedup import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    ntok = F.size(t)
+    stats = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ntok.cast("long").alias("n_tokens"),
+        rnd(
+            F.when(
+                ntok > 0,
+                F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN))).cast("double")
+                / ntok.cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("stopword_ratio"),
+        rnd(
+            F.when(
+                ntok > 0,
+                F.size(F.array_distinct(t)).cast("double") / ntok.cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("uniq_ratio"),
+    )
+    langs = lang_id(docs).select("doc_id", "pred_lang")
+    dropped = (
+        duplicate_clusters(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+        .where(F.col("is_representative") == 0)
+        .select("doc_id", F.lit(True).alias("_dup"))
+    )
+    fl = (
+        stats.join(langs, "doc_id")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "n_tokens",
+            (F.col("pred_lang") != "und").alias("s1"),
+            (
+                (F.col("pred_lang") != "und")
+                & F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+            ).alias("s2"),
+            (
+                (F.col("pred_lang") != "und")
+                & F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+                & (F.col("stopword_ratio") >= CURATE_MIN_STOPWORD)
+                & (F.col("uniq_ratio") >= CURATE_MIN_UNIQ)
+            ).alias("s3"),
+            F.col("_dup").isNull().alias("not_dup"),
+        )
+        .withColumn("s4", F.col("s3") & F.col("not_dup"))
+    )
+    zero = F.lit(0).cast("long")
+    agg = fl.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.coalesce(F.sum("n_tokens"), zero).alias("t0"),
+        *[
+            c
+            for i in (1, 2, 3, 4)
+            for c in (
+                F.coalesce(F.sum(F.when(F.col(f"s{i}"), 1).otherwise(0)), zero)
+                .cast("long").alias(f"d{i}"),
+                F.coalesce(F.sum(F.when(F.col(f"s{i}"), F.col("n_tokens"))), zero)
+                .alias(f"t{i}"),
+            )
+        ],
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"d{i}").alias("n_docs"),
+            F.col(f"t{i}").alias("n_tokens"),
+        )
+        for i, name in enumerate(CURATION_STAGES)
+    ])
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.stage_idx", "r.stage", "r.n_docs", "r.n_tokens"
+    )
+
+
 _CURATE_STATS_SUB = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -515,6 +609,52 @@ WHERE s.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
   AND s.stopword_ratio >= {CURATE_MIN_STOPWORD}
   AND s.uniq_ratio >= {CURATE_MIN_UNIQ}
   AND l.pred_lang <> 'und'""",
+)
+
+_FUNNEL_GATES = {
+    "s1": "l.pred_lang <> 'und'",
+    "s2": (
+        f"l.pred_lang <> 'und' AND s.n_tokens BETWEEN {CURATE_MIN_TOKENS} "
+        f"AND {CURATE_MAX_TOKENS}"
+    ),
+    "s3": (
+        f"l.pred_lang <> 'und' AND s.n_tokens BETWEEN {CURATE_MIN_TOKENS} "
+        f"AND {CURATE_MAX_TOKENS} AND s.stopword_ratio >= {CURATE_MIN_STOPWORD} "
+        f"AND s.uniq_ratio >= {CURATE_MIN_UNIQ}"
+    ),
+}
+
+# reuse the dedup-cluster CTE chain (comp = drop verdicts); the funnel
+# itself nests its flag projection + conditional aggregates as the
+# final query (DuckDB scopes outer CTEs into the subquery's WITH)
+CURATION_FUNNEL_SQL = CLUSTERS_SQL.replace(
+    """SELECT c.node AS doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)""",
+    f"""SELECT stage_idx, stage, n_docs, n_tokens FROM (
+    WITH fl AS (
+        SELECT s.n_tokens,
+               ({_FUNNEL_GATES['s1']}) AS s1,
+               ({_FUNNEL_GATES['s2']}) AS s2,
+               ({_FUNNEL_GATES['s3']}) AS s3,
+               ({_FUNNEL_GATES['s3']}) AND dr.node IS NULL AS s4
+        FROM ({_CURATE_STATS_SUB}) s
+        JOIN ({LANG_ID_SQL}) l USING (doc_id)
+        LEFT JOIN (SELECT node FROM comp WHERE node <> cluster_id) dr
+          ON s.doc_id = dr.node
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingested' AS stage,
+           count(*) AS n_docs, CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM fl
+    UNION ALL SELECT 1, 'lang_ok', count(*) FILTER (WHERE s1),
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE s1), 0) AS BIGINT) FROM fl
+    UNION ALL SELECT 2, 'length_ok', count(*) FILTER (WHERE s2),
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE s2), 0) AS BIGINT) FROM fl
+    UNION ALL SELECT 3, 'quality_ok', count(*) FILTER (WHERE s3),
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE s3), 0) AS BIGINT) FROM fl
+    UNION ALL SELECT 4, 'dedup_kept', count(*) FILTER (WHERE s4),
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE s4), 0) AS BIGINT) FROM fl
+)""",
 )
 
 # ================= similarity search =================
@@ -2779,6 +2919,7 @@ def queries() -> dict[str, tuple]:
         "events_type_transitions": (type_transitions_fn, TYPE_TRANSITIONS_SQL),
         "events_hourly_ohlc": (hourly_ohlc_fn, HOURLY_OHLC_SQL),
         "dedup_threshold_sweep": (dedup_sweep_fn, DEDUP_SWEEP_SQL),
+        "docs_curation_funnel": (curation_funnel_fn, CURATION_FUNNEL_SQL),
         "docs_ngram_novelty": (
             lambda s, d: ngram_novelty(_docs(s, d)),
             NGRAM_NOVELTY_SQL,
