@@ -47,6 +47,8 @@ DEFAULT_QUERIES = [
     "bars_fir",
     "dedup_lsh_candidates",
     "sim_cosine_topk",
+    "dedup_containment_pairs",
+    "sim_top_component",
 ]
 
 
