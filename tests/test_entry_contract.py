@@ -134,12 +134,19 @@ def test_edited_query_leads_next_window(monkeypatch):
     baseline = [n for n in mod.oracle_sql() if n in recorded]
     victim = max(baseline, key=lambda n: last.get(n, 0))
 
+    reg = mod._registry()
+
     def tier1_names(order):
-        # queries with a green row AND an unchanged recording — the
-        # rotating tier the promoted victim must lead
+        # queries with a green row AND an unchanged recording (live
+        # fingerprint matches) — the rotating tier the promoted victim
+        # must lead; genuinely-edited queries are legitimately tier 0
+        # themselves and are excluded
         rec = mod._recorded_fingerprints()
-        return [n for n in order
-                if n in last and n in rec and n != victim]
+        return [
+            n for n in order
+            if n in last and n in rec and n != victim
+            and rec[n].get("fp") == mod._fingerprint(*reg[n])
+        ]
 
     order = list(mod.queries())
     assert order.index(victim) > 0
