@@ -339,3 +339,59 @@ def test_repetition_score_property(spark, docs):
                 1 - len(set(bigrams)) / len(bigrams), abs=1e-6)
         else:
             assert r.dup_bigram_frac == 0.0
+
+
+@given(
+    groups=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=5
+    ),
+    cap=st.integers(min_value=1, max_value=12),
+)
+@SET
+def test_source_cap_property(spark, groups, cap):
+    """source_cap equals the Python mirror of its documented two-phase
+    rule (oversample band on h60('cap:'||id), rank by (h, doc_id),
+    keep <= cap) for arbitrary source sizes and caps — including empty
+    sources, sub-cap sources (pass through whole) and the band
+    boundary arithmetic."""
+    import hashlib
+
+    from tickdatapipeline_spark.operators.text import source_cap
+
+    rows = []
+    ids_by_src: dict[str, list[int]] = {}
+    next_id = 0
+    for gi, n in enumerate(groups):
+        src = f"s{gi}"
+        ids_by_src[src] = []
+        for _ in range(n):
+            rows.append((next_id, "text", "en", src))
+            ids_by_src[src].append(next_id)
+            next_id += 1
+    if not rows:
+        return
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {(r.source, r.doc_id): r.sample_rank
+           for r in source_cap(d, cap).collect()}
+
+    def h(doc_id):
+        return int(hashlib.md5(f"cap:{doc_id}".encode()).hexdigest()[17:], 16)
+
+    expect = {}
+    for src, ids in ids_by_src.items():
+        if not ids:
+            continue
+        frac = min(1.0, 2.0 * cap / len(ids))
+        band = [i for i in ids if float(h(i)) < frac * float(1 << 60)]
+        for rk, i in enumerate(sorted(band, key=lambda i: (h(i), i))[:cap], start=1):
+            expect[(src, i)] = rk
+    assert got == expect
+    # cap is a hard ceiling; sub-cap sources survive whole
+    per_src: dict[str, int] = {}
+    for (src, _i) in got:
+        per_src[src] = per_src.get(src, 0) + 1
+    for src, n in per_src.items():
+        assert n <= cap
+    for src, ids in ids_by_src.items():
+        if 0 < len(ids) <= cap * 2 and len(ids) <= cap:
+            assert per_src.get(src, 0) == len(ids)

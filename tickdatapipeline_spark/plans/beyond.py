@@ -2600,6 +2600,94 @@ FROM jp GROUP BY 1
 """
 
 
+def value_ks_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two deterministic halves of the event stream
+    (event_id parity stands in for 'reference window vs current
+    window') — the exact drift statistic behind 'did this feed's value
+    distribution move' monitors, complementing the binned histogram
+    (events_value_histogram) with a bin-free supremum.
+
+    Exactness: values are exact integer cents; both empirical CDFs are
+    integer cumulative counts divided once per distinct value and
+    rounded; the supremum and its argmin location are picked on those
+    identical doubles (ties -> lowest value).
+
+    Scale: everything reduces to ONE row per distinct cent value
+    before any window — the cumulative windows run over a domain
+    bounded by the VALUE RANGE (10^5-ish rows for dollar-scale
+    values), not by event volume, the same bounded-grid posture as the
+    histogram/gap-fill queries; the global window is a SinglePartition
+    over that bounded domain by construction.
+
+    Output: one row (n_a, n_b, ks_stat, ks_at_value).
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_v = (
+        ev.select((F.col("event_id") % 2).alias("side"), vc.alias("vc"))
+        .groupBy("vc")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    cdf = (
+        per_v.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vc", "n_a", "n_b",
+            F.abs(
+                rnd(F.col("cum_a").cast("double") / F.col("n_a").cast("double"))
+                - rnd(F.col("cum_b").cast("double") / F.col("n_b").cast("double"))
+            ).alias("diff"),
+        )
+    )
+    # the supremum row: TakeOrdered-1 over the bounded value domain
+    # (ties -> lowest value), carrying the totals along
+    return (
+        cdf.orderBy(F.col("diff").desc(), "vc")
+        .limit(1)
+        .select(
+            "n_a", "n_b",
+            rnd(F.col("diff")).alias("ks_stat"),
+            (F.col("vc") / 100.0).alias("ks_at_value"),
+        )
+    )
+
+
+VALUE_KS_SQL = f"""
+WITH per_v AS (
+    SELECT vc,
+           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM (SELECT event_id % 2 AS side,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+          FROM events)
+    GROUP BY vc
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM per_v),
+cdf AS (
+    SELECT vc, n_a, n_b,
+           abs({sql_rnd('CAST(sum(ca) OVER w AS DOUBLE) / CAST(n_a AS DOUBLE)')}
+             - {sql_rnd('CAST(sum(cb) OVER w AS DOUBLE) / CAST(n_b AS DOUBLE)')}) AS diff
+    FROM per_v CROSS JOIN tot
+    WINDOW w AS (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_a, n_b, {sql_rnd('diff')} AS ks_stat, vc / 100.0 AS ks_at_value
+FROM cdf
+ORDER BY diff DESC, vc
+LIMIT 1
+"""
+
+
 def hourly_ohlc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles of event values per event type — the bar
     engine's open/high/low/close semantics (operators/bars.py B1)
@@ -2919,6 +3007,7 @@ def queries() -> dict[str, tuple]:
         "events_type_transitions": (type_transitions_fn, TYPE_TRANSITIONS_SQL),
         "events_hourly_ohlc": (hourly_ohlc_fn, HOURLY_OHLC_SQL),
         "dedup_threshold_sweep": (dedup_sweep_fn, DEDUP_SWEEP_SQL),
+        "events_value_ks_drift": (value_ks_drift_fn, VALUE_KS_SQL),
         "docs_curation_funnel": (curation_funnel_fn, CURATION_FUNNEL_SQL),
         "docs_ngram_novelty": (
             lambda s, d: ngram_novelty(_docs(s, d)),

@@ -1128,6 +1128,62 @@ LIMIT {R25_K}
 """
 
 
+# ---- R29: top supplier(s) by quarter revenue (TPC-H Q15 shape) ----
+
+R29_LO, R29_HI = "1997-01-01", "1997-03-31"
+
+
+def r29_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) whose quarterly revenue equals the maximum — the
+    TPC-H Q15 shape: an aggregate compared against the scalar MAX of
+    the same aggregate (the reference formulates it as a view used
+    twice), which must plan as one aggregate + a broadcast 1-row max,
+    never a re-aggregation per row or a rank-the-world sort.
+
+    Cross-engine exactness: revenue is BIGINT cents units end to end;
+    the equality against the max is integer, so 'all tied winners'
+    needs no epsilon.
+
+    Scale: the quarter filter prunes the lineitem scan; ONE map-side-
+    combinable supplier aggregate, its 1-row MAX broadcast back; the
+    supplier name join is a broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(R29_LO, R29_HI + " 23:59:59")
+    ).select(
+        "l_suppkey",
+        (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_u").alias("rev_u"))
+    mx = rev.agg(F.max("rev_u").alias("max_u"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_u") == F.col("max_u"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("rev_u") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+R29_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum({_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')})) AS BIGINT) AS rev_u
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '{R29_LO} 00:00:00'
+                         AND TIMESTAMP '{R29_HI} 23:59:59'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.rev_u / 10000.0 AS total_revenue
+FROM rev
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.rev_u = (SELECT max(rev_u) FROM rev)
+"""
+
+
 # ---- R23: disjunctive-bracket revenue (TPC-H Q19 shape) ----
 
 R23_BRACKETS = (  # (brand, max_size, qty_lo, qty_hi)
@@ -1452,4 +1508,5 @@ def queries() -> dict[str, tuple]:
         "rel_market_share": (r26_fn, R26_SQL),
         "rel_returned_revenue_topk": (r27_fn, R27_SQL),
         "rel_order_cadence": (r28_fn, R28_SQL),
+        "rel_top_supplier": (r29_fn, R29_SQL),
     }
