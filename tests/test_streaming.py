@@ -1112,6 +1112,54 @@ def test_ingest_decontamination_stream(spark, tmp_path):
     assert rows[500].batch_id == 0 and rows[502].batch_id == 1
 
 
+def test_value_drift_stream(spark, tmp_path):
+    """Streaming KS drift: each micro-batch's value distribution is
+    compared against the frozen reference CDF — an identical batch
+    scores 0, a shifted batch scores the hand-computed supremum at the
+    hand-computed location; one row per batch in the idempotent sink."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import (
+        run_value_drift_stream,
+        write_value_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, 1_000_000 * i, "click", float(v)) for i, v in enumerate([1, 2, 3, 4])],
+        "event_id long, tus long, event_type string, value double",
+    )
+    write_value_reference(ref, str(tmp_path / "ref"))
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [
+        ("b0.json", [1.0, 2.0, 3.0, 4.0]),   # identical distribution
+        ("b1.json", [3.0, 4.0, 5.0, 6.0]),   # shifted +2 -> sup 0.5 at v=2
+    ]
+    for i, (fname, vals) in enumerate(batches):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for j, v in enumerate(vals):
+                f.write(json.dumps({"event_id": 100 * i + j, "tus": j,
+                                    "event_type": "click", "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = run_value_drift_stream(
+        spark, str(in_dir), str(tmp_path / "ref"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.batch_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].ks_stat == 0.0 and rows[0].n_batch == 4 and rows[0].n_ref == 4
+    # cum_b/4 vs cum_r/4 over vc 100..600: sup |diff| = 0.5 first hit at vc 200
+    assert rows[1].ks_stat == 0.5 and rows[1].ks_at_value == 2.0
+
+
 def test_ingest_ann_stream(spark, tmp_path):
     """Ingest-time semantic lookup: probe embeddings stream in per
     micro-batch and are searched against the precomputed IVF index —

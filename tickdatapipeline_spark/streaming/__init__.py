@@ -13,7 +13,9 @@ from tickdatapipeline_spark.streaming.eventtime import (
     run_ingest_curation,
     run_ingest_decontamination,
     run_snapshot_diff_stream,
+    run_value_drift_stream,
     run_value_histogram_to_memory,
+    write_value_reference,
     run_windowed_events_to_memory,
     sessionized_events_stream,
     value_histogram_stream,
@@ -47,6 +49,8 @@ __all__ = [
     "run_ingest_curation",
     "run_ingest_decontamination",
     "run_snapshot_diff_stream",
+    "run_value_drift_stream",
+    "write_value_reference",
     "run_windowed_events_to_memory",
     "ema_stream",
     "type_transitions_stream",

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tickdatapipeline_spark.functions.rounding import rnd
+
 EVENT_SCHEMA = "event_id long, tus long, event_type string, value double"
 SESSION_SCHEMA = "event_id long, tus long, user_id long"
 
@@ -560,6 +562,99 @@ def _write_snapshot_fingerprints(fp: DataFrame, store_dir: str, batch_id: int) -
     target = f"{store_dir}/batch_id={batch_id}"
     fp.write.mode("overwrite").parquet(target)
     return target
+
+
+def write_value_reference(ev: DataFrame, path: str) -> None:
+    """Materialize the reference value distribution for the streaming
+    drift monitor: per-distinct-cent counts (vc, n) parquet — the
+    frozen 'training window' CDF every incoming batch is compared
+    against. Rebuild when the reference window rolls."""
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    (
+        ev.select(vc.alias("vc"))
+        .groupBy("vc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def run_value_drift_stream(
+    spark: SparkSession,
+    input_dir: str,
+    reference_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Streaming drift alarm: per micro-batch, the exact two-sample
+    Kolmogorov-Smirnov distance between the BATCH's value distribution
+    and the frozen reference written by ``write_value_reference`` —
+    the live form of ``events_value_ks_drift`` ("did this feed's
+    values move away from the training window"), one row per batch.
+
+    Per batch: the batch reduces to per-cent counts map-side, full-
+    outer joins the reference counts on vc, and the cumulative-CDF
+    supremum runs over the BOUNDED distinct-value domain (value range,
+    not stream length — the same bounded-grid posture as the batch
+    twin). Reference re-read per batch (rolling rebuilds picked up
+    live); sink batch_id-partitioned and replay-idempotent.
+
+    Output: (n_batch, n_ref, ks_stat, ks_at_value) per batch_id.
+    """
+    from pyspark.sql import Window
+
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        b = batch_df.select(vc.alias("vc")).groupBy("vc").agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        r = sp.read.parquet(reference_path).select("vc", F.col("n").alias("nr"))
+        per_v = (
+            b.join(r, on="vc", how="full_outer")
+            .select(
+                "vc",
+                F.coalesce("nb", F.lit(0).cast("long")).alias("nb"),
+                F.coalesce("nr", F.lit(0).cast("long")).alias("nr"),
+            )
+        )
+        tot = per_v.agg(F.sum("nb").alias("n_batch"), F.sum("nr").alias("n_ref"))
+        w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cdf = (
+            per_v.withColumn("cum_b", F.sum("nb").over(w))
+            .withColumn("cum_r", F.sum("nr").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "vc", "n_batch", "n_ref",
+                F.abs(
+                    rnd(F.col("cum_b").cast("double") / F.col("n_batch").cast("double"))
+                    - rnd(F.col("cum_r").cast("double") / F.col("n_ref").cast("double"))
+                ).alias("diff"),
+            )
+        )
+        top = (
+            cdf.orderBy(F.col("diff").desc(), "vc")
+            .limit(1)
+            .select(
+                "n_batch", "n_ref",
+                rnd(F.col("diff")).alias("ks_stat"),
+                (F.col("vc") / 100.0).alias("ks_at_value"),
+            )
+        )
+        _write_batch_idempotent(top, out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 EMB_SCHEMA = "vec_id long, embedding array<double>"
