@@ -532,6 +532,10 @@ def run_snapshot_diff_stream(
         return best
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty trigger is NOT an empty snapshot: storing it
+            # would make the next diff report the whole corpus removed
+            return
         sp = batch_df.sparkSession
         new_fp = fingerprint(batch_df)
         prev_id = _latest_store_batch(sp, batch_id)
@@ -611,6 +615,8 @@ def run_value_drift_stream(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no distribution to test; a null-KS row would be noise
         sp = batch_df.sparkSession
         vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         b = batch_df.select(vc.alias("vc")).groupBy("vc").agg(
