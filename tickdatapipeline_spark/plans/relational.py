@@ -863,7 +863,8 @@ def r21_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents x (100 - discount%) accumulation; one IEEE division per
     output row.
 
-    Scale: both nation sides and supplier broadcast; the date filter
+    Scale: both nation sides broadcast (25-row dimension); supplier is
+    SF-scaled so its join is left to AQE; the date filter
     prunes the lineitem scan at parquet; the only big shuffles are
     lineitem->orders (orderkey) and orders->customer (custkey). The
     pair predicate applies AFTER the nation joins on broadcast rows —
@@ -885,7 +886,7 @@ def r21_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])  # SF-scaled: AQE decides
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -970,7 +971,7 @@ def r22_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"])
+        sole.join(supp, sole["l_suppkey"] == supp["s_suppkey"])  # SF-scaled: AQE decides
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1022,7 +1023,7 @@ def r24_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy — no float SUM ever crosses rows.
 
     Scale: the month filter prunes the lineitem scan; part (projected
-    to two columns) broadcasts; the ratio is a single
+    to two columns) is SF-scaled so AQE picks its join side; the ratio is a single
     map-side-combinable conditional aggregate — no second pass, no
     join reordering hazard.
     """
@@ -1033,7 +1034,7 @@ def r24_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])  # SF-scaled: AQE decides
     return j.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(F.lit(0).cast("long"))).alias("promo_u"),
         F.sum("rev_u").alias("total_u"),
@@ -1146,7 +1147,7 @@ def r29_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the quarter filter prunes the lineitem scan; ONE map-side-
     combinable supplier aggregate, its 1-row MAX broadcast back; the
-    supplier name join is a broadcast.
+    SF-scaled supplier name join is left to AQE.
     """
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between(R29_LO, R29_HI + " 23:59:59")
@@ -1160,7 +1161,7 @@ def r29_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("rev_u") == F.col("max_u"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))  # SF-scaled: AQE
         .select(
             "s_suppkey", "s_name",
             (F.col("rev_u") / 10000.0).alias("total_revenue"),
@@ -1205,7 +1206,8 @@ def r23_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT cents x (100 - discount%) accumulation — one row out, one
     division.
 
-    Scale: part is broadcast; lineitem keeps only the union quantity
+    Scale: part is SF-scaled so its join is left to AQE (it broadcasts
+    whenever the bracket subset fits); lineitem keeps only the union quantity
     range at the scan (Catalyst derives l_quantity bounds from the OR),
     and the bracket predicate evaluates post-join on codegen'd columns.
     """
@@ -1224,7 +1226,7 @@ def r23_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cond = c if cond is None else (cond | c)
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])  # SF-scaled: AQE decides
         .where(cond)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -1265,8 +1267,8 @@ def r26_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: both ratio legs accumulate BIGINT cents;
     one rounded double division per year row.
 
-    Scale: every dimension chain (part-type subset, supplier->nation,
-    customer->nation->region) broadcasts; the only big shuffles are
+    Scale: nation/region broadcast (fixed 25/5 rows); the SF-scaled
+    part subset and supplier chain are left to AQE; the only big shuffles are
     lineitem->orders and orders->customer on their keys; the ratio is
     a map-side-combinable conditional aggregate over |years| rows.
     """
@@ -1293,8 +1295,8 @@ def r26_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rev_u"),
     )
     j = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])  # SF-scaled sides:
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])  # AQE decides
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
     )
