@@ -396,3 +396,84 @@ def test_hourly_ohlc_is_one_partial_aggregate(spark):
     plan = physical(hourly_ohlc_fn(spark, SF))
     assert plan.count("HashAggregate") == 2
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_order_count_distribution_aggregates_before_join(spark):
+    """R30 (Q13 shape): the fact table must be reduced to per-customer
+    counts BEFORE the outer join — exactly one join in the optimized
+    plan, with a hash aggregate on o_custkey sitting below it, and the
+    priority exclusion pushed to the orders scan."""
+    from tickdatapipeline_spark.plans.relational import r30_fn
+
+    df = r30_fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Join") == 1
+    plan = physical(df)
+    join_at = plan.index("Join")
+    assert "hashpartitioning(o_custkey" in plan[join_at:], "orders must pre-aggregate below the join"
+    orders_frag = [f for f in plan.split("FileScan")[1:] if "orders" in f][0]
+    assert "o_orderpriority" in orders_frag.split("PushedFilters")[1][:300]
+
+
+def test_product_profit_scans_lineitem_once_and_broadcasts_nation(spark):
+    """R31 (Q9 shape): one pass over the fact table, nation broadcast,
+    and the p_name filter applied on the part side (never widening the
+    fact scan with p_name)."""
+    from tickdatapipeline_spark.plans.relational import r31_fn
+
+    plan = physical(r31_fn(spark, SF))
+    li_scans = sum(1 for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln)
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+    assert "BroadcastHashJoin" in plan
+    for frag in plan.split("ReadSchema: ")[1:]:
+        schema = frag.split("\n")[0]
+        if "l_partkey" in schema:
+            assert "p_name" not in schema
+
+
+def test_priority_mix_filter_pushes_to_scan_as_range(spark):
+    """R32 (Q12 shape): the ship-year predicate is a date RANGE so it
+    must appear in PushedFilters of the lineitem scan (a year()=Y
+    formulation would not), and the conditional counts are one
+    partial+final aggregate pair after the join."""
+    from tickdatapipeline_spark.plans.relational import r32_fn
+
+    plan = physical(r32_fn(spark, SF))
+    li_frag = [f for f in plan.split("FileScan")[1:] if "lineitem" in f][0]
+    assert "l_shipdate" in li_frag.split("PushedFilters")[1][:300]
+    assert plan.count("HashAggregate") == 2
+
+
+def test_dominant_suppliers_uses_window_not_self_join(spark):
+    """R34 (Q20 shape): the per-part total must come from a window over
+    the (part, supplier) aggregate — the plan may contain only the
+    part-filter join and the final supplier semi-join, never a third
+    join re-deriving the part totals from a second fact pass."""
+    from tickdatapipeline_spark.plans.relational import r34_fn
+
+    df = r34_fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Join") == 2
+    plan = physical(df)
+    li_scans = sum(1 for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln)
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+    assert "LeftSemi" in plan
+
+
+def test_forecast_revenue_pushes_all_three_ranges(spark):
+    """R35 (Q6): the paired raw-column ranges for shipdate, discount,
+    and quantity must ALL reach the lineitem scan's PushedFilters, the
+    scan must read exactly the four needed columns, and the whole query
+    is one partial+final aggregate with no exchange other than the
+    single-row gather."""
+    from tickdatapipeline_spark.plans.relational import r35_fn
+
+    plan = physical(r35_fn(spark, SF))
+    li_frag = [f for f in plan.split("FileScan")[1:] if "lineitem" in f][0]
+    pushed = li_frag.split("PushedFilters")[1][:500]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} range not pushed"
+    schema = li_frag.split("ReadSchema: ")[1].split("\n")[0]
+    assert schema.count(",") == 3  # shipdate, discount, quantity, extendedprice
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan

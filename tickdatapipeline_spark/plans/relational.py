@@ -1480,6 +1480,357 @@ WHERE gap_days IS NOT NULL AND n_orders >= {R28_MIN_ORDERS}
 """
 
 
+# ---- R30: customer order-count distribution (TPC-H Q13 shape) ----
+
+R30_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+def r30_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N qualifying orders, for every
+    N including zero — the TPC-H Q13 shape (LEFT OUTER join + count +
+    a second aggregate over the counts). The fixture orders carry no
+    comment column, so the Q13 ``NOT LIKE '%special%requests%'``
+    exclusion is played by one order-priority class.
+
+    Scale: the fact table is aggregated to per-customer counts FIRST
+    (map-side combinable groupBy on o_custkey), so the outer join is
+    1:1 on the customer key — |customer| rows meet |active customers|
+    rows, never |customer| x |orders|. The second groupBy runs over
+    |customer| rows and yields the tiny distribution. Both key columns
+    prune to 2 ints at the scan.
+    """
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != R30_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(cnt, cust["c_custkey"] == cnt["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+R30_SQL = f"""
+WITH cnt AS (
+    SELECT o_custkey, count(*) AS n
+    FROM orders
+    WHERE o_orderpriority <> '{R30_EXCLUDED_PRIORITY}'
+    GROUP BY o_custkey
+)
+SELECT COALESCE(n, 0) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---- R31: product-line profit by nation and year (TPC-H Q9 shape) ----
+
+R31_NAME_TOKEN = "red"
+
+
+def r31_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier nation per ship year for one product line —
+    the TPC-H Q9 shape: the fact table joined to part (filtered by a
+    name substring), supplier, and nation, with a derived measure that
+    subtracts cost from discounted revenue. The fixture has no partsupp
+    table, so supply cost is played by p_retailprice x quantity.
+
+    Exactness: revenue and cost both live at the 1e-4-dollar scale
+    (cents x percent and cents x hundredth-qty respectively), summed as
+    BIGINT and divided once at the end — order-independent, so the
+    hash matches DuckDB despite the 4-way join's nondeterministic row
+    order.
+
+    Scale: part and supplier scale with SF but stay orders of magnitude
+    below lineitem — AQE picks broadcast vs shuffle per SF (same
+    posture as R21/R26); nation (25 rows) is explicitly broadcast. The
+    p_name filter prunes the part side before the join, which under
+    AQE turns into dynamic partition pruning of the fact scan at real
+    SFs. The final aggregate is |nations| x |years| rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains(R31_NAME_TOKEN)
+    ).select("p_partkey", _cents(F.col("p_retailprice")).alias("retail_c"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+        - _cents(F.col("l_quantity")) * F.col("retail_c")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit) / 10000.0).alias("sum_profit"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+R31_SQL = f"""
+SELECT n_name AS nation,
+       year(l_shipdate) AS o_year,
+       CAST(sum({_CENTS.format(x='l_extendedprice')} * (100 - {_CENTS.format(x='l_discount')})
+                - {_CENTS.format(x='l_quantity')} * {_CENTS.format(x='p_retailprice')}) AS BIGINT)
+           / 10000.0 AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{R31_NAME_TOKEN}%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---- R32: priority mix by line status in a ship year (TPC-H Q12 shape) ----
+
+R32_YEAR = 1997
+R32_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def r32_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line status, how many lines shipped in one year belong to
+    high- vs low-priority orders — the TPC-H Q12 shape: a fact-to-fact
+    equi-join (lineitem x orders on the order key) feeding two
+    conditional counts. The fixture lineitem has no l_shipmode, so
+    l_linestatus plays the grouping column.
+
+    Scale: the year filter is written as a shipdate RANGE (not
+    ``year(..) = Y``, which no engine pushes past the function call) so
+    it prunes at the parquet scan; the join shuffles both sides on the
+    order key (no small side — this is the one TPC-H join AQE cannot
+    broadcast) and the conditional counts are map-side combinable into
+    |statuses| rows. Each side projects only its join key + 1 column.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= f"{R32_YEAR}-01-01")
+        & (F.col("l_shipdate") < f"{R32_YEAR + 1}-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin(*R32_HIGH).cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(F.sum(high).alias("high_line_count"),
+             F.sum(1 - high).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+R32_SQL = f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('{R32_HIGH[0]}', '{R32_HIGH[1]}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('{R32_HIGH[0]}', '{R32_HIGH[1]}')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{R32_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{R32_YEAR + 1}-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---- R33: supplier variety per part segment (TPC-H Q16 shape) ----
+
+R33_EXCLUDED_TYPE = "PROMO"
+
+
+def r33_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers have shipped parts of each
+    (brand, size) segment, excluding one part type and excluding
+    suppliers in arrears — the TPC-H Q16 shape (COUNT DISTINCT with a
+    NOT-IN supplier exclusion). The fixture has no partsupp, so the
+    part-supplier relation is derived from lineitem; no s_comment, so
+    the complaint filter is played by negative account balance.
+
+    Scale: lineitem is reduced to DISTINCT (l_partkey, l_suppkey)
+    pairs FIRST — a map-side-combinable distinct that collapses the
+    fact table to the much smaller relation Q16 reads from partsupp —
+    before any join. The arrears exclusion is a broadcast anti-join
+    (|bad suppliers| << |suppliers|), and the final count is exact
+    count(*) because the pairs are already distinct: no expand-based
+    countDistinct over fact rows anywhere.
+    """
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    part = _t(spark, sf_dir, "part").where(
+        ~F.col("p_type").startswith(R33_EXCLUDED_TYPE)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(part, pairs["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+R33_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_size, count(*) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_type NOT LIKE '{R33_EXCLUDED_TYPE}%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# ---- R34: dominant suppliers of a product line (TPC-H Q20 shape) ----
+
+R34_YEAR = 1996
+R34_NAME_PREFIX = "small"
+R34_SHARE_PM = 300  # dominance threshold in per-mille of the part's year qty
+
+
+def r34_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped more than R34_SHARE_PM/1000 of some
+    'small %' part's total quantity in one year — the TPC-H Q20 shape:
+    a nested aggregate (per part-supplier qty vs per-part total)
+    gating a supplier semi-join. The fixture has no partsupp, so Q20's
+    ``ps_availqty > 0.5 x shipped`` becomes a share-of-part-total
+    dominance test on the same nested-aggregate skeleton.
+
+    Exactness: the share test multiplies integers (qty_sp * 1000 >
+    total * R34_SHARE_PM) — no float division crosses the oracle.
+
+    Scale: the fact is aggregated to (partkey, suppkey) granularity
+    first; the per-part total is a window SUM over that aggregate
+    (partitioned by partkey — bounded by suppliers-per-part, no
+    self-join). Only qualifying suppkeys — a key set far smaller than
+    the fact — reach the semi-join against supplier.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= f"{R34_YEAR}-01-01")
+        & (F.col("l_shipdate") < f"{R34_YEAR + 1}-01-01")
+    ).select("l_partkey", "l_suppkey", _cents(F.col("l_quantity")).alias("qty_c"))
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(R34_NAME_PREFIX)
+    ).select("p_partkey")
+    sp = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty_c").alias("qty_sp"))
+    )
+    total = Window.partitionBy("l_partkey")
+    dominant = (
+        sp.withColumn("part_total", F.sum("qty_sp").over(total))
+        .where(F.col("qty_sp") * 1000 > F.col("part_total") * R34_SHARE_PM)
+        .select("l_suppkey").distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(dominant, sup["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", rnd(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+R34_SQL = f"""
+WITH sp AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum({_CENTS.format(x='l_quantity')}) AS BIGINT) AS qty_sp
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{R34_YEAR}-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '{R34_YEAR + 1}-01-01 00:00:00'
+      AND p_name LIKE '{R34_NAME_PREFIX}%'
+    GROUP BY 1, 2
+),
+dom AS (
+    SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, qty_sp,
+               sum(qty_sp) OVER (PARTITION BY l_partkey) AS part_total
+        FROM sp
+    ) WHERE qty_sp * 1000 > part_total * {R34_SHARE_PM}
+)
+SELECT s_suppkey, s_name, {sql_rnd('s_acctbal', 2)} AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_suppkey
+"""
+
+
+# ---- R35: forecast revenue change (TPC-H Q6 shape) ----
+
+R35_YEAR = 1997
+R35_DISC_LO_C = 5   # discount band, percent units (fixture stores 0.00-0.10)
+R35_DISC_HI_C = 7
+R35_QTY_LT_C = 2400  # quantity < 24.00, hundredths
+
+
+def r35_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by dropping a discount band for
+    low-quantity lines in one year — TPC-H Q6: the canonical
+    scan-filter-aggregate with zero joins. Kept as a shape of its own
+    because it is THE predicate-pushdown probe: a raw-column range
+    filter per predicate must reach the parquet scan, and the whole
+    query is one map-side-combinable partial aggregate into a single
+    row (asserted in the plan-shape suite).
+
+    Exactness vs pushdown: the EXACT band tests run on integer cents
+    (floor(x*100+0.5) — identical on both engines), which no scanner
+    pushes past the floor(); each cents predicate is therefore paired
+    with a strictly-weaker raw-column range that IS pushable (cents in
+    [5,7] implies raw in [0.045, 0.075); the superset [0.04, 0.08]
+    prunes row groups at the scan, the cents band then decides
+    exactly). Same for the year (date range, not year()=Y) and the
+    quantity cap. Price x discount lives at the 1e-4-dollar scale,
+    summed BIGINT, divided once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    disc_c = _cents(F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= f"{R35_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{R35_YEAR + 1}-01-01")
+            & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24.01)
+            & disc_c.between(R35_DISC_LO_C, R35_DISC_HI_C)
+            & (qty_c < R35_QTY_LT_C)
+        )
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice")) * disc_c) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+R35_SQL = f"""
+SELECT CAST(sum({_CENTS.format(x='l_extendedprice')} * {_CENTS.format(x='l_discount')}) AS BIGINT)
+           / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{R35_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{R35_YEAR + 1}-01-01 00:00:00'
+  AND l_discount >= 0.04 AND l_discount <= 0.08
+  AND l_quantity < 24.01
+  AND {_CENTS.format(x='l_discount')} BETWEEN {R35_DISC_LO_C} AND {R35_DISC_HI_C}
+  AND {_CENTS.format(x='l_quantity')} < {R35_QTY_LT_C}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -1511,4 +1862,10 @@ def queries() -> dict[str, tuple]:
         "rel_returned_revenue_topk": (r27_fn, R27_SQL),
         "rel_order_cadence": (r28_fn, R28_SQL),
         "rel_top_supplier": (r29_fn, R29_SQL),
+        "rel_order_count_distribution": (r30_fn, R30_SQL),
+        "rel_product_profit": (r31_fn, R31_SQL),
+        "rel_priority_mix_by_status": (r32_fn, R32_SQL),
+        "rel_supplier_part_variety": (r33_fn, R33_SQL),
+        "rel_dominant_suppliers": (r34_fn, R34_SQL),
+        "rel_forecast_revenue": (r35_fn, R35_SQL),
     }
