@@ -1830,3 +1830,73 @@ def test_training_examples_composition(spark, tmp_path):
         elig.where(F.col("doc_id").isin(list(keep))), PACK_SEQ_LEN, PACK_BUCKETS
     ).collect()))
     assert got == manual and len(got) > 0
+
+
+def test_value_cusum_golden(spark, tmp_path):
+    """Hand-computed CUSUM: hourly sums (100, 100, 200, 200) cents put
+    the peak of |H*S_k - k*T| at k=2 (the last low hour), with exact
+    before/after hourly means 1.0 and 2.0 dollars."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import value_cusum_fn
+
+    hour_ns = 3_600 * 1_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, hour_ns, 2 * hour_ns, 3 * hour_ns],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["m"] * 4),
+        "value": pa.array([1.0, 1.0, 2.0, 2.0]),
+        "props": pa.array(["{}"] * 4),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    rows = value_cusum_fn(spark, str(tmp_path / "sf")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # k=2: |4*200 - 2*600| = 400 beats k=1 (200) and k=3 (200)
+    assert (r.k, r.n_hours, r.stat) == (2, 4, 400)
+    assert r.cp_hour_s == 3_600
+    assert (r.mean_before, r.mean_after) == (1.0, 2.0)
+
+
+def test_importance_weights_golden(spark):
+    """Two docs, unigram+bigram features, hand-worked DSIR ratio
+    algebra: the target-source doc scores 1.222222, the other
+    0.763889 (scale 1e6, add-one smoothing, Ts=6 Tt=3 V=5)."""
+    from tickdatapipeline_spark.operators.text import importance_weights
+
+    d = spark.createDataFrame(
+        [(1, "a b", "tgt"), (2, "a c", "other")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in importance_weights(d, "tgt").collect()}
+    assert out[1].n_feats == 3 and out[2].n_feats == 3
+    assert out[1].score == 1.222222
+    assert out[2].score == 0.763889
+    assert out[1].source == "tgt"
+
+
+def test_semantic_dedup_golden(spark):
+    """Duplicate vectors land in the same cell and exactly one of them
+    is dropped (the tie rule keeps the lower vec_id); singleton-cell
+    vectors all survive."""
+    from tickdatapipeline_spark.operators.similarity import DIM, semantic_dedup
+
+    def unit(i):
+        v = [0.0] * DIM
+        v[i] = 1.0
+        return v
+
+    rows = [(0, unit(0), "x"), (1, unit(1), "x"),
+            (2, unit(2), "x"), (3, unit(2), "x")]  # 3 duplicates 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9,
+                                               max_cell_size=None).collect()}
+    assert len(out) == 4
+    assert out[2].cell == 2 and out[3].cell == 2  # tie -> lower cell
+    assert out[0].kept and out[1].kept and out[2].kept
+    assert not out[3].kept
+    assert out[3].centroid_sim == 1.0 == out[2].centroid_sim

@@ -477,3 +477,49 @@ def test_forecast_revenue_pushes_all_three_ranges(spark):
     assert schema.count(",") == 3  # shipdate, discount, quantity, extendedprice
     assert plan.count("HashAggregate") == 2
     assert "Join" not in plan
+
+
+def test_value_cusum_windows_ride_the_hourly_aggregate(spark):
+    """events_value_cusum: every window partitions by event_type and
+    runs over the hourly aggregate, never the raw stream — no
+    SinglePartition anywhere, and the raw events scan feeds a partial
+    aggregate before any Window."""
+    from tickdatapipeline_spark.plans.beyond import value_cusum_fn
+
+    plan = physical(value_cusum_fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], "hourly aggregate must sit below the windows"
+
+
+def test_importance_weights_is_all_hash_aggregates(spark):
+    """docs_importance_weights: the doc-feature table is pinned (one
+    token explosion feeds all three consumers — the scan lineage
+    appears at most once), the feature-stats join is an equi-join on
+    the 8-byte hash, and the only SinglePartition gather is the 1-row
+    totals aggregate feeding the broadcast cross join."""
+    from tickdatapipeline_spark.operators.text import importance_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(importance_weights(docs, "src0"))
+    assert plan.count("documents.parquet") <= 1, "feature explosion re-derived"
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+    assert plan.count("Exchange SinglePartition") <= 1  # the 1-row totals only
+    # exactly one nested-loop join: the broadcast 1-row totals
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_is_cell_keyed(spark):
+    """sim_semantic_dedup: the quadratic step must key on the cluster
+    cell (equi-join), never an unkeyed cross of the corpus; the only
+    nested-loop joins are the broadcast n_cells-row centroid scorings."""
+    from tickdatapipeline_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(semantic_dedup(emb, max_cell_size=None))
+    assert "CartesianProduct" not in plan
+    nlj = plan.count("BroadcastNestedLoopJoin")
+    assert nlj <= 1, f"{nlj} nested-loop joins — assignment must be pinned, pair join cell-keyed"
+    assert plan.count("embeddings.parquet") <= 1, "centroid scoring re-derived"

@@ -843,3 +843,93 @@ def ann_topk_ivf_kmeans(emb: DataFrame, k: int = 5, query_mod: int = 50,
     ivf_kmeans_sql)."""
     return ann_topk_ivf(emb, k, query_mod, n_cells, nprobe,
                         centroids=kmeans_train(emb, n_cells, iters))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.25,
+                   n_cells: int = IVF_CELLS,
+                   centroids: "list | None" = None,
+                   max_cell_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with a coarse quantizer, score cosine pairs ONLY within
+    each cluster, and inside every near-duplicate pair keep the vector
+    FARTHER from its cluster centroid (the paper's keep-rule: the
+    extreme point carries more information than the prototypical one).
+
+    Per vector: cell = argmax centroid cosine (rounded, ties to the
+    lower cell — identical to ivf_assign); a vector is DROPPED when
+    some same-cell partner at cosine >= threshold sits farther from
+    the centroid (centroid_sim strictly lower, ties broken toward the
+    lower vec_id surviving). The rule is pair-local, so the survivor
+    set is order-independent and SQL-expressible — unlike the greedy
+    sequential scan of the reference implementation, which this
+    replaces (documented deviation; same fixed point when near-dup
+    groups are cliques).
+
+    Output: (vec_id, cell, centroid_sim, kept) for every input vector.
+
+    Scale: centroids broadcast (n_cells rows); the quadratic step is
+    cluster-restricted — sum of per-cell n^2, the SemDeDup cost model —
+    with ``max_cell_size`` the same logged skew guard the LSH buckets
+    use (None = exhaustive, what the oracle entry passes). With
+    n_cells ~ sqrt(N) (the paper's regime) cells stay executor-sized;
+    the default stand-in centroids (vec_id < n_cells) swap for
+    kmeans_train output via ``centroids`` exactly as in ivf_assign.
+    """
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(centroids, "cell long, c array<double>")
+    else:
+        cents = base.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("c")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "cell",
+            rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "v", "cell", F.col("sim").alias("centroid_sim"))
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    # three consumers (both pair-join sides + the kept-flag output) —
+    # pinned so the broadcast centroid scoring runs once, not three times
+    assigned = pin(assigned)
+    if max_cell_size is not None:
+        from tickdatapipeline_spark.functions.scale import cap_group_sizes
+
+        assigned = cap_group_sizes(assigned, ["cell"], max_cell_size,
+                                   "semantic_dedup", "max_cell_size", logger)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = rnd(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+    )
+    # b loses to a when a is farther from the centroid (or equally far
+    # with the lower id) — every dropped vector names a surviving-side
+    # witness, so "dropped" is a plain EXISTS over scored pairs
+    beaten = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .where(cos >= threshold)
+        .where(
+            (F.col("a.centroid_sim") < F.col("b.centroid_sim"))
+            | ((F.col("a.centroid_sim") == F.col("b.centroid_sim"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(beaten.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", "centroid_sim",
+                F.col("hit").isNull().alias("kept"))
+    )

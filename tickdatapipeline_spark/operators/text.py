@@ -1073,3 +1073,94 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _cc, placeholder, pat in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, placeholder)
     return out.withColumn("clean_text", clean)
+
+
+def importance_weights(docs: DataFrame, target_source: str,
+                       scale: int = 1_000_000) -> DataFrame:
+    """Data-selection importance weights over hashed text features —
+    the DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every document by how
+    much more likely its features are under a small TARGET distribution
+    (here: the docs of ``target_source``) than under the overall corpus
+    distribution, so a sampler can up-weight target-like raw data.
+
+    Features are hashed word unigrams AND bigrams (h60 of 'u|tok' /
+    'b|tok tok'), add-one smoothed. Where DSIR averages per-feature
+    LOG-likelihood ratios, this scores the per-feature ratio itself,
+    quantized to integers — floor(scale * (ct_f+1) DIV (cs_f+1)) — so
+    every cross-row accumulation is a BIGINT sum (the repo-wide
+    exactness rule: no multi-row float sum ever crosses the oracle).
+    The two corpus-level normalizers (Ts+V)/(Tt+V) are constant across
+    features and applied once, in doubles, at the end:
+
+        score(d) = (Ts+V)/(Tt+V)
+                   * sum_f n_f(d) * (scale*(ct_f+1) DIV (cs_f+1))
+                   / (scale * sum_f n_f(d))
+
+    with ct/cs the target/corpus feature counts, Tt/Ts their totals,
+    V the distinct-feature count. Ranking by this ratio-mean upweights
+    the same target-like docs as the log version; the log's tail
+    damping is the one behavioral difference, traded for bit-exact
+    cross-engine replay.
+
+    Output: (doc_id, source, n_feats, score) for every doc with >= 1
+    token; score rounded (rnd) for the oracle hash.
+
+    Scale: the feature explosion is O(total tokens) behind fan_out;
+    both count tables are map-side-combinable groupBys; doc-features
+    join feature-stats on the 8-byte hash (equi-shuffle — the feature
+    table is vocab-sized, too big to broadcast at corpus scale); the
+    1-row totals frame is a broadcast cross join. int64 bounds:
+    scale*(ct_f+1) caps the corpus at ~9e12 target tokens for the
+    default scale — drop ``scale`` for bigger targets.
+    """
+    t = tokens(F.col("text"))
+    feats = F.concat(
+        F.transform(t, lambda x: F.concat(F.lit("u|"), x)),
+        F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat(
+                    F.lit("b|"), F.element_at(t, i.cast("int")),
+                    F.lit(" "), F.element_at(t, (i + 1).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    # three consumers (feature stats, totals, the scored join) — pinned
+    # so the token explosion + per-doc count runs ONCE, not three times
+    df = pin(
+        fan_out(docs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "source",
+                F.explode(feats).alias("feat"))
+        .select("doc_id", "source", h60(F.col("feat")).alias("f"))
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    is_target = (F.col("source") == target_source).cast("long")
+    fs = df.groupBy("f").agg(
+        F.sum("n").alias("cs"), F.sum(F.col("n") * is_target).alias("ct")
+    )
+    totals = fs.agg(
+        F.sum("cs").alias("ts"), F.sum("ct").alias("tt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lf = F.expr(f"{scale} * (ct + 1) DIV (cs + 1)")
+    scored = (
+        df.join(fs.withColumn("lf", lf).select("f", "lf"), "f")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n") * F.col("lf")).alias("num"),
+             F.sum("n").alias("den"))
+    )
+    const = (F.col("ts") + F.col("v")).cast("double") / (F.col("tt") + F.col("v"))
+    return (
+        scored.join(F.broadcast(totals))
+        .select(
+            "doc_id", "source", F.col("den").alias("n_feats"),
+            rnd(F.col("num").cast("double") / (F.lit(float(scale)) * F.col("den")) * const)
+            .alias("score"),
+        )
+    )

@@ -57,10 +57,12 @@ from tickdatapipeline_spark.operators.similarity import (
     embedding_outliers,
     label_centroid_cosine,
     power_iteration_top_component,
+    semantic_dedup,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
     LANG_MARKERS,
+    importance_weights,
     STOPWORDS_EN,
     TOKEN_RE,
     boilerplate_ngrams,
@@ -2892,6 +2894,180 @@ SELECT doc_id, source, sample_rank FROM ranked WHERE sample_rank <= {cap}
 """
 
 
+
+
+# ================= round-8 additions: CUSUM / DSIR / SemDeDup =================
+
+def value_cusum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event type — for each type, the
+    hour at which the cumulative deviation from the overall mean peaks
+    (Page 1954's cumulative-sum statistic, the classic "when did this
+    metric's level change" detector behind drift alarms).
+
+    Statistic: over the per-hour value sums x_1..x_H (cents), the
+    change point is argmax_k |H*S_k - k*T| with S_k the prefix sum and
+    T the total — the integer-cleared form of |S_k - k*mean|*H, so the
+    WHOLE detection path is BIGINT (no float crosses rows; the
+    before/after hourly means are single divisions of identical
+    integers, rounded for the oracle hash). Ties resolve to the
+    earliest hour.
+
+    Scale: the raw stream reduces map-side to O(hours x types) rows
+    before any window; both windows partition by event_type over that
+    aggregate (the repo's event-analytics posture — grid/window work
+    never touches raw events). int64 bound: H * S_k caps hourly-sum
+    volume at ~9e18/H cents; ANSI mode raises loudly on overflow
+    rather than wrapping.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.select(
+            F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+            "event_type", vc.alias("vc"),
+        )
+        .groupBy("event_type", "hour_s")
+        .agg(F.sum("vc").alias("h_sum"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour_s")
+    wa = Window.partitionBy("event_type")
+    cum = (
+        hourly.select(
+            "event_type", "hour_s",
+            F.sum("h_sum").over(wo).alias("s_k"),
+            F.row_number().over(wo).cast("long").alias("k"),
+            F.sum("h_sum").over(wa).alias("total"),
+            F.count(F.lit(1)).over(wa).alias("h"),
+        )
+        .where(F.col("k") < F.col("h"))  # D_H = 0 by construction
+        .withColumn("stat", F.abs(F.col("h") * F.col("s_k") - F.col("k") * F.col("total")))
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("stat"), "k")
+    return (
+        cum.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("hour_s").alias("cp_hour_s"), "k",
+            F.col("h").alias("n_hours"), "stat",
+            rnd(F.col("s_k").cast("double") / F.col("k") / 100.0).alias("mean_before"),
+            rnd((F.col("total") - F.col("s_k")).cast("double")
+                / (F.col("h") - F.col("k")) / 100.0).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_CUSUM_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS h_sum
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, hour_s,
+           CAST(sum(h_sum) OVER (PARTITION BY event_type ORDER BY hour_s) AS BIGINT) AS s_k,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour_s) AS BIGINT) AS k,
+           CAST(sum(h_sum) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+           count(*) OVER (PARTITION BY event_type) AS h
+    FROM hourly
+),
+scored AS (
+    SELECT *, abs(h * s_k - k * total) AS stat FROM cum WHERE k < h
+)
+SELECT event_type, hour_s AS cp_hour_s, k, CAST(h AS BIGINT) AS n_hours,
+       CAST(stat AS BIGINT) AS stat,
+       {sql_rnd("CAST(s_k AS DOUBLE) / k / 100.0")} AS mean_before,
+       {sql_rnd("CAST(total - s_k AS DOUBLE) / (h - k) / 100.0")} AS mean_after
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY stat DESC, k) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+DSIR_TARGET_SOURCE = "src0"
+DSIR_SCALE = 1_000_000
+
+
+IMPORTANCE_SQL = f"""
+WITH tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {SQL_TOKENS} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id, source,
+           unnest(list_concat(
+               list_transform(t, x -> 'u|' || x),
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> 'b|' || t[i] || ' ' || t[i + 1])
+                    ELSE []::VARCHAR[] END
+           )) AS feat
+    FROM tok
+),
+df AS (
+    SELECT doc_id, source, {sql_h60('feat')} AS f, count(*) AS n
+    FROM feats GROUP BY 1, 2, 3
+),
+fs AS (
+    SELECT f, CAST(sum(n) AS BIGINT) AS cs,
+           CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN n ELSE 0 END) AS BIGINT) AS ct
+    FROM df GROUP BY f
+),
+tot AS (
+    SELECT CAST(sum(cs) AS BIGINT) AS ts, CAST(sum(ct) AS BIGINT) AS tt,
+           count(*) AS v
+    FROM fs
+),
+scored AS (
+    SELECT doc_id, source,
+           CAST(sum(n * ({DSIR_SCALE} * (ct + 1) // (cs + 1))) AS BIGINT) AS num,
+           CAST(sum(n) AS BIGINT) AS den
+    FROM df JOIN fs USING (f) GROUP BY 1, 2
+)
+SELECT doc_id, source, den AS n_feats,
+       {sql_rnd(f"CAST(num AS DOUBLE) / ({float(DSIR_SCALE)!r} * den) * (CAST(ts + v AS DOUBLE) / (tt + v))")} AS score
+FROM scored CROSS JOIN tot
+"""
+
+
+SEMDEDUP_THRESHOLD = 0.25
+
+
+def _semdedup_sql(threshold: float, n_cells: int = 8) -> str:
+    """DuckDB twin of similarity.semantic_dedup: the IVF assignment
+    CTEs (identical to IVF_SQL's) keeping the crank-1 centroid sim,
+    then the pair-local farther-from-centroid survival rule."""
+    from tickdatapipeline_spark.oracle import dlit
+
+    asim = sql_rnd(SQL_DOT.format(a="b.v", b="c") + " / ("
+                   + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")")
+    pcos = sql_rnd(SQL_DOT.format(a="a.v", b="b.v") + " / ("
+                   + SQL_NORM.format(a="a.v") + " * " + SQL_NORM.format(a="b.v") + ")", 6)
+    return f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells}),
+cscored AS (
+    SELECT b.vec_id, b.v, cell, {asim} AS sim
+    FROM base b CROSS JOIN cents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS crank
+    FROM cscored
+),
+assigned AS (SELECT vec_id, v, cell, sim AS centroid_sim FROM ranked WHERE crank = 1),
+beaten AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    WHERE {pcos} >= {dlit(threshold)}
+      AND (a.centroid_sim < b.centroid_sim
+           OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+)
+SELECT a.vec_id, a.cell, a.centroid_sim, (bt.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN beaten bt ON a.vec_id = bt.vec_id
+"""
+
 def queries() -> dict[str, tuple]:
     return {
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
@@ -3008,6 +3184,16 @@ def queries() -> dict[str, tuple]:
         "events_hourly_ohlc": (hourly_ohlc_fn, HOURLY_OHLC_SQL),
         "dedup_threshold_sweep": (dedup_sweep_fn, DEDUP_SWEEP_SQL),
         "events_value_ks_drift": (value_ks_drift_fn, VALUE_KS_SQL),
+        "events_value_cusum": (value_cusum_fn, VALUE_CUSUM_SQL),
+        "docs_importance_weights": (
+            lambda s, d: importance_weights(_docs(s, d), DSIR_TARGET_SOURCE, DSIR_SCALE),
+            IMPORTANCE_SQL,
+        ),
+        "sim_semantic_dedup": (
+            lambda s, d: semantic_dedup(_emb(s, d), SEMDEDUP_THRESHOLD,
+                                        max_cell_size=None),
+            _semdedup_sql(SEMDEDUP_THRESHOLD),
+        ),
         "docs_curation_funnel": (curation_funnel_fn, CURATION_FUNNEL_SQL),
         "docs_ngram_novelty": (
             lambda s, d: ngram_novelty(_docs(s, d)),
