@@ -1900,3 +1900,44 @@ def test_semantic_dedup_golden(spark):
     assert out[0].kept and out[1].kept and out[2].kept
     assert not out[3].kept
     assert out[3].centroid_sim == 1.0 == out[2].centroid_sim
+
+
+def test_winnowing_guarantee_and_short_doc(spark):
+    """Two docs sharing a verbatim run of >= k+w-1 normalized chars
+    must share at least one winnowing fingerprint regardless of
+    alignment; a doc shorter than k chars selects none."""
+    from tickdatapipeline_spark.operators.dedup import (
+        WINNOW_K, WINNOW_W, winnowing_fingerprints)
+
+    shared = "the quick brown fox jumps over it"   # 33 chars >= k+w-1
+    d = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd " + shared, "en"),
+         (2, shared + " zzzz yyyy xxxx wwww vvvv", "en"),
+         (3, "tiny", "en")],  # < k chars after normalization
+        "doc_id long, text string, lang string",
+    )
+    fps = winnowing_fingerprints(d).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert 3 not in by_doc
+    assert len("tiny") < WINNOW_K and WINNOW_W > 1  # premises
+
+
+def test_substring_dup_pairs_golden(spark):
+    """The pair table finds exactly the verbatim-overlap pair and
+    orders/filters by the shared-fingerprint count."""
+    from tickdatapipeline_spark.operators.dedup import substring_dup_pairs
+
+    shared = "copyright 2026 example corp all rights reserved"
+    d = spark.createDataFrame(
+        [(1, "first document body " + shared, "en"),
+         (2, shared + " second document body", "en"),
+         (3, "completely unrelated text with no overlap at all", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = substring_dup_pairs(d, min_shared=1, max_fp_bucket=None).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

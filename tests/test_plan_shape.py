@@ -523,3 +523,16 @@ def test_semantic_dedup_pair_join_is_cell_keyed(spark):
     nlj = plan.count("BroadcastNestedLoopJoin")
     assert nlj <= 1, f"{nlj} nested-loop joins — assignment must be pinned, pair join cell-keyed"
     assert plan.count("embeddings.parquet") <= 1, "centroid scoring re-derived"
+
+
+def test_substring_dup_pairs_is_fp_keyed_single_explosion(spark):
+    """dedup_substring_pairs: the pair join keys on the fingerprint
+    hash (equi-join, never a cross product), and with the skew guard
+    on, the winnowing lineage is pinned so the char-gram explosion
+    runs once, not once per join side."""
+    from tickdatapipeline_spark.operators.dedup import substring_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(substring_dup_pairs(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("documents.parquet") <= 1, "winnowing lineage re-derived per join side"

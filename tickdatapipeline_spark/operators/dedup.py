@@ -771,3 +771,103 @@ def cross_source_dup_matrix(docs: DataFrame, threshold: float = 0.5,
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+WINNOW_K = 12   # char k-gram length
+WINNOW_W = 6    # hashes per winnowing window
+# any shared substring of length >= WINNOW_K + WINNOW_W - 1 (= 17
+# normalized chars) is GUARANTEED to share at least one fingerprint
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W) -> DataFrame:
+    """Local document fingerprints by winnowing (Schleimer, Wilkerson &
+    Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): hash every char k-gram of
+    the whitespace-normalized lowercase text, slide a window of w
+    consecutive hashes, and keep the minimum of each window. The
+    selected set is position-independent: two documents sharing ANY
+    substring of >= k+w-1 normalized chars share at least one
+    fingerprint, whatever their alignment — the guarantee word-shingle
+    LSH can't give for short verbatim runs (boilerplate lines, quoted
+    passages, licence headers).
+
+    Output: (doc_id, fp) distinct selected hashes per document.
+
+    Cross-engine exactness: pure substring + h60 + window MIN integer
+    ops. Scale: the k-gram explosion is O(total chars) behind fan_out;
+    the winnowing MIN is a bounded ROWS window partitioned by doc_id
+    (doc-sized partitions), then one distinct. No joins.
+    """
+    s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = fan_out(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), s.alias("s")
+    )
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+    # shorter than k chars must yield no grams explicitly
+    positions = F.when(
+        F.length("s") >= k, F.sequence(F.lit(1), F.length("s") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id", F.explode(positions).alias("p"), F.col("s")
+    ).select("doc_id", "p", h60(F.expr(f"substring(s, p, {k})")).alias("gh"))
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_win = Window.partitionBy("doc_id")
+    return (
+        grams.select(
+            "doc_id", "p",
+            F.min("gh").over(win).alias("fp"),
+            F.count(F.lit(1)).over(n_win).alias("n_grams"),
+        )
+        # only COMPLETE windows select a fingerprint (the guarantee is
+        # per full window; a short tail window would over-select)
+        .where(F.col("p") <= F.col("n_grams") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def substring_dup_pairs(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
+                        min_shared: int = 10,
+                        max_fp_bucket: int | None = DEFAULT_MAX_BAND_BUCKET) -> DataFrame:
+    """Exact-substring near-duplicate pairs via shared winnowing
+    fingerprints — the alignment-free form of "these two documents
+    contain the same verbatim run" (Lee et al. 2021's exact-substring
+    dedup motivation, with winnowing standing in for the suffix array,
+    which has no distributed formulation at this cost).
+
+    Output: (doc_a, doc_b, n_shared_fp) for doc_a < doc_b with at
+    least ``min_shared`` shared fingerprints, ordered by
+    (n_shared_fp desc, doc_a, doc_b). On the synthetic corpus the
+    shared-fp histogram is sharply bimodal — true near-dup pairs carry
+    20-50 shared fingerprints, grid coincidences over the small
+    synthetic vocabulary 1-9 — and the default threshold of 10 sits in
+    the gap.
+
+    Scale: the pair join is keyed on the fingerprint hash, so cost is
+    sum of per-fp n^2 — and a corpus-wide boilerplate fingerprint
+    (every doc sharing one licence line) would make one bucket
+    quadratic in the corpus: ``max_fp_bucket`` is the same logged
+    drop-guard the LSH band buckets use (None = exhaustive, what the
+    oracle entry passes). The groupBy is map-side combinable.
+    """
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    fps = winnowing_fingerprints(docs, k, w)
+    if max_fp_bucket is not None:
+        fps = cap_group_sizes(pin(fps), ["fp"], max_fp_bucket,
+                              "substring_dup_pairs", "max_fp_bucket", logger)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= min_shared)
+        .orderBy(F.desc("n_shared_fp"), "doc_a", "doc_b")
+    )

@@ -35,6 +35,7 @@ from tickdatapipeline_spark.operators.dedup import (
     minhash_signatures,
     ngram_novelty,
     simhash_near_dup_pairs,
+    substring_dup_pairs,
 )
 from tickdatapipeline_spark.operators.multimodal import (
     extract_features,
@@ -3068,6 +3069,38 @@ SELECT a.vec_id, a.cell, a.centroid_sim, (bt.vec_id IS NULL) AS kept
 FROM assigned a LEFT JOIN beaten bt ON a.vec_id = bt.vec_id
 """
 
+
+
+WINNOW_MIN_SHARED = 10
+
+
+SUBSTRING_DUP_SQL = """
+WITH norm AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(range(1, greatest(length(s) - 11, 0) + 1)) AS p, s
+    FROM norm
+),
+gh AS (SELECT doc_id, p, CAST('0x' || substring(md5(substring(s, CAST(p AS INT), 12)), 18, 15) AS BIGINT) AS gh FROM grams),
+win AS (
+    SELECT doc_id, p,
+           min(gh) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM gh
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE p <= n_grams - 5)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 10
+ORDER BY n_shared_fp DESC, doc_a, doc_b
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
@@ -3188,6 +3221,10 @@ def queries() -> dict[str, tuple]:
         "docs_importance_weights": (
             lambda s, d: importance_weights(_docs(s, d), DSIR_TARGET_SOURCE, DSIR_SCALE),
             IMPORTANCE_SQL,
+        ),
+        "dedup_substring_pairs": (
+            lambda s, d: substring_dup_pairs(_docs(s, d), max_fp_bucket=None),
+            SUBSTRING_DUP_SQL,
         ),
         "sim_semantic_dedup": (
             lambda s, d: semantic_dedup(_emb(s, d), SEMDEDUP_THRESHOLD,
