@@ -1486,3 +1486,48 @@ def test_streaming_value_histogram_equals_batch(spark, tmp_path):
         ("view", 1): (1, 20.0, 25.00),
         ("view", -1): (1, -20.0, -0.50),  # negative floors to bin -1
     }
+
+
+def test_value_cusum_stream(spark, tmp_path):
+    """Streaming CUSUM: the hourly store accumulates across batches
+    and each batch's detection runs over the WHOLE observed series —
+    after the level-shift batch arrives, the changepoint lands at the
+    last low hour with the hand-computed statistic (matching the batch
+    golden test's algebra on the same series)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_value_cusum_stream
+
+    hour_us = 3_600 * 1_000_000
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [
+        ("b0.json", [(0, 1.0), (1, 1.0)]),   # hours 0,1 at level 1.0
+        ("b1.json", [(2, 2.0), (3, 2.0)]),   # hours 2,3 at level 2.0
+    ]
+    for i, (fname, rows) in enumerate(batches):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for j, (h, v) in enumerate(rows):
+                f.write(json.dumps({"event_id": 10 * i + j, "tus": h * hour_us,
+                                    "event_type": "m", "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = run_value_cusum_stream(
+        spark, str(in_dir), str(tmp_path / "store"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    rows = {(r.batch_id, r.event_type): r for r in out}
+    assert set(rows) == {(0, "m"), (1, "m")}
+    # batch 0 alone: flat series (100, 100) -> stat 0 at k=1
+    assert (rows[(0, "m")].stat, rows[(0, "m")].k) == (0, 1)
+    # after batch 1: (100, 100, 200, 200) -> k=2, |4*200 - 2*600| = 400
+    r1 = rows[(1, "m")]
+    assert (r1.k, r1.n_hours, r1.stat, r1.cp_hour_s) == (2, 4, 400, 3_600)
+    assert (r1.mean_before, r1.mean_after) == (1.0, 2.0)

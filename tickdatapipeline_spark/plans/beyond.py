@@ -2932,6 +2932,16 @@ def value_cusum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_s")
         .agg(F.sum("vc").alias("h_sum"))
     )
+    return cusum_over_hourly(hourly)
+
+
+def cusum_over_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM argmax algebra over a prepared (event_type, hour_s,
+    h_sum) aggregate — shared by the batch query above and the
+    streaming monitor (streaming.run_value_cusum_stream), which feeds
+    it the store-accumulated hourly sums each micro-batch."""
+    from pyspark.sql import Window
+
     wo = Window.partitionBy("event_type").orderBy("hour_s")
     wa = Window.partitionBy("event_type")
     cum = (

@@ -13,6 +13,7 @@ from tickdatapipeline_spark.streaming.eventtime import (
     run_ingest_curation,
     run_ingest_decontamination,
     run_snapshot_diff_stream,
+    run_value_cusum_stream,
     run_value_drift_stream,
     run_value_histogram_to_memory,
     write_value_reference,
@@ -49,6 +50,7 @@ __all__ = [
     "run_ingest_curation",
     "run_ingest_decontamination",
     "run_snapshot_diff_stream",
+    "run_value_cusum_stream",
     "run_value_drift_stream",
     "write_value_reference",
     "run_windowed_events_to_memory",

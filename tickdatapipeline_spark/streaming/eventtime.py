@@ -818,3 +818,70 @@ def run_ingest_curation(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def run_value_cusum_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Live CUSUM changepoint monitor: every micro-batch folds its
+    events into a durable hourly-sum store, recomputes the per-type
+    CUSUM argmax over the WHOLE accumulated series, and emits one row
+    per event type — the streaming twin of ``events_value_cusum``,
+    sharing its ``cusum_over_hourly`` algebra, and the level-shift
+    complement of the KS monitor (KS asks "does this batch's
+    distribution match the reference"; CUSUM asks "WHEN did the level
+    of the whole observed series change").
+
+    Replay-idempotent: the store is parquet partitioned by batch_id —
+    each batch overwrites only its OWN partition with its (type, hour)
+    delta, and the recompute reads partitions with batch_id <= current
+    (partition-pruned), so a foreachBatch replay rewrites the same
+    delta and recomputes the same detection; the per-batch result goes
+    through the batch_id-partitioned sink.
+
+    Scale: raw events reduce map-side per batch before touching the
+    store; the re-aggregate + windows run over O(hours x types)
+    aggregate rows, never raw history. The store holds one compact
+    delta per trigger — old partitions can be compacted into one
+    (associative sums) without changing any future detection.
+    """
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from tickdatapipeline_spark.plans.beyond import cusum_over_hourly
+
+        sp = batch_df.sparkSession
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        delta = (
+            batch_df.select(
+                F.expr("(tus DIV 1000000 DIV 3600) * 3600").alias("hour_s"),
+                "event_type", vc.alias("vc"),
+            )
+            .groupBy("event_type", "hour_s")
+            .agg(F.sum("vc").alias("h_sum"))
+        )
+        delta.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        full = (
+            sp.read.parquet(store_dir)
+            .where(F.col("batch_id") <= batch_id)
+            .groupBy("event_type", "hour_s")
+            .agg(F.sum("h_sum").alias("h_sum"))
+        )
+        _write_batch_idempotent(cusum_over_hourly(full), out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
