@@ -1941,3 +1941,67 @@ def test_substring_dup_pairs_golden(spark):
     pairs = {(r.doc_a, r.doc_b) for r in rows}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_user_rfm_golden(spark, tmp_path):
+    """Two users in one cohort: the heavier user takes quartile 1 on
+    every axis, the lighter one quartile 2+ (ntile over 2 rows splits
+    1/2); totals are exact cents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import user_rfm_fn
+
+    us = 1_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([0, 1000 * us * 1000, 2000 * us * 1000], pa.timestamp("ns")),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "event_type": pa.array(["m"] * 3),
+        "value": pa.array([5.0, 5.0, 1.0]),
+        "props": pa.array(["{}"] * 3),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    rows = user_rfm_fn(spark, str(tmp_path / "sf")).collect()
+    by_seg = {(r.r, r.f, r.m): r for r in rows}
+    # user 8: most recent (r=1) but fewer events / lower value (f=m=2)
+    # user 7: older (r=2) but heavier (f=m=1)
+    assert set(by_seg) == {(2, 1, 1), (1, 2, 2)}
+    assert by_seg[(2, 1, 1)].total_value == 10.0
+    assert by_seg[(1, 2, 2)].total_value == 1.0
+    assert all(r.cohort_week == 0 for r in rows)
+
+
+def test_seasonal_anomaly_golden(spark, tmp_path):
+    """Two days at level 1.0 with one spiked 3am hour: the spike hour
+    leads the ranking with the integer-cleared deviation statistic and
+    the correct hour-of-day baseline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import seasonal_anomaly_fn
+
+    hour_ns = 3_600 * 1_000_000_000
+    # hour-of-day 3 on day 0 (value 10.0) and day 1 (value 1.0)
+    rows_in = [(1, 3 * hour_ns, 10.0), (2, (24 + 3) * hour_ns, 1.0),
+               (3, 4 * hour_ns, 1.0), (4, (24 + 4) * hour_ns, 1.0)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows_in], pa.int64()),
+        "ts": pa.array([r[1] for r in rows_in], pa.timestamp("ns")),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": pa.array(["m"] * 4),
+        "value": pa.array([r[2] for r in rows_in]),
+        "props": pa.array(["{}"] * 4),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = seasonal_anomaly_fn(spark, str(tmp_path / "sf")).collect()
+    top = out[0]
+    # hod-3 baseline: (1000+100)/2 = 550 cents; spike hour: |1000*2 - 1100| = 900
+    assert (top.rnk, top.hour_s, top.hod) == (1, 3 * 3600, 3)
+    assert (top.stat, top.n_hod) == (900, 2)
+    assert top.baseline_mean == 5.5
+    assert top.hour_value == 10.0
+    # hod-4 hours are exactly at baseline -> stat 0 for both
+    assert {r.stat for r in out if r.hod == 4} == {0}

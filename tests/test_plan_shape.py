@@ -536,3 +536,25 @@ def test_substring_dup_pairs_is_fp_keyed_single_explosion(spark):
     plan = physical(substring_dup_pairs(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("documents.parquet") <= 1, "winnowing lineage re-derived per join side"
+
+
+def test_user_rfm_windows_partition_by_cohort(spark):
+    """events_user_rfm: every ntile window partitions by cohort_week —
+    no corpus-wide single-partition sort anywhere."""
+    from tickdatapipeline_spark.plans.beyond import user_rfm_fn
+
+    plan = physical(user_rfm_fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(cohort_week" in plan
+
+
+def test_seasonal_anomaly_topk_is_group_limited(spark):
+    """events_seasonal_anomaly: the per-type top-k rank filter must
+    plan WindowGroupLimit (partial + final), the baseline join must
+    broadcast, and no SinglePartition exists."""
+    from tickdatapipeline_spark.plans.beyond import seasonal_anomaly_fn
+
+    plan = physical(seasonal_anomaly_fn(spark, SF))
+    assert plan.count("WindowGroupLimit") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan

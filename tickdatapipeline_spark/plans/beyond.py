@@ -3111,6 +3111,168 @@ ORDER BY n_shared_fp DESC, doc_a, doc_b
 """
 
 
+
+
+def user_rfm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the event stream: per user, Recency (last
+    activity), Frequency (event count) and Monetary (value sum) are
+    quartiled WITHIN the user's first-seen-week cohort, and the
+    output is the per-(cohort, R, F, M) segment summary — the
+    classic marketing-analytics cut ("week-12 signups in segment
+    1-1-1 are the whales").
+
+    Quartiling within the signup cohort (standard practice — cross-
+    cohort RFM mixes lifetimes) is also what keeps the plan scale-
+    honest: every ntile window partitions by cohort_week, so no
+    corpus-wide single-partition sort exists; ties order by user_id
+    for cross-engine determinism (the r12 convention).
+
+    Exactness: recency/frequency/monetary are BIGINT (micros, counts,
+    cents); the only float is the final total_value division.
+
+    Scale: one map-side-combinable per-user aggregate over raw events;
+    three ntile windows over the |users| aggregate partitioned by
+    cohort; the segment rollup is O(cohorts x 64) rows.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = (
+        ev.select(
+            "user_id", F.expr("ts DIV 1000").alias("tus"), vc.alias("vc"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("tus").alias("last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("value_c"),
+            F.expr("(min(tus) DIV 1000000 DIV 604800) * 604800").alias("cohort_week"),
+        )
+    )
+    def quart(order_cols):
+        return F.ntile(4).over(
+            Window.partitionBy("cohort_week").orderBy(*order_cols)
+        ).cast("long")
+    scored = per_user.select(
+        "cohort_week", "value_c",
+        quart([F.col("last_us").desc(), F.col("user_id")]).alias("r"),
+        quart([F.col("n_events").desc(), F.col("user_id")]).alias("f"),
+        quart([F.col("value_c").desc(), F.col("user_id")]).alias("m"),
+    )
+    return (
+        scored.groupBy("cohort_week", "r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             (F.sum("value_c") / 100.0).alias("total_value"))
+        .orderBy("cohort_week", "r", "f", "m")
+    )
+
+
+USER_RFM_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           max(epoch_us(ts)) AS last_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c,
+           (min(epoch_us(ts)) // 1000000 // 604800) * 604800 AS cohort_week
+    FROM events GROUP BY user_id
+),
+scored AS (
+    SELECT cohort_week, value_c,
+           CAST(ntile(4) OVER (PARTITION BY cohort_week ORDER BY last_us DESC, user_id) AS BIGINT) AS r,
+           CAST(ntile(4) OVER (PARTITION BY cohort_week ORDER BY n_events DESC, user_id) AS BIGINT) AS f,
+           CAST(ntile(4) OVER (PARTITION BY cohort_week ORDER BY value_c DESC, user_id) AS BIGINT) AS m
+    FROM per_user
+)
+SELECT cohort_week, r, f, m, count(*) AS n_users,
+       sum(value_c) / 100.0 AS total_value
+FROM scored GROUP BY 1, 2, 3, 4
+ORDER BY cohort_week, r, f, m
+"""
+
+
+SEASONAL_TOP = 3
+
+
+def seasonal_anomaly_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly hours: for each event type, the
+    SEASONAL_TOP hours whose value sum deviates most from that type's
+    hour-of-day baseline (the seasonal-naive residual every on-call
+    dashboard draws — "3am traffic looked like 3pm").
+
+    Exactness: the deviation test is integer-cleared — stat =
+    |h_sum * n_hod - base_sum| with base_sum/n_hod the hour-of-day
+    baseline over the whole span — so detection is BIGINT end to end;
+    the reported baseline mean is one rounded division.
+
+    Scale: raw events reduce map-side to O(hours x types); the
+    baseline is a second tiny aggregate (24 x types) broadcast back;
+    the top-k rank window partitions by type over the hourly frame
+    and plans as WindowGroupLimit.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.select(
+            F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+            "event_type", vc.alias("vc"),
+        )
+        .groupBy("event_type", "hour_s")
+        .agg(F.sum("vc").alias("h_sum"))
+        .withColumn("hod", F.expr("(hour_s DIV 3600) % 24"))
+    )
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.sum("h_sum").alias("base_sum"), F.count(F.lit(1)).alias("n_hod")
+    )
+    joined = hourly.join(F.broadcast(base), ["event_type", "hod"])
+    stat = F.abs(F.col("h_sum") * F.col("n_hod") - F.col("base_sum"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("stat"), "hour_s")
+    return (
+        joined.withColumn("stat", stat)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= SEASONAL_TOP)
+        .select(
+            "event_type", "hour_s", "hod", "rnk",
+            (F.col("h_sum") / 100.0).alias("hour_value"),
+            "stat", "n_hod",
+            rnd(F.col("base_sum").cast("double") / F.col("n_hod") / 100.0).alias("baseline_mean"),
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+SEASONAL_ANOMALY_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS h_sum
+    FROM events GROUP BY 1, 2
+),
+hh AS (SELECT *, (hour_s // 3600) % 24 AS hod FROM hourly),
+base AS (
+    SELECT event_type, hod, CAST(sum(h_sum) AS BIGINT) AS base_sum,
+           count(*) AS n_hod
+    FROM hh GROUP BY 1, 2
+),
+scored AS (
+    SELECT hh.event_type, hh.hour_s, hh.hod, hh.h_sum, base.base_sum, base.n_hod,
+           abs(hh.h_sum * base.n_hod - base.base_sum) AS stat
+    FROM hh JOIN base ON hh.event_type = base.event_type AND hh.hod = base.hod
+)
+SELECT event_type, hour_s, hod,
+       CAST(rnk AS BIGINT) AS rnk,
+       h_sum / 100.0 AS hour_value,
+       CAST(stat AS BIGINT) AS stat,
+       CAST(n_hod AS BIGINT) AS n_hod,
+       (floor((CAST(base_sum AS DOUBLE) / n_hod / 100.0) * 1000000.0 + 0.5) / 1000000.0) AS baseline_mean
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY stat DESC, hour_s) AS rnk
+      FROM scored)
+WHERE rnk <= {SEASONAL_TOP}
+ORDER BY event_type, rnk
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
@@ -3228,6 +3390,8 @@ def queries() -> dict[str, tuple]:
         "dedup_threshold_sweep": (dedup_sweep_fn, DEDUP_SWEEP_SQL),
         "events_value_ks_drift": (value_ks_drift_fn, VALUE_KS_SQL),
         "events_value_cusum": (value_cusum_fn, VALUE_CUSUM_SQL),
+        "events_user_rfm": (user_rfm_fn, USER_RFM_SQL),
+        "events_seasonal_anomaly": (seasonal_anomaly_fn, SEASONAL_ANOMALY_SQL),
         "docs_importance_weights": (
             lambda s, d: importance_weights(_docs(s, d), DSIR_TARGET_SOURCE, DSIR_SCALE),
             IMPORTANCE_SQL,
