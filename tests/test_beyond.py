@@ -2005,3 +2005,53 @@ def test_seasonal_anomaly_golden(spark, tmp_path):
     assert top.hour_value == 10.0
     # hod-4 hours are exactly at baseline -> stat 0 for both
     assert {r.stat for r in out if r.hod == 4} == {0}
+
+
+def test_hourly_topk_golden(spark, tmp_path):
+    """One crowded hour: user 1 leads (two events summed), the 8.0-tie
+    between users 2 and 3 breaks toward the lower id, user 4 misses
+    the top-3 cut; a second hour ranks independently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import hourly_topk_fn
+
+    hour_ns = 3_600 * 1_000_000_000
+    rows_in = [(1, 10, 1, 5.0), (2, 20, 1, 5.0), (3, 30, 2, 8.0),
+               (4, 40, 3, 8.0), (5, 50, 4, 1.0), (6, hour_ns + 10, 9, 2.5)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows_in], pa.int64()),
+        "ts": pa.array([r[1] for r in rows_in], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows_in], pa.int64()),
+        "event_type": pa.array(["m"] * len(rows_in)),
+        "value": pa.array([r[3] for r in rows_in]),
+        "props": pa.array(["{}"] * len(rows_in)),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = hourly_topk_fn(spark, str(tmp_path / "sf")).collect()
+    assert [(r.hour_s, r.rnk, r.user_id, r.hour_value, r.n_events) for r in out] == [
+        (0, 1, 1, 10.0, 2),   # 5.0 + 5.0
+        (0, 2, 2, 8.0, 1),    # tie with user 3 -> lower id first
+        (0, 3, 3, 8.0, 1),
+        (3600, 1, 9, 2.5, 1),
+    ]
+
+
+def test_zipf_profile_golden(spark, tmp_path):
+    """Counts a:8 b:4 c:2 d:1 -> power-of-two ranks 1 (a), 2 (b), 4 (d);
+    each reported ratio divides the count at rank r by the count at
+    rank 2r (8/4 = 2.0, 4/1 = 4.0); rank 4 has no rank-8 successor and
+    is dropped."""
+    from tickdatapipeline_spark.plans.beyond import zipf_profile_fn
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "sf" / "documents.parquet"))
+    out = zipf_profile_fn(spark, str(tmp_path / "sf")).collect()
+    assert [(r.source, r.rnk, r.token, r.cnt, r.doubling_ratio) for r in out] == [
+        ("s", 1, "a", 8, 2.0),
+        ("s", 2, "b", 4, 4.0),
+    ]

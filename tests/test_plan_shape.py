@@ -558,3 +558,26 @@ def test_seasonal_anomaly_topk_is_group_limited(spark):
     assert plan.count("WindowGroupLimit") == 2
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_hourly_topk_window_is_group_limited(spark):
+    """The per-hour rank window must pre-aggregate (hour, user) map-side
+    and plan WindowGroupLimit Partial+Final, so a hot hour's user list
+    never crosses the shuffle whole."""
+    from tickdatapipeline_spark.plans.beyond import hourly_topk_fn
+
+    plan = physical(hourly_topk_fn(spark, SF))
+    assert plan.count("WindowGroupLimit") == 2
+    assert "SinglePartition" not in plan
+
+
+def test_zipf_profile_vocab_window_is_group_limited(spark):
+    """The per-source vocabulary ranking must cap at rnk <= 512 via
+    WindowGroupLimit (Partial+Final) — a web-scale source's vocabulary
+    is unbounded, its top-512 is not; the tiny lead() window afterwards
+    runs over <= 10 rows/source."""
+    from tickdatapipeline_spark.plans.beyond import zipf_profile_fn
+
+    plan = physical(zipf_profile_fn(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "SinglePartition" not in plan

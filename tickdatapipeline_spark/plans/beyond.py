@@ -3500,6 +3500,8 @@ def queries() -> dict[str, tuple]:
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
+        "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
+        "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
     }
 
 
@@ -3587,3 +3589,141 @@ def _events_value_percentiles_sql() -> str:
     return sql_grouped_exact_percentiles(
         "SELECT event_type, value FROM events", "event_type", "value", EVT_PCTS
     )
+
+
+# ================= hourly heavy hitters =================
+
+TOPK_USERS_PER_HOUR = 3
+
+
+def hourly_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly heavy hitters: the TOPK_USERS_PER_HOUR users with the
+    largest summed event value inside every hour window — the
+    per-window top-k every ops dashboard draws, and the batch twin of
+    ``streaming.run_hourly_topk_stream``.
+
+    Exactness: value sums are BIGINT cents; rank ties break on
+    user_id; the reported value is one division at the end.
+
+    Scale: raw events reduce map-side to (hour, user) partial sums
+    before anything else; the rank window partitions by hour and the
+    rnk <= K filter plans as WindowGroupLimit (Partial before the
+    exchange + Final after), so no hour's full user list is ever
+    buffered or shuffled whole — the user dimension can be arbitrarily
+    hot without a skewed window sort.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hu = (
+        ev.select(
+            F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+            "user_id", vc.alias("vc"),
+        )
+        .groupBy("hour_s", "user_id")
+        .agg(F.sum("vc").alias("u_sum"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("hour_s").orderBy(F.desc("u_sum"), "user_id")
+    return (
+        hu.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOPK_USERS_PER_HOUR)
+        .select(
+            "hour_s", "rnk", F.col("user_id").cast("long").alias("user_id"),
+            (F.col("u_sum") / 100.0).alias("hour_value"), "n_events",
+        )
+        .orderBy("hour_s", "rnk")
+    )
+
+
+HOURLY_TOPK_SQL = f"""
+WITH hu AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u_sum,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT hour_s, CAST(rnk AS BIGINT) AS rnk, user_id,
+       u_sum / 100.0 AS hour_value, CAST(n_events AS BIGINT) AS n_events
+FROM (SELECT *, row_number() OVER (PARTITION BY hour_s ORDER BY u_sum DESC, user_id) AS rnk
+      FROM hu)
+WHERE rnk <= {TOPK_USERS_PER_HOUR}
+ORDER BY hour_s, rnk
+"""
+
+
+# ================= Zipf rank-frequency profile =================
+
+ZIPF_MAX_RANK = 256  # report ranks 1,2,4,...,256; rank 512 feeds the last ratio
+
+
+def zipf_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) decay profile per source: the token at
+    each power-of-two rank with its count and the doubling ratio
+    count(r) / count(2r).  A Zipf corpus with exponent s decays by
+    ~2^s at every doubling, so the 9-point profile IS the power-law
+    fit sampled on a geometric grid — without the log-log regression,
+    whose ln() is not bit-reproducible across engines (Spark's JVM
+    Math.log and DuckDB's libm disagree in the last ulp on ~1% of
+    integer arguments; measured, which is why no gated query here
+    uses transcendentals).
+
+    Exactness: counts are BIGINT; each doubling ratio is ONE IEEE
+    division of two exact integers (correctly rounded, hence
+    bit-identical cross-engine) under the shared rnd policy; rank
+    ties break on the token string (ASCII-only tokens, so byte order
+    == collation order in both engines).
+
+    Scale: one map-side-combinable (source, token) count; the rank
+    window partitions by source and the rnk <= 512 filter plans as
+    WindowGroupLimit (Partial+Final), so no source's full vocabulary
+    crosses the shuffle; everything downstream runs on <= 10 rows per
+    source.
+    """
+    from pyspark.sql import Window
+
+    from tickdatapipeline_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "tok")
+    pow2 = (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 2 * ZIPF_MAX_RANK)
+        .where(F.expr("(rnk & (rnk - 1)) = 0"))
+    )
+    w2 = Window.partitionBy("source").orderBy("rnk")
+    return (
+        pow2.withColumn("next_cnt", F.lead("cnt").over(w2))
+        .where((F.col("rnk") <= ZIPF_MAX_RANK) & F.col("next_cnt").isNotNull())
+        .select(
+            "source", "rnk", F.col("tok").alias("token"), "cnt",
+            rnd(F.col("cnt").cast("double") / F.col("next_cnt").cast("double")
+                ).alias("doubling_ratio"),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+ZIPF_PROFILE_SQL = f"""
+WITH toks AS (
+    SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents
+),
+counts AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk
+    FROM counts
+),
+pow2 AS (SELECT * FROM ranked WHERE rnk <= {2 * ZIPF_MAX_RANK} AND (rnk & (rnk - 1)) = 0),
+led AS (SELECT *, lead(cnt) OVER (PARTITION BY source ORDER BY rnk) AS next_cnt FROM pow2)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, tok AS token, CAST(cnt AS BIGINT) AS cnt,
+       {sql_rnd("CAST(cnt AS DOUBLE) / CAST(next_cnt AS DOUBLE)")} AS doubling_ratio
+FROM led
+WHERE rnk <= {ZIPF_MAX_RANK} AND next_cnt IS NOT NULL
+ORDER BY source, rnk
+"""
