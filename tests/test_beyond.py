@@ -2055,3 +2055,37 @@ def test_zipf_profile_golden(spark, tmp_path):
         ("s", 1, "a", 8, 2.0),
         ("s", 2, "b", 4, 4.0),
     ]
+
+
+def test_char_bigram_likelihood_golden(spark):
+    """Corpus 'aa ab' + 'aa aa': model P(aa)=3/6, P('a ')=2/6,
+    P(' a')=2/2, P(ab)=1/6 -> doc 1 averages exactly 0.5, doc 2
+    (1.0 + 1/3 + 2*0.5)/4 = 0.583333 after the shared rnd."""
+    from tickdatapipeline_spark.operators.text import char_bigram_likelihood
+
+    d = docs_df(spark, [(1, "aa ab", "en"), (2, "aa aa", "en")])
+    out = {r.doc_id: r for r in char_bigram_likelihood(d).collect()}
+    assert out[1].n_bigrams == 4 and out[1].avg_bigram_p == 0.5
+    assert out[2].n_bigrams == 4 and out[2].avg_bigram_p == 0.583333
+
+
+def test_char_bigram_likelihood_drops_short_docs(spark):
+    from tickdatapipeline_spark.operators.text import char_bigram_likelihood
+
+    d = docs_df(spark, [(1, "x", "en"), (2, " ", "en"), (3, "ok", "en")])
+    assert [r.doc_id for r in char_bigram_likelihood(d).collect()] == [3]
+
+
+def test_diversity_sample_golden(spark):
+    """Centroids v0=(1,0), v1=(0,1); v3=(1,1) ties both cells at
+    cos 0.707107 -> lower cell 0 wins, and being the farthest member
+    there it is cell 0's pick; in cell 1 both members sit at cos 1.0
+    -> tie breaks to the lower vec_id."""
+    from tickdatapipeline_spark.operators.similarity import diversity_sample
+
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0), (2, [1.0, 0.1], 0),
+            (3, [1.0, 1.0], 0), (4, [0.0, 5.0], 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = diversity_sample(emb, m=1, n_cells=2).collect()
+    assert [(r.cell, r.sel_rank, r.vec_id) for r in out] == [(0, 1, 3), (1, 1, 1)]
+    assert out[0].centroid_sim == 0.707107

@@ -581,3 +581,29 @@ def test_zipf_profile_vocab_window_is_group_limited(spark):
     plan = physical(zipf_profile_fn(spark, SF))
     assert plan.count("WindowGroupLimit") >= 2
     assert "SinglePartition" not in plan
+
+
+def test_diversity_sample_window_is_group_limited(spark):
+    """The per-cell farthest-first selection must plan WindowGroupLimit
+    for its rnk <= m filter (plus the crank = 1 assignment window), and
+    nothing may collapse to a single partition — a cell's membership
+    list never crosses the shuffle whole."""
+    from tickdatapipeline_spark.operators.similarity import diversity_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(diversity_sample(emb))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_char_bigram_likelihood_model_joins_broadcast(spark):
+    """The O(charset^2) bigram model and prefix tables must broadcast
+    onto the doc-bigram stream — the only exchange keyed on data size
+    is the doc_id re-aggregate."""
+    from tickdatapipeline_spark.operators.text import char_bigram_likelihood
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(char_bigram_likelihood(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan

@@ -933,3 +933,63 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.25,
         .select("vec_id", "cell", "centroid_sim",
                 F.col("hit").isNull().alias("kept"))
     )
+
+
+DIVERSITY_M = 10
+
+
+def diversity_sample(emb: DataFrame, m: int = DIVERSITY_M,
+                     n_cells: int = IVF_CELLS,
+                     centroids: "list | None" = None) -> DataFrame:
+    """Cluster-stratified diversity (coverage-first) sampling: assign
+    every vector to its nearest coarse-quantizer cell, then keep the
+    ``m`` vectors per cell FARTHEST from their centroid — the boundary
+    points that a prototype-biased sample (or SemDeDup's keep-rule
+    applied corpus-wide) would never surface. The per-cell peripheral
+    pick is the bucketed, order-independent stand-in for greedy
+    k-center selection: greedy's sequential argmax doesn't distribute,
+    per-cell peripheral ranking does, and with n_cells ~ sqrt(N) every
+    cell's ranking stays executor-sized.
+
+    Selection rule is exact and SQL-expressible: cell = argmax rounded
+    centroid cosine (ties to the lower cell, identical to ivf_assign /
+    semantic_dedup); within a cell, rank by centroid_sim ASC
+    (farthest first), ties to the lower vec_id.
+
+    Output: (cell, sel_rank, vec_id, centroid_sim) for the selected
+    vectors only.
+
+    Scale: centroids broadcast; ONE exchange on cell for the rank
+    window, whose rnk <= m filter plans as WindowGroupLimit
+    (Partial+Final) — no cell's membership list crosses the shuffle
+    whole."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(centroids, "cell long, c array<double>")
+    else:
+        cents = base.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("c")
+        )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vec_id", "cell",
+            rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "cell", F.col("sim").alias("centroid_sim"))
+    )
+    wsel = Window.partitionBy("cell").orderBy(F.col("centroid_sim").asc(), "vec_id")
+    return (
+        assigned.withColumn("sel_rank", F.row_number().over(wsel).cast("long"))
+        .where(F.col("sel_rank") <= m)
+        .select("cell", "sel_rank", "vec_id", "centroid_sim")
+        .orderBy("cell", "sel_rank")
+    )

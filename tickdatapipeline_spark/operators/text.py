@@ -1164,3 +1164,68 @@ def importance_weights(docs: DataFrame, target_source: str,
             .alias("score"),
         )
     )
+
+
+def char_bigram_likelihood(docs: DataFrame) -> DataFrame:
+    """Character-bigram LM fluency score: for every document, the mean
+    conditional probability P(c2 | c1) of its character bigrams under
+    the corpus-level bigram model — the classic perplexity-proxy
+    quality filter (gibberish / mojibake / base64 blobs pair characters
+    the corpus never pairs and score near 0, fluent prose scores high).
+
+    Documented deviation from the usual mean-LOG-prob form: ln() is not
+    bit-reproducible across engines (Spark's JVM Math.log vs DuckDB's
+    libm differ in the last ulp on ~1% of arguments; measured), so the
+    score is the arithmetic mean of the probabilities instead — built
+    ONLY from correctly-rounded IEEE ops (each P is one BIGINT/BIGINT
+    division, each term one multiply, the per-doc sum a left fold in
+    bigram byte order, both engines memcmp) — and therefore bit-exact
+    cross-engine. Same low-is-garbage ordering for filtering use.
+
+    Output: (doc_id, n_bigrams, avg_bigram_p); docs shorter than one
+    bigram after whitespace normalization are dropped.
+
+    Scale: the position explosion reduces map-side to (doc_id, bigram)
+    counts; the model is O(charset^2) rows — broadcast both joins; one
+    doc_id exchange re-aggregates, with the per-doc fold bounded by
+    distinct-bigrams-per-doc <= charset^2."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    docbg = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), norm.alias("s"))
+        # length guard BEFORE the sequence: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty like DuckDB's range(1, 1)
+        .where(F.length("s") >= 2)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.length("s") - 1)).alias("p"), "s")
+        .select("doc_id", F.expr("substring(s, p, 2)").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    docbg = pin(docbg)  # feeds the model aggregate AND the scoring join
+    model = docbg.groupBy("bg").agg(F.sum("occ").alias("cnt_bg"))
+    pre = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt_bg").alias("cnt_pre")
+    )
+    terms = (
+        docbg.join(F.broadcast(model), "bg")
+        .join(F.broadcast(pre), F.substring(F.col("bg"), 1, 1) == F.col("c1"))
+        .select(
+            "doc_id", "bg", "occ",
+            (F.col("occ").cast("double")
+             * (F.col("cnt_bg").cast("double") / F.col("cnt_pre").cast("double"))
+             ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(F.sort_array(F.collect_list(F.struct("bg", "term"))),
+                        lambda x: x["term"]),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("psum"),
+    )
+    return folded.select(
+        "doc_id", "n_bigrams",
+        rnd(F.col("psum") / F.col("n_bigrams").cast("double"), 6).alias("avg_bigram_p"),
+    ).orderBy("doc_id")

@@ -59,6 +59,8 @@ from tickdatapipeline_spark.operators.similarity import (
     label_centroid_cosine,
     power_iteration_top_component,
     semantic_dedup,
+    DIVERSITY_M,
+    diversity_sample,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
@@ -68,6 +70,7 @@ from tickdatapipeline_spark.operators.text import (
     TOKEN_RE,
     boilerplate_ngrams,
     bpe_token_stats,
+    char_bigram_likelihood,
     chunk_windows,
     fingerprint,
     lang_id,
@@ -3502,6 +3505,14 @@ def queries() -> dict[str, tuple]:
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
+        "docs_bigram_likelihood": (
+            lambda s, d: char_bigram_likelihood(_docs(s, d)),
+            BIGRAM_LM_SQL,
+        ),
+        "sim_diversity_sample": (
+            lambda s, d: diversity_sample(_emb(s, d), DIVERSITY_M),
+            _diversity_sample_sql(DIVERSITY_M),
+        ),
     }
 
 
@@ -3726,4 +3737,63 @@ SELECT source, CAST(rnk AS BIGINT) AS rnk, tok AS token, CAST(cnt AS BIGINT) AS 
 FROM led
 WHERE rnk <= {ZIPF_MAX_RANK} AND next_cnt IS NOT NULL
 ORDER BY source, rnk
+"""
+
+
+# ================= char-bigram LM fluency =================
+
+BIGRAM_LM_SQL = f"""
+WITH norm AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {SQL_NORM_TEXT} AS s FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(range(1, greatest(length(s) - 1, 0) + 1)) AS p, s
+    FROM norm
+),
+docbg AS (
+    SELECT doc_id, substring(s, CAST(p AS INT), 2) AS bg, count(*) AS occ
+    FROM pos GROUP BY 1, 2
+),
+model AS (SELECT bg, CAST(sum(occ) AS BIGINT) AS cnt_bg FROM docbg GROUP BY 1),
+pre AS (
+    SELECT substring(bg, 1, 1) AS c1, CAST(sum(cnt_bg) AS BIGINT) AS cnt_pre
+    FROM model GROUP BY 1
+),
+terms AS (
+    SELECT d.doc_id, d.bg, d.occ,
+           CAST(d.occ AS DOUBLE) * (CAST(m.cnt_bg AS DOUBLE) / CAST(p.cnt_pre AS DOUBLE)) AS term
+    FROM docbg d
+    JOIN model m ON d.bg = m.bg
+    JOIN pre p ON substring(d.bg, 1, 1) = p.c1
+)
+SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       {sql_rnd("list_reduce(list(term ORDER BY bg), (x, y) -> x + y) / CAST(sum(occ) AS DOUBLE)", 6)} AS avg_bigram_p
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ================= diversity (coverage-first) sampling =================
+
+
+def _diversity_sample_sql(m: int, n_cells: int = 8) -> str:
+    """DuckDB twin of similarity.diversity_sample: the IVF assignment
+    CTEs (identical to _semdedup_sql's), then the per-cell
+    farthest-first rank."""
+    asim = sql_rnd(SQL_DOT.format(a="b.v", b="c") + " / ("
+                   + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")")
+    return f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells}),
+cscored AS (SELECT b.vec_id, cell, {asim} AS sim FROM base b CROSS JOIN cents),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS crank
+    FROM cscored
+),
+assigned AS (SELECT vec_id, cell, sim AS centroid_sim FROM ranked WHERE crank = 1)
+SELECT cell, CAST(rnk AS BIGINT) AS sel_rank, vec_id, centroid_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                                   ORDER BY centroid_sim ASC, vec_id) AS rnk
+      FROM assigned)
+WHERE rnk <= {m}
+ORDER BY cell, rnk
 """
