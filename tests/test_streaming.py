@@ -1531,3 +1531,47 @@ def test_value_cusum_stream(spark, tmp_path):
     r1 = rows[(1, "m")]
     assert (r1.k, r1.n_hours, r1.stat, r1.cp_hour_s) == (2, 4, 400, 3_600)
     assert (r1.mean_before, r1.mean_after) == (1.0, 2.0)
+
+
+def test_hourly_topk_stream(spark, tmp_path):
+    """Streaming heavy hitters: batch 0's leaderboard has user 2 ahead
+    of user 1 in hour 0; batch 1 adds another 5.0 for user 1 (total
+    10.0, overtaking) plus a new hour — the re-rank over the
+    accumulated store re-orders hour 0 and ranks hour 1 independently,
+    matching the batch twin's tie/order rules."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_hourly_topk_stream
+
+    hour_us = 3_600 * 1_000_000
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [
+        ("b0.json", [(0, 1, 5.0), (0, 2, 8.0)]),
+        ("b1.json", [(0, 1, 5.0), (1, 9, 2.5)]),
+    ]
+    for i, (fname, rows) in enumerate(batches):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for j, (h, u, v) in enumerate(rows):
+                f.write(json.dumps({"event_id": 10 * i + j, "tus": h * hour_us,
+                                    "user_id": u, "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = run_hourly_topk_stream(
+        spark, str(in_dir), str(tmp_path / "store"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), k=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(
+            (r.hour_s, r.rnk, r.user_id, r.hour_value, r.n_events))
+    assert sorted(by_batch[0]) == [(0, 1, 2, 8.0, 1), (0, 2, 1, 5.0, 1)]
+    assert sorted(by_batch[1]) == [
+        (0, 1, 1, 10.0, 2), (0, 2, 2, 8.0, 1), (3600, 1, 9, 2.5, 1)]

@@ -885,3 +885,81 @@ def run_value_cusum_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+TOPK_EVENT_SCHEMA = "event_id long, tus long, user_id long, value double"
+
+
+def run_hourly_topk_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Live hourly heavy hitters: every micro-batch folds its events
+    into a durable (hour, user) sum store and re-ranks each hour's
+    top-k over the accumulated totals — the streaming twin of
+    ``events_hourly_topk`` (same BIGINT cent sums, same
+    u_sum DESC / user_id tie order), emitting the CURRENT leaderboard
+    per batch so a late event can re-order an hour it lands in.
+
+    Replay-idempotent exactly like the CUSUM monitor's store: the
+    store is parquet partitioned by batch_id — each batch overwrites
+    only its OWN partition with its (hour, user) delta and the re-rank
+    reads partitions with batch_id <= current (partition-pruned), so a
+    foreachBatch replay rewrites the same delta and re-emits the same
+    leaderboard through the batch_id-partitioned sink.
+
+    Scale: raw events reduce map-side per batch before touching the
+    store; the re-rank runs over (hour, user) aggregate rows with the
+    rnk <= k filter planning WindowGroupLimit, and old store
+    partitions can be compacted into one (associative sums) without
+    changing any future leaderboard.
+    """
+    from pyspark.sql import Window
+
+    raw = (
+        spark.readStream.schema(TOPK_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        delta = (
+            batch_df.select(
+                F.expr("(tus DIV 1000000 DIV 3600) * 3600").alias("hour_s"),
+                "user_id", vc.alias("vc"),
+            )
+            .groupBy("hour_s", "user_id")
+            .agg(F.sum("vc").alias("u_sum"), F.count(F.lit(1)).alias("n_events"))
+        )
+        delta.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        full = (
+            sp.read.parquet(store_dir)
+            .where(F.col("batch_id") <= batch_id)
+            .groupBy("hour_s", "user_id")
+            .agg(F.sum("u_sum").alias("u_sum"), F.sum("n_events").alias("n_events"))
+        )
+        w = Window.partitionBy("hour_s").orderBy(F.desc("u_sum"), "user_id")
+        topk = (
+            full.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select(
+                "hour_s", "rnk", F.col("user_id").cast("long").alias("user_id"),
+                (F.col("u_sum") / 100.0).alias("hour_value"), "n_events",
+            )
+        )
+        _write_batch_idempotent(topk, out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
