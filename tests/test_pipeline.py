@@ -156,3 +156,33 @@ def test_ticks_cache_accounting_and_eviction(spark):
         for df in C._TICKS_CACHE.values():
             df.unpersist()
         C._TICKS_CACHE.clear()
+
+
+def test_capture_orc_round_trip_and_pushdown(spark, tmp_path):
+    """fmt='orc' writes an ORC capture whose re-read matches the
+    parquet capture row-for-row, and a tick_idx predicate reaches the
+    ORC scan as a pushed filter (the interop path for
+    Hive/Trino-flavored lakes)."""
+    from tickdatapipeline_spark.operators.expansion import expand_volume
+    from tickdatapipeline_spark.operators.hotloop import hot_loop
+    from tickdatapipeline_spark.sources.tickfile import read_tick_file
+
+    path = write_tick_file(tmp_path / "ticks.txt")
+    processed = hot_loop(
+        expand_volume(read_tick_file(spark, path)),
+        SignalProcessingConfig(encoder_type="derivative"),
+    )
+    n = capture(processed, str(tmp_path / "cap_orc"), tick_start=10,
+                num_records=25, fmt="orc")
+    assert n == 25
+    capture(processed, str(tmp_path / "cap_pq"), tick_start=10, num_records=25)
+    orc = spark.read.orc(str(tmp_path / "cap_orc"))
+    pq = spark.read.parquet(str(tmp_path / "cap_pq"))
+    assert sorted(orc.columns) == sorted(pq.columns)
+    cols = sorted(orc.columns)
+    assert [tuple(r) for r in orc.select(*cols).orderBy("tick_idx").collect()] == \
+           [tuple(r) for r in pq.select(*cols).orderBy("tick_idx").collect()]
+
+    plan = orc.where(orc.tick_idx > 20)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "PushedFilters: [" in plan and "tick_idx" in plan.split("PushedFilters")[1][:80]

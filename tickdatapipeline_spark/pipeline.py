@@ -100,14 +100,19 @@ def run_pipeline_managed(
 
 def capture(processed: DataFrame, output_path: str, *, tick_start: int = 0,
             num_records: int | None = None, bars: DataFrame | None = None,
-            partition_by: tuple[str, ...] = ()) -> int:
+            partition_by: tuple[str, ...] = (), fmt: str = "parquet") -> int:
     """S4/S6 capture: skip `tick_start` ticks, take `num_records`, write
-    the columnar tick (or bar) capture to parquet. Returns rows written.
+    the columnar tick (or bar) capture. Returns rows written.
 
     ``partition_by`` is the deployment knob: partitioning the capture by
     (stream, day, ...) makes every downstream read partition-prunable —
     at 100 TB a per-stream analysis query then scans only its stream's
-    files instead of the whole capture."""
+    files instead of the whole capture.
+
+    ``fmt`` selects the columnar container: ``parquet`` (default) or
+    ``orc`` — both Spark-native, splittable, predicate-pushdown-capable;
+    ORC is the interop path for Hive/Trino-flavored lakes. Any other
+    registered datasource name passes through untested."""
     if bars is not None:
         df = bars.where(F.col("bar_idx") > tick_start)
         cols = BAR_CAPTURE_COLS
@@ -127,8 +132,8 @@ def capture(processed: DataFrame, output_path: str, *, tick_start: int = 0,
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(output_path)
-    return df.sparkSession.read.parquet(output_path).count()
+    writer.format(fmt).save(output_path)
+    return df.sparkSession.read.format(fmt).load(output_path).count()
 
 
 def csv_export(spark: SparkSession, parquet_path: str, csv_path: str) -> None:
