@@ -2089,3 +2089,30 @@ def test_diversity_sample_golden(spark):
     out = diversity_sample(emb, m=1, n_cells=2).collect()
     assert [(r.cell, r.sel_rank, r.vec_id) for r in out] == [(0, 1, 3), (1, 1, 1)]
     assert out[0].centroid_sim == 0.707107
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Two identical docs agree on every minhash lane: the estimate is
+    exactly 1.0, the exact jaccard is 1.0, the error 0.0; every
+    surfaced row satisfies est = n_match/64 and err = |est - jaccard|
+    (both sides of the identity are the exact binary values)."""
+    from tickdatapipeline_spark.operators.dedup import (
+        NUM_PERM,
+        minhash_jaccard_calibration,
+    )
+
+    d = docs_df(spark, [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),
+        (3, "alpha beta gamma delta epsilon omega", "en"),
+        (4, "one two three four five six", "en"),
+    ])
+    out = minhash_jaccard_calibration(d, max_band_bucket=None).collect()
+    rows = {(r.doc_a, r.doc_b): r for r in out}
+    ident = rows[(1, 2)]
+    assert (ident.n_match, ident.est_jaccard, ident.jaccard, ident.abs_err) == \
+        (NUM_PERM, 1.0, 1.0, 0.0)
+    for r in out:
+        assert r.est_jaccard == r.n_match / NUM_PERM
+        assert r.abs_err == abs(r.est_jaccard - r.jaccard)
+        assert 0 < r.jaccard <= 1.0

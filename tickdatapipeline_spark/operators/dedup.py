@@ -871,3 +871,56 @@ def substring_dup_pairs(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
         .where(F.col("n_shared_fp") >= min_shared)
         .orderBy(F.desc("n_shared_fp"), "doc_a", "doc_b")
     )
+
+
+def minhash_jaccard_calibration(docs: DataFrame, num_perm: int = NUM_PERM,
+                                max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET
+                                ) -> DataFrame:
+    """Sketch-accuracy calibration: for every LSH candidate pair, the
+    minhash ESTIMATE of Jaccard (matching-lane share, the statistic the
+    sketch actually measures) next to the exact shingle Jaccard and the
+    absolute estimation error — the per-pair evidence behind choosing
+    NUM_PERM/BAND_SIZE, the sketch-side companion of
+    ``dedup_threshold_sweep`` (which calibrates the THRESHOLD on exact
+    similarities) and of the ANN family's recall@k queries.
+
+    Exactness: n_match is a BIGINT lane count; the estimate divides by
+    num_perm = 64 (a power of two — the division is exact in binary);
+    the exact jaccard is the shared rnd'd ratio; the error is one
+    correctly-rounded subtraction. Bit-identical cross-engine.
+
+    Scale: rides the existing sub-DAGs — the wide-signature aggregate
+    (one row per doc), the band-bucket candidate join (with the same
+    ``max_band_bucket`` skew guard), and the hashed-shingle overlap
+    count; the lane comparison joins one 64-slot array per side keyed
+    on doc id, never exploding lanes into rows."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    cand = pin(lsh_candidate_pairs(docs, num_perm, BAND_SIZE, max_band_bucket))
+    exact = jaccard_pairs(docs, 0.0, candidates=cand)
+    arr = _minhash_wide(docs, num_perm).select(
+        "doc_id", F.array(*[F.col(f"s{j}") for j in range(num_perm)]).alias("sig_arr")
+    )
+    m = (
+        cand.join(arr.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sig_arr").alias("arr_a")), "doc_a")
+        .join(arr.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig_arr").alias("arr_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.aggregate(
+                F.zip_with("arr_a", "arr_b",
+                           lambda x, y: (x == y).cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("n_match"),
+        )
+    )
+    est = F.col("n_match").cast("double") / F.lit(float(num_perm))
+    return (
+        m.join(exact.select("doc_a", "doc_b", "jaccard"), ["doc_a", "doc_b"])
+        .select(
+            "doc_a", "doc_b", "n_match", est.alias("est_jaccard"), "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

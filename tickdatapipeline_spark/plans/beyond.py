@@ -32,6 +32,7 @@ from tickdatapipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_jaccard_calibration,
     minhash_signatures,
     ngram_novelty,
     simhash_near_dup_pairs,
@@ -3513,6 +3514,10 @@ def queries() -> dict[str, tuple]:
             lambda s, d: diversity_sample(_emb(s, d), DIVERSITY_M),
             _diversity_sample_sql(DIVERSITY_M),
         ),
+        "dedup_minhash_calibration": (
+            lambda s, d: minhash_jaccard_calibration(_docs(s, d), max_band_bucket=None),
+            DEDUP_CALIBRATION_SQL,
+        ),
     }
 
 
@@ -3796,4 +3801,43 @@ FROM (SELECT *, row_number() OVER (PARTITION BY cell
       FROM assigned)
 WHERE rnk <= {m}
 ORDER BY cell, rnk
+"""
+
+
+# ================= minhash sketch calibration =================
+
+DEDUP_CALIBRATION_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+{_HSH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+    SELECT i.doc_a, i.doc_b,
+           {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)', 6)} AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+),
+matches AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+    GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b, m.n_match,
+       CAST(m.n_match AS DOUBLE) / CAST({NUM_PERM} AS DOUBLE) AS est_jaccard,
+       e.jaccard,
+       abs(CAST(m.n_match AS DOUBLE) / CAST({NUM_PERM} AS DOUBLE) - e.jaccard) AS abs_err
+FROM matches m
+JOIN exact e ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+ORDER BY m.doc_a, m.doc_b
 """
