@@ -2116,3 +2116,36 @@ def test_minhash_calibration_identical_docs(spark):
         assert r.est_jaccard == r.n_match / NUM_PERM
         assert r.abs_err == abs(r.est_jaccard - r.jaccard)
         assert 0 < r.jaccard <= 1.0
+
+
+def test_weekly_users_hll_merge_consistency(spark):
+    """The merged-daily-sketch estimate must EQUAL the estimate of a
+    sketch built over the whole week directly (same deterministic
+    Datasketches algorithm either way), and sit within HLL error of
+    the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.plans.beyond import weekly_users_hll_fn
+
+    sf = "/root/testdata/sf0.01"
+    out = {r.week_start_s: r for r in weekly_users_hll_fn(spark, sf).collect()}
+    assert out, "no weeks surfaced"
+
+    from tickdatapipeline_spark.sources.io import read_events
+
+    ev = read_events(spark, sf)
+    day = F.expr("(ts DIV 1000000000 DIV 86400) * 86400")
+    week = (F.col("day_s") - ((F.col("day_s") / 86400).cast("long") + 3) % 7 * 86400)
+    direct = {
+        r.week_start_s: r
+        for r in ev.select(day.alias("day_s"), "user_id")
+        .groupBy(week.alias("week_start_s"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+             F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(direct) == set(out)
+    for wk, r in out.items():
+        assert r.est_users == direct[wk].est  # merge == direct, bit-for-bit
+        exact = direct[wk].exact
+        assert abs(r.est_users - exact) <= max(0.05 * exact, 2.0)

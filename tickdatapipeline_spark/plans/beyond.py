@@ -3518,6 +3518,7 @@ def queries() -> dict[str, tuple]:
             lambda s, d: minhash_jaccard_calibration(_docs(s, d), max_band_bucket=None),
             DEDUP_CALIBRATION_SQL,
         ),
+        "events_weekly_users_hll": (weekly_users_hll_fn, None),  # rows-only: sketch
     }
 
 
@@ -3841,3 +3842,46 @@ FROM matches m
 JOIN exact e ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
 ORDER BY m.doc_a, m.doc_b
 """
+
+
+# ================= mergeable HLL sketch rollup =================
+
+
+def weekly_users_hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users from MERGED per-day Datasketches HLL
+    sketches — the at-scale distinct-count pattern the plain
+    approx_count_distinct twin can't show: materialize one compact
+    sketch per (partition, day) at ingest, answer any coarser rollup
+    (week, month, ad-hoc day ranges) by UNIONING sketches, never
+    re-scanning raw events. Unlike exact COUNT(DISTINCT), sketch
+    union is associative and map-side combinable at every level.
+
+    Rows-only check (sketch internals aren't reproducible in DuckDB);
+    the invariant that matters — merging the daily sketches estimates
+    the SAME value as sketching the week directly, within HLL error of
+    the exact count — is pinned by
+    tests/test_beyond.py::test_weekly_users_hll_merge_consistency.
+
+    Scale: two map-side-combinable aggregations over sketch bytes
+    (day -> week); shuffle volume is O(days x sketch_size), not
+    O(users)."""
+    ev = read_events(spark, sf_dir)
+    day = F.expr("(ts DIV 1000000000 DIV 86400) * 86400")
+    daily = (
+        ev.groupBy(day.alias("day_s"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    week = (F.col("day_s") - ((F.col("day_s") / 86400).cast("long") + 3) % 7 * 86400)
+    return (
+        daily.groupBy(week.alias("week_start_s"))
+        .agg(F.hll_union_agg("sk").alias("wsk"),
+             F.sum("n_events").alias("n_events"),
+             F.count(F.lit(1)).alias("n_days"))
+        .select(
+            "week_start_s",
+            F.hll_sketch_estimate("wsk").alias("est_users"),
+            "n_days", "n_events",
+        )
+        .orderBy("week_start_s")
+    )
