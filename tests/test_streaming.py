@@ -1575,3 +1575,42 @@ def test_hourly_topk_stream(spark, tmp_path):
     assert sorted(by_batch[0]) == [(0, 1, 2, 8.0, 1), (0, 2, 1, 5.0, 1)]
     assert sorted(by_batch[1]) == [
         (0, 1, 1, 10.0, 2), (0, 2, 2, 8.0, 1), (3600, 1, 9, 2.5, 1)]
+
+
+def test_compact_batch_store_preserves_detections(spark, tmp_path):
+    """Compacting the CUSUM hourly store must leave the detection
+    bit-identical (associative sums, <=-pruned readers), collapse the
+    partitions to one, and keep a subsequent batch's fold working."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.plans.beyond import cusum_over_hourly
+    from tickdatapipeline_spark.streaming.eventtime import compact_batch_store
+
+    store = str(tmp_path / "store")
+    rows0 = [("m", 0, 100), ("m", 3600, 100)]
+    rows1 = [("m", 7200, 200), ("m", 10800, 200)]
+    for bid, rows in [(0, rows0), (1, rows1)]:
+        spark.createDataFrame(rows, "event_type string, hour_s long, h_sum long") \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={bid}")
+
+    def detect():
+        full = (spark.read.parquet(store).where(F.col("batch_id") <= 10)
+                .groupBy("event_type", "hour_s").agg(F.sum("h_sum").alias("h_sum")))
+        return sorted(tuple(r) for r in cusum_over_hourly(full).collect())
+
+    before = detect()
+    compact_batch_store(spark, store, ["event_type", "hour_s"], ["h_sum"], 1)
+    import glob
+
+    assert glob.glob(f"{store}/batch_id=*") == [f"{store}/batch_id=1"]
+    assert detect() == before
+
+    # a later trigger's delta folds in exactly as if never compacted
+    spark.createDataFrame([("m", 14400, 300)],
+                          "event_type string, hour_s long, h_sum long") \
+        .write.mode("overwrite").parquet(f"{store}/batch_id=2")
+    totals = {(r.event_type, r.hour_s): r.h_sum
+              for r in spark.read.parquet(store)
+              .groupBy("event_type", "hour_s").agg(F.sum("h_sum").alias("h_sum"))
+              .collect()}
+    assert totals[("m", 0)] == 100 and totals[("m", 14400)] == 300

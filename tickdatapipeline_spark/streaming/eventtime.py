@@ -963,3 +963,42 @@ def run_hourly_topk_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_batch_store(spark: SparkSession, store_dir: str,
+                        group_cols: list, sum_cols: list,
+                        upto_batch_id: int) -> None:
+    """Compact a batch_id-partitioned delta store (the CUSUM monitor's
+    hourly sums, the heavy-hitter leaderboard's (hour, user) sums):
+    fold every partition with batch_id <= upto into ONE cumulative
+    partition at batch_id = upto. Because the stored columns are
+    associative sums and every reader prunes `batch_id <= current`,
+    a completed compaction leaves every future recompute bit-identical
+    while cutting the partition count from O(triggers) to O(1) — the
+    maintenance op the per-trigger store design assumes.
+
+    The staging dir starts with '_', so Spark/Hadoop readers ignore it
+    until the rename. NOT crash-atomic on plain parquet (the window
+    between the old-partition deletes and the rename): at deployment
+    run it under a transactional table format (Delta/Iceberg
+    RewriteFiles) or while the stream is stopped, which is also when
+    batch ids are stable.
+
+    Scale: one distributed aggregate over the store's own aggregate
+    rows; nothing reaches the driver."""
+    import glob
+    import os
+    import shutil
+
+    agg = (
+        spark.read.parquet(store_dir)
+        .where(F.col("batch_id") <= upto_batch_id)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+    tmp = os.path.join(store_dir, "_compact_tmp")
+    agg.write.mode("overwrite").parquet(tmp)
+    for p in glob.glob(os.path.join(store_dir, "batch_id=*")):
+        if int(p.rsplit("batch_id=", 1)[1]) <= upto_batch_id:
+            shutil.rmtree(p)
+    os.rename(tmp, os.path.join(store_dir, f"batch_id={upto_batch_id}"))
