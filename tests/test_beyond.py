@@ -2149,3 +2149,31 @@ def test_weekly_users_hll_merge_consistency(spark):
         assert r.est_users == direct[wk].est  # merge == direct, bit-for-bit
         exact = direct[wk].exact
         assert abs(r.est_users - exact) <= max(0.05 * exact, 2.0)
+
+
+def test_robust_anomalies_golden(spark, tmp_path):
+    """Hand-worked median/MAD: type m values [1,2,2,3,10] -> median 2.0,
+    deviations [1,0,0,1,8], MAD 1.0, so the 10.0 event scores exactly
+    8.0; type z (all values equal, MAD 0) is excluded wholesale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import robust_anomalies_fn
+
+    vals = [(1, "m", 1.0), (2, "m", 2.0), (3, "m", 2.0), (4, "m", 3.0),
+            (5, "m", 10.0), (6, "z", 5.0), (7, "z", 5.0), (8, "z", 5.0)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in vals], pa.int64()),
+        "ts": pa.array([i * 1000 for i in range(len(vals))], pa.timestamp("ns")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array([r[1] for r in vals]),
+        "value": pa.array([r[2] for r in vals]),
+        "props": pa.array(["{}"] * len(vals)),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = robust_anomalies_fn(spark, str(tmp_path / "sf")).collect()
+    assert all(r.event_type == "m" for r in out)  # MAD-0 type excluded
+    assert (out[0].event_id, out[0].robust_z) == (5, 8.0)
+    assert {r.event_id: r.robust_z for r in out} == \
+        {1: 1.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: 8.0}

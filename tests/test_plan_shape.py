@@ -607,3 +607,17 @@ def test_char_bigram_likelihood_model_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_robust_anomalies_top_n_is_take_ordered(spark):
+    """The global top-N must plan as TakeOrdered (never a full global
+    sort), the per-type median/MAD aggregates must broadcast back, and
+    only the two documented per-type ranking windows may exist."""
+    from tickdatapipeline_spark.plans.beyond import robust_anomalies_fn
+
+    plan = physical(robust_anomalies_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the med2 broadcast join sits behind the pin()'s lineage cut, so
+    # only the mad4 broadcast is visible in the final plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "GlobalLimit" not in plan

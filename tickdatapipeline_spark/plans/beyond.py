@@ -3519,6 +3519,7 @@ def queries() -> dict[str, tuple]:
             DEDUP_CALIBRATION_SQL,
         ),
         "events_weekly_users_hll": (weekly_users_hll_fn, None),  # rows-only: sketch
+        "events_value_robust_anomalies": (robust_anomalies_fn, ROBUST_ANOM_SQL),
     }
 
 
@@ -3885,3 +3886,108 @@ def weekly_users_hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start_s")
     )
+
+
+# ================= robust (median/MAD) anomalies =================
+
+ROBUST_TOP_N = 20
+
+
+def robust_anomalies_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |x - median| / MAD instead of the
+    z-score of ``events_value_anomalies`` — the estimator that does
+    not let the outliers it is hunting inflate its own scale (mean
+    and stddev both break down under contamination; median and MAD
+    have 50% breakdown points).
+
+    Exactness: everything stays BIGINT until the final division —
+    values quantize to cents, the exact interpolated median is carried
+    DOUBLED (med2 = the sum of the two middle cents, an integer even
+    when the median is x.5), deviations in half-cents, the MAD doubled
+    again (mad4 in quarter-cents), and the score is ONE correctly-
+    rounded division dev4/mad4. Types whose MAD is 0 (over half the
+    values at the median — scale is undefined) are excluded, a
+    documented contract both engines apply identically.
+
+    Scale: two per-type ranking windows (the documented exact-median
+    cost, group-partitioned so nothing sorts globally — swap in
+    approx_percentile at 100 TB); the two middle rows per type reduce
+    to O(types) aggregates broadcast back; the global top-N plans as
+    TakeOrdered, never a full sort."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select("event_id", "event_type", vc.alias("vc"))
+
+    def doubled_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        r = (df.withColumn("_r", F.row_number().over(w) - 1)
+               .withColumn("_n", F.count(F.lit(1)).over(wn)))
+        lo = F.floor((F.col("_n") - 1) / 2).cast("long")
+        hi = (F.col("_n") / 2).cast("long")
+        return r.groupBy("event_type").agg(
+            (F.sum(F.when(F.col("_r") == lo, F.col(col)))
+             + F.sum(F.when(F.col("_r") == hi, F.col(col)))).alias(out)
+        )
+
+    med = doubled_median(base, "vc", "med2")
+    dev = (base.join(F.broadcast(med), "event_type")
+           .select("event_id", "event_type",
+                   F.abs(2 * F.col("vc") - F.col("med2")).alias("dev2")))
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    dev = pin(dev)  # feeds the MAD aggregate AND the scoring pass
+    mad = doubled_median(dev, "dev2", "mad4").where(F.col("mad4") > 0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "event_type",
+            rnd((2 * F.col("dev2")).cast("double") / F.col("mad4").cast("double"),
+                6).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "event_id")
+        .limit(ROBUST_TOP_N)
+    )
+
+
+ROBUST_ANOM_SQL = f"""
+WITH base AS (
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+    FROM events
+),
+r1 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc) - 1 AS _r,
+           count(*) OVER (PARTITION BY event_type) AS _n
+    FROM base
+),
+med AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN _r = CAST(floor((_n - 1) / 2) AS BIGINT) THEN vc END)
+                + sum(CASE WHEN _r = CAST(_n // 2 AS BIGINT) THEN vc END) AS BIGINT) AS med2
+    FROM r1 GROUP BY event_type
+),
+dev AS (
+    SELECT b.event_id, b.event_type, abs(2 * b.vc - m.med2) AS dev2
+    FROM base b JOIN med m ON b.event_type = m.event_type
+),
+r2 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2) - 1 AS _r,
+           count(*) OVER (PARTITION BY event_type) AS _n
+    FROM dev
+),
+mad AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN _r = CAST(floor((_n - 1) / 2) AS BIGINT) THEN dev2 END)
+                + sum(CASE WHEN _r = CAST(_n // 2 AS BIGINT) THEN dev2 END) AS BIGINT) AS mad4
+    FROM r2 GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       {sql_rnd('CAST(2 * d.dev2 AS DOUBLE) / CAST(m.mad4 AS DOUBLE)', 6)} AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE m.mad4 > 0
+ORDER BY robust_z DESC, d.event_id
+LIMIT {ROBUST_TOP_N}
+"""
