@@ -2177,3 +2177,24 @@ def test_robust_anomalies_golden(spark, tmp_path):
     assert (out[0].event_id, out[0].robust_z) == (5, 8.0)
     assert {r.event_id: r.robust_z for r in out} == \
         {1: 1.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: 8.0}
+
+
+def test_cosine_topk_truncated_golden(spark):
+    """With trunc_dim=2 the third component must not matter: vectors 0
+    and 10 (queries, mod 10) see the same prefix-plane neighbors even
+    though full-dim cosines would order them differently."""
+    from tickdatapipeline_spark.operators.similarity import cosine_topk_truncated
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (10, [1.0, 0.0, 9.0], 0),   # same 2-dim prefix as vec 0
+        (3, [1.0, 0.0, -7.0], 0),   # prefix-identical to both queries
+        (4, [0.0, 1.0, 0.0], 0),    # prefix-orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_topk_truncated(emb, trunc_dim=2, k=1, query_mod=10).collect()
+    got = {r.query_id: (r.neighbor_id, r.cosine) for r in out}
+    # prefix-cos 1.0 ties break to the lowest neighbor id: query 0 picks
+    # vec 3 (vs 10), query 10 picks vec 0 (the other query is a candidate)
+    assert got[0] == (3, 1.0)
+    assert got[10] == (0, 1.0)

@@ -993,3 +993,20 @@ def diversity_sample(emb: DataFrame, m: int = DIVERSITY_M,
         .select("cell", "sel_rank", "vec_id", "centroid_sim")
         .orderBy("cell", "sel_rank")
     )
+
+
+def cosine_topk_truncated(emb: DataFrame, trunc_dim: int, k: int = 5,
+                          query_mod: int = 50) -> DataFrame:
+    """Matryoshka-style dimension ablation (Kusupati et al. 2022):
+    brute-force cosine top-k using only the FIRST ``trunc_dim``
+    components of every embedding — the evaluation behind shipping a
+    prefix-truncated index (4x less storage and FLOPs at dim/4) and,
+    composed with ann_recall against the full-dimension ground truth,
+    the measured answer to "how many neighbors does the cheap prefix
+    keep". Same (query_id, neighbor_id, rank, cosine) contract and
+    broadcast-probe scale shape as cosine_topk."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.slice(_as_double(F.col("embedding")), 1, trunc_dim).alias("v"),
+    )
+    return _brute_topk(base, k, query_mod)

@@ -61,6 +61,7 @@ from tickdatapipeline_spark.operators.similarity import (
     power_iteration_top_component,
     semantic_dedup,
     DIVERSITY_M,
+    cosine_topk_truncated,
     diversity_sample,
 )
 from tickdatapipeline_spark.operators.stateful import ema_columns
@@ -3520,6 +3521,17 @@ def queries() -> dict[str, tuple]:
         ),
         "events_weekly_users_hll": (weekly_users_hll_fn, None),  # rows-only: sketch
         "events_value_robust_anomalies": (robust_anomalies_fn, ROBUST_ANOM_SQL),
+        "sim_topk_prefix16": (
+            lambda s, d: cosine_topk_truncated(_emb(s, d), MRL_DIM, TOPK_K, QUERY_MOD),
+            MRL_TOPK_SQL,
+        ),
+        "sim_recall_prefix16": (
+            lambda s, d: ann_recall(
+                cosine_topk_truncated(_emb(s, d), MRL_DIM, TOPK_K, QUERY_MOD),
+                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
+            ),
+            _ann_recall_sql(MRL_TOPK_SQL),
+        ),
     }
 
 
@@ -3991,3 +4003,16 @@ WHERE m.mad4 > 0
 ORDER BY robust_z DESC, d.event_id
 LIMIT {ROBUST_TOP_N}
 """
+
+
+# ================= Matryoshka prefix-dim ablation =================
+
+MRL_DIM = 16
+
+_MRL_BASE_CTE = (
+    f"base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+    f"list_transform(embedding[1:{MRL_DIM}], x -> CAST(x AS DOUBLE)) AS v "
+    f"FROM embeddings)"
+)
+
+MRL_TOPK_SQL = _brute_topk_sql(_MRL_BASE_CTE)
