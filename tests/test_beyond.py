@@ -2198,3 +2198,56 @@ def test_cosine_topk_truncated_golden(spark):
     # vec 3 (vs 10), query 10 picks vec 0 (the other query is a candidate)
     assert got[0] == (3, 1.0)
     assert got[10] == (0, 1.0)
+
+
+def test_collocations_golden(spark):
+    """'new york' appears 5x (passing min_count) out of N=20 tokens
+    while 'new' and 'york' appear only inside it: lift = 20*5/(5*5) =
+    4.0 exactly; the filler bigram 'aa aa' (count 9, c(aa)=10) scores
+    20*9/100 = 1.8 and ranks below."""
+    from tickdatapipeline_spark.operators.text import collocations
+
+    text = " ".join(["new york"] * 5 + ["aa"] * 10)
+    d = docs_df(spark, [(1, text, "en")])
+    out = collocations(d, min_count=5, top_k=10).collect()
+    rows = [(r.token_a, r.token_b, r.pair_count, r.count_a, r.count_b, r.lift)
+            for r in out]
+    assert rows[0] == ("new", "york", 5, 5, 5, 4.0)
+    # 'york new' seam pairs occur 4x (< min_count) and are filtered;
+    # 'york aa' seam occurs once
+    assert ("aa", "aa", 9, 10, 10, 1.8) in rows
+    assert all(r[2] >= 5 for r in rows)
+
+
+def test_attribution_linear_golden(spark, tmp_path):
+    """Two clicks inside the window split the 10.0 purchase 5.0/5.0; a
+    click outside the lookback gets nothing; sum(credit) == value."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import (
+        ATTRIB_LOOKBACK_US,
+        attribution_linear_fn,
+    )
+
+    us = 1_000
+    look_ns = ATTRIB_LOOKBACK_US * us
+    rows = [
+        (1, look_ns + 1_000_000, 7, "click", 0.0),       # inside window
+        (2, look_ns + 2_000_000, 7, "click", 0.0),       # inside window
+        (3, 0, 7, "click", 0.0),                          # too early
+        (4, look_ns + 3_000_000, 7, "purchase", 10.0),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = attribution_linear_fn(spark, str(tmp_path / "sf")).collect()
+    assert {(r.click_event_id, r.n_touches, r.credit) for r in out} == \
+        {(1, 2, 5.0), (2, 2, 5.0)}

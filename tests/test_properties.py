@@ -395,3 +395,99 @@ def test_source_cap_property(spark, groups, cap):
     for src, ids in ids_by_src.items():
         if 0 < len(ids) <= cap * 2 and len(ids) <= cap:
             assert per_src.get(src, 0) == len(ids)
+
+
+@given(vals=st.lists(
+    st.tuples(st.sampled_from(["m", "z"]),
+              st.integers(min_value=0, max_value=2000)),
+    min_size=1, max_size=40,
+))
+@SET
+def test_robust_anomalies_matches_numpy_mirror(spark, tmp_path_factory, vals):
+    """events_value_robust_anomalies equals the numpy median/MAD mirror
+    (doubled-integer medians, MAD-0 exclusion, top-N tie order) for
+    arbitrary per-type value multisets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import ROBUST_TOP_N, robust_anomalies_fn
+
+    sf = tmp_path_factory.mktemp("robust")
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([i * 1000 for i in range(len(vals))], pa.timestamp("ns")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array([t for t, _ in vals]),
+        "value": pa.array([c / 100.0 for _, c in vals]),
+        "props": pa.array(["{}"] * len(vals)),
+    })
+    pq.write_table(tbl, sf / "events.parquet")
+    got = [(r.event_id, r.event_type, r.robust_z)
+           for r in robust_anomalies_fn(spark, str(sf)).collect()]
+
+    # mirror: doubled integer medians per type
+    rows = []
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for i, (t, c) in enumerate(vals):
+        by_type.setdefault(t, []).append((i, c))
+    for t, members in by_type.items():
+        cs = sorted(c for _, c in members)
+        n = len(cs)
+        med2 = cs[(n - 1) // 2] + cs[n // 2]
+        dev2 = {i: abs(2 * c - med2) for i, c in members}
+        ds = sorted(dev2.values())
+        mad4 = ds[(n - 1) // 2] + ds[n // 2]
+        if mad4 <= 0:
+            continue
+        for i, _ in members:
+            z = (2 * dev2[i]) / mad4
+            rows.append((i, t, np.floor(z * 1e6 + 0.5) / 1e6))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    assert got == rows[:ROBUST_TOP_N]
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=12), min_size=1, max_size=8,
+))
+@SET
+def test_char_bigram_likelihood_matches_python_mirror(spark, texts):
+    """char_bigram_likelihood equals a pure-Python mirror (normalize,
+    corpus bigram/prefix counts, mean of occ * (c_bg/c_prefix)) on
+    arbitrary tiny corpora over a 3-letter alphabet."""
+    import re
+    from collections import Counter
+
+    from tickdatapipeline_spark.operators.text import char_bigram_likelihood
+
+    d = docs_df_local(spark, texts)
+    got = {r.doc_id: (r.n_bigrams, r.avg_bigram_p)
+           for r in char_bigram_likelihood(d).collect()}
+
+    norm = [re.sub(r"\s+", " ", t.strip().lower()) for t in texts]
+    docbg = [Counter(s[i:i + 2] for i in range(len(s) - 1)) for s in norm]
+    model: Counter = Counter()
+    for c in docbg:
+        model.update(c)
+    pre: Counter = Counter()
+    for bg, n in model.items():
+        pre[bg[0]] += n
+    expect = {}
+    for i, c in enumerate(docbg):
+        n_tot = sum(c.values())
+        if n_tot == 0:
+            continue
+        acc = 0.0
+        for bg in sorted(c):
+            acc += float(c[bg]) * (float(model[bg]) / float(pre[bg[0]]))
+        import numpy as np
+
+        expect[i] = (n_tot, float(np.floor(acc / n_tot * 1e6 + 0.5) / 1e6))
+    assert got == expect
+
+
+def docs_df_local(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )

@@ -1229,3 +1229,67 @@ def char_bigram_likelihood(docs: DataFrame) -> DataFrame:
         "doc_id", "n_bigrams",
         rnd(F.col("psum") / F.col("n_bigrams").cast("double"), 6).alias("avg_bigram_p"),
     ).orderBy("doc_id")
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+def collocations(docs: DataFrame, min_count: int = COLLOC_MIN_COUNT,
+                 top_k: int = COLLOC_TOP_K) -> DataFrame:
+    """Collocation (phrase) mining: the word pairs that co-occur far
+    more than independence predicts — the phrase-detection score of
+    word2vec's preprocessing (Mikolov et al. 2013) and the classic
+    PMI collocation test, reported as LIFT = N * c(xy) / (c(x) * c(y))
+    rather than its logarithm (PMI = ln lift): ln is not
+    bit-reproducible across engines, the ranking is identical either
+    way, and lift is ONE correctly-rounded division of two exact
+    BIGINTs (c(xy)*N <= ~1e14, c(x)*c(y) <= ~1e16 — both inside
+    int64).
+
+    Output: top_k rows (token_a, token_b, pair_count, count_a,
+    count_b, lift), ordered by lift DESC with ties to the pair text;
+    pairs rarer than ``min_count`` are noise-filtered before scoring
+    (the standard guard — a 1-occurrence pair of two hapaxes has
+    lift = N).
+
+    Scale: adjacent-pair and unigram counts are two map-side
+    combinable groupBys over exploded grams; unigram totals broadcast
+    onto the (filtered, hence small) pair table twice; the global
+    top-k plans as TakeOrdered, never a full sort."""
+    t = tokens(F.col("text"))
+    pairs = (
+        # greatest(..., 0): ANSI slice() rejects negative lengths on
+        # token-less docs; an empty slice explodes to nothing
+        docs.select(F.explode(
+            F.zip_with(F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                       F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                       lambda a, b: F.struct(a.alias("ta"), b.alias("tb")))
+        ).alias("p"))
+        .select(F.col("p.ta").alias("token_a"), F.col("p.tb").alias("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(t).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    uni = pin(uni)  # consumed by the two broadcast sides AND the N scalar
+    n_tot = uni.agg(F.sum("cnt").alias("n")).select("n")
+    scored = (
+        pairs.join(F.broadcast(uni.select(F.col("tok").alias("token_a"),
+                                          F.col("cnt").alias("count_a"))), "token_a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("token_b"),
+                                     F.col("cnt").alias("count_b"))), "token_b")
+        .join(F.broadcast(n_tot))
+        .select(
+            "token_a", "token_b", "pair_count", "count_a", "count_b",
+            rnd((F.col("pair_count") * F.col("n")).cast("double")
+                / (F.col("count_a") * F.col("count_b")).cast("double"), 6
+                ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "token_a", "token_b").limit(top_k)

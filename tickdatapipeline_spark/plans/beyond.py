@@ -74,6 +74,9 @@ from tickdatapipeline_spark.operators.text import (
     bpe_token_stats,
     char_bigram_likelihood,
     chunk_windows,
+    collocations,
+    COLLOC_MIN_COUNT,
+    COLLOC_TOP_K,
     fingerprint,
     lang_id,
     langid_confusion,
@@ -3532,6 +3535,11 @@ def queries() -> dict[str, tuple]:
             ),
             _ann_recall_sql(MRL_TOPK_SQL),
         ),
+        "text_collocations": (
+            lambda s, d: collocations(_docs(s, d)),
+            COLLOC_SQL,
+        ),
+        "events_attribution_linear": (attribution_linear_fn, ATTRIBUTION_LINEAR_SQL),
     }
 
 
@@ -4016,3 +4024,93 @@ _MRL_BASE_CTE = (
 )
 
 MRL_TOPK_SQL = _brute_topk_sql(_MRL_BASE_CTE)
+
+
+# ================= collocation mining =================
+
+COLLOC_SQL = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+pairs AS (
+    SELECT t[i] AS token_a, t[i + 1] AS token_b, count(*) AS pair_count
+    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    GROUP BY 1, 2
+    HAVING count(*) >= {COLLOC_MIN_COUNT}
+),
+unic AS (SELECT tok, count(*) AS cnt
+         FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM unic)
+SELECT p.token_a, p.token_b, CAST(p.pair_count AS BIGINT) AS pair_count,
+       CAST(ua.cnt AS BIGINT) AS count_a, CAST(ub.cnt AS BIGINT) AS count_b,
+       {sql_rnd('CAST(p.pair_count * n.n AS DOUBLE) / CAST(ua.cnt * ub.cnt AS DOUBLE)', 6)} AS lift
+FROM pairs p
+JOIN unic ua ON p.token_a = ua.tok
+JOIN unic ub ON p.token_b = ub.tok
+CROSS JOIN n
+ORDER BY lift DESC, p.token_a, p.token_b
+LIMIT {COLLOC_TOP_K}
+"""
+
+
+# ================= linear multi-touch attribution =================
+
+
+def attribution_linear_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click inside the purchase's
+    lookback window shares the purchase value EQUALLY — the
+    multi-touch complement of the plain range-join attribution (which
+    lists touches without crediting them); sum(credit) over a
+    purchase's rows reproduces its value to the cent by construction.
+
+    Exactness: purchase values quantize to BIGINT cents; the credit is
+    (cents / n_touches) / 100 — two correctly-rounded divisions in a
+    pinned order, bit-identical cross-engine.
+
+    Scale: rides the binned range join (equi-join on (user, bin) —
+    never a nested loop); the per-purchase count window partitions by
+    purchase_event_id whose group size the lookback bounds, so no
+    skewed sort; nothing aggregates globally."""
+    from pyspark.sql import Window
+
+    from tickdatapipeline_spark.operators.rangejoin import binned_range_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"),
+        F.expr("ts DIV 1000").alias("click_tus"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        (F.expr("ts DIV 1000") - ATTRIB_LOOKBACK_US).alias("lo"),
+        F.expr("ts DIV 1000").alias("hi"),
+    )
+    att = binned_range_join(
+        clicks, purchases, on=["user_id"], point_col="click_tus",
+        lo_col="lo", hi_col="hi", bin_size=ATTRIB_BIN_US,
+    )
+    w = Window.partitionBy("purchase_event_id")
+    return (
+        att.withColumn("n_touches", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            "user_id", "click_event_id", "purchase_event_id", "n_touches",
+            rnd(F.col("vc").cast("double") / F.col("n_touches") / F.lit(100.0),
+                6).alias("credit"),
+        )
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH att AS (
+    SELECT c.user_id, c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS vc
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {ATTRIB_LOOKBACK_US} AND epoch_us(p.ts)
+)
+SELECT user_id, click_event_id, purchase_event_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       {sql_rnd('CAST(vc AS DOUBLE) / n_touches / 100.0', 6)} AS credit
+FROM (SELECT *, count(*) OVER (PARTITION BY purchase_event_id) AS n_touches FROM att)
+"""
