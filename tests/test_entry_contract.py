@@ -59,6 +59,7 @@ def test_registry_shape():
         "media_frame_sample", "ema_state", "q2_percentiles_approx",
         "pipeline_latency_metrics", "sim_ann_topk_ivf_kmeans",
         "docs_length_filter_approx", "events_distinct_users_daily_approx",
+        "events_weekly_users_hll",  # Datasketches HLL merge — sketch
     }
 
 
