@@ -149,3 +149,43 @@ def test_read_documents_jsonl_permissive(spark, tmp_path):
         assert df.where(df["_corrupt_record"].isNotNull()).count() == 1
     finally:
         df.unpersist()
+
+
+def test_tickfile_datasource_matches_native_reader(spark, tmp_path):
+    """spark.read.format('tickfile') (Python DataSource API) parses the
+    same rows as the native read_tick_file path — same malformed-line
+    drops, same per-file 1-based line_no — and a two-file glob fans out
+    one partition per file."""
+    from tickdatapipeline_spark.sources.tickfile import read_tick_file
+    from tickdatapipeline_spark.sources.tickfile_datasource import (
+        TickFileDataSource,
+    )
+
+    p1 = tmp_path / "a.txt"
+    p1.write_text(
+        "20250319 120000 0000000;100;102;101;3\n"
+        "junk line\n"
+        ";;;\n"
+        "20250319 120001 0000000;101;103;102;1\n"
+        "20250319 120002 0000000;x;103;102;1\n"
+    )
+    p2 = tmp_path / "b.txt"
+    p2.write_text("20250319 130000 0000000;200;202;201;2\n")
+
+    spark.dataSource.register(TickFileDataSource)
+    ds = spark.read.format("tickfile").load(str(tmp_path / "*.txt"))
+    got = sorted(
+        (r.file.rsplit("/", 1)[1], r.line_no, r.ts_str, r.bid, r.ask, r.last, r.volume)
+        for r in ds.collect()
+    )
+    assert got == [
+        ("a.txt", 1, "20250319 120000 0000000", 100, 102, 101, 3),
+        ("a.txt", 2, "20250319 120001 0000000", 101, 103, 102, 1),
+        ("b.txt", 1, "20250319 130000 0000000", 200, 202, 201, 2),
+    ]
+    assert ds.rdd.getNumPartitions() == 2  # one per file
+
+    native = read_tick_file(spark, str(p1)).select(
+        "line_no", "ts_str", "bid", "ask", "last", "volume")
+    assert sorted(tuple(r) for r in native.collect()) == \
+        [t[1:] for t in got if t[0] == "a.txt"]
