@@ -1614,3 +1614,91 @@ def test_compact_batch_store_preserves_detections(spark, tmp_path):
               .groupBy("event_type", "hour_s").agg(F.sum("h_sum").alias("h_sum"))
               .collect()}
     assert totals[("m", 0)] == 100 and totals[("m", 14400)] == 300
+
+
+def test_quality_observed_ingest(spark, tmp_path):
+    """The observe()-collected per-batch counters must match the data
+    actually written through the same pass: row counts, null-field
+    tally (schema-parse failures surface as NULLs, never silent
+    drops), and event-time bounds."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import (
+        run_quality_observed_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    b0 = [{"event_id": 1, "tus": 100, "user_id": 7, "value": 1.5},
+          {"event_id": 2, "tus": 200, "user_id": None, "value": 2.5},
+          {"event_id": 3, "tus": 900, "user_id": 8, "value": "not-a-number"}]
+    b1 = [{"event_id": 4, "tus": 50, "user_id": 9, "value": 4.0}]
+    for i, rows in enumerate([b0, b1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = run_quality_observed_ingest(
+        spark, str(in_dir), str(tmp_path / "data"), str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    metrics = {r.batch_id: r for r in
+               spark.read.parquet(str(tmp_path / "metrics")).collect()}
+    m0, m1 = metrics[0], metrics[1]
+    # b0: 3 rows, two with a null field (explicit null + unparseable value)
+    assert (m0.n_rows, m0.n_null_fields, m0.min_tus, m0.max_tus) == (3, 2, 100, 900)
+    assert (m1.n_rows, m1.n_null_fields, m1.min_tus, m1.max_tus) == (1, 0, 50, 50)
+    data = spark.read.parquet(str(tmp_path / "data"))
+    assert data.count() == 4  # nothing silently dropped
+
+
+def test_hourly_topk_stream_restart_resumes(spark, tmp_path):
+    """Killing the leaderboard stream and restarting on the same
+    checkpoint must continue batch ids (no re-processing, no gaps):
+    the post-restart leaderboard equals a never-stopped run's."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_hourly_topk_stream
+
+    hour_us = 3_600 * 1_000_000
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_batch(i, rows):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for j, (h, u, v) in enumerate(rows):
+                f.write(json.dumps({"event_id": 100 * i + j, "tus": h * hour_us,
+                                    "user_id": u, "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    args = (spark, str(in_dir), str(tmp_path / "store"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"))
+    write_batch(0, [(0, 1, 5.0), (0, 2, 8.0)])
+    q = run_hourly_topk_stream(*args, k=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    write_batch(1, [(0, 1, 5.0)])
+    q2 = run_hourly_topk_stream(*args, k=2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    by_batch = {}
+    for r in out.collect():
+        by_batch.setdefault(r.batch_id, []).append((r.hour_s, r.rnk, r.user_id, r.hour_value))
+    assert set(by_batch) == {0, 1}  # ids continued, batch 0 not replayed
+    assert sorted(by_batch[1]) == [(0, 1, 1, 10.0), (0, 2, 2, 8.0)]

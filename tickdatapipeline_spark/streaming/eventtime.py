@@ -1002,3 +1002,64 @@ def compact_batch_store(spark: SparkSession, store_dir: str,
         if int(p.rsplit("batch_id=", 1)[1]) <= upto_batch_id:
             shutil.rmtree(p)
     os.rename(tmp, os.path.join(store_dir, f"batch_id={upto_batch_id}"))
+
+
+def run_quality_observed_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    data_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Ingest with data-quality counters that RIDE the write
+    (``df.observe``): per micro-batch, row count, null-field count and
+    event-time bounds are accumulated by the executors DURING the same
+    pass that writes the batch — at 100 TB the difference between "DQ
+    metrics for free" and "a second full scan per trigger". One
+    metrics row per batch lands next to the data through the same
+    replay-idempotent batch_id sink, giving the freshness/completeness
+    ledger every ingest pipeline needs (and the input the CUSUM/KS
+    monitors can alarm on).
+
+    Late/malformed contract: the JSON source parses with an explicit
+    schema, so malformed fields surface as NULLs — counted, never
+    dropped silently; rows_null therefore bounds the quarantine size.
+    """
+    raw = (
+        spark.readStream.schema(TOPK_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Observation
+
+        sp = batch_df.sparkSession
+        obs = Observation(f"dq_{batch_id}")
+        observed = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("user_id").isNull() | F.col("value").isNull()
+                 | F.col("tus").isNull()).cast("long")
+            ).alias("n_null_fields"),
+            F.min("tus").alias("min_tus"),
+            F.max("tus").alias("max_tus"),
+        )
+        _write_batch_idempotent(observed, data_dir, batch_id)
+        m = obs.get  # filled by the write above — no second scan
+        metrics = sp.createDataFrame(
+            [(int(m["n_rows"]), int(m["n_null_fields"]),
+              m["min_tus"], m["max_tus"])],
+            "n_rows long, n_null_fields long, min_tus long, max_tus long",
+        )
+        _write_batch_idempotent(metrics, metrics_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
