@@ -2251,3 +2251,55 @@ def test_attribution_linear_golden(spark, tmp_path):
     out = attribution_linear_fn(spark, str(tmp_path / "sf")).collect()
     assert {(r.click_event_id, r.n_touches, r.credit) for r in out} == \
         {(1, 2, 5.0), (2, 2, 5.0)}
+
+
+def test_split_leakage_golden(spark):
+    """Two identical docs are a verified near-dup pair; whether they
+    leak depends only on the deterministic split draw — the query must
+    agree exactly with composing its two building blocks by hand."""
+    from tickdatapipeline_spark.operators.dedup import jaccard_pairs
+    from tickdatapipeline_spark.operators.text import train_val_test_split
+    from tickdatapipeline_spark.plans.beyond import (
+        JACCARD_THRESHOLD,
+        SPLIT_TEST_PM,
+        SPLIT_VAL_PM,
+        split_leakage_fn,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(12)]
+    d = docs_df(spark, rows)
+    import pyspark.sql.functions as F  # noqa: F811
+
+    tmp = d.sparkSession.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp.coalesce(1).write.parquet(f"{td}/documents.parquet")
+        got = {(r.doc_a, r.doc_b): (r.split_a, r.split_b)
+               for r in split_leakage_fn(spark, td).collect()}
+
+    splits = {r.doc_id: r.split
+              for r in train_val_test_split(d, SPLIT_VAL_PM, SPLIT_TEST_PM).collect()}
+    pairs = {(r.doc_a, r.doc_b)
+             for r in jaccard_pairs(d, JACCARD_THRESHOLD, max_band_bucket=None).collect()}
+    expect = {(a, b): (splits[a], splits[b])
+              for a, b in pairs if splits[a] != splits[b]}
+    assert got == expect
+    assert len(pairs) == 12 * 11 // 2  # identical docs: every pair verified
+
+
+def test_cosine_histogram_bins_sum_to_pairs(spark, tmp_path):
+    """Histogram mass equals the sample's pair count and a hand-built
+    two-vector bin lands where floor(cos/0.05) puts it."""
+    from tickdatapipeline_spark.plans.beyond import cosine_histogram_fn
+
+    rows = [(0, [1.0, 0.0], 0), (10, [0.0, 1.0], 0), (20, [1.0, 1.0], 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    emb.coalesce(1).write.parquet(str(tmp_path / "sf" / "embeddings.parquet"))
+    out = {r.bin_id: r.n_pairs
+           for r in cosine_histogram_fn(spark, str(tmp_path / "sf")).collect()}
+    # pairs: (0,10) cos 0 -> bin 0; (0,20) and (10,20) cos .707107 -> bin 14
+    assert out == {0: 1, 14: 2}

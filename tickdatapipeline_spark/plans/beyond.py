@@ -3540,6 +3540,8 @@ def queries() -> dict[str, tuple]:
             COLLOC_SQL,
         ),
         "events_attribution_linear": (attribution_linear_fn, ATTRIBUTION_LINEAR_SQL),
+        "docs_split_leakage": (split_leakage_fn, SPLIT_LEAKAGE_SQL),
+        "sim_cosine_histogram": (cosine_histogram_fn, COS_HIST_SQL),
     }
 
 
@@ -4113,4 +4115,107 @@ SELECT user_id, click_event_id, purchase_event_id,
        CAST(n_touches AS BIGINT) AS n_touches,
        {sql_rnd('CAST(vc AS DOUBLE) / n_touches / 100.0', 6)} AS credit
 FROM (SELECT *, count(*) OVER (PARTITION BY purchase_event_id) AS n_touches FROM att)
+"""
+
+
+# ================= split-leakage audit =================
+
+
+def split_leakage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: verified near-duplicate pairs whose members
+    landed in DIFFERENT splits of the corpus's own train/val/test
+    assignment — the leak decontamination-vs-an-external-benchmark
+    can't see: a random split scatters every near-dup cluster across
+    splits with probability ~1, silently inflating eval scores. The
+    fix this query gates is group-aware splitting (hash the CLUSTER
+    id, not the doc id); its output is the evidence.
+
+    Output: (doc_a, doc_b, jaccard, split_a, split_b) for near-dup
+    pairs with split_a != split_b, plus deterministic ordering.
+
+    Scale: rides the LSH + verification sub-DAG; the split is a pure
+    map-side hash projection joined onto the (tiny) verified-pair
+    table twice — no new corpus-sized shuffle."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    split = train_val_test_split(docs, SPLIT_VAL_PM, SPLIT_TEST_PM)
+    return (
+        pairs.join(split.select(F.col("doc_id").alias("doc_a"),
+                                F.col("split").alias("split_a")), "doc_a")
+        .join(split.select(F.col("doc_id").alias("doc_b"),
+                           F.col("split").alias("split_b")), "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH pairs AS ({JACCARD_SQL}),
+split AS ({SPLIT_SQL})
+SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN split sa ON p.doc_a = sa.doc_id
+JOIN split sb ON p.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+# ================= cosine-distribution health check =================
+
+COS_HIST_MOD = 10  # sample: vec_id % mod == 0 both sides
+COS_HIST_BIN = 0.05
+
+
+def cosine_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: the distribution of pairwise
+    cosines over a deterministic sample — the anisotropy/collapse
+    diagnostic (a healthy space spreads mass; a collapsed or
+    un-centered one piles up near 1.0, and every downstream
+    threshold — SemDeDup's, the near-dup gate's — silently shifts).
+
+    Exactness: cosines use the shared rounded-dot convention; the bin
+    is floor(cos / 0.05) on the ROUNDED value, so bin edges are
+    decided on identical doubles in both engines.
+
+    Scale: the sample (vec_id % mod == 0) bounds the quadratic pair
+    count by construction — mod is the knob that keeps
+    (N/mod)^2 executor-sized at any corpus size; one broadcast of the
+    sample against itself, then a tiny groupBy."""
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % COS_HIST_MOD == 0).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+    from tickdatapipeline_spark.operators.similarity import _dot, _norm
+
+    base = pin(base)  # both sides of the pair join
+    a, b = base.alias("a"), base.alias("b")
+    cos = rnd(_dot(F.col("a.v"), F.col("b.v"))
+              / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6)
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.floor(cos / F.lit(COS_HIST_BIN)).cast("long").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("bin_id", (F.col("bin_id") * COS_HIST_BIN).alias("bin_lo"), "n_pairs")
+        .orderBy("bin_id")
+    )
+
+
+from tickdatapipeline_spark.oracle import dlit as _dlit_mod  # noqa: E402
+
+COS_HIST_SQL = f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v
+    FROM embeddings WHERE vec_id % {COS_HIST_MOD} = 0
+),
+pairs AS (
+    SELECT CAST(floor({sql_rnd(SQL_DOT.format(a="a.v", b="b.v") + " / (" + SQL_NORM.format(a="a.v") + " * " + SQL_NORM.format(a="b.v") + ")", 6)} / {_dlit_mod(COS_HIST_BIN)}) AS BIGINT) AS bin_id
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+)
+SELECT bin_id, bin_id * {_dlit_mod(COS_HIST_BIN)} AS bin_lo, count(*) AS n_pairs
+FROM pairs GROUP BY bin_id ORDER BY bin_id
 """
