@@ -2303,3 +2303,36 @@ def test_cosine_histogram_bins_sum_to_pairs(spark, tmp_path):
            for r in cosine_histogram_fn(spark, str(tmp_path / "sf")).collect()}
     # pairs: (0,10) cos 0 -> bin 0; (0,20) and (10,20) cos .707107 -> bin 14
     assert out == {0: 1, 14: 2}
+
+
+def test_cluster_aware_split_eliminates_leakage(spark):
+    """The property the operator exists for: after group-aware
+    splitting, NO verified near-dup pair straddles splits (per-doc
+    splitting leaks these with probability ~1 on identical docs), and
+    singleton docs keep exactly their train_val_test_split assignment
+    (same salt, same draw)."""
+    from tickdatapipeline_spark.operators.dedup import (
+        cluster_aware_split,
+        jaccard_pairs,
+    )
+    from tickdatapipeline_spark.operators.text import train_val_test_split
+
+    rows = [(i, f"alpha beta gamma delta epsilon id{i // 3}", "en")
+            for i in range(30)]  # triples of identical docs
+    rows += [(100 + i, f"unique text number {i} with words {i * 7}", "en")
+             for i in range(5)]
+    d = docs_df(spark, rows)
+    split = {r.doc_id: r.split
+             for r in cluster_aware_split(d, 100, 50, 0.5,
+                                          max_band_bucket=None).collect()}
+    pairs = [(r.doc_a, r.doc_b)
+             for r in jaccard_pairs(d, 0.5, max_band_bucket=None).collect()]
+    assert pairs, "fixture must produce near-dup pairs"
+    assert all(split[a] == split[b] for a, b in pairs)
+
+    per_doc = {r.doc_id: r.split
+               for r in train_val_test_split(d, 100, 50).collect()}
+    clustered = {x for a, b in pairs for x in (a, b)}
+    for doc_id in split:
+        if doc_id not in clustered:
+            assert split[doc_id] == per_doc[doc_id]

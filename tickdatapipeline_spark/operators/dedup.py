@@ -924,3 +924,44 @@ def minhash_jaccard_calibration(docs: DataFrame, num_perm: int = NUM_PERM,
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def cluster_aware_split(docs: DataFrame, val_permille: int = 50,
+                        test_permille: int = 50, threshold: float = 0.5,
+                        salt: str = "split:",
+                        max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET
+                        ) -> DataFrame:
+    """Group-aware train/val/test split: the split draw hashes the
+    document's near-dup CLUSTER representative instead of the document
+    itself, so a near-dup cluster can never straddle splits — the fix
+    for exactly the leak ``docs_split_leakage`` audits (a per-doc
+    random split scatters every cluster with probability ~1).
+    Singletons hash their own id, so outside clusters this IS
+    train_val_test_split: same salt, same bands, same stability
+    contract (adding/removing docs never migrates an unrelated doc).
+
+    Output: (doc_id, cluster_id, split) for every document.
+
+    Scale: the expensive part is duplicate_clusters (already bounded:
+    LSH candidates + min-label propagation); the split itself is one
+    map-side hash on the cluster id after a left join of the corpus
+    against the (small — dup members only) cluster table."""
+    if min(val_permille, test_permille) < 0 or val_permille + test_permille >= 1000:
+        raise ValueError(
+            "val_permille and test_permille must be >= 0 and sum to < 1000"
+        )
+    members = duplicate_clusters(
+        docs, threshold, max_band_bucket=max_band_bucket
+    ).select("doc_id", "cluster_id")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    labeled = base.join(members, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    draw = h60(F.concat(F.lit(salt), F.col("cluster_id").cast("string"))) % 1000
+    return labeled.select(
+        "doc_id", "cluster_id",
+        F.when(draw < test_permille, F.lit("test"))
+        .when(draw < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -32,6 +32,7 @@ from tickdatapipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
+    cluster_aware_split,
     minhash_jaccard_calibration,
     minhash_signatures,
     ngram_novelty,
@@ -3541,6 +3542,13 @@ def queries() -> dict[str, tuple]:
         ),
         "events_attribution_linear": (attribution_linear_fn, ATTRIBUTION_LINEAR_SQL),
         "docs_split_leakage": (split_leakage_fn, SPLIT_LEAKAGE_SQL),
+        "docs_split_group_aware": (
+            lambda s, d: cluster_aware_split(
+                _docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM, JACCARD_THRESHOLD,
+                max_band_bucket=None,
+            ),
+            GROUP_SPLIT_SQL,
+        ),
         "sim_cosine_histogram": (cosine_histogram_fn, COS_HIST_SQL),
     }
 
@@ -4219,3 +4227,26 @@ pairs AS (
 SELECT bin_id, bin_id * {_dlit_mod(COS_HIST_BIN)} AS bin_lo, count(*) AS n_pairs
 FROM pairs GROUP BY bin_id ORDER BY bin_id
 """
+
+
+# ================= group-aware split =================
+
+GROUP_SPLIT_SQL = CLUSTERS_SQL.replace(
+    """SELECT c.node AS doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)""",
+    f"""SELECT doc_id, cluster_id,
+       CASE WHEN draw < {SPLIT_TEST_PM} THEN 'test'
+            WHEN draw < {SPLIT_TEST_PM + SPLIT_VAL_PM} THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+           {sql_h60("'split:' || CAST(cluster_id AS VARCHAR)")} % 1000 AS draw
+    FROM (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               COALESCE(c.cluster_id, CAST(d.doc_id AS BIGINT)) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON CAST(d.doc_id AS BIGINT) = c.node
+    )
+)""",
+)
