@@ -2336,3 +2336,33 @@ def test_cluster_aware_split_eliminates_leakage(spark):
     for doc_id in split:
         if doc_id not in clustered:
             assert split[doc_id] == per_doc[doc_id]
+
+
+def test_bpe_learn_merges_golden(spark):
+    """Sennrich-style hand-worked merges on {low x3, lower x2,
+    newest x1}: round 1 ties (l,o)/(o,w) at 5 -> ascending sym_a picks
+    (l,o); round 2 merges (lo,w) at 5; round 3 ties (e,r)/(low,e) at 2
+    -> (e,r). Multi-char symbols must never be matched inside (the
+    double-space boundary contract)."""
+    from tickdatapipeline_spark.operators.text import bpe_learn_merges
+
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"])
+    d = docs_df(spark, [(1, text, "en")])
+    out = [(r.merge_idx, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_learn_merges(d, n_merges=3).collect()]
+    assert out == [(1, "l", "o", 5), (2, "lo", "w", 5), (3, "e", "r", 2)]
+
+
+def test_bpe_merge_greedy_overlap(spark):
+    """'aaaa' with merge (a,a): greedy left-to-right segments to
+    [aa, aa], so round 2's top pair is (aa, aa) — the leftmost
+    non-overlapping replace on the double-space spelling must
+    reproduce exactly that (the consecutive-site space bookkeeping)."""
+    from tickdatapipeline_spark.operators.text import bpe_learn_merges
+
+    d = docs_df(spark, [(1, "aaaa aaaa aaaa", "en")])
+    out = [(r.merge_idx, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_learn_merges(d, n_merges=2).collect()]
+    # round 1: (a,a) appears 3x per word (adjacent count) = 9
+    # round 2: words are [aa, aa] -> (aa, aa) x1 per word = 3
+    assert out == [(1, "a", "a", 9), (2, "aa", "aa", 3)]

@@ -1293,3 +1293,83 @@ def collocations(docs: DataFrame, min_count: int = COLLOC_MIN_COUNT,
         )
     )
     return scored.orderBy(F.desc("lift"), "token_a", "token_b").limit(top_k)
+
+
+BPE_N_MERGES = 3
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """BPE tokenizer induction (Sennrich et al. 2016): learn the first
+    ``n_merges`` byte-pair merges from the corpus — per iteration,
+    count adjacent-symbol pairs over the word-frequency table, merge
+    the most frequent pair everywhere, repeat. The missing flagship of
+    the tokenizer family (bpe_token_stats APPLIES a fixed pre-tokenizer;
+    this LEARNS one).
+
+    Output: (merge_idx, sym_a, sym_b, pair_count) — one row per learned
+    merge, the head of the merges.txt every BPE tokenizer ships.
+
+    Exact: each argmax is a 1-row TakeOrdered (ties: count DESC, then
+    symbol pair ascending) broadcast back over the word table — the
+    iterations chain through lazy lineage cuts (pin, as in
+    duplicate_clusters' label propagation: without the cut each round
+    would re-derive the previous ones twice) — and the
+    re-segmentation is a
+    plain string replace over a DOUBLE-SPACE spelled word: with
+    " a  b " as the pattern (symbols carry exactly one adjacent space
+    each side, separators are two spaces), a match can't start or end
+    inside a multi-char symbol, and consecutive merge sites keep one
+    space each so leftmost non-overlapping replace == greedy
+    left-to-right BPE (both engines' replace() scans identically).
+    Everything is integer counts + string ops — nothing float.
+
+    Scale: pair counting runs over the DISTINCT-WORD table (Zipf:
+    orders of magnitude smaller than the corpus) weighted by word
+    counts; each iteration is one map-side-combinable aggregate plus a
+    1-row broadcast — n_merges more rounds is n_merges more cheap
+    aggregates, never a corpus rescan."""
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    # " " + chars joined by "  " + " ": the boundary-safe spelling
+    spelled = words.select(
+        "cnt",
+        F.concat(F.lit(" "),
+                 F.array_join(F.split(F.col("w"), ""), "  "),
+                 F.lit(" ")).alias("s"),
+    )
+    cur = pin(spelled)  # each iteration consumes it twice (pairs + rewrite)
+    merges = []
+    for k in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            cur.select(
+                "cnt",
+                F.explode(F.zip_with(
+                    F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("sa"), b.alias("sb")),
+                )).alias("p"),
+            )
+            .groupBy(F.col("p.sa").alias("sym_a"), F.col("p.sb").alias("sym_b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pin(
+            pairs.orderBy(F.desc("pair_count"), "sym_a", "sym_b").limit(1)
+        )
+        merges.append(best.select(
+            F.lit(k).cast("long").alias("merge_idx"), "sym_a", "sym_b", "pair_count"
+        ))
+        pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit("  "), F.col("sym_b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("sym_a"), F.col("sym_b"), F.lit(" "))
+        cur = pin(
+            cur.join(F.broadcast(best))
+            .select("cnt", F.replace(F.col("s"), pat, rep).alias("s"))
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_idx")

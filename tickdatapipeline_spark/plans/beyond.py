@@ -72,6 +72,7 @@ from tickdatapipeline_spark.operators.text import (
     STOPWORDS_EN,
     TOKEN_RE,
     boilerplate_ngrams,
+    bpe_learn_merges,
     bpe_token_stats,
     char_bigram_likelihood,
     chunk_windows,
@@ -3550,6 +3551,10 @@ def queries() -> dict[str, tuple]:
             GROUP_SPLIT_SQL,
         ),
         "sim_cosine_histogram": (cosine_histogram_fn, COS_HIST_SQL),
+        "docs_bpe_merges": (
+            lambda s, d: bpe_learn_merges(_docs(s, d)),
+            _bpe_merges_sql(),
+        ),
     }
 
 
@@ -4250,3 +4255,42 @@ FROM (
     )
 )""",
 )
+
+
+# ================= BPE merge learning =================
+
+
+def _bpe_merges_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of text.bpe_learn_merges: the same iteration
+    unrolled as chained CTEs — chars spelled with the double-space
+    separator, per-round argmax (count DESC, pair ASC) cross-joined
+    back, literal replace() with the boundary-safe pattern."""
+    ctes = [f"""w0 AS (
+    SELECT count(*) AS cnt,
+           ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                                                 i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+    FROM (SELECT unnest({SQL_TOKENS}) AS w FROM documents)
+    GROUP BY w
+)"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+    SELECT syms[i] AS sym_a, syms[i + 1] AS sym_b, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM (SELECT cnt, string_split(trim(s), '  ') AS syms,
+                 unnest(range(1, len(string_split(trim(s), '  ')))) AS i
+          FROM w{k - 1})
+    GROUP BY 1, 2
+)""")
+        ctes.append(f"""b{k} AS (
+    SELECT sym_a, sym_b, pair_count FROM p{k}
+    ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+)""")
+        ctes.append(f"""w{k} AS (
+    SELECT cnt, replace(s, ' ' || sym_a || '  ' || sym_b || ' ',
+                        ' ' || sym_a || sym_b || ' ') AS s
+    FROM w{k - 1} CROSS JOIN b{k}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_idx, sym_a, sym_b, pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY merge_idx"
