@@ -2366,3 +2366,16 @@ def test_bpe_merge_greedy_overlap(spark):
     # round 1: (a,a) appears 3x per word (adjacent count) = 9
     # round 2: words are [aa, aa] -> (aa, aa) x1 per word = 3
     assert out == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
+
+
+def test_bpe_compression_golden(spark):
+    """{low x3, lower x2, newest x1} after 3 merges ((l,o), (lo,w),
+    (e,r)): char symbols 3*3+5*2+6 = 25, BPE symbols low->1 (x3),
+    lower->[low, er]=2 (x2), newest->6: 3+4+6 = 13 -> 0.52."""
+    from tickdatapipeline_spark.operators.text import bpe_compression_report
+
+    text = " ".join(["low"] * 3 + ["lower"] * 2 + ["newest"])
+    d = docs_df(spark, [(1, text, "en")])
+    r = bpe_compression_report(d, n_merges=3).collect()[0]
+    assert (r.n_words, r.n_symbols_char, r.n_symbols_bpe) == (6, 25, 13)
+    assert r.compression == 0.52

@@ -1373,3 +1373,64 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_idx")
+
+
+def bpe_compression_report(docs: DataFrame,
+                           n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """APPLY the learned BPE merges back to the corpus: segment every
+    word with the first ``n_merges`` merges and report the corpus-level
+    compression — the acceptance metric for a tokenizer change
+    (symbols/word drives training cost at a fixed token budget).
+
+    Output: one row (n_words, n_symbols_char, n_symbols_bpe,
+    compression) where compression = n_symbols_bpe / n_symbols_char
+    (ONE division of two exact BIGINTs).
+
+    Scale: shares bpe_learn_merges' shape — everything runs on the
+    distinct-word table weighted by counts; the final reduce is one
+    map-side-combinable aggregate."""
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    spelled = words.select(
+        "cnt",
+        F.concat(F.lit(" "),
+                 F.array_join(F.split(F.col("w"), ""), "  "),
+                 F.lit(" ")).alias("s"),
+    )
+    cur = pin(spelled)
+    base = cur  # char-level segmentation, for the denominator
+    for _ in range(n_merges):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            cur.select(
+                "cnt",
+                F.explode(F.zip_with(
+                    F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("sa"), b.alias("sb")),
+                )).alias("p"),
+            )
+            .groupBy(F.col("p.sa").alias("sym_a"), F.col("p.sb").alias("sym_b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pin(pairs.orderBy(F.desc("pair_count"), "sym_a", "sym_b").limit(1))
+        pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit("  "), F.col("sym_b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("sym_a"), F.col("sym_b"), F.lit(" "))
+        cur = pin(
+            cur.join(F.broadcast(best))
+            .select("cnt", F.replace(F.col("s"), pat, rep).alias("s"))
+        )
+    nsyms = lambda c: F.sum(  # noqa: E731
+        F.col("cnt") * F.size(F.split(F.trim(F.col("s")), "  "))
+    )
+    before = base.agg(F.sum("cnt").alias("n_words"), nsyms(base).alias("n_symbols_char"))
+    after = cur.agg(nsyms(cur).alias("n_symbols_bpe"))
+    return before.join(F.broadcast(after)).select(
+        "n_words", "n_symbols_char", "n_symbols_bpe",
+        rnd(F.col("n_symbols_bpe").cast("double")
+            / F.col("n_symbols_char").cast("double"), 6).alias("compression"),
+    )

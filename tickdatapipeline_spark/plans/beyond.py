@@ -72,6 +72,7 @@ from tickdatapipeline_spark.operators.text import (
     STOPWORDS_EN,
     TOKEN_RE,
     boilerplate_ngrams,
+    bpe_compression_report,
     bpe_learn_merges,
     bpe_token_stats,
     char_bigram_likelihood,
@@ -3555,6 +3556,10 @@ def queries() -> dict[str, tuple]:
             lambda s, d: bpe_learn_merges(_docs(s, d)),
             _bpe_merges_sql(),
         ),
+        "docs_bpe_compression": (
+            lambda s, d: bpe_compression_report(_docs(s, d)),
+            _bpe_compression_sql(),
+        ),
     }
 
 
@@ -4294,3 +4299,20 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\n{unions}\nORDER BY merge_idx"
+
+
+def _bpe_compression_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of text.bpe_compression_report: the learn CTEs plus
+    the before/after symbol-mass aggregate."""
+    learn = _bpe_merges_sql(n_merges)
+    # keep the learn SQL's CTE chain, swap its merges-union tail
+    head, _tail = learn.split("\nSELECT CAST(1 AS BIGINT) AS merge_idx", 1)
+    return f"""{head}
+SELECT b.n_words, b.n_symbols_char, a.n_symbols_bpe,
+       (floor((CAST(a.n_symbols_bpe AS DOUBLE) / CAST(b.n_symbols_char AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS compression
+FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(sum(cnt * len(string_split(trim(s), '  '))) AS BIGINT) AS n_symbols_char
+      FROM w0) b
+CROSS JOIN (SELECT CAST(sum(cnt * len(string_split(trim(s), '  '))) AS BIGINT) AS n_symbols_bpe
+            FROM w{n_merges}) a
+"""
