@@ -621,3 +621,33 @@ def test_robust_anomalies_top_n_is_take_ordered(spark):
     # only the mad4 broadcast is visible in the final plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "GlobalLimit" not in plan
+
+
+def test_collocations_top_k_is_take_ordered(spark):
+    """Global top-k by lift must plan TakeOrdered; the unigram totals
+    must broadcast onto the (min-count-filtered) pair table."""
+    from tickdatapipeline_spark.operators.text import collocations
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(collocations(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GlobalLimit" not in plan
+
+
+def test_group_aware_split_carries_no_forced_broadcast(spark):
+    """The corpus-vs-cluster-members join consumes a one-row-per-dup-doc
+    table — at 100 TB it may not fit a broadcast, so (same convention
+    as the other dedup joins) the plan must carry NO broadcast hint and
+    let AQE pick broadcast-vs-SMJ from observed sizes; the split draw
+    itself must stay a map-side projection (no extra exchange above
+    the join)."""
+    from tickdatapipeline_spark.operators.dedup import cluster_aware_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = cluster_aware_split(docs, max_band_bucket=None)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hint" not in opt.lower()
+    plan = physical(df)
+    above_join = plan.split("Join", 1)[0]
+    assert "Exchange" not in above_join
