@@ -2379,3 +2379,27 @@ def test_bpe_compression_golden(spark):
     r = bpe_compression_report(d, n_merges=3).collect()[0]
     assert (r.n_words, r.n_symbols_char, r.n_symbols_bpe) == (6, 25, 13)
     assert r.compression == 0.52
+
+
+def test_knn_label_accuracy_golden(spark, tmp_path):
+    """Two tight clusters along the axes (queries are vec_id % 50 == 0):
+    queries 0 and 50 are voted correctly by their own clusters; vector
+    100 sits geometrically in cluster A but carries label 9, so its
+    top-5 votes are all label 0 and its label's accuracy is 0 — the
+    mislabel is exactly what the probe flags."""
+    from tickdatapipeline_spark.plans.beyond import knn_label_accuracy_fn
+
+    rows = (
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.1], 0),
+         (3, [0.95, 0.0], 0), (4, [1.0, 0.05], 0),
+         (100, [0.97, 0.03], 9)]   # mislabeled member of cluster A (a query)
+        + [(50, [0.0, 1.0], 1), (51, [0.1, 0.9], 1), (52, [0.0, 0.9], 1),
+           (53, [0.05, 1.0], 1), (54, [0.0, 0.95], 1)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    emb.coalesce(1).write.parquet(str(tmp_path / "sf" / "embeddings.parquet"))
+    out = {r.true_label: (r.n_queries, r.n_correct, r.accuracy)
+           for r in knn_label_accuracy_fn(spark, str(tmp_path / "sf")).collect()}
+    assert out[0] == (1, 1, 1.0)
+    assert out[1] == (1, 1, 1.0)
+    assert out[9] == (1, 0, 0.0)

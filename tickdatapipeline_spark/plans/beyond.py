@@ -3560,6 +3560,7 @@ def queries() -> dict[str, tuple]:
             lambda s, d: bpe_compression_report(_docs(s, d)),
             _bpe_compression_sql(),
         ),
+        "sim_knn_label_accuracy": (knn_label_accuracy_fn, KNN_LABEL_SQL),
     }
 
 
@@ -4315,4 +4316,78 @@ FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
       FROM w0) b
 CROSS JOIN (SELECT CAST(sum(cnt * len(string_split(trim(s), '  '))) AS BIGINT) AS n_symbols_bpe
             FROM w{n_merges}) a
+"""
+
+
+# ================= kNN label probe =================
+
+
+def knn_label_accuracy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement probe: predict each sampled vector's label
+    by majority vote of its top-k cosine neighbors and report per-label
+    accuracy — the embedding-quality / label-noise eval (a healthy
+    labeled embedding space predicts its own labels; a label whose
+    accuracy craters is either noisy or not linearly clustered, and
+    every label-conditioned op downstream inherits that).
+
+    Exactness: votes are BIGINT counts; majority ties break to the
+    lower label; accuracy is one division of two exact integers.
+
+    Scale: rides cosine_topk's broadcast-probe contract (sampled query
+    side); everything after runs on O(queries x k) rows."""
+    emb = _emb(spark, sf_dir)
+    from pyspark.sql import Window
+
+    labels = emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        F.col("label").cast("long").alias("label"))
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    labels = pin(labels)  # query-side and neighbor-side lookups
+    topk = cosine_topk(emb, TOPK_K, QUERY_MOD)
+    votes = (
+        topk.join(labels.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("label").alias("n_label")), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), "n_label")
+    pred = (votes.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
+            .select("query_id", F.col("n_label").alias("pred_label")))
+    scored = pred.join(
+        labels.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("true_label")), "query_id")
+    return (
+        scored.groupBy("true_label")
+        .agg(F.count(F.lit(1)).alias("n_queries"),
+             F.sum((F.col("pred_label") == F.col("true_label")).cast("long")
+                   ).alias("n_correct"))
+        .select(
+            "true_label", "n_queries", "n_correct",
+            rnd(F.col("n_correct").cast("double") / F.col("n_queries").cast("double"),
+                6).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
+
+
+KNN_LABEL_SQL = f"""
+WITH topk AS ({COSINE_TOPK_SQL}),
+lab AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+votes AS (
+    SELECT t.query_id, l.label AS n_label, count(*) AS votes
+    FROM topk t JOIN lab l ON t.neighbor_id = l.vec_id
+    GROUP BY 1, 2
+),
+pred AS (
+    SELECT query_id, n_label AS pred_label
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, n_label) AS r
+          FROM votes)
+    WHERE r = 1
+)
+SELECT l.label AS true_label, count(*) AS n_queries,
+       CAST(sum(CASE WHEN p.pred_label = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       {sql_rnd('CAST(sum(CASE WHEN p.pred_label = l.label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)} AS accuracy
+FROM pred p JOIN lab l ON p.query_id = l.vec_id
+GROUP BY 1 ORDER BY 1
 """
