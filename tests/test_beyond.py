@@ -2403,3 +2403,49 @@ def test_knn_label_accuracy_golden(spark, tmp_path):
     assert out[0] == (1, 1, 1.0)
     assert out[1] == (1, 1, 1.0)
     assert out[9] == (1, 0, 0.0)
+
+
+def test_phrase_search_index_matches_direct(spark, tmp_path):
+    """The inverted-index path must return exactly the direct
+    corpus-scan answer (overlapping occurrences included), and the
+    postings scan must be partition-pruned to the phrase's buckets."""
+    from tickdatapipeline_spark.operators.search import (
+        phrase_search_indexed,
+        write_inverted_index,
+    )
+    from tickdatapipeline_spark.plans.beyond import SEARCH_PHRASE, phrase_search_fn
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    write_inverted_index(spark.read.parquet(f"{sf}/documents.parquet"), idx)
+
+    direct = [(r.doc_id, r.n_occurrences, r.first_pos)
+              for r in phrase_search_fn(spark, sf).collect()]
+    assert direct, "fixture phrase must occur at sf0.001"
+    via_index = phrase_search_indexed(spark, idx, SEARCH_PHRASE)
+    got = [(r.doc_id, r.n_occurrences, r.first_pos) for r in via_index.collect()]
+    assert got == direct
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and all("bucket" in ln.split("PartitionFilters")[1][:120]
+                         for ln in scans)
+
+
+def test_phrase_search_overlapping_occurrences(spark, tmp_path):
+    """'part filter part filter part' contains the phrase at positions
+    1 and 3 — both the direct formulation and the index path count
+    every start position, not just disjoint matches."""
+    from tickdatapipeline_spark.operators.search import (
+        phrase_search_indexed,
+        write_inverted_index,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "part filter part filter part", "en", "s", 29)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "idx")
+    write_inverted_index(d, idx)
+    r = phrase_search_indexed(spark, idx, "part filter part").collect()
+    assert [(x.doc_id, x.n_occurrences, x.first_pos) for x in r] == [(1, 2, 1)]

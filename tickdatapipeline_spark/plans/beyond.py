@@ -3561,6 +3561,7 @@ def queries() -> dict[str, tuple]:
             _bpe_compression_sql(),
         ),
         "sim_knn_label_accuracy": (knn_label_accuracy_fn, KNN_LABEL_SQL),
+        "docs_phrase_search": (phrase_search_fn, _phrase_search_sql(SEARCH_PHRASE)),
     }
 
 
@@ -4390,4 +4391,67 @@ SELECT l.label AS true_label, count(*) AS n_queries,
        {sql_rnd('CAST(sum(CASE WHEN p.pred_label = l.label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)} AS accuracy
 FROM pred p JOIN lab l ON p.query_id = l.vec_id
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ================= lexical phrase search =================
+
+SEARCH_PHRASE = "part filter"
+
+
+def phrase_search_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search, direct corpus-scan formulation: documents
+    containing the token-adjacent phrase, with occurrence count and
+    first position — the lexical complement of the ANN family, and the
+    oracle-gated twin of operators/search.py::phrase_search_indexed
+    (whose inverted index answers the same query from partition-pruned
+    posting buckets at corpus scale; equality is pinned in
+    tests/test_beyond.py::test_phrase_search_index_matches_direct).
+
+    Exactness: token positions are integers; equality on ASCII tokens.
+
+    Scale: one map-side pass (tokenize + position filter per row) —
+    no shuffle at all until the final tiny result sort."""
+    words = SEARCH_PHRASE.split()
+    docs = _docs(spark, sf_dir)
+    # element_at is 1-based like DuckDB's t[i] (bracket indexing in
+    # Spark is 0-based); every probed position is in range by the
+    # sequence bound, so ANSI-strict element_at never throws
+    cond = " AND ".join(
+        f"element_at(t, i + {j}) = '{w}'" for j, w in enumerate(words)
+    )
+    span = len(words) - 1
+    hits = F.expr(
+        f"filter(sequence(1, size(t) - {span}), i -> {cond})"
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= len(words))
+        .select("doc_id", hits.alias("hits"))
+        .where(F.size("hits") > 0)
+        .select(
+            "doc_id",
+            F.size("hits").cast("long").alias("n_occurrences"),
+            F.get("hits", 0).cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _phrase_search_sql(phrase: str) -> str:
+    words = phrase.split()
+    cond = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(words))
+    span = len(words) - 1
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {SQL_TOKENS} AS t FROM documents
+),
+hits AS (
+    SELECT doc_id, list_filter(range(1, len(t) - {span} + 1), i -> {cond}) AS h
+    FROM toks WHERE len(t) >= {len(words)}
+)
+SELECT doc_id, CAST(len(h) AS BIGINT) AS n_occurrences,
+       CAST(h[1] AS BIGINT) AS first_pos
+FROM hits WHERE len(h) > 0 ORDER BY doc_id
 """
