@@ -491,3 +491,47 @@ def docs_df_local(spark, texts):
         [(i, t, "en") for i, t in enumerate(texts)],
         "doc_id long, text string, lang string",
     )
+
+
+@given(words=st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=10,
+))
+@SET
+def test_bpe_learn_merges_matches_python_mirror(spark, words):
+    """bpe_learn_merges equals a pure-Python greedy BPE mirror (pair
+    counts over the word-frequency table, argmax with count-DESC /
+    pair-ASC ties, leftmost non-overlapping re-segmentation) on
+    arbitrary small corpora — the string-replace encoding must never
+    diverge from true symbol-level greedy merging."""
+    from collections import Counter
+
+    from tickdatapipeline_spark.operators.text import bpe_learn_merges
+
+    d = docs_df_local(spark, [" ".join(words)])
+    got = [(r.merge_idx, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_learn_merges(d, n_merges=3).collect()]
+
+    freq = Counter(words)
+    segs = {w: list(w) for w in freq}
+    expect = []
+    for k in range(1, 4):
+        pairs: Counter = Counter()
+        for w, n in freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((k, a, b, cnt))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    assert got == expect[:len(got)] and len(got) == len(expect)

@@ -1702,3 +1702,57 @@ def test_hourly_topk_stream_restart_resumes(spark, tmp_path):
         by_batch.setdefault(r.batch_id, []).append((r.hour_s, r.rnk, r.user_id, r.hour_value))
     assert set(by_batch) == {0, 1}  # ids continued, batch 0 not replayed
     assert sorted(by_batch[1]) == [(0, 1, 1, 10.0), (0, 2, 2, 8.0)]
+
+
+def test_backfill_hourly_store_warm_start(spark, tmp_path):
+    """A backfilled store (batch_id=-1) folds into the first trigger's
+    detection exactly as if the history had streamed through: the
+    post-backfill CUSUM over history+batch equals the batch query's
+    algebra over the union."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import cusum_over_hourly
+    from tickdatapipeline_spark.streaming.eventtime import (
+        backfill_hourly_store,
+        run_value_cusum_stream,
+    )
+
+    hour_ns = 3_600 * 1_000_000_000
+    hist = [(1, 0, 1.0), (2, hour_ns, 1.0)]  # hours 0,1 level 1.0
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in hist], pa.int64()),
+        "ts": pa.array([r[1] for r in hist], pa.timestamp("ns")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["m", "m"]),
+        "value": pa.array([r[2] for r in hist]),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    store = str(tmp_path / "store")
+    backfill_hourly_store(spark, str(tmp_path / "events.parquet"), store)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    hour_us = 3_600 * 1_000_000
+    with open(in_dir / "b0.json", "w") as f:
+        for j, (h, v) in enumerate([(2, 2.0), (3, 2.0)]):  # the level shift
+            f.write(json.dumps({"event_id": 10 + j, "tus": h * hour_us,
+                                "event_type": "m", "value": v}) + "\n")
+    os.utime(in_dir / "b0.json", (1700000000, 1700000000))
+
+    q = run_value_cusum_stream(spark, str(in_dir), store,
+                               str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    r = {(x.batch_id, x.event_type): x
+         for x in spark.read.parquet(str(tmp_path / "out")).collect()}[(0, "m")]
+    # identical to the warm 4-hour series (100,100,200,200): k=2, stat 400
+    assert (r.k, r.n_hours, r.stat, r.cp_hour_s) == (2, 4, 400, 3_600)
+    assert (r.mean_before, r.mean_after) == (1.0, 2.0)

@@ -1063,3 +1063,40 @@ def run_quality_observed_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def backfill_hourly_store(spark: SparkSession, events_parquet: str,
+                          store_dir: str) -> None:
+    """Warm-start a batch_id-partitioned hourly store from historical
+    batch data: aggregates the parquet history into the store's
+    (event_type, hour_s) delta shape and writes it as partition
+    batch_id=-1 — BELOW every streaming trigger's id, so the stream's
+    own `batch_id <= current` reads fold history in from the first
+    trigger and a checkpoint replay still rewrites only its own
+    partitions. The CUSUM/KS/leaderboard monitors then start with full
+    context instead of a cold window.
+
+    Scale: one map-side-combinable aggregate over the history scan;
+    the store gains ONE compact partition regardless of history size
+    (compact_batch_store semantics are unaffected: -1 <= every
+    upto_batch_id)."""
+    from tickdatapipeline_spark.sources.io import read_parquet
+
+    ev = read_parquet(spark, events_parquet)
+    surfaced = ev.schema["ts"].dataType.simpleString() if "ts" in ev.columns else None
+    if surfaced == "bigint":
+        tus = F.expr("ts DIV 1000")
+    elif surfaced is not None:
+        tus = F.unix_micros(F.col("ts"))
+    else:
+        tus = F.col("tus")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        ev.select(tus.cast("long").alias("tus"), "event_type", vc.alias("vc"))
+        # integer DIV, same algebra as the stream's per-batch fold
+        .select(F.expr("(tus DIV 1000000 DIV 3600) * 3600").alias("hour_s"),
+                "event_type", "vc")
+        .groupBy("event_type", "hour_s")
+        .agg(F.sum("vc").alias("h_sum"))
+    )
+    hist.write.mode("overwrite").parquet(f"{store_dir}/batch_id=-1")
