@@ -2449,3 +2449,32 @@ def test_phrase_search_overlapping_occurrences(spark, tmp_path):
     write_inverted_index(d, idx)
     r = phrase_search_indexed(spark, idx, "part filter part").collect()
     assert [(x.doc_id, x.n_occurrences, x.first_pos) for x in r] == [(1, 2, 1)]
+
+
+def test_ann_mrr_golden(spark, tmp_path):
+    """Hand-buildable MRR: with IVF probing only nprobe=2 of the cells,
+    a query whose true nearest neighbor lives in an unprobed cell
+    contributes 0; one whose list leads with the true NN contributes
+    1.0. Checked against a direct python recomputation from the two
+    operator outputs."""
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+        cosine_topk,
+    )
+    from tickdatapipeline_spark.plans.beyond import QUERY_MOD, TOPK_K, ann_mrr_fn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, TOPK_K, QUERY_MOD).collect()
+    approx = ann_topk_ivf(emb, TOPK_K, QUERY_MOD).collect()
+    true1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    import numpy as np
+
+    acc = 0.0
+    for q in sorted(true1):
+        ranks = [r.rank for r in approx if r.query_id == q and r.neighbor_id == true1[q]]
+        acc += 1.0 / ranks[0] if ranks else 0.0
+    expect = float(np.floor(acc / len(true1) * 1e6 + 0.5) / 1e6)
+
+    got = ann_mrr_fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert got.n_queries == len(true1)
+    assert got.mrr == expect

@@ -3562,6 +3562,7 @@ def queries() -> dict[str, tuple]:
         ),
         "sim_knn_label_accuracy": (knn_label_accuracy_fn, KNN_LABEL_SQL),
         "docs_phrase_search": (phrase_search_fn, _phrase_search_sql(SEARCH_PHRASE)),
+        "sim_ann_mrr_ivf": (ann_mrr_fn, ANN_MRR_SQL),
     }
 
 
@@ -4454,4 +4455,70 @@ hits AS (
 SELECT doc_id, CAST(len(h) AS BIGINT) AS n_occurrences,
        CAST(h[1] AS BIGINT) AS first_pos
 FROM hits WHERE len(h) > 0 ORDER BY doc_id
+"""
+
+
+# ================= ANN mean reciprocal rank =================
+
+
+def ann_mrr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the IVF path against brute-force ground
+    truth: at what position does the approximate list surface each
+    query's TRUE nearest neighbor — the rank-position-sensitive
+    complement of recall@k (recall can stay flat while the true top-1
+    slides from rank 1 to rank k; MRR catches that before a
+    production re-ranker would).
+
+    Exactness: each reciprocal 1/rank is one correctly-rounded IEEE
+    division; the mean folds reciprocals in query_id order (sorted
+    fold, both engines) and divides once — bit-identical.
+
+    Scale: both inputs follow their own contracts (broadcast-probe
+    scorers); everything here runs on O(queries) rows, and the final
+    fold is over a collected-per-group array of |queries| doubles — a
+    scalar aggregate, not a corpus structure."""
+    exact = cosine_topk(_emb(spark, sf_dir), TOPK_K, QUERY_MOD)
+    approx = ann_topk_ivf(_emb(spark, sf_dir), TOPK_K, QUERY_MOD)
+    true1 = exact.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("true_nn"))
+    hit = approx.join(true1, "query_id").where(
+        F.col("neighbor_id") == F.col("true_nn")
+    ).select("query_id", F.col("rank").alias("hit_rank"))
+    rr = true1.join(hit, "query_id", "left").select(
+        "query_id",
+        F.when(F.col("hit_rank").isNotNull(),
+               F.lit(1.0) / F.col("hit_rank").cast("double"))
+        .otherwise(F.lit(0.0)).alias("rr"),
+    )
+    folded = rr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.aggregate(
+            F.transform(F.sort_array(F.collect_list(F.struct("query_id", "rr"))),
+                        lambda x: x["rr"]),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("rr_sum"),
+    )
+    return folded.select(
+        "n_queries",
+        rnd(F.col("rr_sum") / F.col("n_queries").cast("double"), 6).alias("mrr"),
+    )
+
+
+ANN_MRR_SQL = f"""
+WITH exact AS ({COSINE_TOPK_SQL}),
+approx AS ({IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)}),
+true1 AS (SELECT query_id, neighbor_id AS true_nn FROM exact WHERE rank = 1),
+hit AS (
+    SELECT a.query_id, a.rank AS hit_rank
+    FROM approx a JOIN true1 t ON a.query_id = t.query_id AND a.neighbor_id = t.true_nn
+),
+rr AS (
+    SELECT t.query_id,
+           CASE WHEN h.hit_rank IS NOT NULL
+                THEN 1.0e0 / CAST(h.hit_rank AS DOUBLE) ELSE 0.0e0 END AS rr
+    FROM true1 t LEFT JOIN hit h ON t.query_id = h.query_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       {sql_rnd("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rr ORDER BY query_id)), (x, y) -> x + y) / CAST(count(*) AS DOUBLE)", 6)} AS mrr
+FROM rr
 """
