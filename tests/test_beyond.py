@@ -2478,3 +2478,33 @@ def test_ann_mrr_golden(spark, tmp_path):
     got = ann_mrr_fn(spark, "/root/testdata/sf0.001").collect()[0]
     assert got.n_queries == len(true1)
     assert got.mrr == expect
+
+
+def test_value_trend_golden(spark, tmp_path):
+    """Perfect line: hourly sums 1.0, 2.0, 3.0 -> slope exactly 1.0/h,
+    mean 2.0; a flat type slopes 0.0; a single-hour type (sxx = 0) is
+    excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import value_trend_fn
+
+    hour_ns = 3_600 * 1_000_000_000
+    rows = [(1, 0, "up", 1.0), (2, hour_ns, "up", 2.0), (3, 2 * hour_ns, "up", 3.0),
+            (4, 0, "flat", 5.0), (5, hour_ns, "flat", 5.0),
+            (6, 0, "single", 9.0)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([r[3] for r in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = {r.event_type: r for r in value_trend_fn(spark, str(tmp_path / "sf")).collect()}
+    assert set(out) == {"up", "flat"}
+    assert (out["up"].n_hours, out["up"].mean_hourly_value, out["up"].slope_per_hour) \
+        == (3, 2.0, 1.0)
+    assert out["flat"].slope_per_hour == 0.0

@@ -3563,6 +3563,7 @@ def queries() -> dict[str, tuple]:
         "sim_knn_label_accuracy": (knn_label_accuracy_fn, KNN_LABEL_SQL),
         "docs_phrase_search": (phrase_search_fn, _phrase_search_sql(SEARCH_PHRASE)),
         "sim_ann_mrr_ivf": (ann_mrr_fn, ANN_MRR_SQL),
+        "events_value_trend": (value_trend_fn, VALUE_TREND_SQL),
     }
 
 
@@ -4521,4 +4522,100 @@ rr AS (
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        {sql_rnd("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(rr ORDER BY query_id)), (x, y) -> x + y) / CAST(count(*) AS DOUBLE)", 6)} AS mrr
 FROM rr
+"""
+
+
+# ================= per-type linear trend =================
+
+
+def value_trend_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of hourly value: exact OLS slope over
+    (hour index, hourly cent sum) — the drift DIRECTION/RATE readout
+    next to the detectors (CUSUM says WHEN the level changed, KS says
+    the distribution moved, the slope says how fast it's moving and
+    which way).
+
+    Exactness: x is the hour index centered on the integer midpoint of
+    the type's span (slope is shift-invariant; centering keeps every
+    accumulated product inside int64 — bounds guarded IN-PLAN, see
+    below), y is the BIGINT cent sum; all five OLS sums are BIGINT and
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) is computed from exact
+    integers with ONE final division. An un-prunable raise_error folds
+    into the guard: n*|Sxy| and n*Sxx must stay below 2^62, which at
+    100 TB means "trend windows above ~100 K hours x 10^9-cent hours
+    need re-binning", the documented contract — never a silent
+    overflow.
+
+    Scale: raw events reduce map-side to O(hours x types); the span
+    midpoint is a tiny per-type aggregate broadcast back; the OLS
+    sums are one more map-side-combinable aggregate over hourly rows."""
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.select(F.expr("(ts DIV 1000000000 DIV 3600)").alias("h"),
+                  "event_type", vc.alias("vc"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("vc").alias("y"))
+    )
+    # integer DIV: DuckDB CAST(double AS BIGINT) ROUNDS while Spark's
+    # cast truncates — an odd min+max would silently diverge
+    span = hourly.groupBy("event_type").agg(
+        F.expr("(min(h) + max(h)) DIV 2").alias("mid"))
+    c = (
+        hourly.join(F.broadcast(span), "event_type")
+        .select("event_type", (F.col("h") - F.col("mid")).alias("x"), "y")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    lim = F.lit(2 ** 62)
+    guard = F.when(
+        (F.col("n") * F.abs(F.col("sxy")) < lim) & (F.col("n") * F.col("sxx") < lim),
+        F.col("n"),
+    ).otherwise(F.raise_error(F.lit(
+        "value_trend: OLS sums exceed the int64 budget — re-bin the trend window"
+    )))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        c.where(F.col("sxx") > 0)  # a single-hour type has no trend
+        .select(
+            "event_type", guard.alias("n_hours"),
+            rnd(F.col("sy").cast("double") / F.col("n") / F.lit(100.0), 6
+                ).alias("mean_hourly_value"),
+            rnd(num / den / F.lit(100.0), 6).alias("slope_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_TREND_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, (epoch_us(ts) // 1000000 // 3600) AS h,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT event_type, (min(h) + max(h)) // 2 AS mid
+    FROM hourly GROUP BY 1
+),
+sums AS (
+    SELECT hourly.event_type,
+           count(*) AS n,
+           CAST(sum(h - mid) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum((h - mid) * y) AS BIGINT) AS sxy,
+           CAST(sum((h - mid) * (h - mid)) AS BIGINT) AS sxx
+    FROM hourly JOIN span ON hourly.event_type = span.event_type
+    GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       {sql_rnd('CAST(sy AS DOUBLE) / n / 100.0', 6)} AS mean_hourly_value,
+       {sql_rnd('CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0', 6)} AS slope_per_hour
+FROM sums WHERE sxx > 0
+ORDER BY event_type
 """
