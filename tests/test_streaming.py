@@ -1756,3 +1756,40 @@ def test_backfill_hourly_store_warm_start(spark, tmp_path):
     # identical to the warm 4-hour series (100,100,200,200): k=2, stat 400
     assert (r.k, r.n_hours, r.stat, r.cp_hour_s) == (2, 4, 400, 3_600)
     assert (r.mean_before, r.mean_after) == (1.0, 2.0)
+
+
+def test_value_trend_stream(spark, tmp_path):
+    """Streaming trend: after batch 0 (flat 1.0, 1.0) the slope is 0;
+    batch 1 appends hours at 2.0 and 3.0 — the re-run over the
+    accumulated store reports the hand-computed OLS slope of the whole
+    series (0.7/h over sums 100,100,200,300 cents)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_value_trend_stream
+
+    hour_us = 3_600 * 1_000_000
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [[(0, 1.0), (1, 1.0)], [(2, 2.0), (3, 3.0)]]
+    for i, rows in enumerate(batches):
+        with open(in_dir / f"b{i}.json", "w") as f:
+            for j, (h, v) in enumerate(rows):
+                f.write(json.dumps({"event_id": 10 * i + j, "tus": h * hour_us,
+                                    "event_type": "m", "value": v}) + "\n")
+        os.utime(in_dir / f"b{i}.json", (1700000000 + i, 1700000000 + i))
+
+    q = run_value_trend_stream(
+        spark, str(in_dir), str(tmp_path / "store"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {(r.batch_id, r.event_type): r
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[(0, "m")].slope_per_hour == 0.0
+    # series y = [100, 100, 200, 300] at x = 0..3: slope = 70 cents/h
+    r1 = out[(1, "m")]
+    assert (r1.n_hours, r1.slope_per_hour, r1.mean_hourly_value) == (4, 0.7, 1.75)

@@ -4557,6 +4557,13 @@ def value_trend_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "h")
         .agg(F.sum("vc").alias("y"))
     )
+    return trend_over_hourly(hourly)
+
+
+def trend_over_hourly(hourly: DataFrame) -> DataFrame:
+    """The OLS algebra of value_trend_fn over a prepared
+    (event_type, h, y) hourly frame — shared with
+    streaming.run_value_trend_stream exactly like cusum_over_hourly."""
     # integer DIV: DuckDB CAST(double AS BIGINT) ROUNDS while Spark's
     # cast truncates — an odd min+max would silently diverge
     span = hourly.groupBy("event_type").agg(

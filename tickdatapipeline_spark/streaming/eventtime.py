@@ -1100,3 +1100,58 @@ def backfill_hourly_store(spark: SparkSession, events_parquet: str,
         .agg(F.sum("vc").alias("h_sum"))
     )
     hist.write.mode("overwrite").parquet(f"{store_dir}/batch_id=-1")
+
+
+def run_value_trend_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> "object":
+    """Live trend monitor: per micro-batch, fold the batch into the
+    SAME durable hourly store the CUSUM monitor uses and re-run the
+    exact OLS slope (plans/beyond.py::trend_over_hourly) over the
+    accumulated series — one (type, slope) row per batch, the drift
+    rate/direction feed next to the changepoint and KS alarms. Store
+    layout, replay idempotence and compaction/backfill semantics are
+    identical to run_value_cusum_stream (a deployment can point BOTH
+    monitors at one store)."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from tickdatapipeline_spark.plans.beyond import trend_over_hourly
+
+        sp = batch_df.sparkSession
+        vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        delta = (
+            batch_df.select(
+                F.expr("(tus DIV 1000000 DIV 3600) * 3600").alias("hour_s"),
+                "event_type", vc.alias("vc"),
+            )
+            .groupBy("event_type", "hour_s")
+            .agg(F.sum("vc").alias("h_sum"))
+        )
+        delta.write.mode("overwrite").parquet(f"{store_dir}/batch_id={batch_id}")
+        full = (
+            sp.read.parquet(store_dir)
+            .where(F.col("batch_id") <= batch_id)
+            .groupBy("event_type", "hour_s")
+            .agg(F.sum("h_sum").alias("h_sum"))
+            .select("event_type", F.expr("hour_s DIV 3600").alias("h"),
+                    F.col("h_sum").alias("y"))
+        )
+        _write_batch_idempotent(trend_over_hourly(full), out_dir, batch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
