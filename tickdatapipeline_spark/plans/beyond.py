@@ -3564,6 +3564,7 @@ def queries() -> dict[str, tuple]:
         "docs_phrase_search": (phrase_search_fn, _phrase_search_sql(SEARCH_PHRASE)),
         "sim_ann_mrr_ivf": (ann_mrr_fn, ANN_MRR_SQL),
         "events_value_trend": (value_trend_fn, VALUE_TREND_SQL),
+        "events_health_summary": (health_summary_fn, HEALTH_SUMMARY_SQL),
     }
 
 
@@ -4625,4 +4626,41 @@ SELECT event_type, CAST(n AS BIGINT) AS n_hours,
        {sql_rnd('CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0', 6)} AS slope_per_hour
 FROM sums WHERE sxx > 0
 ORDER BY event_type
+"""
+
+
+# ================= per-type health summary =================
+
+
+def health_summary_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type monitor dashboard: one row per event type joining the
+    detector family — the CUSUM changepoint (WHEN the level shifted,
+    by how much before/after) and the exact OLS trend (how fast it is
+    drifting now) over the same hourly series — the single query an
+    on-call pins next to the alarms, and the batch twin of pointing
+    run_value_cusum_stream and run_value_trend_stream at one store.
+
+    Exactness: a pure column-subset join of two already-exact plans
+    on event_type; nothing new crosses the oracle.
+
+    Scale: the hourly reduction is shared lineage; both detector
+    aggregates run on O(hours x types) rows and join on O(types)."""
+    cu = value_cusum_fn(spark, sf_dir).select(
+        "event_type", F.col("n_hours").alias("n_hours"),
+        F.col("stat").alias("cusum_stat"), "cp_hour_s",
+        "mean_before", "mean_after",
+    )
+    tr = value_trend_fn(spark, sf_dir).select(
+        "event_type", "mean_hourly_value", "slope_per_hour")
+    return cu.join(tr, "event_type").orderBy("event_type")
+
+
+HEALTH_SUMMARY_SQL = f"""
+WITH cu AS ({VALUE_CUSUM_SQL}),
+tr AS ({VALUE_TREND_SQL})
+SELECT cu.event_type, cu.n_hours, cu.stat AS cusum_stat, cu.cp_hour_s,
+       cu.mean_before, cu.mean_after,
+       tr.mean_hourly_value, tr.slope_per_hour
+FROM cu JOIN tr ON cu.event_type = tr.event_type
+ORDER BY cu.event_type
 """
