@@ -129,7 +129,12 @@ def _registry() -> dict[str, tuple]:
     # VERY NEXT round instead of waiting out the ceil(n/50)-round
     # rotation; once a newer round greens it, it drops back to tier 1
     # even before FINGERPRINTS.json is refreshed, so tier 0 drains
-    # itself and cannot starve the rotation.
+    # itself and cannot starve the rotation. WITHIN tier 0, EDITED
+    # previously-green queries sort before never-green ones: when a
+    # build session adds more than 50 new queries, the window must
+    # still catch a regression in something the driver had already
+    # certified — new queries (in-repo verified at birth) can wait a
+    # round; a silent regression cannot.
     #
     # Tier 1 — everything else, least-recently-verified first (ascending
     # latest-green round). Ties keep registry order, so the full
@@ -145,19 +150,19 @@ def _registry() -> dict[str, tuple]:
     gated_names = [n for n, p in reg.items() if p[1] is not None]
     order = {n: i for i, n in enumerate(gated_names)}
 
-    def tier(n: str) -> int:
+    def tier(n: str) -> tuple[int, int]:
         if n not in last:
-            return 0  # never driver-green
+            return (0, 1)  # never driver-green: tier 0, after edited
         rec = recorded.get(n)
         if (
             rec is not None
             and rec.get("fp") != _fingerprint(*reg[n])
             and last[n] <= rec.get("round", 0)
         ):
-            return 0  # edited since its last verified recording
-        return 1
+            return (0, 0)  # edited since its last verified recording
+        return (1, 0)
 
-    gated_names.sort(key=lambda n: (tier(n), last.get(n, 0), order[n]))
+    gated_names.sort(key=lambda n: (*tier(n), last.get(n, 0), order[n]))
     gated = {n: reg[n] for n in gated_names}
     rows_only = {n: p for n, p in reg.items() if p[1] is None}
     return {**gated, **rows_only}

@@ -106,16 +106,26 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
     assert len(seen) == n_gated, "some gated query never enters the window"
     assert max(seen.values()) <= n_rounds
 
-    # and with the REAL committed CORRECTNESS files: any query that has
-    # never had a green driver row must lead the very next window.
+    # and with the REAL committed CORRECTNESS files: tier-0 queries
+    # (never green on current code) lead the next window. When a build
+    # session adds MORE than 50 new queries, the overflow defers — the
+    # guarantee is then "the window holds nothing BUT tier 0", with the
+    # remainder landing in the following round(s) (they stay tier 0
+    # until green, and the simulated loop above already proves every
+    # query enters within ceil(n/50) rounds).
     monkeypatch.undo()
     real_last = mod._last_green_round()
     window = list(mod.queries())[:50]
     never_green = [n for n in mod.oracle_sql() if n not in real_last]
-    assert all(n in window for n in never_green), (
-        f"never-verified queries missing from next window: "
-        f"{[n for n in never_green if n not in window]}"
-    )
+    if len(never_green) <= 50:
+        assert all(n in window for n in never_green), (
+            f"never-verified queries missing from next window: "
+            f"{[n for n in never_green if n not in window]}"
+        )
+    else:
+        assert all(n in never_green for n in window), (
+            "tier-0 overflow round must spend its whole window on tier 0"
+        )
 
 
 def test_edited_query_leads_next_window(monkeypatch):
@@ -158,9 +168,10 @@ def test_edited_query_leads_next_window(monkeypatch):
     monkeypatch.setattr(mod, "_recorded_fingerprints", lambda: fake)
     order = list(mod.queries())
     vi = order.index(victim)
-    # the victim now precedes EVERY tier-1 query (never-green newcomers
-    # may legitimately share tier 0 ahead of it) — in particular it is
-    # inside the driver's 50-entry window
+    # the victim now precedes EVERY tier-1 query AND every never-green
+    # newcomer (edited previously-green queries are sub-tier 0.0: a
+    # regression in certified code outranks a new query's first check)
+    # — in particular it is inside the driver's 50-entry window
     assert all(vi < order.index(n) for n in tier1_names(order))
     assert vi < 50
 
