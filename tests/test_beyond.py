@@ -2508,3 +2508,34 @@ def test_value_trend_golden(spark, tmp_path):
     assert (out["up"].n_hours, out["up"].mean_hourly_value, out["up"].slope_per_hour) \
         == (3, 2.0, 1.0)
     assert out["flat"].slope_per_hour == 0.0
+
+
+def test_stickiness_golden(spark, tmp_path):
+    """Hand-built 3 days: day 0 users {1,2}, day 1 {1}, day 8 {3}.
+    Day 0: dau 2 / wau 2 = 1.0; day 1: dau 1, wau = {1,2} (day 0 rows
+    serve the window) = 0.5; day 8 is beyond day 1's 7-day reach so its
+    wau is just {3} = 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import stickiness_fn
+
+    day_ns = 86_400 * 1_000_000_000
+    rows = [(1, 0, 1), (2, 0, 2), (3, day_ns, 1), (4, 8 * day_ns, 3)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["m"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    out = [(r.day_s, r.dau, r.wau, r.stickiness)
+           for r in stickiness_fn(spark, str(tmp_path / "sf")).collect()]
+    assert out == [
+        (0, 2, 2, 1.0),
+        (86_400, 1, 2, 0.5),
+        (8 * 86_400, 1, 1, 1.0),
+    ]

@@ -189,3 +189,23 @@ def test_tickfile_datasource_matches_native_reader(spark, tmp_path):
         "line_no", "ts_str", "bid", "ask", "last", "volume")
     assert sorted(tuple(r) for r in native.collect()) == \
         [t[1:] for t in got if t[0] == "a.txt"]
+
+
+def test_register_views_sql_entrypoint(spark):
+    """spark.sql over the registered views answers a join query with
+    full pushdown (the filter reaches the parquet scan) — the SQL-first
+    user path."""
+    from tickdatapipeline_spark.sources.views import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    df = spark.sql("""
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0
+        GROUP BY n.n_name ORDER BY n_customers DESC, n_name LIMIT 5
+    """)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:200]
+    assert "BroadcastHashJoin" in plan

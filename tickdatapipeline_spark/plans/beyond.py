@@ -3565,6 +3565,7 @@ def queries() -> dict[str, tuple]:
         "sim_ann_mrr_ivf": (ann_mrr_fn, ANN_MRR_SQL),
         "events_value_trend": (value_trend_fn, VALUE_TREND_SQL),
         "events_health_summary": (health_summary_fn, HEALTH_SUMMARY_SQL),
+        "events_stickiness": (stickiness_fn, STICKINESS_SQL),
     }
 
 
@@ -4663,4 +4664,72 @@ SELECT cu.event_type, cu.n_hours, cu.stat AS cusum_stat, cu.cp_hour_s,
        tr.mean_hourly_value, tr.slope_per_hour
 FROM cu JOIN tr ON cu.event_type = tr.event_type
 ORDER BY cu.event_type
+"""
+
+
+# ================= DAU/WAU stickiness =================
+
+STICKY_WINDOW_D = 7
+
+
+def stickiness_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: per day, DAU / WAU — distinct users that
+    day over distinct users in the trailing 7 days (the standard
+    how-often-do-actives-return ratio).
+
+    Scale trick: trailing-window DISTINCT doesn't slide — instead of 7
+    scans or a windowed countDistinct (which Spark would expand
+    row-per-user-per-day anyway), the (user, day) DISTINCT table
+    explodes each row to the <=7 future days it can serve (bounded
+    fan-out), and ONE groupBy counts distinct users per target day.
+    Everything is map-side-combinable before the one exchange on
+    target_day; the ratio is a single division of two exact counts.
+
+    Day domain note: only target days that actually have activity are
+    reported (inner join DAU), and the trailing window may span days
+    with no events (they simply contribute nothing)."""
+    ev = read_events(spark, sf_dir)
+    ud = (
+        ev.select(F.expr("(ts DIV 1000000000 DIV 86400)").alias("day"), "user_id")
+        .distinct()
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    ud = pin(ud)  # DAU side + the exploded WAU side
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"),
+                                 F.col("day") + (STICKY_WINDOW_D - 1))).alias("t_day"),
+        )
+        .groupBy("t_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.t_day)
+        .select(
+            (F.col("day") * 86400).alias("day_s"), "dau", "wau",
+            rnd(F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+                ).alias("stickiness"),
+        )
+        .orderBy("day_s")
+    )
+
+
+STICKINESS_SQL = f"""
+WITH ud AS (
+    SELECT DISTINCT (epoch_us(ts) // 1000000 // 86400) AS day, user_id FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+wau AS (
+    SELECT t_day, count(DISTINCT user_id) AS wau
+    FROM (SELECT user_id, unnest(range(day, day + {STICKY_WINDOW_D})) AS t_day FROM ud)
+    GROUP BY 1
+)
+SELECT CAST(dau.day * 86400 AS BIGINT) AS day_s,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       {sql_rnd('CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)', 6)} AS stickiness
+FROM dau JOIN wau ON dau.day = wau.t_day
+ORDER BY day_s
 """
