@@ -2539,3 +2539,21 @@ def test_stickiness_golden(spark, tmp_path):
         (86_400, 1, 2, 0.5),
         (8 * 86_400, 1, 1, 1.0),
     ]
+
+
+def test_dup_degree_histogram_golden(spark):
+    """A triple of identical docs plus a disjoint pair: the triple's
+    members each have degree 2, the pair's degree 1 -> histogram
+    {1: 2 docs, 2: 3 docs}."""
+    from tickdatapipeline_spark.plans.beyond import dup_degree_fn
+    import tempfile
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(3)]
+    rows += [(10 + i, "one two three four five six", "en") for i in range(2)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, l, "s", len(t)) for i, t, l in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+        out = {r.degree: r.n_docs for r in dup_degree_fn(spark, td).collect()}
+    assert out == {1: 2, 2: 3}

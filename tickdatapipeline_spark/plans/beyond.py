@@ -3566,6 +3566,7 @@ def queries() -> dict[str, tuple]:
         "events_value_trend": (value_trend_fn, VALUE_TREND_SQL),
         "events_health_summary": (health_summary_fn, HEALTH_SUMMARY_SQL),
         "events_stickiness": (stickiness_fn, STICKINESS_SQL),
+        "dedup_degree_histogram": (dup_degree_fn, DUP_DEGREE_SQL),
     }
 
 
@@ -4732,4 +4733,43 @@ SELECT CAST(dau.day * 86400 AS BIGINT) AS day_s,
        {sql_rnd('CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)', 6)} AS stickiness
 FROM dau JOIN wau ON dau.day = wau.t_day
 ORDER BY day_s
+"""
+
+
+# ================= dup-graph degree distribution =================
+
+
+def dup_degree_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the verified near-dup graph: how many
+    documents have exactly d near-duplicates — the corpus-health
+    readout behind dedup strategy (a long-tailed distribution says
+    "pairwise keep-one suffices"; mass at high degree says "template
+    farms — cluster first, or the pair table is quadratic in the
+    farm"). The same distribution bounds duplicate_clusters' join
+    fan-out per round.
+
+    Scale: rides the LSH+verification sub-DAG; the degree aggregate is
+    two map-side-combinable groupBys over the (tiny) pair table."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+DUP_DEGREE_SQL = f"""
+WITH pairs AS ({JACCARD_SQL}),
+deg AS (
+    SELECT doc, count(*) AS degree
+    FROM (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    GROUP BY doc
+)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree
 """
