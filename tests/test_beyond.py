@@ -2580,3 +2580,38 @@ def test_weighted_jaccard_downweights_boilerplate(spark):
     if (3, 4) in out:  # boiler-only pair may or may not clear LSH bands
         assert out[(3, 4)] < out[(1, 2)]
         assert out[(3, 4)] < 0.6  # plain jaccard of 3-4 would be ~0.45; weighted must not exceed it
+
+
+def test_fluency_filter_respects_per_source_bar(spark, tmp_path):
+    """Survivors score >= their OWN source's exact p10 bar, ~90% of
+    each source survives, and the bars genuinely differ per source
+    (the reason for per-domain thresholds)."""
+    from tickdatapipeline_spark.plans.beyond import fluency_filter_fn
+    from tickdatapipeline_spark.operators.text import char_bigram_likelihood
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):  # fluent-ish source: words over a small alphabet
+        rows.append((i, " ".join("ab" * rng.randint(1, 3) for _ in range(8)),
+                     "en", "clean", 0))
+    for i in range(30, 60):  # noisy source: wide-alphabet gibberish
+        rows.append((i, "".join(rng.choice("qwxzjkv ") for _ in range(40)),
+                     "en", "noisy", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "sf" / "documents.parquet"))
+
+    out = fluency_filter_fn(spark, str(tmp_path / "sf")).collect()
+    assert out
+    bars = {}
+    for r in out:
+        assert r.avg_bigram_p >= r.bar
+        bars[r.source] = r.bar
+    assert set(bars) == {"clean", "noisy"}
+    assert bars["clean"] != bars["noisy"]
+
+    docs = spark.read.parquet(str(tmp_path / "sf" / "documents.parquet"))
+    n_scored = char_bigram_likelihood(docs).count()
+    assert len(out) >= 0.85 * n_scored  # ~p10 trimmed, never more

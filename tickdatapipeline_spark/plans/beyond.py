@@ -3573,6 +3573,7 @@ def queries() -> dict[str, tuple]:
                                                 max_band_bucket=None),
             WEIGHTED_JACCARD_SQL,
         ),
+        "docs_fluency_filter": (fluency_filter_fn, _fluency_filter_sql()),
     }
 
 
@@ -4806,4 +4807,70 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE {sql_rnd('CAST(inter_w AS DOUBLE) / CAST(sa.w_mass + sb.w_mass - inter_w AS DOUBLE)', 6)} >= {JACCARD_THRESHOLD}
+"""
+
+
+# ================= per-source fluency filter =================
+
+FLUENCY_PCT = 0.10
+
+
+def fluency_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency filter, applied: keep documents whose
+    char-bigram LM score clears their OWN SOURCE's 10th percentile —
+    the per-domain threshold practice (a code dump and a news feed
+    have different fluency baselines; one global bar would gut the
+    lower-entropy source). Completes the docs_bigram_likelihood story:
+    that query SCORES, this one FILTERS.
+
+    Exactness: scores are the bit-exact bigram means; the per-source
+    bar is the exact interpolated grouped percentile (shared
+    plans/common machinery); survival is one >= compare on the shared
+    rounded doubles.
+
+    Scale: scoring is the bigram plan (model broadcast, one doc_id
+    exchange); the percentile runs group-partitioned ranking windows
+    (never a global sort); the O(sources) bar table broadcasts back."""
+    from tickdatapipeline_spark.operators.text import char_bigram_likelihood
+    from tickdatapipeline_spark.plans.common import grouped_exact_percentiles
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        char_bigram_likelihood(docs)
+        .join(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"),
+              "doc_id")
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    scored = pin(scored)  # percentile pass + survivor filter
+    bar = grouped_exact_percentiles(
+        scored.select("source", "avg_bigram_p"), "source", "avg_bigram_p",
+        [FLUENCY_PCT], out_value="bar",
+    ).select("source", "bar")
+    return (
+        scored.join(F.broadcast(bar), "source")
+        .where(F.col("avg_bigram_p") >= F.col("bar"))
+        .select("doc_id", "source", "avg_bigram_p", "bar")
+        .orderBy("doc_id")
+    )
+
+
+def _fluency_filter_sql() -> str:
+    from tickdatapipeline_spark.plans.common import sql_grouped_exact_percentiles
+
+    scored = f"""SELECT s.doc_id, d.source, s.avg_bigram_p
+FROM ({BIGRAM_LM_SQL.strip()}) s
+JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents) d
+  ON s.doc_id = d.doc_id"""
+    bar = sql_grouped_exact_percentiles(
+        f"SELECT source, avg_bigram_p FROM ({scored})", "source",
+        "avg_bigram_p", [FLUENCY_PCT], out_value="bar",
+    )
+    return f"""
+WITH scored AS ({scored}),
+bars AS ({bar})
+SELECT scored.doc_id, scored.source, scored.avg_bigram_p, bars.bar
+FROM scored JOIN bars ON scored.source = bars.source
+WHERE scored.avg_bigram_p >= bars.bar
+ORDER BY scored.doc_id
 """
