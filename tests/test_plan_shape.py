@@ -651,3 +651,28 @@ def test_group_aware_split_carries_no_forced_broadcast(spark):
     plan = physical(df)
     above_join = plan.split("Join", 1)[0]
     assert "Exchange" not in above_join
+
+
+def test_weighted_jaccard_is_candidate_restricted(spark):
+    """Like plain Jaccard: verification must consume the LSH band table
+    (band_key join) — never an unrestricted gram self-join — and the
+    df-weight join must key on the same hashed gram as the overlap."""
+    from tickdatapipeline_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(weighted_jaccard_pairs(docs))
+    assert "band_key" in plan
+    import re
+
+    assert re.search(r"shingle#\d+ = shingle#\d+", plan) is None
+
+
+def test_fluency_filter_percentile_is_group_partitioned(spark):
+    """The per-source p10 bar must come from group-partitioned ranking
+    windows (no unpartitioned window, no SinglePartition) and the
+    O(sources) bar table must broadcast back."""
+    from tickdatapipeline_spark.plans.beyond import fluency_filter_fn
+
+    plan = physical(fluency_filter_fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
