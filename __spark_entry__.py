@@ -109,6 +109,46 @@ def _recorded_fingerprints() -> dict[str, dict]:
     return data if isinstance(data, dict) else {}
 
 
+def _fingerprint_freshness_issues(
+    recorded: dict | None = None,
+    last: dict | None = None,
+    reg: dict | None = None,
+) -> tuple[list[str], list[str]]:
+    """Session-start freshness audit of FINGERPRINTS.json.
+
+    Returns ``(missing, promoted)``:
+
+    * ``missing`` — green gated queries with NO recording despite their
+      latest green round being at-or-before the recording horizon (the
+      max round present in FINGERPRINTS.json). That means the builder
+      skipped ``scripts_dev/update_fingerprints.py`` after those queries
+      were already green — the real mid-session hazard. Queries whose
+      latest green round is STRICTLY NEWER than the horizon are exempt:
+      the driver deposits CORRECTNESS_r{N}.json *after* the builder's
+      last refresh every round, so a fresh deposit must not redden a
+      finished round (it is refreshed at the next session start).
+    * ``promoted`` — recorded queries whose live fingerprint drifted
+      with no newer green row: deliberate edits pending driver
+      re-verification. Allowed, but callers bound the count so a stale
+      file can't silently pin the whole surface to tier 0.
+    """
+    recorded = _recorded_fingerprints() if recorded is None else recorded
+    last = _last_green_round() if last is None else last
+    reg = _registry() if reg is None else reg
+    green_gated = {n for n, (_f, s) in reg.items() if s is not None and n in last}
+    horizon = max((v.get("round", 0) for v in recorded.values()), default=0)
+    missing = sorted(
+        n for n in green_gated - set(recorded) if last[n] <= horizon
+    )
+    promoted = sorted(
+        n
+        for n in green_gated & set(recorded)
+        if recorded[n].get("fp") != _fingerprint(*reg[n])
+        and last[n] <= recorded[n].get("round", 0)
+    )
+    return missing, promoted
+
+
 def _registry() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
     for mod in (analytics, beyond, relational):

@@ -188,25 +188,56 @@ def test_edited_query_leads_next_window(monkeypatch):
 def test_fingerprints_json_is_current():
     """FINGERPRINTS.json must be refreshed (scripts_dev/
     update_fingerprints.py) at session start on the driver-verified
-    snapshot: every green gated query has a recording, and recordings
-    whose round matches the query's latest green round should normally
-    match the live fingerprint (drift == a deliberate edit pending
-    re-verification, which the registry promotes — allowed, but bounded
-    so a stale file can't silently pin the whole surface to tier 0)."""
+    snapshot: every query that greened at-or-before the recording
+    horizon has a recording (greens NEWER than the horizon are a fresh
+    driver deposit — the driver commits CORRECTNESS_r{N}.json after the
+    builder's last refresh every round, so they must not redden a
+    finished round), and fingerprint drift (a deliberate edit pending
+    re-verification, which the registry promotes) is allowed but
+    bounded so a stale file can't silently pin the whole surface to
+    tier 0."""
     import __spark_entry__ as mod
 
-    recorded = mod._recorded_fingerprints()
-    last = mod._last_green_round()
-    reg = mod._registry()
-    green_gated = {n for n, (f, s) in reg.items() if s is not None and n in last}
-    missing = green_gated - set(recorded)
-    assert not missing, f"green queries with no fingerprint recording: {sorted(missing)[:10]}"
-    promoted = [
-        n for n in green_gated
-        if recorded[n]["fp"] != mod._fingerprint(*reg[n])
-        and last[n] <= recorded[n]["round"]
-    ]
+    missing, promoted = mod._fingerprint_freshness_issues()
+    assert not missing, (
+        f"queries green at-or-before the FINGERPRINTS.json horizon with no "
+        f"recording — run scripts_dev/update_fingerprints.py: {missing[:10]}"
+    )
     assert len(promoted) <= 50, (
         f"{len(promoted)} queries pending re-verification exceeds the driver "
         f"window — refresh FINGERPRINTS.json at session start"
     )
+
+
+def test_fingerprint_freshness_exempts_fresh_driver_deposit():
+    """A CORRECTNESS_r{N}.json the driver deposits AFTER the builder's
+    last fingerprint refresh (green rounds newer than the recording
+    horizon) must not read as 'missing recording' — while a query that
+    greened at-or-before the horizon without a recording (a real
+    mid-session omission) still must."""
+    import __spark_entry__ as mod
+
+    reg = mod._registry()
+    gated = [n for n, (_f, s) in reg.items() if s is not None]
+    a, b, c = gated[:3]
+    recorded = {a: {"fp": mod._fingerprint(*reg[a]), "round": 7}}  # horizon = 7
+
+    # b greened in round 8 (> horizon): fresh driver deposit -> exempt
+    last = {a: 7, b: 8}
+    missing, promoted = mod._fingerprint_freshness_issues(recorded, last, reg)
+    assert missing == [] and promoted == []
+
+    # c greened in round 6 (<= horizon) with no recording: flagged
+    last[c] = 6
+    missing, _ = mod._fingerprint_freshness_issues(recorded, last, reg)
+    assert missing == [c]
+
+    # drifted recording with no newer green: promoted (bounded, not missing)
+    recorded[a] = {"fp": "0" * 16, "round": 7}
+    missing, promoted = mod._fingerprint_freshness_issues(recorded, last, reg)
+    assert missing == [c] and promoted == [a]
+
+    # a green NEWER than its drifted recording clears the promotion
+    last[a] = 8
+    _, promoted = mod._fingerprint_freshness_issues(recorded, last, reg)
+    assert promoted == []
