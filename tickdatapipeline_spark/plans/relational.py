@@ -1659,9 +1659,10 @@ def r33_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs FIRST — a map-side-combinable distinct that collapses the
     fact table to the much smaller relation Q16 reads from partsupp —
     before any join. The arrears exclusion is a broadcast anti-join
-    (|bad suppliers| << |suppliers|), and the final count is exact
-    count(*) because the pairs are already distinct: no expand-based
-    countDistinct over fact rows anywhere.
+    (|bad suppliers| << |suppliers|), and the final aggregate is Q16's
+    count(DISTINCT l_suppkey): a supplier shipping several parts of the
+    same (brand, size) counts once, exercising
+    distinct-aggregation-after-anti-join.
     """
     pairs = (
         _t(spark, sf_dir, "lineitem")
@@ -1677,7 +1678,7 @@ def r33_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(part, pairs["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
         .groupBy("p_brand", "p_size")
-        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
 
@@ -1686,7 +1687,7 @@ R33_SQL = f"""
 WITH pairs AS (
     SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
 )
-SELECT p_brand, p_size, count(*) AS supplier_cnt
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
 FROM pairs
 JOIN part ON l_partkey = p_partkey
 WHERE p_type NOT LIKE '{R33_EXCLUDED_TYPE}%'
