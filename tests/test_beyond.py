@@ -422,6 +422,138 @@ def test_media_features_oracle_survives_non_ascii(spark, tmp_path):
         assert got[mid].byte_mean == (sum(enc) / len(enc) if enc else 0.0)
 
 
+def test_media_exact_duplicates(spark):
+    """sha2-256 groupBy over payload bytes: identical payloads collapse
+    into one group with keep_id = min media_id; null content drops;
+    singletons are still emitted (manifest contract)."""
+    import hashlib
+
+    from tickdatapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_exact_duplicates,
+    )
+
+    rows = [
+        (1, "image", b"same-bytes", 0, 0, 1),
+        (5, "audio", b"same-bytes", 0, 0, 1),   # dup of 1 across kinds
+        (3, "image", b"same-bytes", 0, 0, 1),   # dup of 1
+        (4, "video", b"unique", 0, 0, 1),
+        (9, "image", None, 0, 0, 1),            # null payload drops
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.content_sha: (r.dup_cnt, r.keep_id)
+           for r in media_exact_duplicates(media).collect()}
+    assert got == {
+        hashlib.sha256(b"same-bytes").hexdigest(): (3, 1),
+        hashlib.sha256(b"unique").hexdigest(): (1, 4),
+    }
+
+
+def _py_media_near_dups(payloads, threshold, planes=8, dim=8):
+    """Pure-Python mirror of media_near_duplicates on the stub codec —
+    same fold order as similarity._dot/_norm so values are bit-equal."""
+    import math
+
+    from tickdatapipeline_spark.operators.multimodal import _fake_decode_features
+    from tickdatapipeline_spark.operators.similarity import _plane_weight
+
+    feats = {i: _fake_decode_features(p, dim) for i, p in payloads.items() if p}
+    n = len(feats)
+    mean = [sum(f[d] for f in feats.values()) / n for d in range(dim)]
+    cent = {i: [f[d] - mean[d] for d in range(dim)] for i, f in feats.items()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def bucket(c):
+        out = 0
+        for p in range(planes):
+            if fold_dot([float(_plane_weight(p, d)) for d in range(dim)], c) > 0.0:
+                out += 1 << p
+        return out
+
+    nrm = {i: math.sqrt(fold_dot(c, c)) for i, c in cent.items()}
+    bkt = {i: bucket(c) for i, c in cent.items()}
+    pairs = {}
+    for i in sorted(cent):
+        for j in sorted(cent):
+            if i < j and bkt[i] == bkt[j] and nrm[i] > 0.0 and nrm[j] > 0.0:
+                cos = math.floor(
+                    fold_dot(cent[i], cent[j]) / (nrm[i] * nrm[j]) * 1e6 + 0.5
+                ) / 1e6
+                if cos >= threshold:
+                    pairs[(i, j)] = cos
+    return pairs
+
+
+def test_media_near_duplicates_golden(spark):
+    """Feature-space near-dup pairs must match a pure-Python mirror of
+    the whole chain (stub features -> mean-center -> SRP bucket ->
+    rounded cosine) bit-for-bit; empty payloads drop; the bucket skew
+    cap kills pairs when armed below the bucket size."""
+    from tickdatapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_near_duplicates,
+    )
+
+    base = (b"the quick brown fox jumps over the lazy dog. " * 12)
+    payloads = {
+        1: base,
+        2: base[:-3] + b"g!?",              # near-identical histogram
+        3: bytes(range(48, 128)) * 6,       # flat histogram, far from 1/2
+        4: b"zZzZ" * 120,                   # periodic, its own direction
+        5: base.upper(),                    # same offsets, shifted bytes
+        6: b"",                             # empty -> dropped
+    }
+    rows = [(i, "image", p, 0, 0, 1) for i, p in payloads.items()]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    want = _py_media_near_dups(payloads, threshold=0.9)
+    got = {(r.media_a, r.media_b): r.cosine
+           for r in media_near_duplicates(media, threshold=0.9).collect()}
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] >= 0.999  # the engineered near-dup
+
+    capped = media_near_duplicates(media, threshold=0.9, max_bucket_size=1)
+    assert capped.count() == 0
+
+
+def test_media_dedup_features_oracle_survives_non_ascii(spark, tmp_path):
+    """MEDIA_DEDUP_FEATURES_SQL reproduces the stub codec's byte-offset
+    histogram in closed UTF-8 form — exercise 2/3/4-byte codepoints so a
+    testdata regeneration with non-ASCII text can't flip the gated row
+    red (same hazard class as test_media_features_oracle_survives_non_ascii)."""
+    import duckdb
+
+    from tickdatapipeline_spark.plans.beyond import (
+        MEDIA_DEDUP_FEATURES_SQL,
+        media_dedup_features_fn,
+    )
+
+    base = "héllo wörld 日本語テキスト emoji 😀🚀 mix é中 " * 8
+    texts = [base, base + "!", "plain ascii filler text " * 10, base + "違う", ""]
+    rows = [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)]
+    docs_dir = tmp_path / "docs_sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(docs_dir / "documents.parquet"))
+
+    got = {(r.media_a, r.media_b): r.cosine
+           for r in media_dedup_features_fn(spark, str(docs_dir)).collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docs_dir}/documents.parquet/*.parquet')"
+    )
+    want = {(r[0], r[1]): r[2] for r in con.sql(MEDIA_DEDUP_FEATURES_SQL).fetchall()}
+    assert got == want
+    assert (0, 1) in got  # the engineered multibyte near-dup pair survives
+
+
 def test_duplicate_clusters_transitive(spark):
     """Connected components must merge chains: A~B and B~C (never A~C as
     a direct LSH pair is fine) land in ONE cluster keyed by min doc_id;

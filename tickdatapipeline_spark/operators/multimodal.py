@@ -14,6 +14,7 @@ for a real decoder and nothing else changes.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
@@ -29,6 +30,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+logger = logging.getLogger(__name__)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -123,6 +126,106 @@ def extract_features(
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def media_exact_duplicates(media: DataFrame) -> DataFrame:
+    """Byte-exact media dedup: one row per distinct payload digest.
+
+    `sha2(content, 256)` is computed map-side so only the 64-char hex
+    digest is shuffled — the binary payload itself never crosses the
+    exchange, which is what makes this viable when `content` is a
+    multi-MB image/video blob at 100 TB. `dup_cnt >= 2` rows are the
+    duplicate groups; `keep_id` (min media_id) is the canonical
+    representative a prune pass keeps. Singleton groups are emitted too
+    so the output doubles as a content-hash manifest.
+
+    Reference has no media surface (north-star scope per BASELINE.json);
+    text-side analogue: operators/dedup.py exact hash dedup.
+    """
+    return (
+        media.where(F.col("content").isNotNull())
+        .select("media_id", F.sha2(F.col("content"), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.min("media_id").alias("keep_id"),
+        )
+    )
+
+
+def media_near_duplicates(
+    media: DataFrame,
+    threshold: float = 0.999,
+    planes: int = 8,
+    dim: int = 8,
+    max_bucket_size: "int | None" = None,
+) -> DataFrame:
+    """Feature-space media near-dup: decode features (stub codec), LSH-
+    bucket, verify exact cosine within buckets — swap a real decoder
+    into ``extract_features`` and this becomes perceptual dedup
+    unchanged.
+
+    Feature vectors are MEAN-CENTERED before the signed-random-
+    projection bucketing and the cosine: raw byte-histograms (and real
+    image/audio embeddings) share one dominant direction, so uncentered
+    SRP would hash everything into one bucket and uncentered cosine
+    saturates near 1. Centering costs ONE 1-row aggregate broadcast —
+    no extra corpus pass. The per-dim means are exact-integer double
+    sums (< 2^53), so the centered values are bit-identical cross-
+    engine and the pair set is oracle-gated exactly.
+
+    Scale: cost is sum of per-bucket n^2, not global n^2; pass
+    ``max_bucket_size`` (as `embedding_near_duplicates` does) to arm
+    the degenerate-bucket skew guard in deployment. Output:
+    (media_a, media_b, cosine) with media_a < media_b.
+    """
+    from tickdatapipeline_spark.functions.rounding import rnd
+    from tickdatapipeline_spark.operators.similarity import _dot, _norm, lsh_bucket
+
+    feats = (
+        extract_features(media, dim=dim)
+        .where(F.col("n_bytes") > 0)
+        .select("media_id", "features")
+    )
+    means = feats.agg(
+        *[F.avg(F.get("features", d)).alias(f"m{d}") for d in range(dim)]
+    )
+    mean_arr = F.array(*[F.col(f"m{d}") for d in range(dim)])
+    base = feats.join(F.broadcast(means)).select(
+        "media_id",
+        F.zip_with(F.col("features"), mean_arr, lambda x, m: x - m).alias("v"),
+    )
+    base = base.select(
+        "media_id",
+        "v",
+        lsh_bucket(F.col("v"), planes=planes, dim=dim).alias("bucket"),
+        _norm(F.col("v")).alias("nrm"),
+    ).where(F.col("nrm") > 0.0)
+    if max_bucket_size is not None:
+        from tickdatapipeline_spark.functions.scale import cap_group_sizes
+        from tickdatapipeline_spark.operators.globalorder import pin
+
+        base = cap_group_sizes(
+            pin(base), ["bucket"], max_bucket_size,
+            "media_near_duplicates", "max_bucket_size", logger,
+        )
+    a, b = base.alias("a"), base.alias("b")
+    cos = rnd(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def sample_frames(

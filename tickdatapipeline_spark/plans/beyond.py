@@ -42,6 +42,8 @@ from tickdatapipeline_spark.operators.dedup import (
 )
 from tickdatapipeline_spark.operators.multimodal import (
     extract_features,
+    media_exact_duplicates,
+    media_near_duplicates,
     sample_frames,
     synth_media_from_documents,
 )
@@ -1517,6 +1519,140 @@ SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(greatest(least((frame_idx + 1) * fsize, L) - least(frame_idx * fsize, L), 0) AS BIGINT) AS frame_len
 FROM f
 """
+
+
+def media_dedup_exact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact media dedup manifest: sha2-256 of each payload, group
+    count and canonical keep_id — `dup_cnt >= 2` rows are the duplicate
+    groups a prune pass drops (operators/multimodal.py:
+    media_exact_duplicates; the digest is computed map-side so the blob
+    itself never shuffles)."""
+    return media_exact_duplicates(synth_media_from_documents(_docs(spark, sf_dir)))
+
+
+# the synth payload is encode(text,'utf-8'), so DuckDB's sha256(text)
+# (VARCHAR hashes its UTF-8 bytes) is the exact same digest:
+MEDIA_DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_sha,
+       CAST(count(*) AS BIGINT) AS dup_cnt,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY sha256(text)
+"""
+
+
+MEDIA_DEDUP_DIM = 8
+MEDIA_DEDUP_PLANES = 8
+MEDIA_DEDUP_THRESHOLD = 0.999
+
+
+def media_dedup_features_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-space (perceptual-shaped) media near-dup pairs: stub
+    byte-histogram features -> mean-center -> SRP-LSH bucket -> exact
+    cosine within buckets (operators/multimodal.py:
+    media_near_duplicates). max_bucket_size=None: oracle-compared
+    exhaustive output; deployments arm the skew cap."""
+    return media_near_duplicates(
+        synth_media_from_documents(_docs(spark, sf_dir)),
+        threshold=MEDIA_DEDUP_THRESHOLD,
+        planes=MEDIA_DEDUP_PLANES,
+        dim=MEDIA_DEDUP_DIM,
+        max_bucket_size=None,
+    )
+
+
+def _media_dedup_features_sql(
+    dim: int = MEDIA_DEDUP_DIM,
+    planes: int = MEDIA_DEDUP_PLANES,
+    threshold: float = MEDIA_DEDUP_THRESHOLD,
+) -> str:
+    """DuckDB twin of media_dedup_features_fn, generated so the plane
+    weights and fold order stay pinned to similarity._plane_weight and
+    the left-assoc aggregate fold the Spark side uses.
+
+    The stub codec's features are per-(byte_offset % dim) sums over the
+    UTF-8 encoding of the text payload; the `bytes` CTE reproduces that
+    encoding in closed form per codepoint (1/2/4-byte lead constants
+    192/224/240 plus 6-bit continuation digits — same arithmetic as
+    MEDIA_FEATURES_SQL, per-byte instead of summed) with a running-sum
+    window giving each char its byte offset. Every feature is an exact
+    integer < 2^53, so centering, dot products and norms are
+    bit-identical cross-engine (sqrt and single divides are correctly
+    rounded IEEE); the cosine crosses the oracle through sql_rnd."""
+    from tickdatapipeline_spark.oracle import dlit
+
+    byte_val = """CASE
+             WHEN clen = 1 THEN cp
+             WHEN j = 0 AND clen = 2 THEN 192 + cp // 64
+             WHEN j = 0 AND clen = 3 THEN 224 + cp // 4096
+             WHEN j = 0 AND clen = 4 THEN 240 + cp // 262144
+             WHEN j = 1 AND clen = 2 THEN 128 + cp % 64
+             WHEN j = 1 AND clen = 3 THEN 128 + (cp // 64) % 64
+             WHEN j = 1 AND clen = 4 THEN 128 + (cp // 4096) % 64
+             WHEN j = 2 AND clen = 3 THEN 128 + cp % 64
+             WHEN j = 2 AND clen = 4 THEN 128 + (cp // 64) % 64
+             ELSE 128 + cp % 64 END"""
+    f_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {d} THEN bval ELSE 0 END) AS DOUBLE) AS f{d}"
+        for d in range(dim)
+    )
+    m_cols = ", ".join(f"avg(f{d}) AS m{d}" for d in range(dim))
+    c_cols = ", ".join(f"f{d} - m{d} AS c{d}" for d in range(dim))
+    bucket = "\n             + ".join(
+        "CASE WHEN "
+        + " + ".join(f"{float(_plane_weight(p, d))!r} * c{d}" for d in range(dim))
+        + f" > 0.0 THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    nsq = " + ".join(f"c{d} * c{d}" for d in range(dim))
+    dot = " + ".join(f"a.c{d} * b.c{d}" for d in range(dim))
+    return f"""
+WITH media AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id, text
+    FROM documents WHERE strlen(text) > 0
+),
+chars AS (
+    SELECT media_id, i, ord(text[i]) AS cp,
+           CASE WHEN ord(text[i]) < 128 THEN 1 WHEN ord(text[i]) < 2048 THEN 2
+                WHEN ord(text[i]) < 65536 THEN 3 ELSE 4 END AS clen
+    FROM media, unnest(range(1, length(text) + 1)) AS u(i)
+),
+offs AS (
+    SELECT media_id, cp, clen,
+           sum(clen) OVER (PARTITION BY media_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) - clen AS char_off
+    FROM chars
+),
+bytes AS (
+    SELECT media_id, (char_off + j) % {dim} AS bin,
+           {byte_val} AS bval
+    FROM offs, unnest(range(0, clen)) AS v(j)
+),
+feats AS (
+    SELECT media_id, {f_cols}
+    FROM bytes GROUP BY media_id
+),
+means AS (SELECT {m_cols} FROM feats),
+cent AS (SELECT media_id, {c_cols} FROM feats, means),
+bkt AS (
+    SELECT media_id, {", ".join(f"c{d}" for d in range(dim))},
+           {bucket} AS bucket,
+           sqrt({nsq}) AS nrm
+    FROM cent
+)
+SELECT media_a, media_b, cosine FROM (
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           {sql_rnd(f"({dot}) / (a.nrm * b.nrm)")} AS cosine
+    FROM bkt a JOIN bkt b
+      ON a.bucket = b.bucket AND a.media_id < b.media_id
+    WHERE a.nrm > 0.0 AND b.nrm > 0.0
+)
+WHERE cosine >= {dlit(threshold)}
+"""
+
+
+MEDIA_DEDUP_FEATURES_SQL = _media_dedup_features_sql()
 
 
 def time_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3512,6 +3648,8 @@ def queries() -> dict[str, tuple]:
         "events_sessionization": (sessionize_fn, SESSIONIZE_SQL),
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
+        "media_dedup_exact": (media_dedup_exact_fn, MEDIA_DEDUP_EXACT_SQL),
+        "media_dedup_features": (media_dedup_features_fn, MEDIA_DEDUP_FEATURES_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
         "docs_bigram_likelihood": (
