@@ -2,6 +2,12 @@
 __spark_entry__ query at a given sf and diff against its DuckDB oracle
 (row count + column-sorted value compare). Not part of tests/.
 
+A FULL sweep (no name filters) also writes PARITY_HEAD.json at the repo
+root — the diffable artifact behind the "every gated query verified at
+HEAD" claim the registry rotation depends on; commit it with the sweep.
+Filtered runs never touch the artifact (a partial run must not
+masquerade as full coverage).
+
 Usage: python scripts_dev/oracle_parity.py [sf_dir] [name_filter...]
 """
 
@@ -58,6 +64,12 @@ def main() -> None:
 
     qs, oracles = E.queries(), E.oracle_sql()
     ok_n = bad_n = 0
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, rows: int, t0: float) -> None:
+        results[name] = {"status": status, "rows": rows,
+                         "secs": round(time.time() - t0, 2)}
+
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -67,25 +79,30 @@ def main() -> None:
         except Exception as exc:
             print(f"[{name}] SPARK ERROR: {exc}")
             bad_n += 1
+            record(name, "bad", -1, t0)
             continue
         if name not in oracles:
             print(f"[{name}] rows-only: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             ok_n += 1
+            record(name, "rows_only", len(sdf), t0)
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"[{name}] ORACLE ERROR: {str(exc)[:200]}")
             bad_n += 1
+            record(name, "bad", len(sdf), t0)
             continue
         s, d = canon(sdf), canon(ddf)
         if len(s) != len(d):
             print(f"[{name}] ROWCOUNT spark={len(s)} duckdb={len(d)}")
             bad_n += 1
+            record(name, "bad", len(s), t0)
             continue
         if list(s.columns) != list(d.columns):
             print(f"[{name}] COLUMNS spark={list(s.columns)} duckdb={list(d.columns)}")
             bad_n += 1
+            record(name, "bad", len(s), t0)
             continue
         bad_cols = []
         for c in s.columns:
@@ -102,10 +119,26 @@ def main() -> None:
                     i = int(neq.idxmax())
                     print(f"  {c}[{i}]: spark={s[c][i]!r} duckdb={d[c][i]!r}")
             bad_n += 1
+            record(name, "bad", len(s), t0)
         else:
             print(f"[{name}] OK ({len(s)} rows, {len(s.columns)} cols, {time.time()-t0:.1f}s)")
             ok_n += 1
+            record(name, "ok", len(s), t0)
     print(f"\n{ok_n} ok, {bad_n} bad")
+    if not filters:
+        import json
+        import subprocess
+        from pathlib import Path
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+        artifact = {"sf_dir": sf_dir, "git_head": head,
+                    "ok": ok_n, "bad": bad_n,
+                    "results": dict(sorted(results.items()))}
+        out = Path(__file__).resolve().parent.parent / "PARITY_HEAD.json"
+        out.write_text(json.dumps(artifact, indent=1) + "\n")
+        print(f"wrote {out}")
     sys.exit(1 if bad_n else 0)
 
 

@@ -209,6 +209,32 @@ def test_fingerprints_json_is_current():
     )
 
 
+def test_parity_head_artifact_covers_gated_surface():
+    """PARITY_HEAD.json — the committed artifact of the last full
+    oracle-parity sweep (scripts_dev/oracle_parity.py with no filters)
+    — must contain no bad rows and must cover every gated query that
+    both exists in the current registry AND has a FINGERPRINTS.json
+    recording (i.e. existed at the artifact's sweep). Queries added
+    after the sweep are exempt — they lead the driver window instead."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as mod
+
+    p = Path(mod.__file__).resolve().parent / "PARITY_HEAD.json"
+    assert p.exists(), (
+        "run a FULL scripts_dev/oracle_parity.py sweep and commit PARITY_HEAD.json"
+    )
+    artifact = json.loads(p.read_text())
+    results = artifact["results"]
+    bad = sorted(n for n, r in results.items() if r["status"] == "bad")
+    assert not bad, f"last full sweep recorded failures: {bad[:10]}"
+    reg = mod._registry()
+    gated = {n for n, (_f, s) in reg.items() if s is not None}
+    missing = sorted((gated & set(mod._recorded_fingerprints())) - set(results))
+    assert not missing, f"gated queries absent from the last full sweep: {missing[:10]}"
+
+
 def test_fingerprint_freshness_exempts_fresh_driver_deposit():
     """A CORRECTNESS_r{N}.json the driver deposits AFTER the builder's
     last fingerprint refresh (green rounds newer than the recording

@@ -1058,6 +1058,75 @@ def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
     assert got == {10: "gold", 11: None, 12: "platinum", 13: "bronze"}
 
 
+def test_index_ingest_stream(spark, tmp_path):
+    """Inverted-index live ingest: the bulk backfill serves phrase
+    queries immediately; a phrase arriving in a later micro-batch is
+    found WITHOUT a rebuild (each batch appends only its own (bucket,
+    batch_id) partitions); a full replay of the stream leaves the index
+    contents unchanged (idempotent dynamic overwrite); and bucket
+    partition-pruning survives the extra batch_id partition level."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.operators.search import (
+        phrase_search_indexed,
+        run_index_ingest,
+        write_inverted_index,
+    )
+
+    phrase = "crimson harbor lantern"
+    backfill = spark.createDataFrame(
+        [(1, f"the {phrase} glows at dusk", "en", "s", 10),
+         (2, "nothing to see here at all", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "idx")
+    write_inverted_index(backfill, idx)
+    assert [r.doc_id for r in phrase_search_indexed(spark, idx, phrase).collect()] == [1]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows, mtime):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "lang": "en"}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    write_docs("b0.json", [(100, "unrelated streaming content arrives first")],
+               1700000000)
+    q = run_index_ingest(spark, str(in_dir), idx, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_docs("b1.json", [(200, f"breaking news the {phrase} returns"),
+                               (201, "more filler that does not match")],
+                   1700000001)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = phrase_search_indexed(spark, idx, phrase)
+    want = {(1, 1, 2), (200, 1, 4)}
+    assert {(r.doc_id, r.n_occurrences, r.first_pos) for r in out.collect()} == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans and all("bucket" in ln.split("PartitionFilters")[1][:120]
+                         for ln in scans)
+
+    # at-least-once replay: re-running the whole stream from a fresh
+    # checkpoint rewrites the same (bucket, batch_id) partitions —
+    # occurrence counts must NOT double
+    q2 = run_index_ingest(spark, str(in_dir), idx, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replayed = phrase_search_indexed(spark, idx, phrase)
+    assert {(r.doc_id, r.n_occurrences, r.first_pos)
+            for r in replayed.collect()} == want
+
+
 def test_ingest_decontamination_stream(spark, tmp_path):
     """Ingest-time decontamination: new documents stream in per
     micro-batch and are checked against the precomputed corpus LSH

@@ -209,24 +209,39 @@ def _candidate_overlap(docs: DataFrame, candidates: DataFrame | None,
     """(doc_a, doc_b, inter_count, n_a, n_b) shingle-overlap counts over
     LSH candidate pairs — the shared core of jaccard_pairs and
     containment_pairs (identical scale contract: candidate-restricted
-    joins, semi-join-restricted size table)."""
+    joins, semi-join-restricted size table).
+
+    The shingle explosion itself is CANDIDATE-RESTRICTED: only docs that
+    appear in a candidate pair can reach the output (both the size table
+    and the intersection join key on them), so the corpus is semi-joined
+    down to candidate docs BEFORE the gram explode + per-doc distinct.
+    At natural dup density the candidate doc set is a small fraction of
+    the corpus, and the corpus-wide exploded-gram distinct was the
+    dominant cost of this sub-DAG at 1M docs (r7 probe: ~220 s, ~25x
+    slower per doc than candidate generation) — Catalyst cannot push a
+    semi-join below the distinct aggregate on its own, and the explode
+    sat below it. Output is row-identical: non-candidate docs never
+    contributed anything. The restricted shingle table is pinned (three
+    consumers: sizes + both intersection sides), as is the candidate
+    table (two consumers: the doc set and the intersection join)."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
     if candidates is None:
         candidates = lsh_candidate_pairs(docs, max_band_bucket=max_band_bucket)
-    sh = hashed_shingles(docs)  # 8-byte join keys, not gram strings
-    # size only the docs that appear in a candidate pair: at corpus scale
-    # `sizes` is one row per document (unbroadcastable), but the candidate
-    # doc set is tiny, so the semi-join keeps both joins below AQE's
-    # broadcast threshold without forcing a hint.
+    candidates = pin(candidates)
+    # at corpus scale `sizes` is one row per document (unbroadcastable),
+    # but the candidate doc set is tiny, so the semi-join keeps the
+    # downstream joins below AQE's broadcast threshold without a hint.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sizes = (
-        sh.join(cand_docs, on="doc_id", how="left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    sh = pin(hashed_shingles(
+        docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+        .join(cand_docs, on="doc_id", how="left_semi")
+    ))  # 8-byte join keys, not gram strings; candidate docs only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         candidates.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
         .join(
@@ -308,7 +323,8 @@ def cross_corpus_contamination(
     out = contamination_against_index(
         eval_docs,
         _band_table(train_docs, num_perm, band_size),
-        hashed_shingles(train_docs),
+        corpus_shingles=None,  # computed candidate-restricted from train_docs
+        corpus_docs=train_docs,
         threshold=threshold,
         num_perm=num_perm,
         band_size=band_size,
@@ -416,12 +432,13 @@ def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
 def contamination_against_index(
     probe_docs: DataFrame,
     corpus_bands: DataFrame,
-    corpus_shingles: DataFrame,
+    corpus_shingles: DataFrame | None,
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
     guard_label: str = "contamination_against_index corpus-side",
+    corpus_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe documents that near-duplicate a corpus whose LSH index
     (band + HASHED-shingle tables — (doc_id, g) integer pairs, see
@@ -434,13 +451,29 @@ def contamination_against_index(
     small) computes signatures here; the corpus side is an index lookup,
     shuffled on compact band keys. ``max_band_bucket`` caps the CORPUS
     side's band buckets only — dropping probe docs would silently skip
-    checks."""
+    checks.
+
+    Shingle tables are CANDIDATE-RESTRICTED before the verification
+    join (same argument as _candidate_overlap: only docs in a candidate
+    pair can reach the output, so the semi-join is row-identical).
+    Passing ``corpus_docs`` instead of a precomputed ``corpus_shingles``
+    pushes that restriction BELOW the gram explode + per-doc distinct —
+    the in-session path (see cross_corpus_contamination), where the
+    corpus-wide distinct dominated the r7 1M-doc probe. With a parquet
+    ``corpus_shingles`` index the semi-join restricts the scan instead.
+    """
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    assert (corpus_shingles is None) != (corpus_docs is None), (
+        "pass exactly one of corpus_shingles (precomputed index) or "
+        "corpus_docs (in-session: shingles computed candidate-restricted)"
+    )
     p_bands = _band_table(probe_docs, num_perm, band_size)
     if max_band_bucket is not None:
         corpus_bands = cap_group_sizes(corpus_bands, ["band", "band_key"],
                                        max_band_bucket, guard_label,
                                        "max_band_bucket", logger)
-    cand = (
+    cand = pin(
         corpus_bands.alias("t")
         .join(
             p_bands.alias("e"),
@@ -453,18 +486,24 @@ def contamination_against_index(
         )
         .distinct()
     )
-    p_sh = hashed_shingles(probe_docs)
-    t_sizes = (
-        corpus_shingles.join(
-            cand.select(F.col("corpus_doc_id").alias("doc_id")).distinct(),
-            on="doc_id", how="left_semi")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    p_sizes = (
-        p_sh.join(cand.select(F.col("probe_doc_id").alias("doc_id")).distinct(),
-                  on="doc_id", how="left_semi")
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    cand_corpus = cand.select(F.col("corpus_doc_id").alias("doc_id")).distinct()
+    cand_probe = cand.select(F.col("probe_doc_id").alias("doc_id")).distinct()
+    if corpus_docs is not None:
+        corpus_shingles = hashed_shingles(
+            corpus_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+            .join(cand_corpus, on="doc_id", how="left_semi")
+        )
+    else:
+        corpus_shingles = corpus_shingles.join(cand_corpus, on="doc_id",
+                                               how="left_semi")
+    corpus_shingles = pin(corpus_shingles)
+    p_sh = pin(hashed_shingles(
+        probe_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+        .join(cand_probe, on="doc_id", how="left_semi")
+    ))
+    t_sizes = corpus_shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    p_sizes = p_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(corpus_shingles.alias("a"), F.col("corpus_doc_id") == F.col("a.doc_id"))
         .join(
