@@ -71,6 +71,7 @@ from tickdatapipeline_spark.operators.similarity import (
 from tickdatapipeline_spark.operators.stateful import ema_columns
 from tickdatapipeline_spark.operators.text import (
     LANG_MARKERS,
+    h60,
     importance_weights,
     STOPWORDS_EN,
     TOKEN_RE,
@@ -3650,6 +3651,12 @@ def queries() -> dict[str, tuple]:
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
         "media_dedup_exact": (media_dedup_exact_fn, MEDIA_DEDUP_EXACT_SQL),
         "media_dedup_features": (media_dedup_features_fn, MEDIA_DEDUP_FEATURES_SQL),
+        "docs_bm25_topk": (bm25_topk_fn, BM25_SQL),
+        "events_distinct_kmv": (kmv_daily_fn, KMV_SQL),
+        "events_hourly_acf": (hourly_acf_fn, ACF_SQL),
+        "events_funnel": (funnel_fn, FUNNEL_SQL),
+        "ann_hard_negatives": (hard_negatives_fn, HARD_NEGATIVES_SQL),
+        "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
         "docs_bigram_likelihood": (
@@ -5011,4 +5018,490 @@ SELECT scored.doc_id, scored.source, scored.avg_bigram_p, bars.bar
 FROM scored JOIN bars ON scored.source = bars.source
 WHERE scored.avg_bigram_p >= bars.bar
 ORDER BY scored.doc_id
+"""
+
+
+# ================= round 8: ranked retrieval (BM25) =================
+
+BM25_QUERY = ["part", "filter", "join"]  # mixed-df bag over the fixture corpus
+BM25_TOPK = 10
+
+
+def bm25_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query bag — the relevance
+    scorer completing the lexical-search family (operators/search.py:
+    bm25_topk; rational idf keeps the oracle exact, see the operator
+    docstring)."""
+    from tickdatapipeline_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY, BM25_TOPK)
+
+
+def _bm25_sql(terms: "list[str]", k: int) -> str:
+    from tickdatapipeline_spark.oracle import dlit
+
+    one, qtr, half = dlit(1.25), dlit(2.25), dlit(0.5)
+    b_, onemb = dlit(0.75), dlit(0.25)
+    tf_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    norm = f"{one} * ({onemb} + {b_} * (CAST(dl AS DOUBLE) / {avgdl}))"
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + {half})"
+        f" / (CAST(df{i} AS DOUBLE) + {half}))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {qtr}) / (CAST(tf{i} AS DOUBLE) + {norm}))"
+        f" ELSE {dlit(0.0)} END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({SQL_TOKENS}) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+           {tf_cols}
+    FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS total_dl,
+           {df_cols}
+    FROM per_doc
+),
+scored AS (
+    SELECT doc_id, dl, {score_terms} AS score_raw
+    FROM per_doc, stats
+)
+SELECT doc_id, dl, {sql_rnd("score_raw")} AS score
+FROM scored WHERE score_raw > {dlit(0.0)}
+ORDER BY score_raw DESC, doc_id LIMIT {k}
+"""
+
+
+BM25_SQL = _bm25_sql(BM25_QUERY, BM25_TOPK)
+
+
+# ================= round 8: KMV distinct sketch =================
+
+KMV_K = 8
+
+
+def kmv_daily_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per day, audited
+    against the exact count: estimate = (2^60 DIV h_k) * (k-1) where
+    h_k is the k-th smallest 60-bit user hash — the mergeable sketch
+    you reach for when exact countDistinct's expand is too expensive,
+    with the exact count alongside so the error is measured, not
+    assumed (same audit pattern as dedup_minhash_calibration).
+
+    Exactness: integer DIV throughout (2^60 DIV h_k first, then the
+    (k-1) multiply — no HUGEINT and no double rounding); days with
+    fewer than k users fall back to the exact count (the sketch IS
+    exact below k). rank() (not row_number) so a 2^-60 hash tie keeps
+    both engines on identical row sets.
+
+    Scale: the sketch path is one (day, user) distinct + a per-day
+    rank window capped at k (WindowGroupLimit); sketches merge across
+    shards/days by unioning min-sets — the property the exact count
+    lacks."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    du = ev.select(
+        F.expr("(ts DIV 1000000000 DIV 86400) * 86400").alias("day_s"),
+        "user_id",
+    ).distinct()
+    h = du.select("day_s", h60(F.col("user_id").cast("string")).alias("hv"))
+    w = Window.partitionBy("day_s").orderBy("hv")
+    mins = (
+        h.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .groupBy("day_s")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_le"))
+    )
+    exact = du.groupBy("day_s").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact")
+    ).otherwise(F.expr(f"({1 << 60} DIV hk) * {KMV_K - 1}"))
+    return (
+        exact.join(mins, "day_s")
+        .select("day_s", "n_exact", est.alias("kmv_est"))
+        .orderBy("day_s")
+    )
+
+
+KMV_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day_s, user_id
+    FROM events
+),
+h AS (SELECT day_s, {sql_h60("CAST(user_id AS VARCHAR)")} AS hv FROM du),
+mins AS (
+    SELECT day_s, CAST(max(hv) AS BIGINT) AS hk, count(*) AS n_le
+    FROM (SELECT day_s, hv, rank() OVER (PARTITION BY day_s ORDER BY hv) AS rk FROM h)
+    WHERE rk <= {KMV_K} GROUP BY day_s
+),
+exact AS (SELECT day_s, CAST(count(*) AS BIGINT) AS n_exact FROM du GROUP BY day_s)
+SELECT exact.day_s, n_exact,
+       CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+            ELSE ({1 << 60} // hk) * {KMV_K - 1} END AS BIGINT) AS kmv_est
+FROM exact JOIN mins ON exact.day_s = mins.day_s
+ORDER BY exact.day_s
+"""
+
+
+# ================= round 8: hourly autocorrelation =================
+
+ACF_LAGS = [1, 2, 3]
+
+
+def hourly_acf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series per type at lags
+    1-3h — the seasonality/burstiness diagnostic feeding cadence-aware
+    monitors (a strong lag-24 ACF would justify the seasonal-anomaly
+    model; a strong lag-1 means bursty traffic).
+
+    Exactness: the Pearson r of (x_t, x_{t+L}) over the GAP-FILLED hour
+    grid via integer five-sums — n, Sx, Sy, Sxy, Sxx, Syy are BIGINT
+    sums of counts, the correlation is two exact sqrt()s and one
+    division (same formulation as events_rolling_corr / the OLS trend).
+
+    Scale: everything downstream of the hourly aggregate is O(hours x
+    types x lags) rows; the lag pairing is an equi-join on (type,
+    hour + L) — no window over the raw stream, no global sort."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+        "event_type",
+    )
+    hourly = ev.groupBy("event_type", "hour_s").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = (
+        ev.select("event_type").distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, 3600)")).alias("hour_s"),
+        )
+    )
+    g = grid.join(hourly, ["event_type", "hour_s"], "left").select(
+        "event_type", "hour_s", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    g = pin(g)  # both sides of every lag join
+    lagged = g.select(
+        "event_type", "hour_s", F.col("x"),
+        F.explode(F.array(*[F.lit(lag) for lag in ACF_LAGS])).alias("lag_h"),
+    )
+    y = g.select(
+        F.col("event_type").alias("et"),
+        F.col("hour_s").alias("hs"),
+        F.col("x").alias("y"),
+    )
+    pairs = lagged.join(
+        y,
+        (F.col("event_type") == F.col("et"))
+        & (F.col("hs") == F.col("hour_s") + F.col("lag_h") * 3600),
+    )
+    sums = pairs.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    acf = F.when(
+        (vx > 0) & (vy > 0),
+        rnd(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6),
+    )
+    return sums.select(
+        "event_type", F.col("lag_h").cast("long").alias("lag_h"),
+        F.col("n").alias("n_pairs"), acf.alias("acf"),
+    ).orderBy("event_type", "lag_h")
+
+
+ACF_SQL = f"""
+WITH e AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type
+    FROM events
+),
+hourly AS (
+    SELECT event_type, hour_s, CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY event_type, hour_s
+),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+grid AS (
+    SELECT t.event_type, h.hour_s
+    FROM (SELECT DISTINCT event_type FROM e) t,
+         (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds) h
+),
+g AS (
+    SELECT grid.event_type, grid.hour_s, coalesce(hourly.n, 0) AS x
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type AND grid.hour_s = hourly.hour_s
+),
+pairs AS (
+    SELECT a.event_type, lag_h, a.x AS x, b.x AS y
+    FROM (SELECT *, unnest({ACF_LAGS}) AS lag_h FROM g) a
+    JOIN g b ON a.event_type = b.event_type
+            AND b.hour_s = a.hour_s + lag_h * 3600
+),
+sums AS (
+    SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs GROUP BY event_type, lag_h
+)
+SELECT event_type, lag_h, n AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN {sql_rnd("CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")}
+       END AS acf
+FROM sums
+ORDER BY event_type, lag_h
+"""
+
+
+# ================= round 8: conversion funnel =================
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    converts at stage i+1 only with an event STRICTLY AFTER their first
+    stage-i conversion time (min-time semantics, the standard funnel
+    definition — not mere set membership).
+
+    Exactness: pure integer micro-timestamps and counts; the two rates
+    are single divisions, rounded.
+
+    Scale: three per-user min-aggregates chained by user_id equi-joins
+    — every shuffle is on user_id and Catalyst reuses the partitioning
+    across the chain; no windows over the raw stream."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    v = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id").agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .where(F.col("tus") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("tus").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .where(F.col("tus") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("tus").alias("t3"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_view"),
+            F.count("t2").alias("n_click_after"),
+            F.count("t3").alias("n_purchase_after"),
+        )
+    )
+    rate = lambda a, b: F.when(  # noqa: E731
+        F.col(b) > 0, rnd(F.col(a).cast("double") / F.col(b).cast("double"), 6)
+    )
+    return out.select(
+        "n_view", "n_click_after", "n_purchase_after",
+        rate("n_click_after", "n_view").alias("click_rate"),
+        rate("n_purchase_after", "n_click_after").alias("purchase_rate"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+v AS (SELECT user_id, min(tus) AS t1 FROM ev WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+c AS (
+    SELECT ev.user_id, min(tus) AS t2
+    FROM ev JOIN v ON ev.user_id = v.user_id
+    WHERE event_type = '{FUNNEL_STAGES[1]}' AND tus > t1
+    GROUP BY ev.user_id
+),
+p AS (
+    SELECT ev.user_id, min(tus) AS t3
+    FROM ev JOIN c ON ev.user_id = c.user_id
+    WHERE event_type = '{FUNNEL_STAGES[2]}' AND tus > t2
+    GROUP BY ev.user_id
+),
+agg AS (
+    SELECT CAST(count(t1) AS BIGINT) AS n_view,
+           CAST(count(t2) AS BIGINT) AS n_click_after,
+           CAST(count(t3) AS BIGINT) AS n_purchase_after
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+)
+SELECT n_view, n_click_after, n_purchase_after,
+       CASE WHEN n_view > 0 THEN {sql_rnd("CAST(n_click_after AS DOUBLE) / CAST(n_view AS DOUBLE)")} END AS click_rate,
+       CASE WHEN n_click_after > 0 THEN {sql_rnd("CAST(n_purchase_after AS DOUBLE) / CAST(n_click_after AS DOUBLE)")} END AS purchase_rate
+FROM agg
+"""
+
+
+# ================= round 8: hard-negative mining =================
+
+
+def hard_negatives_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most-similar vectors with a DIFFERENT label — the pairs a
+    contrastive/metric-learning pipeline trains hardest on (similar
+    embedding, different class). Rides the brute-force scorer's
+    broadcast-probe contract (operators/similarity.py:_brute_topk) with
+    the label inequality pushed into the join."""
+    from pyspark.sql import Window
+
+    from tickdatapipeline_spark.operators.similarity import _as_double, _dot, _norm
+
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        F.col("label").cast("long").alias("label"),
+    )
+    queries = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("label").alias("query_label"),
+    )
+    joined = base.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label")),
+    )
+    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    scored = joined.select(
+        "query_id", "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK_K)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                "rank", "cosine")
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v,
+           CAST(label AS BIGINT) AS label
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v, label AS query_label
+    FROM base WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id, q.query_label, b.vec_id AS neighbor_id,
+           b.label AS neighbor_label, {_cos} AS cosine
+    FROM base b JOIN q ON b.vec_id <> q.query_id AND b.label <> q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+# ================= round 8: corpus snapshot diff =================
+
+DIFF_ADDED_MOD = 11   # doc_id % 11 == 0: docs absent from the previous snapshot
+DIFF_EDITED_MOD = 13  # doc_id % 13 == 0: docs whose text changed since
+
+
+def snapshot_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning readout between two
+    corpus builds: per source, how many docs were added, changed
+    (content hash differs), removed, or carried unchanged. The
+    "previous snapshot" is derived deterministically from the fixture
+    (doc_id % {11,13} marks additions/edits) so the diff algebra —
+    full-outer join on doc_id comparing h60(text) — is what's tested;
+    a deployment diffs two real parquet snapshots with the same plan.
+
+    Scale: both sides reduce to (doc_id, source, content_hash) BEFORE
+    the join — 16-byte rows, never text — and the full-outer join
+    shuffles on doc_id; the per-source rollup is map-side combinable."""
+    docs = _docs(spark, sf_dir)
+    cur = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        h60(F.col("text")).alias("h"),
+    )
+    prev = (
+        docs.where(F.col("doc_id") % DIFF_ADDED_MOD != 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("p_source"),
+            h60(
+                F.when(
+                    F.col("doc_id") % DIFF_EDITED_MOD == 0,
+                    F.concat(F.col("text"), F.lit(" draft")),
+                ).otherwise(F.col("text"))
+            ).alias("ph"),
+        )
+    )
+    j = cur.join(prev, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("ph").isNull(), F.lit("added"))
+        .when(F.col("h").isNull(), F.lit("removed"))
+        .when(F.col("h") != F.col("ph"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce(F.col("source"), F.col("p_source")).alias("source"),
+                 status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH cur AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {sql_h60("text")} AS h
+    FROM documents
+),
+prev AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS p_source,
+           {sql_h60(f"CASE WHEN doc_id % {DIFF_EDITED_MOD} = 0 THEN text || ' draft' ELSE text END")} AS ph
+    FROM documents WHERE doc_id % {DIFF_ADDED_MOD} <> 0
+),
+j AS (
+    SELECT coalesce(cur.source, prev.p_source) AS source,
+           CASE WHEN ph IS NULL THEN 'added'
+                WHEN h IS NULL THEN 'removed'
+                WHEN h <> ph THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+)
+SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY source, status
+ORDER BY source, status
 """

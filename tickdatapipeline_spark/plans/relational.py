@@ -1832,6 +1832,73 @@ WHERE l_shipdate >= TIMESTAMP '{R35_YEAR}-01-01 00:00:00'
 """
 
 
+# ---- R36: fuzzy part-name matching (blocked entity resolution) ----
+
+R36_MAX_LEV = 3
+
+
+def r36_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: near-identical part names found by
+    BLOCKING + edit-distance verification — the standard fuzzy-join
+    recipe (an unblocked levenshtein self-join is O(n^2) on the whole
+    table; blocking makes it sum of per-block n^2, the same cost shape
+    as LSH dedup). The block key is the name's last word (the noun in
+    the fixture's "adjective noun" names), so only same-noun parts are
+    compared; levenshtein is exact integer DP in both engines.
+
+    The match runs over the NAME DICTIONARY, not part rows: names are
+    deduped (with their part multiplicities) before the self-join, so
+    the quadratic work is |distinct names per block|^2, independent of
+    how many parts share a name — the dedupe-then-match decomposition
+    every fuzzy join at scale uses (the row-level pairing is a re-join
+    on the matched names).
+
+    Output: (name_a, name_b, lev, n_parts_a, n_parts_b) for lev <= 3,
+    name_a < name_b within a block.
+
+    Scale: the self-join shuffles on the block key; a skewed block
+    (one noun dominating the catalog) gets the same cap_group_sizes
+    guard the LSH paths use — on a real catalog the name dictionary is
+    orders of magnitude smaller than the part table."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split(F.col("name"), " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"),
+            lev.cast("long").alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .where(F.col("lev") <= R36_MAX_LEV)
+    )
+
+
+R36_SQL = f"""
+WITH names AS (
+    SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+           split_part(p_name, ' ', -1) AS blk
+    FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {R36_MAX_LEV}
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -1869,4 +1936,5 @@ def queries() -> dict[str, tuple]:
         "rel_supplier_part_variety": (r33_fn, R33_SQL),
         "rel_dominant_suppliers": (r34_fn, R34_SQL),
         "rel_forecast_revenue": (r35_fn, R35_SQL),
+        "rel_part_fuzzy_pairs": (r36_fn, R36_SQL),
     }
