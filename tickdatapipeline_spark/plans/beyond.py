@@ -3657,6 +3657,8 @@ def queries() -> dict[str, tuple]:
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "ann_hard_negatives": (hard_negatives_fn, HARD_NEGATIVES_SQL),
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
+        "events_cohort_retention": (cohort_retention_fn, COHORT_RETENTION_SQL),
+        "events_session_concurrency": (session_concurrency_fn, SESSION_CONCURRENCY_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
         "docs_bigram_likelihood": (
@@ -5504,4 +5506,177 @@ j AS (
 SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY source, status
 ORDER BY source, status
+"""
+
+
+# ================= round 8: cohort retention =================
+
+
+def cohort_retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active day;
+    retention(cohort, d) = share of the cohort active again d days
+    later — the standard growth-analytics readout complementing
+    events_stickiness (aggregate DAU/WAU) and events_rfm (per-user
+    scores).
+
+    Exactness: (user, day) is DISTINCT before anything else, so every
+    count is an exact distinct-user count without expand-based
+    countDistinct; the share is one division, rounded.
+
+    Scale: first-day and activity both key on user_id (one exchange
+    reused), the matrix aggregate keys on (cohort_day, offset_d) —
+    O(days^2) output rows — and the cohort sizes broadcast back."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts DIV 1000000000 DIV 86400) * 86400").alias("day_s"),
+        "user_id",
+    )
+    du = ev.distinct()
+    first = du.groupBy("user_id").agg(F.min("day_s").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    act = (
+        du.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.expr("(day_s - cohort_day) DIV 86400").alias("offset_d"),
+        )
+        .groupBy("cohort_day", "offset_d")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day", "offset_d", "n_active", "n_cohort",
+            rnd(F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_d")
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day_s, user_id
+    FROM events
+),
+first AS (SELECT user_id, min(day_s) AS cohort_day FROM du GROUP BY user_id),
+sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort FROM first GROUP BY cohort_day),
+act AS (
+    SELECT cohort_day, (day_s - cohort_day) // 86400 AS offset_d,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM du JOIN first ON du.user_id = first.user_id
+    GROUP BY cohort_day, (day_s - cohort_day) // 86400
+)
+SELECT act.cohort_day, offset_d, n_active, n_cohort,
+       {sql_rnd("CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)")} AS retention
+FROM act JOIN sizes ON act.cohort_day = sizes.cohort_day
+ORDER BY act.cohort_day, offset_d
+"""
+
+
+# ================= round 8: session concurrency sweep =================
+
+DAY_US = 86_400_000_000
+
+
+def session_concurrency_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning readout
+    over the sessionized stream: interval algebra (sessions as
+    [start, end] spans) swept with +1/-1 boundary events and a running
+    sum, whose per-day maximum is the answer.
+
+    Scale-safe formulation: a naive sweep is ONE global ordered window
+    (serial at corpus scale). Instead every session is split into its
+    per-day segments first (bounded explode, same trick as
+    events_stickiness), clipped to the day, so the running-sum window
+    partitions by day — embarrassingly parallel, no global sort. Ties
+    order starts before ends (delta DESC), making touching sessions
+    count as concurrent; the per-day MAX is invariant to row order
+    within equal (t, delta) groups, so the window is deterministic.
+
+    Exactness: integer microseconds and counts end to end."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("tus").alias("st"), F.max("tus").alias("en"))
+    )
+    seg = sess.select(
+        F.explode(F.expr(f"sequence(st DIV {DAY_US}, en DIV {DAY_US})")).alias("day_i"),
+        "st", "en",
+    )
+    starts = seg.select(
+        "day_i",
+        F.greatest(F.col("st"), F.col("day_i") * DAY_US).alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = seg.select(
+        "day_i",
+        (F.least(F.col("en"), F.col("day_i") * DAY_US + (DAY_US - 1)) + 1).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionByName(ends)
+    sweep = Window.partitionBy("day_i").orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.withColumn("run", F.sum("delta").over(sweep))
+        .groupBy("day_i")
+        .agg(
+            F.max("run").cast("long").alias("max_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_segments"),
+        )
+        .select(
+            (F.col("day_i") * 86400).alias("day_s"), "max_concurrent", "n_segments"
+        )
+        .orderBy("day_s")
+    )
+
+
+SESSION_CONCURRENCY_SQL = f"""
+WITH g AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tus,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+    FROM events
+),
+s AS (
+    SELECT user_id, tus,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM g
+),
+sess AS (
+    SELECT user_id, session_id, min(tus) AS st, max(tus) AS en
+    FROM s GROUP BY user_id, session_id
+),
+seg AS (
+    SELECT unnest(range(st // {DAY_US}, en // {DAY_US} + 1)) AS day_i, st, en
+    FROM sess
+),
+b AS (
+    SELECT day_i, greatest(st, day_i * {DAY_US}) AS t, 1 AS delta FROM seg
+    UNION ALL
+    SELECT day_i, least(en, day_i * {DAY_US} + {DAY_US - 1}) + 1 AS t, -1 AS delta FROM seg
+),
+r AS (
+    SELECT day_i, delta,
+           sum(delta) OVER (PARTITION BY day_i ORDER BY t, delta DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM b
+)
+SELECT CAST(day_i * 86400 AS BIGINT) AS day_s,
+       CAST(max(run) AS BIGINT) AS max_concurrent,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+FROM r GROUP BY day_i
+ORDER BY day_s
 """
