@@ -2673,6 +2673,187 @@ def test_stickiness_golden(spark, tmp_path):
     ]
 
 
+def _write_events_ns(tmp_path, rows):
+    """rows: (event_id, ts_ns, user_id, event_type) -> events.parquet"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    (tmp_path / "sf").mkdir(exist_ok=True)
+    pq.write_table(tbl, tmp_path / "sf" / "events.parquet")
+    return str(tmp_path / "sf")
+
+
+def test_funnel_strict_ordering(spark, tmp_path):
+    """The funnel requires each stage STRICTLY AFTER the previous one:
+    u1 converts fully; u2's click precedes their first view (no click
+    conversion); u3's purchase precedes their click (view+click only);
+    u4 never views (not in the funnel at all)."""
+    from tickdatapipeline_spark.plans.beyond import funnel_fn
+
+    s = 1_000_000_000  # 1 second in ns
+    rows = [
+        (1, 1 * s, 1, "view"), (2, 2 * s, 1, "click"), (3, 3 * s, 1, "purchase"),
+        (4, 1 * s, 2, "click"), (5, 2 * s, 2, "view"), (6, 5 * s, 2, "purchase"),
+        (7, 1 * s, 3, "view"), (8, 5 * s, 3, "click"), (9, 4 * s, 3, "purchase"),
+        (10, 1 * s, 4, "click"), (11, 2 * s, 4, "purchase"),
+    ]
+    sf = _write_events_ns(tmp_path, rows)
+    out = funnel_fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # u2's purchase@5 follows their click@1, but the click never counted
+    # (before first view), so u2 cannot convert at purchase either
+    assert (r.n_view, r.n_click_after, r.n_purchase_after) == (3, 2, 1)
+    assert r.click_rate == 0.666667 and r.purchase_rate == 0.5
+
+
+def test_session_concurrency_golden(spark, tmp_path):
+    """Hand-swept intervals: day 0 holds u1 [0,600s], u2 [300,300], u4
+    [100,300] -> 3 concurrent at t=300 (touching endpoints count, starts
+    sort before ends); u3's session spans midnight and contributes a
+    clipped segment to EACH day, so day 1's sweep sees exactly one
+    segment."""
+    from tickdatapipeline_spark.plans.beyond import session_concurrency_fn
+
+    s = 1_000_000_000
+    day = 86_400
+    rows = [
+        (1, 0 * s, 1, "m"), (2, 600 * s, 1, "m"),
+        (3, 300 * s, 2, "m"),
+        (4, 100 * s, 4, "m"), (5, 300 * s, 4, "m"),
+        (6, (day - 5) * s, 3, "m"), (7, (day + 5) * s, 3, "m"),
+    ]
+    sf = _write_events_ns(tmp_path, rows)
+    out = [(r.day_s, r.max_concurrent, r.n_segments)
+           for r in session_concurrency_fn(spark, sf).collect()]
+    assert out == [(0, 3, 4), (day, 1, 1)]
+
+
+def test_kmv_exact_below_k_and_estimate_mirror(spark, tmp_path):
+    """Days with fewer than k distinct users report the exact count
+    (the sketch IS exact below k); a day with >= k users must match a
+    pure-python mirror of the estimator ((2^60 DIV h_k) * (k-1) over
+    md5-lower-60 hashes)."""
+    import hashlib
+
+    from tickdatapipeline_spark.plans.beyond import KMV_K, kmv_daily_fn
+
+    s = 1_000_000_000
+    day = 86_400
+    rows = [(i, 0 * s, 100 + i, "m") for i in range(3)]          # day 0: 3 users
+    rows += [(10 + i, day * s + i * s, 200 + i, "m") for i in range(20)]  # day 1: 20
+    sf = _write_events_ns(tmp_path, rows)
+    got = {r.day_s: (r.n_exact, r.kmv_est) for r in kmv_daily_fn(spark, sf).collect()}
+
+    def h60(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[17:32], 16)
+
+    hs = sorted(h60(200 + i) for i in range(20))
+    want_est = ((1 << 60) // hs[KMV_K - 1]) * (KMV_K - 1)
+    assert got[0] == (3, 3)
+    assert got[day] == (20, want_est)
+
+
+def test_bm25_matches_python_mirror(spark, tmp_path):
+    """bm25_topk against a pure-python mirror of the whole scoring chain
+    (rational idf, k1=1.25/b=0.75 normalization, floor-rounding) on a
+    hand-built corpus — same doubles, same fold order, exact equality."""
+    import math
+
+    from tickdatapipeline_spark.operators.search import bm25_topk
+
+    texts = {
+        1: "part filter part join filter",
+        2: "part part part part",
+        3: "join join filter",
+        4: "nothing relevant here",
+        5: "filter",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    terms = ["part", "filter", "join"]
+    got = [(r.doc_id, r.dl, r.score) for r in bm25_topk(docs, terms, 3).collect()]
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scored = []
+    for i, v in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf > 0:
+                idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+                tfn = (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * (len(v) / avgdl)))
+                score = score + idf * tfn
+        if score > 0.0:
+            scored.append((i, len(v), score))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    want = [(i, dl, math.floor(sc * 1e6 + 0.5) / 1e6) for i, dl, sc in scored[:3]]
+    assert got == want
+
+
+def test_part_fuzzy_dictionary_semantics(spark, tmp_path):
+    """The fuzzy match runs over the deduped name dictionary: duplicate
+    part names collapse to one pair with multiplicities carried, blocks
+    (last word) never cross, and the levenshtein threshold is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.relational import r36_fn
+
+    names = ["red bolt", "ted bolt", "red bolt", "green bolt", "red ring"]
+    tbl = pa.table({
+        "p_partkey": pa.array(range(1, len(names) + 1), pa.int64()),
+        "p_name": pa.array(names),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "part.parquet")
+    out = {(r.name_a, r.name_b): (r.lev, r.n_parts_a, r.n_parts_b)
+           for r in r36_fn(spark, str(tmp_path / "sf")).collect()}
+    # "red bolt"~"ted bolt" lev 1 (multiplicity 2 on the red side);
+    # "green bolt"~"red bolt" lev 3 sits exactly AT the threshold;
+    # "green bolt"~"ted bolt" is lev 4 (out); "red ring" blocks apart
+    assert out == {
+        ("red bolt", "ted bolt"): (1, 2, 1),
+        ("green bolt", "red bolt"): (3, 1, 2),
+    }
+
+
+def test_cohort_retention_golden(spark, tmp_path):
+    """Two cohorts: day-0 cohort {1,2} with user 1 back on day 1 and
+    user 2 back on day 2; day-1 cohort {3} never returns."""
+    from tickdatapipeline_spark.plans.beyond import cohort_retention_fn
+
+    s = 1_000_000_000
+    day = 86_400
+    rows = [
+        (1, 0, 1, "m"), (2, 0, 2, "m"),
+        (3, day * s, 1, "m"), (4, day * s, 3, "m"),
+        (5, 2 * day * s, 2, "m"),
+    ]
+    sf = _write_events_ns(tmp_path, rows)
+    out = [(r.cohort_day, r.offset_d, r.n_active, r.n_cohort, r.retention)
+           for r in cohort_retention_fn(spark, sf).collect()]
+    assert out == [
+        (0, 0, 2, 2, 1.0),
+        (0, 1, 1, 2, 0.5),
+        (0, 2, 1, 2, 0.5),
+        (day, 0, 1, 1, 1.0),
+    ]
+
+
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram
