@@ -3659,6 +3659,8 @@ def queries() -> dict[str, tuple]:
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "events_cohort_retention": (cohort_retention_fn, COHORT_RETENTION_SQL),
         "events_session_concurrency": (session_concurrency_fn, SESSION_CONCURRENCY_SQL),
+        "docs_quality_vs_dup": (quality_vs_dup_fn, QUALITY_VS_DUP_SQL),
+        "docs_length_ks": (length_ks_fn, LENGTH_KS_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
         "docs_bigram_likelihood": (
@@ -5679,4 +5681,169 @@ SELECT CAST(day_i * 86400 AS BIGINT) AS day_s,
        CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
 FROM r GROUP BY day_i
 ORDER BY day_s
+"""
+
+
+# ================= round 8: quality-vs-duplication diagnostic =================
+
+
+def quality_vs_dup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does low-quality text duplicate more? Near-dup incidence per
+    stopword-ratio decile — the cross-family corpus diagnostic behind
+    "dedup before or after quality filtering" decisions (template spam
+    is usually both low-quality AND highly duplicated; if the high-dup
+    mass sits in the low-quality buckets, the quality filter does most
+    of the dedup work for free).
+
+    Buckets are FIXED-WIDTH on the (already cross-engine-exact rounded)
+    ratio — floor(ratio*10) — never NTILE: quantile bucketing needs a
+    global sort; fixed-width is embarrassingly parallel and
+    deterministic. Dup membership is the verified jaccard pair table's
+    distinct doc set (one semi-ish left join on doc_id).
+
+    Scale: rides the existing quality and LSH+verification sub-DAGs;
+    the bucket rollup is map-side combinable."""
+    from tickdatapipeline_spark.operators.dedup import jaccard_pairs
+    from tickdatapipeline_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select(
+        "doc_id",
+        F.floor(F.col("stopword_ratio") * 10).cast("long").alias("bucket"),
+    )
+    pairs = jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        q.join(dup, "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_with_dup"),
+        )
+        .withColumn(
+            "dup_rate",
+            rnd(F.col("n_with_dup").cast("double") / F.col("n_docs").cast("double"), 6),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUALITY_VS_DUP_SQL = f"""
+WITH p AS ({JACCARD_SQL}),
+dup AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b AS doc_id FROM p
+    )
+),
+q AS (
+    SELECT doc_id, CAST(floor(stopword_ratio * 10) AS BIGINT) AS bucket
+    FROM ({QUALITY_SQL})
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup.doc_id) AS BIGINT) AS n_with_dup,
+       {sql_rnd("CAST(count(dup.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_rate
+FROM q LEFT JOIN dup ON q.doc_id = dup.doc_id
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ================= round 8: cross-source length drift (two-sample KS) ========
+
+
+def length_ks_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the document-
+    length distributions of every source pair — the "is source X
+    sampled from the same regime as source Y" drift check, the docs
+    twin of events_value_ks_drift (which tests each batch against one
+    reference CDF).
+
+    Exactness: D = max |F1 - F2| over pooled values is computed as the
+    INTEGER max of |c1*n2 - c2*n1| (cumulative counts cross-multiplied)
+    with ONE final division — no float CDFs accumulate.
+
+    Scale: lengths reduce to (source, n_chars, cnt) first; the pair
+    grid is O(sources^2) (sources = domains, inherently bounded) and
+    each pair's sweep is a window over its pooled distinct lengths —
+    partitioned by pair, never global."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    lengths = (
+        docs.select("source", F.length("text").cast("long").alias("x"))
+        .groupBy("source", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = lengths.groupBy("source").agg(F.sum("cnt").alias("n"))
+    s1 = totals.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    s2 = totals.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    grid = s1.join(s2, F.col("s1") < F.col("s2"))
+    pooled = grid.join(
+        lengths,
+        (F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")),
+    ).select(
+        "s1", "s2", "n1", "n2", "x",
+        F.when(F.col("source") == F.col("s1"), F.col("cnt")).otherwise(F.lit(0)).alias("c1"),
+        F.when(F.col("source") == F.col("s2"), F.col("cnt")).otherwise(F.lit(0)).alias("c2"),
+    ).groupBy("s1", "s2", "n1", "n2", "x").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    w = Window.partitionBy("s1", "s2").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pooled.select(
+        "s1", "s2", "n1", "n2",
+        F.abs(
+            F.sum("c1").over(w) * F.col("n2") - F.sum("c2").over(w) * F.col("n1")
+        ).alias("d_num"),
+    )
+    return (
+        sweep.groupBy("s1", "s2", "n1", "n2")
+        .agg(F.max("d_num").alias("ks_num"))
+        .select(
+            "s1", "s2", "n1", "n2", "ks_num",
+            rnd(
+                F.col("ks_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+LENGTH_KS_SQL = f"""
+WITH lengths AS (
+    SELECT source, CAST(length(text) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY source, length(text)
+),
+totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM lengths GROUP BY source),
+grid AS (
+    SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+    FROM totals a JOIN totals b ON a.source < b.source
+),
+pooled AS (
+    SELECT s1, s2, n1, n2, x,
+           CAST(sum(CASE WHEN source = s1 THEN cnt ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN source = s2 THEN cnt ELSE 0 END) AS BIGINT) AS c2
+    FROM grid JOIN lengths ON source = s1 OR source = s2
+    GROUP BY s1, s2, n1, n2, x
+),
+sweep AS (
+    SELECT s1, s2, n1, n2,
+           abs(sum(c1) OVER w * n2 - sum(c2) OVER w * n1) AS d_num
+    FROM pooled
+    WINDOW w AS (PARTITION BY s1, s2 ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT s1, s2, n1, n2, CAST(max(d_num) AS BIGINT) AS ks_num,
+       {sql_rnd("CAST(max(d_num) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")} AS ks
+FROM sweep GROUP BY s1, s2, n1, n2
+ORDER BY s1, s2
 """
