@@ -676,3 +676,69 @@ def test_fluency_filter_percentile_is_group_partitioned(spark):
     plan = physical(fluency_filter_fn(spark, SF))
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_stats_broadcast_and_take_ordered(spark):
+    """BM25's 1-row corpus stats must broadcast (never shuffle the doc
+    table against them) and the top-k must plan TakeOrderedAndProject,
+    not a global sort."""
+    from tickdatapipeline_spark.plans.beyond import BM25_QUERY, BM25_TOPK
+    from tickdatapipeline_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(bm25_topk(docs, BM25_QUERY, BM25_TOPK))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_kmv_rank_window_is_group_limited(spark):
+    """The per-day k-smallest-hash window must plan WindowGroupLimit
+    (Partial+Final), so a day's full user-hash list never crosses the
+    shuffle whole."""
+    from tickdatapipeline_spark.plans.beyond import kmv_daily_fn
+
+    plan = physical(kmv_daily_fn(spark, SF))
+    assert plan.count("WindowGroupLimit") == 2
+    assert "SinglePartition" not in plan
+
+
+def test_session_concurrency_sweep_partitions_by_day(spark):
+    """The boundary sweep's running-sum window must partition by day —
+    the whole point of the per-day segment split is avoiding one global
+    serial window over every session boundary."""
+    from tickdatapipeline_spark.plans.beyond import session_concurrency_fn
+
+    plan = physical(session_concurrency_fn(spark, SF))
+    assert "hashpartitioning(day_i" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_length_ks_sweep_partitions_by_pair(spark):
+    """Every KS CDF sweep runs inside its (s1, s2) pair partition."""
+    from tickdatapipeline_spark.plans.beyond import length_ks_fn
+
+    plan = physical(length_ks_fn(spark, SF))
+    assert "windowspecdefinition(s1" in plan  # pair-partitioned, not global
+    assert "SinglePartition" not in plan
+
+
+def test_cohort_retention_sizes_broadcast(spark):
+    """The O(days) cohort-size table must broadcast back onto the
+    matrix aggregate."""
+    from tickdatapipeline_spark.plans.beyond import cohort_retention_fn
+
+    plan = physical(cohort_retention_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_media_near_duplicates_bucket_join_and_mean_broadcast(spark):
+    """Feature near-dup must join on the LSH bucket (equi-join, never a
+    raw cross product over media rows) with the 1-row mean broadcast."""
+    from tickdatapipeline_spark.plans.beyond import media_dedup_features_fn
+
+    plan = physical(media_dedup_features_fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row means join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
