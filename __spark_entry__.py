@@ -66,7 +66,16 @@ def _fingerprint(fn, sql: str) -> str:
     modules, which would dump the entire surface into tier 0 on any
     comment change). Factory-made closures share source, but their SQL
     differs, so fingerprints stay distinct; an edit to a shared factory
-    body correctly flips every query built from it."""
+    body correctly flips every query built from it.
+
+    Known blind spot (accepted trade-off): an edit TWO levels deep —
+    e.g. a helper called by the operator the plan fn wraps — does not
+    drift the fingerprint (observed in round 8: the _candidate_overlap
+    rework left jaccard/containment fingerprints unchanged). Deeper
+    hashing would promote correctly but could overflow the 50-entry
+    window on any broad refactor; the backstop is the per-session FULL
+    oracle_parity sweep (committed as PARITY_HEAD.json), which
+    re-verifies every gated query at HEAD regardless of rotation."""
     import functools
     import hashlib
     import inspect
