@@ -74,7 +74,7 @@ def build_tier2(spark) -> None:
             F.col("text"), r"([A-Za-z0-9]+)",
             F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("$1")),
         ).alias("text"),
-        "lang", "source",
+        "lang", "source", "n_chars",  # seed column for the media fixture
     ).repartition(32).write.mode("overwrite").parquet(f"{TIER2}/documents.parquet")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -1126,6 +1126,24 @@ def test_index_ingest_stream(spark, tmp_path):
     assert {(r.doc_id, r.n_occurrences, r.first_pos)
             for r in replayed.collect()} == want
 
+    # compaction folds backfill + batches into one file per bucket at a
+    # new path; query results identical, pruning preserved
+    import glob
+
+    from tickdatapipeline_spark.operators.search import compact_index
+
+    dst = str(tmp_path / "idx2")
+    compact_index(spark, idx, dst)
+    compacted = phrase_search_indexed(spark, dst, phrase)
+    assert {(r.doc_id, r.n_occurrences, r.first_pos)
+            for r in compacted.collect()} == want
+    for bucket_dir in glob.glob(f"{dst}/bucket=*"):
+        files = glob.glob(f"{bucket_dir}/batch_id=*/*.parquet")
+        assert len(files) == 1, bucket_dir
+    plan = compacted._jdf.queryExecution().executedPlan().toString()
+    assert any("bucket" in ln.split("PartitionFilters")[1][:120]
+               for ln in plan.splitlines() if "PartitionFilters" in ln)
+
 
 def test_ingest_decontamination_stream(spark, tmp_path):
     """Ingest-time decontamination: new documents stream in per

@@ -174,10 +174,15 @@ def media_near_duplicates(
     sums (< 2^53), so the centered values are bit-identical cross-
     engine and the pair set is oracle-gated exactly.
 
-    Scale: cost is sum of per-bucket n^2, not global n^2; pass
-    ``max_bucket_size`` (as `embedding_near_duplicates` does) to arm
-    the degenerate-bucket skew guard in deployment. Output:
-    (media_a, media_b, cosine) with media_a < media_b.
+    Scale: cost is sum of per-bucket n^2, not global n^2 — which means
+    ``planes`` MUST grow with the corpus: 2^planes is the bucket count,
+    so size planes ~ log2(n_media / target_bucket_size) (8 planes = 256
+    buckets saturates around 10^5 items and goes quadratic — measured:
+    35x wall at 10x corpus in the exhaustive gated config, vs 16 planes
+    + the cap staying linear, PERF.md round 8). Pass ``max_bucket_size``
+    (as `embedding_near_duplicates` does) to arm the degenerate-bucket
+    skew guard in deployment. Output: (media_a, media_b, cosine) with
+    media_a < media_b.
     """
     from tickdatapipeline_spark.functions.rounding import rnd
     from tickdatapipeline_spark.operators.similarity import _dot, _norm, lsh_bucket

@@ -163,6 +163,28 @@ def bm25_topk(docs: DataFrame, terms: "list[str]", k: int = 10,
     )
 
 
+def compact_index(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """Maintenance compaction for a live-ingested index: fold the
+    backfill partition plus every streamed batch partition into ONE
+    backfill partition per bucket at ``dst_path`` — the answer to the
+    many-small-files drift of per-micro-batch appends (the pattern
+    noted in run_index_ingest). The caller swaps dst for src when the
+    write completes (a rename at the catalog/path level), so readers
+    never see a half-compacted index; reads stay correct throughout
+    because both layouts are identical.
+
+    Scale: repartition on bucket means each bucket's postings land in
+    exactly one task => exactly one output file per bucket; no data
+    transformation, just a layout rewrite."""
+    idx = spark.read.parquet(src_path)
+    (
+        idx.select("bucket", "token", "doc_id", "pos")
+        .repartition(F.col("bucket"))
+        .withColumn("batch_id", F.lit(BACKFILL_BATCH_ID))
+        .write.mode("overwrite").partitionBy("bucket", "batch_id").parquet(dst_path)
+    )
+
+
 def phrase_search_indexed(spark: SparkSession, index_path: str, phrase: str,
                           n_buckets: int = INDEX_BUCKETS) -> DataFrame:
     """Exact phrase search from the inverted index: adjacent-position

@@ -3661,6 +3661,7 @@ def queries() -> dict[str, tuple]:
         "events_session_concurrency": (session_concurrency_fn, SESSION_CONCURRENCY_SQL),
         "docs_quality_vs_dup": (quality_vs_dup_fn, QUALITY_VS_DUP_SQL),
         "docs_length_ks": (length_ks_fn, LENGTH_KS_SQL),
+        "events_value_resample": (value_resample_fn, VALUE_RESAMPLE_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
         "docs_bigram_likelihood": (
@@ -5846,4 +5847,119 @@ SELECT s1, s2, n1, n2, CAST(max(d_num) AS BIGINT) AS ks_num,
        {sql_rnd("CAST(max(d_num) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")} AS ks
 FROM sweep GROUP BY s1, s2, n1, n2
 ORDER BY s1, s2
+"""
+
+
+# ================= round 8: irregular -> regular resampling =================
+
+RESAMPLE_STEP_US = 21_600 * 1_000_000  # 6-hour grid
+
+
+def value_resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the irregular per-type value series onto a regular
+    6-hour grid with linear interpolation between the bracketing
+    events — THE tick-data primitive for aligning asynchronous streams
+    (the reference's world is already regular by construction; real
+    market/telemetry data is not). Grid points after the last event
+    hold the last value (the pipeline's hold-last convention); points
+    before the first event are null.
+
+    One union + two windows, no join: events and grid points interleave
+    in a single per-type ordered frame; a backward pass carries the
+    last real (value, time) via last(ignorenulls), a forward pass the
+    next via first(ignorenulls), and events sort BEFORE the grid point
+    at an equal timestamp (tie key is_grid) so an exact-time event is
+    its own sample (fraction 0). Interpolation is v1 + (v2-v1) * dt
+    ratio — three IEEE ops on identical operands, then rounded.
+
+    Scale: windows partition by event_type; the grid is O(span/step)
+    broadcast-sized; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("tus"),
+        "event_id",
+        "value",
+        F.lit(0).alias("is_grid"),
+    )
+    bounds = ev.agg(
+        F.expr(f"min(tus) DIV {RESAMPLE_STEP_US}").alias("lo_i"),
+        F.expr(f"max(tus) DIV {RESAMPLE_STEP_US}").alias("hi_i"),
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            (F.explode(F.expr("sequence(lo_i, hi_i)")) * RESAMPLE_STEP_US).alias("tus"),
+            F.lit(0).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    u = ev.unionByName(grid)
+    order = [F.col("tus"), F.col("is_grid"), F.col("event_id")]
+    wb = Window.partitionBy("event_type").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("event_type").orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    ann = u.select(
+        "event_type", "tus", "is_grid",
+        F.last("value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(F.when(F.col("value").isNotNull(), F.col("tus")), True).over(wb).alias("pt"),
+        F.first("value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.when(F.col("value").isNotNull(), F.col("tus")), True).over(wf).alias("nt"),
+    ).where(F.col("is_grid") == 1)
+    frac = (F.col("tus") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    v = (
+        F.when(F.col("pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nv").isNull() | (F.col("nt") == F.col("pt")), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ann.select(
+        "event_type",
+        F.expr(f"tus DIV 1000000").alias("grid_s"),
+        rnd(v, 6).alias("v_interp"),
+    ).orderBy("event_type", "grid_s")
+
+
+VALUE_RESAMPLE_SQL = f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) AS tus, event_id, value, 0 AS is_grid
+    FROM events
+),
+bounds AS (
+    SELECT min(tus) // {RESAMPLE_STEP_US} AS lo_i,
+           max(tus) // {RESAMPLE_STEP_US} AS hi_i
+    FROM ev
+),
+grid AS (
+    SELECT t.event_type, g.i * {RESAMPLE_STEP_US} AS tus,
+           CAST(0 AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+           1 AS is_grid
+    FROM (SELECT DISTINCT event_type FROM ev) t,
+         (SELECT unnest(range(lo_i, hi_i + 1)) AS i FROM bounds) g
+),
+u AS (SELECT * FROM ev UNION ALL SELECT * FROM grid),
+ann AS (
+    SELECT event_type, tus, is_grid,
+           last_value(value IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN value IS NOT NULL THEN tus END IGNORE NULLS) OVER wb AS pt,
+           first_value(value IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN value IS NOT NULL THEN tus END IGNORE NULLS) OVER wf AS nt
+    FROM u
+    WINDOW wb AS (PARTITION BY event_type ORDER BY tus, is_grid, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY tus, is_grid, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, tus // 1000000 AS grid_s,
+       {sql_rnd("CASE WHEN pv IS NULL THEN NULL WHEN nv IS NULL OR nt = pt THEN pv ELSE pv + (nv - pv) * (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END")} AS v_interp
+FROM ann WHERE is_grid = 1
+ORDER BY event_type, grid_s
 """
