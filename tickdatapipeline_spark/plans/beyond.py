@@ -5892,7 +5892,11 @@ def value_resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bounds))
         .select(
             "event_type",
-            (F.explode(F.expr("sequence(lo_i, hi_i)")) * RESAMPLE_STEP_US).alias("tus"),
+            F.explode(F.expr("sequence(lo_i, hi_i)")).alias("grid_i"),
+        )
+        .select(
+            "event_type",
+            (F.col("grid_i") * RESAMPLE_STEP_US).alias("tus"),
             F.lit(0).cast("long").alias("event_id"),
             F.lit(None).cast("double").alias("value"),
             F.lit(1).alias("is_grid"),
