@@ -2691,30 +2691,6 @@ def _write_events_ns(tmp_path, rows):
     return str(tmp_path / "sf")
 
 
-def test_funnel_strict_ordering(spark, tmp_path):
-    """The funnel requires each stage STRICTLY AFTER the previous one:
-    u1 converts fully; u2's click precedes their first view (no click
-    conversion); u3's purchase precedes their click (view+click only);
-    u4 never views (not in the funnel at all)."""
-    from tickdatapipeline_spark.plans.beyond import funnel_fn
-
-    s = 1_000_000_000  # 1 second in ns
-    rows = [
-        (1, 1 * s, 1, "view"), (2, 2 * s, 1, "click"), (3, 3 * s, 1, "purchase"),
-        (4, 1 * s, 2, "click"), (5, 2 * s, 2, "view"), (6, 5 * s, 2, "purchase"),
-        (7, 1 * s, 3, "view"), (8, 5 * s, 3, "click"), (9, 4 * s, 3, "purchase"),
-        (10, 1 * s, 4, "click"), (11, 2 * s, 4, "purchase"),
-    ]
-    sf = _write_events_ns(tmp_path, rows)
-    out = funnel_fn(spark, sf).collect()
-    assert len(out) == 1
-    r = out[0]
-    # u2's purchase@5 follows their click@1, but the click never counted
-    # (before first view), so u2 cannot convert at purchase either
-    assert (r.n_view, r.n_click_after, r.n_purchase_after) == (3, 2, 1)
-    assert r.click_rate == 0.666667 and r.purchase_rate == 0.5
-
-
 def test_session_concurrency_golden(spark, tmp_path):
     """Hand-swept intervals: day 0 holds u1 [0,600s], u2 [300,300], u4
     [100,300] -> 3 concurrent at t=300 (touching endpoints count, starts

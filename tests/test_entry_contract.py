@@ -209,6 +209,42 @@ def test_fingerprints_json_is_current():
     )
 
 
+def test_no_shadowed_names_in_plan_modules():
+    """A plans module defining the same top-level name twice (a second
+    `funnel_fn`, a second SQL constant) silently SHADOWS the first —
+    and a duplicate string key inside a dict literal silently keeps the
+    last value, so `_registry`'s cross-module duplicate assert never
+    sees it. Both almost shipped in round 8: a second funnel_fn/
+    FUNNEL_SQL pair replaced the original windowed funnel's gated
+    entry. Parse every plans module and reject duplicate top-level
+    defs/constants and duplicate dict-literal keys."""
+    import ast
+    import inspect
+
+    from tickdatapipeline_spark.plans import analytics, beyond, relational
+
+    for mod in (analytics, beyond, relational):
+        tree = ast.parse(inspect.getsource(mod))
+        names: list[str] = []
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                names.extend(
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                )
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        assert not dupes, f"{mod.__name__}: shadowed top-level names {dupes}"
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Dict):
+                keys = [
+                    k.value for k in node.keys
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str)
+                ]
+                kdupes = sorted({k for k in keys if keys.count(k) > 1})
+                assert not kdupes, f"{mod.__name__}: duplicate dict keys {kdupes}"
+
+
 def test_parity_head_artifact_covers_gated_surface():
     """PARITY_HEAD.json — the committed artifact of the last full
     oracle-parity sweep (scripts_dev/oracle_parity.py with no filters)

@@ -3654,9 +3654,7 @@ def queries() -> dict[str, tuple]:
         "docs_bm25_topk": (bm25_topk_fn, BM25_SQL),
         "events_distinct_kmv": (kmv_daily_fn, KMV_SQL),
         "events_hourly_acf": (hourly_acf_fn, ACF_SQL),
-        "events_funnel": (funnel_fn, FUNNEL_SQL),
         "ann_hard_negatives": (hard_negatives_fn, HARD_NEGATIVES_SQL),
-        "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "events_cohort_retention": (cohort_retention_fn, COHORT_RETENTION_SQL),
         "events_session_concurrency": (session_concurrency_fn, SESSION_CONCURRENCY_SQL),
         "docs_quality_vs_dup": (quality_vs_dup_fn, QUALITY_VS_DUP_SQL),
@@ -5281,92 +5279,6 @@ ORDER BY event_type, lag_h
 """
 
 
-# ================= round 8: conversion funnel =================
-
-FUNNEL_STAGES = ("view", "click", "purchase")
-
-
-def funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view -> click -> purchase: a user
-    converts at stage i+1 only with an event STRICTLY AFTER their first
-    stage-i conversion time (min-time semantics, the standard funnel
-    definition — not mere set membership).
-
-    Exactness: pure integer micro-timestamps and counts; the two rates
-    are single divisions, rounded.
-
-    Scale: three per-user min-aggregates chained by user_id equi-joins
-    — every shuffle is on user_id and Catalyst reuses the partitioning
-    across the chain; no windows over the raw stream."""
-    ev = read_events(spark, sf_dir).select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
-    )
-    v = (
-        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
-        .groupBy("user_id").agg(F.min("tus").alias("t1"))
-    )
-    c = (
-        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
-        .join(v, "user_id")
-        .where(F.col("tus") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("tus").alias("t2"))
-    )
-    p = (
-        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
-        .join(c, "user_id")
-        .where(F.col("tus") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("tus").alias("t3"))
-    )
-    out = (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .agg(
-            F.count("t1").alias("n_view"),
-            F.count("t2").alias("n_click_after"),
-            F.count("t3").alias("n_purchase_after"),
-        )
-    )
-    rate = lambda a, b: F.when(  # noqa: E731
-        F.col(b) > 0, rnd(F.col(a).cast("double") / F.col(b).cast("double"), 6)
-    )
-    return out.select(
-        "n_view", "n_click_after", "n_purchase_after",
-        rate("n_click_after", "n_view").alias("click_rate"),
-        rate("n_purchase_after", "n_click_after").alias("purchase_rate"),
-    )
-
-
-FUNNEL_SQL = f"""
-WITH ev AS (
-    SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
-),
-v AS (SELECT user_id, min(tus) AS t1 FROM ev WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
-c AS (
-    SELECT ev.user_id, min(tus) AS t2
-    FROM ev JOIN v ON ev.user_id = v.user_id
-    WHERE event_type = '{FUNNEL_STAGES[1]}' AND tus > t1
-    GROUP BY ev.user_id
-),
-p AS (
-    SELECT ev.user_id, min(tus) AS t3
-    FROM ev JOIN c ON ev.user_id = c.user_id
-    WHERE event_type = '{FUNNEL_STAGES[2]}' AND tus > t2
-    GROUP BY ev.user_id
-),
-agg AS (
-    SELECT CAST(count(t1) AS BIGINT) AS n_view,
-           CAST(count(t2) AS BIGINT) AS n_click_after,
-           CAST(count(t3) AS BIGINT) AS n_purchase_after
-    FROM v LEFT JOIN c ON v.user_id = c.user_id
-           LEFT JOIN p ON v.user_id = p.user_id
-)
-SELECT n_view, n_click_after, n_purchase_after,
-       CASE WHEN n_view > 0 THEN {sql_rnd("CAST(n_click_after AS DOUBLE) / CAST(n_view AS DOUBLE)")} END AS click_rate,
-       CASE WHEN n_click_after > 0 THEN {sql_rnd("CAST(n_purchase_after AS DOUBLE) / CAST(n_click_after AS DOUBLE)")} END AS purchase_rate
-FROM agg
-"""
-
-
 # ================= round 8: hard-negative mining =================
 
 
@@ -5432,83 +5344,6 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine FROM (
     SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
     FROM scored
 ) WHERE rank <= {TOPK_K}
-"""
-
-
-# ================= round 8: corpus snapshot diff =================
-
-DIFF_ADDED_MOD = 11   # doc_id % 11 == 0: docs absent from the previous snapshot
-DIFF_EDITED_MOD = 13  # doc_id % 13 == 0: docs whose text changed since
-
-
-def snapshot_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus snapshot diff — the data-versioning readout between two
-    corpus builds: per source, how many docs were added, changed
-    (content hash differs), removed, or carried unchanged. The
-    "previous snapshot" is derived deterministically from the fixture
-    (doc_id % {11,13} marks additions/edits) so the diff algebra —
-    full-outer join on doc_id comparing h60(text) — is what's tested;
-    a deployment diffs two real parquet snapshots with the same plan.
-
-    Scale: both sides reduce to (doc_id, source, content_hash) BEFORE
-    the join — 16-byte rows, never text — and the full-outer join
-    shuffles on doc_id; the per-source rollup is map-side combinable."""
-    docs = _docs(spark, sf_dir)
-    cur = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "source",
-        h60(F.col("text")).alias("h"),
-    )
-    prev = (
-        docs.where(F.col("doc_id") % DIFF_ADDED_MOD != 0)
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("source").alias("p_source"),
-            h60(
-                F.when(
-                    F.col("doc_id") % DIFF_EDITED_MOD == 0,
-                    F.concat(F.col("text"), F.lit(" draft")),
-                ).otherwise(F.col("text"))
-            ).alias("ph"),
-        )
-    )
-    j = cur.join(prev, "doc_id", "full_outer")
-    status = (
-        F.when(F.col("ph").isNull(), F.lit("added"))
-        .when(F.col("h").isNull(), F.lit("removed"))
-        .when(F.col("h") != F.col("ph"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
-    return (
-        j.select(F.coalesce(F.col("source"), F.col("p_source")).alias("source"),
-                 status.alias("status"))
-        .groupBy("source", "status")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("source", "status")
-    )
-
-
-SNAPSHOT_DIFF_SQL = f"""
-WITH cur AS (
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {sql_h60("text")} AS h
-    FROM documents
-),
-prev AS (
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS p_source,
-           {sql_h60(f"CASE WHEN doc_id % {DIFF_EDITED_MOD} = 0 THEN text || ' draft' ELSE text END")} AS ph
-    FROM documents WHERE doc_id % {DIFF_ADDED_MOD} <> 0
-),
-j AS (
-    SELECT coalesce(cur.source, prev.p_source) AS source,
-           CASE WHEN ph IS NULL THEN 'added'
-                WHEN h IS NULL THEN 'removed'
-                WHEN h <> ph THEN 'changed'
-                ELSE 'unchanged' END AS status
-    FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
-)
-SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
-FROM j GROUP BY source, status
-ORDER BY source, status
 """
 
 
