@@ -2807,29 +2807,6 @@ def test_part_fuzzy_dictionary_semantics(spark, tmp_path):
     }
 
 
-def test_cohort_retention_golden(spark, tmp_path):
-    """Two cohorts: day-0 cohort {1,2} with user 1 back on day 1 and
-    user 2 back on day 2; day-1 cohort {3} never returns."""
-    from tickdatapipeline_spark.plans.beyond import cohort_retention_fn
-
-    s = 1_000_000_000
-    day = 86_400
-    rows = [
-        (1, 0, 1, "m"), (2, 0, 2, "m"),
-        (3, day * s, 1, "m"), (4, day * s, 3, "m"),
-        (5, 2 * day * s, 2, "m"),
-    ]
-    sf = _write_events_ns(tmp_path, rows)
-    out = [(r.cohort_day, r.offset_d, r.n_active, r.n_cohort, r.retention)
-           for r in cohort_retention_fn(spark, sf).collect()]
-    assert out == [
-        (0, 0, 2, 2, 1.0),
-        (0, 1, 1, 2, 0.5),
-        (0, 2, 1, 2, 0.5),
-        (day, 0, 1, 1, 1.0),
-    ]
-
-
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram

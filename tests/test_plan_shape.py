@@ -723,16 +723,6 @@ def test_length_ks_sweep_partitions_by_pair(spark):
     assert "SinglePartition" not in plan
 
 
-def test_cohort_retention_sizes_broadcast(spark):
-    """The O(days) cohort-size table must broadcast back onto the
-    matrix aggregate."""
-    from tickdatapipeline_spark.plans.beyond import cohort_retention_fn
-
-    plan = physical(cohort_retention_fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SinglePartition" not in plan
-
-
 def test_media_near_duplicates_bucket_join_and_mean_broadcast(spark):
     """Feature near-dup must join on the LSH bucket (equi-join, never a
     raw cross product over media rows) with the 1-row mean broadcast."""

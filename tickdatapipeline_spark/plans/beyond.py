@@ -3654,8 +3654,7 @@ def queries() -> dict[str, tuple]:
         "docs_bm25_topk": (bm25_topk_fn, BM25_SQL),
         "events_distinct_kmv": (kmv_daily_fn, KMV_SQL),
         "events_hourly_acf": (hourly_acf_fn, ACF_SQL),
-        "ann_hard_negatives": (hard_negatives_fn, HARD_NEGATIVES_SQL),
-        "events_cohort_retention": (cohort_retention_fn, COHORT_RETENTION_SQL),
+        "sim_hard_negatives": (hard_negatives_fn, HARD_NEGATIVES_SQL),
         "events_session_concurrency": (session_concurrency_fn, SESSION_CONCURRENCY_SQL),
         "docs_quality_vs_dup": (quality_vs_dup_fn, QUALITY_VS_DUP_SQL),
         "docs_length_ks": (length_ks_fn, LENGTH_KS_SQL),
@@ -5344,69 +5343,6 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine FROM (
     SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
     FROM scored
 ) WHERE rank <= {TOPK_K}
-"""
-
-
-# ================= round 8: cohort retention =================
-
-
-def cohort_retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users cohorted by first-active day;
-    retention(cohort, d) = share of the cohort active again d days
-    later — the standard growth-analytics readout complementing
-    events_stickiness (aggregate DAU/WAU) and events_rfm (per-user
-    scores).
-
-    Exactness: (user, day) is DISTINCT before anything else, so every
-    count is an exact distinct-user count without expand-based
-    countDistinct; the share is one division, rounded.
-
-    Scale: first-day and activity both key on user_id (one exchange
-    reused), the matrix aggregate keys on (cohort_day, offset_d) —
-    O(days^2) output rows — and the cohort sizes broadcast back."""
-    ev = read_events(spark, sf_dir).select(
-        F.expr("(ts DIV 1000000000 DIV 86400) * 86400").alias("day_s"),
-        "user_id",
-    )
-    du = ev.distinct()
-    first = du.groupBy("user_id").agg(F.min("day_s").alias("cohort_day"))
-    sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
-    act = (
-        du.join(first, "user_id")
-        .select(
-            "cohort_day",
-            F.expr("(day_s - cohort_day) DIV 86400").alias("offset_d"),
-        )
-        .groupBy("cohort_day", "offset_d")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-    )
-    return (
-        act.join(F.broadcast(sizes), "cohort_day")
-        .select(
-            "cohort_day", "offset_d", "n_active", "n_cohort",
-            rnd(F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6).alias("retention"),
-        )
-        .orderBy("cohort_day", "offset_d")
-    )
-
-
-COHORT_RETENTION_SQL = f"""
-WITH du AS (
-    SELECT DISTINCT (epoch_us(ts) // 1000000 // 86400) * 86400 AS day_s, user_id
-    FROM events
-),
-first AS (SELECT user_id, min(day_s) AS cohort_day FROM du GROUP BY user_id),
-sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort FROM first GROUP BY cohort_day),
-act AS (
-    SELECT cohort_day, (day_s - cohort_day) // 86400 AS offset_d,
-           CAST(count(*) AS BIGINT) AS n_active
-    FROM du JOIN first ON du.user_id = first.user_id
-    GROUP BY cohort_day, (day_s - cohort_day) // 86400
-)
-SELECT act.cohort_day, offset_d, n_active, n_cohort,
-       {sql_rnd("CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)")} AS retention
-FROM act JOIN sizes ON act.cohort_day = sizes.cohort_day
-ORDER BY act.cohort_day, offset_d
 """
 
 
