@@ -49,9 +49,17 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_jaccard_is_candidate_restricted(spark):
     from tickdatapipeline_spark.operators.dedup import jaccard_pairs
+    from tickdatapipeline_spark.operators.globalorder import set_pins
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = physical(jaccard_pairs(docs))
+    # pins truncate lineage to Scan ExistingRDD, hiding the structure
+    # under them from the plan text — disable for inspection (the
+    # logical shape asserted here is identical either way)
+    set_pins(False)
+    try:
+        plan = physical(jaccard_pairs(docs))
+    finally:
+        set_pins(True)
     # verification must consume the LSH band table (band_key join) — the
     # unrestricted shingle-equality self-join (doc_id < doc_id on the
     # shingle table, quadratic on hot shingles) must be gone
@@ -71,12 +79,17 @@ def test_dedup_has_no_forced_per_document_broadcasts(spark):
     sizes), and the Jaccard size table must be semi-join-restricted to
     candidate docs before it is joined."""
     from tickdatapipeline_spark.operators.dedup import deduplicated_corpus, jaccard_pairs
+    from tickdatapipeline_spark.operators.globalorder import set_pins
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    for df in (jaccard_pairs(docs), deduplicated_corpus(docs)):
-        opt = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "hint" not in opt.lower(), "forced broadcast hint survived"
-    assert "LeftSemi" in jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    set_pins(False)  # see through lineage-truncating pins
+    try:
+        for df in (jaccard_pairs(docs := spark.read.parquet(f"{SF}/documents.parquet")),
+                   deduplicated_corpus(docs)):
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "hint" not in opt.lower(), "forced broadcast hint survived"
+        assert "LeftSemi" in jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        set_pins(True)
 
 
 def test_fir_averages_is_join_free(spark):

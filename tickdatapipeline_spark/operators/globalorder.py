@@ -77,6 +77,21 @@ def set_super_size(n: "int | None") -> None:
     _SUPER_SIZE = 1024 if n is None else max(int(n), 1)
 
 
+_PINS_ENABLED = True
+
+
+def set_pins(enabled: bool) -> None:
+    """Plan-inspection switch: pin() truncates lineage (the physical
+    plan shows `Scan ExistingRDD` where the pinned sub-DAG was), which
+    blinds the test_plan_shape structural assertions to everything
+    UNDER a pin. Tests that read plans call set_pins(False) around the
+    plan build — the logical structure they assert (semi-joins,
+    candidate restriction, no quadratic self-joins) is unaffected by
+    whether the sub-DAG is staged. Production code never calls this."""
+    global _PINS_ENABLED
+    _PINS_ENABLED = enabled
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Stage a frame consumed by both an offsets subquery and the main
     plan, so its lineage executes once.
@@ -91,6 +106,8 @@ def pin(df: DataFrame) -> DataFrame:
     the whole pool to sorts/aggregations — the only level whose memory
     footprint is O(1) in stream length.
     """
+    if not _PINS_ENABLED:
+        return df
     return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
