@@ -1058,6 +1058,45 @@ def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
     assert got == {10: "gold", 11: None, 12: "platinum", 13: "bronze"}
 
 
+def test_dedup_stream_drops_watermarked_duplicates(spark, tmp_path):
+    """Streaming exact dedup: a later micro-batch's copy of an earlier
+    doc (same whitespace/case-normalized content) is dropped; new
+    content passes; first arrivals land in the append sink exactly
+    once."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "ts": ts}) + "\n")
+
+    write_docs("b0.json", [
+        (1, "alpha beta gamma", "2024-01-01 00:00:00"),
+        (2, "something else entirely", "2024-01-01 00:00:30"),
+    ])
+    q = run_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                         str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_docs("b1.json", [
+            (3, "  ALPHA   beta GAMMA ", "2024-01-01 00:10:00"),  # dup of 1
+            (4, "fresh new content", "2024-01-01 00:10:00"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 4]
+    assert len({r.content_hash for r in rows}) == 3
+
+
 def test_index_ingest_stream(spark, tmp_path):
     """Inverted-index live ingest: the bulk backfill serves phrase
     queries immediately; a phrase arriving in a later micro-batch is

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.rounding import rnd
+from tickdatapipeline_spark.operators.text import h60
 
 EVENT_SCHEMA = "event_id long, tus long, event_type string, value double"
 SESSION_SCHEMA = "event_id long, tus long, user_id long"
@@ -389,6 +390,52 @@ def _idempotent_enrich_writer(dim_path: str, out_dir: str, on: str):
 
 
 DOC_SCHEMA = "doc_id long, text string, lang string"
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "1 hour",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup at ingest: keep the FIRST arrival of each
+    normalized content hash; later copies arriving within the watermark
+    horizon are dropped — the streaming twin of
+    operators/dedup.exact_duplicates, via the engine's native
+    ``dropDuplicatesWithinWatermark`` (not a hand-rolled state store).
+
+    Scale contract: the dedup state holds one entry per DISTINCT hash
+    seen within the watermark horizon and is evicted as event time
+    advances — bounded by arrival rate x horizon, unlike a bare
+    ``dropDuplicates`` whose state grows forever. A duplicate arriving
+    AFTER the horizon is readmitted by design (same trade every
+    watermarked dedup makes); the batch `exact_duplicates` pass is the
+    full-corpus backstop.
+
+    Input JSONL: (doc_id, text, lang, ts event-time timestamp). Output
+    parquet: first-arrival docs with their content_hash, appended per
+    micro-batch.
+    """
+    raw = (
+        spark.readStream.schema("doc_id long, text string, lang string, ts timestamp")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    deduped = (
+        raw.withColumn("content_hash", h60(norm))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
 
 
 def run_ingest_decontamination(
