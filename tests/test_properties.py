@@ -535,3 +535,102 @@ def test_bpe_learn_merges_matches_python_mirror(spark, words):
                     i += 1
             segs[w] = out
     assert got == expect[:len(got)] and len(got) == len(expect)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lengths=st.lists(
+        st.tuples(st.sampled_from(["sA", "sB", "sC"]),
+                  st.integers(min_value=1, max_value=30)),
+        min_size=2, max_size=40,
+    ),
+)
+def test_length_ks_equals_naive_property(spark, lengths, tmp_path_factory):
+    """Random (source, length) samples: the distributed two-sample KS
+    must equal a direct python computation of max |F1 - F2| over pooled
+    values via the same integer cross-multiplication."""
+    from tickdatapipeline_spark.plans.beyond import length_ks_fn
+
+    sources = sorted({s for s, _l in lengths})
+    if len(sources) < 2:
+        return
+    td = tmp_path_factory.mktemp("ks")
+    rows = [(i, "x" * ln, "en", s, ln) for i, (s, ln) in enumerate(lengths)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+
+    got = {(r.s1, r.s2): (r.n1, r.n2, r.ks_num)
+           for r in length_ks_fn(spark, str(td)).collect()}
+
+    import itertools
+
+    want = {}
+    by_src = {s: sorted(ln for ss, ln in lengths if ss == s) for s in sources}
+    for s1, s2 in itertools.combinations(sources, 2):
+        a, b = by_src[s1], by_src[s2]
+        n1, n2 = len(a), len(b)
+        pooled = sorted(set(a) | set(b))
+        d = max(abs(sum(1 for x in a if x <= v) * n2
+                    - sum(1 for x in b if x <= v) * n1) for v in pooled)
+        want[(s1, s2)] = (n1, n2, d)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=100),   # hours offset
+                  st.integers(min_value=100, max_value=99999)),  # value cents
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+)
+def test_value_resample_equals_naive_property(spark, events, tmp_path_factory):
+    """Random irregular series: the distributed 6h-grid interpolation
+    must equal a python walk (linear between brackets, hold-last after
+    the final event, null before the first), bit-for-bit through the
+    shared floor rounding."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import RESAMPLE_STEP_US, value_resample_fn
+
+    td = tmp_path_factory.mktemp("rs")
+    H = 3600 * 1_000_000_000
+    rows = sorted(events)
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([h * H for h, _v in rows], pa.timestamp("ns")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["m"] * len(rows)),
+        "value": pa.array([v / 100.0 for _h, v in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, td / "events.parquet")
+
+    got = {r.grid_s: r.v_interp
+           for r in value_resample_fn(spark, str(td)).collect()}
+
+    pts = [(h * H // 1000, v / 100.0) for h, v in rows]  # micros
+    lo = pts[0][0] // RESAMPLE_STEP_US
+    hi = pts[-1][0] // RESAMPLE_STEP_US
+    want = {}
+    for i in range(lo, hi + 1):
+        t = i * RESAMPLE_STEP_US
+        prevs = [(x, v) for x, v in pts if x <= t]
+        nexts = [(x, v) for x, v in pts if x > t]
+        if not prevs:
+            want[t // 1_000_000] = None
+            continue
+        pt_, pv = prevs[-1]
+        if not nexts:
+            v = pv
+        else:
+            nt_, nv = nexts[0]
+            v = pv + (nv - pv) * ((t - pt_) / (nt_ - pt_))
+        want[t // 1_000_000] = math.floor(v * 1e6 + 0.5) / 1e6
+    assert got == want
