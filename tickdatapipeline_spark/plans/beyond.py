@@ -3659,6 +3659,7 @@ def queries() -> dict[str, tuple]:
         "docs_quality_vs_dup": (quality_vs_dup_fn, QUALITY_VS_DUP_SQL),
         "docs_length_ks": (length_ks_fn, LENGTH_KS_SQL),
         "events_value_resample": (value_resample_fn, VALUE_RESAMPLE_SQL),
+        "events_hourly_ccf": (hourly_ccf_fn, HOURLY_CCF_SQL),
         "events_hourly_topk": (hourly_topk_fn, HOURLY_TOPK_SQL),
         "docs_zipf_profile": (zipf_profile_fn, ZIPF_PROFILE_SQL),
         "docs_bigram_likelihood": (
@@ -5737,4 +5738,109 @@ SELECT event_type, tus // 1000000 AS grid_s,
        {sql_rnd("CASE WHEN pv IS NULL THEN NULL WHEN nv IS NULL OR nt = pt THEN pv ELSE pv + (nv - pv) * (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END")} AS v_interp
 FROM ann WHERE is_grid = 1
 ORDER BY event_type, grid_s
+"""
+
+
+# ================= round 8: cross-correlation at signed lags =================
+
+CCF_MAX_LAG = 3
+
+
+def hourly_ccf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag detection between two event-type series: Pearson r of
+    (views at hour t, clicks at hour t+L) for signed lags -3..+3 — the
+    missing member of the correlation family (events_rolling_corr is
+    same-time windowed, events_hourly_acf is self-lag). The argmax lag
+    answers "does X lead Y, and by how much" — the alignment question
+    behind cross-stream signal engineering.
+
+    Exactness and scale exactly as events_hourly_acf: integer five-sums
+    over the gap-filled O(hours) grid, two exact sqrt()s and one
+    division at the end; the lag pairing is an equi-join on hour + L,
+    O(hours x lags) rows, no windows over the raw stream."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+        "event_type",
+    ).where(F.col("event_type").isin(CORR_X_TYPE, CORR_Y_TYPE))
+    hourly = ev.groupBy("hour_s").agg(
+        F.sum(F.when(F.col("event_type") == CORR_X_TYPE, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == CORR_Y_TYPE, 1).otherwise(0)).alias("y"),
+    )
+    bounds = ev.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, 3600)")).alias("hour_s")
+    )
+    g = grid.join(hourly, "hour_s", "left").select(
+        "hour_s",
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    g = pin(g)  # both sides of every signed-lag join
+    lags = list(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))
+    xl = g.select(
+        "hour_s", "x",
+        F.explode(F.array(*[F.lit(lag) for lag in lags])).alias("lag_h"),
+    )
+    yl = g.select(F.col("hour_s").alias("hs"), F.col("y"))
+    pairs = xl.join(yl, F.col("hs") == F.col("hour_s") + F.col("lag_h") * 3600)
+    sums = pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ccf = F.when(
+        (vx > 0) & (vy > 0),
+        rnd(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6),
+    )
+    return sums.select(
+        F.col("lag_h").cast("long").alias("lag_h"),
+        F.col("n").alias("n_pairs"),
+        ccf.alias("ccf"),
+    ).orderBy("lag_h")
+
+
+HOURLY_CCF_SQL = f"""
+WITH e AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type
+    FROM events WHERE event_type IN ('{CORR_X_TYPE}', '{CORR_Y_TYPE}')
+),
+hourly AS (
+    SELECT hour_s,
+           CAST(sum(CASE WHEN event_type = '{CORR_X_TYPE}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = '{CORR_Y_TYPE}' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM e GROUP BY hour_s
+),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+g AS (
+    SELECT h.hour_s, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+    FROM (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds) h
+    LEFT JOIN hourly USING (hour_s)
+),
+pairs AS (
+    SELECT lag_h, a.x AS x, b.y AS y
+    FROM (SELECT *, unnest({list(range(-CCF_MAX_LAG, CCF_MAX_LAG + 1))}) AS lag_h FROM g) a
+    JOIN g b ON b.hour_s = a.hour_s + lag_h * 3600
+),
+sums AS (
+    SELECT CAST(lag_h AS BIGINT) AS lag_h,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs GROUP BY lag_h
+)
+SELECT lag_h, n AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN {sql_rnd("CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")}
+       END AS ccf
+FROM sums
+ORDER BY lag_h
 """
