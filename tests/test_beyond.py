@@ -2807,6 +2807,32 @@ def test_part_fuzzy_dictionary_semantics(spark, tmp_path):
     }
 
 
+def test_hourly_ccf_detects_engineered_lag(spark, tmp_path):
+    """Clicks built as an exact copy of views shifted +2 hours: the CCF
+    must be exactly 1.0 at lag +2 and below it everywhere else, with
+    n_pairs shrinking by |lag| (the grid overlap)."""
+    from tickdatapipeline_spark.plans.beyond import hourly_ccf_fn
+
+    h_ns = 3600 * 1_000_000_000
+    views = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]  # distinct pattern, 10 hours
+    rows = []
+    eid = 0
+    for h, n in enumerate(views):
+        for _ in range(n):
+            rows.append((eid, h * h_ns, 1, "view")); eid += 1
+        for _ in range(n):  # clicks = views shifted +2h
+            rows.append((eid, (h + 2) * h_ns, 1, "click")); eid += 1
+    sf = _write_events_ns(tmp_path, rows)
+    got = {r.lag_h: (r.n_pairs, r.ccf) for r in hourly_ccf_fn(spark, sf).collect()}
+    assert set(got) == set(range(-3, 4))
+    span = 12  # hours 0..11 in the grid
+    assert got[2][1] == 1.0
+    for lag, (n, ccf) in got.items():
+        assert n == span - abs(lag)
+        if lag != 2 and ccf is not None:
+            assert ccf < 1.0
+
+
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram
