@@ -145,6 +145,13 @@ def _fingerprint_freshness_issues(
     last = _last_green_round() if last is None else last
     reg = _registry() if reg is None else reg
     green_gated = {n for n, (_f, s) in reg.items() if s is not None and n in last}
+    if not recorded and green_gated:
+        # An empty/absent FINGERPRINTS.json with a non-empty green surface
+        # would compute a horizon of 0 and exempt EVERYTHING — disarming
+        # the missing-recordings tripwire exactly when the file is most
+        # wrong (lost, truncated, or never generated). Treat it as a
+        # wholesale audit failure instead.
+        return sorted(green_gated), []
     horizon = max((v.get("round", 0) for v in recorded.values()), default=0)
     missing = sorted(
         n for n in green_gated - set(recorded) if last[n] <= horizon

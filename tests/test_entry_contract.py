@@ -162,9 +162,15 @@ def test_edited_query_leads_next_window(monkeypatch):
     order = list(mod.queries())
     assert order.index(victim) > 0
 
-    # simulate "victim's plan fn / SQL was edited this session"
+    # simulate "victim's plan fn / SQL was edited this session". The fake
+    # recording's round must be AT-OR-AFTER the victim's last green round,
+    # or a fresh driver CORRECTNESS deposit (last[victim] > the old
+    # recorded round) makes the engine — correctly — treat the newer green
+    # as clearing the promotion and the test reds on every deposit (the
+    # r07/r08 failure class). max() makes the simulation deposit-invariant.
+    fake_round = max(last.get(victim, 0), recorded[victim]["round"])
     fake = dict(recorded)
-    fake[victim] = {"fp": "0" * 16, "round": recorded[victim]["round"]}
+    fake[victim] = {"fp": "0" * 16, "round": fake_round}
     monkeypatch.setattr(mod, "_recorded_fingerprints", lambda: fake)
     order = list(mod.queries())
     vi = order.index(victim)
@@ -178,7 +184,7 @@ def test_edited_query_leads_next_window(monkeypatch):
     # a green row NEWER than the recording clears the promotion: the
     # victim drops back to the TAIL (it is the most recently verified)
     newer = dict(last)
-    newer[victim] = recorded[victim]["round"] + 1
+    newer[victim] = fake_round + 1
     monkeypatch.setattr(mod, "_last_green_round", lambda: newer)
     order = list(mod.queries())
     vi = order.index(victim)
@@ -303,3 +309,58 @@ def test_fingerprint_freshness_exempts_fresh_driver_deposit():
     last[a] = 8
     _, promoted = mod._fingerprint_freshness_issues(recorded, last, reg)
     assert promoted == []
+
+
+def test_freshness_audit_fails_on_empty_fingerprints_file():
+    """A lost/empty FINGERPRINTS.json must NOT disarm the tripwire: with
+    the horizon at 0 every green would read as 'newer than the horizon'
+    and be exempt. Instead an empty recorded dict against a non-empty
+    green surface is itself the audit failure."""
+    import __spark_entry__ as mod
+
+    reg = mod._registry()
+    gated = [n for n, (_f, s) in reg.items() if s is not None]
+    a, b = gated[:2]
+    missing, promoted = mod._fingerprint_freshness_issues({}, {a: 7, b: 8}, reg)
+    assert missing == sorted([a, b]) and promoted == []
+    # no greens at all -> genuinely nothing to audit, stays clean
+    missing, promoted = mod._fingerprint_freshness_issues({}, {}, reg)
+    assert missing == [] and promoted == []
+
+
+def test_meta_tests_survive_fresh_driver_deposit(monkeypatch):
+    """Deposit-invariance regression case (the r07/r08 failure class):
+    after the driver synthetically deposits an all-green
+    CORRECTNESS_r{N+1}.json — every gated query green at a round NEWER
+    than anything in FINGERPRINTS.json — the freshness audit stays
+    clean AND the edited-query promotion still works when the simulated
+    edit is recorded at max(last_green, recorded_round)."""
+    import __spark_entry__ as mod
+
+    reg = mod._registry()
+    recorded = mod._recorded_fingerprints()
+    horizon = max(v.get("round", 0) for v in recorded.values())
+    deposit_round = horizon + 1
+    fake_last = {
+        n for n, (_f, s) in reg.items() if s is not None
+    }
+    fake_last = {n: deposit_round for n in fake_last}
+    monkeypatch.setattr(mod, "_last_green_round", lambda: fake_last)
+
+    # 1. freshness audit: every green is newer than the horizon -> exempt
+    missing, promoted = mod._fingerprint_freshness_issues(
+        recorded, fake_last, reg
+    )
+    assert missing == []
+    assert len(promoted) <= 50
+
+    # 2. edited-query promotion, simulated exactly as
+    #    test_edited_query_leads_next_window constructs it: round =
+    #    max(last, recorded) keeps the promotion live despite the deposit
+    victim = next(n for n in mod.oracle_sql() if n in recorded)
+    fake_round = max(fake_last[victim], recorded[victim]["round"])
+    fake_rec = dict(recorded)
+    fake_rec[victim] = {"fp": "0" * 16, "round": fake_round}
+    monkeypatch.setattr(mod, "_recorded_fingerprints", lambda: fake_rec)
+    order = list(mod.queries())
+    assert order.index(victim) < 50
