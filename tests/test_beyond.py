@@ -2833,6 +2833,65 @@ def test_hourly_ccf_detects_engineered_lag(spark, tmp_path):
             assert ccf < 1.0
 
 
+def test_corr_budget_guard_raises_on_overflowing_sums(spark):
+    """The correlation family's int64-budget guard: synthetic five-sums
+    just past the 2^62 budget raise the documented re-bin message (not
+    an opaque ANSI arithmetic error), sums just inside it pass n
+    through untouched. Uses the division form so the check itself can
+    never overflow — including at sxy = int64 max."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tickdatapipeline_spark.plans.beyond import _corr_budget_guard
+
+    def run(n, sxy, sxx, syy):
+        df = spark.createDataFrame(
+            [(n, 0, 0, sxy, sxx, syy)],
+            "n long, sx long, sy long, sxy long, sxx long, syy long",
+        )
+        return df.select(_corr_budget_guard("acf_test").alias("n_pairs")).collect()
+
+    # inside the budget: n = 3, each sum at the floor((2^62-1)/3) cap
+    cap = (2 ** 62 - 1) // 3
+    assert run(3, -cap, cap, cap) == [(3,)]
+    # one past the cap on each of the three sums -> the re-bin message
+    for bad in ("sxy", "sxx", "syy"):
+        kw = {"sxy": cap, "sxx": cap, "syy": cap}
+        kw[bad] = cap + 1
+        with pytest.raises(SparkRuntimeException, match="re-bin the series"):
+            run(3, **kw)
+    # sxy at int64 max: the multiplication form n*sxy would itself
+    # overflow under ANSI before comparing; the DIV form must raise
+    # the guard's own message instead
+    with pytest.raises(SparkRuntimeException, match="re-bin the series"):
+        run(3, 2 ** 63 - 1, cap, cap)
+
+
+def test_acf_ccf_plans_fold_the_budget_guard(spark, tmp_path):
+    """The guard must be IN the executed plan (folded into the consumed
+    n_pairs output, un-prunable): both hourly correlation plans carry a
+    raise_error node, and on an in-budget fixture the guarded n_pairs
+    values are unchanged (the CCF golden above pins exact values)."""
+    from tickdatapipeline_spark.operators import globalorder
+    from tickdatapipeline_spark.plans.beyond import hourly_acf_fn, hourly_ccf_fn
+
+    h_ns = 3600 * 1_000_000_000
+    rows = []
+    eid = 0
+    for h in range(6):
+        for et in ("view", "click"):
+            rows.append((eid, h * h_ns, 1, et)); eid += 1
+    sf = _write_events_ns(tmp_path, rows)
+    globalorder.set_pins(False)  # pin() truncates lineage for plan asserts
+    try:
+        for fn in (hourly_acf_fn, hourly_ccf_fn):
+            df = fn(spark, sf)
+            assert "raise_error" in df._jdf.queryExecution().optimizedPlan().toString()
+            assert all(r.n_pairs >= 1 for r in df.collect())
+    finally:
+        globalorder.set_pins(True)
+
+
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram

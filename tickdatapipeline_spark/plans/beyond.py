@@ -5179,7 +5179,11 @@ def hourly_acf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: everything downstream of the hourly aggregate is O(hours x
     types x lags) rows; the lag pairing is an equi-join on (type,
-    hour + L) — no window over the raw stream, no global sort."""
+    hour + L) — no window over the raw stream, no global sort. Same
+    int64-budget contract as the OLS trend: an un-prunable raise_error
+    folded into n_pairs bounds n*|Sxy| / n*Sxx / n*Syy below 2^62 —
+    above ~100 K hours x 10^9-count hours the documented answer is
+    "re-bin", never a silent wraparound."""
     ev = read_events(spark, sf_dir).select(
         F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
         "event_type",
@@ -5229,10 +5233,35 @@ def hourly_acf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (vx > 0) & (vy > 0),
         rnd(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6),
     )
+    guarded_n = _corr_budget_guard("events_hourly_acf")
     return sums.select(
         "event_type", F.col("lag_h").cast("long").alias("lag_h"),
-        F.col("n").alias("n_pairs"), acf.alias("acf"),
+        guarded_n.alias("n_pairs"), acf.alias("acf"),
     ).orderBy("event_type", "lag_h")
+
+
+def _corr_budget_guard(op: str):
+    """The correlation family's int64-budget guard (the exact pattern
+    trend_over_hourly folds into n_hours): the five-sum Pearson algebra
+    n*Sxy - Sx*Sy / sqrt(n*Sxx - Sx^2) / sqrt(n*Syy - Sy^2) is exact
+    only while every product stays inside int64. Guarding n*|Sxy|,
+    n*Sxx and n*Syy below 2^62 suffices — Cauchy-Schwarz bounds
+    Sx^2 <= n*Sxx and |Sx*Sy| <= max(n*Sxx, n*Syy). Folded into the
+    consumed n_pairs output so Catalyst cannot prune it; on trip it
+    raises the documented re-bin message instead of an opaque ANSI
+    arithmetic error (or a silent wraparound with ANSI off)."""
+    # division form, not n*sum < 2^62: the guard's own product could
+    # overflow int64 first and surface the very ANSI arithmetic error
+    # the guard exists to replace. n >= 1 always (count over a group).
+    budget_div_n = F.expr(f"{2 ** 62 - 1} DIV n")
+    return F.when(
+        (F.abs(F.col("sxy")) <= budget_div_n)
+        & (F.col("sxx") <= budget_div_n)
+        & (F.col("syy") <= budget_div_n),
+        F.col("n"),
+    ).otherwise(F.raise_error(F.lit(
+        f"{op}: correlation five-sums exceed the int64 budget — re-bin the series"
+    )))
 
 
 ACF_SQL = f"""
@@ -5757,7 +5786,10 @@ def hourly_ccf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness and scale exactly as events_hourly_acf: integer five-sums
     over the gap-filled O(hours) grid, two exact sqrt()s and one
     division at the end; the lag pairing is an equi-join on hour + L,
-    O(hours x lags) rows, no windows over the raw stream."""
+    O(hours x lags) rows, no windows over the raw stream — including
+    the family's in-plan int64-budget raise_error guard on n_pairs
+    (_corr_budget_guard: re-bin above ~100 K hours x 10^9-count
+    hours, never a silent overflow)."""
     ev = read_events(spark, sf_dir).select(
         F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
         "event_type",
@@ -5801,7 +5833,7 @@ def hourly_ccf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         F.col("lag_h").cast("long").alias("lag_h"),
-        F.col("n").alias("n_pairs"),
+        _corr_budget_guard("events_hourly_ccf").alias("n_pairs"),
         ccf.alias("ccf"),
     ).orderBy("lag_h")
 
