@@ -1,12 +1,25 @@
 """Driver bench: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line: {"metric", "value", "unit", "queries", "sf", "calibration"}.
 
 Each query is forced end-to-end with a noop-sink write (full plan
 execution, no driver collect). The headline set covers the reference
 pipeline (all stateful stages + two encoders), count-based bars (boxcar
 and 1087-tap FIR), the analysis-query surface, and the beyond-reference
-dedup/similarity/text/relational operators.
+dedup/similarity/text/search/relational operators.
+
+The JSON also carries a per-run CALIBRATION block so each BENCH_r*.json
+records its own box-contention estimate (r08: three same-code
+measurements spread 20.5 / 24.87 / 28.41 s — the headline number alone
+cannot distinguish a plan regression from a noisy neighbor):
+
+* ``spark_fixed_sec`` — a warmed repeat of the fixed sf0.001 pass over
+  every headline plan: tiny data, codegen already cached, so the wall
+  time is almost pure scheduler/JVM overhead. Same work every round.
+* ``cpu_fixed_sec`` — a fixed single-core Python loop, no Spark at all.
+
+Compare ratios: a headline total that moved with both probes flat is a
+plan regression; a total that moved together with the probes is the box.
 """
 
 from __future__ import annotations
@@ -35,7 +48,42 @@ HEADLINE = [
     "asof_join_events",
     "rel_pricing_summary",
     "rel_revenue_by_nation",
+    # round 9 additions: the surface users actually hit hardest — the
+    # reworked containment chain, retrieval scoring, the interval sweep,
+    # and feature-space media dedup in its DEPLOYMENT posture (planes
+    # sized to the corpus + skew cap armed; the gated registry entry is
+    # the deliberately exhaustive oracle config instead)
+    "dedup_decontaminate",
+    "docs_bm25_topk",
+    "events_session_concurrency",
+    "media_dedup_features_deploy",
 ]
+
+N_PASSES = 3  # per-query MIN over three well-separated passes
+
+
+def _media_dedup_features_deploy(spark, sf_dir):
+    """media_dedup_features in deployment posture: 16 planes (2^16
+    buckets — sized ~log2(n/bucket) per the operator contract) and the
+    max_bucket_size skew cap armed, vs the gated entry's exhaustive
+    8-plane/uncapped oracle config."""
+    from tickdatapipeline_spark.operators.multimodal import (
+        media_near_duplicates,
+        synth_media_from_documents,
+    )
+    from tickdatapipeline_spark.plans.beyond import (
+        MEDIA_DEDUP_DIM,
+        MEDIA_DEDUP_THRESHOLD,
+        _docs,
+    )
+
+    return media_near_duplicates(
+        synth_media_from_documents(_docs(spark, sf_dir)),
+        threshold=MEDIA_DEDUP_THRESHOLD,
+        planes=16,
+        dim=MEDIA_DEDUP_DIM,
+        max_bucket_size=256,
+    )
 
 
 def main() -> None:
@@ -47,16 +95,31 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
+    qs = dict(E.queries())
+    qs["media_dedup_features_deploy"] = _media_dedup_features_deploy
+
+    def tiny_pass() -> float:
+        """Every headline plan once at sf0.001; returns wall seconds."""
+        t0 = time.time()
+        for name in HEADLINE:
+            qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        return time.time() - t0
 
     # warm the JVM on the tiny sf — every headline query shape runs once
     # at sf0.001 so headline timings measure the plans, not first-call
-    # codegen/JIT costs (worth 1-2 s per distinct encoder shape)
-    for name in HEADLINE:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # codegen/JIT costs (worth 1-2 s per distinct encoder shape)...
+    tiny_pass()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # ...then repeat the IDENTICAL tiny pass warmed: fixed work, cached
+    # codegen, negligible data -> a per-run box-contention probe
+    calib_spark = round(tiny_pass(), 3)
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    calib_cpu = round(time.time() - t0, 3)
 
     # the flagship tick_pipeline_* queries are measured with the shared
     # ticks materialization DISABLED — their number is the true
@@ -64,13 +127,12 @@ def main() -> None:
     # analytics/bar suite is then measured against a staged ticks_out
     # (warmed below), the deployment shape where it is a written table.
     #
-    # Each query is timed over TWO full passes of the headline list
+    # Each query is timed over THREE full passes of the headline list
     # (back-to-back) and reported as the per-query MIN: a single-shot
     # timing is hostage to whatever else the host is running (the r05
     # driver bench read individual queries 4-7x their solo cost purely
-    # from box contention), while the min of two well-separated runs
-    # tracks the plan cost. ~30 s extra at sf0.1 buys a signal that can
-    # tell a real regression from a noisy neighbor.
+    # from box contention), while the min of three well-separated runs
+    # tracks the plan cost.
     from tickdatapipeline_spark.plans.common import set_ticks_cache
 
     def run_pass(timings: dict[str, float]) -> None:
@@ -90,16 +152,24 @@ def main() -> None:
         set_ticks_cache(True)
 
     timings: dict[str, float] = {}
-    run_pass(timings)
-    run_pass(timings)
+    for _ in range(N_PASSES):
+        run_pass(timings)
 
     total = round(sum(timings.values()), 3)
+    legacy = round(sum(v for k, v in timings.items() if k in HEADLINE[:15]), 3)
     print(json.dumps({
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # continuity with BENCH_r01-r08 (their 15-query headline set)
+        "legacy15_total": legacy,
+        "calibration": {
+            "spark_fixed_sec": calib_spark,
+            "cpu_fixed_sec": calib_cpu,
+            "passes": N_PASSES,
+        },
     }))
 
 
