@@ -1097,6 +1097,104 @@ def test_dedup_stream_drops_watermarked_duplicates(spark, tmp_path):
     assert len({r.content_hash for r in rows}) == 3
 
 
+def test_rowlocal_bands_match_band_table(spark):
+    """The streaming dedup's row-local band keys must equal the batch
+    _band_table's keys doc-for-doc, band-for-band — otherwise stream
+    and batch disagree on who is a near-dup."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators import globalorder
+    from tickdatapipeline_spark.operators.dedup import (
+        _band_table,
+        rowlocal_band_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document with its own words here"),
+         (3, "too short"),  # < 3 tokens: no shingles, no bands
+         (4, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    globalorder.set_pins(False)
+    try:
+        batch = {
+            (r.doc_id, r.band): r.band_key
+            for r in _band_table(docs, 32, 4, pinned=False).collect()
+        }
+    finally:
+        globalorder.set_pins(True)
+    rowlocal = {}
+    for r in docs.select(
+        "doc_id", F.explode(rowlocal_band_signature(F.col("text"))).alias("bk")
+    ).collect():
+        rowlocal[(r.doc_id, r.bk.band)] = r.bk.band_key
+    assert rowlocal == batch
+    assert not any(d == 3 for d, _b in rowlocal)  # short doc: empty array
+    # identical docs share every band key
+    assert all(rowlocal[(1, b)] == rowlocal[(4, b)] for b in range(8))
+
+
+def test_neardup_dedup_stream_drops_perturbed_copy(spark, tmp_path):
+    """Backfill-then-stream near-dup dedup: a TOKEN-PERTURBED copy of a
+    backfilled doc arriving in batch 2 is dropped (shares LSH bands),
+    fresh content passes, an exact copy is dropped, and short docs fall
+    back to exact-content dedup instead of aliasing each other."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_neardup_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "ts": ts}) + "\n")
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove and rain falls on the quiet roof")
+    perturbed = base.replace("rain", "snow")  # one token of ~24
+    write_docs("b0.json", [
+        (1, base, "2024-01-01 00:00:00"),
+        (2, "completely unrelated text about spark shuffle partitions and "
+            "broadcast joins in a distributed query engine", "2024-01-01 00:00:30"),
+        (3, "hi there", "2024-01-01 00:00:40"),  # short: exact fallback
+    ])
+    q = run_neardup_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                                 str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_docs("b1.json", [
+            (4, perturbed, "2024-01-01 00:10:00"),       # near-dup of 1 -> drop
+            (5, base, "2024-01-01 00:10:00"),            # exact dup of 1 -> drop
+            (6, "hi there", "2024-01-01 00:10:30"),      # exact dup of 3 -> drop
+            (7, "hi friend", "2024-01-01 00:10:30"),     # short but DISTINCT -> keep
+            (8, "a genuinely novel document mentioning embeddings minhash "
+                "bands and watermarked streaming state stores", "2024-01-01 00:11:00"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3, 7, 8]
+    # sanity: the perturbed copy really does share bands with the base
+    # (i.e. it was dropped as a NEAR-dup, not because of exact equality)
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.dedup import rowlocal_band_signature
+    keys = (
+        spark.createDataFrame([(1, base), (4, perturbed)], "doc_id long, text string")
+        .select("doc_id", F.explode(rowlocal_band_signature(F.col("text"))).alias("bk"))
+        .collect()
+    )
+    k1 = {(r.bk.band, r.bk.band_key) for r in keys if r.doc_id == 1}
+    k4 = {(r.bk.band, r.bk.band_key) for r in keys if r.doc_id == 4}
+    assert k1 != k4 and k1 & k4
+
+
 def test_index_ingest_stream(spark, tmp_path):
     """Inverted-index live ingest: the bulk backfill serves phrase
     queries immediately; a phrase arriving in a later micro-batch is

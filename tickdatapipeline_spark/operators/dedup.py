@@ -549,6 +549,55 @@ def _band_table(docs: DataFrame, num_perm: int, band_size: int,
     return pin(bands) if pinned else bands
 
 
+def rowlocal_band_signature(text, num_perm: int = NUM_PERM,
+                            band_size: int = BAND_SIZE, n: int = 3):
+    """``array<struct<band:int, band_key:string>>`` holding the SAME
+    MinHash-LSH band keys ``_band_table`` computes, as one row-local
+    column expression — no explode, no groupBy, no shuffle. Built for
+    streaming ingest (the full text is on the row, so the per-doc
+    aggregate the batch path shuffles for is just ``array_min``) and
+    for map-side signature stamping.
+
+    Exactness: lane j's minimum over the gram MULTISET equals the min
+    over its distinct set (the `_minhash_wide` argument), and the key
+    string is the identical comma-joined lane concatenation, so a
+    stream-stamped signature joins against a batch-built band table
+    key-for-key (unit-pinned by test_rowlocal_bands_match_band_table).
+    Docs with fewer than ``n`` tokens have no shingles and return an
+    EMPTY array — mirroring the batch path, where they vanish at the
+    shingle groupBy; callers choose the fallback (the streaming dedup
+    keys them by exact content digest instead)."""
+    t = tokens(text)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(grams, lambda g: h60(g) % MERSENNE_P)
+
+    def lane(j: int):
+        return F.array_min(F.transform(
+            hs, lambda h: (F.lit(perm_a(j)) * h + F.lit(perm_b(j))) % MERSENNE_P
+        ))
+
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[
+                lane(b * band_size + r).cast("string") for r in range(band_size)
+            ]).alias("band_key"),
+        )
+        for b in range(num_perm // band_size)
+    ]
+    return F.when(F.size(grams) >= 1, F.array(*structs)).otherwise(
+        F.array().cast("array<struct<band:int,band_key:string>>")
+    )
+
+
 def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,
                            max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicate pairs: docs whose signatures differ in at

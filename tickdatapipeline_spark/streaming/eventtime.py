@@ -417,6 +417,14 @@ def run_dedup_stream(
     Input JSONL: (doc_id, text, lang, ts event-time timestamp). Output
     parquet: first-arrival docs with their content_hash, appended per
     micro-batch.
+
+    The dedup KEY is sha2-256 of the normalized text, not the 60-bit
+    h60 the batch manifest reports: in `exact_duplicates` a cross-doc
+    hash collision merely overcounts a manifest row, but here a
+    collision within the watermark horizon would silently DROP a
+    distinct document at ingest — unrecoverable loss in the sink. The
+    reported `content_hash` column stays h60 for parity with the batch
+    manifest.
     """
     raw = (
         spark.readStream.schema("doc_id long, text string, lang string, ts timestamp")
@@ -426,12 +434,93 @@ def run_dedup_stream(
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     deduped = (
         raw.withColumn("content_hash", h60(norm))
+        .withColumn("content_sha", F.sha2(F.encode(norm, "utf-8"), 256))
         .withWatermark("ts", delay)
-        .dropDuplicatesWithinWatermark(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_sha"])
+        .drop("content_sha")
     )
     return (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def run_neardup_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "1 hour",
+    num_perm: int = 32,
+    band_size: int = 4,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming NEAR-dup dedup at ingest — the fuzzy tier above
+    `run_dedup_stream`: a token-perturbed copy of a recent document is
+    dropped, not just a byte-identical one.
+
+    Mechanics: each arrival's MinHash-LSH band keys are computed
+    ROW-LOCALLY (operators/dedup.rowlocal_band_signature — same keys as
+    the batch `_band_table`, no shuffle), the doc explodes into one row
+    per band, and `dropDuplicatesWithinWatermark(["band", "band_key"])`
+    keeps only first-seen band keys. A foreachBatch regroup then keeps
+    a doc iff ALL its band rows survived — i.e. it shares NO band with
+    anything seen inside the watermark horizon. Sharing any band is
+    exactly the batch LSH candidate rule, so the semantics are
+    "LSH-candidate-level dedup, no exact-Jaccard verify at ingest":
+    strictly more aggressive than verified near-dup, with the batch
+    `jaccard_pairs`/`deduplicated_corpus` pass as the exact backstop
+    (same contract note as `run_dedup_stream`'s horizon trade).
+
+    Docs too short to shingle (< 3 tokens: no band keys, invisible to
+    batch LSH too) fall back to EXACT dedup via a single synthetic band
+    keyed by the sha2-256 of their normalized content (band -1) — never
+    the empty key, which would alias every short doc together.
+
+    Scale contract: dedup state holds one entry per distinct band key
+    within the horizon — bounded by arrival rate x horizon x
+    (num_perm/band_size) rows of ~40 bytes, evicted as event time
+    advances. The regroup is micro-batch-local (all of a doc's band
+    rows explode inside its own batch), never a streaming aggregate;
+    the sink write is replay-idempotent (_write_batch_idempotent).
+    """
+    from tickdatapipeline_spark.operators.dedup import rowlocal_band_signature
+
+    raw = (
+        spark.readStream.schema("doc_id long, text string, lang string, ts timestamp")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    sig = rowlocal_band_signature(F.col("text"), num_perm, band_size)
+    bands = F.when(F.size(sig) > 0, sig).otherwise(F.array(F.struct(
+        F.lit(-1).alias("band"),
+        F.sha2(F.encode(norm, "utf-8"), 256).alias("band_key"),
+    )))
+    exploded = (
+        raw.withColumn("n_bands", F.size(bands))
+        .select("doc_id", "text", "lang", "ts", "n_bands",
+                F.explode(bands).alias("bk"))
+        .select("doc_id", "text", "lang", "ts", "n_bands",
+                F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["band", "band_key"])
+    )
+
+    def _keep_fully_novel(batch_df: DataFrame, batch_id: int) -> None:
+        keep = (
+            batch_df.groupBy("doc_id", "text", "lang", "ts", "n_bands")
+            .agg(F.count(F.lit(1)).alias("bands_survived"))
+            .where(F.col("bands_survived") == F.col("n_bands"))
+            .drop("bands_survived", "n_bands")
+        )
+        _write_batch_idempotent(keep, out_dir, batch_id)
+
+    return (
+        exploded.writeStream.foreachBatch(_keep_fully_novel)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
