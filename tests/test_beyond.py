@@ -2892,6 +2892,61 @@ def test_acf_ccf_plans_fold_the_budget_guard(spark, tmp_path):
         globalorder.set_pins(True)
 
 
+def test_phash_fingerprint_semantics(spark):
+    """Perceptual fingerprints: byte-identical payloads share a phash
+    (hamming 0), a lightly perturbed payload lands within a few bits
+    (near-dup by pigeonhole), an unrelated payload does not; the WHT
+    median-sign construction balances the key (~half the 63 bits set)."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.multimodal import (
+        perceptual_fingerprints,
+        phash_near_duplicates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 8).encode()
+    tweaked = bytearray(base)
+    for k in range(4):  # a handful of bytes nudged (one flips no bit at
+        tweaked[7 * k + 3] ^= 0x14  # all — cell sums absorb ±4 deltas)
+    other = ("completely different content with other bytes here " * 7).encode()
+    media = spark.createDataFrame(
+        [(1, "image", bytes(base)), (2, "image", bytes(base)),
+         (3, "image", bytes(tweaked)), (4, "image", bytes(other))],
+        "media_id long, kind string, content binary",
+    )
+    fp = perceptual_fingerprints(media)
+    got = {r.media_id: r.phash for r in fp.collect()}
+    assert got[1] == got[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert 0 < ham(got[1], got[3]) <= 8
+    assert ham(got[1], got[4]) > 8
+    assert 20 <= bin(got[1]).count("1") <= 43  # median-sign balance
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in phash_near_duplicates(fp).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_phash_pairs_plan_is_band_equijoin(spark):
+    """The phash near-dup join must be a band-key EQUI-join (shuffle on
+    (band, band_key)), never a cartesian/nested-loop over fingerprints."""
+    from tickdatapipeline_spark.operators import globalorder
+    from tickdatapipeline_spark.plans.beyond import media_dedup_phash_fn
+
+    globalorder.set_pins(False)
+    try:
+        plan = (
+            media_dedup_phash_fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        globalorder.set_pins(True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+
+
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram

@@ -233,6 +233,150 @@ def media_near_duplicates(
     )
 
 
+PHASH_SIDE = 8
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def _fake_decode_matrix(payload: bytes, side: int = PHASH_SIDE) -> "list[list[int]]":
+    """STUB decode: replace with a real decoder (grayscale resize to
+    side x side for images, mel-bin x time-bin for audio).
+
+    Deterministic byte binning so tests/oracles have exact goldens:
+    cell (r, c) sums the payload bytes at offsets ≡ r*side + c
+    (mod side²) — the 2-D reshape of `_fake_decode_features`' histogram.
+    """
+    cells = [0] * (side * side)
+    if payload:
+        for i, byte in enumerate(payload):
+            cells[i % (side * side)] += byte
+    return [cells[r * side:(r + 1) * side] for r in range(side)]
+
+
+def perceptual_fingerprints(
+    media: DataFrame,
+    side: int = PHASH_SIDE,
+    decode_matrix: "Callable[[bytes], list[list[int]]] | None" = None,
+) -> DataFrame:
+    """pHash-style perceptual fingerprint: decode to a side x side
+    intensity matrix (STUB codec — inject a real grayscale-resize via
+    ``decode_matrix`` and nothing else changes), 2-D transform, keep
+    the signs of the non-DC coefficients against their median as a
+    64-bit key. Two fingerprints within a few bits of Hamming distance
+    are perceptual near-dups even when their bytes differ (re-encode,
+    crop, brightness shift) — the media analogue of simhash.
+
+    The transform is the WALSH-HADAMARD transform (entries ±1), not the
+    classic DCT: WHT coefficients of an integer matrix are exact
+    BIGINTs, so the fingerprint is bit-reproducible cross-engine and
+    the query is oracle-gateable (a DCT's cosines are transcendental —
+    the measured cross-engine hard-NO). WHT is the standard fixed-point
+    stand-in in the pHash family (Nilsimsa/blockhash lineage); it
+    captures the same low-vs-high spatial frequency structure. A
+    deployment wanting the classic DCT swaps this kernel and the query
+    drops to rows-only gating, exactly like a real codec would.
+
+    Bit i-1 (i = 1..side²-1, row-major coefficient order, DC excluded)
+    is set iff coefficient i exceeds the exact MEDIAN of the side²-1
+    non-DC coefficients (odd count — 63 for side 8 — so the median is
+    the unique 32nd order statistic: integer-exact, no averaging).
+    Output: (media_id, kind, phash BIGINT in [0, 2^63)).
+    """
+    n_cells = side * side
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dec = decode_matrix if decode_matrix is not None else (
+            lambda b: _fake_decode_matrix(b, side)
+        )
+        # H[i, j] = (-1)^popcount(i & j): the natural-order Hadamard
+        H = np.array(
+            [[-1 if bin(i & j).count("1") % 2 else 1 for j in range(side)]
+             for i in range(side)],
+            dtype=np.int64,
+        )
+        weights = np.left_shift(np.int64(1), np.arange(n_cells - 1, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({
+                    "media_id": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype=object),
+                    "phash": pd.Series([], dtype="int64"),
+                })
+                continue
+            mats = np.stack([
+                np.asarray(dec(b), dtype=np.int64)
+                for b in pdf["content"]
+            ])
+            coef = np.matmul(np.matmul(H, mats), H).reshape(len(pdf), n_cells)
+            flat = coef[:, 1:]  # drop the DC term (the total sum)
+            med = np.sort(flat, axis=1)[:, (n_cells - 2) // 2]
+            phash = ((flat > med[:, None]) * weights).sum(axis=1)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "kind": pdf["kind"],
+                "phash": pd.Series(phash, dtype="int64"),
+            })
+
+    return media.where(
+        F.col("content").isNotNull() & (F.length("content") > 0)
+    ).mapInPandas(kernel, schema=PHASH_SCHEMA)
+
+
+def phash_near_duplicates(
+    fingerprints: DataFrame, max_hamming: int = 8, n_bands: int = 9,
+    bits: int = 63,
+) -> DataFrame:
+    """Perceptual near-dup pairs over `perceptual_fingerprints` output:
+    media whose phash differs in at most ``max_hamming`` bits, found by
+    the same band pigeonhole as `dedup.simhash_near_dup_pairs` — with
+    max_hamming <= n_bands - 1, any qualifying pair shares at least one
+    intact band, so the band-key equi-join has NO recall loss. 63 bits
+    split into 9 bands of 7; verification is one bit_count per
+    candidate. Output: (media_a, media_b, hamming), media_a < media_b.
+    """
+    assert bits % n_bands == 0 and max_hamming <= n_bands - 1
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    width = bits // n_bands
+    fp = pin(fingerprints.select("media_id", "phash"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("phash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    bands = fp.select("media_id", "phash", F.explode(band_structs).alias("r")).select(
+        "media_id", "phash",
+        F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key"),
+    )
+    return (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("media_a"),
+            F.col("r.media_id").alias("media_b"),
+            F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash")))
+            .cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def sample_frames(
     media: DataFrame,
     every: int = 4,

@@ -44,6 +44,8 @@ from tickdatapipeline_spark.operators.multimodal import (
     extract_features,
     media_exact_duplicates,
     media_near_duplicates,
+    perceptual_fingerprints,
+    phash_near_duplicates,
     sample_frames,
     synth_media_from_documents,
 )
@@ -1654,6 +1656,129 @@ WHERE cosine >= {dlit(threshold)}
 
 
 MEDIA_DEDUP_FEATURES_SQL = _media_dedup_features_sql()
+
+
+PHASH_MAX_HAMMING = 8
+
+
+def media_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media fingerprint (multimodal.perceptual_fingerprints):
+    stub-decode to an 8x8 byte matrix, exact integer Walsh-Hadamard
+    transform, sign-vs-median of the 63 non-DC coefficients packed into
+    one BIGINT — the rotation/re-encode-tolerant near-dup key the raw
+    byte-histogram features can't provide. Swapping a real grayscale
+    decoder into the kernel changes nothing Spark-side."""
+    return perceptual_fingerprints(synth_media_from_documents(_docs(spark, sf_dir)))
+
+
+def media_dedup_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs: phash Hamming distance <= 8 via the
+    9-band pigeonhole equi-join (multimodal.phash_near_duplicates — no
+    recall loss at this threshold, same argument as simhash banding)."""
+    return phash_near_duplicates(
+        perceptual_fingerprints(synth_media_from_documents(_docs(spark, sf_dir))),
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+
+
+def _phash_sql_core(side: int = 8) -> str:
+    """Shared CTE chain reproducing perceptual_fingerprints in DuckDB:
+    the per-byte UTF-8 reconstruction (same closed form as
+    _media_dedup_features_sql, dim = side²) -> integer Walsh-Hadamard
+    coefficients (sign constants baked at SQL-generation time) -> exact
+    63-value median (list_sort order statistic) -> bit-packed BIGINT."""
+    dim = side * side
+
+    def sgn(k: int, d: int) -> int:
+        u, v = divmod(k, side)
+        r, c = divmod(d, side)
+        return 1 if (bin(u & r).count("1") + bin(v & c).count("1")) % 2 == 0 else -1
+
+    byte_val = """CASE
+             WHEN clen = 1 THEN cp
+             WHEN j = 0 AND clen = 2 THEN 192 + cp // 64
+             WHEN j = 0 AND clen = 3 THEN 224 + cp // 4096
+             WHEN j = 0 AND clen = 4 THEN 240 + cp // 262144
+             WHEN j = 1 AND clen = 2 THEN 128 + cp % 64
+             WHEN j = 1 AND clen = 3 THEN 128 + (cp // 64) % 64
+             WHEN j = 1 AND clen = 4 THEN 128 + (cp // 4096) % 64
+             WHEN j = 2 AND clen = 3 THEN 128 + cp % 64
+             WHEN j = 2 AND clen = 4 THEN 128 + (cp // 64) % 64
+             ELSE 128 + cp % 64 END"""
+    f_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {d} THEN bval ELSE 0 END) AS BIGINT) AS f{d}"
+        for d in range(dim)
+    )
+    y_cols = ",\n           ".join(
+        "(0 " + " ".join(
+            f"{'+' if sgn(k, d) > 0 else '-'} f{d}" for d in range(dim)
+        ) + f") AS y{k}"
+        for k in range(1, dim)
+    )
+    med = "list_sort([" + ", ".join(f"y{k}" for k in range(1, dim)) + f"])[{dim // 2}]"
+    pack = "\n             + ".join(
+        f"(CASE WHEN y{k} > med THEN {1 << (k - 1)} ELSE 0 END)"
+        for k in range(1, dim)
+    )
+    return f"""
+media AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           text
+    FROM documents WHERE text IS NOT NULL AND strlen(text) > 0
+),
+chars AS (
+    SELECT media_id, i, ord(text[i]) AS cp,
+           CASE WHEN ord(text[i]) < 128 THEN 1 WHEN ord(text[i]) < 2048 THEN 2
+                WHEN ord(text[i]) < 65536 THEN 3 ELSE 4 END AS clen
+    FROM media, unnest(range(1, length(text) + 1)) AS u(i)
+),
+offs AS (
+    SELECT media_id, cp, clen,
+           sum(clen) OVER (PARTITION BY media_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) - clen AS char_off
+    FROM chars
+),
+bytes AS (
+    SELECT media_id, (char_off + j) % {dim} AS bin,
+           {byte_val} AS bval
+    FROM offs, unnest(range(0, clen)) AS v(j)
+),
+cells AS (
+    SELECT media_id, {f_cols}
+    FROM bytes GROUP BY media_id
+),
+wht AS (
+    SELECT media_id, {y_cols}
+    FROM cells
+),
+fp AS (
+    SELECT media.media_id, media.kind,
+           CAST({pack} AS BIGINT) AS phash
+    FROM (SELECT *, {med} AS med FROM wht) w
+    JOIN media ON media.media_id = w.media_id
+)"""
+
+
+MEDIA_PHASH_SQL = f"""
+WITH {_phash_sql_core()}
+SELECT media_id, kind, phash FROM fp
+"""
+
+MEDIA_DEDUP_PHASH_SQL = f"""
+WITH {_phash_sql_core()},
+bands AS (
+    SELECT media_id, phash, CAST(b AS INT) AS band,
+           (phash >> (7 * b)) & 127 AS band_key
+    FROM fp, unnest(range(0, 9)) AS t(b)
+)
+SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+       CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.media_id < r.media_id
+WHERE bit_count(xor(l.phash, r.phash)) <= {PHASH_MAX_HAMMING}
+"""
 
 
 def time_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3651,6 +3776,8 @@ def queries() -> dict[str, tuple]:
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
         "media_dedup_exact": (media_dedup_exact_fn, MEDIA_DEDUP_EXACT_SQL),
         "media_dedup_features": (media_dedup_features_fn, MEDIA_DEDUP_FEATURES_SQL),
+        "media_phash": (media_phash_fn, MEDIA_PHASH_SQL),
+        "media_dedup_phash": (media_dedup_phash_fn, MEDIA_DEDUP_PHASH_SQL),
         "docs_bm25_topk": (bm25_topk_fn, BM25_SQL),
         "events_distinct_kmv": (kmv_daily_fn, KMV_SQL),
         "events_hourly_acf": (hourly_acf_fn, ACF_SQL),
