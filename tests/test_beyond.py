@@ -2947,6 +2947,95 @@ def test_phash_pairs_plan_is_band_equijoin(spark):
     assert "band_key" in plan
 
 
+def test_graph_triangles_golden(spark):
+    """A triple of identical docs forms a candidate 3-clique -> one
+    triangle, each member counted once; a disjoint identical pair has
+    edges but no closure -> absent from the output."""
+    import tempfile
+
+    from tickdatapipeline_spark.plans.beyond import dedup_graph_triangles_fn
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta", "en") for i in range(3)]
+    rows += [(10 + i, "one two three four five six seven eight", "en") for i in range(2)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, l, "s", len(t)) for i, t, l in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+        got = {r.doc_id: r.n_triangles
+               for r in dedup_graph_triangles_fn(spark, td).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_key_skew_gini_golden(spark, tmp_path):
+    """Hand-counted Gini: type 'a' users with counts (1, 1, 4) ->
+    ranked six = 1+2+12 = 15, gini = (30-24)/18 = 1/3; a single-user
+    type pins gini = 0."""
+    from tickdatapipeline_spark.plans.beyond import key_skew_fn
+
+    rows, eid = [], 0
+    for u, n in ((1, 1), (2, 1), (3, 4)):
+        for _ in range(n):
+            rows.append((eid, eid * 1_000_000_000, u, "a")); eid += 1
+    rows.append((eid, 0, 9, "b"))
+    sf = _write_events_ns(tmp_path, rows)
+    out = {r.event_type: r for r in key_skew_fn(spark, sf).collect()}
+    a = out["a"]
+    assert (a.n_users, a.n_events, a.max_user_events) == (3, 6, 4)
+    assert a.top_user_share == 0.666667 and a.gini == 0.333333
+    assert out["b"].gini == 0.0 and out["b"].top_user_share == 1.0
+
+
+def test_readability_lix_golden(spark, tmp_path):
+    """LIX by hand: 'One two three. Four five!' -> 5 words, 2 sentence
+    runs, 0 long words -> 2.5; '!!!' is ONE boundary; a >=7-char word
+    adds 100/n_words."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import readability_fn
+
+    texts = {1: "One two three. Four five!",
+             2: "Amazing!!! Wonderful gigantic words",
+             3: "no terminators here"}
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(texts[i]) for i in sorted(texts)], pa.int64()),
+    })
+    (tmp_path / "sf").mkdir()
+    pq.write_table(tbl, tmp_path / "sf" / "documents.parquet")
+    out = {r.doc_id: r for r in readability_fn(spark, str(tmp_path / "sf")).collect()}
+    assert (out[1].n_words, out[1].n_sentences, out[1].n_long_words) == (5, 2, 0)
+    assert out[1].lix == 2.5
+    # doc 2: 4 words, 1 run (!!!), long: amazing(7) wonderful(9) gigantic(8)
+    assert (out[2].n_words, out[2].n_sentences, out[2].n_long_words) == (4, 1, 3)
+    assert out[2].lix == 4.0 + 75.0
+    # doc 3: 0 runs -> sentence divisor max(0,1)=1; "terminators" is long
+    assert out[3].n_sentences == 0 and out[3].lix == 3.0 + 33.333333
+
+
+def test_power_pareto_golden(spark, tmp_path):
+    """Counts (8, 1, 1) over 3 users: deciles 1-3 have k=0 (absent),
+    k=1 covers the heavy user (0.8), k=2 splits the tied tail exactly
+    (9/10), k=3 covers all. Tie split = cum_before + (k-users_before)*cnt."""
+    from tickdatapipeline_spark.plans.beyond import power_users_pareto_fn
+
+    rows, eid = [], 0
+    for u, n in ((1, 8), (2, 1), (3, 1)):
+        for _ in range(n):
+            rows.append((eid, eid * 1_000_000_000, u, "m")); eid += 1
+    sf = _write_events_ns(tmp_path, rows)
+    got = {r.decile: (r.n_top_users, r.events_covered, r.share)
+           for r in power_users_pareto_fn(spark, sf).collect()}
+    assert set(got) == set(range(4, 11))
+    assert got[4] == (1, 8, 0.8) and got[6] == (1, 8, 0.8)
+    assert got[7] == (2, 9, 0.9) and got[9] == (2, 9, 0.9)
+    assert got[10] == (3, 10, 1.0)
+
+
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram

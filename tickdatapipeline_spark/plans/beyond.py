@@ -3547,6 +3547,266 @@ ORDER BY event_type, rnk
 """
 
 
+# ================= round 9: graph / skew / readability / pareto =================
+
+
+def dedup_graph_triangles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH candidate graph: per-doc count of
+    closed triples among near-dup candidate edges — the graph-density
+    readout that separates tight duplicate CLUSTERS (cliques: template
+    spam, mirrored shards) from chain-like borderline matches before a
+    connected-components pass lumps them together.
+
+    The canonical distributed triangle count: edges are oriented
+    doc_a < doc_b (so each triangle a<b<c is enumerated exactly once),
+    one two-path equi-join (ab.b = bc.a) and one closure equi-join
+    check — never an all-pairs step. The edge table is pinned once and
+    reused by all three join roles; join fanout is bounded by the
+    out-degree of the orientation (classic Schank-Wagner posture; at
+    corpus scale the LSH band cap already bounds degenerate degrees
+    upstream)."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    e = pin(lsh_candidate_pairs(_docs(spark, sf_dir), max_band_bucket=None))
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.doc_b") == F.col("bc.doc_a"))
+        .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))
+              & (F.col("ac.doc_b") == F.col("bc.doc_b")))
+        .select(F.col("ab.doc_a").alias("a"), F.col("ab.doc_b").alias("b"),
+                F.col("bc.doc_b").alias("c"))
+    )
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return (
+        member.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+tri AS (
+    SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+    FROM cand ab
+    JOIN cand bc ON ab.doc_b = bc.doc_a
+    JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def key_skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type key-skew profile over user_id — the query an operator
+    runs BEFORE shipping a user-keyed join/agg at 100 TB: how many
+    distinct keys, how heavy is the heaviest, and the exact Gini of the
+    per-user count distribution (0 = uniform, ->1 = one user dominates;
+    >~0.6 says salt the key or pre-aggregate).
+
+    Exactness: Gini = (2*Σ(i·x_(i)) - (n+1)·Σx) / (n·Σx) over counts
+    ranked ASCENDING by (cnt, user_id) — with ties, permuting equal
+    values never changes the sum, so the row_number tie-break is
+    value-irrelevant and both engines agree exactly. All sums BIGINT
+    with the family's division-form int64-budget raise_error folded
+    into the consumed n_users (re-bin/re-scale above ~2^62 rank·count
+    mass, never a silent wraparound); the one double division crosses
+    the oracle through rnd.
+
+    Scale: events reduce map-side to one row per (type, user); the
+    rank window partitions BY TYPE (never a global sort); the final
+    aggregate is O(types)."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    ranked = per_user.withColumn("rn", F.row_number().over(w).cast("long"))
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.max("cnt").alias("mx"),
+        F.sum(F.col("rn") * F.col("cnt")).alias("six"),
+    )
+    lim = 2 ** 62 - 1
+    guarded_n = F.when(
+        (F.col("six") <= F.lit(lim // 2))
+        & (F.col("sx") <= F.expr(f"{lim} DIV (n + 1)")),
+        F.col("n"),
+    ).otherwise(F.raise_error(F.lit(
+        "events_key_skew: Gini rank-sums exceed the int64 budget — re-bin the keys"
+    )))
+    gini = F.when(
+        F.col("n") > 1,
+        rnd((2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double")), 6),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "event_type",
+        guarded_n.alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.col("mx").alias("max_user_events"),
+        rnd(F.col("mx").cast("double") / F.col("sx").cast("double"), 6
+            ).alias("top_user_share"),
+        gini.alias("gini"),
+    ).orderBy("event_type")
+
+
+KEY_SKEW_SQL = f"""
+WITH per_user AS (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY event_type ORDER BY cnt, user_id) AS BIGINT) AS rn
+    FROM per_user
+),
+s AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cnt) AS BIGINT) AS sx,
+           CAST(max(cnt) AS BIGINT) AS mx,
+           CAST(sum(rn * cnt) AS BIGINT) AS six
+    FROM ranked GROUP BY 1
+)
+SELECT event_type, n AS n_users, sx AS n_events, mx AS max_user_events,
+       {sql_rnd('CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE)')} AS top_user_share,
+       CASE WHEN n > 1
+            THEN {sql_rnd('CAST(2 * six - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))')}
+            ELSE 0.0 END AS gini
+FROM s
+ORDER BY event_type
+"""
+
+
+LIX_LONG_WORD = 7
+
+
+def readability_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LIX readability (Björnsson's läsbarhetsindex):
+    words/sentences + 100·longwords/words, long = >= 7 chars — the
+    classic integer-only readability screen (no syllable model needed,
+    so no transcendental and no lexicon), used as a C4-style quality
+    gate: LIX < ~25 is fragmentary, > ~60 is bureaucratic sludge.
+
+    Sentences count terminator RUNS ('[.!?]+' — '!!!' is one boundary);
+    guards divide by max(·,1) so headline-only docs stay finite. Two
+    IEEE divisions and one add, composed identically in both engines —
+    bit-exact through rnd. Map-side only: no shuffle at all."""
+    t = tokens(F.col("text"))
+    n_words = F.size(t).cast("long")
+    n_long = F.size(F.filter(t, lambda x: F.length(x) >= LIX_LONG_WORD)).cast("long")
+    n_sent = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))).cast("long")
+    lix = rnd(
+        n_words.cast("double") / F.greatest(n_sent, F.lit(1)).cast("double")
+        + (F.lit(100) * n_long).cast("double")
+        / F.greatest(n_words, F.lit(1)).cast("double"),
+        6,
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_long.alias("n_long_words"),
+        lix.alias("lix"),
+    )
+
+
+READABILITY_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(t) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       CAST(len(list_filter(t, x -> length(x) >= {LIX_LONG_WORD})) AS BIGINT) AS n_long_words,
+       {sql_rnd(
+           "CAST(len(t) AS DOUBLE) / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)"
+           f" + CAST(100 * len(list_filter(t, x -> length(x) >= {LIX_LONG_WORD})) AS DOUBLE)"
+           " / CAST(greatest(len(t), 1) AS DOUBLE)"
+       )} AS lix
+FROM (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
+"""
+
+
+def power_users_pareto_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage curve of user activity: for each decile d, how
+    many events the top d% most-active users account for — the
+    "does 10% of the corpus produce 80% of the traffic" readout behind
+    sampling budgets, per-user rate limits, and salting decisions.
+
+    Scale-safe construction (NO global rank over users): per-user
+    counts collapse to a COUNT HISTOGRAM (cnt -> how many users, how
+    many events), and the only unpartitioned window runs over the
+    O(distinct count values) histogram — thousands of rows at any
+    corpus size, never the user set. A decile cutoff k inside a tied
+    group is exact and tie-invariant: covered = events of strictly
+    heavier groups + (k - users_before) · cnt, since tied users are
+    interchangeable. The 10-row decile grid joins the histogram on a
+    broadcast range predicate."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = per_user.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_u"))
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "cnt", "n_u",
+        F.sum("n_u").over(w).alias("cum_u"),
+        F.sum(F.col("n_u") * F.col("cnt")).over(w).alias("cum_ev"),
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("cnt").alias("total_events")
+    )
+    grid = totals.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        "n_users", "total_events",
+    ).withColumn("k", F.expr("(n_users * decile) DIV 10"))
+    joined = cum.join(
+        F.broadcast(grid),
+        (F.col("cum_u") >= F.col("k")) & (F.col("cum_u") - F.col("n_u") < F.col("k")),
+    )
+    covered = (F.col("cum_ev") - (F.col("cum_u") - F.col("k")) * F.col("cnt"))
+    return joined.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("k").alias("n_top_users"),
+        covered.alias("events_covered"),
+        rnd(covered.cast("double") / F.col("total_events").cast("double"), 6
+            ).alias("share"),
+    ).where(F.col("k") >= 1).orderBy("decile")
+
+
+POWER_PARETO_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS n_u FROM per_user GROUP BY 1),
+cum AS (
+    SELECT cnt, n_u,
+           CAST(sum(n_u) OVER (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u,
+           CAST(sum(n_u * cnt) OVER (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ev
+    FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cnt) AS BIGINT) AS total_events FROM per_user),
+grid AS (
+    SELECT CAST(d AS BIGINT) AS decile, n_users, total_events,
+           (n_users * d) // 10 AS k
+    FROM tot, unnest(range(1, 11)) AS t(d)
+)
+SELECT decile, k AS n_top_users,
+       CAST(cum_ev - (cum_u - k) * cnt AS BIGINT) AS events_covered,
+       {sql_rnd('CAST(cum_ev - (cum_u - k) * cnt AS DOUBLE) / CAST(total_events AS DOUBLE)')} AS share
+FROM cum JOIN grid ON cum_u >= k AND cum_u - n_u < k
+WHERE k >= 1
+ORDER BY decile
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "text_token_stats": (lambda s, d: token_stats(_docs(s, d)), TOKEN_STATS_SQL),
@@ -3778,6 +4038,10 @@ def queries() -> dict[str, tuple]:
         "media_dedup_features": (media_dedup_features_fn, MEDIA_DEDUP_FEATURES_SQL),
         "media_phash": (media_phash_fn, MEDIA_PHASH_SQL),
         "media_dedup_phash": (media_dedup_phash_fn, MEDIA_DEDUP_PHASH_SQL),
+        "dedup_graph_triangles": (dedup_graph_triangles_fn, TRIANGLES_SQL),
+        "events_key_skew": (key_skew_fn, KEY_SKEW_SQL),
+        "docs_readability_lix": (readability_fn, READABILITY_SQL),
+        "events_power_pareto": (power_users_pareto_fn, POWER_PARETO_SQL),
         "docs_bm25_topk": (bm25_topk_fn, BM25_SQL),
         "events_distinct_kmv": (kmv_daily_fn, KMV_SQL),
         "events_hourly_acf": (hourly_acf_fn, ACF_SQL),
