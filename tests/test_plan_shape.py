@@ -745,3 +745,46 @@ def test_media_near_duplicates_bucket_join_and_mean_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row means join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_census_joins_are_equi(spark):
+    """The triangle count must close via equi-joins on oriented edge
+    endpoints — never a cartesian/nested-loop over the candidate edge
+    table — and the membership count must partition by doc."""
+    from tickdatapipeline_spark.operators import globalorder
+    from tickdatapipeline_spark.plans.beyond import dedup_graph_triangles_fn
+
+    globalorder.set_pins(False)  # pin() truncates lineage for plan asserts
+    try:
+        plan = physical(dedup_graph_triangles_fn(spark, SF))
+    finally:
+        globalorder.set_pins(True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_key_skew_rank_window_partitions_by_type(spark):
+    """The Gini rank window must partition by event_type (the per-type
+    contract that keeps the sort distributed), and the guard's
+    raise_error must survive into the executed plan."""
+    from tickdatapipeline_spark.plans.beyond import key_skew_fn
+
+    plan = physical(key_skew_fn(spark, SF))
+    assert "windowspecdefinition(event_type" in plan
+    assert "SinglePartition" not in plan
+    assert "raise_error" in plan
+
+
+def test_power_pareto_window_runs_over_histogram(spark):
+    """The Pareto cumulative window may only see the count HISTOGRAM:
+    the per-user counts must collapse via groupBy(cnt) (hashpartitioning
+    on cnt) before any unpartitioned window, and the decile grid joins
+    broadcast."""
+    from tickdatapipeline_spark.plans.beyond import power_users_pareto_fn
+
+    plan = physical(power_users_pareto_fn(spark, SF))
+    assert "hashpartitioning(cnt" in plan      # histogram reduce feeds the window
+    assert "hashpartitioning(user_id" in plan  # per-user reduce is distributed
+    assert "BroadcastNestedLoopJoin" in plan   # 10-row grid range-join
+    assert "CartesianProduct" not in plan
