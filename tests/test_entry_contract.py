@@ -140,12 +140,18 @@ def test_edited_query_leads_next_window(monkeypatch):
 
     recorded = mod._recorded_fingerprints()
     last = mod._last_green_round()
-    # pick the gated query that would otherwise sort LAST (most recently
-    # verified) so the promotion is unambiguous
-    baseline = [n for n in mod.oracle_sql() if n in recorded]
-    victim = max(baseline, key=lambda n: last.get(n, 0))
-
     reg = mod._registry()
+    # pick the gated query that would otherwise sort LAST (most recently
+    # verified) so the promotion is unambiguous — drawn ONLY from queries
+    # whose recording is CURRENT (live fingerprint matches): a query
+    # genuinely edited this session is already tier 0 at the head of the
+    # ordering, and choosing it as victim fails the `index > 0` baseline
+    # (the r09 flavor of this test's environment-dependence).
+    baseline = [
+        n for n in mod.oracle_sql()
+        if n in recorded and recorded[n].get("fp") == mod._fingerprint(*reg[n])
+    ]
+    victim = max(baseline, key=lambda n: last.get(n, 0))
 
     def tier1_names(order):
         # queries with a green row AND an unchanged recording (live
