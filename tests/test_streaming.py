@@ -1195,6 +1195,67 @@ def test_neardup_dedup_stream_drops_perturbed_copy(spark, tmp_path):
     assert k1 != k4 and k1 & k4
 
 
+def test_phash_dedup_stream_drops_perceptual_copy(spark, tmp_path):
+    """Streaming perceptual media dedup (LSH + exact-Hamming verify):
+    a byte-PERTURBED payload arriving in batch 2 whose pHash sits
+    within 8 bits of a backfilled payload is dropped; an exact copy is
+    dropped; genuinely different payloads pass even when they collide
+    on a 7-bit band value (the verify step, not candidate-level drops,
+    decides)."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_phash_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_media(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for media_id, payload, ts in rows:
+                f.write(json.dumps({"media_id": media_id, "kind": "image",
+                                    "payload": payload, "ts": ts}) + "\n")
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    tweaked = bytearray(base.encode())
+    for k in range(4):          # calibrated: pHash hamming 7 (<= 8) from base
+        tweaked[7 * k + 3] ^= 0x14
+    other = "completely different content with other bytes here " * 7
+
+    write_media("b0.json", [
+        (1, base, "2024-01-01 00:00:00"),
+        (2, other, "2024-01-01 00:00:30"),
+    ])
+    q = run_phash_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        write_media("b1.json", [
+            (3, tweaked.decode(), "2024-01-01 00:10:00"),  # near-dup of 1 -> drop
+            (4, base, "2024-01-01 00:10:00"),              # exact dup of 1 -> drop
+            (5, "an unrelated novel payload about stateful stream "
+                "processing and watermark eviction in spark " * 5,
+             "2024-01-01 00:11:00"),                       # fresh -> keep
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(r.media_id for r in rows) == [1, 2, 5]
+    # the verify premise: 3 is within 8 bits of 1, the keepers are not
+    from tickdatapipeline_spark.operators.multimodal import perceptual_fingerprints
+    fp = {r.media_id: r.phash for r in perceptual_fingerprints(
+        spark.createDataFrame(
+            [(i, "image", p.encode() if isinstance(p, str) else bytes(p))
+             for i, p in ((1, base), (3, tweaked), (5, "an unrelated novel "
+              "payload about stateful stream processing and watermark "
+              "eviction in spark " * 5))],
+            "media_id long, kind string, content binary",
+        )).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert 0 < ham(fp[1], fp[3]) <= 8 < ham(fp[1], fp[5])
+
+
 def test_index_ingest_stream(spark, tmp_path):
     """Inverted-index live ingest: the bulk backfill serves phrase
     queries immediately; a phrase arriving in a later micro-batch is

@@ -262,6 +262,7 @@ def perceptual_fingerprints(
     media: DataFrame,
     side: int = PHASH_SIDE,
     decode_matrix: "Callable[[bytes], list[list[int]]] | None" = None,
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """pHash-style perceptual fingerprint: decode to a side x side
     intensity matrix (STUB codec — inject a real grayscale-resize via
@@ -285,9 +286,13 @@ def perceptual_fingerprints(
     is set iff coefficient i exceeds the exact MEDIAN of the side²-1
     non-DC coefficients (odd count — 63 for side 8 — so the median is
     the unique 32nd order statistic: integer-exact, no averaging).
-    Output: (media_id, kind, phash BIGINT in [0, 2^63)).
+    Output: (media_id, kind, phash BIGINT in [0, 2^63)), plus any
+    ``passthrough`` input columns copied through the kernel unchanged —
+    streaming callers pass their event-time column so the watermark
+    survives the Arrow hop.
     """
     n_cells = side * side
+    schema = StructType(PHASH_SCHEMA.fields + [media.schema[c] for c in passthrough])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -304,11 +309,14 @@ def perceptual_fingerprints(
         weights = np.left_shift(np.int64(1), np.arange(n_cells - 1, dtype=np.int64))
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({
+                out = pd.DataFrame({
                     "media_id": pd.Series([], dtype="int64"),
                     "kind": pd.Series([], dtype=object),
                     "phash": pd.Series([], dtype="int64"),
                 })
+                for c in passthrough:
+                    out[c] = pdf[c]
+                yield out
                 continue
             mats = np.stack([
                 np.asarray(dec(b), dtype=np.int64)
@@ -318,15 +326,18 @@ def perceptual_fingerprints(
             flat = coef[:, 1:]  # drop the DC term (the total sum)
             med = np.sort(flat, axis=1)[:, (n_cells - 2) // 2]
             phash = ((flat > med[:, None]) * weights).sum(axis=1)
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "media_id": pdf["media_id"].astype("int64"),
                 "kind": pdf["kind"],
                 "phash": pd.Series(phash, dtype="int64"),
             })
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            yield out
 
     return media.where(
         F.col("content").isNotNull() & (F.length("content") > 0)
-    ).mapInPandas(kernel, schema=PHASH_SCHEMA)
+    ).mapInPandas(kernel, schema=schema)
 
 
 def phash_near_duplicates(

@@ -527,6 +527,150 @@ def run_neardup_dedup_stream(
     )
 
 
+PHASH_DEDUP_OUT = "media_id long, kind string, phash long, ts timestamp, matched boolean"
+PHASH_DEDUP_STATE = "phashes array<long>, ts_ms array<long>"
+
+
+def make_phash_dedup_kernel(max_hamming: int = 8):
+    """applyInPandasWithState kernel for run_phash_dedup_stream: one
+    GroupState per (band, band_key) bucket holding the (phash, event-ms)
+    pairs seen within the watermark horizon. Each arrival is VERIFIED
+    by exact Hamming distance against the bucket's stored phashes (the
+    batch LSH-then-verify contract, not candidate-level drops — 7-bit
+    band values saturate at ~128 distinct values, so unverified band
+    collisions would reject everything once the horizon holds a few
+    hundred payloads), then inserted so later arrivals match it.
+    Entries older than the watermark are evicted on every invocation;
+    an idle bucket's whole state is removed by event-time timeout."""
+
+    def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:
+            state.remove()
+            return
+        phashes, ts_ms = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and ts_ms:
+            live = [i for i, t in enumerate(ts_ms) if t >= wm]
+            phashes = [phashes[i] for i in live]
+            ts_ms = [ts_ms[i] for i in live]
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "media_id"])  # deterministic first-arrival
+            matched = []
+            for ph, t in zip(pdf["phash"], pdf["ts"]):
+                ph = int(ph)
+                matched.append(any(
+                    bin(ph ^ p).count("1") <= max_hamming for p in phashes
+                ))
+                phashes.append(ph)
+                ts_ms.append(int(t.value) // 1_000_000)
+            out = pdf[["media_id", "kind", "phash", "ts"]].copy()
+            out["matched"] = matched
+            frames.append(out)
+        state.update((phashes, ts_ms))
+        if ts_ms:
+            state.setTimeoutTimestamp(max(max(ts_ms) + 1000, wm + 1000))
+        yield from frames
+
+    return kernel
+
+
+def run_phash_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay: str = "1 hour",
+    max_hamming: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming PERCEPTUAL media dedup at ingest — the media twin of
+    `run_neardup_dedup_stream`: an arriving payload whose pHash sits
+    within ``max_hamming`` bits of anything seen inside the watermark
+    horizon is dropped (re-encode/crop-level copies, not just
+    byte-identical ones), with the batch `phash_near_duplicates` exact
+    semantics preserved.
+
+    Mechanics — streaming LSH-then-VERIFY: `multimodal.
+    perceptual_fingerprints` runs on the stream (mapInPandas works
+    unchanged on streaming DataFrames; the event-time column rides
+    through as a passthrough so the watermark survives the Arrow hop);
+    the 63-bit phash splits into 9 pigeonhole bands of 7 bits —
+    max_hamming <= 8 means a true near-dup ALWAYS lands in at least one
+    shared bucket (the simhash no-recall-loss argument) — and a custom
+    stateful operator (`applyInPandasWithState`, one GroupState per
+    band bucket) checks EXACT Hamming distance against the bucket's
+    horizon-bounded phash list. A payload is kept iff no band reported
+    a verified match (micro-batch-local regroup in foreachBatch,
+    replay-idempotent sink).
+
+    Input JSONL: (media_id, kind, payload TEXT, ts) — payload utf-8
+    encodes to the binary content, the same sanctioned-stub convention
+    as synth_media_from_documents; a real deployment reads binary
+    file/parquet streams and injects a real decoder into the kernel.
+
+    State bound: each payload stores 9 (long, long) entries, one per
+    band bucket, watermark-evicted — O(arrival rate x horizon), with
+    idle buckets fully removed by event-time timeout. Per-arrival CPU
+    is O(bucket occupancy) exact Hamming checks — the same verify work
+    the batch pass does per candidate."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tickdatapipeline_spark.operators.multimodal import perceptual_fingerprints
+
+    raw = (
+        spark.readStream.schema(
+            "media_id long, kind string, payload string, ts timestamp")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    media = raw.select(
+        "media_id", "kind", F.encode("payload", "utf-8").alias("content"), "ts"
+    )
+    fp = perceptual_fingerprints(media, passthrough=("ts",))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("phash"), b * 7)
+            .bitwiseAND(F.lit(127)).alias("band_key"),
+        )
+        for b in range(9)
+    ])
+    flagged = (
+        fp.select("media_id", "kind", "phash", "ts",
+                  F.explode(band_structs).alias("bk"))
+        .select("media_id", "kind", "phash", "ts",
+                F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .withWatermark("ts", delay)
+        .groupBy("band", "band_key")
+        .applyInPandasWithState(
+            make_phash_dedup_kernel(max_hamming),
+            outputStructType=PHASH_DEDUP_OUT,
+            stateStructType=PHASH_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+    def _keep_unmatched(batch_df: DataFrame, batch_id: int) -> None:
+        keep = (
+            batch_df.groupBy("media_id", "kind", "phash", "ts")
+            .agg(F.max(F.col("matched").cast("int")).alias("any_matched"))
+            .where(F.col("any_matched") == 0)
+            .drop("any_matched")
+        )
+        _write_batch_idempotent(keep, out_dir, batch_id)
+
+    return (
+        flagged.writeStream.foreachBatch(_keep_unmatched)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_ingest_decontamination(
     spark: SparkSession,
     input_dir: str,
