@@ -788,3 +788,23 @@ def test_power_pareto_window_runs_over_histogram(spark):
     assert "hashpartitioning(user_id" in plan  # per-user reduce is distributed
     assert "BroadcastNestedLoopJoin" in plan   # 10-row grid range-join
     assert "CartesianProduct" not in plan
+
+
+def test_q2_q5_q11_shapes_scale_posture(spark):
+    """The three closing TPC-H shapes: Q2's top-k must plan
+    TakeOrderedAndProject (never a global sort materialization), Q5's
+    dimension chain must broadcast with no cartesian, and Q11's global
+    scalar must arrive as a 1-row broadcast join."""
+    from tickdatapipeline_spark.plans.relational import r37_fn, r38_fn, r39_fn
+
+    p37 = physical(r37_fn(spark, SF))
+    assert "TakeOrderedAndProject" in p37
+    assert "GlobalLimit" not in p37
+
+    p38 = physical(r38_fn(spark, SF))
+    assert "BroadcastHashJoin" in p38
+    assert "CartesianProduct" not in p38
+
+    p39 = physical(r39_fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p39  # the 1-row total join
+    assert "CartesianProduct" not in p39

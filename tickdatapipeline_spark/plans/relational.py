@@ -1899,6 +1899,207 @@ WHERE levenshtein(a.name, b.name) <= {R36_MAX_LEV}
 """
 
 
+# ---- R37: min-cost supplier per part (TPC-H Q2 shape) ----
+# The fixture has no partsupp table, so the per-(part, supplier) supply
+# cost is DERIVED: the minimum observed unit price on lineitem, in
+# integer cents via BIGINT DIV (quantities are integral, 1..50), which
+# keeps the whole query exact cross-engine.
+
+R37_SIZE = 15
+R37_TYPE = "STANDARD"
+R37_REGION = "EUROPE"
+R37_TOPK = 100
+
+
+def r37_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering it at the REGIONAL MINIMUM cost — the classic
+    correlated scalar subquery (cost = min cost among that region's
+    suppliers of that part), decorrelated the way every engine executes
+    it: a per-part min aggregate joined back on (part, cost). Dimension
+    chains broadcast; the top-k is ORDER BY + LIMIT with a total
+    tie-break order, so Spark plans TakeOrderedAndProject (never a
+    global sort materialization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey", "l_suppkey",
+        F.expr(
+            "floor(l_extendedprice * 100 + 0.5) DIV (floor(l_quantity * 100 + 0.5) DIV 100)"
+        ).cast("long").alias("unit_c"),
+    )
+    ps = unit.groupBy("l_partkey", "l_suppkey").agg(F.min("unit_c").alias("cost_c"))
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == R37_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = ps.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= R37_SIZE) & (F.col("p_type") == R37_TYPE)
+    )
+    regional = regional.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    mins = regional.groupBy("p_partkey").agg(F.min("cost_c").alias("min_c"))
+    return (
+        regional.join(mins, "p_partkey")
+        .where(F.col("cost_c") == F.col("min_c"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"), "p_name",
+            (F.col("cost_c") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(R37_TOPK)
+    )
+
+
+R37_SQL = f"""
+WITH unit AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             // (CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 100) AS unit_c
+    FROM lineitem
+),
+ps AS (
+    SELECT l_partkey, l_suppkey, CAST(min(unit_c) AS BIGINT) AS cost_c
+    FROM unit GROUP BY 1, 2
+),
+sup AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = '{R37_REGION}'
+),
+regional AS (
+    SELECT ps.*, sup.s_name, sup.s_acctbal, sup.n_name, part.p_partkey, part.p_name
+    FROM ps
+    JOIN sup ON ps.l_suppkey = sup.s_suppkey
+    JOIN part ON ps.l_partkey = part.p_partkey
+      AND part.p_size <= {R37_SIZE} AND part.p_type = '{R37_TYPE}'
+),
+mins AS (SELECT p_partkey, min(cost_c) AS min_c FROM regional GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, CAST(regional.p_partkey AS BIGINT) AS p_partkey,
+       p_name, cost_c / 100.0 AS supply_cost
+FROM regional JOIN mins ON regional.p_partkey = mins.p_partkey
+WHERE cost_c = min_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {R37_TOPK}
+"""
+
+
+# ---- R38: local-supplier volume by nation (TPC-H Q5 shape) ----
+
+R38_FROM = "1997-01-01"
+R38_TO = "1998-01-01"
+R38_REGION = "ASIA"
+
+
+def r38_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the
+    CUSTOMER and the SUPPLIER share the nation (the join graph's one
+    cycle — c_nationkey = s_nationkey closes customer->orders->lineitem
+    ->supplier back onto nation), for one region and one order year.
+    Dimensions broadcast; revenue in exact integer cents."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == R38_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= R38_FROM) & (F.col("o_orderdate") < R38_TO)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+R38_SQL = f"""
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = '{R38_REGION}'
+JOIN orders ON c_custkey = o_custkey
+  AND o_orderdate >= '{R38_FROM}' AND o_orderdate < '{R38_TO}'
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---- R39: revenue-important parts vs a global scalar (TPC-H Q11 shape) ----
+
+R39_NATION = "NATION_7"
+R39_FRACTION_DEN = 1000  # part qualifies if value * DEN > global value
+
+
+def r39_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue supplied from one nation,
+    keeping parts whose value exceeds a FRACTION of the global total —
+    the HAVING-against-a-scalar-subquery pattern. The scalar is a 1-row
+    broadcast join, and the comparison is the INTEGER cross-multiply
+    value_c * {R39_FRACTION_DEN} > total_c (never a float threshold —
+    exact in both engines; the int64 contract is value sums below
+    ~2^62/{R39_FRACTION_DEN} cents, re-scale the fraction above it)."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == R39_NATION)),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    value = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("value_c")
+    )
+    total = value.agg(F.sum("value_c").alias("total_c"))
+    return (
+        value.join(F.broadcast(total))
+        .where(F.col("value_c") * R39_FRACTION_DEN > F.col("total_c"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            (F.col("value_c") / 100.0).alias("value"),
+        )
+        .orderBy(F.col("value_c").desc(), "p_partkey")
+    )
+
+
+R39_SQL = f"""
+WITH v AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = '{R39_NATION}'
+    GROUP BY 1
+),
+t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM v)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, value_c / 100.0 AS value
+FROM v, t
+WHERE value_c * {R39_FRACTION_DEN} > total_c
+ORDER BY value_c DESC, p_partkey
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "rel_pricing_summary": (r1_fn, R1_SQL),
@@ -1937,4 +2138,7 @@ def queries() -> dict[str, tuple]:
         "rel_dominant_suppliers": (r34_fn, R34_SQL),
         "rel_forecast_revenue": (r35_fn, R35_SQL),
         "rel_part_fuzzy_pairs": (r36_fn, R36_SQL),
+        "rel_min_cost_supplier": (r37_fn, R37_SQL),
+        "rel_local_supplier_volume": (r38_fn, R38_SQL),
+        "rel_important_parts": (r39_fn, R39_SQL),
     }
