@@ -3609,30 +3609,45 @@ def key_skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     >~0.6 says salt the key or pre-aggregate).
 
     Exactness: Gini = (2*Σ(i·x_(i)) - (n+1)·Σx) / (n·Σx) over counts
-    ranked ASCENDING by (cnt, user_id) — with ties, permuting equal
-    values never changes the sum, so the row_number tie-break is
-    value-irrelevant and both engines agree exactly. All sums BIGINT
-    with the family's division-form int64-budget raise_error folded
-    into the consumed n_users (re-bin/re-scale above ~2^62 rank·count
-    mass, never a silent wraparound); the one double division crosses
-    the oracle through rnd.
+    ranked ascending — computed WITHOUT ranking users: ties make the
+    rank-sum value-irrelevant within a tied group, so the per-group
+    contribution collapses to the closed form x·(a·m + m(m+1)/2) with
+    a = users in strictly smaller groups, m = the group's multiplicity,
+    and the whole Σ(i·x) comes off the per-type COUNT HISTOGRAM. All
+    sums BIGINT with the family's division-form int64-budget
+    raise_error folded into the consumed n_users (re-bin/re-scale
+    above ~2^62 rank·count mass, never a silent wraparound); the one
+    double division crosses the oracle through rnd.
 
-    Scale: events reduce map-side to one row per (type, user); the
-    rank window partitions BY TYPE (never a global sort); the final
-    aggregate is O(types)."""
+    Scale: events reduce map-side to one row per (type, user), then to
+    the (type, cnt) histogram; the only window runs over the histogram
+    — O(distinct count values) rows per type, NEVER a rank over the
+    user set (the same histogram trick as events_power_pareto) — and
+    the final aggregate is O(types)."""
     from pyspark.sql import Window
 
     ev = read_events(spark, sf_dir).select("event_type", "user_id")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
-    ranked = per_user.withColumn("rn", F.row_number().over(w).cast("long"))
-    s = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cnt").alias("sx"),
+    hist = per_user.groupBy("event_type", "cnt").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "event_type", "cnt", "m",
+        (F.sum("m").over(w) - F.col("m")).alias("a"),  # users strictly below
+    )
+    # Σ over the tied group of i·x = x·(a·m + m(m+1)/2), ranks a+1..a+m
+    grp_six = F.col("cnt") * (
+        F.col("a") * F.col("m") + F.expr("m * (m + 1) DIV 2")
+    )
+    s = cum.groupBy("event_type").agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("cnt")).alias("sx"),
         F.max("cnt").alias("mx"),
-        F.sum(F.col("rn") * F.col("cnt")).alias("six"),
+        F.sum(grp_six).alias("six"),
     )
     lim = 2 ** 62 - 1
     guarded_n = F.when(
@@ -3663,17 +3678,22 @@ WITH per_user AS (
     SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
     FROM events GROUP BY 1, 2
 ),
-ranked AS (
-    SELECT *, CAST(row_number() OVER (
-        PARTITION BY event_type ORDER BY cnt, user_id) AS BIGINT) AS rn
-    FROM per_user
+hist AS (
+    SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS m
+    FROM per_user GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, cnt, m,
+           CAST(sum(m) OVER (PARTITION BY event_type ORDER BY cnt
+                             ROWS UNBOUNDED PRECEDING) - m AS BIGINT) AS a
+    FROM hist
 ),
 s AS (
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(cnt) AS BIGINT) AS sx,
+    SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+           CAST(sum(m * cnt) AS BIGINT) AS sx,
            CAST(max(cnt) AS BIGINT) AS mx,
-           CAST(sum(rn * cnt) AS BIGINT) AS six
-    FROM ranked GROUP BY 1
+           CAST(sum(cnt * (a * m + (m * (m + 1)) // 2)) AS BIGINT) AS six
+    FROM cum GROUP BY 1
 )
 SELECT event_type, n AS n_users, sx AS n_events, mx AS max_user_events,
        {sql_rnd('CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE)')} AS top_user_share,
