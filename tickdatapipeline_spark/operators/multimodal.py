@@ -343,6 +343,7 @@ def perceptual_fingerprints(
 def phash_near_duplicates(
     fingerprints: DataFrame, max_hamming: int = 8, n_bands: int = 9,
     bits: int = 63,
+    max_band_bucket: "int | None" = None,
 ) -> DataFrame:
     """Perceptual near-dup pairs over `perceptual_fingerprints` output:
     media whose phash differs in at most ``max_hamming`` bits, found by
@@ -351,6 +352,15 @@ def phash_near_duplicates(
     intact band, so the band-key equi-join has NO recall loss. 63 bits
     split into 9 bands of 7; verification is one bit_count per
     candidate. Output: (media_a, media_b, hamming), media_a < media_b.
+
+    ``max_band_bucket`` is the corpus-scale skew guard (same contract
+    as dedup.lsh_candidate_pairs): a 7-bit band holds only 128 distinct
+    values, so a real corpus saturates every value and a degenerate one
+    (e.g. near-constant payloads hashing to phash 0) can put millions
+    of media into one (band, value) bucket = a quadratic join task.
+    Capped buckets are dropped before the self-join — a recall trade
+    the other 8 bands largely repay; the default stays None because the
+    oracle-gated entry is the exhaustive contract at tiny sf.
     """
     assert bits % n_bands == 0 and max_hamming <= n_bands - 1
     from tickdatapipeline_spark.operators.globalorder import pin
@@ -369,6 +379,13 @@ def phash_near_duplicates(
         "media_id", "phash",
         F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key"),
     )
+    if max_band_bucket is not None:
+        from tickdatapipeline_spark.functions.scale import cap_group_sizes
+
+        bands = cap_group_sizes(
+            pin(bands), ["band", "band_key"], max_band_bucket,
+            "phash_near_duplicates", "max_band_bucket", logger,
+        )
     return (
         bands.alias("l")
         .join(
