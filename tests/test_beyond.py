@@ -3036,6 +3036,30 @@ def test_power_pareto_golden(spark, tmp_path):
     assert got[10] == (3, 10, 1.0)
 
 
+def test_cluster_cohesion_golden(spark):
+    """Pooled-Jaccard cohesion by hand: an identical triple pools 3
+    perfect pairs -> 1.0; a last-token-perturbed pair shares 5 of 7
+    3-gram shingles -> 5/7 = 0.714286; the ratio is of SUMS, never an
+    average of floats."""
+    import tempfile
+
+    from tickdatapipeline_spark.plans.beyond import cluster_cohesion_fn
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "en") for i in range(3)]
+    rows += [(10, "one two three four five six seven eight", "en"),
+             (11, "one two three four five six seven nine", "en")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, l, "s", len(t)) for i, t, l in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+        got = {r.cluster_id: (r.cluster_size, r.n_pairs, r.inter_total,
+                              r.union_total, r.cohesion)
+               for r in cluster_cohesion_fn(spark, td).collect()}
+    assert got[0] == (3, 3, 12, 12, 1.0)       # 3 pairs x 4 shared shingles
+    assert got[10] == (2, 1, 5, 7, 0.714286)   # one perturbed 3-gram run
+
+
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram

@@ -3550,6 +3550,90 @@ ORDER BY event_type, rnk
 # ================= round 9: graph / skew / readability / pareto =================
 
 
+def cluster_cohesion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion of the near-dup graph: POOLED Jaccard
+    (Σ intersection / Σ union over the cluster's verified pairs) next
+    to size and pair count — tight template-clique clusters score near
+    1.0, chains of borderline matches score near the threshold; the
+    quality readout for choosing the dedup keep-policy per cluster.
+
+    Exactness: the pooled ratio is a ratio of two BIGINT sums with ONE
+    final division — never an average of per-pair floats (a multi-row
+    double sum is order-dependent, the one thing the oracle gate cannot
+    absorb). Scale: rides the verified-pairs and cluster sub-DAGs
+    (deployment materializes pairs once and reuses them for both)."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    clusters = duplicate_clusters(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    labeled = pairs.join(
+        clusters.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+    )
+    sizes = clusters.select("cluster_id", "cluster_size").distinct()
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("inter_count").alias("inter_total"),
+            F.sum("union_count").alias("union_total"),
+        )
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_pairs", "inter_total", "union_total",
+            rnd(F.col("inter_total").cast("double")
+                / F.col("union_total").cast("double"), 6).alias("cohesion"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+CLUSTER_COHESION_SQL = f"""
+WITH RECURSIVE {MINHASH_CTE},
+{_LSH_CAND_CTE},
+{_HSH_CTE},
+shsizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+),
+vp AS MATERIALIZED (
+    SELECT doc_a, doc_b, inter_count,
+           sa.n_sh + sb.n_sh - inter_count AS union_count
+    FROM inter
+    JOIN shsizes sa ON doc_a = sa.doc_id
+    JOIN shsizes sb ON doc_b = sb.doc_id
+    WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS node, doc_b AS nbr FROM vp
+    UNION ALL
+    SELECT doc_b AS node, doc_a AS nbr FROM vp
+),
+reach(node, label) AS (
+    SELECT DISTINCT node, node FROM edges
+    UNION
+    SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY cluster_id)
+SELECT CAST(comp.cluster_id AS BIGINT) AS cluster_id, csizes.cluster_size,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(inter_count) AS BIGINT) AS inter_total,
+       CAST(sum(union_count) AS BIGINT) AS union_total,
+       {sql_rnd('CAST(sum(inter_count) AS DOUBLE) / CAST(sum(union_count) AS DOUBLE)')} AS cohesion
+FROM vp
+JOIN comp ON vp.doc_a = comp.node
+JOIN csizes ON comp.cluster_id = csizes.cluster_id
+GROUP BY comp.cluster_id, csizes.cluster_size
+ORDER BY cluster_id
+"""
+
+
 def dedup_graph_triangles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the LSH candidate graph: per-doc count of
     closed triples among near-dup candidate edges — the graph-density
@@ -4038,6 +4122,16 @@ def queries() -> dict[str, tuple]:
             ),
             _ann_recall_sql(_pq_topk_sql()),
         ),
+        # completes the recall matrix: every approximate path (IVF, PQ,
+        # LSH) now has its recall@k next to its top-k entry
+        "sim_ann_recall_lsh": (
+            lambda s, d: ann_recall(
+                ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD),
+                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
+            ),
+            _ann_recall_sql(ANN_TOPK_LSH_SQL),
+        ),
+        "dedup_cluster_cohesion": (cluster_cohesion_fn, CLUSTER_COHESION_SQL),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
             EMBED_NEAR_DUP_SQL,
