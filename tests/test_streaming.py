@@ -1135,6 +1135,41 @@ def test_rowlocal_bands_match_band_table(spark):
     assert all(rowlocal[(1, b)] == rowlocal[(4, b)] for b in range(8))
 
 
+def test_rowlocal_bands_match_band_table_randomized(spark):
+    """Seeded randomized sweep of the stream==batch band-key contract:
+    40 random docs across the edge spectrum (empty, 1-2 tokens = no
+    shingles, repeated tokens, long docs, punctuation, unicode) — the
+    row-local signature must equal the batch _band_table key-for-key."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators import globalorder
+    from tickdatapipeline_spark.operators.dedup import (
+        _band_table,
+        rowlocal_band_signature,
+    )
+
+    rng = random.Random(2024)
+    vocab = ["alpha", "beta", "Gamma!", "δelta", "x", "YY", "the", "42",
+             "naïve", "word-break", "...", "zzz"]
+    rows = [(0, ""), (1, "one"), (2, "two words")]
+    for i in range(3, 40):
+        n = rng.randint(0, 60)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    globalorder.set_pins(False)
+    try:
+        batch = {(r.doc_id, r.band): r.band_key
+                 for r in _band_table(docs, 32, 4, pinned=False).collect()}
+    finally:
+        globalorder.set_pins(True)
+    rowlocal = {(r.doc_id, r.bk.band): r.bk.band_key for r in docs.select(
+        "doc_id", F.explode(rowlocal_band_signature(F.col("text"))).alias("bk")
+    ).collect()}
+    assert rowlocal == batch
+
+
 def test_neardup_dedup_stream_drops_perturbed_copy(spark, tmp_path):
     """Backfill-then-stream near-dup dedup: a TOKEN-PERTURBED copy of a
     backfilled doc arriving in batch 2 is dropped (shares LSH bands),
