@@ -3036,6 +3036,52 @@ def test_power_pareto_golden(spark, tmp_path):
     assert got[10] == (3, 10, 1.0)
 
 
+def test_funnel_latency_golden(spark, tmp_path):
+    """Hand-timed funnel: u1 views at 0s, clicks at 10s (a later 20s
+    click is ignored), purchases at 40s; u2 views at 0s and clicks at
+    30s. view->click lats [10s, 30s]: p50 interpolates to 20s, p90 to
+    28s, max 30s; click->purchase has the single 30s latency at every
+    pct."""
+    from tickdatapipeline_spark.plans.beyond import funnel_latency_fn
+
+    s = 1_000_000_000
+    rows = [
+        (1, 0 * s, 1, "view"), (2, 10 * s, 1, "click"),
+        (3, 20 * s, 1, "click"), (4, 40 * s, 1, "purchase"),
+        (5, 0 * s, 2, "view"), (6, 30 * s, 2, "click"),
+    ]
+    sf = _write_events_ns(tmp_path, rows)
+    got = {(r.transition, r.pct): r.latency_us
+           for r in funnel_latency_fn(spark, sf).collect()}
+    us = 1_000_000.0
+    assert got[("view_to_click", 0.5)] == 20 * us
+    assert got[("view_to_click", 0.9)] == 28 * us
+    assert got[("view_to_click", 1.0)] == 30 * us
+    assert got[("click_to_purchase", 0.5)] == 30 * us
+    assert got[("click_to_purchase", 1.0)] == 30 * us
+
+
+def test_dedup_savings_golden(spark):
+    """An identical triple in source s1 (6 tokens each) sheds 2 docs /
+    12 of 18 tokens = 0.666667; the untouched source s2 sheds nothing."""
+    import tempfile
+
+    from tickdatapipeline_spark.plans.beyond import dedup_savings_fn
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "s1") for i in range(3)]
+    rows += [(10, "one two three four five six seven eight", "s2")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", src, len(t)) for i, t, src in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+        got = {r.source: (r.n_docs, r.docs_dropped, r.tokens_total,
+                          r.tokens_dropped, r.token_savings)
+               for r in dedup_savings_fn(spark, td).collect()}
+    assert got["s1"] == (3, 2, 18, 12, 0.666667)
+    assert got["s2"] == (1, 0, 8, 0, 0.0)
+
+
 def test_cluster_cohesion_golden(spark):
     """Pooled-Jaccard cohesion by hand: an identical triple pools 3
     perfect pairs -> 1.0; a last-token-perturbed pair shares 5 of 7

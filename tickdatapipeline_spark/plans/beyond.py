@@ -3550,6 +3550,168 @@ ORDER BY event_type, rnk
 # ================= round 9: graph / skew / readability / pareto =================
 
 
+FUNNEL_LAT_PCTS = [0.5, 0.9, 1.0]
+
+
+def funnel_latency_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles per funnel transition: exact
+    interpolated p50/p90/max of (view -> click) and (click -> purchase)
+    times — `events_funnel` says HOW MANY convert, this says HOW FAST
+    (the SLA/abandonment readout). Same stage gating as the funnel
+    (first qualifying event strictly after the prior stage, within its
+    24 h window); latencies are exact integer micros and the percentile
+    is `plans.common.grouped_exact_percentiles`, whose ranking windows
+    partition BY TRANSITION — never a global sort."""
+    from tickdatapipeline_spark.plans.common import grouped_exact_percentiles
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    win = F.lit(FUNNEL_WINDOW_US)
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("tus").alias("t1")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where((F.col("tus") > F.col("t1")) & (F.col("tus") <= F.col("t1") + win))
+         .groupBy("user_id")
+         .agg(F.min("tus").alias("t2"), F.min("t1").alias("t1")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "t2"), "user_id")
+         .where((F.col("tus") > F.col("t2")) & (F.col("tus") <= F.col("t2") + win))
+         .groupBy("user_id")
+         .agg(F.min("tus").alias("t3"), F.min("t2").alias("t2")))
+    lats = (
+        c.select(F.lit("view_to_click").alias("transition"),
+                 (F.col("t2") - F.col("t1")).alias("lat_us"))
+        .unionByName(
+            p.select(F.lit("click_to_purchase").alias("transition"),
+                     (F.col("t3") - F.col("t2")).alias("lat_us")))
+    )
+    return grouped_exact_percentiles(
+        lats, "transition", "lat_us", FUNNEL_LAT_PCTS, out_value="latency_us"
+    ).orderBy("transition", "pct")
+
+
+def _funnel_latency_sql() -> str:
+    from tickdatapipeline_spark.plans.common import sql_grouped_exact_percentiles
+
+    src = f"""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(v.t1) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.t1 AND epoch_us(e.ts) <= v.t1 + {FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(c.t2) AS t2
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.t2 AND epoch_us(e.ts) <= c.t2 + {FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+)
+SELECT 'view_to_click' AS transition, t2 - t1 AS lat_us FROM c
+UNION ALL
+SELECT 'click_to_purchase', t3 - t2 FROM p
+"""
+    return (
+        sql_grouped_exact_percentiles(
+            src, "transition", "lat_us", FUNNEL_LAT_PCTS, out_value="latency_us"
+        )
+        + " ORDER BY transition, pct"
+    )
+
+
+FUNNEL_LATENCY_SQL = _funnel_latency_sql()
+
+
+def dedup_savings_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings plan: if the corpus keeps one
+    representative per verified near-dup cluster, how many documents
+    and TOKENS does each source shed — the capacity/budget readout that
+    turns a dedup manifest into a storage and training-token decision
+    (sources with high savings are the mirror-heavy ones).
+
+    Exact integers end to end (token counts summed as BIGINT, one
+    division per share through rnd); rides the duplicate_clusters
+    sub-DAG and a left join against per-doc token counts."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    clusters = duplicate_clusters(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    dropped = clusters.where(F.col("is_representative") == 0).select(
+        "doc_id", F.lit(1).alias("_drop")
+    )
+    j = toks.join(dropped, "doc_id", "left")
+    tokens_dropped = F.sum(F.when(F.col("_drop") == 1, F.col("n_tok")).otherwise(0))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_drop") == 1, 1).otherwise(0)).alias("docs_dropped"),
+            F.sum("n_tok").alias("tokens_total"),
+            tokens_dropped.alias("tokens_dropped"),
+            rnd(tokens_dropped.cast("double")
+                / F.sum("n_tok").cast("double"), 6).alias("token_savings"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SAVINGS_SQL = f"""
+WITH RECURSIVE {MINHASH_CTE},
+{_LSH_CAND_CTE},
+{_HSH_CTE},
+shsizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+    FROM cand c
+    JOIN hsh a ON a.doc_id = c.doc_a
+    JOIN hsh b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+),
+vp AS MATERIALIZED (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN shsizes sa ON doc_a = sa.doc_id
+    JOIN shsizes sb ON doc_b = sb.doc_id
+    WHERE {sql_rnd('CAST(inter_count AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter_count AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS node, doc_b AS nbr FROM vp
+    UNION ALL
+    SELECT doc_b AS node, doc_a AS nbr FROM vp
+),
+reach(node, label) AS (
+    SELECT DISTINCT node, node FROM edges
+    UNION
+    SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+drops AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id),
+tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       {sql_rnd('CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN n_tok ELSE 0 END) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)')} AS token_savings
+FROM tok LEFT JOIN drops d USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def cluster_cohesion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cohesion of the near-dup graph: POOLED Jaccard
     (Σ intersection / Σ union over the cluster's verified pairs) next
@@ -4132,6 +4294,8 @@ def queries() -> dict[str, tuple]:
             _ann_recall_sql(ANN_TOPK_LSH_SQL),
         ),
         "dedup_cluster_cohesion": (cluster_cohesion_fn, CLUSTER_COHESION_SQL),
+        "events_funnel_latency": (funnel_latency_fn, FUNNEL_LATENCY_SQL),
+        "docs_dedup_savings": (dedup_savings_fn, DEDUP_SAVINGS_SQL),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
             EMBED_NEAR_DUP_SQL,
