@@ -1291,6 +1291,99 @@ def test_phash_dedup_stream_drops_perceptual_copy(spark, tmp_path):
     assert 0 < ham(fp[1], fp[3]) <= 8 < ham(fp[1], fp[5])
 
 
+def test_neardup_dedup_stream_restart_keeps_state(spark, tmp_path):
+    """Killing the near-dup stream and restarting on the same
+    checkpoint must keep the band-key dedup state: a perturbed copy of
+    a PRE-restart doc arriving AFTER the restart is still dropped, and
+    pre-restart batches are not replayed into the sink."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_neardup_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "ts": ts}) + "\n")
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove and rain falls on the quiet roof")
+    args = (spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    write_docs("b0.json", [(1, base, "2024-01-01 00:00:00")])
+    q = run_neardup_dedup_stream(*args)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    write_docs("b1.json", [
+        (2, base.replace("rain", "snow"), "2024-01-01 00:10:00"),  # near-dup
+        (3, "a genuinely new document about checkpoint recovery and "
+            "state store persistence guarantees", "2024-01-01 00:10:30"),
+    ])
+    q2 = run_neardup_dedup_stream(*args)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+    assert len([r for r in rows if r.doc_id == 1]) == 1  # batch 0 not replayed
+
+
+def test_phash_dedup_stream_restart_keeps_state(spark, tmp_path):
+    """Same durability contract for the perceptual media stream: the
+    per-bucket GroupState (phash lists) survives a stop/start on the
+    same checkpoint, so a post-restart perceptual copy is still
+    dropped."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_phash_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_media(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for media_id, payload, ts in rows:
+                f.write(json.dumps({"media_id": media_id, "kind": "image",
+                                    "payload": payload, "ts": ts}) + "\n")
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    tweaked = bytearray(base.encode())
+    for k in range(4):
+        tweaked[7 * k + 3] ^= 0x14
+    args = (spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    write_media("b0.json", [(1, base, "2024-01-01 00:00:00")])
+    q = run_phash_dedup_stream(*args)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    write_media("b1.json", [
+        (2, tweaked.decode(), "2024-01-01 00:10:00"),  # perceptual copy
+        (3, "an unrelated novel payload about stateful stream "
+            "processing and watermark eviction in spark " * 5,
+         "2024-01-01 00:11:00"),
+    ])
+    q2 = run_phash_dedup_stream(*args)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(r.media_id for r in rows) == [1, 3]
+    assert len([r for r in rows if r.media_id == 1]) == 1
+
+
 def test_index_ingest_stream(spark, tmp_path):
     """Inverted-index live ingest: the bulk backfill serves phrase
     queries immediately; a phrase arriving in a later micro-batch is
