@@ -1291,6 +1291,83 @@ def test_phash_dedup_stream_drops_perceptual_copy(spark, tmp_path):
     assert 0 < ham(fp[1], fp[3]) <= 8 < ham(fp[1], fp[5])
 
 
+def test_neardup_dedup_stream_same_batch_keeps_exactly_one(spark, tmp_path):
+    """Two near-dup docs arriving in the SAME micro-batch (multiple
+    partitions) must keep EXACTLY the event-time-first one — under the
+    old per-band dropDuplicates formulation, independent per-bucket
+    survivor choices could split the band wins and drop BOTH copies
+    (permanent content loss). Also: null-text docs never alias each
+    other, and a same-batch exact pair of short docs keeps one."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_neardup_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove and rain falls on the quiet roof")
+    rows = [
+        (2, base.replace("rain", "snow"), "2024-01-01 00:00:20"),  # later ts
+        (1, base, "2024-01-01 00:00:10"),                          # TRUE first
+        (3, None, "2024-01-01 00:00:30"),                          # null text
+        (4, None, "2024-01-01 00:00:40"),                          # null text
+        (5, "hi there", "2024-01-01 00:00:50"),
+        (6, "hi there", "2024-01-01 00:00:55"),                    # exact short dup
+    ]
+    # one doc per line across TWO files in the same trigger -> the
+    # batch genuinely spans partitions
+    for fname, chunk in (("a.json", rows[:3]), ("b.json", rows[3:])):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text, ts in chunk:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "ts": ts}) + "\n")
+    q = run_neardup_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                                 str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    # 1 beats 2 on event time; both nulls kept; 5 beats 6
+    assert kept == [1, 3, 4, 5]
+
+
+def test_phash_dedup_stream_same_batch_and_empty_payloads(spark, tmp_path):
+    """Perceptual stream: a same-batch perceptual pair keeps exactly
+    the event-time-first payload, and empty payloads are NOT silently
+    lost — the first no-content arrival lands in the sink, later ones
+    dedupe against it (phash 0)."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_phash_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    tweaked = bytearray(base.encode())
+    for k in range(4):
+        tweaked[7 * k + 3] ^= 0x14
+    rows = [
+        (2, tweaked.decode(), "2024-01-01 00:00:20"),
+        (1, base, "2024-01-01 00:00:10"),   # true first of the pair
+        (3, "", "2024-01-01 00:00:30"),     # empty payload: must be KEPT
+        (4, "", "2024-01-01 00:00:40"),     # second empty: deduped
+    ]
+    for fname, chunk in (("a.json", rows[:2]), ("b.json", rows[2:])):
+        with open(in_dir / fname, "w") as f:
+            for media_id, payload, ts in chunk:
+                f.write(json.dumps({"media_id": media_id, "kind": "image",
+                                    "payload": payload, "ts": ts}) + "\n")
+    q = run_phash_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.media_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 3]
+
+
 def test_neardup_dedup_stream_restart_keeps_state(spark, tmp_path):
     """Killing the near-dup stream and restarting on the same
     checkpoint must keep the band-key dedup state: a perturbed copy of

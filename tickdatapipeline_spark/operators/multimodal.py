@@ -263,6 +263,7 @@ def perceptual_fingerprints(
     side: int = PHASH_SIDE,
     decode_matrix: "Callable[[bytes], list[list[int]]] | None" = None,
     passthrough: "tuple[str, ...]" = (),
+    keep_empty: bool = False,
 ) -> DataFrame:
     """pHash-style perceptual fingerprint: decode to a side x side
     intensity matrix (STUB codec — inject a real grayscale-resize via
@@ -290,6 +291,16 @@ def perceptual_fingerprints(
     ``passthrough`` input columns copied through the kernel unchanged —
     streaming callers pass their event-time column so the watermark
     survives the Arrow hop.
+
+    Empty/null payloads are FILTERED by default (no bytes, no
+    fingerprint — the batch queries' oracle contract). Pass
+    ``keep_empty=True`` to fingerprint them as phash 0 instead (the
+    zero matrix's fingerprint; note a perfectly FLAT payload also
+    hashes to 0 — perceptually, "no content" and "solid color" are the
+    same thing, and byte-exact identity is `media_exact_duplicates`'
+    job). Streaming dedup passes this so no-content arrivals are
+    deduped against each other rather than silently vanishing from the
+    sink; an injected ``decode_matrix`` must then accept empty/None.
     """
     n_cells = side * side
     schema = StructType(PHASH_SCHEMA.fields + [media.schema[c] for c in passthrough])
@@ -335,9 +346,11 @@ def perceptual_fingerprints(
                 out[c] = pdf[c].to_numpy()
             yield out
 
-    return media.where(
-        F.col("content").isNotNull() & (F.length("content") > 0)
-    ).mapInPandas(kernel, schema=schema)
+    if not keep_empty:
+        media = media.where(
+            F.col("content").isNotNull() & (F.length("content") > 0)
+        )
+    return media.mapInPandas(kernel, schema=schema)
 
 
 def phash_near_duplicates(

@@ -3722,11 +3722,16 @@ def cluster_cohesion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the pooled ratio is a ratio of two BIGINT sums with ONE
     final division — never an average of per-pair floats (a multi-row
     double sum is order-dependent, the one thing the oracle gate cannot
-    absorb). Scale: rides the verified-pairs and cluster sub-DAGs
-    (deployment materializes pairs once and reuses them for both)."""
+    absorb). Scale: the expensive verified-pairs chain runs ONCE
+    (pinned) — the cluster labels come from connected_components over
+    the SAME edge list, never a second jaccard_pairs pass."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
     docs = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None)
-    clusters = duplicate_clusters(docs, JACCARD_THRESHOLD, max_band_bucket=None)
+    pairs = pin(jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None))
+    clusters = connected_components(
+        pairs.select("doc_a", "doc_b"), "doc_a", "doc_b", id_col="doc_id"
+    )
     labeled = pairs.join(
         clusters.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
     )

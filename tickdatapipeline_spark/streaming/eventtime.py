@@ -14,6 +14,8 @@ plans/beyond.py::windowed_events_fn, sharing its bucket semantics
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -448,6 +450,48 @@ def run_dedup_stream(
     )
 
 
+NEARDUP_OUT = "doc_id long, text string, lang string, ts timestamp, matched boolean"
+NEARDUP_STATE = "last_ms long"
+
+
+def make_band_seen_kernel():
+    """applyInPandasWithState kernel for run_neardup_dedup_stream: one
+    GroupState per (band, band_key) marking the bucket as seen. Rows of
+    a micro-batch are concatenated across Arrow chunks and sorted by
+    (ts, doc_id) BEFORE flagging, so the survivor of a same-batch
+    collision is the deterministic event-time-first arrival in EVERY
+    bucket the pair shares — with per-bucket independent survivor
+    choices (the dropDuplicatesWithinWatermark formulation this
+    replaced), two same-batch near-dups could split the band wins and
+    BOTH fail the all-bands-survived check, losing the content
+    entirely. Here row i is matched iff the bucket pre-exists or any
+    earlier sorted row of this batch hit it; the global (ts, doc_id)
+    order makes the earlier doc win consistently everywhere. Idle
+    buckets are removed by event-time timeout (the watermark-horizon
+    readmission contract)."""
+
+    def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            yield pdf[["doc_id", "text", "lang", "ts"]].assign(
+                matched=pd.Series([], dtype=bool))
+            return
+        pdf = pdf.sort_values(["ts", "doc_id"], ignore_index=True)
+        out = pdf[["doc_id", "text", "lang", "ts"]].copy()
+        out["matched"] = [seen or i > 0 for i in range(len(pdf))]
+        last_ms = int(pdf["ts"].iloc[-1].value) // 1_000_000
+        state.update((last_ms,))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + 1000, wm + 1000))
+        yield out
+
+    return kernel
+
+
 def run_neardup_dedup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -465,10 +509,12 @@ def run_neardup_dedup_stream(
     Mechanics: each arrival's MinHash-LSH band keys are computed
     ROW-LOCALLY (operators/dedup.rowlocal_band_signature — same keys as
     the batch `_band_table`, no shuffle), the doc explodes into one row
-    per band, and `dropDuplicatesWithinWatermark(["band", "band_key"])`
-    keeps only first-seen band keys. A foreachBatch regroup then keeps
-    a doc iff ALL its band rows survived — i.e. it shares NO band with
-    anything seen inside the watermark horizon. Sharing any band is
+    per band, and a band-seen stateful operator (`make_band_seen_kernel`
+    via applyInPandasWithState, one boolean-existence GroupState per
+    bucket) flags rows whose bucket was already hit — by an earlier
+    batch within the watermark horizon, or by an earlier (ts, doc_id)-
+    ordered row of the SAME batch, deterministically. The foreachBatch
+    regroup keeps a doc iff NO band was flagged — sharing any band is
     exactly the batch LSH candidate rule, so the semantics are
     "LSH-candidate-level dedup, no exact-Jaccard verify at ingest":
     strictly more aggressive than verified near-dup, with the batch
@@ -478,15 +524,21 @@ def run_neardup_dedup_stream(
     Docs too short to shingle (< 3 tokens: no band keys, invisible to
     batch LSH too) fall back to EXACT dedup via a single synthetic band
     keyed by the sha2-256 of their normalized content (band -1) — never
-    the empty key, which would alias every short doc together.
+    the empty key, which would alias every short doc together; a NULL
+    text (metadata-only doc) gets a per-doc unique key instead of the
+    null digest, because null keys comparing equal would silently
+    dedupe distinct metadata-only records against each other.
 
-    Scale contract: dedup state holds one entry per distinct band key
-    within the horizon — bounded by arrival rate x horizon x
-    (num_perm/band_size) rows of ~40 bytes, evicted as event time
-    advances. The regroup is micro-batch-local (all of a doc's band
-    rows explode inside its own batch), never a streaming aggregate;
-    the sink write is replay-idempotent (_write_batch_idempotent).
+    Scale contract: dedup state holds one 8-byte timestamp per distinct
+    band key within the horizon — bounded by arrival rate x horizon x
+    (num_perm/band_size), removed by event-time timeout as the
+    watermark advances. The regroup is micro-batch-local (all of a
+    doc's band rows explode inside its own batch), never a streaming
+    aggregate; the sink write is replay-idempotent
+    (_write_batch_idempotent).
     """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     from tickdatapipeline_spark.operators.dedup import rowlocal_band_signature
 
     raw = (
@@ -495,32 +547,40 @@ def run_neardup_dedup_stream(
         .json(input_dir)
     )
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fallback_key = F.coalesce(
+        F.sha2(F.encode(norm, "utf-8"), 256),
+        F.concat(F.lit("null-text:"), F.col("doc_id").cast("string")),
+    )
     sig = rowlocal_band_signature(F.col("text"), num_perm, band_size)
     bands = F.when(F.size(sig) > 0, sig).otherwise(F.array(F.struct(
-        F.lit(-1).alias("band"),
-        F.sha2(F.encode(norm, "utf-8"), 256).alias("band_key"),
+        F.lit(-1).alias("band"), fallback_key.alias("band_key"),
     )))
-    exploded = (
-        raw.withColumn("n_bands", F.size(bands))
-        .select("doc_id", "text", "lang", "ts", "n_bands",
-                F.explode(bands).alias("bk"))
-        .select("doc_id", "text", "lang", "ts", "n_bands",
+    flagged = (
+        raw.select("doc_id", "text", "lang", "ts", F.explode(bands).alias("bk"))
+        .select("doc_id", "text", "lang", "ts",
                 F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
         .withWatermark("ts", delay)
-        .dropDuplicatesWithinWatermark(["band", "band_key"])
+        .groupBy("band", "band_key")
+        .applyInPandasWithState(
+            make_band_seen_kernel(),
+            outputStructType=NEARDUP_OUT,
+            stateStructType=NEARDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
-    def _keep_fully_novel(batch_df: DataFrame, batch_id: int) -> None:
+    def _keep_unmatched(batch_df: DataFrame, batch_id: int) -> None:
         keep = (
-            batch_df.groupBy("doc_id", "text", "lang", "ts", "n_bands")
-            .agg(F.count(F.lit(1)).alias("bands_survived"))
-            .where(F.col("bands_survived") == F.col("n_bands"))
-            .drop("bands_survived", "n_bands")
+            batch_df.groupBy("doc_id", "text", "lang", "ts")
+            .agg(F.max(F.col("matched").cast("int")).alias("any_matched"))
+            .where(F.col("any_matched") == 0)
+            .drop("any_matched")
         )
         _write_batch_idempotent(keep, out_dir, batch_id)
 
     return (
-        exploded.writeStream.foreachBatch(_keep_fully_novel)
+        flagged.writeStream.foreachBatch(_keep_unmatched)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
@@ -540,6 +600,10 @@ def make_phash_dedup_kernel(max_hamming: int = 8):
     band values saturate at ~128 distinct values, so unverified band
     collisions would reject everything once the horizon holds a few
     hundred payloads), then inserted so later arrivals match it.
+    Arrow chunks of one micro-batch are CONCATENATED before the
+    (ts, media_id) sort — a per-chunk sort would let a later-ts payload
+    in an earlier chunk pre-register and drop the true first arrival
+    nondeterministically whenever a bucket's batch spans chunks.
     Entries older than the watermark are evicted on every invocation;
     an idle bucket's whole state is removed by event-time timeout."""
 
@@ -555,24 +619,28 @@ def make_phash_dedup_kernel(max_hamming: int = 8):
             live = [i for i, t in enumerate(ts_ms) if t >= wm]
             phashes = [phashes[i] for i in live]
             ts_ms = [ts_ms[i] for i in live]
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "media_id"])  # deterministic first-arrival
-            matched = []
-            for ph, t in zip(pdf["phash"], pdf["ts"]):
-                ph = int(ph)
-                matched.append(any(
-                    bin(ph ^ p).count("1") <= max_hamming for p in phashes
-                ))
-                phashes.append(ph)
-                ts_ms.append(int(t.value) // 1_000_000)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
             out = pdf[["media_id", "kind", "phash", "ts"]].copy()
-            out["matched"] = matched
-            frames.append(out)
+            out["matched"] = pd.Series([], dtype=bool)
+            if ts_ms:
+                state.update((phashes, ts_ms))
+            yield out
+            return
+        pdf = pdf.sort_values(["ts", "media_id"], ignore_index=True)
+        matched = []
+        for ph, t in zip(pdf["phash"], pdf["ts"]):
+            ph = int(ph)
+            matched.append(any(
+                bin(ph ^ p).count("1") <= max_hamming for p in phashes
+            ))
+            phashes.append(ph)
+            ts_ms.append(int(t.value) // 1_000_000)
+        out = pdf[["media_id", "kind", "phash", "ts"]].copy()
+        out["matched"] = matched
         state.update((phashes, ts_ms))
-        if ts_ms:
-            state.setTimeoutTimestamp(max(max(ts_ms) + 1000, wm + 1000))
-        yield from frames
+        state.setTimeoutTimestamp(max(max(ts_ms) + 1000, wm + 1000))
+        yield out
 
     return kernel
 
@@ -629,7 +697,10 @@ def run_phash_dedup_stream(
     media = raw.select(
         "media_id", "kind", F.encode("payload", "utf-8").alias("content"), "ts"
     )
-    fp = perceptual_fingerprints(media, passthrough=("ts",))
+    # keep_empty: a no-content arrival must not silently vanish from the
+    # sink — it fingerprints to phash 0 and dedups against other
+    # no-content (and perceptually-flat) arrivals instead
+    fp = perceptual_fingerprints(media, passthrough=("ts",), keep_empty=True)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
