@@ -221,6 +221,29 @@ def test_fingerprints_json_is_current():
     )
 
 
+def test_bench_headline_resolves_against_registry():
+    """Every bench HEADLINE entry must resolve to a registry query (or
+    a bench-local deploy variant) — a renamed/removed query would
+    otherwise only surface as a KeyError inside the driver's bench run.
+    The first 15 entries are the legacy band and must stay a stable
+    prefix (legacy15_total continuity with BENCH_r01-r08)."""
+    import bench
+
+    import __spark_entry__ as mod
+
+    resolvable = set(mod.queries()) | {"media_dedup_features_deploy"}
+    missing = [n for n in bench.HEADLINE if n not in resolvable]
+    assert not missing, f"HEADLINE entries without a query: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    assert bench.HEADLINE[:15] == [
+        "tick_pipeline_derivative", "tick_pipeline_multistream",
+        "tick_pipeline_cpm", "bars_boxcar", "bars_fir", "q1_delta_stats",
+        "q6_sigma_buckets", "q10_bar_audit", "text_token_stats",
+        "text_simhash", "dedup_lsh_candidates", "sim_cosine_topk",
+        "asof_join_events", "rel_pricing_summary", "rel_revenue_by_nation",
+    ]
+
+
 def test_no_shadowed_names_in_plan_modules():
     """A plans module defining the same top-level name twice (a second
     `funnel_fn`, a second SQL constant) silently SHADOWS the first —
