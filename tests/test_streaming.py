@@ -1368,6 +1368,34 @@ def test_phash_dedup_stream_same_batch_and_empty_payloads(spark, tmp_path):
     assert kept == [1, 3]
 
 
+def test_neardup_dedup_stream_survives_corrupt_lines(spark, tmp_path):
+    """A corrupt JSONL line (unparseable -> all-null row, null event
+    time) must not crash the stateful kernel (NaT timestamp math) —
+    it is dropped at ingest and the surrounding docs process normally."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_neardup_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "a perfectly normal document "
+                            "with enough tokens to shingle", "lang": "en",
+                            "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write("{this is not json at all\n")
+        f.write(json.dumps({"doc_id": 3, "text": "another fine document with "
+                            "plenty of distinct words inside", "lang": "en",
+                            "ts": "2024-01-01 00:00:30"}) + "\n")
+    q = run_neardup_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                                 str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 3]
+
+
 def test_neardup_dedup_stream_restart_keeps_state(spark, tmp_path):
     """Killing the near-dup stream and restarting on the same
     checkpoint must keep the band-key dedup state: a perturbed copy of

@@ -546,6 +546,11 @@ def run_neardup_dedup_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(input_dir)
     )
+    # a corrupt JSONL line parses to an all-null row; without an event
+    # time it cannot participate in watermarked dedup (and a NaT would
+    # crash the kernel's timestamp math) — drop it at ingest, the same
+    # posture as the batch reader's PERMISSIVE quarantine
+    raw = raw.where(F.col("ts").isNotNull())
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     fallback_key = F.coalesce(
         F.sha2(F.encode(norm, "utf-8"), 256),
@@ -694,9 +699,9 @@ def run_phash_dedup_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(input_dir)
     )
-    media = raw.select(
+    media = raw.where(F.col("ts").isNotNull()).select(
         "media_id", "kind", F.encode("payload", "utf-8").alias("content"), "ts"
-    )
+    )  # null event time (corrupt line) cannot join watermarked dedup
     # keep_empty: a no-content arrival must not silently vanish from the
     # sink — it fingerprints to phash 0 and dedups against other
     # no-content (and perceptually-flat) arrivals instead
