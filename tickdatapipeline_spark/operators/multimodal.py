@@ -374,8 +374,16 @@ def phash_near_duplicates(
     Capped buckets are dropped before the self-join — a recall trade
     the other 8 bands largely repay; the default stays None because the
     oracle-gated entry is the exhaustive contract at tiny sf.
+
+    The no-recall-loss pigeonhole holds only for max_hamming <=
+    n_bands - 1, so intermediate thresholds are rejected; max_hamming
+    = bits is explicitly allowed as the CANDIDATE-CENSUS mode (no
+    distance filter — every banded candidate with its exact Hamming,
+    the calibration-histogram input).
     """
-    assert bits % n_bands == 0 and max_hamming <= n_bands - 1
+    assert bits % n_bands == 0 and (
+        max_hamming <= n_bands - 1 or max_hamming >= bits
+    )
     from tickdatapipeline_spark.operators.globalorder import pin
 
     width = bits // n_bands

@@ -3629,6 +3629,90 @@ SELECT 'click_to_purchase', t3 - t2 FROM p
 FUNNEL_LATENCY_SQL = _funnel_latency_sql()
 
 
+def hourly_mix_hhi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-mix concentration per hour: the Herfindahl–Hirschman
+    index of the event-type shares (Σ share², 1/n_types = perfectly
+    mixed, 1.0 = one type only) — the mix-drift readout that catches
+    "the stream is suddenly all retries" before any per-type detector
+    fires.
+
+    Exactness: HHI = Σ cnt² / total² as a ratio of BIGINT sums with one
+    double division (integer cross-multiply, never per-type float
+    shares summed). Scale: one map-side (hour, type) reduce, then an
+    O(hours x types) aggregate."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+        "event_type",
+    )
+    ht = ev.groupBy("hour_s", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        ht.groupBy("hour_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .select(
+            "hour_s", "n_types", "n_events",
+            rnd(F.col("ss").cast("double")
+                / (F.col("n_events").cast("double") * F.col("n_events").cast("double")),
+                6).alias("hhi"),
+        )
+        .orderBy("hour_s")
+    )
+
+
+HOURLY_MIX_HHI_SQL = f"""
+WITH ht AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT hour_s, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       {sql_rnd('CAST(sum(c * c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))')} AS hhi
+FROM ht GROUP BY hour_s
+ORDER BY hour_s
+"""
+
+
+def phash_hamming_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the perceptual candidate pairs
+    (any shared 7-bit band, distances 0..63 via one bit_count per
+    candidate) — the calibration readout behind choosing
+    media_dedup_phash's max_hamming: a bimodal histogram (a spike near
+    0 + the random-pair bulk near 31) says the threshold sits in the
+    valley; a flat one says the stub features need a real decoder.
+    Same banded candidate generation as phash_near_duplicates, WITHOUT
+    the threshold filter, aggregated to O(64) rows."""
+    fps = perceptual_fingerprints(synth_media_from_documents(_docs(spark, sf_dir)))
+    pairs = phash_near_duplicates(fps, max_hamming=63)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+PHASH_HAMMING_HIST_SQL = f"""
+WITH {_phash_sql_core()},
+bands AS (
+    SELECT media_id, phash, CAST(b AS INT) AS band,
+           (phash >> (7 * b)) & 127 AS band_key
+    FROM fp, unnest(range(0, 9)) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+           CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_key = r.band_key AND l.media_id < r.media_id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand GROUP BY hamming
+ORDER BY hamming
+"""
+
+
 def dedup_savings_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup savings plan: if the corpus keeps one
     representative per verified near-dup cluster, how many documents
@@ -4301,6 +4385,8 @@ def queries() -> dict[str, tuple]:
         "dedup_cluster_cohesion": (cluster_cohesion_fn, CLUSTER_COHESION_SQL),
         "events_funnel_latency": (funnel_latency_fn, FUNNEL_LATENCY_SQL),
         "docs_dedup_savings": (dedup_savings_fn, DEDUP_SAVINGS_SQL),
+        "events_hourly_mix_hhi": (hourly_mix_hhi_fn, HOURLY_MIX_HHI_SQL),
+        "media_phash_hamming_hist": (phash_hamming_histogram_fn, PHASH_HAMMING_HIST_SQL),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
             EMBED_NEAR_DUP_SQL,
