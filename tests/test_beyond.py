@@ -3180,3 +3180,18 @@ def test_fluency_filter_respects_per_source_bar(spark, tmp_path):
     docs = spark.read.parquet(str(tmp_path / "sf" / "documents.parquet"))
     n_scored = char_bigram_likelihood(docs).count()
     assert len(out) >= 0.85 * n_scored  # ~p10 trimmed, never more
+
+
+def test_ivf_recall_sweep_monotone(spark):
+    """Pooled recall must be non-decreasing in nprobe (each wider probe
+    set strictly contains the narrower one's candidates), and every
+    pooled value is the exact hit/truth integer ratio."""
+    from tickdatapipeline_spark.plans.beyond import ivf_recall_sweep_fn
+
+    rows = ivf_recall_sweep_fn(spark, "/root/testdata/sf0.001").collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    recalls = [r.pooled_recall for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        import math
+        assert r.pooled_recall == math.floor(r.hit_total / r.exact_total * 1e6 + 0.5) / 1e6

@@ -3629,6 +3629,60 @@ SELECT 'click_to_purchase', t3 - t2 FROM p
 FUNNEL_LATENCY_SQL = _funnel_latency_sql()
 
 
+IVF_SWEEP_NPROBES = (1, 2, 4)
+
+
+def ivf_recall_sweep_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost curve of the IVF path: POOLED recall@k (Σ hits /
+    Σ truth across all queries — exact integer ratio, never an average
+    of per-query floats) at nprobe 1, 2 and 4 — the one table a user
+    needs to pick the IVF cost knob (each probed cell costs
+    ~nprobe/n_cells of brute force). The exact ground-truth top-k is
+    computed ONCE (pinned) and reused by every sweep point."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    emb = _emb(spark, sf_dir)
+    exact = pin(cosine_topk(emb, TOPK_K, QUERY_MOD))
+    parts = []
+    for np_ in IVF_SWEEP_NPROBES:
+        r = ann_recall(ann_topk_ivf(emb, TOPK_K, QUERY_MOD, nprobe=np_), exact)
+        parts.append(r.agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_exact").alias("exact_total"),
+            F.sum("n_hit").alias("hit_total"),
+            rnd(F.sum("n_hit").cast("double")
+                / F.sum("n_exact").cast("double"), 6).alias("pooled_recall"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
+
+
+def _ivf_recall_sweep_sql() -> str:
+    """One UNION ALL branch per nprobe: the existing IVF plan with its
+    probe width swapped (the single `crank <= 2` literal), wrapped in
+    the shared recall algebra and pooled to one row."""
+    branches = []
+    for np_ in IVF_SWEEP_NPROBES:
+        approx = IVF_SQL.replace("crank <= 2", f"crank <= {np_}").format(
+            query_mod=QUERY_MOD, k=TOPK_K
+        )
+        core = _ann_recall_sql(approx)
+        branches.append(f"""
+SELECT CAST({np_} AS BIGINT) AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_exact) AS BIGINT) AS exact_total,
+       CAST(sum(n_hit) AS BIGINT) AS hit_total,
+       {sql_rnd('CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_exact) AS DOUBLE)')} AS pooled_recall
+FROM ({core})""")
+    return " UNION ALL ".join(branches) + " ORDER BY nprobe"
+
+
+IVF_RECALL_SWEEP_SQL = _ivf_recall_sweep_sql()
+
+
 def hourly_mix_hhi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-mix concentration per hour: the Herfindahl–Hirschman
     index of the event-type shares (Σ share², 1/n_types = perfectly
@@ -4386,6 +4440,7 @@ def queries() -> dict[str, tuple]:
         "events_funnel_latency": (funnel_latency_fn, FUNNEL_LATENCY_SQL),
         "docs_dedup_savings": (dedup_savings_fn, DEDUP_SAVINGS_SQL),
         "events_hourly_mix_hhi": (hourly_mix_hhi_fn, HOURLY_MIX_HHI_SQL),
+        "sim_ivf_recall_sweep": (ivf_recall_sweep_fn, IVF_RECALL_SWEEP_SQL),
         "media_phash_hamming_hist": (phash_hamming_histogram_fn, PHASH_HAMMING_HIST_SQL),
         "dedup_embedding_cosine": (
             lambda s, d: embedding_near_duplicates(_emb(s, d), EMBED_NEAR_DUP_THRESHOLD, max_bucket_size=None),
