@@ -3738,7 +3738,15 @@ def phash_hamming_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 + the random-pair bulk near 31) says the threshold sits in the
     valley; a flat one says the stub features need a real decoder.
     Same banded candidate generation as phash_near_duplicates, WITHOUT
-    the threshold filter, aggregated to O(64) rows."""
+    the threshold filter, aggregated to O(64) rows.
+
+    Deployment contract: this is a CALIBRATION query — run it on a
+    sample, not the full corpus. 7-bit band values saturate at 128
+    distinct values, so the unfiltered candidate set itself grows
+    ~n²/2^7 once buckets saturate (measured tier-2 factor 9.0 at 10x,
+    PERF.md round 9 — output-bound, same class as the exhaustive media
+    feature config); the histogram's answer (where the threshold
+    valley sits) is sample-stable."""
     fps = perceptual_fingerprints(synth_media_from_documents(_docs(spark, sf_dir)))
     pairs = phash_near_duplicates(fps, max_hamming=63)
     return (
