@@ -1368,6 +1368,45 @@ def test_phash_dedup_stream_same_batch_and_empty_payloads(spark, tmp_path):
     assert kept == [1, 3]
 
 
+def test_neardup_dedup_stream_readmits_after_horizon(spark, tmp_path):
+    """FIRST-ANCHORED expiry (the dropDuplicatesWithinWatermark
+    contract): once the watermark passes the first arrival's event time
+    plus the delay, a fresh near-dup copy is READMITTED — matched
+    copies must not slide the suppression window forward forever."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_neardup_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove and rain falls on the quiet roof")
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "ts": ts}) + "\n")
+
+    args = (spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    write_docs("b0.json", [(1, base, "2024-01-01 00:00:00")])
+    q = run_neardup_dedup_stream(*args, delay="10 minutes")
+    try:
+        q.processAllAvailable()
+        # advances the watermark well past 00:00 + 10 min
+        write_docs("b1.json", [(2, "an unrelated watermark-advancing "
+                                "document with plenty of words", "2024-01-01 02:00:00")])
+        q.processAllAvailable()
+        # near-dup of doc 1, but its bucket anchors have expired
+        write_docs("b2.json", [(3, base.replace("rain", "snow"),
+                                "2024-01-01 02:05:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 2, 3]
+
+
 def test_neardup_dedup_stream_survives_corrupt_lines(spark, tmp_path):
     """A corrupt JSONL line (unparseable -> all-null row, null event
     time) must not crash the stateful kernel (NaT timestamp math) —

@@ -3664,6 +3664,9 @@ def _ivf_recall_sweep_sql() -> str:
     """One UNION ALL branch per nprobe: the existing IVF plan with its
     probe width swapped (the single `crank <= 2` literal), wrapped in
     the shared recall algebra and pooled to one row."""
+    assert IVF_SQL.count("crank <= 2") == 1, (
+        "IVF_SQL's probe-width literal moved — fix the sweep's replace target"
+    )
     branches = []
     for np_ in IVF_SWEEP_NPROBES:
         approx = IVF_SQL.replace("crank <= 2", f"crank <= {np_}").format(

@@ -451,10 +451,10 @@ def run_dedup_stream(
 
 
 NEARDUP_OUT = "doc_id long, text string, lang string, ts timestamp, matched boolean"
-NEARDUP_STATE = "last_ms long"
+NEARDUP_STATE = "anchor_ms long"
 
 
-def make_band_seen_kernel():
+def make_band_seen_kernel(delay_ms: int):
     """applyInPandasWithState kernel for run_neardup_dedup_stream: one
     GroupState per (band, band_key) marking the bucket as seen. Rows of
     a micro-batch are concatenated across Arrow chunks and sorted by
@@ -466,15 +466,26 @@ def make_band_seen_kernel():
     BOTH fail the all-bands-survived check, losing the content
     entirely. Here row i is matched iff the bucket pre-exists or any
     earlier sorted row of this batch hit it; the global (ts, doc_id)
-    order makes the earlier doc win consistently everywhere. Idle
-    buckets are removed by event-time timeout (the watermark-horizon
-    readmission contract)."""
+    order makes the earlier doc win consistently everywhere.
+
+    Expiry is FIRST-ANCHORED, matching dropDuplicatesWithinWatermark
+    (and run_dedup_stream): the bucket suppresses for ``delay_ms`` past
+    its FIRST arrival's event time, and matched (dropped) copies do NOT
+    extend it — otherwise a document re-published every half-horizon
+    would be suppressed forever instead of readmitted once per horizon.
+    The anchor is checked against the watermark on every invocation
+    (not just the timeout callback): a bucket whose horizon has passed
+    readmits a same-batch arrival rather than over-suppressing until
+    the timeout fires, and the readmitted arrival re-anchors."""
 
     def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
         if state.hasTimedOut:
             state.remove()
             return
-        seen = state.exists
+        wm = state.getCurrentWatermarkMs()
+        anchor = state.get[0] if state.exists else None
+        if anchor is not None and anchor + delay_ms <= wm:
+            anchor = None  # horizon passed: expired even before timeout
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:
             yield pdf[["doc_id", "text", "lang", "ts"]].assign(
@@ -482,14 +493,24 @@ def make_band_seen_kernel():
             return
         pdf = pdf.sort_values(["ts", "doc_id"], ignore_index=True)
         out = pdf[["doc_id", "text", "lang", "ts"]].copy()
-        out["matched"] = [seen or i > 0 for i in range(len(pdf))]
-        last_ms = int(pdf["ts"].iloc[-1].value) // 1_000_000
-        state.update((last_ms,))
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last_ms + 1000, wm + 1000))
+        out["matched"] = [anchor is not None or i > 0 for i in range(len(pdf))]
+        if anchor is None:
+            anchor = int(pdf["ts"].iloc[0].value) // 1_000_000
+            state.update((anchor,))
+            state.setTimeoutTimestamp(max(anchor + delay_ms, wm + 1000))
         yield out
 
     return kernel
+
+
+def _delay_to_ms(delay: str) -> int:
+    """'1 hour' / '30 minutes' / '10 seconds' -> milliseconds (the
+    CalendarInterval subset the dedup streams accept)."""
+    qty, unit = delay.strip().split()
+    unit = unit.rstrip("s")
+    factor = {"millisecond": 1, "second": 1000, "minute": 60_000,
+              "hour": 3_600_000, "day": 86_400_000}[unit]
+    return int(qty) * factor
 
 
 def run_neardup_dedup_stream(
@@ -552,9 +573,14 @@ def run_neardup_dedup_stream(
     # posture as the batch reader's PERMISSIVE quarantine
     raw = raw.where(F.col("ts").isNotNull())
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    # final arm: uuid() so a row with NEITHER text NOR doc_id never
+    # aliases another (concat with a null doc_id is itself null, and
+    # null band_keys compare equal in the groupBy) — such anonymous
+    # rows always pass, the only safe default for identity-less input
     fallback_key = F.coalesce(
         F.sha2(F.encode(norm, "utf-8"), 256),
         F.concat(F.lit("null-text:"), F.col("doc_id").cast("string")),
+        F.expr("uuid()"),
     )
     sig = rowlocal_band_signature(F.col("text"), num_perm, band_size)
     bands = F.when(F.size(sig) > 0, sig).otherwise(F.array(F.struct(
@@ -567,7 +593,7 @@ def run_neardup_dedup_stream(
         .withWatermark("ts", delay)
         .groupBy("band", "band_key")
         .applyInPandasWithState(
-            make_band_seen_kernel(),
+            make_band_seen_kernel(_delay_to_ms(delay)),
             outputStructType=NEARDUP_OUT,
             stateStructType=NEARDUP_STATE,
             outputMode="append",
@@ -610,7 +636,17 @@ def make_phash_dedup_kernel(max_hamming: int = 8):
     in an earlier chunk pre-register and drop the true first arrival
     nondeterministically whenever a bucket's batch spans chunks.
     Entries older than the watermark are evicted on every invocation;
-    an idle bucket's whole state is removed by event-time timeout."""
+    an idle bucket's whole state is removed by event-time timeout.
+
+    Suppression is SLIDING, deliberately unlike the text stream's
+    first-anchored band-seen kernel: every arrival — kept or dropped —
+    registers its own (phash, ts) entry, so a perceptual copy chain
+    (A, then B near A, then C near B but not A) keeps collapsing to A
+    exactly as the batch connected-components cluster would, and a
+    periodic perceptual copy stays suppressed for as long as copies
+    keep arriving within the horizon of the LAST one. Deployments
+    wanting horizon-readmission semantics run the batch pass on a
+    schedule instead."""
 
     def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
         if state.hasTimedOut:
@@ -626,10 +662,15 @@ def make_phash_dedup_kernel(max_hamming: int = 8):
             ts_ms = [ts_ms[i] for i in live]
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:
-            out = pdf[["media_id", "kind", "phash", "ts"]].copy()
-            out["matched"] = pd.Series([], dtype=bool)
+            # defensive (non-timeout invocations normally carry rows):
+            # persist the eviction — skipping the update here would
+            # resurrect the just-filtered stale entries
             if ts_ms:
                 state.update((phashes, ts_ms))
+            elif state.exists:
+                state.remove()
+            out = pdf[["media_id", "kind", "phash", "ts"]].copy()
+            out["matched"] = pd.Series([], dtype=bool)
             yield out
             return
         pdf = pdf.sort_values(["ts", "media_id"], ignore_index=True)
