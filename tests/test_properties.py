@@ -634,3 +634,83 @@ def test_value_resample_equals_naive_property(spark, events, tmp_path_factory):
             v = pv + (nv - pv) * ((t - pt_) / (nt_ - pt_))
         want[t // 1_000_000] = math.floor(v * 1e6 + 0.5) / 1e6
     assert got == want
+
+
+def _events_from_counts(tmp_path_factory, counts, label):
+    """counts: list of per-user event multiplicities -> events.parquet
+    (one type 'm', distinct users, ns timestamps)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    td = tmp_path_factory.mktemp(label)
+    rows = []
+    for u, n in enumerate(counts, start=1):
+        for k in range(n):
+            rows.append((len(rows), len(rows) * 1_000_000_000, u))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["m"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, td / "events.parquet")
+    return str(td)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(min_value=1, max_value=40),
+                       min_size=1, max_size=25))
+def test_key_skew_gini_equals_naive_property(spark, counts, tmp_path_factory):
+    """Random per-user count multisets: the histogram-built Gini (tied
+    groups collapsed to cnt*(a*m + m(m+1)/2)) must equal the naive
+    sorted rank-sum Σ(2i-n-1)x_(i) / (n Σx), bit-for-bit through the
+    shared floor rounding — heavy ties, all-equal, and singleton cases
+    included."""
+    import math
+
+    from tickdatapipeline_spark.plans.beyond import key_skew_fn
+
+    sf = _events_from_counts(tmp_path_factory, counts, "gini")
+    r = key_skew_fn(spark, sf).collect()[0]
+
+    xs = sorted(counts)
+    n, sx = len(xs), sum(xs)
+    assert (r.n_users, r.n_events, r.max_user_events) == (n, sx, max(xs))
+    assert r.top_user_share == math.floor(max(xs) / sx * 1e6 + 0.5) / 1e6
+    if n > 1:
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        want = math.floor((2 * six - (n + 1) * sx) / (n * sx) * 1e6 + 0.5) / 1e6
+        assert r.gini == want
+    else:
+        assert r.gini == 0.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(min_value=1, max_value=40),
+                       min_size=1, max_size=25))
+def test_power_pareto_equals_naive_property(spark, counts, tmp_path_factory):
+    """Random per-user count multisets: every decile row of the
+    histogram-built Pareto curve must equal the naive 'sort desc, take
+    top k, sum' walk — the tie-split algebra is exactly tie-invariant."""
+    import math
+
+    from tickdatapipeline_spark.plans.beyond import power_users_pareto_fn
+
+    sf = _events_from_counts(tmp_path_factory, counts, "pareto")
+    got = {r.decile: (r.n_top_users, r.events_covered, r.share)
+           for r in power_users_pareto_fn(spark, sf).collect()}
+
+    xs = sorted(counts, reverse=True)
+    n, total = len(xs), sum(xs)
+    want = {}
+    for d in range(1, 11):
+        k = (n * d) // 10
+        if k < 1:
+            continue
+        covered = sum(xs[:k])
+        want[d] = (k, covered, math.floor(covered / total * 1e6 + 0.5) / 1e6)
+    assert got == want
