@@ -1407,6 +1407,143 @@ def test_neardup_dedup_stream_readmits_after_horizon(spark, tmp_path):
     assert kept == [1, 2, 3]
 
 
+def test_neardup_dedup_stream_verifies_band_collisions(spark, tmp_path):
+    """LSH-then-VERIFY at ingest: a document that shares LSH band
+    buckets with a horizon neighbor but whose estimated Jaccard sits
+    BELOW the threshold (a band collision between NON-duplicates) must
+    SURVIVE — under candidate-level dropping it was silently lost —
+    while a true near-dup in the same run still drops. band_size=1
+    makes cross-doc band collisions common enough to construct."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.dedup import (
+        rowlocal_band_signature,
+        rowlocal_minhash_signature,
+    )
+    from tickdatapipeline_spark.streaming.eventtime import run_neardup_dedup_stream
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+             "victor", "whiskey", "xray", "yankee", "zulu", "amber", "basil",
+             "cedar", "dahlia", "elm", "fern", "ginger", "hazel", "iris",
+             "jasmine", "kale", "laurel", "maple", "nutmeg", "olive", "pine",
+             "quince", "rose", "sage", "thyme", "umber", "violet", "willow",
+             "yarrow"]
+    text_a = " ".join(words[:30])
+    text_b = " ".join(words[20:50])        # 10 shared tokens: candidate, not dup
+    perturbed = text_a.replace("echo", "echoes")  # true near-dup of A
+
+    # premise, pinned against the REAL hash lanes: A and B share at
+    # least one band_size=1 bucket, their signature agreement is below
+    # threshold*num_perm, and the perturbed copy's is above
+    r = {
+        row.doc_id: row
+        for row in spark.createDataFrame(
+            [(1, text_a), (2, text_b), (3, perturbed)], "doc_id long, text string"
+        ).select(
+            "doc_id",
+            rowlocal_band_signature(F.col("text"), 32, 1).alias("bands"),
+            rowlocal_minhash_signature(F.col("text"), 32).alias("sig"),
+        ).collect()
+    }
+    shared = lambda x, y: {(b.band, b.band_key) for b in r[x].bands} & {
+        (b.band, b.band_key) for b in r[y].bands}
+    agree = lambda x, y: sum(a == b for a, b in zip(r[x].sig, r[y].sig))
+    assert shared(1, 2) and agree(1, 2) < 16 <= agree(1, 3)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_docs(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": "en", "ts": ts}) + "\n")
+
+    write_docs("b0.json", [(1, text_a, "2024-01-01 00:00:00")])
+    q = run_neardup_dedup_stream(
+        spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        num_perm=32, band_size=1,
+    )
+    try:
+        q.processAllAvailable()
+        write_docs("b1.json", [
+            (2, text_b, "2024-01-01 00:05:00"),     # band-colliding NON-dup -> keep
+            (3, perturbed, "2024-01-01 00:06:00"),  # verified near-dup -> drop
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r_.doc_id for r_ in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 2]
+
+
+def test_dedup_stream_null_text_and_corrupt_lines(spark, tmp_path):
+    """Exact-dedup stream ingest hygiene: two DISTINCT metadata-only
+    (null-text) docs within the horizon are both kept — sha2(NULL) is
+    NULL and dropDuplicatesWithinWatermark treats null keys as equal,
+    so without the fallback key they'd collapse to one — and a corrupt
+    JSONL line (null event time) is quarantined, not crashed on."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": None, "lang": "en",
+                            "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": None, "lang": "fr",
+                            "ts": "2024-01-01 00:00:10"}) + "\n")
+        f.write("{not json\n")
+        f.write(json.dumps({"doc_id": 4, "text": "a normal document",
+                            "lang": "en", "ts": "2024-01-01 00:00:20"}) + "\n")
+        f.write(json.dumps({"doc_id": 5, "text": "a normal document",
+                            "lang": "en", "ts": "2024-01-01 00:00:30"}) + "\n")
+    q = run_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                         str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    # both null-text docs kept; the exact text dup (5) dropped
+    assert kept == [1, 2, 4]
+
+
+def test_phash_dedup_stream_null_media_id_quarantined(spark, tmp_path):
+    """A line with a valid ts but null media_id must not crash the
+    fingerprint kernel's int64 cast — it is quarantined at ingest and
+    the surrounding payloads process normally."""
+    import json
+
+    from tickdatapipeline_spark.streaming.eventtime import run_phash_dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"media_id": 1, "kind": "image",
+                            "payload": "some perfectly ordinary payload bytes " * 4,
+                            "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"media_id": None, "kind": "image",
+                            "payload": "corrupt id but valid everything else " * 4,
+                            "ts": "2024-01-01 00:00:10"}) + "\n")
+        f.write(json.dumps({"media_id": 3, "kind": "image",
+                            "payload": "a different and novel payload body here " * 4,
+                            "ts": "2024-01-01 00:00:20"}) + "\n")
+    q = run_phash_dedup_stream(spark, str(in_dir), str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r.media_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert kept == [1, 3]
+
+
 def test_neardup_dedup_stream_survives_corrupt_lines(spark, tmp_path):
     """A corrupt JSONL line (unparseable -> all-null row, null event
     time) must not crash the stateful kernel (NaT timestamp math) —

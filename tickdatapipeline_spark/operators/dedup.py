@@ -598,6 +598,44 @@ def rowlocal_band_signature(text, num_perm: int = NUM_PERM,
     )
 
 
+def rowlocal_minhash_signature(text, num_perm: int = NUM_PERM, n: int = 3):
+    """``array<long>`` of ALL ``num_perm`` MinHash lane minima for one
+    document, as a row-local column expression — the full signature
+    whose banded prefix-concatenations `rowlocal_band_signature` emits
+    as keys. Lane j here is bit-identical to `_minhash_wide`'s s{j}
+    (same grams, same ``perm_a/perm_b`` Mersenne hashes), so the
+    fraction of agreeing positions between two signatures is the
+    standard unbiased MinHash estimate of their shingle-set Jaccard.
+
+    Built for the streaming near-dup tier's LSH-then-VERIFY contract:
+    the band key says "candidate", the stored signature says whether
+    the estimated Jaccard actually clears the batch threshold — without
+    it, a single band collision between NON-duplicates would drop a
+    good document at ingest. Docs with fewer than ``n`` tokens return
+    an EMPTY array (no shingles — the batch path's convention); callers
+    fall back to exact-content keys for those."""
+    t = tokens(text)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(grams, lambda g: h60(g) % MERSENNE_P)
+
+    def lane(j: int):
+        return F.array_min(F.transform(
+            hs, lambda h: (F.lit(perm_a(j)) * h + F.lit(perm_b(j))) % MERSENNE_P
+        ))
+
+    return F.when(F.size(grams) >= 1, F.array(*[lane(j) for j in range(num_perm)])).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def simhash_near_dup_pairs(docs: DataFrame, bits: int = 32, n_bands: int = 4,
                            max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicate pairs: docs whose signatures differ in at

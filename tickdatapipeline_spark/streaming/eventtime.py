@@ -433,10 +433,23 @@ def run_dedup_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(input_dir)
     )
+    # corrupt JSONL lines (all-null rows, null event time) cannot join
+    # watermarked dedup — quarantine at ingest, same as the near-dup tier
+    raw = raw.where(F.col("ts").isNotNull())
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    # sha2 of a NULL text is NULL, and dropDuplicatesWithinWatermark
+    # treats null keys as EQUAL — distinct metadata-only docs within the
+    # horizon would collapse to one. Fall back to a per-doc key (and
+    # uuid for rows with neither text nor doc_id), mirroring the
+    # near-dup stream's fallback_key arms.
+    dedup_key = F.coalesce(
+        F.sha2(F.encode(norm, "utf-8"), 256),
+        F.concat(F.lit("null-text:"), F.col("doc_id").cast("string")),
+        F.expr("uuid()"),
+    )
     deduped = (
         raw.withColumn("content_hash", h60(norm))
-        .withColumn("content_sha", F.sha2(F.encode(norm, "utf-8"), 256))
+        .withColumn("content_sha", dedup_key)
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(["content_sha"])
         .drop("content_sha")
@@ -451,53 +464,93 @@ def run_dedup_stream(
 
 
 NEARDUP_OUT = "doc_id long, text string, lang string, ts timestamp, matched boolean"
-NEARDUP_STATE = "anchor_ms long"
+# per-bucket entries: MinHash signatures flattened end-to-end (every
+# entry in one bucket has the same length — num_perm for real bands,
+# 0 for the exact-fallback band -1 — so the stride is len//n_entries)
+# plus each entry's first-arrival anchor in epoch-ms
+NEARDUP_STATE = "sigs array<long>, anchors_ms array<long>"
 
 
-def make_band_seen_kernel(delay_ms: int):
+def make_band_verify_kernel(delay_ms: int, num_perm: int, threshold: float):
     """applyInPandasWithState kernel for run_neardup_dedup_stream: one
-    GroupState per (band, band_key) marking the bucket as seen. Rows of
-    a micro-batch are concatenated across Arrow chunks and sorted by
-    (ts, doc_id) BEFORE flagging, so the survivor of a same-batch
-    collision is the deterministic event-time-first arrival in EVERY
-    bucket the pair shares — with per-bucket independent survivor
-    choices (the dropDuplicatesWithinWatermark formulation this
-    replaced), two same-batch near-dups could split the band wins and
-    BOTH fail the all-bands-survived check, losing the content
-    entirely. Here row i is matched iff the bucket pre-exists or any
-    earlier sorted row of this batch hit it; the global (ts, doc_id)
-    order makes the earlier doc win consistently everywhere.
+    GroupState per (band, band_key) bucket holding the full MinHash
+    signatures (plus first-arrival anchors) of the docs that ANCHORED
+    the bucket within the horizon. An arrival is matched — dropped by
+    the foreachBatch regroup — only when its estimated Jaccard against
+    a stored signature (agreeing lanes / num_perm) clears ``threshold``:
+    the LSH-then-VERIFY contract the perceptual stream
+    (`make_phash_dedup_kernel`) already enforces. A band collision
+    between NON-duplicates (est below threshold) leaves BOTH documents
+    in the sink and registers the newcomer as its own entry — under the
+    previous band-seen formulation it silently lost the second doc at
+    ingest with no recovery short of re-ingesting from source. Entries
+    in the exact-fallback bucket (band -1, keyed by content sha) carry
+    EMPTY signatures; any same-bucket pair there is byte-identical
+    content, so presence alone verifies.
 
-    Expiry is FIRST-ANCHORED, matching dropDuplicatesWithinWatermark
-    (and run_dedup_stream): the bucket suppresses for ``delay_ms`` past
-    its FIRST arrival's event time, and matched (dropped) copies do NOT
-    extend it — otherwise a document re-published every half-horizon
-    would be suppressed forever instead of readmitted once per horizon.
-    The anchor is checked against the watermark on every invocation
-    (not just the timeout callback): a bucket whose horizon has passed
-    readmits a same-batch arrival rather than over-suppressing until
-    the timeout fires, and the readmitted arrival re-anchors."""
+    Rows of a micro-batch are concatenated across Arrow chunks and
+    sorted by (ts, doc_id) BEFORE verification, so the survivor of a
+    same-batch collision is the deterministic event-time-first arrival
+    in EVERY bucket the pair shares.
+
+    Expiry stays FIRST-ANCHORED per entry, matching
+    dropDuplicatesWithinWatermark (and run_dedup_stream): an entry
+    suppresses its near-dups for ``delay_ms`` past ITS first arrival's
+    event time, matched (dropped) copies do NOT extend it, and anchors
+    are checked against the watermark on every invocation — an expired
+    entry readmits a same-batch arrival rather than over-suppressing
+    until the timeout fires, and the readmitted arrival re-anchors.
+    The event-time timeout is re-armed on EVERY invocation that leaves
+    state behind (GroupState resets the timeout each call — setting it
+    only when a new anchor lands would leave a bucket whose last batch
+    was matched-only unexpirable, unbounded state growth)."""
 
     def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
         if state.hasTimedOut:
             state.remove()
             return
         wm = state.getCurrentWatermarkMs()
-        anchor = state.get[0] if state.exists else None
-        if anchor is not None and anchor + delay_ms <= wm:
-            anchor = None  # horizon passed: expired even before timeout
+        sigs, anchors = [], []
+        if state.exists:
+            flat, anchors = list(state.get[0]), list(state.get[1])
+            stride = len(flat) // len(anchors) if anchors else 0
+            sigs = [flat[i * stride:(i + 1) * stride] for i in range(len(anchors))]
+            live = [i for i, a in enumerate(anchors) if a + delay_ms > wm]
+            sigs = [sigs[i] for i in live]
+            anchors = [anchors[i] for i in live]
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:
+            # defensive (non-timeout invocations normally carry rows):
+            # persist the eviction and RE-ARM the timeout — GroupState
+            # clears it every invocation, so skipping the re-arm here
+            # would leave surviving entries unexpirable
+            if anchors:
+                state.update(([v for s in sigs for v in s], anchors))
+                state.setTimeoutTimestamp(max(max(anchors) + delay_ms, wm + 1000))
+            elif state.exists:
+                state.remove()
             yield pdf[["doc_id", "text", "lang", "ts"]].assign(
                 matched=pd.Series([], dtype=bool))
             return
         pdf = pdf.sort_values(["ts", "doc_id"], ignore_index=True)
+        matched = []
+        for sig, t in zip(pdf["sig"], pdf["ts"]):
+            sig = [int(v) for v in sig]
+            if sig:
+                m = any(
+                    sum(a == b for a, b in zip(sig, s)) >= threshold * num_perm
+                    for s in sigs if s
+                )
+            else:  # exact-fallback bucket: same band_key == same content
+                m = len(anchors) > 0
+            matched.append(m)
+            if not m:  # first-anchored: dropped copies never extend
+                sigs.append(sig)
+                anchors.append(int(t.value) // 1_000_000)
         out = pdf[["doc_id", "text", "lang", "ts"]].copy()
-        out["matched"] = [anchor is not None or i > 0 for i in range(len(pdf))]
-        if anchor is None:
-            anchor = int(pdf["ts"].iloc[0].value) // 1_000_000
-            state.update((anchor,))
-            state.setTimeoutTimestamp(max(anchor + delay_ms, wm + 1000))
+        out["matched"] = matched
+        state.update(([v for s in sigs for v in s], anchors))
+        state.setTimeoutTimestamp(max(max(anchors) + delay_ms, wm + 1000))
         yield out
 
     return kernel
@@ -521,26 +574,32 @@ def run_neardup_dedup_stream(
     delay: str = "1 hour",
     num_perm: int = 32,
     band_size: int = 4,
+    threshold: float = 0.5,
     max_files_per_trigger: int = 1,
 ):
     """Streaming NEAR-dup dedup at ingest — the fuzzy tier above
     `run_dedup_stream`: a token-perturbed copy of a recent document is
     dropped, not just a byte-identical one.
 
-    Mechanics: each arrival's MinHash-LSH band keys are computed
-    ROW-LOCALLY (operators/dedup.rowlocal_band_signature — same keys as
-    the batch `_band_table`, no shuffle), the doc explodes into one row
-    per band, and a band-seen stateful operator (`make_band_seen_kernel`
-    via applyInPandasWithState, one boolean-existence GroupState per
-    bucket) flags rows whose bucket was already hit — by an earlier
+    Mechanics — streaming LSH-then-VERIFY, the same contract as the
+    batch pass and the perceptual stream: each arrival's MinHash-LSH
+    band keys AND its full MinHash signature are computed ROW-LOCALLY
+    (operators/dedup.rowlocal_band_signature /
+    rowlocal_minhash_signature — same lanes as the batch
+    `_minhash_wide`, no shuffle), the doc explodes into one row per
+    band carrying the signature, and a stateful verify operator
+    (`make_band_verify_kernel` via applyInPandasWithState, one
+    GroupState of (signature, anchor) entries per bucket) flags a row
+    only when its ESTIMATED JACCARD (agreeing lanes / num_perm) against
+    a stored horizon-live entry clears ``threshold`` — by an earlier
     batch within the watermark horizon, or by an earlier (ts, doc_id)-
     ordered row of the SAME batch, deterministically. The foreachBatch
-    regroup keeps a doc iff NO band was flagged — sharing any band is
-    exactly the batch LSH candidate rule, so the semantics are
-    "LSH-candidate-level dedup, no exact-Jaccard verify at ingest":
-    strictly more aggressive than verified near-dup, with the batch
-    `jaccard_pairs`/`deduplicated_corpus` pass as the exact backstop
-    (same contract note as `run_dedup_stream`'s horizon trade).
+    regroup keeps a doc iff NO band verified a match. A band collision
+    between non-duplicates therefore passes BOTH docs (previously it
+    dropped the newcomer at candidate level — unrecoverable loss); the
+    estimate-vs-exact gap (binomial, s.d. ~ sqrt(J(1-J)/num_perm)) is
+    the only divergence from the batch `jaccard_pairs` backstop, the
+    same trade `minhash_jaccard_estimates` documents.
 
     Docs too short to shingle (< 3 tokens: no band keys, invisible to
     batch LSH too) fall back to EXACT dedup via a single synthetic band
@@ -550,17 +609,24 @@ def run_neardup_dedup_stream(
     null digest, because null keys comparing equal would silently
     dedupe distinct metadata-only records against each other.
 
-    Scale contract: dedup state holds one 8-byte timestamp per distinct
-    band key within the horizon — bounded by arrival rate x horizon x
-    (num_perm/band_size), removed by event-time timeout as the
-    watermark advances. The regroup is micro-batch-local (all of a
-    doc's band rows explode inside its own batch), never a streaming
+    Scale contract: dedup state holds one num_perm-long signature plus
+    an 8-byte anchor per ANCHORED doc per band within the horizon —
+    bounded by arrival rate x horizon x (num_perm/band_size) x
+    (num_perm + 1) longs, removed per-entry as the watermark passes
+    each anchor and wholesale by event-time timeout (re-armed every
+    invocation) for idle buckets. Per-arrival CPU is O(bucket
+    occupancy x num_perm) lane comparisons — the verify work the batch
+    pass does per candidate. The regroup is micro-batch-local (all of
+    a doc's band rows explode inside its own batch), never a streaming
     aggregate; the sink write is replay-idempotent
     (_write_batch_idempotent).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from tickdatapipeline_spark.operators.dedup import rowlocal_band_signature
+    from tickdatapipeline_spark.operators.dedup import (
+        rowlocal_band_signature,
+        rowlocal_minhash_signature,
+    )
 
     raw = (
         spark.readStream.schema("doc_id long, text string, lang string, ts timestamp")
@@ -582,18 +648,23 @@ def run_neardup_dedup_stream(
         F.concat(F.lit("null-text:"), F.col("doc_id").cast("string")),
         F.expr("uuid()"),
     )
-    sig = rowlocal_band_signature(F.col("text"), num_perm, band_size)
-    bands = F.when(F.size(sig) > 0, sig).otherwise(F.array(F.struct(
+    keys = rowlocal_band_signature(F.col("text"), num_perm, band_size)
+    bands = F.when(F.size(keys) > 0, keys).otherwise(F.array(F.struct(
         F.lit(-1).alias("band"), fallback_key.alias("band_key"),
     )))
+    # full signature rides along for the in-kernel Jaccard verify; the
+    # fallback (short/null-text) arm is the EMPTY array — presence in
+    # the sha-keyed band -1 bucket already proves exact equality
+    sig = rowlocal_minhash_signature(F.col("text"), num_perm)
     flagged = (
-        raw.select("doc_id", "text", "lang", "ts", F.explode(bands).alias("bk"))
-        .select("doc_id", "text", "lang", "ts",
+        raw.select("doc_id", "text", "lang", "ts", sig.alias("sig"),
+                   F.explode(bands).alias("bk"))
+        .select("doc_id", "text", "lang", "ts", "sig",
                 F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
         .withWatermark("ts", delay)
         .groupBy("band", "band_key")
         .applyInPandasWithState(
-            make_band_seen_kernel(_delay_to_ms(delay)),
+            make_band_verify_kernel(_delay_to_ms(delay), num_perm, threshold),
             outputStructType=NEARDUP_OUT,
             stateStructType=NEARDUP_STATE,
             outputMode="append",
@@ -639,7 +710,7 @@ def make_phash_dedup_kernel(max_hamming: int = 8):
     an idle bucket's whole state is removed by event-time timeout.
 
     Suppression is SLIDING, deliberately unlike the text stream's
-    first-anchored band-seen kernel: every arrival — kept or dropped —
+    first-anchored verify kernel: every arrival — kept or dropped —
     registers its own (phash, ts) entry, so a perceptual copy chain
     (A, then B near A, then C near B but not A) keeps collapsing to A
     exactly as the batch connected-components cluster would, and a
@@ -664,9 +735,13 @@ def make_phash_dedup_kernel(max_hamming: int = 8):
         if len(pdf) == 0:
             # defensive (non-timeout invocations normally carry rows):
             # persist the eviction — skipping the update here would
-            # resurrect the just-filtered stale entries
+            # resurrect the just-filtered stale entries — and RE-ARM
+            # the timeout (GroupState clears it every invocation;
+            # updating without re-arming would leave the surviving
+            # entries unexpirable until another arrival)
             if ts_ms:
                 state.update((phashes, ts_ms))
+                state.setTimeoutTimestamp(max(max(ts_ms) + 1000, wm + 1000))
             elif state.exists:
                 state.remove()
             out = pdf[["media_id", "kind", "phash", "ts"]].copy()
@@ -740,9 +815,13 @@ def run_phash_dedup_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(input_dir)
     )
-    media = raw.where(F.col("ts").isNotNull()).select(
+    media = raw.where(
+        F.col("ts").isNotNull() & F.col("media_id").isNotNull()
+    ).select(
         "media_id", "kind", F.encode("payload", "utf-8").alias("content"), "ts"
-    )  # null event time (corrupt line) cannot join watermarked dedup
+    )  # null event time (corrupt line) cannot join watermarked dedup;
+    # a null media_id (valid ts, corrupt id field) would crash the
+    # fingerprint kernel's int64 cast — quarantine both at ingest
     # keep_empty: a no-content arrival must not silently vanish from the
     # sink — it fingerprints to phash 0 and dedups against other
     # no-content (and perceptually-flat) arrivals instead
