@@ -57,7 +57,7 @@ def test_registry_shape():
     # latency report
     assert missing_oracle <= {
         "media_frame_sample", "ema_state", "q2_percentiles_approx",
-        "pipeline_latency_metrics", "sim_ann_topk_ivf_kmeans",
+        "pipeline_latency_metrics",
         "docs_length_filter_approx", "events_distinct_users_daily_approx",
         "events_weekly_users_hll",  # Datasketches HLL merge — sketch
     }

@@ -4407,23 +4407,10 @@ def queries() -> dict[str, tuple]:
         ),
         "sim_cosine_topk": (lambda s, d: cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD), COSINE_TOPK_SQL),
         "sim_ann_bucket_histogram": (lambda s, d: ann_bucket_histogram(_emb(s, d)), ANN_HIST_SQL),
-        "sim_ann_topk_lsh": (lambda s, d: ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD), ANN_TOPK_LSH_SQL),
-        "sim_ann_topk_ivf_kmeans": (
-            lambda s, d: ann_topk_ivf_kmeans(_emb(s, d), TOPK_K, QUERY_MOD),
-            ivf_kmeans_sql(QUERY_MOD, TOPK_K),  # Q30 fixed-point means -> reproducible
-        ),
-        "sim_ann_topk_ivf": (
-            lambda s, d: ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
-            IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K),
-        ),
-        "sim_ann_topk_sq8": (
-            lambda s, d: ann_topk_sq8(_emb(s, d), TOPK_K, QUERY_MOD),
-            _sq8_topk_sql(),
-        ),
-        "sim_ann_topk_pq": (
-            lambda s, d: ann_topk_pq(_emb(s, d), TOPK_K, QUERY_MOD),
-            _pq_topk_sql(),
-        ),
+        # r10 consolidation (rotation-budget policy): the five
+        # per-variant ANN top-k entries fold into ONE labeled union —
+        # identical rows/values per variant, one registry slot
+        "sim_ann_topk_variants": (ann_topk_variants_fn, _ann_topk_variants_sql()),
         "sim_ann_recall_ivf": (
             lambda s, d: ann_recall(
                 ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
@@ -4506,13 +4493,6 @@ def queries() -> dict[str, tuple]:
             lambda s, d: cosine_topk_truncated(_emb(s, d), MRL_DIM, TOPK_K, QUERY_MOD),
             MRL_TOPK_SQL,
         ),
-        "sim_recall_prefix16": (
-            lambda s, d: ann_recall(
-                cosine_topk_truncated(_emb(s, d), MRL_DIM, TOPK_K, QUERY_MOD),
-                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
-            ),
-            _ann_recall_sql(MRL_TOPK_SQL),
-        ),
         "text_collocations": (
             lambda s, d: collocations(_docs(s, d)),
             COLLOC_SQL,
@@ -4526,7 +4506,11 @@ def queries() -> dict[str, tuple]:
             ),
             GROUP_SPLIT_SQL,
         ),
-        "sim_cosine_histogram": (cosine_histogram_fn, COS_HIST_SQL),
+        # r10 consolidation: prefix16-recall + kNN-label + MRR +
+        # cosine-histogram fold into one long-format eval panel (the
+        # calibration family's 5 entries -> this + dedup_minhash_calibration)
+        "sim_embedding_eval_panel": (
+            embedding_eval_panel_fn, _embedding_eval_panel_sql()),
         "docs_bpe_merges": (
             lambda s, d: bpe_learn_merges(_docs(s, d)),
             _bpe_merges_sql(),
@@ -4535,9 +4519,7 @@ def queries() -> dict[str, tuple]:
             lambda s, d: bpe_compression_report(_docs(s, d)),
             _bpe_compression_sql(),
         ),
-        "sim_knn_label_accuracy": (knn_label_accuracy_fn, KNN_LABEL_SQL),
         "docs_phrase_search": (phrase_search_fn, _phrase_search_sql(SEARCH_PHRASE)),
-        "sim_ann_mrr_ivf": (ann_mrr_fn, ANN_MRR_SQL),
         "events_value_trend": (value_trend_fn, VALUE_TREND_SQL),
         "events_health_summary": (health_summary_fn, HEALTH_SUMMARY_SQL),
         "events_stickiness": (stickiness_fn, STICKINESS_SQL),
@@ -6701,4 +6683,125 @@ SELECT lag_h, n AS n_pairs,
        END AS ccf
 FROM sums
 ORDER BY lag_h
+"""
+
+
+# ============ consolidated registry panels (r10, rotation budget) ============
+# The rotation-budget policy (COVERAGE.md) pays for registry growth by
+# folding near-duplicate diagnostics. These two panels UNION the exact
+# per-variant plans their predecessors gated individually — every row,
+# value, and dtype of the old entries survives, labeled by family/
+# variant, so coverage is unchanged while the gated count drops by 7.
+
+_ANN_VARIANT_PLANS = (
+    ("ivf", ann_topk_ivf),
+    ("ivf_kmeans", ann_topk_ivf_kmeans),
+    ("lsh", ann_topk_lsh),
+    ("pq", ann_topk_pq),
+    ("sq8", ann_topk_sq8),
+)
+
+
+def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five approximate top-k paths (IVF flat, IVF k-means-trained,
+    LSH-bucketed, PQ, SQ8) as ONE labeled result — the consolidated
+    registry entry replacing five per-variant entries (same
+    (query_id, neighbor_id, rank, cosine) contract, one ``variant``
+    column). Each variant keeps its own plan shape and scale contract;
+    the union is plan-level concatenation, no cross-variant shuffle."""
+    emb = _emb(spark, sf_dir)
+    out = None
+    for name, fn in _ANN_VARIANT_PLANS:
+        part = fn(emb, TOPK_K, QUERY_MOD).select(
+            F.lit(name).alias("variant"),
+            "query_id", "neighbor_id", "rank", "cosine",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _ann_topk_variants_sql() -> str:
+    """DuckDB twin of ann_topk_variants_fn: the five existing oracle
+    plans wrapped and unioned under the same variant labels."""
+    plans = (
+        ("ivf", IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)),
+        ("ivf_kmeans", ivf_kmeans_sql(QUERY_MOD, TOPK_K)),
+        ("lsh", ANN_TOPK_LSH_SQL),
+        ("pq", _pq_topk_sql()),
+        ("sq8", _sq8_topk_sql()),
+    )
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS variant, query_id, neighbor_id, rank, cosine"
+        f" FROM ({sql})"
+        for name, sql in plans
+    )
+
+
+def embedding_eval_panel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space evaluation panel: the four sim_* calibration
+    diagnostics (prefix-16 truncation recall, kNN label accuracy, IVF
+    MRR, pairwise-cosine histogram) folded into one long-format table —
+    (family, metric_key, n_a, n_b, value) — the consolidated registry
+    entry replacing four single-diagnostic entries. Every original
+    column survives relabeled: recall rows carry (query_id, n_exact,
+    n_hit, recall); knn rows (true_label, n_queries, n_correct,
+    accuracy); the mrr row (0, n_queries, 0, mrr); histogram rows
+    (bin_id, n_pairs, 0, bin_lo). All counts stay BIGINT, all values
+    the same rounded doubles the predecessors gated."""
+    emb = _emb(spark, sf_dir)
+    recall = ann_recall(
+        cosine_topk_truncated(emb, MRL_DIM, TOPK_K, QUERY_MOD),
+        cosine_topk(emb, TOPK_K, QUERY_MOD),
+    )
+    parts = [
+        recall.select(
+            F.lit("recall_prefix16").alias("family"),
+            F.col("query_id").alias("metric_key"),
+            F.col("n_exact").alias("n_a"), F.col("n_hit").alias("n_b"),
+            F.col("recall").alias("value"),
+        ),
+        knn_label_accuracy_fn(spark, sf_dir).select(
+            F.lit("knn_label_accuracy").alias("family"),
+            F.col("true_label").alias("metric_key"),
+            F.col("n_queries").alias("n_a"), F.col("n_correct").alias("n_b"),
+            F.col("accuracy").alias("value"),
+        ),
+        ann_mrr_fn(spark, sf_dir).select(
+            F.lit("mrr_ivf").alias("family"),
+            F.lit(0).cast("long").alias("metric_key"),
+            F.col("n_queries").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+            F.col("mrr").alias("value"),
+        ),
+        cosine_histogram_fn(spark, sf_dir).select(
+            F.lit("cosine_histogram").alias("family"),
+            F.col("bin_id").alias("metric_key"),
+            F.col("n_pairs").alias("n_a"),
+            F.lit(0).cast("long").alias("n_b"),
+            F.col("bin_lo").alias("value"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _embedding_eval_panel_sql() -> str:
+    """DuckDB twin of embedding_eval_panel_fn: the four existing
+    oracle plans wrapped into the shared long format."""
+    recall = _ann_recall_sql(MRL_TOPK_SQL)
+    return f"""
+SELECT 'recall_prefix16' AS family, query_id AS metric_key,
+       n_exact AS n_a, n_hit AS n_b, recall AS value
+FROM ({recall})
+UNION ALL
+SELECT 'knn_label_accuracy', true_label, n_queries, n_correct, accuracy
+FROM ({KNN_LABEL_SQL})
+UNION ALL
+SELECT 'mrr_ivf', CAST(0 AS BIGINT), n_queries, CAST(0 AS BIGINT), mrr
+FROM ({ANN_MRR_SQL})
+UNION ALL
+SELECT 'cosine_histogram', bin_id, n_pairs, CAST(0 AS BIGINT), bin_lo
+FROM ({COS_HIST_SQL})
 """
