@@ -1,0 +1,105 @@
+"""Per-query wall-time trend between two PARITY_HEAD.json artifacts.
+
+The full oracle_parity sweep records `secs` for every registered query
+(196 as of r9), so round-over-round regression attribution doesn't have
+to rest on the 19 HEADLINE bench queries + tier-2 spot checks: diff the
+committed artifact of the previous round against the current one and
+flag the queries whose wall time jumped.
+
+Usage:
+    python scripts_dev/parity_trend.py                # previous commit of
+                                                      # PARITY_HEAD.json vs
+                                                      # the working-tree file
+    python scripts_dev/parity_trend.py <old-ref>      # e.g. a round tag/sha
+    python scripts_dev/parity_trend.py <old-ref> <new-ref-or-path>
+
+Interpretation contract (r9 verdict #3): sf0.01 timings are noisy —
+JIT warmup order, box contention, GC — so a single-round jump is a
+LEAD, not a verdict. Flag persistent jumps (>FLAG_RATIO in two
+consecutive rounds) for plan investigation; one-round jumps on
+sub-second queries are expected noise. The ratio floor (MIN_SECS on
+the slower side) keeps 0.1 s -> 0.3 s noise out of the report.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+FLAG_RATIO = 2.0
+MIN_SECS = 0.8  # slower side must reach this for a flag to mean anything
+
+
+def _load(ref_or_path: str) -> dict:
+    """A filesystem path, or `<git-ref>` meaning <ref>:PARITY_HEAD.json."""
+    try:
+        with open(ref_or_path) as f:
+            return json.load(f)
+    except (FileNotFoundError, IsADirectoryError):
+        blob = subprocess.check_output(
+            ["git", "show", f"{ref_or_path}:PARITY_HEAD.json"], text=True)
+        return json.loads(blob)
+
+
+def _previous_artifact_ref() -> str:
+    """The most recent commit that touched PARITY_HEAD.json (the prior
+    round's committed sweep, when the working tree holds the new one)."""
+    out = subprocess.check_output(
+        ["git", "log", "--format=%H", "-1", "--", "PARITY_HEAD.json"], text=True)
+    return out.strip()
+
+
+def trend(old: dict, new: dict) -> dict:
+    """Comparison dict: {common: [(name, old_s, new_s, ratio)], added,
+    removed, flagged} — flagged = ratio > FLAG_RATIO with the slower
+    side above MIN_SECS, sorted worst first."""
+    o, n = old["results"], new["results"]
+    common = sorted(set(o) & set(n))
+    rows = []
+    for q in common:
+        os_, ns_ = float(o[q].get("secs", 0.0)), float(n[q].get("secs", 0.0))
+        ratio = ns_ / os_ if os_ > 0 else float("inf")
+        rows.append((q, os_, ns_, ratio))
+    flagged = sorted(
+        (r for r in rows if r[3] > FLAG_RATIO and max(r[1], r[2]) >= MIN_SECS),
+        key=lambda r: -r[3])
+    return {
+        "rows": rows,
+        "added": sorted(set(n) - set(o)),
+        "removed": sorted(set(o) - set(n)),
+        "flagged": flagged,
+    }
+
+
+def main(argv: list[str]) -> int:
+    old_ref = argv[1] if len(argv) > 1 else _previous_artifact_ref()
+    new_ref = argv[2] if len(argv) > 2 else "PARITY_HEAD.json"
+    old, new = _load(old_ref), _load(new_ref)
+    t = trend(old, new)
+    tot_o = sum(r[1] for r in t["rows"])
+    tot_n = sum(r[2] for r in t["rows"])
+    print(f"old: {old_ref} ({old.get('git_head', '?')[:9]}, {len(old['results'])} queries)")
+    print(f"new: {new_ref} ({new.get('git_head', '?')[:9]}, {len(new['results'])} queries)")
+    print(f"common {len(t['rows'])}: total {tot_o:.1f}s -> {tot_n:.1f}s "
+          f"(x{tot_n / tot_o:.2f})" if tot_o else "no common queries")
+    if t["added"]:
+        print(f"added ({len(t['added'])}): {', '.join(t['added'])}")
+    if t["removed"]:
+        print(f"removed ({len(t['removed'])}): {', '.join(t['removed'])}")
+    slowest = sorted(t["rows"], key=lambda r: -r[2])[:10]
+    print("\nslowest now:")
+    for q, os_, ns_, ratio in slowest:
+        print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}")
+    if t["flagged"]:
+        print(f"\nFLAG (> x{FLAG_RATIO}, slower side >= {MIN_SECS}s) — "
+              "investigate if it repeats next round:")
+        for q, os_, ns_, ratio in t["flagged"]:
+            print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}")
+    else:
+        print(f"\nno flags (> x{FLAG_RATIO} with slower side >= {MIN_SECS}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
