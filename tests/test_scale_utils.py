@@ -53,3 +53,44 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_skew_playbook_end_to_end(spark):
+    """DEPLOYMENT.md skew playbook, both steps on ONE skewed dataset:
+    step 1 — the `events_key_skew` diagnostic (key_skew_profile) reads
+    Gini > 0.6 on a key distribution where one user dominates (the
+    playbook's salt-it threshold); step 2 — the prescribed remedy,
+    `functions/scale.salted_join`, joins that same skewed key
+    row-identically to the plain join, and the physical plan shows the
+    salt machinery: the small side EXPLODED into salt_buckets copies
+    and `_salt` as an equi-join key, so the hot key's rows spread over
+    salt_buckets shuffle partitions instead of one straggler task."""
+    # 950 of 1000 events from user 1, the rest spread over 50 users
+    ev = spark.range(1000).select(
+        F.lit("click").alias("event_type"),
+        F.when(F.col("id") < 950, F.lit(1)).otherwise(F.col("id") % 50 + 100)
+        .alias("user_id"),
+        F.col("id").alias("payload"),
+    )
+
+    # --- step 1: diagnose ---
+    from tickdatapipeline_spark.plans.beyond import key_skew_profile
+
+    prof = key_skew_profile(ev.select("event_type", "user_id")).collect()
+    assert len(prof) == 1
+    assert prof[0].gini > 0.6 and prof[0].top_user_share > 0.9
+
+    # --- step 2: remedy ---
+    users = spark.createDataFrame(
+        [(1, "hot"), (100, "cold"), (101, "cold")], "user_id long, tier string"
+    )
+    plain = ev.join(users, "user_id").select("user_id", "payload", "tier")
+    salted = salted_join(ev, users, "user_id", salt_buckets=8,
+                         tiebreaker="payload").select("user_id", "payload", "tier")
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b and len(a) > 950  # hot key fully matched, no dup/loss
+
+    plan = physical(salted)
+    assert "_salt" in plan              # salt participates in the join keys
+    assert "explode" in plan.lower()    # small side fanned into 8 copies

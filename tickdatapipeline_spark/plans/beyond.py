@@ -4024,9 +4024,19 @@ def key_skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     — O(distinct count values) rows per type, NEVER a rank over the
     user set (the same histogram trick as events_power_pareto) — and
     the final aggregate is O(types)."""
+    return key_skew_profile(
+        read_events(spark, sf_dir).select("event_type", "user_id"))
+
+
+def key_skew_profile(ev: DataFrame) -> DataFrame:
+    """The skew diagnostic on any (event_type, user_id) frame — split
+    out of key_skew_fn so the DEPLOYMENT.md skew playbook's step 1
+    (diagnose with this) and step 2 (remedy with
+    functions/scale.salted_join) can be exercised end-to-end on the
+    same deliberately skewed input
+    (tests/test_scale_utils.py::test_skew_playbook_end_to_end)."""
     from pyspark.sql import Window
 
-    ev = read_events(spark, sf_dir).select("event_type", "user_id")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
