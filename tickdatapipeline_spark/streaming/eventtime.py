@@ -774,6 +774,7 @@ def run_phash_dedup_stream(
     delay: str = "1 hour",
     max_hamming: int = 8,
     max_files_per_trigger: int = 1,
+    decode_matrix=None,
 ):
     """Streaming PERCEPTUAL media dedup at ingest — the media twin of
     `run_neardup_dedup_stream`: an arriving payload whose pHash sits
@@ -798,7 +799,11 @@ def run_phash_dedup_stream(
     Input JSONL: (media_id, kind, payload TEXT, ts) — payload utf-8
     encodes to the binary content, the same sanctioned-stub convention
     as synth_media_from_documents; a real deployment reads binary
-    file/parquet streams and injects a real decoder into the kernel.
+    file/parquet streams and passes its real grayscale decoder as
+    ``decode_matrix`` (forwarded verbatim to perceptual_fingerprints —
+    it must accept empty/None payloads because of keep_empty below;
+    injection is pinned by
+    tests/test_streaming.py::test_phash_real_decoder_injection).
 
     State bound: each payload stores 9 (long, long) entries, one per
     band bucket, watermark-evicted — O(arrival rate x horizon), with
@@ -825,7 +830,8 @@ def run_phash_dedup_stream(
     # keep_empty: a no-content arrival must not silently vanish from the
     # sink — it fingerprints to phash 0 and dedups against other
     # no-content (and perceptually-flat) arrivals instead
-    fp = perceptual_fingerprints(media, passthrough=("ts",), keep_empty=True)
+    fp = perceptual_fingerprints(media, decode_matrix=decode_matrix,
+                                 passthrough=("ts",), keep_empty=True)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
