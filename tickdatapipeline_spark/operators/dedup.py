@@ -423,10 +423,113 @@ def write_corpus_index(docs: DataFrame, path: str, num_perm: int = NUM_PERM,
     if max_band_bucket is not None:
         bands = cap_group_sizes(bands, ["band", "band_key"], max_band_bucket,
                                 "write_corpus_index", "max_band_bucket", logger)
-    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    # shard-partitioned layout (r10): the base build owns shard=base;
+    # daily deltas land as their own shard partitions via
+    # append_corpus_index. A full rebuild (this function) wipes every
+    # shard first — the compaction path when incremental growth needs
+    # the skew cap re-applied globally. Shard dirs are written as
+    # explicit shard=<name> paths (not writer-side partitionBy): an
+    # EMPTY build/delta then still lands a schema-bearing parquet file,
+    # so the parent read never fails schema inference — partitionBy
+    # with zero rows writes no files at all.
+    spark = docs.sparkSession
+    _wipe_path(spark, f"{path}/bands")
+    _wipe_path(spark, f"{path}/shingles")
+    bands.write.mode("overwrite").parquet(f"{path}/bands/shard=base")
     # hashed form: the on-disk shingle table is (doc_id, g) 8-byte pairs
     # — ~3x smaller than gram strings and the join-ready representation
-    hashed_shingles(docs).write.mode("overwrite").parquet(f"{path}/shingles")
+    hashed_shingles(docs).write.mode("overwrite").parquet(
+        f"{path}/shingles/shard=base")
+
+
+def _wipe_path(spark, dir_path: str) -> None:
+    """Recursively delete a filesystem path via the session's Hadoop
+    FileSystem (no-op when absent) — full-rebuild hygiene so stale
+    delta shards from `append_corpus_index` cannot survive a
+    `write_corpus_index` compaction."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def append_corpus_index(docs_shard: DataFrame, path: str, shard: str,
+                        num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
+                        max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+                        ) -> None:
+    """Idempotent incremental maintenance for the persisted LSH index:
+    compute bands + hashed shingles for ONE new shard of documents and
+    land them as that shard's partitions of the ``write_corpus_index``
+    layout — the daily-delta shape a 100 TB corpus actually runs
+    (recomputing corpus-wide signatures per delta is the thing this
+    avoids; only the shard's own signatures are computed here).
+
+    Replay-idempotent by the same partition contract as
+    ``search.run_index_ingest``: the write overwrites exactly the
+    ``shard=<shard>`` partition directories, so re-running a failed or
+    duplicated delta job leaves the index equivalent instead of
+    doubling the shard's rows. Probes via
+    ``contamination_against_index`` / ``dedup_against_index`` read the
+    union of all shards transparently (the discovered ``shard``
+    partition column rides along and is ignored by the joins).
+
+    Skew-cap contract: ``max_band_bucket`` bounds the NEW shard's band
+    buckets at append time (same build-time guard as the base build),
+    but a bucket can exceed the cap ACROSS shards while capped within
+    each — per-batch probes that need the global bound pass
+    ``max_band_bucket`` to `contamination_against_index` (its
+    corpus-side probe-time cap), and a scheduled `write_corpus_index`
+    rebuild re-applies the cap globally, exactly like
+    ``search.compact_index`` for posting buckets."""
+    bands = _band_table(docs_shard, num_perm, band_size,
+                        pinned=max_band_bucket is not None)
+    if max_band_bucket is not None:
+        bands = cap_group_sizes(bands, ["band", "band_key"], max_band_bucket,
+                                "append_corpus_index", "max_band_bucket",
+                                logger)
+    assert shard != "base" and "/" not in shard and "=" not in shard, shard
+    bands.write.mode("overwrite").parquet(f"{path}/bands/shard={shard}")
+    hashed_shingles(docs_shard).write.mode("overwrite").parquet(
+        f"{path}/shingles/shard={shard}")
+
+
+def dedup_against_index(spark, probe_docs: DataFrame, path: str,
+                        threshold: float = 0.5,
+                        num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
+                        max_band_bucket: int | None = None) -> DataFrame:
+    """Near-dup-FILTER a new shard against the persisted corpus index:
+    the shard's surviving rows (every input column, unchanged) after
+    dropping docs whose verified Jaccard against ANY indexed corpus
+    doc clears ``threshold``. The shard-vs-corpus half of incremental
+    dedup — corpus signatures come off the parquet index
+    (``write_corpus_index`` + ``append_corpus_index`` partitions), only
+    the shard's own signatures are computed. Intra-shard duplicates are
+    the in-session pass's job (`deduplicated_corpus` on the shard);
+    run it first, then this, then `append_corpus_index` the keepers —
+    the daily-delta loop.
+
+    Row-identical to the full-recompute formulation
+    (`contamination_against_index` with ``corpus_docs=`` the original
+    corpus frame) because both run the identical candidate + verify
+    algebra — pinned by tests/test_beyond.py::
+    test_incremental_index_dedup_matches_full_recompute.
+
+    Scale: index side is a parquet scan shuffled on compact band keys;
+    shard side follows the probe contract (small). The left_anti final
+    join is on the shard's doc_id only — O(shard) rows."""
+    hits = contamination_against_index(
+        probe_docs,
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles").select("doc_id", "g"),
+        threshold=threshold, num_perm=num_perm, band_size=band_size,
+        max_band_bucket=max_band_bucket,
+        guard_label="dedup_against_index corpus-side",
+    )
+    dropped = hits.select(
+        F.col("probe_doc_id").cast("long").alias("doc_id")).distinct()
+    return probe_docs.withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    ).join(dropped, on="doc_id", how="left_anti")
 
 
 def contamination_against_index(
