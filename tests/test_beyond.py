@@ -3262,3 +3262,105 @@ def test_incremental_index_dedup_matches_full_recompute(spark, tmp_path):
     shards = {r.shard for r in
               spark.read.parquet(f"{idx}/bands").select("shard").distinct().collect()}
     assert shards == {"base"}
+
+
+def test_ngram_repetition_golden(spark):
+    """Hand-counted duplicate n-gram fractions: 'a b a b a b' has five
+    2-grams of which two values repeat (dup 3) and four 3-grams (dup
+    2); a one-token doc contributes zero grams; pooled permilles use
+    integer DIV."""
+    from tickdatapipeline_spark.plans.beyond import ngram_repetition_fn
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    texts = [(1, "a b a b a b", "s1"), (2, "x", "s1"),
+             (3, "fresh words only here now", "s2")]
+    tbl = pa.table({
+        "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+        "text": pa.array([t[1] for t in texts]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array([t[2] for t in texts]),
+        "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+    })
+    os.mkdir(os.path.join(tmp, "sf"))
+    pq.write_table(tbl, os.path.join(tmp, "sf", "documents.parquet"))
+    out = {r.source: r for r in
+           ngram_repetition_fn(spark, os.path.join(tmp, "sf")).collect()}
+    s1 = out["s1"]
+    # doc1: 2-grams [ab, ba, ab, ba, ab] -> n2=5, d2=2, dup=3;
+    # 3-grams [aba, bab, aba, bab] -> n3=4, d3=2, dup=2; doc2: none
+    assert (s1.n_docs, s1.n_2grams, s1.dup_2grams) == (2, 5, 3)
+    assert s1.dup2_permille == 600  # 3000 DIV 5
+    assert (s1.n_3grams, s1.dup_3grams, s1.dup3_permille) == (4, 2, 500)
+    s2 = out["s2"]
+    assert (s2.n_2grams, s2.dup_2grams, s2.dup2_permille) == (4, 0, 0)
+
+
+def test_seasonal_profile_golden(spark, tmp_path):
+    """Hand-built hour-of-day profile: type 'a' has 3 events at hod 0
+    and 1 at hod 1 -> dev = 3*240000 DIV 4 - 10000 = +170000/4... by
+    hand: hod0 180000-10000=170000? 3*240000//4=180000, dev=+170000;
+    hod1 dev = 60000-10000 = 50000... 1*240000//4=60000 -> dev 50000."""
+    from tickdatapipeline_spark.plans.beyond import seasonal_profile_fn
+
+    H = 3_600_000_000_000  # one hour in ns
+    rows = [(0, 0 * H, 1, "a"), (1, 0 * H + 5, 2, "a"), (2, 24 * H, 3, "a"),
+            (3, 1 * H, 1, "a"),
+            (4, 2 * H, 1, "b")]
+    sf = _write_events_ns(tmp_path, rows)
+    got = {(r.event_type, r.hod): (r.n_events, r.dev_permyriad)
+           for r in seasonal_profile_fn(spark, sf).collect()}
+    assert got[("a", 0)] == (3, 170000)   # 3 of 4 at hod 0 (incl. day 2)
+    assert got[("a", 1)] == (1, 50000)
+    assert got[("b", 2)] == (1, 230000)   # sole slot: 24x the flat share
+    assert set(got) == {("a", 0), ("a", 1), ("b", 2)}
+
+
+def test_type_affinity_golden(spark, tmp_path):
+    """Hand-counted lift: users {1,2} do both a and b, user 3 only a
+    -> n_a=3, n_b=2, n_both=2, n_users=3, lift = 2*3/(3*2) = 1.0;
+    b-c co-occur only for user 2 -> lift = 1*3/(2*1) = 1.5."""
+    from tickdatapipeline_spark.plans.beyond import type_affinity_fn
+
+    rows = [(0, 0, 1, "a"), (1, 0, 1, "b"), (2, 0, 1, "b"),  # dup (1,b)
+            (3, 0, 2, "a"), (4, 0, 2, "b"), (5, 0, 2, "c"),
+            (6, 0, 3, "a")]
+    sf = _write_events_ns(tmp_path, rows)
+    got = {(r.type_a, r.type_b): r for r in type_affinity_fn(spark, sf).collect()}
+    ab = got[("a", "b")]
+    assert (ab.n_both, ab.n_a, ab.n_b, ab.n_users) == (2, 3, 2, 3)
+    assert ab.lift == 1.0
+    assert got[("b", "c")].lift == 1.5
+    assert got[("a", "c")].n_both == 1
+
+
+def test_media_phash_clusters_chain(spark):
+    """A perceptual re-encode CHAIN A~B~C (A,C beyond max_hamming of
+    each other) collapses into ONE cluster with min-id representative —
+    the pairs->components contract duplicate_clusters pins for text,
+    here over injected fingerprints through the banded pair join."""
+    from tickdatapipeline_spark.operators.dedup import connected_components
+    from tickdatapipeline_spark.operators.multimodal import phash_near_duplicates
+
+    # hand-built phashes: B flips 5 low bits of A; C flips 5 more
+    # (A-B 5, B-C 5, A-C 10 > 8); D is far from everything
+    a = (1 << 40) | 0b1111111
+    b = a ^ 0b11111
+    c = b ^ 0b1111100000
+    d = (1 << 62) - 12345
+    fp = spark.createDataFrame(
+        [(1, "image", a), (2, "image", b), (3, "image", c), (4, "image", d)],
+        "media_id long, kind string, phash long",
+    )
+    pairs = phash_near_duplicates(fp, max_hamming=8)
+    got = {(r.media_a, r.media_b) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+    clusters = connected_components(pairs, "media_a", "media_b",
+                                    id_col="media_id").collect()
+    by_id = {r.media_id: r for r in clusters}
+    assert {by_id[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert by_id[1].cluster_size == 3 and by_id[1].is_representative == 1
+    assert 4 not in by_id  # no edges -> not in the pair graph

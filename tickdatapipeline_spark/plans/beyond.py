@@ -4540,6 +4540,11 @@ def queries() -> dict[str, tuple]:
             WEIGHTED_JACCARD_SQL,
         ),
         "docs_fluency_filter": (fluency_filter_fn, _fluency_filter_sql()),
+        # round-10 additions
+        "docs_ngram_repetition": (ngram_repetition_fn, NGRAM_REPETITION_SQL),
+        "events_seasonal_profile": (seasonal_profile_fn, SEASONAL_PROFILE_SQL),
+        "events_type_affinity": (type_affinity_fn, TYPE_AFFINITY_SQL),
+        "media_phash_clusters": (media_phash_clusters_fn, MEDIA_PHASH_CLUSTERS_SQL),
     }
 
 
@@ -6814,4 +6819,255 @@ FROM ({ANN_MRR_SQL})
 UNION ALL
 SELECT 'cosine_histogram', bin_id, n_pairs, CAST(0 AS BIGINT), bin_lo
 FROM ({COS_HIST_SQL})
+"""
+
+
+# ================= round-10 additions =================
+
+
+def ngram_repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document n-gram repetition per source — the Gopher-style
+    "duplicate n-gram fraction" quality signal (Rae et al. 2021,
+    §A1.1.3): heavily templated / boilerplate text repeats its own
+    2- and 3-grams far above natural prose, and a source whose pooled
+    duplicate fraction spikes needs a repetition filter before
+    training. Complements the CROSS-doc dedup family (this is the
+    within-doc axis the near-dup pass cannot see).
+
+    Exactness: per doc, dup_n = total n-grams - distinct n-grams (both
+    integer list lengths); pooled per source as BIGINT sums with
+    integer-permille ratios (DIV both engines — never a float sum).
+
+    Scale: entirely map-side per document (token array -> gram array ->
+    two lengths) followed by ONE map-side-combinable groupBy(source);
+    no explode, no join — the same no-shuffle posture as
+    docs_readability_lix."""
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+
+    def grams(n: int):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    per_doc = docs.select(
+        "source",
+        F.size(grams(2)).cast("long").alias("n2"),
+        F.size(F.array_distinct(grams(2))).cast("long").alias("d2"),
+        F.size(grams(3)).cast("long").alias("n3"),
+        F.size(F.array_distinct(grams(3))).cast("long").alias("d3"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n2").alias("n_2grams"),
+            F.sum(F.col("n2") - F.col("d2")).alias("dup_2grams"),
+            F.sum("n3").alias("n_3grams"),
+            F.sum(F.col("n3") - F.col("d3")).alias("dup_3grams"),
+        )
+        .select(
+            "source", "n_docs", "n_2grams", "dup_2grams",
+            F.when(F.col("n_2grams") > 0,
+                   F.expr("dup_2grams * 1000 DIV n_2grams")).alias("dup2_permille"),
+            "n_3grams", "dup_3grams",
+            F.when(F.col("n_3grams") > 0,
+                   F.expr("dup_3grams * 1000 DIV n_3grams")).alias("dup3_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_REPETITION_SQL = f"""
+WITH per_doc AS (
+    SELECT source,
+           len(g2) AS n2, len(list_distinct(g2)) AS d2,
+           len(g3) AS n3, len(list_distinct(g3)) AS d3
+    FROM (
+        SELECT source,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS g2,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END AS g3
+        FROM (SELECT source, {SQL_TOKENS} AS t FROM documents)
+    )
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n2) AS BIGINT) AS n_2grams,
+       CAST(sum(n2 - d2) AS BIGINT) AS dup_2grams,
+       CASE WHEN sum(n2) > 0
+            THEN CAST(sum(n2 - d2) * 1000 // sum(n2) AS BIGINT) END AS dup2_permille,
+       CAST(sum(n3) AS BIGINT) AS n_3grams,
+       CAST(sum(n3 - d3) AS BIGINT) AS dup_3grams,
+       CASE WHEN sum(n3) > 0
+            THEN CAST(sum(n3 - d3) * 1000 // sum(n3) AS BIGINT) END AS dup3_permille
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def seasonal_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: each (type,
+    hod) slot's event count and its deviation from the type's flat
+    baseline — the input a cadence-aware anomaly monitor needs BEFORE
+    trusting a threshold (the ACF says a period exists; this says
+    which hours carry the mass). dev_permyriad = share*24*10000-10000,
+    so 0 = exactly the flat 1/24 share, +10000 = double it.
+
+    Exactness: counts are BIGINT; the deviation is one integer DIV
+    against the per-type total (identical floor semantics both
+    engines). int64 headroom: n_events*240000 caps at ~1.9e13 events
+    per (type, hod) slot — re-bin long before that.
+
+    Scale: one map-side-combinable groupBy(type, hod) over the events
+    scan (24 x types rows out), a broadcast-sized per-type total
+    joined back, final sort on 24 x types rows."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts DIV 1000000000 DIV 3600) % 24").alias("hod"), "event_type"
+    )
+    per = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", F.col("hod").cast("long").alias("hod"), "n_events",
+            F.expr("n_events * 240000 DIV total - 10000").alias("dev_permyriad"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+SEASONAL_PROFILE_SQL = """
+WITH e AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) % 24 AS hod, event_type FROM events
+),
+per AS (
+    SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total FROM per GROUP BY 1)
+SELECT p.event_type, CAST(hod AS BIGINT) AS hod, n_events,
+       CAST(n_events * 240000 // total - 10000 AS BIGINT) AS dev_permyriad
+FROM per p JOIN tot USING (event_type)
+ORDER BY event_type, hod
+"""
+
+
+def type_affinity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift: for every type pair, how much
+    more often do users do BOTH than independence predicts —
+    lift = (n_both * n_users) / (n_a * n_b). The product/funnel
+    diagnostic next to events_funnel (that one assumes an order; this
+    finds which pairs travel together at all, and a lift collapse is
+    an instrumentation or mix-shift alarm).
+
+    Exactness: all four counts are exact BIGINTs; lift crosses the
+    oracle as ONE rounded double expression over double-cast counts
+    (double *, / are correctly-rounded IEEE on identical operands —
+    the integer products could overflow int64 at 1e9-user scale, the
+    doubles cannot).
+
+    Scale: the user-type incidence distincts map-side to O(users x
+    types) rows; the self-join fans each user to C(k,2) pairs with k
+    bounded by the type alphabet (NOT the event count); per-type
+    totals and the 1-row user count broadcast back over the
+    O(types^2) result."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    ut = pin(ev.distinct())  # both sides of the pair join + both rollups
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    nu = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    both = (
+        ut.alias("a")
+        .join(ut.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    lift = rnd(
+        (F.col("n_both").cast("double") * F.col("n_users").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")), 6)
+    return (
+        both.join(F.broadcast(per_type.select(F.col("event_type").alias("type_a"),
+                                              F.col("n_t").alias("n_a"))), "type_a")
+        .join(F.broadcast(per_type.select(F.col("event_type").alias("type_b"),
+                                          F.col("n_t").alias("n_b"))), "type_b")
+        .join(F.broadcast(nu))
+        .select("type_a", "type_b", "n_both", "n_a", "n_b", "n_users",
+                lift.alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+TYPE_AFFINITY_SQL = f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+co AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b, n_users,
+       {sql_rnd("CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE) / (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE))")} AS lift
+FROM co
+JOIN per_type pa ON co.type_a = pa.event_type
+JOIN per_type pb ON co.type_b = pb.event_type
+CROSS JOIN nu
+ORDER BY type_a, type_b
+"""
+
+
+def media_phash_clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual duplicate CLUSTERS: connected components over the
+    phash near-dup pair graph — completes the media dedup ladder
+    (exact sha -> feature-LSH pairs -> phash pairs -> clusters), the
+    same pairs->components step the text corpus takes via
+    duplicate_clusters (a re-encode CHAIN A~B~C collapses to one
+    cluster even when A and C sit beyond max_hamming of each other).
+    Output: (media_id, cluster_id, cluster_size, is_representative)
+    for every payload appearing in a pair; cluster_id = min media_id.
+
+    Scale: rides phash_near_duplicates' banded join (never all-pairs)
+    and connected_components' pointer-jumping rounds (O(log diameter)
+    label propagation over the pair edges only)."""
+    pairs = phash_near_duplicates(
+        perceptual_fingerprints(synth_media_from_documents(_docs(spark, sf_dir))),
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+    return connected_components(pairs, "media_a", "media_b", id_col="media_id")
+
+
+MEDIA_PHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+    SELECT media_a, media_b FROM ({MEDIA_DEDUP_PHASH_SQL})
+),
+edges AS MATERIALIZED (
+    SELECT media_a AS node, media_b AS nbr FROM pairs
+    UNION ALL
+    SELECT media_b AS node, media_a AS nbr FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT node, node FROM edges
+    UNION
+    SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.nbr
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.node AS media_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+FROM comp c JOIN csizes s USING (cluster_id)
 """
