@@ -808,3 +808,48 @@ def test_q2_q5_q11_shapes_scale_posture(spark):
     p39 = physical(r39_fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in p39  # the 1-row total join
     assert "CartesianProduct" not in p39
+
+
+def test_ngram_repetition_is_mapside_single_agg(spark):
+    """The repetition profile must stay one map-side gram pass + one
+    combinable groupBy(source): no explode (grams are list lengths on
+    the row), no join, and partial aggregation before the source
+    exchange."""
+    from tickdatapipeline_spark.plans.beyond import ngram_repetition_fn
+
+    plan = physical(ngram_repetition_fn(spark, SF))
+    assert "hashpartitioning(source" in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert "Generate" not in plan        # no explode anywhere
+    assert "Join" not in plan            # pure scan -> agg -> sort
+
+
+def test_seasonal_profile_broadcasts_type_totals(spark):
+    """(type, hod) aggregate distributed on its keys; the per-type
+    totals come back as a BROADCAST join (24 x types rows), never a
+    shuffle join or cartesian."""
+    from tickdatapipeline_spark.plans.beyond import seasonal_profile_fn
+
+    from tickdatapipeline_spark.operators.globalorder import set_pins
+
+    try:
+        set_pins(False)  # pin() truncates lineage; disable to see the plan
+        plan = physical(seasonal_profile_fn(spark, SF))
+    finally:
+        set_pins(True)
+    assert "hashpartitioning(event_type" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_type_affinity_pair_join_is_user_keyed(spark):
+    """The co-occurrence self-join must shuffle on user_id (fanout
+    bounded by the type alphabet), with the per-type totals and 1-row
+    user count broadcast back — no cartesian anywhere."""
+    from tickdatapipeline_spark.plans.beyond import type_affinity_fn
+
+    plan = physical(type_affinity_fn(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

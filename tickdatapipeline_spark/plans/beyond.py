@@ -6929,10 +6929,15 @@ def seasonal_profile_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable groupBy(type, hod) over the events
     scan (24 x types rows out), a broadcast-sized per-type total
     joined back, final sort on 24 x types rows."""
+    from tickdatapipeline_spark.operators.globalorder import pin
+
     ev = read_events(spark, sf_dir).select(
         F.expr("(ts DIV 1000000000 DIV 3600) % 24").alias("hod"), "event_type"
     )
-    per = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("n_events"))
+    # pinned: the 24 x types aggregate feeds both its own output and
+    # the per-type totals — without the pin the events scan runs twice
+    per = pin(ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events")))
     tot = per.groupBy("event_type").agg(F.sum("n_events").alias("total"))
     return (
         per.join(F.broadcast(tot), "event_type")
