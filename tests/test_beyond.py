@@ -3364,3 +3364,20 @@ def test_media_phash_clusters_chain(spark):
     assert {by_id[i].cluster_id for i in (1, 2, 3)} == {1}
     assert by_id[1].cluster_size == 3 and by_id[1].is_representative == 1
     assert 4 not in by_id  # no edges -> not in the pair graph
+
+
+def test_seasonal_anomalies_golden(spark, tmp_path):
+    """Hand-counted seasonal residuals: hod-0 over two days with
+    counts (3, 1) -> s=4, n_slots=2, both days sit exactly ±50% off
+    the slot mean (|x*2-4|*1000//4 = 500 = the threshold) with
+    opposite directions; every other hod has s=0 and is excluded."""
+    from tickdatapipeline_spark.plans.beyond import seasonal_anomalies_fn
+
+    H = 3_600_000_000_000
+    rows = [(0, 0, 1, "a"), (1, 5, 2, "a"), (2, 7, 3, "a"),  # hod 0, day 1: 3
+            (3, 24 * H, 1, "a")]                             # hod 0, day 2: 1
+    sf = _write_events_ns(tmp_path, rows)
+    got = seasonal_anomalies_fn(spark, sf).collect()
+    assert [(r.hour_s, r.n_events, r.rel_abs_permille, r.direction)
+            for r in got] == [(0, 3, 500, 1), (86400, 1, 500, -1)]
+    assert all(r.hod == 0 and r.hod_total == 4 and r.hod_slots == 2 for r in got)

@@ -4545,6 +4545,7 @@ def queries() -> dict[str, tuple]:
         "events_seasonal_profile": (seasonal_profile_fn, SEASONAL_PROFILE_SQL),
         "events_type_affinity": (type_affinity_fn, TYPE_AFFINITY_SQL),
         "media_phash_clusters": (media_phash_clusters_fn, MEDIA_PHASH_CLUSTERS_SQL),
+        "events_seasonal_anomalies": (seasonal_anomalies_fn, SEASONAL_ANOM_SQL),
     }
 
 
@@ -7080,4 +7081,103 @@ SELECT c.node AS media_id, c.cluster_id,
        CAST(s.cluster_size AS BIGINT) AS cluster_size,
        CAST(CASE WHEN c.node = c.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
 FROM comp c JOIN csizes s USING (cluster_id)
+"""
+
+
+SEASONAL_ANOM_THRESH_PM = 500  # flag hours >= ±50% off their hod mean
+
+
+def seasonal_anomalies_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED count anomalies: hours whose event count
+    sits >= ±50% off their own (type, hour-of-day) baseline over the
+    gap-filled grid — the detector events_seasonal_profile calibrates
+    (a 3 a.m. spike is invisible to a global threshold when 3 p.m. is
+    10x busier; comparing each hour to ITS OWN slot's mean removes the
+    diurnal term the way the robust-MAD detector removes scale).
+
+    Exactness: with s = the hod's total and n = its slot count, the
+    relative deviation (x - s/n) / (s/n) equals (x*n - s)/s, so
+    rel_abs_permille = |x*n - s| * 1000 DIV s is exact BIGINT algebra
+    with ONE non-negative integer DIV (negative DIV floors in DuckDB
+    but truncates in Spark — the abs keeps both engines on the same
+    semantics; the direction travels separately as ±1). s > 0 for
+    every emitted row (s = 0 forces x = 0: the slot's total includes
+    the hour itself). Headroom: x*n caps int64 at ~4e9 events/hour
+    over 2.4e9 slots — re-bin long before that.
+
+    Scale: the same O(hours x types) gap-filled grid as
+    events_hourly_acf (grid join, never a window over raw events),
+    one broadcast of the 24 x types baseline, map-side flag filter."""
+    ev = read_events(spark, sf_dir).select(
+        F.expr("(ts DIV 1000000000 DIV 3600) * 3600").alias("hour_s"),
+        "event_type",
+    )
+    hourly = ev.groupBy("event_type", "hour_s").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = (
+        ev.select("event_type").distinct()
+        .join(F.broadcast(bounds))
+        .select("event_type",
+                F.explode(F.expr("sequence(lo, hi, 3600)")).alias("hour_s"))
+    )
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    g = pin(grid.join(hourly, ["event_type", "hour_s"], "left").select(
+        "event_type", "hour_s",
+        F.coalesce(F.col("n"), F.lit(0)).alias("x"),
+        F.expr("(hour_s DIV 3600) % 24").alias("hod"),
+    ))  # feeds both the baseline and the flag scan
+    base = g.groupBy("event_type", "hod").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n_slots"))
+    dev = F.col("x") * F.col("n_slots") - F.col("s")
+    return (
+        g.join(F.broadcast(base), ["event_type", "hod"])
+        .where(F.col("s") > 0)
+        .select(
+            "event_type", "hour_s", F.col("hod").cast("long").alias("hod"),
+            F.col("x").alias("n_events"),
+            F.col("s").alias("hod_total"), F.col("n_slots").alias("hod_slots"),
+            F.expr(f"abs(x * n_slots - s) * 1000 DIV s").alias("rel_abs_permille"),
+            F.when(dev >= 0, F.lit(1)).otherwise(F.lit(-1))
+            .cast("long").alias("direction"),
+        )
+        .where(F.col("rel_abs_permille") >= SEASONAL_ANOM_THRESH_PM)
+        .orderBy("event_type", "hour_s")
+    )
+
+
+SEASONAL_ANOM_SQL = f"""
+WITH e AS (
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s, event_type
+    FROM events
+),
+hourly AS (
+    SELECT event_type, hour_s, CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+grid AS (
+    SELECT t.event_type, h.hour_s
+    FROM (SELECT DISTINCT event_type FROM e) t,
+         (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_s FROM bounds) h
+),
+g AS (
+    SELECT grid.event_type, grid.hour_s, coalesce(hourly.n, 0) AS x,
+           (grid.hour_s // 3600) % 24 AS hod
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type AND grid.hour_s = hourly.hour_s
+),
+base AS (
+    SELECT event_type, hod, CAST(sum(x) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n_slots
+    FROM g GROUP BY 1, 2
+)
+SELECT g.event_type, CAST(g.hour_s AS BIGINT) AS hour_s,
+       CAST(g.hod AS BIGINT) AS hod, CAST(x AS BIGINT) AS n_events,
+       s AS hod_total, n_slots AS hod_slots,
+       CAST(abs(x * n_slots - s) * 1000 // s AS BIGINT) AS rel_abs_permille,
+       CAST(CASE WHEN x * n_slots - s >= 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
+FROM g JOIN base ON g.event_type = base.event_type AND g.hod = base.hod
+WHERE s > 0 AND abs(x * n_slots - s) * 1000 // s >= {SEASONAL_ANOM_THRESH_PM}
+ORDER BY g.event_type, g.hour_s
 """
