@@ -2573,3 +2573,126 @@ def test_phash_real_decoder_injection(spark, tmp_path):
         q.stop()
     kept = sorted(r.media_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert kept == [1, 4, 5]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving the stateful kernels as
+    pure functions — the only way to ASSERT timeout re-arm behavior
+    (a live stream hides it until state silently leaks)."""
+
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._value = value
+        self.watermark_ms = watermark_ms
+        self.hasTimedOut = timed_out
+        self.timeout_set_to = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set_to = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def _doc_batch(rows):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "ts": pd.to_datetime([r[2] for r in rows]),
+        "band": [0] * len(rows),
+        "band_key": ["k"] * len(rows),
+        "sig": [r[3] for r in rows],
+    })
+
+
+def test_band_verify_kernel_rearms_timeout_on_matched_only_batch():
+    """The ADVICE r10 state-leak fix, asserted directly: GroupState
+    clears its timeout every invocation, so a batch where EVERY
+    arrival matches an existing entry (no new anchor) must still
+    re-arm the event-time timeout — under the r9 set-only-on-new-
+    anchor form this bucket became unexpirable."""
+    from tickdatapipeline_spark.streaming.eventtime import make_band_verify_kernel
+
+    kernel = make_band_verify_kernel(delay_ms=600_000, num_perm=4, threshold=0.5)
+    sig = [1, 2, 3, 4]
+    anchor = 1_000_000
+    state = _FakeGroupState(value=(list(sig), [anchor]), watermark_ms=anchor)
+    out = list(kernel(("b",), iter([_doc_batch(
+        [(7, "near dup copy", "2024-01-01 00:20:00", sig)])]), state))
+    assert out[0]["matched"].tolist() == [True]          # matched-only batch
+    assert state.get == (sig, [anchor])                  # no new anchor
+    assert state.timeout_set_to == anchor + 600_000      # STILL re-armed
+
+
+def test_band_verify_kernel_expires_and_readmits_per_entry():
+    """First-anchored per-entry expiry at the kernel level: an entry
+    whose anchor + delay <= watermark is evicted BEFORE matching, the
+    readmitted arrival re-anchors, and a below-threshold signature
+    never matches a live entry."""
+    from tickdatapipeline_spark.streaming.eventtime import make_band_verify_kernel
+
+    kernel = make_band_verify_kernel(delay_ms=600_000, num_perm=4, threshold=0.5)
+    old_sig, anchor = [1, 2, 3, 4], 1_000_000
+    # watermark has passed the anchor's horizon -> entry dead
+    state = _FakeGroupState(value=(list(old_sig), [anchor]),
+                            watermark_ms=anchor + 600_000)
+    ts = "2024-01-01 01:00:00"
+    import pandas as pd
+
+    new_ts_ms = int(pd.Timestamp(ts).value) // 1_000_000
+    out = list(kernel(("b",), iter([_doc_batch([(8, "readmitted", ts, old_sig)])]),
+                      state))
+    assert out[0]["matched"].tolist() == [False]         # readmitted
+    assert state.get[1] == [new_ts_ms]                   # re-anchored
+    # live entry + dissimilar signature (1/4 lanes agree < 0.5) -> keep both
+    state2 = _FakeGroupState(value=(list(old_sig), [anchor]), watermark_ms=anchor)
+    out2 = list(kernel(("b",), iter([_doc_batch(
+        [(9, "band collision non dup", "2024-01-01 00:20:00", [1, 9, 9, 9])])]),
+        state2))
+    assert out2[0]["matched"].tolist() == [False]
+    assert len(state2.get[1]) == 2                       # both anchored now
+
+
+def test_phash_kernel_empty_batch_rearms_timeout():
+    """ADVICE r10 #3 asserted directly: the phash kernel's defensive
+    empty-batch branch must re-arm the timeout after persisting the
+    watermark eviction — update() without re-arm leaves surviving
+    entries unexpirable."""
+    import pandas as pd
+
+    from tickdatapipeline_spark.streaming.eventtime import make_phash_dedup_kernel
+
+    kernel = make_phash_dedup_kernel(max_hamming=8)
+    # two entries: one dead (ts < wm), one live
+    state = _FakeGroupState(value=([5, 6], [1_000, 2_000_000]),
+                            watermark_ms=1_000_000)
+    empty = pd.DataFrame({
+        "media_id": pd.Series([], dtype="int64"),
+        "kind": pd.Series([], dtype=object),
+        "phash": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[ns]"),
+        "band": pd.Series([], dtype="int64"),
+        "band_key": pd.Series([], dtype="int64"),
+    })
+    out = list(kernel((0, 1), iter([empty]), state))
+    assert len(out[0]) == 0
+    assert state.get == ([6], [2_000_000])               # eviction persisted
+    assert state.timeout_set_to == 2_000_000 + 1_000     # re-armed
