@@ -714,3 +714,98 @@ def test_power_pareto_equals_naive_property(spark, counts, tmp_path_factory):
         covered = sum(xs[:k])
         want[d] = (k, covered, math.floor(covered / total * 1e6 + 0.5) / 1e6)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+    min_size=1, max_size=8))
+def test_ngram_repetition_matches_naive(spark, docs, tmp_path_factory):
+    """Random tiny-vocab corpora: the pooled duplicate 2-/3-gram
+    counts and integer permilles must equal the naive Python mirror —
+    short docs (0-2 tokens) contribute zero grams, permille uses
+    floor division."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import ngram_repetition_fn
+
+    td = tmp_path_factory.mktemp("rep")
+    texts = [" ".join(toks) for toks in docs]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, td / "documents.parquet")
+    r = ngram_repetition_fn(spark, str(td)).collect()[0]
+
+    def grams(toks, n):
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] \
+            if len(toks) >= n else []
+
+    n2 = sum(len(grams(t, 2)) for t in docs)
+    d2 = sum(len(set(grams(t, 2))) for t in docs)
+    n3 = sum(len(grams(t, 3)) for t in docs)
+    d3 = sum(len(set(grams(t, 3))) for t in docs)
+    assert (r.n_docs, r.n_2grams, r.dup_2grams) == (len(docs), n2, n2 - d2)
+    assert (r.n_3grams, r.dup_3grams) == (n3, n3 - d3)
+    assert r.dup2_permille == ((n2 - d2) * 1000 // n2 if n2 else None)
+    assert r.dup3_permille == ((n3 - d3) * 1000 // n3 if n3 else None)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hours=st.lists(st.integers(min_value=0, max_value=6),  # count per hour
+                      min_size=1, max_size=72))
+def test_seasonal_anomalies_match_naive(spark, hours, tmp_path_factory):
+    """Random hourly count series: the flagged set and every
+    rel_abs_permille/direction must equal the naive mirror computed
+    over the SAME gap-filled grid (leading/trailing zero-count hours
+    outside [first, last] event never enter the grid)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import (
+        SEASONAL_ANOM_THRESH_PM,
+        seasonal_anomalies_fn,
+    )
+
+    if sum(hours) == 0:
+        return
+    td = tmp_path_factory.mktemp("seas")
+    rows = []
+    for h, c in enumerate(hours):
+        for k in range(c):
+            rows.append((len(rows), h * 3_600_000_000_000 + k))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["m"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, td / "events.parquet")
+    got = {r.hour_s: (r.rel_abs_permille, r.direction)
+           for r in seasonal_anomalies_fn(spark, str(td)).collect()}
+
+    # naive mirror over the trimmed grid
+    lo = next(i for i, c in enumerate(hours) if c)
+    hi = max(i for i, c in enumerate(hours) if c)
+    grid = {h: hours[h] for h in range(lo, hi + 1)}
+    base = {}
+    for h, x in grid.items():
+        s, n = base.get(h % 24, (0, 0))
+        base[h % 24] = (s + x, n + 1)
+    want = {}
+    for h, x in grid.items():
+        s, n = base[h % 24]
+        if s > 0:
+            rel = abs(x * n - s) * 1000 // s
+            if rel >= SEASONAL_ANOM_THRESH_PM:
+                want[h * 3600] = (rel, 1 if x * n - s >= 0 else -1)
+    assert got == want
