@@ -3381,3 +3381,34 @@ def test_seasonal_anomalies_golden(spark, tmp_path):
     assert [(r.hour_s, r.n_events, r.rel_abs_permille, r.direction)
             for r in got] == [(0, 3, 500, 1), (86400, 1, 500, -1)]
     assert all(r.hod == 0 and r.hod_total == 4 and r.hod_slots == 2 for r in got)
+
+
+def test_ivfpq_codebook_vectors_score_exactly(spark):
+    """IVF-PQ invariant: a vector whose vec_id < k_codes IS a codebook
+    entry in every subspace (its own residual subvectors, d2 = 0), so
+    its reconstruction is bit-exact and any (query, neighbor<k_codes)
+    cosine in the IVF-PQ result must equal the brute-force value for
+    that same pair; other neighbors carry quantization error but stay
+    in [-1, 1] and each query returns at most k rows."""
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        cosine_topk,
+    )
+    from tickdatapipeline_spark.plans.beyond import _emb
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    approx = ann_topk_ivfpq(emb, 5, 50).collect()
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(emb, 400, 50).collect()}  # deep truth list
+    assert approx and all(-1.0 <= r.cosine <= 1.0 for r in approx)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in approx)
+    assert all(v <= 5 for v in per_q.values())
+    checked = 0
+    for r in approx:
+        if r.neighbor_id < 8 and (r.query_id, r.neighbor_id) in exact:
+            assert r.cosine == exact[(r.query_id, r.neighbor_id)], (
+                r.query_id, r.neighbor_id)
+            checked += 1
+    assert checked > 0  # the invariant actually fired

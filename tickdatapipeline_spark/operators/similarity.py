@@ -1010,3 +1010,80 @@ def cosine_topk_truncated(emb: DataFrame, trunc_dim: int, k: int = 5,
         F.slice(_as_double(F.col("embedding")), 1, trunc_dim).alias("v"),
     )
     return _brute_topk(base, k, query_mod)
+
+
+def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                   n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                   n_sub: int = PQ_M, k_codes: int = PQ_K,
+                   centroids: "list | None" = None) -> DataFrame:
+    """IVF-PQ — the production composite (the FAISS IVFPQ shape):
+    coarse cells prune the search to nprobe cells per query, and the
+    cell members are stored as product-quantized RESIDUALS
+    (v - centroid[cell]) instead of raw vectors. Residual PQ beats
+    vector PQ at equal bits because residuals concentrate near zero
+    once the coarse step removes the cell mean — the memory story is
+    n_sub codes/vector + one cell id, the recall story is gauged with
+    ann_recall like every other path.
+
+    Scoring is ADC (asymmetric distance): the RAW query against the
+    reconstruction centroid + dequantized(residual) — the deployment
+    variant (symmetric scoring costs query-side quantization error for
+    no storage win).
+
+    Exactness: residual subtraction and reconstruction addition are
+    single IEEE ops on identical operands; the PQ argmin reuses
+    pq_dequantized's rounded fixed-order L2 fold; codebooks are the
+    k_codes lowest vec_ids' RESIDUAL subvectors (the untrained
+    deterministic convention — a deployment trains per-subspace
+    k-means like kmeans_train and injects via the same path).
+
+    Scale: centroids broadcast; residual + PQ stages are map-side plus
+    the (vec_id, m) argmin window (n_sub rows per vector); the search
+    join shuffles candidates on cell exactly like ann_topk_ivf."""
+    from pyspark.sql import Window
+
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(centroids, "cell long, c array<double>")
+    else:
+        cents = base.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("c")
+        )
+    cents = pin(cents)  # residual, reconstruction, and assignment reuse
+    assigned = pin(ivf_assign(emb, n_cells, nprobe, centroids=centroids))
+    resid = assigned.join(F.broadcast(cents), "cell").select(
+        "vec_id", "cell",
+        F.zip_with("v", "c", lambda x, y: x - y).alias("embedding"),
+    )
+    resid = pin(resid)  # feeds both the PQ pass and the cell lookup
+    pq_r = pq_dequantized(resid.select("vec_id", "embedding"), n_sub, k_codes)
+    recon = (
+        pq_r.select("vec_id", F.col("v").alias("pr"))
+        .join(resid.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell",
+                F.zip_with("pr", "c", lambda x, y: x + y).alias("v"))
+    )
+    queries = assigned.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
+        F.explode("probe_cells").alias("probe_cell"),
+    )
+    joined = recon.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

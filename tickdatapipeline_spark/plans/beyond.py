@@ -56,6 +56,7 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_bucket_histogram,
     ann_recall,
     ann_topk_ivf,
+    ann_topk_ivfpq,
     ann_topk_pq,
     ann_topk_sq8,
     ann_topk_ivf_kmeans,
@@ -6715,6 +6716,10 @@ _ANN_VARIANT_PLANS = (
     ("lsh", ann_topk_lsh),
     ("pq", ann_topk_pq),
     ("sq8", ann_topk_sq8),
+    # r10: the production composite — IVF cells + product-quantized
+    # RESIDUALS, ADC scoring (similarity.ann_topk_ivfpq); joins the
+    # panel as a sixth variant, zero new registry slots
+    ("ivfpq", ann_topk_ivfpq),
 )
 
 
@@ -6745,6 +6750,7 @@ def _ann_topk_variants_sql() -> str:
         ("lsh", ANN_TOPK_LSH_SQL),
         ("pq", _pq_topk_sql()),
         ("sq8", _sq8_topk_sql()),
+        ("ivfpq", _ivfpq_topk_sql()),
     )
     return "\nUNION ALL\n".join(
         f"SELECT '{name}' AS variant, query_id, neighbor_id, rank, cosine"
@@ -7180,4 +7186,83 @@ SELECT g.event_type, CAST(g.hour_s AS BIGINT) AS hour_s,
 FROM g JOIN base ON g.event_type = base.event_type AND g.hod = base.hod
 WHERE s > 0 AND abs(x * n_slots - s) * 1000 // s >= {SEASONAL_ANOM_THRESH_PM}
 ORDER BY g.event_type, g.hour_s
+"""
+
+
+def _ivfpq_topk_sql(query_mod: int = QUERY_MOD, k: int = TOPK_K,
+                    n_cells: int = 8, nprobe: int = 2,
+                    n_sub: int = 4, k_codes: int = 8) -> str:
+    """DuckDB twin of similarity.ann_topk_ivfpq: the IVF assignment
+    CTEs (IVF_SQL's pattern), elementwise residuals, the PQ
+    codebook/argmin chain on residuals (same rounded fixed-order L2 as
+    _pq_topk_sql), reconstruction centroid + residual code, then
+    ADC cosine within probed cells."""
+    sub = DIM // n_sub
+    sim = sql_rnd(
+        SQL_DOT.format(a="b.v", b="c")
+        + " / (" + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")"
+    )
+    d2 = sql_rnd(
+        f"list_reduce(list_transform(range(1, {sub + 1}), "
+        f"i -> (t.s[i] - cb.c[i]) * (t.s[i] - cb.c[i])), (x, y) -> x + y)",
+        6,
+    )
+    qcos = sql_rnd(
+        SQL_DOT.format(a="q.q", b="recon.v")
+        + " / (" + SQL_NORM.format(a="q.q") + " * " + SQL_NORM.format(a="recon.v") + ")"
+    )
+    return f"""
+WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells}),
+cscored AS (
+    SELECT b.vec_id, b.v, cell, {sim} AS sim
+    FROM base b CROSS JOIN cents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS crank
+    FROM cscored
+),
+assigned AS (SELECT vec_id, cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id, cell AS probe_cell FROM ranked WHERE crank <= {nprobe}),
+resid AS (
+    SELECT a.vec_id, a.cell,
+           list_transform(range(1, {DIM + 1}), i -> b.v[i] - ct.c[i]) AS r
+    FROM assigned a
+    JOIN base b ON a.vec_id = b.vec_id
+    JOIN cents ct ON a.cell = ct.cell
+),
+sub AS (
+    SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> r[m * {sub} + i]) AS s
+    FROM resid, (SELECT unnest(range(0, {n_sub})) AS m) ms
+),
+cb AS (SELECT vec_id AS code, m, s AS c FROM sub WHERE vec_id < {k_codes}),
+pqscored AS (
+    SELECT t.vec_id, t.m, cb.code, cb.c, {d2} AS d2
+    FROM sub t JOIN cb ON t.m = cb.m
+),
+win AS (
+    SELECT vec_id, m, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM pqscored
+    ) WHERE rn = 1
+),
+pqr AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS pr FROM win GROUP BY vec_id),
+recon AS (
+    SELECT r.vec_id, r.cell,
+           list_transform(range(1, {DIM + 1}), i -> p.pr[i] + ct.c[i]) AS v
+    FROM pqr p JOIN resid r ON p.vec_id = r.vec_id JOIN cents ct ON r.cell = ct.cell
+),
+q AS (
+    SELECT p.vec_id AS query_id, b.v AS q, p.probe_cell
+    FROM probes p JOIN base b ON p.vec_id = b.vec_id
+    WHERE p.vec_id % {query_mod} = 0
+),
+scored AS (
+    SELECT q.query_id, recon.vec_id AS neighbor_id, {qcos} AS cosine
+    FROM recon JOIN q ON recon.cell = q.probe_cell AND recon.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {k}
 """
