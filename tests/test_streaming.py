@@ -2696,3 +2696,102 @@ def test_phash_kernel_empty_batch_rearms_timeout():
     assert len(out[0]) == 0
     assert state.get == ([6], [2_000_000])               # eviction persisted
     assert state.timeout_set_to == 2_000_000 + 1_000     # re-armed
+
+
+def _write_session_events(in_dir, fname, rows):
+    import json
+
+    with open(in_dir / fname, "w") as f:
+        for event_id, user_id, ts in rows:
+            f.write(json.dumps(
+                {"event_id": event_id, "user_id": user_id, "ts": ts}) + "\n")
+
+
+def test_sessionization_stream_matches_batch_mirror(spark, tmp_path):
+    """Streaming gap sessions equal the batch gaps-and-islands pass on
+    every CLOSED session: out-of-order arrivals inside a batch, a
+    multi-session user, and a single-event session all close with the
+    exact (n_events, duration_s) the batch mirror computes once the
+    watermark passes their horizon; the sentinel's own tail session
+    stays open (not emitted)."""
+    from tickdatapipeline_spark.streaming.eventtime import run_sessionization_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # user 1 session A: 00:00 + 00:10 (arrives out of order);
+    # user 2: single event
+    _write_session_events(in_dir, "b0.json", [
+        (2, 1, "2024-01-01 00:10:00"),
+        (1, 1, "2024-01-01 00:00:00"),
+        (3, 2, "2024-01-01 00:30:00"),
+    ])
+    q = run_sessionization_stream(spark, str(in_dir), str(tmp_path / "out"),
+                                  str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        # user 1 session B (gap > 30 min after A), plus a watermark-
+        # advancing sentinel
+        _write_session_events(in_dir, "b1.json", [
+            (4, 1, "2024-01-01 01:00:00"),
+            (6, 1, "2024-01-01 01:20:00"),
+            (5, 1, "2024-01-01 01:05:00"),
+            (99, 999, "2024-01-01 06:00:00"),
+        ])
+        q.processAllAvailable()
+        # one more batch so the kernel RUNS with the advanced watermark
+        _write_session_events(in_dir, "b2.json", [
+            (100, 999, "2024-01-01 06:00:30"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    got = {(r.user_id, r.n_events, r.duration_s) for r in rows}
+    assert got == {(1, 2, 600), (1, 3, 1200), (2, 1, 0)}
+    assert all(r.user_id != 999 for r in rows)  # sentinel tail stays open
+
+
+def test_sessionization_stream_merges_bridging_event_and_restarts(spark, tmp_path):
+    """An out-of-order event that lands BETWEEN two open sessions and
+    sits within the gap of both must MERGE them into one (interval
+    merge, not append), and open-session state survives a checkpoint
+    restart: the merged session closes after the restart with all
+    three events."""
+    from tickdatapipeline_spark.streaming.eventtime import run_sessionization_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    args = (spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    # two separate open sessions (50 min apart > 30 min gap); the
+    # bridge point must sit STRICTLY inside both gaps AND above the
+    # post-b0 watermark (00:20) — an exactly-on-watermark arrival is
+    # dropped as late (verified: a 60-min spacing makes 00:30 the only
+    # bridge point, which == the watermark and vanished)
+    _write_session_events(in_dir, "b0.json", [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:50:00"),
+    ])
+    q = run_sessionization_stream(*args)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: the bridge arrives (25 min from both sides), then the
+    # watermark advances past the merged horizon
+    _write_session_events(in_dir, "b1.json", [
+        (3, 1, "2024-01-01 00:25:00"),
+        (99, 999, "2024-01-01 06:00:00"),
+    ])
+    _write_session_events(in_dir, "b2.json", [
+        (100, 999, "2024-01-01 06:00:30"),
+    ])
+    q2 = run_sessionization_stream(*args)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = [r for r in spark.read.parquet(str(tmp_path / "out")).collect()
+            if r.user_id == 1]
+    assert [(r.n_events, r.duration_s) for r in rows] == [(3, 3000)]

@@ -1637,3 +1637,140 @@ def run_value_trend_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+SESSION_OUT = ("user_id long, start_ts timestamp, end_ts timestamp, "
+               "n_events long, duration_s long")
+SESSION_STATE = "starts_us array<long>, lasts_us array<long>, counts array<long>"
+
+
+def make_session_kernel(gap_us: int):
+    """applyInPandasWithState kernel for run_sessionization_stream:
+    one GroupState per user holding that user's OPEN sessions as
+    parallel (start_us, last_us, n_events) arrays. Each micro-batch's
+    arrivals (Arrow chunks concatenated, sorted by (ts, event_id))
+    INTERVAL-MERGE into the open set: an event within ``gap_us`` of a
+    session on EITHER side joins it, and an event bridging two open
+    sessions merges them — so out-of-order arrival inside the
+    watermark can never split a session the batch gaps-and-islands
+    pass would keep whole (same gap semantics as
+    plans/beyond.sessionize_fn: strictly-greater gap starts a new
+    session, boundary-equal extends).
+
+    A session is EMITTED (closed) only when last_us + gap_us <
+    watermark: any event that could still extend it would carry
+    ts <= last + gap <= wm and is dropped by the watermark as late —
+    strict inequality because a ts == wm arrival is still admitted.
+    Open sessions stay in state; the event-time timeout re-arms every
+    invocation to the EARLIEST open session's close time (GroupState
+    clears it per call), so an idle user's tail sessions flush as the
+    global watermark advances, without any further arrivals."""
+
+    def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sessions: "list[list[int]]" = []
+        if state.exists:
+            s, l, c = state.get
+            sessions = [[int(a), int(b), int(n)] for a, b, n in zip(s, l, c)]
+        pdf_list = [] if state.hasTimedOut else list(pdfs)
+        pdf = (pd.concat(pdf_list, ignore_index=True)
+               if pdf_list else pd.DataFrame(columns=["user_id", "event_id", "ts"]))
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+            for t in pdf["ts"]:
+                tus = int(t.value) // 1_000
+                hits, rest = [], []
+                for s in sessions:
+                    (hits if s[0] - gap_us <= tus <= s[1] + gap_us else rest
+                     ).append(s)
+                merged = [min([tus] + [h[0] for h in hits]),
+                          max([tus] + [h[1] for h in hits]),
+                          1 + sum(h[2] for h in hits)]
+                sessions = rest + [merged]
+        closed = sorted(s for s in sessions if s[1] + gap_us < wm_us)
+        open_s = sorted(s for s in sessions if s[1] + gap_us >= wm_us)
+        if open_s:
+            state.update((
+                [s[0] for s in open_s], [s[1] for s in open_s],
+                [s[2] for s in open_s],
+            ))
+            earliest_close_ms = min(s[1] for s in open_s) // 1000 + gap_us // 1000
+            state.setTimeoutTimestamp(
+                max(earliest_close_ms + 1000, state.getCurrentWatermarkMs() + 1000))
+        elif state.exists:
+            state.remove()
+        uid = int(key[0])
+        yield pd.DataFrame({
+            "user_id": pd.Series([uid] * len(closed), dtype="int64"),
+            "start_ts": pd.to_datetime([s[0] * 1000 for s in closed], unit="ns"),
+            "end_ts": pd.to_datetime([s[1] * 1000 for s in closed], unit="ns"),
+            "n_events": pd.Series([s[2] for s in closed], dtype="int64"),
+            "duration_s": pd.Series([(s[1] - s[0]) // 1_000_000 for s in closed],
+                                    dtype="int64"),
+        })
+
+    return kernel
+
+
+def run_sessionization_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_min: int = 30,
+    delay: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming SESSIONIZATION: gap-based session windows per user,
+    emitted as they CLOSE — the custom stateful operator twin of the
+    batch gaps-and-islands pass (plans/beyond.sessionize_fn), built on
+    applyInPandasWithState rather than F.session_window so the merge/
+    close semantics stay explicit and testable (and so the state
+    carries exact integer microseconds end to end).
+
+    Emission contract: a session row appears once its close is
+    WATERMARK-SAFE (no admissible event can extend it — see
+    make_session_kernel); the tail sessions of a stopped stream remain
+    open in state and flush on a later run as the watermark advances.
+    Output: (user_id, start_ts, end_ts, n_events, duration_s), exactly
+    the batch pass's (n_events, duration_s) per session.
+
+    Scale contract: state per user is O(open sessions) 24-byte
+    entries — bounded by watermark horizon / gap (a user can hold at
+    most horizon/gap open sessions once the watermark trails the max
+    event time by `delay`); closed sessions leave state immediately,
+    idle users' state expires via the re-armed event-time timeout.
+    Input JSONL: (event_id, user_id, ts); null-ts corrupt lines are
+    quarantined at ingest like every dedup stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    sessions = (
+        raw.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_kernel(gap_min * 60 * 1_000_000),
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def _write_batch_idempotent_fb(out_dir: str):
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch_idempotent(batch_df, out_dir, batch_id)
+
+    return _process
