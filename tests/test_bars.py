@@ -217,3 +217,23 @@ def test_fir_single_seed_with_stream_column(spark):
     dict_rows = sorted((r.stream, r.bar_idx, r.bar_average_raw)
                        for r in per_stream.collect())
     assert single_rows == dict_rows
+
+
+def test_vwap_bars_golden(spark):
+    """Two bars of size 2: weights must matter (a 3-lot print pulls
+    vwap three times as hard), pv/bar_volume exact ints, vwap rnd'd."""
+    from tests.conftest import make_ticks_raw
+    from tickdatapipeline_spark.operators.bars import vwap_bars
+
+    raw = make_ticks_raw(spark, [
+        (1, "20250319 000000 0000000", 100, 1),
+        (2, "20250319 000001 0000000", 104, 3),
+        (3, "20250319 000002 0000000", 200, 2),
+        (4, "20250319 000003 0000000", 210, 2),
+    ])
+    rows = {r.bar_id: r for r in vwap_bars(raw, 2).collect()}
+    b0, b1 = rows[0], rows[1]
+    assert (b0.n_ticks, b0.bar_volume, b0.pv, b0.low, b0.high) == (2, 4, 412, 100, 104)
+    assert b0.vwap == 103.0  # (100*1 + 104*3)/4
+    assert (b1.bar_volume, b1.pv) == (4, 820)
+    assert b1.vwap == 205.0

@@ -3412,3 +3412,116 @@ def test_ivfpq_codebook_vectors_score_exactly(spark):
                 r.query_id, r.neighbor_id)
             checked += 1
     assert checked > 0  # the invariant actually fired
+
+
+# ===== round-10 (cont.): heavy hitters / pagerank / LM surprisal =====
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """The two-pass Misra-Gries output must equal the exact
+    count>n/(k+1) answer and be identical under different input
+    partitionings (the sketch's candidate set may differ; the final
+    exact filter may not)."""
+    from tickdatapipeline_spark.operators.sketches import (
+        exact_heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    # 100 rows: key 1 x 40, key 2 x 25, keys 3..37 x 1 each
+    keys = [1] * 40 + [2] * 25 + list(range(3, 38))
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    k = 3  # threshold: count > 100/4 = 25 -> only key 1 qualifies
+    expected = [(1, 40, 400000)]  # 40*1e6 DIV 100
+
+    for parts in (1, 4):
+        out = exact_heavy_hitters(df.repartition(parts), "user_id", k)
+        rows = [(r.user_id, r.n_events, r.share_ppm) for r in out.collect()]
+        assert rows == expected, f"parts={parts}: {rows}"
+
+    # candidate superset property: every true heavy key is a candidate
+    cands = {
+        r.user_id
+        for r in misra_gries_candidates(df.repartition(4), "user_id", k).collect()
+    }
+    assert 1 in cands
+    # strict > semantics: key 2 at exactly... 25*4=100 == total -> NOT heavy
+    out = exact_heavy_hitters(df, "user_id", k)
+    assert 2 not in {r.user_id for r in out.collect()}
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    from tickdatapipeline_spark.operators.sketches import exact_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1,)] * 9 + [(None,)] * 20 + [(2,)] * 1,
+        "user_id long",
+    )
+    # nulls excluded: total=10, threshold with k=1 -> count > 5
+    rows = exact_heavy_hitters(df, "user_id", 1).collect()
+    assert [(r.user_id, r.n_events) for r in rows] == [(1, 9)]
+
+
+def _naive_int_pagerank(pairs, iters, scale):
+    """Pure-Python mirror of the integer recurrence."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    tele = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        share = {v: r[v] // len(adj[v]) for v in nodes}
+        nxt = {}
+        for v in nodes:
+            s = sum(share[u] for u in adj[v])
+            nxt[v] = tele + ((85 * s) // 100)
+        r = nxt
+    return {v: (len(adj[v]), r[v]) for v in nodes}
+
+
+def test_pagerank_matches_naive_mirror(spark):
+    """Star K1,4 plus a pendant path — hub must outrank leaves, and
+    every scaled-integer value must match the Python mirror exactly
+    (bit-reproducibility is the operator's whole contract)."""
+    from tickdatapipeline_spark.operators.dedup import pagerank_scores
+
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.node: (r.degree, r.pagerank_e12)
+        for r in pagerank_scores(df, "doc_a", "doc_b", iters=5).collect()
+    }
+    want = _naive_int_pagerank(pairs, 5, 10**12)
+    assert got == want
+    assert got[0][1] > got[1][1]  # hub beats leaf
+
+
+def test_lm_surprisal_golden(spark, tmp_path):
+    """Hand-computed bigram bits: corpus 'a b','a b','a c' has
+    n(a *)=3, n(a b)=2, n(a c)=1; bits(ab)=bitlen(3)-bitlen(2)=0,
+    bits(ac)=bitlen(3)-bitlen(1)=1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import lm_surprisal_fn
+
+    texts = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")]
+    tbl = pa.table({
+        "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+        "text": pa.array([t[1] for t in texts]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+    })
+    os.mkdir(tmp_path / "sf")
+    pq.write_table(tbl, str(tmp_path / "sf" / "documents.parquet"))
+    out = {r.doc_id: r for r in lm_surprisal_fn(spark, str(tmp_path / "sf")).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 has no bigrams
+    assert (out[1].n_bigrams, out[1].total_bits, out[1].bits_permille) == (1, 0, 0)
+    assert (out[3].n_bigrams, out[3].total_bits, out[3].bits_permille) == (1, 1, 1000)

@@ -413,3 +413,33 @@ def enrich_ticks_with_bars(
     return ticks.join(renamed, cond, "left").drop(
         "_b_end_tick_idx", *[f"_b_{c}" for c in part]
     )
+
+
+def vwap_bars(raw: DataFrame, bar_size: int) -> DataFrame:
+    """Volume-weighted average price per fixed-count bar over a RAW
+    (pre-expansion) tick frame — see plans/analytics.bars_vwap_fn for
+    rationale vs. the reference's post-expansion bars. ``raw`` needs
+    (line_no, last, volume); pv and bar_volume are exact BIGINTs, vwap
+    the one rnd-crossed double division. One map-side projection + one
+    combinable groupBy."""
+    from tickdatapipeline_spark.functions.rounding import rnd
+
+    return (
+        raw.select(
+            F.expr(f"(line_no - 1) DIV {int(bar_size)}").alias("bar_id"),
+            "last",
+            "volume",
+        )
+        .groupBy("bar_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("volume").alias("bar_volume"),
+            F.sum(F.col("last") * F.col("volume")).alias("pv"),
+            F.min("last").alias("low"),
+            F.max("last").alias("high"),
+        )
+        .select(
+            "bar_id", "n_ticks", "bar_volume", "pv", "low", "high",
+            rnd(F.col("pv").cast("double") / F.col("bar_volume").cast("double")).alias("vwap"),
+        )
+    )

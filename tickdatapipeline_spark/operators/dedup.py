@@ -1254,3 +1254,61 @@ def weighted_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("doc_a", "doc_b", "inter_w", "union_w", "wjaccard")
     )
     return out
+
+
+def pagerank_scores(pairs: DataFrame, a_col: str, b_col: str,
+                    iters: int = 5, scale: int = 10**12) -> DataFrame:
+    """Integer-exact PageRank over an undirected pair list (damping
+    0.85, ``iters`` fixed power iterations) — see
+    plans/beyond.pagerank_fn for the full rationale. All arithmetic is
+    scaled-integer with non-negative floor division, so the result is
+    bit-reproducible across engines and partitionings (no float sum
+    order anywhere). Output: (node, degree, pagerank_e12) for every
+    node appearing in a pair.
+
+    Same iteration hygiene as connected_components: edges/base
+    materialize once and each iteration's rank frame localCheckpoints
+    (DISK_ONLY), keeping every iteration's plan O(1) deep.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    base = (
+        deg.join(F.broadcast(nn)).select(
+            "node",
+            "deg",
+            F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("r"),
+            F.expr(f"(15 * CAST({scale} AS BIGINT)) DIV (100 * n_nodes)").alias("tele"),
+        )
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    ranks = base
+    for _ in range(iters):
+        shares = ranks.select("node", F.expr("r DIV deg").alias("share"))
+        contrib = (
+            edges.join(shares, edges.src == shares.node)
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            base.select("node", "deg", "tele")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "tele",
+                F.expr("tele + ((85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100)").alias("r"),
+            )
+        ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    return ranks.select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.col("r").alias("pagerank_e12"),
+    )

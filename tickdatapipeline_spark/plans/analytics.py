@@ -365,6 +365,51 @@ SELECT min(last) AS min_price, max(last) AS max_price,
 FROM ticks_raw
 """
 
+# ---- VWAP bars over the RAW (pre-expansion) tick stream ----
+
+VWAP_BAR_SIZE = 144  # ticks per bar, matching the reference bar period
+
+
+def bars_vwap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per fixed-count bar over the RAW
+    tick stream — the standard market bar statistic the reference's
+    boxcar/FIR bars (src/BarProcessor.jl:134-202) sidestep by running
+    AFTER volume expansion (where every row's volume is 1 and VWAP
+    degenerates to the plain mean). On raw ticks the weights matter:
+    a 5-lot print moves the bar's VWAP five times as far as a 1-lot.
+
+    Exactness: pv = sum(last*volume) and bar_volume = sum(volume) are
+    exact BIGINTs (both emitted); vwap itself is the ONE double
+    division, crossed through rnd. Bar id comes off line_no, so bars
+    are the same fixed-count windows as q10's audit.
+
+    Scale: one map-side projection + one combinable groupBy(bar_id);
+    line numbering at corpus scale comes from the two-pass chunked
+    formulation (operators/globalorder.py) exactly as in
+    tick_pipeline_*_twopass — bar_id derives from line_no either way.
+    Aggregation lives in operators/bars.vwap_bars (unit-tested on a
+    constructed tick frame)."""
+    from tickdatapipeline_spark.operators.bars import vwap_bars
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events
+
+    return vwap_bars(ticks_from_events(spark, sf_dir), VWAP_BAR_SIZE).orderBy("bar_id")
+
+
+BARS_VWAP_SQL = f"""
+WITH ticks_raw AS ({TICKS_FROM_EVENTS_SQL}),
+b AS (SELECT (line_no - 1) // {VWAP_BAR_SIZE} AS bar_id, last, volume FROM ticks_raw)
+SELECT bar_id,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(volume) AS BIGINT) AS bar_volume,
+       CAST(sum(last * volume) AS BIGINT) AS pv,
+       CAST(min(last) AS BIGINT) AS low,
+       CAST(max(last) AS BIGINT) AS high,
+       {sql_rnd('CAST(sum(last * volume) AS DOUBLE) / CAST(sum(volume) AS DOUBLE)')} AS vwap
+FROM b
+GROUP BY bar_id
+ORDER BY bar_id
+"""
+
 # ---- Q8: latency-style percentiles over a metric column (benchmark.jl:104-123),
 #      applied to events.value as the metrics stand-in ----
 
@@ -516,6 +561,7 @@ def queries() -> dict[str, tuple]:
             multistream_twopass_fn, _multistream_sql()),
         "bars_boxcar": (bb_fn, bb_sql),
         "bars_fir": (bf_fn, bf_sql),
+        "bars_vwap": (bars_vwap_fn, BARS_VWAP_SQL),
         "ticks_enriched": (enriched_fn, ENRICHED_SQL),
         "q1_delta_stats": (q1_fn, Q1_SQL),
         "q2_percentiles": (q2_fn, Q2_SQL),

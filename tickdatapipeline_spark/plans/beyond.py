@@ -4547,6 +4547,9 @@ def queries() -> dict[str, tuple]:
         "events_type_affinity": (type_affinity_fn, TYPE_AFFINITY_SQL),
         "media_phash_clusters": (media_phash_clusters_fn, MEDIA_PHASH_CLUSTERS_SQL),
         "events_seasonal_anomalies": (seasonal_anomalies_fn, SEASONAL_ANOM_SQL),
+        "events_heavy_hitters": (heavy_hitters_fn, HEAVY_HITTERS_SQL),
+        "dedup_graph_pagerank": (pagerank_fn, _pagerank_sql()),
+        "docs_lm_surprisal": (lm_surprisal_fn, LM_SURPRISAL_SQL),
     }
 
 
@@ -7265,4 +7268,233 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
     FROM scored
 ) WHERE rank <= {k}
+"""
+
+
+# ===== round-10 additions (cont.): heavy hitters / PageRank / LM bits =====
+
+HH_K = 130  # heavy hitter = key with count > n_total/(K+1)
+
+
+def heavy_hitters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact user-id heavy hitters via the two-pass Misra-Gries sketch
+    (operators/sketches.py): per-partition bounded-memory candidate
+    summaries (no shuffle, <= K counters each), then an exact
+    broadcast-semi-joined recount of candidates only, filtered against
+    the exact total — names the keys the Gini diagnostic
+    (events_key_skew) only sizes.
+
+    Exact despite the sketch: the candidate union provably contains
+    every key with global count > n/(K+1) (a globally heavy key is
+    locally heavy somewhere), and the final filter compares EXACT
+    recounts to the EXACT total, so false candidates drop out and the
+    output is partitioning-independent.
+
+    Scale: this is the 1e10-distinct-keys formulation — the full
+    groupBy(key) count table (a 1e10-row shuffle) is never built; the
+    shuffle is only over the candidate-restricted recount (<= K keys
+    per partition, broadcast back)."""
+    from tickdatapipeline_spark.operators.sketches import exact_heavy_hitters
+
+    return exact_heavy_hitters(
+        read_events(spark, sf_dir).select("user_id"), "user_id", HH_K
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH keyed AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+tot AS (SELECT count(*) AS n_total FROM keyed)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) * 1000000 // t.n_total AS BIGINT) AS share_ppm
+FROM keyed CROSS JOIN tot t
+GROUP BY user_id, t.n_total
+HAVING count(*) * ({HH_K} + 1) > t.n_total
+ORDER BY user_id
+"""
+
+
+PAGERANK_SCALE = 10**12
+PAGERANK_ITERS = 5
+
+
+def pagerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the LSH candidate graph — the centrality readout
+    that ranks which documents sit at the CORE of a near-dup
+    neighborhood (template hubs, mirrored shards) vs. its fringe;
+    complements the triangle census (local density) and connected
+    components (membership) with global importance. Damping 0.85,
+    {PAGERANK_ITERS} fixed power iterations over the symmetrized
+    candidate edges.
+
+    Exactness: all arithmetic is scaled-integer (Q12 decimal: ranks
+    sum to ~1e12): r'(v) = tele + (85 * sum_u(r(u) DIV deg(u))) DIV
+    100 with tele = 15*SCALE DIV (100*N). Every operand is
+    non-negative, so Spark's truncating DIV and DuckDB's flooring //
+    agree, and integer sums are order-independent — the plan is
+    bit-reproducible cross-engine with NO float in the loop (floats
+    would diverge: each engine sums partial contributions in a
+    different order). The oracle unrolls the same recurrence as
+    {PAGERANK_ITERS} chained CTEs.
+
+    Scale: per iteration one equi-join (ranks on edge src) + one
+    map-side-combinable groupBy(dst) — the canonical distributed
+    power iteration. The edge and degree tables materialize ONCE
+    (localCheckpoint DISK_ONLY) and each iteration's rank frame
+    checkpoints the same way — the connected_components posture:
+    truncated lineage keeps iteration i's plan O(1) deep instead of
+    re-deriving the LSH join i times (measured 28.7 s -> ~6 s at
+    sf0.01). In a symmetric graph every node has deg >= 1 — no
+    dangling-mass term. Loop lives in
+    operators/dedup.pagerank_scores (unit-tested against a naive
+    Python mirror of the same integer recurrence)."""
+    from tickdatapipeline_spark.operators.dedup import pagerank_scores
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir), max_band_bucket=None)
+    return (
+        pagerank_scores(pairs, "doc_a", "doc_b",
+                        iters=PAGERANK_ITERS, scale=PAGERANK_SCALE)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    its = []
+    prev = "base"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+    SELECT b.node, b.deg, b.tele,
+           b.tele + ((85 * COALESCE(c.s, 0)) // 100) AS r
+    FROM base b LEFT JOIN (
+        SELECT e.dst AS node, SUM(x.r // x.deg) AS s
+        FROM edges e JOIN {prev} x ON x.node = e.src
+        GROUP BY e.dst
+    ) c ON c.node = b.node
+)"""
+        )
+        prev = f"it{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+base AS MATERIALIZED (
+    SELECT d.node, d.deg,
+           CAST({PAGERANK_SCALE} AS BIGINT) // n.n_nodes AS r,
+           (15 * CAST({PAGERANK_SCALE} AS BIGINT)) // (100 * n.n_nodes) AS tele
+    FROM deg d CROSS JOIN (SELECT count(*) AS n_nodes FROM deg) n
+),
+{chain}
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(deg AS BIGINT) AS degree,
+       CAST(r AS BIGINT) AS pagerank_e12
+FROM {prev}
+ORDER BY doc_id
+"""
+
+
+def lm_surprisal_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-bigram-LM surprisal — the CCNet-style
+    quality axis (Wenzek et al. 2020 score documents by LM perplexity:
+    text whose word transitions are IMPROBABLE under a corpus LM is
+    noise/gibberish; text far too probable is boilerplate). The LM here
+    is the corpus's own bigram table; the score is an integer-bit
+    surrogate for -log2 P(doc): per bigram occurrence,
+    bits = bitlen(n(w1 *)) - bitlen(n(w1 w2)) — within 1 bit of the
+    true log2(n_ctx/n_bg) per gram, monotone in it, and EXACT integer
+    algebra in both engines (bitlen = length of the base-2 digit
+    string: conv() in Spark, bin() in DuckDB), where a float log2
+    would be a cross-engine transcendental gamble. Ranking quality
+    needs the order statistic, not calibrated nats.
+
+    Scale: gram positions explode map-side; the bigram and context
+    count tables are map-side-combinable groupBys; the per-doc join is
+    against the doc's DISTINCT grams (multiplicity m carried, bits
+    weighted by m) — join rows are O(distinct grams per doc), not
+    positions. Hot-gram join skew is inherent corpus shape; AQE's
+    skew-join split handles it (DEPLOYMENT.md playbook)."""
+    from tickdatapipeline_spark.functions.scale import fan_out
+
+    docs = fan_out(_docs(spark, sf_dir))
+    t = tokens(F.col("text"))
+    g2 = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    pos = pin(docs.select("doc_id", F.explode(g2).alias("gram")))
+    doc_gram = pos.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("m"))
+    bgc = pos.groupBy("gram").agg(F.count(F.lit(1)).alias("n_bg"))
+    ctx = (
+        pos.select(F.expr("split_part(gram, ' ', 1)").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n_ctx"))
+    )
+    bits = (
+        F.length(F.conv(F.col("n_ctx").cast("string"), 10, 2))
+        - F.length(F.conv(F.col("n_bg").cast("string"), 10, 2))
+    ).cast("long")
+    j = (
+        doc_gram.join(bgc, "gram")
+        .withColumn("w1", F.expr("split_part(gram, ' ', 1)"))
+        .join(ctx, "w1")
+        .select("doc_id", "m", bits.alias("bits"))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("bits")).alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            F.expr("(total_bits * 1000) DIV n_bigrams").alias("bits_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_SURPRISAL_SQL = f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+pos AS MATERIALIZED (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM tok
+),
+dg AS (SELECT doc_id, gram, count(*) AS m FROM pos GROUP BY doc_id, gram),
+bgc AS (SELECT gram, count(*) AS n_bg FROM pos GROUP BY gram),
+ctx AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS n_ctx
+        FROM pos GROUP BY 1),
+j AS (
+    SELECT d.doc_id, d.m,
+           CAST(length(bin(c.n_ctx)) - length(bin(b.n_bg)) AS BIGINT) AS bits
+    FROM dg d
+    JOIN bgc b USING (gram)
+    JOIN ctx c ON c.w1 = split_part(d.gram, ' ', 1)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * bits) AS BIGINT) AS total_bits,
+       CAST((sum(m * bits) * 1000) // sum(m) AS BIGINT) AS bits_permille
+FROM j
+GROUP BY doc_id
+ORDER BY doc_id
 """
