@@ -2795,3 +2795,90 @@ def test_sessionization_stream_merges_bridging_event_and_restarts(spark, tmp_pat
     rows = [r for r in spark.read.parquet(str(tmp_path / "out")).collect()
             if r.user_id == 1]
     assert [(r.n_events, r.duration_s) for r in rows] == [(3, 3000)]
+
+
+# ===== streaming heavy hitters (sharded Misra-Gries) =====
+
+
+def _latest_hh_snapshot(spark, out_dir):
+    df = spark.read.parquet(out_dir)
+    mx = df.agg({"batch_id": "max"}).collect()[0][0]
+    return df.where(df.batch_id == mx)
+
+
+def test_heavy_hitters_stream_superset_and_bounded_state(spark, tmp_path):
+    """The candidate union must contain every key with global count >
+    n/(k+1), per-shard summaries must stay within k counters, mg_count
+    must lower-bound the true count, and the exact-recount backstop
+    over the candidates must equal the all-keys exact answer."""
+    from tickdatapipeline_spark.streaming.eventtime import run_heavy_hitters_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # 60 events: key 7 x 30, key 8 x 15, keys 100..114 x 1 each
+    rows, eid = [], 0
+    for uid, n in [(7, 30), (8, 15)] + [(100 + i, 1) for i in range(15)]:
+        for _ in range(n):
+            rows.append((eid, uid, "2024-01-01 00:00:00"))
+            eid += 1
+    # split across two micro-batches to exercise the state carry
+    _write_session_events(in_dir, "b0.json", rows[:25])
+    _write_session_events(in_dir, "b1.json", rows[25:])
+    k = 4  # threshold count > 60/5 = 12 -> keys 7 and 8 are heavy
+    q = run_heavy_hitters_stream(
+        spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        k=k, n_shards=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = _latest_hh_snapshot(spark, str(tmp_path / "out"))
+    cands = {r.user_id: r for r in snap.collect()}
+    true_counts = {7: 30, 8: 15}
+    assert set(true_counts) <= set(cands)  # superset of true heavy keys
+    per_shard = {r[0]: r[1] for r in snap.groupBy("shard").count().collect()}
+    assert all(c <= k for c in per_shard.values())
+    for uid, n in true_counts.items():
+        assert cands[uid].mg_count <= n  # lower bound
+    # exact backstop: recount candidates against the at-rest rows
+    import pandas as pd
+
+    at_rest = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    total = len(at_rest)
+    exact = at_rest["user_id"].value_counts()
+    verified = {u for u in cands if exact[u] * (k + 1) > total}
+    truth = {u for u, c in exact.items() if c * (k + 1) > total}
+    assert verified == truth == {7, 8}
+
+
+def test_heavy_hitters_stream_state_survives_restart(spark, tmp_path):
+    """MG counters accumulate across a checkpoint restart: a key that
+    is only heavy COMBINED across the two runs must appear in the
+    post-restart snapshot with an accumulated mg_count."""
+    from tickdatapipeline_spark.streaming.eventtime import run_heavy_hitters_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    args = (spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    _write_session_events(
+        in_dir, "b0.json",
+        [(i, 5, "2024-01-01 00:00:00") for i in range(10)],
+    )
+    q = run_heavy_hitters_stream(*args, k=4, n_shards=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_session_events(
+        in_dir, "b1.json",
+        [(100 + i, 5, "2024-01-01 01:00:00") for i in range(10)],
+    )
+    q = run_heavy_hitters_stream(*args, k=4, n_shards=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = _latest_hh_snapshot(spark, str(tmp_path / "out"))
+    got = {r.user_id: r.mg_count for r in snap.collect()}
+    assert got.get(5) == 20  # alone in its shard: MG count stays exact

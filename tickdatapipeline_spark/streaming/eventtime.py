@@ -1774,3 +1774,130 @@ def _write_batch_idempotent_fb(out_dir: str):
         _write_batch_idempotent(batch_df, out_dir, batch_id)
 
     return _process
+
+
+# ===== streaming heavy hitters: sharded Misra-Gries sketch state =====
+
+HH_OUT = "shard int, user_id long, mg_count long, shard_seen long"
+HH_STATE = "keys array<long>, counts array<long>, n_seen long"
+
+
+def make_mg_kernel(k: int):
+    """applyInPandasWithState kernel for run_heavy_hitters_stream: one
+    GroupState per SHARD holding that shard's Misra-Gries summary
+    (<= k counters) — the streaming twin of
+    operators/sketches.misra_gries_candidates with the same vectorized
+    merge (per-batch exact value_counts folded in; when more than k
+    keys survive, subtract the (k+1)-th largest count and drop the
+    non-positive).
+
+    Sharding by key (shard = f(user_id)) means a key's entire count
+    lives in ONE shard, so each shard's MG guarantee applies to the
+    key's GLOBAL count: any key with count > n_shard/(k+1) — and a
+    fortiori any key with count > n_total/(k+1) — is present in its
+    shard's summary. The union of shard summaries is therefore a
+    provable candidate superset of the true heavy hitters at every
+    point in the stream.
+
+    Each invocation emits the shard's CURRENT candidate snapshot
+    (mg_count is the summary's lower-bound count: true count minus at
+    most n_shard/(k+1)); downstream reads the LATEST batch per shard
+    (latest-wins snapshot semantics, like the refreshable-dim sink).
+    State is permanently bounded at k (key,count) pairs per shard —
+    this is a CUMULATIVE all-time sketch, so it uses NoTimeout and
+    never expires (the windowed analogue is run_hourly_topk_stream)."""
+
+    def kernel(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        if state.exists:
+            keys, counts, n_seen = state.get
+            acc = pd.Series(
+                np.asarray(counts, dtype="int64"),
+                index=np.asarray(keys, dtype="int64"),
+            )
+            n_seen = int(n_seen)
+        else:
+            acc = pd.Series(dtype="int64")
+            n_seen = 0
+        for pdf in pdfs:
+            s = pdf["user_id"].value_counts()
+            n_seen += int(s.sum())
+            acc = acc.add(s, fill_value=0)
+            if len(acc) > k:
+                kth = acc.nlargest(k + 1).iloc[-1]
+                acc = acc[acc - kth > 0] - kth
+        acc = acc.astype("int64")
+        state.update((
+            [int(x) for x in acc.index],
+            [int(x) for x in acc.to_numpy()],
+            n_seen,
+        ))
+        shard = int(key[0])
+        yield pd.DataFrame({
+            "shard": pd.Series([shard] * len(acc), dtype="int32"),
+            "user_id": pd.Series(acc.index.to_numpy(), dtype="int64"),
+            "mg_count": pd.Series(acc.to_numpy(), dtype="int64"),
+            "shard_seen": pd.Series([n_seen] * len(acc), dtype="int64"),
+        })
+
+    return kernel
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    n_shards: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming heavy-hitter CANDIDATE maintenance: a sharded
+    Misra-Gries sketch over the event stream — the streaming twin of
+    the batch two-pass operator (plans/beyond.heavy_hitters_fn). The
+    stream maintains the bounded sketch; the EXACT answer remains a
+    batch recount of the candidate union against the at-rest table
+    (same verify-backstop contract as the dedup streams: the stream
+    does the bounded-state narrowing, batch does the exactness).
+
+    Scale contract: state is k counters x n_shards TOTAL regardless of
+    stream length or key cardinality — the only streaming top-k state
+    bound that needs no watermark at all. n_shards spreads kernel work
+    across executors (shard = xxhash64(user_id) % n_shards keeps each
+    key's count whole within one shard, preserving the MG guarantee
+    per key).
+
+    Input JSONL: (event_id, user_id, ts); null-user rows are
+    quarantined at ingest (a null key cannot be a nameable heavy
+    hitter — batch twin excludes them identically). Snapshot output
+    per micro-batch into batch_id-partitioned parquet (replay-
+    idempotent); readers take the LATEST batch per shard."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    sketches = (
+        raw.where(F.col("user_id").isNotNull())
+        .select(
+            F.pmod(F.xxhash64("user_id"), F.lit(n_shards)).cast("int").alias("shard"),
+            "user_id",
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            make_mg_kernel(k),
+            outputStructType=HH_OUT,
+            stateStructType=HH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        sketches.writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
