@@ -853,3 +853,61 @@ def test_type_affinity_pair_join_is_user_keyed(spark):
     assert "hashpartitioning(user_id" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """ROLLUP must compute all three levels in ONE scan via an Expand
+    node with map-side partial aggregation — not three separate scans
+    or a join of level aggregates."""
+    from tickdatapipeline_spark.plans.beyond import type_hod_rollup_fn
+
+    plan = physical(type_hod_rollup_fn(spark, SF))
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_heavy_hitters_recount_joins_broadcast_candidates(spark):
+    """Pass 2's exact recount must reach the events scan through a
+    BROADCAST of the tiny candidate set (never a shuffle of the full
+    key table), with the MG pass visible as the Python kernel."""
+    from tickdatapipeline_spark.plans.beyond import heavy_hitters_fn
+
+    plan = physical(heavy_hitters_fn(spark, SF))
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_surprisal_joins_are_equi_and_combinable(spark):
+    """Count tables must be combinable groupBys reached by equi-joins
+    (hash partitioning on gram/w1), never a cartesian; the per-doc
+    aggregate shuffles on doc_id."""
+    from tickdatapipeline_spark.operators.globalorder import set_pins
+    from tickdatapipeline_spark.plans.beyond import lm_surprisal_fn
+
+    try:
+        set_pins(False)
+        plan = physical(lm_surprisal_fn(spark, SF))
+    finally:
+        set_pins(True)
+    assert "hashpartitioning(gram" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vwap_bars_single_combinable_agg(spark):
+    """VWAP is one map-side projection + one combinable groupBy on
+    bar_id — no join in the aggregation itself."""
+    from tickdatapipeline_spark.operators.bars import vwap_bars
+    from tests.conftest import make_ticks_raw
+
+    raw = make_ticks_raw(spark, [
+        (i + 1, "20250319 000000 0000000", 100 + i, 1 + (i % 3)) for i in range(8)
+    ])
+    plan = physical(vwap_bars(raw, 4))
+    assert "hashpartitioning(bar_id" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan

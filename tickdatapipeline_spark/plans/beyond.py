@@ -4548,6 +4548,7 @@ def queries() -> dict[str, tuple]:
         "media_phash_clusters": (media_phash_clusters_fn, MEDIA_PHASH_CLUSTERS_SQL),
         "events_seasonal_anomalies": (seasonal_anomalies_fn, SEASONAL_ANOM_SQL),
         "events_heavy_hitters": (heavy_hitters_fn, HEAVY_HITTERS_SQL),
+        "events_type_hod_rollup": (type_hod_rollup_fn, TYPE_HOD_ROLLUP_SQL),
         "dedup_graph_pagerank": (pagerank_fn, _pagerank_sql()),
         "docs_lm_surprisal": (lm_surprisal_fn, LM_SURPRISAL_SQL),
     }
@@ -7497,4 +7498,69 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM j
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+def type_hod_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP ROLLUP over (event_type, hour-of-day): per-cell,
+    per-type, and grand-total aggregates in ONE pass — the cube-style
+    dashboard query every OLAP engine serves, exercised here because
+    Spark's partial aggregation computes all rollup levels map-side in
+    a single Expand+shuffle (explain shows one Expand node, not three
+    scans) and the gate proves the GROUPING() semantics line up with
+    ANSI (DuckDB) exactly.
+
+    Exactness: counts and cent-sums are BIGINT; grouping flags travel
+    as explicit g_type/g_hod BIGINT columns (each engine's packed
+    grouping_id bit order is its own business — per-column GROUPING()
+    is the portable form). Aggregated-level label columns are
+    sentinel-coalesced ('<all>'/-1; the fixture's event_type is
+    non-null, asserted upstream by read_events' contract).
+
+    Scale: ROLLUP multiplies shuffle rows by levels (3x here) but all
+    levels partial-aggregate map-side; cardinality after the shuffle
+    is O(types x 24 + types + 1)."""
+    ev = read_events(spark, sf_dir)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_type",
+        F.expr("(ts DIV 1000000000 DIV 3600) % 24").alias("hod"),
+        vc.alias("vc"),
+    )
+    return (
+        base.rollup("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("sum_vc"),
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("hod").cast("long").alias("g_hod"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("hod", F.lit(-1)).alias("hod"),
+            "g_type",
+            "g_hod",
+            "n_events",
+            "sum_vc",
+        )
+        .orderBy("g_type", "g_hod", "event_type", "hod")
+    )
+
+
+TYPE_HOD_ROLLUP_SQL = """
+WITH base AS (
+    SELECT event_type,
+           (epoch_us(ts) // 1000000 // 3600) % 24 AS hod,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+    FROM events
+)
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(hod, -1) AS hod,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(hod) AS BIGINT) AS g_hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS sum_vc
+FROM base
+GROUP BY ROLLUP (event_type, hod)
+ORDER BY g_type, g_hod, event_type, hod
 """
