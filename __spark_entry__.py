@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from tickdatapipeline_spark.plans import analytics, beyond, relational  # noqa: E402
+from tickdatapipeline_spark.plans import analytics, beyond, market, relational  # noqa: E402
 
 
 def _last_green_round() -> dict[str, int]:
@@ -167,7 +167,7 @@ def _fingerprint_freshness_issues(
 
 def _registry() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
-    for mod in (analytics, beyond, relational):
+    for mod in (analytics, beyond, market, relational):
         for name, pair in mod.queries().items():
             assert name not in reg, f"duplicate query name: {name}"
             reg[name] = pair

@@ -256,9 +256,9 @@ def test_no_shadowed_names_in_plan_modules():
     import ast
     import inspect
 
-    from tickdatapipeline_spark.plans import analytics, beyond, relational
+    from tickdatapipeline_spark.plans import analytics, beyond, market, relational
 
-    for mod in (analytics, beyond, relational):
+    for mod in (analytics, beyond, market, relational):
         tree = ast.parse(inspect.getsource(mod))
         names: list[str] = []
         for node in tree.body:

@@ -911,3 +911,25 @@ def test_vwap_bars_single_combinable_agg(spark):
     assert "hashpartitioning(bar_id" in plan
     assert "partial_sum" in plan
     assert "Join" not in plan
+
+
+def test_market_indicators_partition_by_stream(spark):
+    """All four market-microstructure queries window per stream (the
+    per-symbol partitioning a 100 TB tick corpus has) — no
+    SinglePartition exchange and no unpartitioned window anywhere;
+    the bar-table indicators reduce 144x via a combinable groupBy
+    BEFORE any trailing window runs."""
+    import re
+
+    from tickdatapipeline_spark.plans import market
+
+    for name, (fn, _sql) in market.queries().items():
+        plan = physical(fn(spark, SF))
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(stream" in plan, name
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "ASC" not in m.group(1).split(",")[0], (
+                f"{name}: unpartitioned window: {m.group(0)[:120]}")
+
+    plan = physical(market.bollinger_fn(spark, SF))
+    assert "partial_max_by" in plan or "partial_sum" in plan or "partial_count" in plan

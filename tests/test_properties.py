@@ -809,3 +809,54 @@ def test_seasonal_anomalies_match_naive(spark, hours, tmp_path_factory):
             if rel >= SEASONAL_ANOM_THRESH_PM:
                 want[h * 3600] = (rel, 1 if x * n - s >= 0 else -1)
     assert got == want
+
+
+def test_tick_rule_carry_forward_golden(spark):
+    """Tick-rule direction: uptick -> +1 until a downtick flips it;
+    zero-ticks inherit; the leading run before any price change is
+    NULL (unclassified) — Lee & Ready's tick test, pinned on a
+    constructed two-stream frame (streams must not bleed into each
+    other's carry-forward)."""
+    from tickdatapipeline_spark.plans.market import tick_rule_dirs
+
+    rows = [
+        # stream 0: flat, flat, up, flat, down, down
+        (0, 1, 10), (0, 2, 10), (0, 3, 11), (0, 4, 11), (0, 5, 9), (0, 6, 8),
+        # stream 1: starts with a downtick immediately
+        (1, 1, 50), (1, 2, 49), (1, 3, 49),
+    ]
+    df = spark.createDataFrame(rows, "stream long, line_no long, last long")
+    got = {(r.stream, r.line_no): r.dir for r in tick_rule_dirs(df).collect()}
+    assert got == {
+        (0, 1): None, (0, 2): None, (0, 3): 1, (0, 4): 1, (0, 5): -1, (0, 6): -1,
+        (1, 1): None, (1, 2): -1, (1, 3): -1,
+    }
+
+
+@given(closes=st.lists(st.integers(min_value=1, max_value=99999),
+                       min_size=20, max_size=26))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bollinger_integer_inequality_matches_exact_rationals(closes):
+    """The plan's integer k-sigma test (W*close - sum)^2 > k^2 *
+    (W*sumsq - sum^2) must agree with the textbook |close - mean| >
+    k*sigma evaluated in EXACT rational arithmetic (Fraction) — the
+    no-float claim, not just a float approximation of it."""
+    from fractions import Fraction
+
+    from tickdatapipeline_spark.plans.market import BOLLINGER_K, BOLLINGER_W
+
+    W, k2 = BOLLINGER_W, BOLLINGER_K * BOLLINGER_K
+    for i in range(W - 1, len(closes)):
+        win = closes[i - W + 1:i + 1]
+        c, s, sq = closes[i], sum(win), sum(v * v for v in win)
+        d = W * c - s
+        upper_int = d > 0 and d * d > k2 * (W * sq - s * s)
+        lower_int = d < 0 and d * d > k2 * (W * sq - s * s)
+        mean = Fraction(s, W)
+        var = Fraction(sq, W) - mean * mean
+        dev = Fraction(c) - mean
+        # |dev| > k*sigma  <=>  dev^2 > k^2 * var (all non-negative)
+        upper_frac = dev > 0 and dev * dev > BOLLINGER_K**2 * var
+        lower_frac = dev < 0 and dev * dev > BOLLINGER_K**2 * var
+        assert upper_int == upper_frac and lower_int == lower_frac

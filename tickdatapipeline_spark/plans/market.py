@@ -1,0 +1,391 @@
+"""Market-microstructure indicator surface (beyond the reference).
+
+The reference stops at OHLC / boxcar / FIR bars
+(`/root/reference/src/BarProcessor.jl:134-202`); the standard desk
+indicators computed FROM those bars and ticks — tick-rule order-flow
+classification (Lee & Ready 1991), running-peak drawdown, Bollinger
+breakout flags (Bollinger 1992), and Cutler's RSI — are absent there
+and live here as first-class gated queries.
+
+Every query runs on the MULTISTREAM fixture
+(`sources/tickfile.ticks_from_events_streams`): 4 independent tick
+streams, every window `partitionBy("stream")` — the per-symbol/per-file
+partitioning a 100 TB tick corpus actually has, so no plan below ever
+contains a SinglePartition window exchange (pinned in
+tests/test_plan_shape.py). Trailing-window indicators (Bollinger, RSI)
+additionally run over the BAR table — already 144x smaller than ticks —
+with bounded ROWS frames.
+
+Cross-engine exactness: prices/volumes are BIGINT; every running/
+trailing statistic is an integer sum/min/max/count; Bollinger's
+k-sigma test is the INTEGER inequality (W*close - sum)^2 > k^2 *
+(W*sumsq - sum^2) — W^2-scaled variance, no sqrt, no float anywhere;
+the only float columns are the final order-flow imbalance share and
+the RSI, each one rnd-crossed division of exact BIGINTs. Tick-rule
+signs use explicit CASE arms (Spark signum returns DOUBLE; DuckDB
+greatest/sign null-handling differs — neither crosses the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd
+from tickdatapipeline_spark.sources.tickfile import (
+    ticks_from_events_streams,
+    ticks_streams_sql,
+)
+
+MARKET_BAR_SIZE = 144  # ticks per bar, the reference's bar period
+BOLLINGER_W = 20  # trailing bars in the band window (incl. current)
+BOLLINGER_K = 2  # band half-width in sigmas
+RSI_W = 14  # trailing bar-to-bar moves in Cutler's RSI
+
+# Window specs are built lazily (inside the functions): constructing a
+# WindowSpec needs an active SparkContext, and this module imports at
+# __spark_entry__ load time, before any session exists.
+
+
+def _w_stream() -> Window:
+    return Window.partitionBy("stream").orderBy("line_no")
+
+
+def _w_run() -> Window:
+    return _w_stream().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def _w_bars() -> Window:
+    return Window.partitionBy("stream").orderBy("bar_id")
+
+
+# ================= tick-rule order flow =================
+
+
+def tick_rule_dirs(t: DataFrame) -> DataFrame:
+    """Adds the tick-rule direction column: +1 after an uptick, -1
+    after a downtick, zero-ticks inherit the LAST non-zero move's sign
+    (carry-forward via last(ignorenulls) over a stream-partitioned
+    running frame), NULL for the leading run before any price change.
+    Input needs (stream, line_no, last); golden-tested on a
+    constructed frame in tests/test_beyond.py."""
+    delta = F.col("last") - F.lag("last").over(_w_stream())
+    s = (
+        F.when(delta > 0, F.lit(1))
+        .when(delta < 0, F.lit(-1))
+        .when(delta.isNotNull(), F.lit(0))
+    )
+    dir_ = F.last(F.nullif(s, F.lit(0)), ignorenulls=True).over(_w_run())
+    return t.withColumn("dir", dir_)
+
+
+def order_flow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule trade classification + signed order flow per stream:
+    each tick is a BUY if the last price change was up, a SELL if down
+    (Lee & Ready 1991's tick test — zero-tick prints inherit the sign
+    of the LAST non-zero move, the standard carry-forward); ticks
+    before the first price change stay unclassified. Output per
+    stream: classified buy/sell volume, the unclassified leading run,
+    net signed flow, and the rnd-crossed imbalance share.
+
+    Scale: the carry-forward is `last(nullif(sign), ignorenulls)` over
+    a stream-partitioned running frame — per-symbol windows, never a
+    global order; the final aggregate is one combinable groupBy.
+    Exactness: signs are CASE arms (-1/0/1 BIGINT), volumes exact
+    BIGINT sums; imbalance = net/(buy+sell) is the one double, rnd-
+    crossed, NULL for an all-unclassified stream (nullif guard)."""
+    flow = tick_rule_dirs(ticks_from_events_streams(spark, sf_dir)).select(
+        "stream", "volume", "dir")
+    buy = F.coalesce(F.sum(F.when(F.col("dir") == 1, F.col("volume"))), F.lit(0))
+    sell = F.coalesce(F.sum(F.when(F.col("dir") == -1, F.col("volume"))), F.lit(0))
+    uncl = F.coalesce(F.sum(F.when(F.col("dir").isNull(), F.col("volume"))), F.lit(0))
+    return (
+        flow.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            buy.cast("long").alias("buy_volume"),
+            sell.cast("long").alias("sell_volume"),
+            uncl.cast("long").alias("unclassified_volume"),
+        )
+        .select(
+            "stream",
+            "n_ticks",
+            "buy_volume",
+            "sell_volume",
+            "unclassified_volume",
+            (F.col("buy_volume") - F.col("sell_volume")).alias("net_flow"),
+            rnd(
+                (F.col("buy_volume") - F.col("sell_volume")).cast("double")
+                / F.nullif(F.col("buy_volume") + F.col("sell_volume"), F.lit(0)).cast("double")
+            ).alias("imbalance"),
+        )
+        .orderBy("stream")
+    )
+
+
+ORDER_FLOW_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+signed AS (
+    SELECT stream, volume,
+           last_value(nullif(CASE WHEN delta > 0 THEN 1
+                                  WHEN delta < 0 THEN -1
+                                  WHEN delta IS NOT NULL THEN 0 END, 0) IGNORE NULLS)
+               OVER (PARTITION BY stream ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+    FROM (
+        SELECT stream, line_no, volume,
+               last - lag(last) OVER (PARTITION BY stream ORDER BY line_no) AS delta
+        FROM ticks_streams
+    )
+),
+agg AS (
+    SELECT stream,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(coalesce(sum(volume) FILTER (WHERE dir = 1), 0) AS BIGINT) AS buy_volume,
+           CAST(coalesce(sum(volume) FILTER (WHERE dir = -1), 0) AS BIGINT) AS sell_volume,
+           CAST(coalesce(sum(volume) FILTER (WHERE dir IS NULL), 0) AS BIGINT) AS unclassified_volume
+    FROM signed GROUP BY stream
+)
+SELECT stream, n_ticks, buy_volume, sell_volume, unclassified_volume,
+       buy_volume - sell_volume AS net_flow,
+       {sql_rnd('CAST(buy_volume - sell_volume AS DOUBLE) / CAST(nullif(buy_volume + sell_volume, 0) AS DOUBLE)')} AS imbalance
+FROM agg ORDER BY stream
+"""
+
+
+# ================= running-peak drawdown =================
+
+
+def drawdown_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown (and symmetric maximum runup) per stream: the
+    classic risk statistic max over t of (running peak up to t - price
+    at t). Two stream-partitioned running-extreme windows + one
+    combinable groupBy — every value an exact BIGINT (the indicator
+    family's only query with no float column at all).
+
+    Scale: running min/max over a per-symbol partition is the
+    canonical cumulative window (same shape as the tick chain's
+    per-stream prefix aggregates); the aggregate is map-side
+    combinable. No SinglePartition anywhere."""
+    t = ticks_from_events_streams(spark, sf_dir)
+    runmax = F.max("last").over(_w_run())
+    runmin = F.min("last").over(_w_run())
+    dd = t.select(
+        "stream",
+        "last",
+        (runmax - F.col("last")).alias("dd"),
+        (F.col("last") - runmin).alias("ru"),
+    )
+    return (
+        dd.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max("last").alias("peak"),
+            F.min("last").alias("trough"),
+            F.max("dd").alias("max_drawdown"),
+            F.max("ru").alias("max_runup"),
+        )
+        .orderBy("stream")
+    )
+
+
+DRAWDOWN_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+run AS (
+    SELECT stream, last,
+           max(last) OVER w - last AS dd,
+           last - min(last) OVER w AS ru
+    FROM ticks_streams
+    WINDOW w AS (PARTITION BY stream ORDER BY line_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT stream,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(max(last) AS BIGINT) AS peak,
+       CAST(min(last) AS BIGINT) AS trough,
+       CAST(max(dd) AS BIGINT) AS max_drawdown,
+       CAST(max(ru) AS BIGINT) AS max_runup
+FROM run GROUP BY stream ORDER BY stream
+"""
+
+
+# ================= shared bar-close table =================
+
+
+def _bar_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count bar closes per stream: close = the bar's LAST print
+    (max_by over the unique per-stream line_no — tie-free). One
+    combinable groupBy; 144x row reduction before any trailing
+    window runs."""
+    t = ticks_from_events_streams(spark, sf_dir)
+    return (
+        t.withColumn("bar_id", F.expr(f"(line_no - 1) DIV {MARKET_BAR_SIZE}"))
+        .groupBy("stream", "bar_id")
+        .agg(F.max_by("last", "line_no").alias("close"))
+    )
+
+
+_BAR_CLOSES_SQL = f"""
+    SELECT stream, (line_no - 1) // {MARKET_BAR_SIZE} AS bar_id,
+           CAST(max_by(last, line_no) AS BIGINT) AS close
+    FROM ticks_streams GROUP BY stream, (line_no - 1) // {MARKET_BAR_SIZE}
+"""
+
+
+
+# ================= Bollinger breakout flags =================
+
+
+def bollinger_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout flags per bar: a close more than
+    BOLLINGER_K sigmas from the trailing BOLLINGER_W-bar mean (window
+    INCLUDING the current bar, the textbook form). The k-sigma test is
+    computed entirely in integers: with d = W*close - sum and
+    W^2-scaled variance V = W*sumsq - sum^2, |close - mean| > k*sigma
+    iff d^2 > k^2 * V — no sqrt, no division, every column exact
+    BIGINT (close <= 99999, W = 20 keeps d^2 < 2^43, far inside
+    int64). Bars without a full trailing window emit NULL flags
+    rather than a partial-window answer.
+
+    Scale: the trailing window is a BOUNDED 20-row frame over the
+    144x-reduced bar table, partitioned by stream — both the row
+    reduction and the partitioning survive a 100x scale-up."""
+    w = _w_bars().rowsBetween(-(BOLLINGER_W - 1), Window.currentRow)
+    b = _bar_closes(spark, sf_dir).select(
+        "stream",
+        "bar_id",
+        "close",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum("close").over(w).alias("win_sum"),
+        F.sum(F.col("close") * F.col("close")).over(w).alias("win_sumsq"),
+    )
+    d = F.lit(BOLLINGER_W) * F.col("close") - F.col("win_sum")
+    v = F.lit(BOLLINGER_W) * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    k2 = BOLLINGER_K * BOLLINGER_K
+    full = F.col("win_n") == BOLLINGER_W
+    return b.select(
+        "stream",
+        "bar_id",
+        "close",
+        "win_sum",
+        F.when(full, ((d > 0) & (d * d > k2 * v)).cast("long")).alias("upper_break"),
+        F.when(full, ((d < 0) & (d * d > k2 * v)).cast("long")).alias("lower_break"),
+    ).orderBy("stream", "bar_id")
+
+
+BOLLINGER_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+bars AS ({_BAR_CLOSES_SQL}),
+win AS (
+    SELECT stream, bar_id, close,
+           count(*) OVER w AS win_n,
+           CAST(sum(close) OVER w AS BIGINT) AS win_sum,
+           CAST(sum(close * close) OVER w AS BIGINT) AS win_sumsq
+    FROM bars
+    WINDOW w AS (PARTITION BY stream ORDER BY bar_id
+                 ROWS BETWEEN {BOLLINGER_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT stream, bar_id, close, win_sum,
+       CASE WHEN win_n = {BOLLINGER_W} THEN CAST(
+           ({BOLLINGER_W} * close - win_sum > 0 AND
+            ({BOLLINGER_W} * close - win_sum) * ({BOLLINGER_W} * close - win_sum)
+              > {BOLLINGER_K * BOLLINGER_K} * ({BOLLINGER_W} * win_sumsq - win_sum * win_sum))
+           AS BIGINT) END AS upper_break,
+       CASE WHEN win_n = {BOLLINGER_W} THEN CAST(
+           ({BOLLINGER_W} * close - win_sum < 0 AND
+            ({BOLLINGER_W} * close - win_sum) * ({BOLLINGER_W} * close - win_sum)
+              > {BOLLINGER_K * BOLLINGER_K} * ({BOLLINGER_W} * win_sumsq - win_sum * win_sum))
+           AS BIGINT) END AS lower_break
+FROM win ORDER BY stream, bar_id
+"""
+
+
+# ================= Cutler's RSI =================
+
+
+def rsi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI per bar: 100 * SMA(gains) / (SMA(gains) +
+    SMA(losses)) over the trailing RSI_W bar-to-bar moves — the
+    simple-moving-average variant (Cutler's), chosen over Wilder's
+    EMA form deliberately: Wilder's recurrence is order-dependent
+    state (the EMA family's rows-only territory, operators/stateful),
+    while Cutler's is two bounded-window integer sums — fully
+    oracle-gateable. Gains/losses split via explicit CASE arms (a
+    greatest(delta, 0) would turn the first bar's NULL move into 0 in
+    Spark but not DuckDB). Only bars with RSI_W non-null trailing
+    moves emit; the division is the one double, rnd-crossed, NULL on
+    a 14-bar flat stretch (nullif guard).
+
+    Scale: same posture as Bollinger — bounded 14-row frames over the
+    144x-reduced, stream-partitioned bar table."""
+    dlt = F.col("close") - F.lag("close").over(_w_bars())
+    w = _w_bars().rowsBetween(-(RSI_W - 1), Window.currentRow)
+    b = (
+        _bar_closes(spark, sf_dir)
+        .select(
+            "stream",
+            "bar_id",
+            dlt.alias("dlt"),
+        )
+        .select(
+            "stream",
+            "bar_id",
+            F.when(F.col("dlt") > 0, F.col("dlt")).when(F.col("dlt").isNotNull(), F.lit(0)).alias("gain"),
+            F.when(F.col("dlt") < 0, -F.col("dlt")).when(F.col("dlt").isNotNull(), F.lit(0)).alias("loss"),
+        )
+        .select(
+            "stream",
+            "bar_id",
+            F.count("gain").over(w).alias("n_moves"),
+            F.sum("gain").over(w).cast("long").alias("gain_sum"),
+            F.sum("loss").over(w).cast("long").alias("loss_sum"),
+        )
+        .where(F.col("n_moves") == RSI_W)
+    )
+    return b.select(
+        "stream",
+        "bar_id",
+        "gain_sum",
+        "loss_sum",
+        rnd(
+            F.lit(100.0) * F.col("gain_sum").cast("double")
+            / F.nullif(F.col("gain_sum") + F.col("loss_sum"), F.lit(0)).cast("double")
+        ).alias("rsi"),
+    ).orderBy("stream", "bar_id")
+
+
+RSI_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+bars AS ({_BAR_CLOSES_SQL}),
+moves AS (
+    SELECT stream, bar_id,
+           CASE WHEN dlt > 0 THEN dlt WHEN dlt IS NOT NULL THEN 0 END AS gain,
+           CASE WHEN dlt < 0 THEN -dlt WHEN dlt IS NOT NULL THEN 0 END AS loss
+    FROM (
+        SELECT stream, bar_id,
+               close - lag(close) OVER (PARTITION BY stream ORDER BY bar_id) AS dlt
+        FROM bars
+    )
+),
+win AS (
+    SELECT stream, bar_id,
+           count(gain) OVER w AS n_moves,
+           CAST(sum(gain) OVER w AS BIGINT) AS gain_sum,
+           CAST(sum(loss) OVER w AS BIGINT) AS loss_sum
+    FROM moves
+    WINDOW w AS (PARTITION BY stream ORDER BY bar_id
+                 ROWS BETWEEN {RSI_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT stream, bar_id, gain_sum, loss_sum,
+       {sql_rnd('100.0 * CAST(gain_sum AS DOUBLE) / CAST(nullif(gain_sum + loss_sum, 0) AS DOUBLE)')} AS rsi
+FROM win WHERE n_moves = {RSI_W} ORDER BY stream, bar_id
+"""
+
+
+def queries() -> dict[str, tuple]:
+    return {
+        "ticks_order_flow": (order_flow_fn, ORDER_FLOW_SQL),
+        "ticks_drawdown": (drawdown_fn, DRAWDOWN_SQL),
+        "bars_bollinger": (bollinger_fn, BOLLINGER_SQL),
+        "bars_rsi": (rsi_fn, RSI_SQL),
+    }
