@@ -933,3 +933,17 @@ def test_market_indicators_partition_by_stream(spark):
 
     plan = physical(market.bollinger_fn(spark, SF))
     assert "partial_max_by" in plan or "partial_sum" in plan or "partial_count" in plan
+
+
+def test_count_min_sketch_is_combinable_and_probe_broadcasts(spark):
+    """The CM sketch aggregate partial-combines map-side (state is
+    O(D*W) per partition, the sketch's entire point), the top-k probe
+    side is TakeOrderedAndProject (never a global rank window), and
+    the 192-cell sketch broadcasts into the probe join."""
+    from tickdatapipeline_spark.plans.beyond import count_min_fn
+
+    plan = physical(count_min_fn(spark, SF))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan

@@ -860,3 +860,59 @@ def test_bollinger_integer_inequality_matches_exact_rationals(closes):
         upper_frac = dev > 0 and dev * dev > BOLLINGER_K**2 * var
         lower_frac = dev < 0 and dev * dev > BOLLINGER_K**2 * var
         assert upper_int == upper_frac and lower_int == lower_frac
+
+
+def test_count_min_matches_python_mirror_and_never_underestimates(spark, tmp_path_factory):
+    """Count-Min audit vs a naive Python mirror of the same md5-backed
+    lanes on a constructed skewed corpus: estimates match the mirror's
+    min-over-lanes cell counts exactly, and the CM guarantee
+    est >= exact holds for every probe (overest never negative)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import (
+        CM_DEPTH,
+        CM_PROBE_K,
+        CM_WIDTH,
+        count_min_fn,
+    )
+
+    # skewed: user 7 dominates, a tail of colliding-ish small users
+    users = [7] * 40 + [11] * 15 + [13] * 15 + list(range(100, 130))
+    td = tmp_path_factory.mktemp("cm")
+    n = len(users)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([i * 1_000_000_000 for i in range(n)], pa.timestamp("ns")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["m"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, td / "events.parquet")
+
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16)
+
+    cells: dict[tuple[int, int], int] = {}
+    exact: dict[int, int] = {}
+    for u in users:
+        exact[u] = exact.get(u, 0) + 1
+        for j in range(CM_DEPTH):
+            b = h60_py(f"cm{j}:{u}") % CM_WIDTH
+            cells[(j, b)] = cells.get((j, b), 0) + 1
+    top = sorted(exact, key=lambda u: (-exact[u], str(u)))[:CM_PROBE_K]
+    want = {
+        u: min(cells[(j, h60_py(f"cm{j}:{u}") % CM_WIDTH)] for j in range(CM_DEPTH))
+        for u in top
+    }
+
+    got = {r.user_id: (r.exact_cnt, r.cm_est, r.overest)
+           for r in count_min_fn(spark, str(td)).collect()}
+    assert set(got) == set(want)
+    for u, (ex, est, over) in got.items():
+        assert ex == exact[u]
+        assert est == want[u]
+        assert over == est - ex and over >= 0

@@ -4551,6 +4551,7 @@ def queries() -> dict[str, tuple]:
         "events_type_hod_rollup": (type_hod_rollup_fn, TYPE_HOD_ROLLUP_SQL),
         "dedup_graph_pagerank": (pagerank_fn, _pagerank_sql()),
         "docs_lm_surprisal": (lm_surprisal_fn, LM_SURPRISAL_SQL),
+        "events_count_min": (count_min_fn, _count_min_sql()),
     }
 
 
@@ -7563,4 +7564,104 @@ SELECT COALESCE(event_type, '<all>') AS event_type,
 FROM base
 GROUP BY ROLLUP (event_type, hod)
 ORDER BY g_type, g_hod, event_type, hod
+"""
+
+
+# ================= round 10: Count-Min sketch audit =================
+
+CM_DEPTH = 3  # hash lanes
+CM_WIDTH = 64  # buckets per lane
+CM_PROBE_K = 10  # heaviest keys probed against the sketch
+
+
+def count_min_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency audit (Cormode & Muthukrishnan
+    2005): build the D x W sketch over per-user event counts in ONE
+    combinable pass, then probe the corpus's true heaviest users
+    against it and report estimate vs exact — the audited-sketch
+    pattern of events_distinct_kmv, for FREQUENCY instead of distinct
+    count. Complements the Misra-Gries candidates (events_heavy_hitters
+    names the heavy keys; CM answers point queries about ANY key in
+    O(D) from O(D*W) state) — together the two mergeable-summary
+    halves of a frequency monitor.
+
+    Exactness: bucket_j(u) = h60('cm<j>:' || u) % W — the same
+    md5-backed 60-bit draw both engines share; sketch cells and
+    estimates are BIGINT counts; est = min over lanes. The CM
+    guarantee est >= exact holds by construction (every lane's cell
+    contains the key's full count plus non-negative collision mass) —
+    `overest` is the audited error, never negative (pinned in
+    tests/test_properties.py).
+
+    Scale: the lane explode is map-side (3 rows per event) and the
+    sketch aggregate partial-combines into at most D*W = 192 cells per
+    partition before the shuffle — sketch state is O(D*W) regardless
+    of key cardinality, the entire point; probes broadcast the
+    192-cell sketch. The exact top-k side exists only because this is
+    an AUDIT (TakeOrderedAndProject, never a rank window); deployments
+    answer from the sketch alone."""
+    ev = read_events(spark, sf_dir).select(F.col("user_id").cast("string").alias("uid"))
+    lanes = F.array(*[
+        F.struct(
+            F.lit(j).cast("long").alias("lane"),
+            (h60(F.concat(F.lit(f"cm{j}:"), F.col("uid"))) % CM_WIDTH).alias("bucket"),
+        )
+        for j in range(CM_DEPTH)
+    ])
+    cells = (
+        ev.select(F.explode(lanes).alias("lb"))
+        .groupBy(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    top = (
+        ev.groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("uid"))
+        .limit(CM_PROBE_K)
+    )
+    probes = top.select(
+        "uid", "exact_cnt", F.explode(lanes.alias("lb")).alias("lb")
+    ).select("uid", "exact_cnt", F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["lane", "bucket"])
+        .groupBy("uid", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cm_est"))
+        .select(
+            F.col("uid").cast("long").alias("user_id"),
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overest"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
+
+
+def _count_min_sql() -> str:
+    lane_buckets = " UNION ALL ".join(
+        "SELECT {j} AS lane, {h} % {w} AS bucket, uid FROM ev".format(
+            j=j, w=CM_WIDTH, h=sql_h60("'cm{}:' || uid".format(j)))
+        for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+lb AS ({lane_buckets}),
+cells AS (
+    SELECT lane, bucket, CAST(count(*) AS BIGINT) AS cell_cnt
+    FROM lb GROUP BY lane, bucket
+),
+top AS (
+    SELECT uid, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM ev GROUP BY uid
+    ORDER BY exact_cnt DESC, uid LIMIT {CM_PROBE_K}
+),
+probes AS (
+    SELECT DISTINCT t.uid, t.exact_cnt, l.lane, l.bucket
+    FROM top t JOIN lb l ON t.uid = l.uid
+)
+SELECT CAST(p.uid AS BIGINT) AS user_id, p.exact_cnt,
+       CAST(min(c.cell_cnt) AS BIGINT) AS cm_est,
+       CAST(min(c.cell_cnt) - p.exact_cnt AS BIGINT) AS overest
+FROM probes p JOIN cells c ON p.lane = c.lane AND p.bucket = c.bucket
+GROUP BY p.uid, p.exact_cnt
+ORDER BY p.exact_cnt DESC, user_id
 """
