@@ -94,3 +94,45 @@ def test_skew_playbook_end_to_end(spark):
     plan = physical(salted)
     assert "_salt" in plan              # salt participates in the join keys
     assert "explode" in plan.lower()    # small side fanned into 8 copies
+
+
+def test_runtime_bloom_filter_injects_and_preserves_rows(spark):
+    """runtime_bloom_confs arms InjectRuntimeFilter on THIS engine
+    build: with a selective build side and a shuffle join, the
+    optimized plan gains a might_contain probe-side filter, and the
+    result is row-identical to the un-armed join (bloom false
+    positives only skip the prune — they never change the answer)."""
+    from tickdatapipeline_spark.functions.scale import runtime_bloom_confs
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_orderpriority"
+    )
+    baseline = sorted(tuple(r) for r in j.collect())
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in list(runtime_bloom_confs()) + ["spark.sql.autoBroadcastJoinThreshold"]
+    }
+    try:
+        # tiny thresholds so sf0.001 qualifies; broadcast off to force
+        # the shuffle join the bloom filter exists for
+        for k, v in runtime_bloom_confs(
+            creation_side_threshold="10GB",
+            application_side_scan_threshold="0",
+        ).items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        armed = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = armed._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert sorted(tuple(r) for r in armed.collect()) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -101,3 +101,33 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def runtime_bloom_confs(
+    creation_side_threshold: str = "100MB",
+    application_side_scan_threshold: str = "10GB",
+) -> dict[str, str]:
+    """Session confs arming Spark's RUNTIME bloom-filter join pruning
+    (InjectRuntimeFilter): when a shuffle join's build side is small
+    post-filter, the optimizer inserts bloom_filter_agg over the build
+    keys and a might_contain filter on the probe side — probe rows
+    whose keys cannot match are dropped AT THE SCAN, before the
+    shuffle. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling only the ~selectivity fraction that
+    can join; broadcast joins never need it (their probe side streams
+    past an in-memory hash map), so it complements — not replaces —
+    the broadcast() calls on true dims.
+
+    Injection is verified against THIS engine build in
+    tests/test_scale_utils.py (plan grows might_contain; result rows
+    identical to the unfiltered join — a bloom false positive merely
+    skips the prune, never changes the answer). Defaults mirror the
+    deployment posture in DEPLOYMENT.md; tests shrink the thresholds
+    so sf0.001 inputs qualify."""
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            application_side_scan_threshold,
+    }
