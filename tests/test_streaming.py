@@ -2882,3 +2882,68 @@ def test_heavy_hitters_stream_state_survives_restart(spark, tmp_path):
     snap = _latest_hh_snapshot(spark, str(tmp_path / "out"))
     got = {r.user_id: r.mg_count for r in snap.collect()}
     assert got.get(5) == 20  # alone in its shard: MG count stays exact
+
+
+def test_stream_stream_left_outer_join_emits_unconverted_clicks(spark, tmp_path):
+    """leftOuter interval join: matched rows equal the inner join's;
+    a click with NO purchase emits exactly once with NULL
+    purchase/lag — only after the watermark passes the end of its
+    join window (the engine cannot rule out a future purchase
+    earlier)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import attributed_clicks_stream
+
+    H = 3600 * 1_000_000
+    B = 24 * H  # epoch-0 rows tie the initial watermark; keep clear
+
+    def write(d, fname, rows, i):
+        p = tmp_path / d / fname
+        with open(p, "w") as f:
+            for eid, tus, uid in rows:
+                f.write(json.dumps({"event_id": eid, "tus": B + tus,
+                                    "user_id": uid}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "purchases").mkdir()
+    # batch 0: user 1 clicks at h0 and converts at h2; user 2 clicks
+    # at h1 and never converts
+    write("clicks", "c0.json", [(101, 0 * H, 1), (102, 1 * H, 2)], 0)
+    write("purchases", "p0.json", [(201, 2 * H, 1)], 0)
+    # batches 1-2: advance both watermarks far past h1 + lookback(4h)
+    # + watermark(2h); outer-null emission needs the eviction pass at
+    # the end of the batch AFTER the watermark advanced
+    write("clicks", "c1.json", [(103, 30 * H, 3)], 1)
+    write("purchases", "p1.json", [(202, 30 * H + 1, 3)], 1)
+    write("clicks", "c2.json", [(104, 31 * H, 4)], 2)
+    write("purchases", "p2.json", [], 2)
+
+    df = attributed_clicks_stream(
+        spark, str(tmp_path / "clicks"), str(tmp_path / "purchases"),
+        lookback="4 hours", watermark="2 hours", how="leftOuter",
+    )
+    q = (
+        df.writeStream.format("memory").queryName("attrib_left_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.click_event_id, r.purchase_event_id, r.lag_s)
+        for r in spark.table("attrib_left_stream").collect()
+    }
+    # user 1 converted (2h lag); user 2's click is past its outer
+    # horizon -> NULL row; user 3 converted; user 4's click at h31 is
+    # NOT yet past watermark+lookback -> still buffered, absent
+    assert got == {
+        (1, 101, 201, 7200),
+        (2, 102, None, None),
+        (3, 103, 202, 0),
+    }

@@ -141,11 +141,22 @@ def attributed_clicks_stream(
     lookback: str = "4 hours",
     watermark: str = "2 hours",
     max_files_per_trigger: int = 1,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream watermarked interval join — the streaming twin of
     the batch attribution range join (plans/beyond.py::attribution_fn):
     each click joins every purchase by the same user whose timestamp is
     within ``lookback`` AFTER the click.
+
+    ``how="leftOuter"`` adds the UNCONVERTED clicks: a click that finds
+    no purchase emits exactly once, with NULL purchase_event_id/lag_s,
+    when the watermark has passed the end of its join window (click_ts
+    + lookback) — the engine cannot know "no purchase will come"
+    earlier, so outer results are inherently delayed by lookback +
+    watermark; the matched rows are identical to the inner join's
+    (both pinned in test_streaming). The funnel/abandonment shape every
+    attribution pipeline also needs — an inner join silently loses the
+    non-converting majority.
 
     Spark's stream-stream inner join keeps BOTH sides in state; the
     watermarks plus the explicit event-time range condition are what
@@ -187,12 +198,14 @@ def attributed_clicks_stream(
         )
         .withWatermark("purchase_ts", watermark)
     )
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     joined = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
-        "inner",
+        how,
     )
     return joined.select(
         "user_id",
