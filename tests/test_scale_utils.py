@@ -136,3 +136,74 @@ def test_runtime_bloom_filter_injects_and_preserves_rows(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_value_matches_python_mirror(spark):
+    """Morton interleave golden: bit b of column i lands at b*N + i."""
+    from tickdatapipeline_spark.functions.scale import zorder_value
+
+    def z_py(vals, bits):
+        n = len(vals)
+        out = 0
+        for i, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for b in range(bits):
+                out |= ((v >> b) & 1) << (b * n + i)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 17), (2**21 - 1, 12345)]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", zorder_value(["x", "y"]).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    assert got == {(x, y): z_py([x, y], 21) for x, y in rows}
+    # 3-column interleave stays in range and round-trips the mirror
+    df3 = spark.createDataFrame([(7, 8, 9)], "a long, b long, c long").select(
+        zorder_value(["a", "b", "c"], bits=10).alias("z")
+    )
+    assert df3.collect()[0].z == z_py([7, 8, 9], 10)
+
+
+def test_zorder_layout_prunes_query_boxes(spark, tmp_path):
+    """Z-ordered files cover small (x, y) hyper-rectangles: for a
+    small query box, the fraction of files whose footer min/max box
+    intersects it must be well under the naive layout's (where every
+    file spans the whole space and NOTHING prunes)."""
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.functions.scale import write_zordered
+
+    # deterministic scatter over a 256x256 grid (LCG on id)
+    df = spark.range(4096).select(
+        ((F.col("id") * 1103515245 + 12345) % 256).alias("x"),
+        ((F.col("id") * 69069 + 1) % 256).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zdir, ndir = str(tmp_path / "zorder"), str(tmp_path / "naive")
+    write_zordered(df, ["x", "y"], zdir, n_files=16, bits=8)
+    df.repartition(16).write.parquet(ndir)
+
+    def overlap_fraction(d):
+        import glob
+        files = glob.glob(f"{d}/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            xmin = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            xmax = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            ymin = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            ymax = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            # query box: x in [0, 63], y in [0, 63] (1/16 of the space)
+            if xmin <= 63 and xmax >= 0 and ymin <= 63 and ymax >= 0:
+                hit += 1
+        return hit / len(files), len(files)
+
+    zfrac, zn = overlap_fraction(zdir)
+    nfrac, nn = overlap_fraction(ndir)
+    assert zn == 16 and nn == 16
+    assert nfrac == 1.0  # naive: every file spans the space, zero pruning
+    assert zfrac <= 0.5, f"z-order should prune most files, got {zfrac}"
+    # and the data survives the layout intact
+    a = sorted(tuple(r) for r in spark.read.parquet(zdir).select("x", "y", "payload").collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b

@@ -131,3 +131,53 @@ def runtime_bloom_confs(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
             application_side_scan_threshold,
     }
+
+
+def zorder_value(cols: list, bits: int = 21) -> "F.Column":
+    """Morton (Z-order) interleave of N non-negative integer columns
+    into one BIGINT: bit b of column i lands at position b*N + i, so
+    points close in EVERY dimension get close z-values. ``bits`` is
+    the per-column width (values are masked to it; N*bits must fit
+    63). Pure bitwise shift/and/or expressions — whole-stage codegen,
+    no UDF; golden-tested against a Python mirror.
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed int64")
+    terms = []
+    for i, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def write_zordered(
+    df: DataFrame, cols: list, path: str, n_files: int, bits: int = 21
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-order curve of
+    ``cols``: rows are range-partitioned AND sorted by the interleaved
+    z-value, so each output file covers a small hyper-rectangle of the
+    key space and its parquet min/max footer stats are tight in EVERY
+    listed column — a multi-dimensional predicate then prunes most
+    files/row-groups at planning time, where a single-column sort
+    helps only its own column. The write-side complement to the
+    runtime bloom filter (which prunes at execution): together they
+    are the 100 TB scan-avoidance toolkit. Locality is quantified in
+    tests/test_scale_utils.py (query-box file-overlap fraction vs the
+    unsorted layout)."""
+    z = zorder_value(cols, bits).alias("_zorder")
+    (
+        df.withColumn("_zorder", z)
+        .repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
