@@ -2947,3 +2947,90 @@ def test_stream_stream_left_outer_join_emits_unconverted_clicks(spark, tmp_path)
         (2, 102, None, None),
         (3, 103, 202, 0),
     }
+
+
+def test_order_flow_stream_equals_batch(spark, tmp_path):
+    """The streaming tick-rule order flow equals the batch formulation
+    over the concatenated input: per-tick dirs match tick_rule_dirs
+    bit-for-bit — including a zero-tick in a LATER batch than the move
+    whose sign it inherits (the GroupState carry) — and each stream's
+    final running totals equal the batch aggregate's."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import (
+        ORDER_FLOW_IN_SCHEMA,
+        order_flow_stream,
+    )
+
+    rows0 = [  # (stream, line_no, last, volume)
+        (0, 1, 100, 2), (0, 2, 100, 1), (0, 3, 101, 3),
+        (1, 1, 50, 5),
+    ]
+    rows1 = [
+        (0, 4, 101, 4),   # cross-batch zero-tick: inherits batch-0's uptick
+        (0, 5, 99, 2),    # downtick
+        (1, 2, 50, 1),    # zero-tick with NO prior move: still unclassified
+        (1, 3, 49, 2),    # first move of stream 1
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for st, ln, last, vol in rows:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    raw = (
+        spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        order_flow_stream(raw)
+        .writeStream.format("memory").queryName("of_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("of_stream").collect()
+    got_dirs = {(r.stream, r.line_no): r.dir for r in out}
+
+    from tickdatapipeline_spark.plans.market import tick_rule_dirs
+
+    all_rows = spark.createDataFrame(rows0 + rows1, ORDER_FLOW_IN_SCHEMA)
+    want_dirs = {(r.stream, r.line_no): r.dir
+                 for r in tick_rule_dirs(all_rows).collect()}
+    assert got_dirs == want_dirs
+    # cross-batch carry actually exercised: line 4 of stream 0 is a
+    # zero-tick classified by batch-0's uptick
+    assert got_dirs[(0, 4)] == 1
+    assert got_dirs[(1, 2)] is None
+
+    # final running totals == batch aggregate per stream
+    import pyspark.sql.functions as F
+    last_rows = {}
+    for r in out:
+        k = r.stream
+        if k not in last_rows or r.line_no > last_rows[k].line_no:
+            last_rows[k] = r
+    batch_tot = (
+        tick_rule_dirs(all_rows)
+        .groupBy("stream")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("dir") == 1, F.col("volume"))), F.lit(0)).alias("b"),
+            F.coalesce(F.sum(F.when(F.col("dir") == -1, F.col("volume"))), F.lit(0)).alias("s"),
+            F.coalesce(F.sum(F.when(F.col("dir").isNull(), F.col("volume"))), F.lit(0)).alias("u"),
+        )
+        .collect()
+    )
+    for r in batch_tot:
+        lr = last_rows[r.stream]
+        assert (lr.buy_volume, lr.sell_volume, lr.unclassified_volume) == (r.b, r.s, r.u)

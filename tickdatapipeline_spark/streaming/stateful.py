@@ -152,3 +152,97 @@ def type_transitions_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ORDER_FLOW_IN_SCHEMA = "stream long, line_no long, last long, volume long"
+ORDER_FLOW_OUT_SCHEMA = (
+    "stream long, line_no long, dir long, buy_volume long, sell_volume long, "
+    "unclassified_volume long"
+)
+# last_price carries the previous print, last_dir the last NON-ZERO
+# move's sign (0 = none seen yet); the three volumes are the running
+# classified totals
+ORDER_FLOW_STATE_SCHEMA = (
+    "last_price long, last_dir long, buy long, sell long, uncl long"
+)
+
+
+def make_order_flow_kernel():
+    """applyInPandasWithState kernel for order_flow_stream: one
+    GroupState per tick stream carries (previous price, last non-zero
+    move sign, running buy/sell/unclassified volume) across
+    micro-batches, so a zero-tick arriving in a LATER batch than the
+    move whose sign it inherits is still classified — the carry a
+    per-batch window would lose. Emits one row per tick with its
+    tick-rule direction (NULL until the stream's first price change)
+    and the running totals AFTER the tick."""
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        lp, ld, buy, sell, uncl = (
+            tuple(state.get) if state.exists else (None, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("line_no")
+            lines, dirs, buys, sells, uncls = [], [], [], [], []
+            for ln, last, vol in zip(
+                pdf["line_no"].to_numpy(), pdf["last"].to_numpy(),
+                pdf["volume"].to_numpy(),
+            ):
+                last, vol = int(last), int(vol)
+                if lp is not None:
+                    dlt = last - lp
+                    if dlt > 0:
+                        ld = 1
+                    elif dlt < 0:
+                        ld = -1
+                lp = last
+                d = ld if ld != 0 else None
+                if d == 1:
+                    buy += vol
+                elif d == -1:
+                    sell += vol
+                else:
+                    uncl += vol
+                lines.append(int(ln))
+                dirs.append(d)
+                buys.append(buy)
+                sells.append(sell)
+                uncls.append(uncl)
+            if lines:
+                yield pd.DataFrame({
+                    "stream": [key[0]] * len(lines), "line_no": lines,
+                    "dir": pd.array(dirs, dtype="Int64"),
+                    "buy_volume": buys, "sell_volume": sells,
+                    "unclassified_volume": uncls,
+                })
+        state.update((lp, ld, buy, sell, uncl))
+
+    return kernel
+
+
+def order_flow_stream(ticks: DataFrame) -> DataFrame:
+    """Streaming twin of the batch tick-rule order flow
+    (plans.market.order_flow_fn / tick_rule_dirs): per-tick Lee-Ready
+    classification with the carry-forward sign held in a GroupState
+    per stream, running classified-volume totals emitted live.
+
+    ``ticks`` must be a streaming frame with (stream, line_no, last,
+    volume) in per-stream order across batches (the ema_stream ingest
+    contract; out-of-order feeds belong to the watermarked operators).
+    The last emitted row per stream carries exactly the batch
+    aggregate's totals — pinned bit-for-bit by the stream==batch test,
+    including a zero-tick and a batch boundary between a move and the
+    zero-tick that inherits its sign.
+
+    Scale: state is five scalars per stream in the state store; each
+    micro-batch touches only the streams present in it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ticks.groupBy("stream").applyInPandasWithState(
+        make_order_flow_kernel(),
+        outputStructType=ORDER_FLOW_OUT_SCHEMA,
+        stateStructType=ORDER_FLOW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
