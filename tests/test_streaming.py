@@ -3034,3 +3034,87 @@ def test_order_flow_stream_equals_batch(spark, tmp_path):
     for r in batch_tot:
         lr = last_rows[r.stream]
         assert (lr.buy_volume, lr.sell_volume, lr.unclassified_volume) == (r.b, r.s, r.u)
+
+
+def test_hourly_ohlc_stream_equals_batch(spark, tmp_path):
+    """Finalized streaming OHLC candles equal the batch min_by/max_by
+    aggregate over the on-time rows — including open/close tie
+    determinism via the packed order key, and an hour whose rows span
+    two micro-batches (the partial-aggregate merge)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import hourly_ohlc_stream
+
+    H = 3600 * 1_000_000
+    B = 24 * H  # stay clear of the epoch-0 initial watermark
+
+    rows0 = [  # (event_id, tus, event_type, value)
+        (1, B + 10, "m", 5.00), (2, B + 20, "m", 9.25),
+        (3, B + 30, "m", 1.50),
+        (5, B + 10, "n", 7.00),  # same tus as id 4 (below): id breaks the tie
+    ]
+    rows1 = [
+        (6, B + 40, "m", 4.75),     # same hour, later batch: merge into candle
+        (4, B + 10, "n", 3.00),     # tie on tus with id 5 -> open = id 4's value
+        (7, B + 30 * H, "m", 2.00),  # advances the watermark, finalizes hour 24
+        (8, B + 31 * H, "m", 2.50),  # one more batch so eviction runs
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for eid, tus, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "event_type": et, "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    q = (
+        hourly_ohlc_stream(spark, str(in_dir), watermark="2 hours")
+        .writeStream.format("memory").queryName("ohlc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.hour_s, r.event_type): (r.n_events, r.open, r.high, r.low, r.close)
+        for r in spark.table("ohlc_stream").collect()
+    }
+    base_h = B // 1_000_000  # epoch-seconds of the first hour
+    # hour 24 candles finalized (watermark passed); hours 30/31 still open
+    assert got == {
+        (base_h, "m"): (4, 5.00, 9.25, 1.50, 4.75),
+        (base_h, "n"): (2, 3.00, 7.00, 3.00, 7.00),
+    }
+
+    # and the finalized candles equal the BATCH twin over the same
+    # on-time rows (hourly_ohlc_fn reads an events.parquet fixture)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tickdatapipeline_spark.plans.beyond import hourly_ohlc_fn
+
+    all_rows = rows0 + rows1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in all_rows], pa.int64()),
+        "ts": pa.array([r[1] * 1000 for r in all_rows], pa.timestamp("ns")),
+        "user_id": pa.array([1] * len(all_rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in all_rows]),
+        "value": pa.array([r[3] for r in all_rows], pa.float64()),
+        "props": pa.array(["{}"] * len(all_rows)),
+    })
+    bdir = tmp_path / "batch_events"
+    bdir.mkdir()
+    pq.write_table(tbl, bdir / "events.parquet")
+    batch = {
+        (r.hour_s, r.event_type): (r.n_events, r.open, r.high, r.low, r.close)
+        for r in hourly_ohlc_fn(spark, str(bdir)).collect()
+    }
+    for k, v in got.items():  # every finalized candle matches the batch twin
+        assert batch[k] == v

@@ -63,6 +63,64 @@ def windowed_events_stream(
     )
 
 
+def hourly_ohlc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of the batch hourly OHLC candles
+    (plans/beyond.py::hourly_ohlc_fn): watermarked tumbling windows,
+    each candle emitted exactly once after the watermark passes its
+    end (append mode) — the live resampling every metrics dashboard
+    charts.
+
+    Open/close come from min_by/max_by on the same packed (micros-
+    within-hour, event_id) BIGINT order key as the batch twin, so the
+    finalized candles equal the batch query over the on-time rows
+    bit-for-bit (pinned by the stream==batch test) — including tie
+    determinism. min_by/max_by are declarative aggregates with a
+    one-pair partial state, so the streaming agg state per open window
+    is O(1) per (hour, type): four extremes + count, never the rows.
+
+    Late contract: a row later than the watermark relative to its hour
+    is dropped by the engine before the aggregate; an on-time late row
+    within the watermark still lands in its (not-yet-finalized)
+    candle — exactly the tumbling-window semantics of
+    windowed_events_stream."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    # corrupt JSONL -> all-null row: no event time, quarantine at ingest
+    raw = raw.where(F.col("tus").isNotNull())
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("tus")))
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    okey = F.expr(
+        "(tus % 3600000000) * 2147483648 + "
+        "CASE WHEN event_id BETWEEN 0 AND 2147483647 THEN event_id "
+        "ELSE raise_error(printf('hourly_ohlc_stream: event_id %d outside packable range', event_id)) END"
+    )
+    return (
+        ev.select("ts", "event_type", vc.alias("vc"), okey.alias("ok"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min_by("vc", "ok") / 100.0).alias("open"),
+            (F.max("vc") / 100.0).alias("high"),
+            (F.min("vc") / 100.0).alias("low"),
+            (F.max_by("vc", "ok") / 100.0).alias("close"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_s"),
+            "event_type", "n_events", "open", "high", "low", "close",
+        )
+    )
+
+
 def sessionized_events_stream(
     spark: SparkSession,
     input_dir: str,
