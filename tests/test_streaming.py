@@ -3118,3 +3118,60 @@ def test_hourly_ohlc_stream_equals_batch(spark, tmp_path):
     }
     for k, v in got.items():  # every finalized candle matches the batch twin
         assert batch[k] == v
+
+
+def test_order_flow_kernel_concatenates_arrow_chunks(spark, tmp_path):
+    """The order-sensitive carry must survive a micro-batch whose
+    group spans MULTIPLE Arrow chunks: with maxRecordsPerBatch=2 and
+    the file written in REVERSE line order, a per-chunk sort would
+    compute deltas across backwards chunk seams — the kernel must
+    concat-then-sort (pinned here) so dirs equal the batch twin."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import (
+        ORDER_FLOW_IN_SCHEMA,
+        order_flow_stream,
+    )
+
+    # one stream, prices alternate up/down so every seam matters
+    rows = [(0, i + 1, 100 + (i % 3), 1) for i in range(9)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    p = in_dir / "b0.json"
+    with open(p, "w") as f:
+        for st, ln, last, vol in reversed(rows):  # reverse file order
+            f.write(json.dumps({"stream": st, "line_no": ln,
+                                "last": last, "volume": vol}) + "\n")
+    os.utime(p, (1700000000, 1700000000))
+
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        raw = (
+            spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = (
+            order_flow_stream(raw)
+            .writeStream.format("memory").queryName("of_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+
+    got = {(r.stream, r.line_no): r.dir for r in spark.table("of_chunks").collect()}
+
+    from tickdatapipeline_spark.plans.market import tick_rule_dirs
+
+    want = {(r.stream, r.line_no): r.dir
+            for r in tick_rule_dirs(
+                spark.createDataFrame(rows, ORDER_FLOW_IN_SCHEMA)).collect()}
+    assert got == want

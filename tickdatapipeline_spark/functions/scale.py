@@ -172,6 +172,10 @@ def write_zordered(
     are the 100 TB scan-avoidance toolkit. Locality is quantified in
     tests/test_scale_utils.py (query-box file-overlap fraction vs the
     unsorted layout)."""
+    if "_zorder" in df.columns:
+        # withColumn would silently REPLACE a user column of this name
+        # and the final drop would lose its data
+        raise ValueError("input already has a '_zorder' column; rename it first")
     z = zorder_value(cols, bits).alias("_zorder")
     (
         df.withColumn("_zorder", z)

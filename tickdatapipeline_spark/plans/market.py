@@ -68,7 +68,7 @@ def tick_rule_dirs(t: DataFrame) -> DataFrame:
     (carry-forward via last(ignorenulls) over a stream-partitioned
     running frame), NULL for the leading run before any price change.
     Input needs (stream, line_no, last); golden-tested on a
-    constructed frame in tests/test_beyond.py."""
+    constructed frame in tests/test_properties.py."""
     delta = F.col("last") - F.lag("last").over(_w_stream())
     s = (
         F.when(delta > 0, F.lit(1))

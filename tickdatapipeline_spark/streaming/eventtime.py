@@ -76,13 +76,18 @@ def hourly_ohlc_stream(
     end (append mode) — the live resampling every metrics dashboard
     charts.
 
-    Open/close come from min_by/max_by on the same packed (micros-
-    within-hour, event_id) BIGINT order key as the batch twin, so the
-    finalized candles equal the batch query over the on-time rows
-    bit-for-bit (pinned by the stream==batch test) — including tie
-    determinism. min_by/max_by are declarative aggregates with a
-    one-pair partial state, so the streaming agg state per open window
-    is O(1) per (hour, type): four extremes + count, never the rows.
+    Open/close come from min_by/max_by on a STRUCT order key
+    (tus, event_id) — total event-time order with the batch twin's
+    event_id tie-break, equivalent to hourly_ohlc_fn's packed BIGINT
+    key but valid for ANY window length (the packed form folds micros
+    modulo one hour, which would mis-order opens/closes across a
+    "2 hours" or "1 day" window) and with no packable-range
+    raise_error to poison the stream. Finalized candles equal the
+    batch query over the on-time rows bit-for-bit (pinned by the
+    stream==batch test). min_by/max_by are declarative aggregates
+    with a one-pair partial state, so the streaming agg state per
+    open window is O(1) per (hour, type): four extremes + count,
+    never the rows.
 
     Late contract: a row later than the watermark relative to its hour
     is dropped by the engine before the aggregate; an on-time late row
@@ -94,15 +99,14 @@ def hourly_ohlc_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(input_dir)
     )
-    # corrupt JSONL -> all-null row: no event time, quarantine at ingest
-    raw = raw.where(F.col("tus").isNotNull())
+    # quarantine at ingest: no event time -> cannot window; no
+    # event_id -> no deterministic open/close tie-break (and the batch
+    # twin's packed key would raise on it) — the partial-JSON poison
+    # row must not reach the aggregate
+    raw = raw.where(F.col("tus").isNotNull() & F.col("event_id").isNotNull())
     ev = raw.withColumn("ts", F.timestamp_micros(F.col("tus")))
     vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    okey = F.expr(
-        "(tus % 3600000000) * 2147483648 + "
-        "CASE WHEN event_id BETWEEN 0 AND 2147483647 THEN event_id "
-        "ELSE raise_error(printf('hourly_ohlc_stream: event_id %d outside packable range', event_id)) END"
-    )
+    okey = F.struct(F.col("tus"), F.col("event_id"))
     return (
         ev.select("ts", "event_type", vc.alias("vc"), okey.alias("ok"))
         .withWatermark("ts", watermark)

@@ -45,25 +45,26 @@ def make_ema_kernel(agc_alpha: float = 0.125):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         carry = tuple(state.get) if state.exists else EMA_STATE0
-        out_frames = []
-        for pdf in pdfs:
+        # concatenate the batch's Arrow chunks BEFORE sorting: chunk
+        # boundaries are physical (file splits, Arrow batch size), and
+        # a per-chunk sort would run the recurrence across a backwards
+        # chunk seam whenever one group's batch spans chunks
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) > 0:
             pdf = pdf.sort_values("tick_idx")
             ema, dev, agc, carry = _ema_step(
                 pdf["delta_w"].to_numpy(), pdf["is_core"].to_numpy(), agc_alpha, carry
             )
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        "stream": key[0],
-                        "tick_idx": pdf["tick_idx"].to_numpy(),
-                        "ema_delta": ema,
-                        "ema_delta_dev": dev,
-                        "ema_abs_delta": agc,
-                    }
-                )
+            yield pd.DataFrame(
+                {
+                    "stream": key[0],
+                    "tick_idx": pdf["tick_idx"].to_numpy(),
+                    "ema_delta": ema,
+                    "ema_delta_dev": dev,
+                    "ema_abs_delta": agc,
+                }
             )
         state.update(tuple(carry))
-        yield from out_frames
 
     return kernel
 
@@ -103,7 +104,10 @@ def make_transition_kernel():
         last_type, last_tus, last_eid = (
             tuple(state.get) if state.exists else (None, None, None)
         )
-        for pdf in pdfs:
+        # concat-then-sort (see make_order_flow_kernel): a per-chunk
+        # sort would chain transitions across a backwards chunk seam
+        all_pdf = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in ([all_pdf] if len(all_pdf) else []):
             pdf = pdf.sort_values(["tus", "event_id"])
             users, prevs, nexts, tss = [], [], [], []
             for tus, eid, et in zip(
@@ -182,7 +186,14 @@ def make_order_flow_kernel():
         lp, ld, buy, sell, uncl = (
             tuple(state.get) if state.exists else (None, 0, 0, 0, 0)
         )
-        for pdf in pdfs:
+        # CONCATENATE the micro-batch's Arrow chunks before the sort:
+        # chunk boundaries are physical (file splits, Arrow batch
+        # size), not line_no order, and the price/sign carry is
+        # maximally order-sensitive — a per-chunk sort would compute
+        # deltas across a backwards chunk seam (the same contract as
+        # the dedup streams' band kernels)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) > 0:
             pdf = pdf.sort_values("line_no")
             lines, dirs, buys, sells, uncls = [], [], [], [], []
             for ln, last, vol in zip(
