@@ -3175,3 +3175,47 @@ def test_order_flow_kernel_concatenates_arrow_chunks(spark, tmp_path):
             for r in tick_rule_dirs(
                 spark.createDataFrame(rows, ORDER_FLOW_IN_SCHEMA)).collect()}
     assert got == want
+
+
+def test_order_flow_stream_restart_keeps_state(spark, tmp_path):
+    """The order-flow GroupState (prev price, carry sign, running
+    totals) survives a query restart from the checkpoint: a zero-tick
+    ingested by the SECOND query instance inherits the sign of a move
+    the FIRST instance saw, and totals keep accumulating."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import run_order_flow_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, rows, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for st, ln, last, vol in rows:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_order_flow_stream(
+            spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # instance 1: an uptick (100 -> 102), 3 lots total
+    write("b0.json", [(0, 1, 100, 1), (0, 2, 102, 2)], 0)
+    run_once()
+    # instance 2 (fresh query, same checkpoint): a zero-tick that can
+    # only be classified as BUY if the carry sign survived the restart
+    write("b1.json", [(0, 3, 102, 5)], 1)
+    run_once()
+
+    rows = {r.line_no: r
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows[3].dir == 1  # inherited across the restart
+    assert rows[3].buy_volume == 7  # 2 (pre-restart) + 5
+    assert rows[3].unclassified_volume == 1  # line 1 before any move

@@ -257,3 +257,38 @@ def order_flow_stream(ticks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_order_flow_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Durable runner for order_flow_stream: JSONL tick ingest ->
+    stateful classification -> replay-idempotent batch_id-partitioned
+    parquet (the dedup streams' sink contract), so a restart from the
+    checkpoint resumes the GroupState carry — pinned by the restart
+    test (a zero-tick ingested by the second query instance inherits
+    a sign the first instance saw)."""
+    from tickdatapipeline_spark.streaming.eventtime import (
+        _write_batch_idempotent,
+    )
+
+    raw = (
+        spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        _write_batch_idempotent(batch_df, out_dir, batch_id)
+
+    return (
+        order_flow_stream(raw)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
