@@ -947,3 +947,14 @@ def test_count_min_sketch_is_combinable_and_probe_broadcasts(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_zipf_doubling_uses_partial_topk(spark):
+    """The Zipf doubling profile never globally sorts the vocabulary:
+    the top-2R ranks come off TakeOrderedAndProject, and the only
+    window runs over the <=128 surviving rows."""
+    from tickdatapipeline_spark.plans.beyond import zipf_doubling_fn
+
+    plan = physical(zipf_doubling_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan

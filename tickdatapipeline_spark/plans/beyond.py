@@ -4552,6 +4552,7 @@ def queries() -> dict[str, tuple]:
         "dedup_graph_pagerank": (pagerank_fn, _pagerank_sql()),
         "docs_lm_surprisal": (lm_surprisal_fn, LM_SURPRISAL_SQL),
         "events_count_min": (count_min_fn, _count_min_sql()),
+        "text_zipf_doubling": (zipf_doubling_fn, ZIPF_DOUBLING_SQL),
     }
 
 
@@ -7664,4 +7665,79 @@ SELECT CAST(p.uid AS BIGINT) AS user_id, p.exact_cnt,
 FROM probes p JOIN cells c ON p.lane = c.lane AND p.bucket = c.bucket
 GROUP BY p.uid, p.exact_cnt
 ORDER BY p.exact_cnt DESC, user_id
+"""
+
+
+# ================= round 10: Zipf doubling-ratio tail profile ==========
+
+ZIPF_RANKS = [1, 2, 4, 8, 16, 32, 64]  # f(r)/f(2r) probed at powers of 2
+
+
+def zipf_doubling_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail-exponent profile via DOUBLING RATIOS: for ranks r in
+    powers of two, report f(r)/f(2r) — under a Zipf law f(r) ~ r^-s
+    the ratio is the constant 2^s, so a flat ratio column IS the
+    power-law diagnostic and its level estimates s, with no log-log
+    regression (float log is the measured cross-engine hard-NO — the
+    doubling-ratio reformulation is the sanctioned integer route; the
+    OLS machinery stays for genuinely linear series). Complements the
+    existing rank-frequency profile (text.py) with the scale-free
+    check a tokenizer/corpus audit actually wants.
+
+    Exactness: frequencies are BIGINT counts; the ratio crosses the
+    oracle as integer per-mille f(r)*1000 DIV f(2r) — no float at
+    all. Ranks are row_number over (count DESC, token ASC), tie-
+    deterministic on both engines.
+
+    Scale: the vocabulary never globally sorts — the top-128 ranks
+    come off a TakeOrderedAndProject (per-partition partial top-k),
+    and the rank window + self-join run over those <=128 rows."""
+    from tickdatapipeline_spark.operators.text import tokens
+    from tickdatapipeline_spark.functions.scale import fan_out
+
+    top_n = 2 * ZIPF_RANKS[-1]
+    tok = fan_out(_docs(spark, sf_dir)).select(
+        F.explode(tokens(F.col("text"))).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))  # <=128 rows
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "freq")
+    r = ranked.where(F.col("rank").isin(ZIPF_RANKS)).alias("r")
+    r2 = ranked.alias("r2")
+    return (
+        r.join(r2, F.col("r2.rank") == F.col("r.rank") * 2)
+        .select(
+            F.col("r.rank").alias("rank"),
+            F.col("r.freq").alias("freq_r"),
+            F.col("r2.freq").alias("freq_2r"),
+            F.expr("r.freq * 1000 DIV r2.freq").alias("doubling_pm"),
+        )
+        .orderBy("rank")
+    )
+
+
+ZIPF_DOUBLING_SQL = f"""
+WITH freqs AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({SQL_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {2 * ZIPF_RANKS[-1]}
+),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank, freq
+    FROM freqs
+)
+SELECT r.rank AS rank, r.freq AS freq_r, r2.freq AS freq_2r,
+       r.freq * 1000 // r2.freq AS doubling_pm
+FROM ranked r JOIN ranked r2 ON r2.rank = r.rank * 2
+WHERE r.rank IN ({", ".join(str(x) for x in ZIPF_RANKS)})
+ORDER BY rank
 """
