@@ -3219,3 +3219,39 @@ def test_order_flow_stream_restart_keeps_state(spark, tmp_path):
     assert rows[3].dir == 1  # inherited across the restart
     assert rows[3].buy_volume == 7  # 2 (pre-restart) + 5
     assert rows[3].unclassified_volume == 1  # line 1 before any move
+
+
+def test_bands_from_signature_equals_direct_band_signature(spark):
+    """rowlocal_bands_from_signature over the materialized signature
+    column must emit byte-identical band keys to the direct
+    rowlocal_band_signature expression — the single-evaluation rewrite
+    of the neardup ingest path must not change a single key (including
+    the empty-array short-doc arm)."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.dedup import (
+        rowlocal_band_signature,
+        rowlocal_bands_from_signature,
+        rowlocal_minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "too short"),                       # < 3 tokens -> empty
+         (3, "a b c d e f g h i j k l m n o p"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    sig = rowlocal_minhash_signature(F.col("text"))
+    derived = docs.select(
+        "doc_id",
+        rowlocal_bands_from_signature(sig).alias("bands"),
+    )
+    direct = docs.select(
+        "doc_id",
+        rowlocal_band_signature(F.col("text")).alias("bands"),
+    )
+    a = {r.doc_id: [tuple(x) for x in r.bands] for r in derived.collect()}
+    b = {r.doc_id: [tuple(x) for x in r.bands] for r in direct.collect()}
+    assert a == b
+    assert a[2] == [] and a[4] == []

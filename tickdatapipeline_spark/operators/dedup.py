@@ -481,13 +481,22 @@ def append_corpus_index(docs_shard: DataFrame, path: str, shard: str,
     corpus-side probe-time cap), and a scheduled `write_corpus_index`
     rebuild re-applies the cap globally, exactly like
     ``search.compact_index`` for posting buckets."""
+    # validate FIRST and never as a bare assert: under python -O an
+    # invalid shard name ("base", or one smuggling '/' or '=' into the
+    # partition path) would silently OVERWRITE another shard's
+    # partition -- the base index most catastrophically; and raising
+    # before _band_table avoids burning the full MinHash job on a
+    # delta that was never going to land
+    if not shard or shard == "base" or "/" in shard or "=" in shard:
+        raise ValueError(
+            f"invalid shard name {shard!r}: must be non-empty, not 'base', "
+            "and contain no '/' or '='")
     bands = _band_table(docs_shard, num_perm, band_size,
                         pinned=max_band_bucket is not None)
     if max_band_bucket is not None:
         bands = cap_group_sizes(bands, ["band", "band_key"], max_band_bucket,
                                 "append_corpus_index", "max_band_bucket",
                                 logger)
-    assert shard != "base" and "/" not in shard and "=" not in shard, shard
     bands.write.mode("overwrite").parquet(f"{path}/bands/shard={shard}")
     hashed_shingles(docs_shard).write.mode("overwrite").parquet(
         f"{path}/shingles/shard={shard}")
@@ -652,6 +661,57 @@ def _band_table(docs: DataFrame, num_perm: int, band_size: int,
     return pin(bands) if pinned else bands
 
 
+def _rowlocal_grams(text, n: int = 3):
+    """Row-local token n-gram array (empty when the doc is too short
+    to shingle) — THE single definition both rowlocal signature
+    expressions share; a tokenization or gram tweak lands here once,
+    or the batch and stream LSH keys silently diverge."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _rowlocal_lane(hs, j: int):
+    """Lane j's MinHash minimum over the row-local hashed grams —
+    bit-identical to `_minhash_wide`'s s{j} column."""
+    return F.array_min(F.transform(
+        hs, lambda h: (F.lit(perm_a(j)) * h + F.lit(perm_b(j))) % MERSENNE_P
+    ))
+
+
+def rowlocal_bands_from_signature(sig, num_perm: int = NUM_PERM,
+                                  band_size: int = BAND_SIZE):
+    """Band key structs derived from an ALREADY-computed row-local
+    signature COLUMN — the keys are pure string concatenations of
+    signature slices, so deriving them from the materialized ``sig``
+    instead of re-evaluating every lane halves the streaming ingest
+    path's per-arrival hashing (the signature rides to the verify
+    kernel anyway). element_at is 1-based and bounded by construction
+    (a non-empty rowlocal signature always has ``num_perm`` lanes).
+    Equality with `rowlocal_band_signature` over the same text is
+    unit-pinned."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[
+                F.element_at(sig, b * band_size + r + 1).cast("string")
+                for r in range(band_size)
+            ]).alias("band_key"),
+        )
+        for b in range(num_perm // band_size)
+    ]
+    return F.when(F.size(sig) >= 1, F.array(*structs)).otherwise(
+        F.array().cast("array<struct<band:int,band_key:string>>")
+    )
+
+
 def rowlocal_band_signature(text, num_perm: int = NUM_PERM,
                             band_size: int = BAND_SIZE, n: int = 3):
     """``array<struct<band:int, band_key:string>>`` holding the SAME
@@ -670,22 +730,11 @@ def rowlocal_band_signature(text, num_perm: int = NUM_PERM,
     EMPTY array — mirroring the batch path, where they vanish at the
     shingle groupBy; callers choose the fallback (the streaming dedup
     keys them by exact content digest instead)."""
-    t = tokens(text)
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _rowlocal_grams(text, n)
     hs = F.transform(grams, lambda g: h60(g) % MERSENNE_P)
 
     def lane(j: int):
-        return F.array_min(F.transform(
-            hs, lambda h: (F.lit(perm_a(j)) * h + F.lit(perm_b(j))) % MERSENNE_P
-        ))
+        return _rowlocal_lane(hs, j)
 
     structs = [
         F.struct(
@@ -717,24 +766,12 @@ def rowlocal_minhash_signature(text, num_perm: int = NUM_PERM, n: int = 3):
     good document at ingest. Docs with fewer than ``n`` tokens return
     an EMPTY array (no shingles — the batch path's convention); callers
     fall back to exact-content keys for those."""
-    t = tokens(text)
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _rowlocal_grams(text, n)
     hs = F.transform(grams, lambda g: h60(g) % MERSENNE_P)
-
-    def lane(j: int):
-        return F.array_min(F.transform(
-            hs, lambda h: (F.lit(perm_a(j)) * h + F.lit(perm_b(j))) % MERSENNE_P
-        ))
-
-    return F.when(F.size(grams) >= 1, F.array(*[lane(j) for j in range(num_perm)])).otherwise(
+    return F.when(
+        F.size(grams) >= 1,
+        F.array(*[_rowlocal_lane(hs, j) for j in range(num_perm)]),
+    ).otherwise(
         F.array().cast("array<bigint>")
     )
 

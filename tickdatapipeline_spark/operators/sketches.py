@@ -21,14 +21,26 @@ framing in Agarwal et al., PODS 2012):
           retains every key with count_p > n_p/(k+1). So the candidate
           union is a SUPERSET of the true heavy hitters — tiny:
           at most k keys per partition.
-  pass 2  broadcast the candidates, semi-join + exact groupBy count of
-          candidates only, filter count*(k+1) > n_total exactly.
+  pass 2  broadcast the candidates and, in the SAME scan, count each
+          candidate exactly while folding every non-candidate row into
+          one null bucket — the exact total is the sum of the tiny
+          grouped result, so no third full pass exists; filter
+          count*(k+1) > n_total exactly.
 
 The FINAL output is therefore exact and deterministic (integer compare
 against the exact total) regardless of how batches land in partitions —
 partitioning only changes which non-heavy candidates get counted and
 then discarded. That is what makes the operator oracle-gateable while
 the sketch itself stays approximate.
+
+Candidate-set size is k PER INPUT PARTITION, not k: at ~1e5 scan
+splits and k=100 the distinct union can reach ~1e7 keys, and the
+broadcast in pass 2 carries all of them. Deployments at that split
+count either coalesce the input before pass 1 (MG merges across
+whatever partitioning it gets; fewer, larger partitions = strictly
+smaller candidate unions at the same guarantee) or raise k only with
+the broadcast budget in mind — the n/(k+1) superset guarantee is per
+GLOBAL count either way.
 """
 
 from __future__ import annotations
@@ -82,14 +94,30 @@ def exact_heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """
     keyed = df.where(F.col(key_col).isNotNull()).select(key_col)
     cands = misra_gries_candidates(keyed, key_col, k).distinct()
-    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
-    counts = (
-        keyed.join(F.broadcast(cands), key_col)
-        .groupBy(key_col)
+    # ONE counting scan for both the candidate counts AND the exact
+    # total: a broadcast left join marks candidate rows, the groupBy
+    # folds every non-candidate into a single null bucket (map-side
+    # combinable), and the total is the sum of the tiny grouped
+    # result — two full passes overall (MG + this), never three
+    bucketed = (
+        keyed.join(
+            F.broadcast(cands.withColumn("_is_cand", F.lit(True))),
+            key_col, "left")
+        .groupBy(
+            F.when(F.col("_is_cand"), F.col(key_col)).alias(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    # the exact total = sum over the tiny grouped frame (candidates +
+    # the one null bucket): an unpartitioned window over O(candidates)
+    # rows, never a second pass over the input
+    from pyspark.sql import Window
+
+    n_total = F.sum("n_events").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
     return (
-        counts.join(F.broadcast(total))
+        bucketed.withColumn("n_total", n_total)
+        .where(F.col(key_col).isNotNull())
         .where(F.col("n_events") * (k + 1) > F.col("n_total"))
         .select(
             key_col,

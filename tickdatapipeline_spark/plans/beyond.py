@@ -6730,9 +6730,10 @@ _ANN_VARIANT_PLANS = (
 
 
 def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five approximate top-k paths (IVF flat, IVF k-means-trained,
-    LSH-bucketed, PQ, SQ8) as ONE labeled result — the consolidated
-    registry entry replacing five per-variant entries (same
+    """All six approximate top-k paths (IVF flat, IVF k-means-trained,
+    LSH-bucketed, PQ, SQ8, IVF-PQ) as ONE labeled result — the
+    consolidated registry entry replacing five per-variant entries
+    (IVF-PQ joined the panel directly, never holding its own slot; same
     (query_id, neighbor_id, rank, cosine) contract, one ``variant``
     column). Each variant keeps its own plan shape and scale contract;
     the union is plan-level concatenation, no cross-variant shuffle."""
@@ -6748,8 +6749,8 @@ def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk_variants_sql() -> str:
-    """DuckDB twin of ann_topk_variants_fn: the five existing oracle
-    plans wrapped and unioned under the same variant labels."""
+    """DuckDB twin of ann_topk_variants_fn: the six oracle plans
+    wrapped and unioned under the same variant labels."""
     plans = (
         ("ivf", IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)),
         ("ivf_kmeans", ivf_kmeans_sql(QUERY_MOD, TOPK_K)),
@@ -7002,7 +7003,13 @@ def type_affinity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the type alphabet (NOT the event count); per-type
     totals and the 1-row user count broadcast back over the
     O(types^2) result."""
-    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    # NULL user_id rows (tolerated elsewhere as anonymous traffic;
+    # events_heavy_hitters filters them the same way) must not count:
+    # they would inflate per-type totals while count_distinct and the
+    # equi-join exclude them -- deflating every lift identically in
+    # both engines, where the parity gate cannot see it
+    ev = read_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()).select("user_id", "event_type")
     from tickdatapipeline_spark.operators.globalorder import pin
 
     ut = pin(ev.distinct())  # both sides of the pair join + both rollups
@@ -7033,7 +7040,7 @@ def type_affinity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TYPE_AFFINITY_SQL = f"""
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL),
 per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
 nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
 co AS (

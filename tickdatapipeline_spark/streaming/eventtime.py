@@ -695,11 +695,20 @@ def run_neardup_dedup_stream(
     a doc's band rows explode inside its own batch), never a streaming
     aggregate; the sink write is replay-idempotent
     (_write_batch_idempotent).
+
+    State-schema migration note: r10's LSH-then-verify rework changed
+    the GroupState layout from (anchor_ms long) to the
+    (sigs, anchors_ms) array pair — a checkpoint written by the old
+    kernel fails Spark's state-schema compatibility check at restart.
+    The sanctioned migration is a NEW checkpoint_dir + re-ingesting
+    the horizon window from source (the batch pass backstops anything
+    the fresh state misses); applyInPandasWithState has no in-place
+    state upgrade path.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from tickdatapipeline_spark.operators.dedup import (
-        rowlocal_band_signature,
+        rowlocal_bands_from_signature,
         rowlocal_minhash_signature,
     )
 
@@ -723,17 +732,22 @@ def run_neardup_dedup_stream(
         F.concat(F.lit("null-text:"), F.col("doc_id").cast("string")),
         F.expr("uuid()"),
     )
-    keys = rowlocal_band_signature(F.col("text"), num_perm, band_size)
+    # the signature is computed ONCE per arrival; band keys are pure
+    # string concatenations of its slices (rowlocal_bands_from_signature),
+    # so the ingest hot path pays the gram hashing + num_perm lane
+    # minima a single time — the sig column rides to the verify kernel
+    # anyway. The fallback (short/null-text) arm is the EMPTY array:
+    # presence in the sha-keyed band -1 bucket already proves exact
+    # equality
+    sig = rowlocal_minhash_signature(F.col("text"), num_perm)
+    staged = raw.select("doc_id", "text", "lang", "ts", sig.alias("sig"))
+    keys = rowlocal_bands_from_signature(F.col("sig"), num_perm, band_size)
     bands = F.when(F.size(keys) > 0, keys).otherwise(F.array(F.struct(
         F.lit(-1).alias("band"), fallback_key.alias("band_key"),
     )))
-    # full signature rides along for the in-kernel Jaccard verify; the
-    # fallback (short/null-text) arm is the EMPTY array — presence in
-    # the sha-keyed band -1 bucket already proves exact equality
-    sig = rowlocal_minhash_signature(F.col("text"), num_perm)
     flagged = (
-        raw.select("doc_id", "text", "lang", "ts", sig.alias("sig"),
-                   F.explode(bands).alias("bk"))
+        staged.select("doc_id", "text", "lang", "ts", "sig",
+                      F.explode(bands).alias("bk"))
         .select("doc_id", "text", "lang", "ts", "sig",
                 F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
         .withWatermark("ts", delay)
