@@ -92,10 +92,20 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
 
     # simulate the driver loop from a worst-case empty coverage state:
     # each simulated round marks its 50-entry window green, feeding the
-    # next round's ordering.
+    # next round's ordering. Simulated rounds run AFTER the committed
+    # FINGERPRINTS horizon (as real future driver rounds do): a green
+    # must be NEWER than a query's recorded round to demote it from the
+    # edited-promotion tier — greens numbered 1..n would leave any
+    # mid-session-edited query permanently tier-0 in the simulation
+    # (re-entering every window, starving another query) in a way the
+    # real driver loop cannot.
+    base = max(
+        (v.get("round", 0) for v in mod._recorded_fingerprints().values()),
+        default=0,
+    )
     coverage: dict[str, int] = {}
     seen: dict[str, int] = {}
-    for rnd_no in range(1, n_rounds + 1):
+    for rnd_no in range(base + 1, base + n_rounds + 1):
         monkeypatch.setattr(mod, "_last_green_round", lambda c=dict(coverage): c)
         window = list(mod.queries())[:50]
         gated_in_window = [n for n in window if n in mod.oracle_sql()]
@@ -104,7 +114,7 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
             coverage[n] = rnd_no
             seen.setdefault(n, rnd_no)
     assert len(seen) == n_gated, "some gated query never enters the window"
-    assert max(seen.values()) <= n_rounds
+    assert max(seen.values()) <= base + n_rounds
 
     # and with the REAL committed CORRECTNESS files: tier-0 queries
     # (never green on current code) lead the next window. When a build
