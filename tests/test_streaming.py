@@ -3255,3 +3255,85 @@ def test_bands_from_signature_equals_direct_band_signature(spark):
     b = {r.doc_id: [tuple(x) for x in r.bands] for r in direct.collect()}
     assert a == b
     assert a[2] == [] and a[4] == []
+
+
+def test_drawdown_stream_equals_batch(spark, tmp_path):
+    """The streaming drawdown monitor's final row per stream equals
+    the batch drawdown aggregate over the concatenated input — with
+    the peak in batch 0 and the trough in batch 1, so the running
+    extremes must cross the micro-batch boundary through GroupState."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import drawdown_stream
+
+    rows0 = [  # (stream, line_no, last, volume): peak 110 lands here
+        (0, 1, 100, 1), (0, 2, 110, 1), (0, 3, 105, 1),
+        (1, 1, 50, 1),
+    ]
+    rows1 = [  # trough 90 lands in batch 1 -> max_drawdown 20
+        (0, 4, 90, 1), (0, 5, 95, 1),
+        (1, 2, 60, 1),  # stream 1: pure runup 10
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for st, ln, last, vol in rows:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long, volume long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        drawdown_stream(raw)
+        .writeStream.format("memory").queryName("dd_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("dd_stream").collect()
+    final = {}
+    for r in out:
+        if r.stream not in final or r.line_no > final[r.stream].line_no:
+            final[r.stream] = r
+    assert (final[0].run_peak, final[0].max_drawdown, final[0].max_runup) == (110, 20, 10)
+    assert (final[1].run_peak, final[1].max_drawdown, final[1].max_runup) == (60, 0, 10)
+    # per-tick instantaneous drawdown at the trough
+    ticks = {(r.stream, r.line_no): r.drawdown for r in out}
+    assert ticks[(0, 4)] == 20 and ticks[(0, 2)] == 0
+
+    # and the finals equal the batch formulation (drawdown_fn's window
+    # algebra) over the concatenated rows
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows0 + rows1, "stream long, line_no long, last long, volume long")
+    w = Window.partitionBy("stream").orderBy("line_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        df.select(
+            "stream",
+            (F.max("last").over(w) - F.col("last")).alias("dd"),
+            (F.col("last") - F.min("last").over(w)).alias("ru"),
+            "last",
+        )
+        .groupBy("stream")
+        .agg(F.max("last").alias("peak"), F.max("dd").alias("mdd"),
+             F.max("ru").alias("mru"))
+        .collect()
+    )
+    for r in batch:
+        fr = final[r.stream]
+        assert (fr.run_peak, fr.max_drawdown, fr.max_runup) == (r.peak, r.mdd, r.mru)

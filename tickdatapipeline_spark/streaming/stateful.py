@@ -292,3 +292,76 @@ def run_order_flow_stream(
         .outputMode("update")
         .start()
     )
+
+
+DRAWDOWN_OUT_SCHEMA = (
+    "stream long, line_no long, run_peak long, drawdown long, "
+    "max_drawdown long, max_runup long"
+)
+DRAWDOWN_STATE_SCHEMA = (
+    "run_max long, run_min long, max_dd long, max_ru long"
+)
+
+
+def make_drawdown_kernel():
+    """applyInPandasWithState kernel for drawdown_stream: one
+    GroupState per stream carries (running peak, running trough,
+    max drawdown so far, max runup so far) — four scalars, the live
+    risk monitor every trading stream runs. Emits per tick the
+    current peak, the instantaneous drawdown, and both running
+    extremes AFTER the tick. Chunks concat before the line_no sort
+    (the running extremes are order-sensitive)."""
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        rmax, rmin, mdd, mru = (
+            tuple(state.get) if state.exists else (None, None, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) > 0:
+            pdf = pdf.sort_values("line_no")
+            lines, peaks, dds, mdds, mrus = [], [], [], [], []
+            for ln, last in zip(pdf["line_no"].to_numpy(),
+                                pdf["last"].to_numpy()):
+                last = int(last)
+                rmax = last if rmax is None else max(rmax, last)
+                rmin = last if rmin is None else min(rmin, last)
+                dd = rmax - last
+                mdd = max(mdd, dd)
+                mru = max(mru, last - rmin)
+                lines.append(int(ln))
+                peaks.append(rmax)
+                dds.append(dd)
+                mdds.append(mdd)
+                mrus.append(mru)
+            yield pd.DataFrame({
+                "stream": [key[0]] * len(lines), "line_no": lines,
+                "run_peak": peaks, "drawdown": dds,
+                "max_drawdown": mdds, "max_runup": mrus,
+            })
+        state.update((rmax, rmin, mdd, mru))
+
+    return kernel
+
+
+def drawdown_stream(ticks: DataFrame) -> DataFrame:
+    """Streaming twin of the batch running-peak drawdown
+    (plans.market.drawdown_fn): per-tick drawdown against the
+    all-time peak with the four running extremes in a GroupState per
+    stream — the last emitted row per stream carries exactly the
+    batch aggregate's (peak, max_drawdown, max_runup), pinned by the
+    stream==batch test across a batch boundary that splits the peak
+    from the trough (the carry a per-batch window loses).
+
+    Same ingest contract as ema_stream/order_flow_stream: (stream,
+    line_no, last) in per-stream order across batches. State is four
+    scalars per stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ticks.select("stream", "line_no", "last").groupBy("stream").applyInPandasWithState(
+        make_drawdown_kernel(),
+        outputStructType=DRAWDOWN_OUT_SCHEMA,
+        stateStructType=DRAWDOWN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
