@@ -3337,3 +3337,47 @@ def test_drawdown_stream_equals_batch(spark, tmp_path):
     for r in batch:
         fr = final[r.stream]
         assert (fr.run_peak, fr.max_drawdown, fr.max_runup) == (r.peak, r.mdd, r.mru)
+
+
+def test_hourly_ohlc_stream_restart_finalizes_once(spark, tmp_path):
+    """Restarting the OHLC stream on its checkpoint must neither lose
+    nor duplicate candles: instance 1 ingests part of an hour,
+    instance 2 ingests the rest plus the watermark-advancing rows —
+    the candle finalizes exactly once with ALL the hour's rows."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.eventtime import run_hourly_ohlc_stream
+
+    H = 3600 * 1_000_000
+    B = 24 * H
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, rows, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for eid, tus, et, v in rows:
+                f.write(json.dumps({"event_id": eid, "tus": tus,
+                                    "event_type": et, "value": v}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_hourly_ohlc_stream(
+            spark, str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            watermark="2 hours")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b0.json", [(1, B + 10, "m", 5.0), (2, B + 20, "m", 9.0)], 0)
+    run_once()
+    # instance 2: one more row for the SAME hour, then the advance
+    write("b1.json", [(3, B + 30, "m", 1.0), (4, B + 30 * H, "m", 2.0),
+                      (5, B + 31 * H, "m", 3.0)], 1)
+    run_once()
+
+    got = {(r.hour_s, r.event_type): (r.n_events, r.open, r.high, r.low, r.close)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {(B // 1_000_000, "m"): (3, 5.0, 9.0, 1.0, 1.0)}

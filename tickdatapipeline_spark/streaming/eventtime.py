@@ -125,6 +125,29 @@ def hourly_ohlc_stream(
     )
 
 
+def run_hourly_ohlc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Durable runner for hourly_ohlc_stream: finalized candles append
+    to parquet (a native append-mode sink recovers from its checkpoint
+    without foreachBatch bookkeeping — each window commits exactly
+    once, so a restart neither drops nor duplicates candles; pinned by
+    the restart test, which splits an hour's rows AND the finalizing
+    watermark advance across two query instances)."""
+    return (
+        hourly_ohlc_stream(spark, input_dir, **kwargs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def sessionized_events_stream(
     spark: SparkSession,
     input_dir: str,
