@@ -207,3 +207,45 @@ def test_zorder_layout_prunes_query_boxes(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(zdir).select("x", "y", "payload").collect())
     b = sorted(tuple(r) for r in df.collect())
     assert a == b
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE semantics (replace same-key rows, insert new ones) with
+    partition-scoped copy-on-write: the untouched partition's files
+    must remain byte-for-byte the same files (no rewrite), and the
+    final table equals the expected merge."""
+    import glob
+    import os
+
+    from tickdatapipeline_spark.functions.scale import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    seed = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d3", 40)],
+        "k long, day string, v long",
+    )
+    seed.write.partitionBy("day").parquet(path)
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{path}/day=d3/*.parquet")}
+    assert before
+
+    updates = spark.createDataFrame(
+        [(2, "d1", 99),   # update existing key in d1
+         (5, "d2", 50)],  # insert new key into d2
+        "k long, day string, v long",
+    )
+    upsert_partitioned(spark, path, updates, key="k", part_col="day")
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path)
+                 .select("k", "day", "v").collect())
+    assert got == [(1, "d1", 10), (2, "d1", 99), (3, "d2", 30),
+                   (4, "d3", 40), (5, "d2", 50)]
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(f"{path}/day=d3/*.parquet")}
+    assert after == before  # untouched partition: same files, untouched
+
+    # replay-idempotent: the same batch again leaves the table equal
+    upsert_partitioned(spark, path, updates, key="k", part_col="day")
+    again = sorted(tuple(r) for r in spark.read.parquet(path)
+                   .select("k", "day", "v").collect())
+    assert again == got

@@ -185,3 +185,53 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    part_col: str,
+) -> None:
+    """MERGE-style upsert into a partitioned parquet table with
+    partition-scoped copy-on-write — the warehouse primitive plain
+    parquet lacks: rows in ``updates`` REPLACE same-``key`` rows and
+    INSERT otherwise, and only the partitions updates actually touch
+    are rewritten (dynamic partitionOverwriteMode), so a daily upsert
+    against a 100 TB table costs O(touched partitions), never a table
+    rewrite.
+
+    Mechanics: the touched partition values are collected (bounded by
+    the updates batch, tiny by contract), ONLY those partitions are
+    read back, anti-joined against the update keys (drop the rows
+    being replaced), unioned with the updates, and written with
+    mode("overwrite") + dynamic partition overwrite — untouched
+    partition directories are not listed, read, or rewritten (pinned
+    by file-mtime assertions in tests/test_scale_utils.py).
+
+    Contract: ``key`` is unique per row in both the table and the
+    batch; a key may MOVE partitions only if the updates batch also
+    covers its old partition (cross-partition moves otherwise leave
+    the stale row — the same constraint Hive-style partition upserts
+    carry; document the key->partition function as stable, e.g.
+    day(event_time) with immutable event times)."""
+    touched = [r[0] for r in updates.select(part_col).distinct().collect()]
+    if not touched:
+        return
+    current = spark.read.parquet(path).where(F.col(part_col).isin(touched))
+    keep = current.join(
+        F.broadcast(updates.select(key).distinct()), key, "left_anti")
+    merged = keep.unionByName(updates.select(*keep.columns))
+    # materialize BEFORE the write: the overwrite targets partitions the
+    # plan is still reading — localCheckpoint pins the merged rows
+    # (bounded by the touched partitions) so the swap can never race
+    # its own source files
+    merged = merged.localCheckpoint()
+    (
+        merged.repartition(part_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
