@@ -249,3 +249,33 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     again = sorted(tuple(r) for r in spark.read.parquet(path)
                    .select("k", "day", "v").collect())
     assert again == got
+
+
+def test_upsert_partitioned_null_partition_and_bootstrap(spark, tmp_path):
+    """The two hazards the review confirmed: (a) an update row with a
+    NULL partition value must MERGE with — never silently delete — the
+    null partition's other rows (isin() is never true for NULL);
+    (b) the first upsert into a not-yet-existing table is a pure
+    insert, not a PATH_NOT_FOUND crash."""
+    from tickdatapipeline_spark.functions.scale import upsert_partitioned
+
+    # (b) bootstrap: table path does not exist yet
+    path = str(tmp_path / "fresh")
+    first = spark.createDataFrame(
+        [(1, "d1", 10), (2, None, 20)], "k long, day string, v long")
+    upsert_partitioned(spark, path, first, key="k", part_col="day")
+    got = sorted((r.k, r.day, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "d1", 10), (2, None, 20)]
+
+    # (a) null partition merge: update one null-partition key; the
+    # OTHER null-partition row must survive
+    upsert_partitioned(
+        spark, path,
+        spark.createDataFrame([(3, None, 30), (2, None, 99)],
+                              "k long, day string, v long"),
+        key="k", part_col="day")
+    got = sorted((r.k, r.day, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "d1", 10), (2, None, 99), (3, None, 30)]
+    # staging dir cleaned up
+    import os
+    assert not os.path.exists(path + "__upsert_staging")

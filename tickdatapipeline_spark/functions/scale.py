@@ -198,40 +198,66 @@ def upsert_partitioned(
     partition-scoped copy-on-write — the warehouse primitive plain
     parquet lacks: rows in ``updates`` REPLACE same-``key`` rows and
     INSERT otherwise, and only the partitions updates actually touch
-    are rewritten (dynamic partitionOverwriteMode), so a daily upsert
-    against a 100 TB table costs O(touched partitions), never a table
-    rewrite.
+    are listed, read, or rewritten, so a daily upsert against a
+    100 TB table costs O(touched partitions) — including the FILE
+    LISTING (the touched partition directories are addressed
+    explicitly with basePath; a bare read of the table root would
+    re-discover every partition on every upsert).
 
-    Mechanics: the touched partition values are collected (bounded by
-    the updates batch, tiny by contract), ONLY those partitions are
-    read back, anti-joined against the update keys (drop the rows
-    being replaced), unioned with the updates, and written with
-    mode("overwrite") + dynamic partition overwrite — untouched
-    partition directories are not listed, read, or rewritten (pinned
-    by file-mtime assertions in tests/test_scale_utils.py).
+    Mechanics: touched partition values come off the updates batch
+    (tiny by contract; a NULL partition value maps to Hive's
+    __HIVE_DEFAULT_PARTITION__ directory and is handled with an
+    explicit isNull arm — isin() comparisons are never true for NULL,
+    which would silently DROP the null partition's other rows).
+    Existing touched directories are read back, anti-joined against
+    the update keys, unioned with the updates, staged to a sibling
+    temp directory (a durable write-then-swap: no lineage trick like
+    localCheckpoint, whose executor-local blocks die with a lost
+    executor mid-job), re-read, and committed with dynamic
+    partitionOverwriteMode; the temp directory is deleted after the
+    commit. A first upsert into a not-yet-existing table degrades to
+    a pure insert.
 
-    Contract: ``key`` is unique per row in both the table and the
-    batch; a key may MOVE partitions only if the updates batch also
-    covers its old partition (cross-partition moves otherwise leave
-    the stale row — the same constraint Hive-style partition upserts
-    carry; document the key->partition function as stable, e.g.
-    day(event_time) with immutable event times)."""
+    Contract: ``key`` unique per row in table and batch; partition
+    values must round-trip through their Hive directory form (strings
+    without '/'-like specials, ints — the usual hive-layout rule); a
+    key may MOVE partitions only if the batch also covers its old
+    partition (the Hive-style constraint — otherwise the stale row
+    survives there)."""
     touched = [r[0] for r in updates.select(part_col).distinct().collect()]
     if not touched:
         return
-    current = spark.read.parquet(path).where(F.col(part_col).isin(touched))
-    keep = current.join(
-        F.broadcast(updates.select(key).distinct()), key, "left_anti")
-    merged = keep.unionByName(updates.select(*keep.columns))
-    # materialize BEFORE the write: the overwrite targets partitions the
-    # plan is still reading — localCheckpoint pins the merged rows
-    # (bounded by the touched partitions) so the swap can never race
-    # its own source files
-    merged = merged.localCheckpoint()
-    (
-        merged.repartition(part_col)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(part_col)
-        .parquet(path)
-    )
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    def _dir(v):
+        name = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        return f"{path}/{part_col}={name}"
+
+    existing = [
+        d for d in (_dir(v) for v in touched)
+        if fs.exists(sc._jvm.org.apache.hadoop.fs.Path(d))
+    ]
+    if existing:
+        current = spark.read.option("basePath", path).parquet(*existing)
+        keep = current.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti")
+        merged = keep.unionByName(updates.select(*keep.columns))
+    else:  # pure insert (possibly the bootstrap write of a new table)
+        merged = updates
+    # durable staging: the overwrite targets partitions the plan reads,
+    # so materialize to a sibling temp dir and commit from THERE
+    tmp = f"{path}__upsert_staging"
+    merged.repartition(part_col).write.mode("overwrite").parquet(tmp)
+    try:
+        (
+            spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    finally:
+        fs.delete(sc._jvm.org.apache.hadoop.fs.Path(tmp), True)

@@ -273,7 +273,7 @@ def run_order_flow_stream(
     test (a zero-tick ingested by the second query instance inherits
     a sign the first instance saw)."""
     from tickdatapipeline_spark.streaming.eventtime import (
-        _write_batch_idempotent,
+        _write_batch_idempotent_fb,
     )
 
     raw = (
@@ -281,13 +281,9 @@ def run_order_flow_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(input_dir)
     )
-
-    def _sink(batch_df, batch_id: int) -> None:
-        _write_batch_idempotent(batch_df, out_dir, batch_id)
-
     return (
         order_flow_stream(raw)
-        .writeStream.foreachBatch(_sink)
+        .writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
