@@ -3381,3 +3381,77 @@ def test_hourly_ohlc_stream_restart_finalizes_once(spark, tmp_path):
     got = {(r.hour_s, r.event_type): (r.n_events, r.open, r.high, r.low, r.close)
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {(B // 1_000_000, "m"): (3, 5.0, 9.0, 1.0, 1.0)}
+
+
+def test_rv_bars_stream_equals_batch_completed_bars(spark, tmp_path):
+    """Finalized streaming RV bars equal the batch formulation for
+    every COMPLETED bar — with a bar deliberately split across two
+    micro-batches (the in-progress-bar GroupState carry) — and the
+    trailing partial bar is withheld, not emitted partially."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import rv_bars_stream
+
+    BAR = 3
+    # stream 0: 8 ticks -> bars 0,1 complete (lines 1-3, 4-6), bar 2
+    # partial (lines 7-8); bar 1 is split across the two batches
+    prices0 = [100, 102, 101, 101, 105, 104, 104, 110]
+    rows0 = [(0, i + 1, p) for i, p in enumerate(prices0[:4])]
+    rows1 = [(0, i + 5, p) for i, p in enumerate(prices0[4:])]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for st, ln, last in rows:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": 1}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long, volume long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        rv_bars_stream(raw, bar_size=BAR)
+        .writeStream.format("memory").queryName("rv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.stream, r.bar_id): (r.n_moves, r.rv, r.max_abs_move)
+           for r in spark.table("rv_stream").collect()}
+
+    # batch mirror: realized_variance_fn's algebra over the full input
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, i + 1, p) for i, p in enumerate(prices0)],
+        "stream long, line_no long, last long")
+    w = Window.partitionBy("stream").orderBy("line_no")
+    batch = (
+        df.select(
+            "stream",
+            F.expr(f"(line_no - 1) DIV {BAR}").alias("bar_id"),
+            (F.col("last") - F.lag("last").over(w)).alias("dlt"),
+        )
+        .groupBy("stream", "bar_id")
+        .agg(F.count("dlt").alias("n"),
+             F.coalesce(F.sum(F.col("dlt") * F.col("dlt")), F.lit(0)).alias("rv"),
+             F.max(F.abs("dlt")).alias("mab"))
+        .collect()
+    )
+    want = {(r.stream, r.bar_id): (r.n, r.rv, r.mab) for r in batch
+            if r.bar_id < 2}  # bar 2 is partial
+    assert got == want
+    assert (0, 2) not in got  # partial bar withheld
+    # spot-check: bar 1's boundary move (101->101, d=0) plus 105,104
+    assert got[(0, 1)] == (3, 17, 4)

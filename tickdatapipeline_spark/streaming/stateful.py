@@ -361,3 +361,88 @@ def drawdown_stream(ticks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RV_BARS_OUT_SCHEMA = (
+    "stream long, bar_id long, n_moves long, rv long, max_abs_move long"
+)
+RV_BARS_STATE_SCHEMA = (
+    "last_price long, cur_bar long, n_in_bar long, n_moves long, "
+    "rv long, max_abs long"
+)
+
+
+def make_rv_bars_kernel(bar_size: int):
+    """applyInPandasWithState kernel for rv_bars_stream: one GroupState
+    per stream accumulates the CURRENT fixed-count bar's realized
+    variance (sum of squared tick moves), move count, and max absolute
+    move; a bar emits exactly once, the moment its ``bar_size``-th
+    tick arrives. A move crossing a bar boundary belongs to the later
+    tick's bar — the batch twin's convention
+    (plans.market.realized_variance_fn). Chunks concat before the
+    line_no sort (the deltas are order-sensitive)."""
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        lp, cur, nin, nmv, rv, mab = (
+            tuple(state.get) if state.exists else (None, None, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out_bars, out_n, out_rv, out_mab = [], [], [], []
+        if len(pdf) > 0:
+            pdf = pdf.sort_values("line_no")
+            for ln, last in zip(pdf["line_no"].to_numpy(),
+                                pdf["last"].to_numpy()):
+                ln, last = int(ln), int(last)
+                b = (ln - 1) // bar_size
+                if cur is None:
+                    cur = b
+                if b != cur:  # in-order contract: b > cur; bar rolled
+                    cur, nin, nmv, rv, mab = b, 0, 0, 0, 0
+                if lp is not None:
+                    d = last - lp
+                    nmv += 1
+                    rv += d * d
+                    mab = max(mab, abs(d))
+                lp = last
+                nin += 1
+                if nin == bar_size:  # bar complete: emit exactly once
+                    out_bars.append(cur)
+                    out_n.append(nmv)
+                    out_rv.append(rv)
+                    out_mab.append(mab)
+                    cur, nin, nmv, rv, mab = cur + 1, 0, 0, 0, 0
+            if out_bars:
+                yield pd.DataFrame({
+                    "stream": [key[0]] * len(out_bars), "bar_id": out_bars,
+                    "n_moves": out_n, "rv": out_rv, "max_abs_move": out_mab,
+                })
+        state.update((lp, cur, nin, nmv, rv, mab))
+
+    return kernel
+
+
+def rv_bars_stream(ticks: DataFrame, bar_size: int = 144) -> DataFrame:
+    """Streaming twin of the batch per-bar realized variance
+    (plans.market.realized_variance_fn): finalized fixed-count bars
+    emitted live, exactly once each, with the in-progress bar carried
+    in six GroupState scalars per stream across micro-batches — the
+    count-window analogue of the watermark-finalized OHLC candles
+    (count windows need no watermark: the in-order ingest contract
+    makes the bar boundary deterministic, the reference's own
+    streaming semantics). COMPLETED bars equal the batch query
+    bit-for-bit; the batch's trailing partial bar is withheld until
+    its bar fills (pinned by the stream==batch test, including a bar
+    split across micro-batches).
+
+    Same ingest contract as ema_stream/order_flow_stream: (stream,
+    line_no, last) in per-stream order across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ticks.select("stream", "line_no", "last").groupBy("stream").applyInPandasWithState(
+        make_rv_bars_kernel(bar_size),
+        outputStructType=RV_BARS_OUT_SCHEMA,
+        stateStructType=RV_BARS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
