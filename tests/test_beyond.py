@@ -3525,3 +3525,31 @@ def test_lm_surprisal_golden(spark, tmp_path):
     assert set(out) == {1, 2, 3}  # doc 4 has no bigrams
     assert (out[1].n_bigrams, out[1].total_bits, out[1].bits_permille) == (1, 0, 0)
     assert (out[3].n_bigrams, out[3].total_bits, out[3].bits_permille) == (1, 1, 1000)
+
+
+def test_dup_span_coverage_golden(spark):
+    """Hand-computed cross-doc duplicated-span union (n=3): two docs
+    share 'x y z w' (two overlapping 3-grams -> ONE merged island of 4
+    tokens) plus a disjoint 'a b c' island (3 tokens); a doc repeating
+    a gram only WITHIN itself (df=1 by distinct-doc counting) and a
+    unique doc contribute zero coverage; pooled per-source permille
+    uses integer DIV."""
+    from tickdatapipeline_spark.operators.text import dup_span_coverage
+
+    rows = [
+        # src a, doc 1: 9 tokens; covered [0,3] + [6,8] = 7
+        (1, "x y z w q1 q2 a b c", "a"),
+        # src a, doc 2: 10 tokens; covered [2,5] + [7,9] = 7
+        (2, "p p2 x y z w r a b c", "a"),
+        # src b: within-doc repetition only (df counts DISTINCT docs)
+        (3, "m m m m m", "b"),
+        # src b: all-unique short doc
+        (4, "u v w", "b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in dup_span_coverage(d, 3).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.docs_with_dup, a.total_tokens, a.covered_tokens) == (2, 2, 19, 14)
+    assert a.coverage_permille == 14 * 1000 // 19  # 736
+    assert (b.n_docs, b.docs_with_dup, b.total_tokens, b.covered_tokens) == (2, 0, 8, 0)
+    assert b.coverage_permille == 0

@@ -916,3 +916,54 @@ def test_count_min_matches_python_mirror_and_never_underestimates(spark, tmp_pat
         assert ex == exact[u]
         assert est == want[u]
         assert over == est - ex and over >= 0
+
+
+@given(prices=st.lists(st.integers(min_value=1, max_value=99999),
+                       min_size=2, max_size=40),
+       vols=st.data())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_liquidity_panel_matches_exact_fraction_mirror(spark, prices, vols):
+    """ticks_liquidity_panel's Roll covariance / spread, Amihud sum,
+    and variance ratio vs a naive Python mirror computing the SAME
+    integer five-sum algebra (Fraction-exact until the final float) —
+    pins sign conventions, pair/return counting, the NULL arms
+    (cov >= 0 => no spread; zero 1-period variance => no VR), and the
+    per-tick Amihud integer division."""
+    import math
+    from fractions import Fraction
+
+    from tickdatapipeline_spark.plans.market import AMIHUD_SCALE, VR_Q, liquidity_panel
+
+    volumes = [vols.draw(st.integers(min_value=1, max_value=5)) for _ in prices]
+    rows = [(0, i + 1, p, v) for i, (p, v) in enumerate(zip(prices, volumes))]
+    df = spark.createDataFrame(
+        rows, "stream long, line_no long, last long, volume long")
+    got = liquidity_panel(df).collect()[0]
+
+    d = [b - a for a, b in zip(prices, prices[1:])]
+    pairs = list(zip(d, d[1:]))  # (x = d_{t-1}, y = d_t)
+    n = len(pairs)
+    assert got.n_moves == len(d) and got.n_pairs == n
+    if n > 0:
+        sx, sy = sum(x for x, _ in pairs), sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        cov = Fraction(n * sxy - sx * sy, n * n)
+        assert got.roll_cov == math.floor(float(cov) * 1e6 + 0.5) / 1e6
+        if cov < 0:
+            want = math.floor(2.0 * math.sqrt(-float(cov)) * 1e6 + 0.5) / 1e6
+            assert got.roll_spread == want
+        else:
+            assert got.roll_spread is None
+    am = [abs(m) * AMIHUD_SCALE // v for m, v in zip(d, volumes[1:])]
+    assert got.amihud_sum_pm == sum(am)
+    r = [b - a for a, b in zip(prices, prices[VR_Q:])]
+    n1, nq = len(d), len(r)
+    var1 = n1 * sum(m * m for m in d) - sum(d) ** 2
+    if nq > 0 and var1 > 0:
+        varq = nq * sum(x * x for x in r) - sum(r) ** 2
+        vr = (varq / (float(nq) * float(nq))) / (
+            float(VR_Q) * (var1 / (float(n1) * float(n1))))
+        assert got[f"vr{VR_Q}"] == math.floor(vr * 1e6 + 0.5) / 1e6
+    else:
+        assert got[f"vr{VR_Q}"] is None

@@ -1434,3 +1434,97 @@ def bpe_compression_report(docs: DataFrame,
         rnd(F.col("n_symbols_bpe").cast("double")
             / F.col("n_symbols_char").cast("double"), 6).alias("compression"),
     )
+
+
+def dup_span_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage per source: the fraction
+    of token positions lying inside a word n-gram that also occurs in
+    at least one OTHER document — the span-level statistic behind exact
+    -substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): doc-level MinHash misses a corpus
+    where every doc is unique but 30% of each is a shared license
+    block. Complements docs_ngram_repetition (WITHIN-doc repetition)
+    and boilerplate_ngrams (top-k shared grams): this measures how much
+    of the corpus the shared spans actually cover.
+
+    Per doc: positional n-grams (start index + 60-bit gram hash, the
+    hashed_shingles convention — joins shuffle 8-byte ints; a cross-doc
+    hash collision can overcount one span, odds ~pairs/2^61, and the
+    SQL twin hashes identically); grams whose distinct-doc frequency
+    >= 2 become intervals [start, start+n-1]; per-doc interval UNION
+    via gaps-and-islands (running max(end) over a doc-partitioned
+    window — bounded by doc length, never a global sort); covered
+    token counts pool per source as exact BIGINTs with ONE integer
+    permille division (pooled ratios — never averaged floats).
+
+    Output: (source, n_docs, docs_with_dup, total_tokens,
+    covered_tokens, coverage_permille) ordered by source.
+
+    Scale: the gram explosion fans out first (single-file docs tables
+    arrive as one partition); the df>=2 filter is a combinable groupBy
+    on the 8-byte hash; the island windows partition BY DOC. 100 TB
+    posture: every shuffle is keyed by gram hash or doc_id — no skew
+    beyond natural gram df (a stop-gram's positions stay with their
+    docs; only the tiny (gh, df) table aggregates per gram)."""
+    from pyspark.sql import Window
+
+    t = tokens(F.col("text"))
+    gram_hashes = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)])),
+                    18, 15),
+                16, 10).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos = fan_out(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(gram_hashes).alias("start", "gh"),
+    ).withColumn("end", F.col("start") + F.lit(n - 1))
+    dup = (
+        pos.select("gh", "doc_id").distinct()
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gh")
+    )
+    kept = pos.join(dup, "gh")
+    wo = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max("end").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    isl = kept.select(
+        "doc_id", "start", "end",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0).alias("new_isl"),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    doc_cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("start") + 1).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("covered"))
+    )
+    totals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return (
+        totals.join(doc_cov, "doc_id", "left")
+        .withColumn("covered", F.coalesce(F.col("covered"), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("covered") > 0, F.lit(1))).alias("docs_with_dup"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("covered").alias("covered_tokens"),
+        )
+        .select(
+            "source", "n_docs", "docs_with_dup", "total_tokens", "covered_tokens",
+            F.expr("covered_tokens * 1000 DIV total_tokens").alias("coverage_permille"),
+        )
+        .orderBy("source")
+    )

@@ -4543,6 +4543,7 @@ def queries() -> dict[str, tuple]:
         "docs_fluency_filter": (fluency_filter_fn, _fluency_filter_sql()),
         # round-10 additions
         "docs_ngram_repetition": (ngram_repetition_fn, NGRAM_REPETITION_SQL),
+        "docs_dup_span_coverage": (dup_span_coverage_fn, DUP_SPAN_COVERAGE_SQL),
         "events_seasonal_profile": (seasonal_profile_fn, SEASONAL_PROFILE_SQL),
         "events_type_affinity": (type_affinity_fn, TYPE_AFFINITY_SQL),
         "media_phash_clusters": (media_phash_clusters_fn, MEDIA_PHASH_CLUSTERS_SQL),
@@ -7747,4 +7748,79 @@ SELECT r.rank AS rank, r.freq AS freq_r, r2.freq AS freq_2r,
 FROM ranked r JOIN ranked r2 ON r2.rank = r.rank * 2
 WHERE r.rank IN ({", ".join(str(x) for x in ZIPF_RANKS)})
 ORDER BY rank
+"""
+
+
+# ---- cross-document duplicated-span coverage (Lee et al. 2022) ----
+
+DUP_SPAN_N = 5  # span gram width (tokens); = NGRAM_N, the dedup family's width
+
+
+def dup_span_coverage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage pooled per source — how
+    much of each source's token mass sits inside a 5-gram shared with
+    at least one other document (the exact-substring-dedup statistic of
+    Lee et al. 2022; see operators/text.dup_span_coverage for the full
+    contract). Completes the dedup diagnostics triangle: MinHash/LSH
+    answers "which DOCS are near-dups", docs_ngram_repetition answers
+    "how much does a doc repeat ITSELF", this answers "how much of the
+    corpus is cross-doc duplicated TEXT even when no doc pair clears
+    the near-dup threshold"."""
+    from tickdatapipeline_spark.operators.text import dup_span_coverage
+
+    return dup_span_coverage(_docs(spark, sf_dir), DUP_SPAN_N)
+
+
+DUP_SPAN_COVERAGE_SQL = f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, {SQL_TOKENS} AS t
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i - 1 AS start, i - 1 + {DUP_SPAN_N - 1} AS fin,
+           {sql_h60(f"array_to_string(t[i:i+{DUP_SPAN_N - 1}], ' ')")} AS gh
+    FROM (
+        SELECT doc_id, t,
+               unnest(CASE WHEN len(t) >= {DUP_SPAN_N}
+                      THEN range(1, len(t) - {DUP_SPAN_N - 2}) ELSE [] END) AS i
+        FROM toks
+    )
+),
+dup AS (
+    SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM pos)
+    GROUP BY gh HAVING count(*) >= 2
+),
+kept AS (SELECT pos.* FROM pos JOIN dup USING (gh)),
+isl AS (
+    SELECT doc_id, start, fin,
+           CASE WHEN max(fin) OVER w_prev IS NULL
+                  OR start > max(fin) OVER w_prev THEN 1 ELSE 0 END AS new_isl
+    FROM kept
+    WINDOW w_prev AS (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+    SELECT doc_id, start, fin,
+           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+),
+doc_cov AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered
+    FROM (SELECT doc_id, island, max(fin) - min(start) + 1 AS c
+          FROM isl2 GROUP BY doc_id, island)
+    GROUP BY doc_id
+),
+totals AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok FROM toks)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE covered > 0) AS BIGINT) AS docs_with_dup,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(covered) AS BIGINT) AS covered_tokens,
+       CAST(sum(covered) * 1000 // sum(n_tok) AS BIGINT) AS coverage_permille
+FROM (
+    SELECT totals.source, coalesce(doc_cov.covered, 0) AS covered, totals.n_tok
+    FROM totals LEFT JOIN doc_cov ON totals.doc_id = doc_cov.doc_id
+)
+GROUP BY source ORDER BY source
 """

@@ -389,6 +389,7 @@ def queries() -> dict[str, tuple]:
         "bars_bollinger": (bollinger_fn, BOLLINGER_SQL),
         "bars_rsi": (rsi_fn, RSI_SQL),
         "ticks_realized_variance": (realized_variance_fn, REALIZED_VARIANCE_SQL),
+        "ticks_liquidity_panel": (liquidity_panel_fn, LIQUIDITY_PANEL_SQL),
     }
 
 
@@ -440,4 +441,176 @@ SELECT stream, bar_id,
        CAST(coalesce(sum(dlt * dlt), 0) AS BIGINT) AS rv,
        CAST(max(abs(dlt)) AS BIGINT) AS max_abs_move
 FROM moves GROUP BY stream, bar_id ORDER BY stream, bar_id
+"""
+
+
+# ================= liquidity / market-efficiency panel =================
+
+VR_Q = 4  # variance-ratio horizon (ticks); VR(4) is the textbook short-horizon point
+AMIHUD_SCALE = 1000  # per-mille scaling of the per-tick |move|/volume quotient
+
+
+def liquidity_panel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream liquidity / market-efficiency panel: the three
+    textbook estimators computed from trades alone (no quote data
+    needed) that complete the microstructure family —
+
+    * **Roll (1984) implied spread**: first-order serial covariance of
+      price changes; under Roll's bid-ask-bounce model cov < 0 and the
+      effective spread is 2*sqrt(-cov). Emitted as the rnd-crossed
+      covariance plus the spread (NULL when cov >= 0, the standard
+      "Roll undefined" caveat — a trending fixture stream can produce
+      positive autocovariance).
+    * **Amihud (2002) illiquidity**: mean per-tick |price move| /
+      volume — price impact per unit traded. Per-tick quotient as the
+      exact non-negative integer |d|*1000 DIV volume (trunc == floor in
+      both engines on non-negatives), summed BIGINT; per-tick value
+      <= ~5.8e7 at the fixture's 58k spike bound, so the sum holds
+      ~7.9e10 ticks/stream inside int64 — a century of prints.
+    * **Lo-MacKinlay (1988) variance ratio** VR(q)=Var(r_q)/(q*Var(d))
+      with overlapping q-tick returns: the random-walk diagnostic
+      (VR<1 = mean reversion / bounce, VR>1 = momentum).
+
+    Exactness: every sum/count is BIGINT; cov and the two variances are
+    the exact integer forms n*Sxy - Sx*Sy / n*Sxx - Sx^2 cast to double
+    only for the final correctly-rounded IEEE divisions (sqrt is
+    correctly rounded too — the ACF family's sanctioned route); each
+    float output is rnd-crossed. The five-sums int64 budget is guarded
+    division-form (|S| <= (2^62-1) DIV n_ticks — conservative: every
+    pair/move/return count <= n_ticks; Cauchy-Schwarz bounds the Sx*Sy
+    cross terms by the guarded n*Sxx/n*Syy), folded into the consumed
+    n_pairs column so Catalyst cannot prune it; on trip it raises the
+    documented re-scale message instead of a silent wraparound.
+
+    Scale: ONE stream-partitioned window node (lags 1/2/q of last) +
+    one combinable groupBy(stream) — no SinglePartition, no global
+    sort; the panel output is O(streams) rows."""
+    return liquidity_panel(ticks_from_events_streams(spark, sf_dir))
+
+
+def liquidity_panel(t: DataFrame) -> DataFrame:
+    """Core of ticks_liquidity_panel over any (stream, line_no, last,
+    volume) frame — split out so the golden test can pin the algebra
+    against an exact-Fraction Python mirror on a constructed series."""
+    w = _w_stream()
+    l1, l2, lq = (F.lag("last", k).over(w) for k in (1, 2, VR_Q))
+    base = t.select(
+        "stream",
+        "volume",
+        (F.col("last") - l1).alias("d"),
+        (l1 - l2).alias("xd"),
+        (F.col("last") - lq).alias("r"),
+    ).withColumn(
+        "am_q",
+        F.when(
+            F.col("d").isNotNull() & (F.col("volume") > 0),
+            F.expr(f"abs(d) * {AMIHUD_SCALE} DIV volume"),
+        ),
+    )
+    pair = F.col("d").isNotNull() & F.col("xd").isNotNull()
+
+    def psum(e):
+        return F.coalesce(F.sum(F.when(pair, e)), F.lit(0)).cast("long")
+
+    sums = base.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.count("d").alias("n_moves"),
+        F.count(F.when(pair, F.lit(1))).alias("n_pairs"),
+        psum(F.col("xd")).alias("sx"),
+        psum(F.col("d")).alias("sy"),
+        psum(F.col("xd") * F.col("d")).alias("sxy"),
+        psum(F.col("xd") * F.col("xd")).alias("sxx"),
+        psum(F.col("d") * F.col("d")).alias("syy"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("sd"),
+        F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0)).cast("long").alias("sdd"),
+        F.count("r").alias("nq"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"),
+        F.coalesce(F.sum(F.col("r") * F.col("r")), F.lit(0)).cast("long").alias("srr"),
+        F.count("am_q").alias("n_am"),
+        F.coalesce(F.sum("am_q"), F.lit(0)).cast("long").alias("amihud_sum_pm"),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cov = cov_num / (nd("n_pairs") * nd("n_pairs"))
+    var1_num = (F.col("n_moves") * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double")
+    varq_num = (F.col("nq") * F.col("srr") - F.col("sr") * F.col("sr")).cast("double")
+    vr = (varq_num / (nd("nq") * nd("nq"))) / (
+        F.lit(float(VR_Q)) * (var1_num / (nd("n_moves") * nd("n_moves")))
+    )
+    budget = F.expr(f"{2 ** 62 - 1} DIV n_ticks")
+    guarded_n_pairs = F.when(
+        (F.abs(F.col("sxy")) <= budget)
+        & (F.col("sxx") <= budget)
+        & (F.col("syy") <= budget)
+        & (F.col("sdd") <= budget)
+        & (F.col("srr") <= budget),
+        F.col("n_pairs"),
+    ).otherwise(F.raise_error(F.lit(
+        "ticks_liquidity_panel: five-sums exceed the int64 budget — re-scale prices"
+    )))
+    return sums.select(
+        "stream",
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.col("n_moves").cast("long").alias("n_moves"),
+        guarded_n_pairs.cast("long").alias("n_pairs"),
+        F.when(F.col("n_pairs") > 0, rnd(cov)).alias("roll_cov"),
+        F.when((F.col("n_pairs") > 0) & (cov_num < 0),
+               rnd(F.lit(2.0) * F.sqrt(-cov))).alias("roll_spread"),
+        "amihud_sum_pm",
+        F.when(F.col("n_am") > 0,
+               rnd(nd("amihud_sum_pm") / nd("n_am"))).alias("amihud_mean_pm"),
+        F.when((F.col("n_moves") > 0) & (F.col("nq") > 0) & (var1_num > 0),
+               rnd(vr)).alias(f"vr{VR_Q}"),
+    ).orderBy("stream")
+
+
+LIQUIDITY_PANEL_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+base AS (
+    SELECT stream, volume,
+           last - lag(last, 1) OVER w AS d,
+           lag(last, 1) OVER w - lag(last, 2) OVER w AS xd,
+           last - lag(last, {VR_Q}) OVER w AS r
+    FROM ticks_streams
+    WINDOW w AS (PARTITION BY stream ORDER BY line_no)
+),
+q AS (
+    SELECT *, CASE WHEN d IS NOT NULL AND volume > 0
+                   THEN abs(d) * {AMIHUD_SCALE} // volume END AS am_q
+    FROM base
+),
+sums AS (
+    SELECT stream,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(count(d) AS BIGINT) AS n_moves,
+           CAST(count(*) FILTER (WHERE d IS NOT NULL AND xd IS NOT NULL) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(xd)     FILTER (WHERE d IS NOT NULL AND xd IS NOT NULL), 0) AS BIGINT) AS sx,
+           CAST(coalesce(sum(d)      FILTER (WHERE d IS NOT NULL AND xd IS NOT NULL), 0) AS BIGINT) AS sy,
+           CAST(coalesce(sum(xd * d) FILTER (WHERE d IS NOT NULL AND xd IS NOT NULL), 0) AS BIGINT) AS sxy,
+           CAST(coalesce(sum(xd * xd) FILTER (WHERE d IS NOT NULL AND xd IS NOT NULL), 0) AS BIGINT) AS sxx,
+           CAST(coalesce(sum(d * d)  FILTER (WHERE d IS NOT NULL AND xd IS NOT NULL), 0) AS BIGINT) AS syy,
+           CAST(coalesce(sum(d), 0) AS BIGINT) AS sd,
+           CAST(coalesce(sum(d * d), 0) AS BIGINT) AS sdd,
+           CAST(count(r) AS BIGINT) AS nq,
+           CAST(coalesce(sum(r), 0) AS BIGINT) AS sr,
+           CAST(coalesce(sum(r * r), 0) AS BIGINT) AS srr,
+           CAST(count(am_q) AS BIGINT) AS n_am,
+           CAST(coalesce(sum(am_q), 0) AS BIGINT) AS amihud_sum_pm
+    FROM q GROUP BY stream
+)
+SELECT stream, n_ticks, n_moves, n_pairs,
+       CASE WHEN n_pairs > 0 THEN {sql_rnd(
+           'CAST(n_pairs * sxy - sx * sy AS DOUBLE)'
+           ' / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))')} END AS roll_cov,
+       CASE WHEN n_pairs > 0 AND n_pairs * sxy - sx * sy < 0 THEN {sql_rnd(
+           '2.0 * sqrt(-(CAST(n_pairs * sxy - sx * sy AS DOUBLE)'
+           ' / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE))))')} END AS roll_spread,
+       amihud_sum_pm,
+       CASE WHEN n_am > 0 THEN {sql_rnd(
+           'CAST(amihud_sum_pm AS DOUBLE) / CAST(n_am AS DOUBLE)')} END AS amihud_mean_pm,
+       CASE WHEN n_moves > 0 AND nq > 0 AND n_moves * sdd - sd * sd > 0 THEN {sql_rnd(
+           '(CAST(nq * srr - sr * sr AS DOUBLE) / (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE)))'
+           f' / ({float(VR_Q)!r} * (CAST(n_moves * sdd - sd * sd AS DOUBLE)'
+           ' / (CAST(n_moves AS DOUBLE) * CAST(n_moves AS DOUBLE))))')} END AS vr{VR_Q}
+FROM sums ORDER BY stream
 """
