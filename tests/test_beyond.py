@@ -3553,3 +3553,51 @@ def test_dup_span_coverage_golden(spark):
     assert a.coverage_permille == 14 * 1000 // 19  # 736
     assert (b.n_docs, b.docs_with_dup, b.total_tokens, b.covered_tokens) == (2, 0, 8, 0)
     assert b.coverage_permille == 0
+
+
+def test_append_ann_index_matches_full_rebuild(spark, tmp_path):
+    """Incremental IVF index maintenance: base build + one shard append
+    (frozen centroids) must answer probes ROW-IDENTICALLY to a full
+    rebuild over the unioned corpus with the same centroids; the append
+    is replay-idempotent; shard names that could clobber foreign
+    partitions are rejected before any work runs."""
+    import pytest
+
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_probe_against_index,
+        append_ann_index,
+        write_ann_index,
+    )
+    from tickdatapipeline_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(i, [float(x) for x in r.embedding])
+             for i, r in enumerate(
+                 emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect())]
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    probe = emb.where(F.col("vec_id") % 37 == 0).limit(6)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ann_index(base, inc, centroids=cents)
+    append_ann_index(shard, inc, "delta1")
+    write_ann_index(emb, full, centroids=cents)
+
+    def answer(path):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in ann_probe_against_index(
+                probe,
+                spark.read.parquet(f"{path}/centroids"),
+                spark.read.parquet(f"{path}/vectors"),
+                k=5).collect())
+
+    first = answer(inc)
+    assert first == answer(full) and len(first) > 0
+    # replay the SAME delta: nothing doubles
+    append_ann_index(shard, inc, "delta1")
+    assert answer(inc) == first
+    # shard-name hygiene: rejected before any job runs
+    for bad in ("", "base", "a/b", "a=b"):
+        with pytest.raises(ValueError):
+            append_ann_index(shard, inc, bad)

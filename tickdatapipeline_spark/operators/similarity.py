@@ -441,7 +441,14 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
 
     At 100 TB the vectors table is written cell-partitioned so a probe
     reads only its nprobe cells; partitionBy keeps that pruning
-    available to the parquet scan."""
+    available to the parquet scan.
+
+    Shard-partitioned layout (r10, mirroring dedup.write_corpus_index):
+    the base build owns ``vectors/shard=base``; daily deltas land as
+    their own ``shard=<name>`` partitions via ``append_ann_index``.
+    This full rebuild wipes every shard first — the compaction path
+    when the quantizer needs retraining (appends assign against the
+    FROZEN base centroids; FAISS's add-with-trained-quantizer shape)."""
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     )
@@ -452,9 +459,55 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
             F.col("vec_id").alias("cell"), F.col("v").alias("c")
         )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    from tickdatapipeline_spark.operators.dedup import _wipe_path
+
+    _wipe_path(emb.sparkSession, f"{path}/vectors")
     assigned = ivf_assign(emb, n_cells, nprobe=1, centroids=centroids)
     assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
-        .partitionBy("cell").parquet(f"{path}/vectors")
+        .partitionBy("cell").parquet(f"{path}/vectors/shard=base")
+
+
+def append_ann_index(emb_shard: DataFrame, path: str, shard: str) -> None:
+    """Idempotent incremental maintenance for the persisted IVF index:
+    assign ONE new shard of embeddings to the EXISTING centroids (read
+    off ``path``/centroids — the quantizer stays frozen, FAISS's
+    trained-index add contract) and land them as that shard's
+    ``vectors/shard=<shard>/cell=*`` partitions — the daily-delta shape
+    the dedup index already runs (`dedup.append_corpus_index`): no
+    corpus-side recompute, probes read the union of shards
+    transparently (the discovered ``shard`` column rides along and is
+    ignored by `ann_probe_against_index`).
+
+    Replay-idempotent: the shard directory is wiped before the write,
+    so a duplicated or failed-and-retried delta job leaves the index
+    equivalent instead of doubling the shard's vectors. Because the
+    centroids are frozen, an append-grown index is ROW-IDENTICAL to a
+    full `write_ann_index` rebuild over the unioned corpus with the
+    same centroids (pinned in tests) — cell balance can drift as the
+    corpus distribution does, which is when the scheduled rebuild
+    (retrain + rewrite) runs, exactly like `write_corpus_index`
+    compaction.
+
+    Scale: O(shard) work — one broadcast-centroid argmin pass over the
+    shard plus a cell-partitioned write; never touches existing
+    shards."""
+    # validate FIRST, never as a bare assert (python -O strips asserts
+    # and a '/'- or '='-smuggling name would overwrite foreign paths;
+    # 'base' would clobber the base build)
+    if not shard or shard == "base" or "/" in shard or "=" in shard:
+        raise ValueError(
+            f"invalid shard name {shard!r}: must be non-empty, not 'base', "
+            "and contain no '/' or '='")
+    spark = emb_shard.sparkSession
+    cents = [(r.cell, list(r.c))
+             for r in spark.read.parquet(f"{path}/centroids").collect()]
+    cents.sort()  # deterministic argmin tie order, O(n_cells) driver rows
+    from tickdatapipeline_spark.operators.dedup import _wipe_path
+
+    _wipe_path(spark, f"{path}/vectors/shard={shard}")
+    assigned = ivf_assign(emb_shard, n_cells=len(cents), nprobe=1, centroids=cents)
+    assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
+        .partitionBy("cell").parquet(f"{path}/vectors/shard={shard}")
 
 
 def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
