@@ -967,3 +967,47 @@ def test_liquidity_panel_matches_exact_fraction_mirror(spark, prices, vols):
         assert got[f"vr{VR_Q}"] == math.floor(vr * 1e6 + 0.5) / 1e6
     else:
         assert got[f"vr{VR_Q}"] is None
+
+
+def test_kyle_lambda_golden(spark):
+    """Kyle's lambda on a constructed two-stream frame vs hand-computed
+    OLS of price change on tick-rule-signed volume: stream 0 has a
+    known positive-impact pattern; stream 1's leading unclassified run
+    is excluded from the regression."""
+    import tickdatapipeline_spark.plans.market as M
+
+    rows = [
+        # stream 0: prices 10,12,12,11 vols 1,2,3,4
+        (0, 1, 10, 1), (0, 2, 12, 2), (0, 3, 12, 3), (0, 4, 11, 4),
+        # stream 1: flat then one downtick: 5,5,4
+        (1, 1, 5, 9), (1, 2, 5, 9), (1, 3, 4, 2),
+    ]
+    t = spark.createDataFrame(
+        rows, "stream long, line_no long, last long, volume long")
+    d = M.tick_rule_dirs(t)
+    obs = d.select(
+        "stream",
+        (F.col("last") - F.lag("last").over(
+            M._w_stream())).alias("y"),
+        (F.col("dir") * F.col("volume")).alias("x"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    got = {(r.stream, r.x, r.y) for r in obs.collect()}
+    # stream 0 observations: t2 (dir +1, x=+2, y=+2), t3 (carry +1,
+    # x=+3, y=0), t4 (dir -1, x=-4, y=-1); t1 has NULL y and NULL dir.
+    # stream 1: t2 flat before any move -> dir NULL (excluded),
+    # t3 downtick (x=-2, y=-1).
+    assert got == {(0, 2, 2), (0, 3, 0), (0, -4, -1), (1, -2, -1)}
+    # slope check for stream 0 against the closed form
+    xs, ys = [2, 3, -4], [2, 0, -1]
+    n = 3
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    import math
+    want = math.floor(num / den * 1e6 + 0.5) / 1e6
+    sums = obs.where(F.col("stream") == 0).groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    r = sums.collect()[0]
+    assert (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx) == num / den
+    assert abs(num / den - want) < 1e-6

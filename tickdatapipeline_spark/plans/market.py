@@ -390,6 +390,7 @@ def queries() -> dict[str, tuple]:
         "bars_rsi": (rsi_fn, RSI_SQL),
         "ticks_realized_variance": (realized_variance_fn, REALIZED_VARIANCE_SQL),
         "ticks_liquidity_panel": (liquidity_panel_fn, LIQUIDITY_PANEL_SQL),
+        "ticks_kyle_lambda": (kyle_lambda_fn, KYLE_LAMBDA_SQL),
     }
 
 
@@ -612,5 +613,108 @@ SELECT stream, n_ticks, n_moves, n_pairs,
            '(CAST(nq * srr - sr * sr AS DOUBLE) / (CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE)))'
            f' / ({float(VR_Q)!r} * (CAST(n_moves * sdd - sd * sd AS DOUBLE)'
            ' / (CAST(n_moves AS DOUBLE) * CAST(n_moves AS DOUBLE))))')} END AS vr{VR_Q}
+FROM sums ORDER BY stream
+"""
+
+
+# ================= Kyle's lambda (price impact) =================
+
+
+def kyle_lambda_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda per stream: the OLS slope of price change on
+    SIGNED volume (Kyle 1985) — price impact per unit of net order
+    flow, the third leg of the microstructure stool (order_flow = WHO
+    is trading, liquidity_panel = what trading COSTS, this = how much
+    trading MOVES the price). Signed volume x_t = dir_t * volume_t
+    re-uses the tick-rule classification (zero-ticks inherit the last
+    non-zero move's sign and contribute y=0 observations — the
+    standard regression, not a move-only subsample); ticks before the
+    first price change are unclassified and excluded.
+
+    Exactness: the five sums are exact BIGINTs (|x| <= 5 volume cap,
+    |y| <= ~58k move bound at the fixture); lambda = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) and the Pearson r are correctly-rounded IEEE
+    expressions of those integers (two exact sqrts, the ACF family's
+    route), rnd-crossed, NULL on a degenerate all-same-x stream. The
+    division-form int64 budget guard (|S| <= (2^62-1) DIV n) is folded
+    into the consumed n_obs.
+
+    Scale: the same shape as ticks_order_flow — one stream-partitioned
+    carry-forward window + one combinable groupBy(stream); O(streams)
+    output rows."""
+    t = tick_rule_dirs(ticks_from_events_streams(spark, sf_dir))
+    obs = t.select(
+        "stream",
+        (F.col("last") - F.lag("last").over(_w_stream())).alias("y"),
+        (F.col("dir") * F.col("volume")).alias("x"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    sums = obs.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    budget = F.expr(f"{2 ** 62 - 1} DIV n")
+    guarded_n = F.when(
+        (F.abs(F.col("sxy")) <= budget)
+        & (F.col("sxx") <= budget)
+        & (F.col("syy") <= budget),
+        F.col("n"),
+    ).otherwise(F.raise_error(F.lit(
+        "ticks_kyle_lambda: five-sums exceed the int64 budget — re-scale prices"
+    )))
+    return sums.select(
+        "stream",
+        guarded_n.cast("long").alias("n_obs"),
+        "sx", "sy", "sxy", "sxx",
+        F.when(vx > 0, rnd(num / vx.cast("double"))).alias("kyle_lambda"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            rnd(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))),
+        ).alias("impact_corr"),
+    ).orderBy("stream")
+
+
+KYLE_LAMBDA_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+signed AS (
+    SELECT stream, volume,
+           last - lag(last) OVER w AS y,
+           last_value(nullif(CASE WHEN delta > 0 THEN 1
+                                  WHEN delta < 0 THEN -1
+                                  WHEN delta IS NOT NULL THEN 0 END, 0) IGNORE NULLS)
+               OVER (PARTITION BY stream ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+    FROM (
+        SELECT stream, line_no, volume, last,
+               last - lag(last) OVER (PARTITION BY stream ORDER BY line_no) AS delta
+        FROM ticks_streams
+    )
+    WINDOW w AS (PARTITION BY stream ORDER BY line_no)
+),
+obs AS (
+    SELECT stream, y, dir * volume AS x
+    FROM signed WHERE dir IS NOT NULL AND y IS NOT NULL
+),
+sums AS (
+    SELECT stream,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM obs GROUP BY stream
+)
+SELECT stream, n AS n_obs, sx, sy, sxy, sxx,
+       CASE WHEN n * sxx - sx * sx > 0 THEN {sql_rnd(
+           'CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)')} END AS kyle_lambda,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN {sql_rnd(
+           'CAST(n * sxy - sx * sy AS DOUBLE)'
+           ' / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))')} END AS impact_corr
 FROM sums ORDER BY stream
 """
