@@ -1011,3 +1011,39 @@ def test_kyle_lambda_golden(spark):
     r = sums.collect()[0]
     assert (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx) == num / den
     assert abs(num / den - want) < 1e-6
+
+
+def test_vol_signature_nonoverlapping_counts(spark):
+    """Volatility-signature sampling: for a single 9-tick stream the
+    q-grids are line_no 1,3,5,7,9 (q=2) etc., each consecutive-grid
+    move counted exactly once, and RV at q=1 equals the sum of squared
+    tick moves (= the realized-variance estimator's total)."""
+    from tickdatapipeline_spark.plans import market as M
+
+    prices = [10, 12, 11, 11, 15, 14, 14, 13, 16]
+    rows = [(0, i + 1, p) for i, p in enumerate(prices)]
+    t = spark.createDataFrame(rows, "stream long, line_no long, last long")
+    fanned = t.select(
+        "stream", "line_no", "last",
+        F.explode(F.array(*[F.lit(q) for q in M.SIGNATURE_QS])).alias("q"),
+    ).where((F.col("line_no") - 1) % F.col("q") == 0)
+    from pyspark.sql import Window
+    wq = Window.partitionBy("stream", "q").orderBy("line_no")
+    moves = fanned.select(
+        "q", (F.col("last") - F.lag("last").over(wq)).alias("d")
+    ).where(F.col("d").isNotNull())
+    agg = {r.q: (r.n, r.rv) for r in moves.groupBy("q").agg(
+        F.count("d").alias("n"), F.sum(F.col("d") * F.col("d")).alias("rv")
+    ).collect()}
+
+    def mirror(q):
+        grid = prices[::q]
+        ds = [b - a for a, b in zip(grid, grid[1:])]
+        return (len(ds), sum(x * x for x in ds))
+
+    for q in M.SIGNATURE_QS:
+        assert agg.get(q, (0, None))[0] == mirror(q)[0]
+        if mirror(q)[0]:
+            assert agg[q][1] == mirror(q)[1]
+    # q=1 total == realized variance total over the whole stream
+    assert agg[1][1] == sum((b - a) ** 2 for a, b in zip(prices, prices[1:]))

@@ -3455,3 +3455,74 @@ def test_rv_bars_stream_equals_batch_completed_bars(spark, tmp_path):
     assert (0, 2) not in got  # partial bar withheld
     # spot-check: bar 1's boundary move (101->101, d=0) plus 105,104
     assert got[(0, 1)] == (3, 17, 4)
+
+
+def test_liquidity_stream_equals_batch(spark, tmp_path):
+    """The streaming liquidity monitor emits, per micro-batch, exactly
+    the batch liquidity panel over each stream's concatenated prefix —
+    including the Roll covariance pair chain and the lag-4
+    variance-ratio window split ACROSS the batch boundary (the carries
+    a per-batch recompute loses)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.plans.market import liquidity_panel
+    from tickdatapipeline_spark.streaming.stateful import liquidity_stream
+
+    rows0 = [  # (stream, line_no, last, volume)
+        (0, 1, 100, 2), (0, 2, 103, 1), (0, 3, 101, 4), (0, 4, 101, 1),
+        (0, 5, 106, 3),
+        (1, 1, 50, 1), (1, 2, 48, 2), (1, 3, 53, 1),
+    ]
+    rows1 = [  # lag-4 returns for these ticks reach back into batch 0
+        (0, 6, 99, 2), (0, 7, 104, 5),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate([rows0, rows1]):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for st, ln, last, vol in rows:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long, volume long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        liquidity_stream(raw)
+        .writeStream.format("memory").queryName("liq_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("liq_stream").collect()
+    got = {}  # (stream, n_ticks) -> row: one emission per batch prefix
+    for r in out:
+        got[(r.stream, r.n_ticks)] = r
+
+    def batch_panel(rows):
+        df = spark.createDataFrame(
+            rows, "stream long, line_no long, last long, volume long")
+        return {r.stream: r for r in liquidity_panel(df).collect()}
+
+    cols = ["n_ticks", "n_moves", "n_pairs", "roll_cov", "roll_spread",
+            "amihud_sum_pm", "amihud_mean_pm", "vr4"]
+    # prefix after batch 0 AND the final state after batch 1
+    for rows, n0 in [(rows0, 5), (rows0 + rows1, 7)]:
+        want = batch_panel(rows)
+        assert tuple(got[(0, n0)][c] for c in cols) == \
+            tuple(want[0][c] for c in cols)
+    want = batch_panel(rows0)
+    assert tuple(got[(1, 3)][c] for c in cols) == \
+        tuple(want[1][c] for c in cols)
+    # the lag-4 return at tick 6 (99 - 103) crossed the batch seam
+    assert got[(0, 7)].vr4 is not None

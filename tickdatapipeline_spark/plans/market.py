@@ -391,6 +391,7 @@ def queries() -> dict[str, tuple]:
         "ticks_realized_variance": (realized_variance_fn, REALIZED_VARIANCE_SQL),
         "ticks_liquidity_panel": (liquidity_panel_fn, LIQUIDITY_PANEL_SQL),
         "ticks_kyle_lambda": (kyle_lambda_fn, KYLE_LAMBDA_SQL),
+        "ticks_vol_signature": (vol_signature_fn, VOL_SIGNATURE_SQL),
     }
 
 
@@ -717,4 +718,84 @@ SELECT stream, n AS n_obs, sx, sy, sxy, sxx,
            'CAST(n * sxy - sx * sy AS DOUBLE)'
            ' / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))')} END AS impact_corr
 FROM sums ORDER BY stream
+"""
+
+
+# ================= volatility signature =================
+
+SIGNATURE_QS = (1, 2, 4, 8)  # sampling intervals (ticks)
+
+
+def vol_signature_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility signature per stream: realized variance per
+    NON-OVERLAPPING q-tick return at sampling intervals q = 1,2,4,8 —
+    the Andersen/Bollerslev/Diebold signature-plot data. Under a pure
+    random walk the per-tick-normalized RV is flat in q; bid-ask
+    bounce inflates the finest grids (RV/tick FALLS as q grows), so
+    the q-profile is the standard microstructure-noise diagnostic and
+    picks the sampling interval for the per-bar RV estimator
+    (ticks_realized_variance).
+
+    Sampling: grid points are the ticks with (line_no - 1) % q == 0;
+    the q-return is the price change between consecutive grid points
+    (lag over the FILTERED per-stream frame — non-overlapping by
+    construction, every tick's move counted exactly once per q).
+
+    Exactness: all-integer (move^2 < 2^32 at the fixture bound; sums
+    BIGINT) except rv_per_tick = rv/(n_ret*q), ONE rnd-crossed
+    division of exact integers.
+
+    Scale: the q fan-out multiplies rows by sum(1/q) < 2 — cheaper
+    than two copies of the tick table; windows stay stream-partitioned
+    ((stream, q) partitions after the fan-out); one combinable
+    groupBy(stream, q)."""
+    t = ticks_from_events_streams(spark, sf_dir)
+    fanned = t.select(
+        "stream", "line_no", "last",
+        F.explode(F.array(*[F.lit(q) for q in SIGNATURE_QS])).alias("q"),
+    ).where((F.col("line_no") - 1) % F.col("q") == 0)
+    wq = Window.partitionBy("stream", "q").orderBy("line_no")
+    moves = fanned.select(
+        "stream", "q",
+        (F.col("last") - F.lag("last").over(wq)).alias("d"),
+    )
+    return (
+        moves.groupBy("stream", "q")
+        .agg(
+            F.count("d").alias("n_ret"),
+            F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0)).cast("long").alias("rv"),
+        )
+        .select(
+            "stream",
+            F.col("q").cast("long").alias("q"),
+            F.col("n_ret").cast("long").alias("n_ret"),
+            "rv",
+            F.when(
+                F.col("n_ret") > 0,
+                rnd(F.col("rv").cast("double")
+                    / (F.col("n_ret") * F.col("q")).cast("double")),
+            ).alias("rv_per_tick"),
+        )
+        .orderBy("stream", "q")
+    )
+
+
+VOL_SIGNATURE_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+fanned AS (
+    SELECT stream, line_no, last, q
+    FROM ticks_streams, (SELECT unnest({list(SIGNATURE_QS)}) AS q)
+    WHERE (line_no - 1) % q = 0
+),
+moves AS (
+    SELECT stream, q,
+           last - lag(last) OVER (PARTITION BY stream, q ORDER BY line_no) AS d
+    FROM fanned
+)
+SELECT stream, CAST(q AS BIGINT) AS q,
+       CAST(count(d) AS BIGINT) AS n_ret,
+       CAST(coalesce(sum(d * d), 0) AS BIGINT) AS rv,
+       CASE WHEN count(d) > 0 THEN {sql_rnd(
+           'CAST(coalesce(sum(d * d), 0) AS DOUBLE) / CAST(count(d) * q AS DOUBLE)')} END AS rv_per_tick
+FROM moves GROUP BY stream, q ORDER BY stream, q
 """

@@ -446,3 +446,132 @@ def rv_bars_stream(ticks: DataFrame, bar_size: int = 144) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LIQUIDITY_OUT_SCHEMA = (
+    "stream long, n_ticks long, n_moves long, n_pairs long, "
+    "roll_cov double, roll_spread double, amihud_sum_pm long, "
+    "amihud_mean_pm double, vr4 double"
+)
+LIQUIDITY_STATE_SCHEMA = (
+    "p1 long, p2 long, p3 long, p4 long, n_ticks long, "
+    "n_pairs long, sx long, sy long, sxy long, sxx long, syy long, "
+    "n_moves long, sd long, sdd long, nq long, sr long, srr long, "
+    "n_am long, am_sum long"
+)
+
+
+def make_liquidity_kernel():
+    """applyInPandasWithState kernel for liquidity_stream: one
+    GroupState per stream carries the last four prices (the lag-1/2/4
+    window the batch plan reads off a window node) plus the exact
+    integer five-sum accumulators of the Roll / Amihud / variance-
+    ratio algebra; each micro-batch re-derives the panel floats from
+    the integers with the SAME IEEE expression order as
+    plans.market.liquidity_panel, so the emitted row equals the batch
+    query bit-for-bit at every prefix. Chunks concat before the
+    line_no sort (lags are order-sensitive)."""
+    import math
+
+    import pandas as pd
+
+    from tickdatapipeline_spark.plans.market import AMIHUD_SCALE, VR_Q
+
+    def rnd6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def kernel(key, pdfs, state):
+        (p1, p2, p3, p4, n_ticks, n_pairs, sx, sy, sxy, sxx, syy,
+         n_moves, sd, sdd, nq, sr, srr, n_am, am_sum) = (
+            tuple(state.get) if state.exists
+            else (None, None, None, None, 0, 0, 0, 0, 0, 0, 0,
+                  0, 0, 0, 0, 0, 0, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) > 0:
+            pdf = pdf.sort_values("line_no")
+            for last, vol in zip(pdf["last"].to_numpy(),
+                                 pdf["volume"].to_numpy()):
+                last, vol = int(last), int(vol)
+                d = None if p1 is None else last - p1
+                xd = None if (p1 is None or p2 is None) else p1 - p2
+                r = None if p4 is None else last - p4
+                if d is not None:
+                    n_moves += 1
+                    sd += d
+                    sdd += d * d
+                    if vol > 0:
+                        n_am += 1
+                        am_sum += abs(d) * AMIHUD_SCALE // vol
+                    if xd is not None:
+                        n_pairs += 1
+                        sx += xd
+                        sy += d
+                        sxy += xd * d
+                        sxx += xd * xd
+                        syy += d * d
+                if r is not None:
+                    nq += 1
+                    sr += r
+                    srr += r * r
+                p1, p2, p3, p4 = last, p1, p2, p3
+                n_ticks += 1
+            roll_cov = roll_spread = amihud_mean = vr = None
+            if n_pairs > 0:
+                cov_num = n_pairs * sxy - sx * sy
+                cov = float(cov_num) / (float(n_pairs) * float(n_pairs))
+                roll_cov = rnd6(cov)
+                if cov_num < 0:
+                    roll_spread = rnd6(2.0 * math.sqrt(-cov))
+            if n_am > 0:
+                amihud_mean = rnd6(float(am_sum) / float(n_am))
+            var1_num = n_moves * sdd - sd * sd
+            if n_moves > 0 and nq > 0 and var1_num > 0:
+                varq_num = nq * srr - sr * sr
+                vr = rnd6(
+                    (float(varq_num) / (float(nq) * float(nq)))
+                    / (float(VR_Q) * (float(var1_num)
+                                      / (float(n_moves) * float(n_moves))))
+                )
+            yield pd.DataFrame({
+                "stream": [key[0]], "n_ticks": [n_ticks],
+                "n_moves": [n_moves], "n_pairs": [n_pairs],
+                "roll_cov": [roll_cov], "roll_spread": [roll_spread],
+                "amihud_sum_pm": [am_sum], "amihud_mean_pm": [amihud_mean],
+                "vr4": [vr],
+            })
+        state.update((p1, p2, p3, p4, n_ticks, n_pairs, sx, sy, sxy, sxx,
+                      syy, n_moves, sd, sdd, nq, sr, srr, n_am, am_sum))
+
+    return kernel
+
+
+def liquidity_stream(ticks: DataFrame) -> DataFrame:
+    """Streaming twin of the batch liquidity panel
+    (plans.market.liquidity_panel): after every micro-batch each
+    stream emits its CUMULATIVE Roll covariance / implied spread,
+    Amihud illiquidity, and VR(4) — the live liquidity monitor a desk
+    runs intraday. State is 19 integer scalars per stream (four price
+    lags + the five-sum accumulators); every emitted row equals the
+    batch panel over the concatenated prefix bit-for-bit (the float
+    re-derivation mirrors the batch IEEE expression order exactly —
+    pinned by the stream==batch test with the lag-4 window split
+    across micro-batches).
+
+    Same ingest contract as the other market streams: (stream,
+    line_no, last, volume) in per-stream order across batches;
+    NoTimeout by design — the panel is the cumulative all-time
+    statistic, like the heavy-hitters sketch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        ticks.select("stream", "line_no", "last", "volume")
+        .groupBy("stream")
+        .applyInPandasWithState(
+            make_liquidity_kernel(),
+            outputStructType=LIQUIDITY_OUT_SCHEMA,
+            stateStructType=LIQUIDITY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
