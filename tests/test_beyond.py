@@ -3601,3 +3601,12 @@ def test_append_ann_index_matches_full_rebuild(spark, tmp_path):
     for bad in ("", "base", "a/b", "a=b"):
         with pytest.raises(ValueError):
             append_ann_index(shard, inc, bad)
+    # legacy-layout guard: a pre-shard index (vectors/cell=* at the top
+    # level) must be refused with the rebuild message, not poisoned
+    legacy = str(tmp_path / "legacy")
+    spark.read.parquet(f"{inc}/centroids").write.parquet(f"{legacy}/centroids")
+    spark.read.option("basePath", f"{inc}/vectors").parquet(
+        f"{inc}/vectors/shard=base").drop("shard").write.partitionBy(
+        "cell").parquet(f"{legacy}/vectors")
+    with pytest.raises(ValueError, match="pre-shard layout"):
+        append_ann_index(shard, legacy, "delta1")

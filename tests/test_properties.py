@@ -974,7 +974,9 @@ def test_kyle_lambda_golden(spark):
     OLS of price change on tick-rule-signed volume: stream 0 has a
     known positive-impact pattern; stream 1's leading unclassified run
     is excluded from the regression."""
-    import tickdatapipeline_spark.plans.market as M
+    import math
+
+    from tickdatapipeline_spark.plans.market import kyle_lambda
 
     rows = [
         # stream 0: prices 10,12,12,11 vols 1,2,3,4
@@ -984,33 +986,22 @@ def test_kyle_lambda_golden(spark):
     ]
     t = spark.createDataFrame(
         rows, "stream long, line_no long, last long, volume long")
-    d = M.tick_rule_dirs(t)
-    obs = d.select(
-        "stream",
-        (F.col("last") - F.lag("last").over(
-            M._w_stream())).alias("y"),
-        (F.col("dir") * F.col("volume")).alias("x"),
-    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    got = {(r.stream, r.x, r.y) for r in obs.collect()}
+    got = {r.stream: r for r in kyle_lambda(t).collect()}
     # stream 0 observations: t2 (dir +1, x=+2, y=+2), t3 (carry +1,
     # x=+3, y=0), t4 (dir -1, x=-4, y=-1); t1 has NULL y and NULL dir.
-    # stream 1: t2 flat before any move -> dir NULL (excluded),
-    # t3 downtick (x=-2, y=-1).
-    assert got == {(0, 2, 2), (0, 3, 0), (0, -4, -1), (1, -2, -1)}
-    # slope check for stream 0 against the closed form
     xs, ys = [2, 3, -4], [2, 0, -1]
     n = 3
-    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
-    den = n * sum(a * a for a in xs) - sum(xs) ** 2
-    import math
-    want = math.floor(num / den * 1e6 + 0.5) / 1e6
-    sums = obs.where(F.col("stream") == 0).groupBy("stream").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"))
-    r = sums.collect()[0]
-    assert (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx) == num / den
-    assert abs(num / den - want) < 1e-6
+    assert (got[0].n_obs, got[0].sx, got[0].sy) == (n, sum(xs), sum(ys))
+    assert got[0].sxy == sum(a * b for a, b in zip(xs, ys))
+    assert got[0].sxx == sum(a * a for a in xs)
+    num = n * got[0].sxy - got[0].sx * got[0].sy
+    den = n * got[0].sxx - got[0].sx ** 2
+    assert got[0].kyle_lambda == math.floor(num / den * 1e6 + 0.5) / 1e6
+    # stream 1: the flat t2 precedes any move -> excluded; only the
+    # downtick observes (x=-2, y=-1) -> degenerate single-point
+    # regression (vx == 0) -> NULL lambda, n_obs 1
+    assert (got[1].n_obs, got[1].sx, got[1].sy) == (1, -2, -1)
+    assert got[1].kyle_lambda is None and got[1].impact_corr is None
 
 
 def test_vol_signature_nonoverlapping_counts(spark):
@@ -1023,18 +1014,7 @@ def test_vol_signature_nonoverlapping_counts(spark):
     prices = [10, 12, 11, 11, 15, 14, 14, 13, 16]
     rows = [(0, i + 1, p) for i, p in enumerate(prices)]
     t = spark.createDataFrame(rows, "stream long, line_no long, last long")
-    fanned = t.select(
-        "stream", "line_no", "last",
-        F.explode(F.array(*[F.lit(q) for q in M.SIGNATURE_QS])).alias("q"),
-    ).where((F.col("line_no") - 1) % F.col("q") == 0)
-    from pyspark.sql import Window
-    wq = Window.partitionBy("stream", "q").orderBy("line_no")
-    moves = fanned.select(
-        "q", (F.col("last") - F.lag("last").over(wq)).alias("d")
-    ).where(F.col("d").isNotNull())
-    agg = {r.q: (r.n, r.rv) for r in moves.groupBy("q").agg(
-        F.count("d").alias("n"), F.sum(F.col("d") * F.col("d")).alias("rv")
-    ).collect()}
+    agg = {r.q: (r.n_ret, r.rv) for r in M.vol_signature(t).collect()}
 
     def mirror(q):
         grid = prices[::q]
@@ -1042,8 +1022,6 @@ def test_vol_signature_nonoverlapping_counts(spark):
         return (len(ds), sum(x * x for x in ds))
 
     for q in M.SIGNATURE_QS:
-        assert agg.get(q, (0, None))[0] == mirror(q)[0]
-        if mirror(q)[0]:
-            assert agg[q][1] == mirror(q)[1]
+        assert agg[q] == mirror(q)
     # q=1 total == realized variance total over the whole stream
     assert agg[1][1] == sum((b - a) ** 2 for a, b in zip(prices, prices[1:]))

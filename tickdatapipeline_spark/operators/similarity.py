@@ -499,6 +499,22 @@ def append_ann_index(emb_shard: DataFrame, path: str, shard: str) -> None:
             f"invalid shard name {shard!r}: must be non-empty, not 'base', "
             "and contain no '/' or '='")
     spark = emb_shard.sparkSession
+    # layout-version guard: an index persisted by the pre-shard
+    # write_ann_index has vectors/cell=* directly (no shard level);
+    # appending shard=<name> beside those dirs would leave leaf files
+    # at conflicting depths and every later read of {path}/vectors
+    # would fail partition discovery. Refuse with the migration story
+    # instead of poisoning the index.
+    jvm = spark._jvm
+    vecs = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+    fs = vecs.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(vecs):
+        for status in fs.listStatus(vecs):
+            if status.getPath().getName().startswith("cell="):
+                raise ValueError(
+                    f"{path}/vectors has the pre-shard layout (cell=* at "
+                    "the top level); run write_ann_index once to rebuild "
+                    "into the shard=base layout before appending deltas")
     cents = [(r.cell, list(r.c))
              for r in spark.read.parquet(f"{path}/centroids").collect()]
     cents.sort()  # deterministic argmin tie order, O(n_cells) driver rows

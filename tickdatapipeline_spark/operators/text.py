@@ -1473,12 +1473,8 @@ def dup_span_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
         F.size(t) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(
-                        " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)])),
-                    18, 15),
-                16, 10).cast("long"),
+            lambda i: h60(F.concat_ws(
+                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)])),
         ),
     ).otherwise(F.array().cast("array<long>"))
     pos = fan_out(docs).select(

@@ -6085,15 +6085,13 @@ def _corr_budget_guard(op: str):
     # division form, not n*sum < 2^62: the guard's own product could
     # overflow int64 first and surface the very ANSI arithmetic error
     # the guard exists to replace. n >= 1 always (count over a group).
-    budget_div_n = F.expr(f"{2 ** 62 - 1} DIV n")
-    return F.when(
-        (F.abs(F.col("sxy")) <= budget_div_n)
-        & (F.col("sxx") <= budget_div_n)
-        & (F.col("syy") <= budget_div_n),
-        F.col("n"),
-    ).otherwise(F.raise_error(F.lit(
+    # (Shared implementation since r10: functions/guards.py — identical
+    # condition order and message shape, one copy to fix.)
+    from tickdatapipeline_spark.functions.guards import corr_budget_guard
+
+    return corr_budget_guard(
         f"{op}: correlation five-sums exceed the int64 budget — re-bin the series"
-    )))
+    )
 
 
 ACF_SQL = f"""

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tickdatapipeline_spark.functions.guards import corr_budget_guard
 from tickdatapipeline_spark.functions.rounding import rnd, sql_rnd
 from tickdatapipeline_spark.sources.tickfile import (
     ticks_from_events_streams,
@@ -123,21 +124,31 @@ def order_flow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORDER_FLOW_SQL = f"""
-WITH ticks_streams AS ({ticks_streams_sql()}),
-signed AS (
+# the tick-rule classification CTE shared by every signed-flow oracle
+# twin (order flow, Kyle's lambda): ONE copy of the carry-forward SQL,
+# so the contract that must match Spark's tick_rule_dirs cannot drift
+# between queries. Exposes dir AND the per-tick move y (consumers that
+# only need dir ignore y).
+TICK_RULE_SIGNED_SQL = """signed AS (
     SELECT stream, volume,
+           last - lag(last) OVER w AS y,
            last_value(nullif(CASE WHEN delta > 0 THEN 1
                                   WHEN delta < 0 THEN -1
                                   WHEN delta IS NOT NULL THEN 0 END, 0) IGNORE NULLS)
                OVER (PARTITION BY stream ORDER BY line_no
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
     FROM (
-        SELECT stream, line_no, volume,
+        SELECT stream, line_no, volume, last,
                last - lag(last) OVER (PARTITION BY stream ORDER BY line_no) AS delta
         FROM ticks_streams
     )
-),
+    WINDOW w AS (PARTITION BY stream ORDER BY line_no)
+)"""
+
+
+ORDER_FLOW_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+{TICK_RULE_SIGNED_SQL},
 agg AS (
     SELECT stream,
            CAST(count(*) AS BIGINT) AS n_ticks,
@@ -539,17 +550,13 @@ def liquidity_panel(t: DataFrame) -> DataFrame:
     vr = (varq_num / (nd("nq") * nd("nq"))) / (
         F.lit(float(VR_Q)) * (var1_num / (nd("n_moves") * nd("n_moves")))
     )
-    budget = F.expr(f"{2 ** 62 - 1} DIV n_ticks")
-    guarded_n_pairs = F.when(
-        (F.abs(F.col("sxy")) <= budget)
-        & (F.col("sxx") <= budget)
-        & (F.col("syy") <= budget)
-        & (F.col("sdd") <= budget)
-        & (F.col("srr") <= budget),
-        F.col("n_pairs"),
-    ).otherwise(F.raise_error(F.lit(
-        "ticks_liquidity_panel: five-sums exceed the int64 budget — re-scale prices"
-    )))
+    guarded_n_pairs = corr_budget_guard(
+        "ticks_liquidity_panel: five-sums exceed the int64 budget — re-scale prices",
+        n_col="n_ticks",
+        abs_cols=("sxy",),
+        pos_cols=("sxx", "syy", "sdd", "srr"),
+        return_col="n_pairs",
+    )
     return sums.select(
         "stream",
         F.col("n_ticks").cast("long").alias("n_ticks"),
@@ -643,7 +650,14 @@ def kyle_lambda_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same shape as ticks_order_flow — one stream-partitioned
     carry-forward window + one combinable groupBy(stream); O(streams)
     output rows."""
-    t = tick_rule_dirs(ticks_from_events_streams(spark, sf_dir))
+    return kyle_lambda(ticks_from_events_streams(spark, sf_dir))
+
+
+def kyle_lambda(t: DataFrame) -> DataFrame:
+    """Core of ticks_kyle_lambda over any (stream, line_no, last,
+    volume) frame — split out (the liquidity_panel convention) so the
+    golden test drives the ACTUAL plan, not a re-derivation."""
+    t = tick_rule_dirs(t)
     obs = t.select(
         "stream",
         (F.col("last") - F.lag("last").over(_w_stream())).alias("y"),
@@ -660,15 +674,9 @@ def kyle_lambda_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    budget = F.expr(f"{2 ** 62 - 1} DIV n")
-    guarded_n = F.when(
-        (F.abs(F.col("sxy")) <= budget)
-        & (F.col("sxx") <= budget)
-        & (F.col("syy") <= budget),
-        F.col("n"),
-    ).otherwise(F.raise_error(F.lit(
+    guarded_n = corr_budget_guard(
         "ticks_kyle_lambda: five-sums exceed the int64 budget — re-scale prices"
-    )))
+    )
     return sums.select(
         "stream",
         guarded_n.cast("long").alias("n_obs"),
@@ -683,21 +691,7 @@ def kyle_lambda_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KYLE_LAMBDA_SQL = f"""
 WITH ticks_streams AS ({ticks_streams_sql()}),
-signed AS (
-    SELECT stream, volume,
-           last - lag(last) OVER w AS y,
-           last_value(nullif(CASE WHEN delta > 0 THEN 1
-                                  WHEN delta < 0 THEN -1
-                                  WHEN delta IS NOT NULL THEN 0 END, 0) IGNORE NULLS)
-               OVER (PARTITION BY stream ORDER BY line_no
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
-    FROM (
-        SELECT stream, line_no, volume, last,
-               last - lag(last) OVER (PARTITION BY stream ORDER BY line_no) AS delta
-        FROM ticks_streams
-    )
-    WINDOW w AS (PARTITION BY stream ORDER BY line_no)
-),
+{TICK_RULE_SIGNED_SQL},
 obs AS (
     SELECT stream, y, dir * volume AS x
     FROM signed WHERE dir IS NOT NULL AND y IS NOT NULL
@@ -749,7 +743,13 @@ def vol_signature_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     than two copies of the tick table; windows stay stream-partitioned
     ((stream, q) partitions after the fan-out); one combinable
     groupBy(stream, q)."""
-    t = ticks_from_events_streams(spark, sf_dir)
+    return vol_signature(ticks_from_events_streams(spark, sf_dir))
+
+
+def vol_signature(t: DataFrame) -> DataFrame:
+    """Core of ticks_vol_signature over any (stream, line_no, last)
+    frame — split out (the liquidity_panel convention) so the mirror
+    test drives the ACTUAL plan, not a re-derivation."""
     fanned = t.select(
         "stream", "line_no", "last",
         F.explode(F.array(*[F.lit(q) for q in SIGNATURE_QS])).alias("q"),

@@ -448,54 +448,67 @@ def rv_bars_stream(ticks: DataFrame, bar_size: int = 144) -> DataFrame:
     )
 
 
+# schemas derive from the batch panel's constants so the stream cannot
+# silently diverge from plans.market if VR_Q changes: the price-lag
+# chain, the output column name, and the state width all follow VR_Q.
+from tickdatapipeline_spark.plans.market import AMIHUD_SCALE, VR_Q  # noqa: E402
+
+assert VR_Q >= 2, "liquidity kernel needs p1/p2 for the Roll pair chain"
+
 LIQUIDITY_OUT_SCHEMA = (
     "stream long, n_ticks long, n_moves long, n_pairs long, "
     "roll_cov double, roll_spread double, amihud_sum_pm long, "
-    "amihud_mean_pm double, vr4 double"
+    f"amihud_mean_pm double, vr{VR_Q} double"
 )
 LIQUIDITY_STATE_SCHEMA = (
-    "p1 long, p2 long, p3 long, p4 long, n_ticks long, "
+    ", ".join(f"p{i} long" for i in range(1, VR_Q + 1))
+    + ", n_ticks long, "
     "n_pairs long, sx long, sy long, sxy long, sxx long, syy long, "
     "n_moves long, sd long, sdd long, nq long, sr long, srr long, "
     "n_am long, am_sum long"
 )
+_LIQ_BUDGET = 2**62 - 1
 
 
 def make_liquidity_kernel():
     """applyInPandasWithState kernel for liquidity_stream: one
-    GroupState per stream carries the last four prices (the lag-1/2/4
+    GroupState per stream carries the last VR_Q prices (the lag-1/2/q
     window the batch plan reads off a window node) plus the exact
     integer five-sum accumulators of the Roll / Amihud / variance-
     ratio algebra; each micro-batch re-derives the panel floats from
     the integers with the SAME IEEE expression order as
     plans.market.liquidity_panel, so the emitted row equals the batch
-    query bit-for-bit at every prefix. Chunks concat before the
-    line_no sort (lags are order-sensitive)."""
+    query bit-for-bit at every prefix. The batch plan's division-form
+    int64 budget check runs here too (per batch, against n_ticks) —
+    on trip the kernel raises the same documented re-scale message
+    instead of letting Python ints outgrow the long-typed state.
+    Chunks concat before the line_no sort (lags are
+    order-sensitive)."""
     import math
 
     import pandas as pd
-
-    from tickdatapipeline_spark.plans.market import AMIHUD_SCALE, VR_Q
 
     def rnd6(x: float) -> float:
         return math.floor(x * 1e6 + 0.5) / 1e6
 
     def kernel(key, pdfs, state):
-        (p1, p2, p3, p4, n_ticks, n_pairs, sx, sy, sxy, sxx, syy,
-         n_moves, sd, sdd, nq, sr, srr, n_am, am_sum) = (
-            tuple(state.get) if state.exists
-            else (None, None, None, None, 0, 0, 0, 0, 0, 0, 0,
-                  0, 0, 0, 0, 0, 0, 0, 0)
-        )
+        if state.exists:
+            st_ = tuple(state.get)
+        else:
+            st_ = (None,) * VR_Q + (0,) * 15
+        ps = list(st_[:VR_Q])  # ps[0] = most recent price
+        (n_ticks, n_pairs, sx, sy, sxy, sxx, syy,
+         n_moves, sd, sdd, nq, sr, srr, n_am, am_sum) = st_[VR_Q:]
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) > 0:
             pdf = pdf.sort_values("line_no")
             for last, vol in zip(pdf["last"].to_numpy(),
                                  pdf["volume"].to_numpy()):
                 last, vol = int(last), int(vol)
+                p1, p2, pq = ps[0], ps[1], ps[VR_Q - 1]
                 d = None if p1 is None else last - p1
                 xd = None if (p1 is None or p2 is None) else p1 - p2
-                r = None if p4 is None else last - p4
+                r = None if pq is None else last - pq
                 if d is not None:
                     n_moves += 1
                     sd += d
@@ -514,8 +527,14 @@ def make_liquidity_kernel():
                     nq += 1
                     sr += r
                     srr += r * r
-                p1, p2, p3, p4 = last, p1, p2, p3
+                ps = [last] + ps[:-1]
                 n_ticks += 1
+            budget = _LIQ_BUDGET // n_ticks
+            if (abs(sxy) > budget or sxx > budget or syy > budget
+                    or sdd > budget or srr > budget):
+                raise ValueError(
+                    "liquidity_stream: five-sums exceed the int64 budget"
+                    " — re-scale prices")
             roll_cov = roll_spread = amihud_mean = vr = None
             if n_pairs > 0:
                 cov_num = n_pairs * sxy - sx * sy
@@ -538,10 +557,11 @@ def make_liquidity_kernel():
                 "n_moves": [n_moves], "n_pairs": [n_pairs],
                 "roll_cov": [roll_cov], "roll_spread": [roll_spread],
                 "amihud_sum_pm": [am_sum], "amihud_mean_pm": [amihud_mean],
-                "vr4": [vr],
+                f"vr{VR_Q}": [vr],
             })
-        state.update((p1, p2, p3, p4, n_ticks, n_pairs, sx, sy, sxy, sxx,
-                      syy, n_moves, sd, sdd, nq, sr, srr, n_am, am_sum))
+        state.update(tuple(ps) + (n_ticks, n_pairs, sx, sy, sxy, sxx,
+                                  syy, n_moves, sd, sdd, nq, sr, srr,
+                                  n_am, am_sum))
 
     return kernel
 
@@ -551,8 +571,9 @@ def liquidity_stream(ticks: DataFrame) -> DataFrame:
     (plans.market.liquidity_panel): after every micro-batch each
     stream emits its CUMULATIVE Roll covariance / implied spread,
     Amihud illiquidity, and VR(4) — the live liquidity monitor a desk
-    runs intraday. State is 19 integer scalars per stream (four price
-    lags + the five-sum accumulators); every emitted row equals the
+    runs intraday. State is VR_Q + 15 integer scalars per stream (the
+    price-lag chain + the five-sum accumulators; schema derived from
+    the batch constants); every emitted row equals the
     batch panel over the concatenated prefix bit-for-bit (the float
     re-derivation mirrors the batch IEEE expression order exactly —
     pinned by the stream==batch test with the lag-4 window split
