@@ -1025,3 +1025,46 @@ def test_vol_signature_nonoverlapping_counts(spark):
         assert agg[q] == mirror(q)
     # q=1 total == realized variance total over the whole stream
     assert agg[1][1] == sum((b - a) ** 2 for a, b in zip(prices, prices[1:]))
+
+
+def test_lpa_communities_matches_python_mirror(spark):
+    """Deterministic LPA vs a naive Python mirror of the same
+    synchronous min-label-tie recurrence on two 4-cliques joined by a
+    single bridge edge: the mirror must agree edge-for-edge, and the
+    two cliques must land in DIFFERENT communities (where connected
+    components would merge them through the bridge)."""
+    from collections import Counter
+
+    from tickdatapipeline_spark.operators.dedup import lpa_communities
+
+    cliqueA = [1, 2, 3, 4]
+    cliqueB = [10, 11, 12, 13]
+    pairs = (
+        [(a, b) for i, a in enumerate(cliqueA) for b in cliqueA[i + 1:]]
+        + [(a, b) for i, a in enumerate(cliqueB) for b in cliqueB[i + 1:]]
+        + [(4, 10)]  # the accidental bridge
+    )
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    iters = 4
+    got = {(r.node, r.community)
+           for r in lpa_communities(df, "doc_a", "doc_b", iters=iters).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        labels = {
+            n: min(
+                lab for lab, c in Counter(
+                    labels[m] for m in adj[n]).items()
+                if c == max(Counter(labels[m] for m in adj[n]).values())
+            )
+            for n in adj
+        }
+    assert got == set(labels.items())
+    comm = dict(got)
+    assert len({comm[n] for n in cliqueA}) == 1
+    assert len({comm[n] for n in cliqueB}) == 1
+    assert comm[1] != comm[11]

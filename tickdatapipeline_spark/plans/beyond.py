@@ -4551,6 +4551,7 @@ def queries() -> dict[str, tuple]:
         "events_heavy_hitters": (heavy_hitters_fn, HEAVY_HITTERS_SQL),
         "events_type_hod_rollup": (type_hod_rollup_fn, TYPE_HOD_ROLLUP_SQL),
         "dedup_graph_pagerank": (pagerank_fn, _pagerank_sql()),
+        "dedup_graph_communities": (lpa_fn, _lpa_sql()),
         "docs_lm_surprisal": (lm_surprisal_fn, LM_SURPRISAL_SQL),
         "events_count_min": (count_min_fn, _count_min_sql()),
         "text_zipf_doubling": (zipf_doubling_fn, ZIPF_DOUBLING_SQL),
@@ -7821,4 +7822,69 @@ FROM (
     FROM totals LEFT JOIN doc_cov ON totals.doc_id = doc_cov.doc_id
 )
 GROUP BY source ORDER BY source
+"""
+
+
+# ---- label-propagation communities over the candidate graph ----
+
+LPA_ITERS = 4
+
+
+def lpa_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the LSH candidate graph — the fourth
+    rung of the graph-diagnostics ladder (components = membership,
+    triangles = local density, PageRank = centrality, THIS = which
+    densely-linked template families live inside a blob): synchronous
+    deterministic label propagation, LPA_ITERS fixed rounds,
+    most-frequent-neighbor-label updates with min-label ties — all
+    integer counting, bit-reproducible cross-engine (see
+    operators/dedup.lpa_communities). A single accidental band
+    collision bridging two real template families merges them in
+    connected components but NOT here (the bridge contributes one
+    vote; each family's internal edges contribute many).
+
+    Scale: per round one equi-join + one combinable groupBy + a
+    node-partitioned rank window over O(degree) rows; edges and each
+    round's labels localCheckpoint DISK_ONLY (the pagerank posture).
+    The oracle unrolls the same rounds as chained CTEs."""
+    from tickdatapipeline_spark.operators.dedup import lpa_communities
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir), max_band_bucket=None)
+    return (
+        lpa_communities(pairs, "doc_a", "doc_b", iters=LPA_ITERS)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_sql() -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        its.append(
+            f"""l{i} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT e.dst AS node, x.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, x.label) AS rk
+        FROM edges e JOIN {prev} x ON x.node = e.src
+        GROUP BY e.dst, x.label
+    ) WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH {MINHASH_CTE},
+{_LSH_CAND_CTE},
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{chain}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS community
+FROM {prev}
+ORDER BY doc_id
 """
