@@ -958,3 +958,43 @@ def test_zipf_doubling_uses_partial_topk(spark):
     plan = physical(zipf_doubling_fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_dup_span_coverage_plan_shape(spark):
+    """The span-coverage plan's 100 TB posture: island windows are
+    DOC-partitioned (no SinglePartition anywhere except none at all),
+    the df>=2 aggregation shuffles the 8-byte gram hash (not gram
+    strings), and the final per-source aggregate is partial
+    (map-side combine) before its exchange."""
+    from tickdatapipeline_spark.plans.beyond import dup_span_coverage_fn
+
+    plan = physical(dup_span_coverage_fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan  # island windows per doc
+    assert "hashpartitioning(gh" in plan      # df filter keyed on the hash
+    assert "partial_count" in plan.lower() or "partial" in plan
+
+
+def test_lpa_communities_plan_shape(spark):
+    """The LPA round plan (the code the loop actually runs,
+    operators/dedup._lpa_round): the label-vote rank window is
+    NODE-partitioned, no SinglePartition anywhere; and the loop's
+    final plan is an O(1)-deep checkpoint scan, not a re-derived
+    LSH lineage."""
+    from tickdatapipeline_spark.operators.dedup import _lpa_round, lpa_communities
+    from tickdatapipeline_spark.plans.beyond import lpa_fn
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+    labels = edges.selectExpr("src AS node").distinct().selectExpr(
+        "node", "node AS label")
+    round_plan = physical(_lpa_round(edges, labels))
+    assert "SinglePartition" not in round_plan
+    assert "hashpartitioning(node" in round_plan
+    # the loop's final plan reads the last round's checkpoint — O(1)
+    # deep regardless of iters — and the real query plans the same way
+    assert "Scan ExistingRDD" in physical(
+        lpa_communities(pairs, "doc_a", "doc_b", iters=2))
+    assert "Scan ExistingRDD" in physical(lpa_fn(spark, SF))

@@ -3526,3 +3526,72 @@ def test_liquidity_stream_equals_batch(spark, tmp_path):
         tuple(want[1][c] for c in cols)
     # the lag-4 return at tick 6 (99 - 103) crossed the batch seam
     assert got[(0, 7)].vr4 is not None
+
+
+def test_liquidity_stream_restart_keeps_state(spark, tmp_path):
+    """Killing the liquidity monitor and restarting on the same
+    checkpoint resumes the GroupState accumulators: the post-restart
+    emission equals the batch panel over ALL rows (both sessions'),
+    with the Roll pair chain and the lag-4 return window crossing the
+    restart boundary."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.plans.market import liquidity_panel
+    from tickdatapipeline_spark.streaming.stateful import liquidity_stream
+
+    rows0 = [(0, 1, 100, 2), (0, 2, 103, 1), (0, 3, 101, 4),
+             (0, 4, 101, 1), (0, 5, 106, 3)]
+    rows1 = [(0, 6, 99, 2), (0, 7, 104, 5)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(i, rows):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for st, ln, last, vol in rows:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    out = str(tmp_path / "out")
+
+    def run():
+        raw = (
+            spark.readStream
+            .schema("stream long, line_no long, last long, volume long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+
+        # batch_id-partitioned snapshots, replay-idempotent (the memory
+        # sink cannot recover from a checkpoint; foreachBatch can)
+        def sink(bdf, bid):
+            bdf.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+
+        q = (
+            liquidity_stream(raw)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write(0, rows0)
+    run()  # session 1 absorbs the first five ticks, then dies
+    write(1, rows1)
+    run()  # a NEW query on the SAME checkpoint resumes state
+
+    final = {r.n_ticks: r for r in spark.read.parquet(out).collect()}
+    assert 7 in final, "post-restart emission must cover all 7 ticks"
+    want = liquidity_panel(spark.createDataFrame(
+        rows0 + rows1, "stream long, line_no long, last long, volume long"
+    )).collect()[0]
+    got = final[7]
+    for c in ["n_ticks", "n_moves", "n_pairs", "roll_cov", "roll_spread",
+              "amihud_sum_pm", "amihud_mean_pm", "vr4"]:
+        assert got[c] == want[c], c

@@ -1375,8 +1375,6 @@ def lpa_communities(pairs: DataFrame, a_col: str, b_col: str,
     and each round's label frame localCheckpoint (DISK_ONLY), keeping
     every round's plan O(1) deep. Unit-pinned to a naive Python mirror
     (two cliques + bridge)."""
-    from pyspark.sql import Window
-
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -1387,15 +1385,26 @@ def lpa_communities(pairs: DataFrame, a_col: str, b_col: str,
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(iters):
-        nb = edges.join(
-            labels.withColumnRenamed("node", "ln"), F.col("src") == F.col("ln")
-        ).select(F.col("dst").alias("node"), "label")
-        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("node", "label")
-        ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        labels = _lpa_round(edges, labels).localCheckpoint(
+            storageLevel=StorageLevel.DISK_ONLY)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: neighbor label votes -> per-node
+    (count desc, label asc) rank-1. Split out so the plan-shape test
+    asserts the ACTUAL round plan (the checkpointed loop's final plan
+    is just a Scan ExistingRDD)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    nb = edges.join(
+        labels.withColumnRenamed("node", "ln"), F.col("src") == F.col("ln")
+    ).select(F.col("dst").alias("node"), "label")
+    cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("node", "label")
+    )
