@@ -279,3 +279,53 @@ def test_upsert_partitioned_null_partition_and_bootstrap(spark, tmp_path):
     # staging dir cleaned up
     import os
     assert not os.path.exists(path + "__upsert_staging")
+
+
+def test_drop_partitions_before(spark, tmp_path):
+    """Retention delete: partitions strictly before the cutoff vanish,
+    retained partitions' FILES are untouched (mtime-identical — pure
+    directory surgery, no rewrite), the null partition survives by
+    default, replays are idempotent, and a typo'd path/column refuses
+    instead of no-opping."""
+    import os
+
+    import pytest
+
+    from tickdatapipeline_spark.functions.scale import drop_partitions_before
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"),
+         (4, None)],
+        "id long, day string")
+    df.write.partitionBy("day").parquet(path)
+
+    def mtimes(day):
+        d = f"{path}/day={day}"
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)}
+
+    keep_before = mtimes("2024-01-03")
+    dropped = drop_partitions_before(spark, path, "day", "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    got = spark.read.parquet(path)
+    assert sorted(r.id for r in got.collect()) == [3, 4]  # null kept
+    assert mtimes("2024-01-03") == keep_before  # retained files untouched
+    # idempotent replay
+    assert drop_partitions_before(spark, path, "day", "2024-01-03") == []
+    # null partition ages out only on request
+    assert drop_partitions_before(
+        spark, path, "day", "2024-01-03", keep_null_partition=False
+    ) == ["__HIVE_DEFAULT_PARTITION__"]
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [3]
+    # integer partition values compare numerically, not lexically
+    ipath = str(tmp_path / "ti")
+    spark.createDataFrame(
+        [(1, 9), (2, 10), (3, 11)], "id long, day int"
+    ).write.partitionBy("day").parquet(ipath)
+    assert drop_partitions_before(spark, ipath, "day", "10") == ["9"]
+    # wrong column / wrong path refuse rather than silently no-op
+    with pytest.raises(ValueError, match="no hour="):
+        drop_partitions_before(spark, path, "hour", "x")
+    # a non-existent table is a no-op (finished retention job replay)
+    assert drop_partitions_before(spark, str(tmp_path / "gone"), "day", "x") == []

@@ -261,3 +261,67 @@ def upsert_partitioned(
         )
     finally:
         fs.delete(sc._jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+
+def drop_partitions_before(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    cutoff: str,
+    keep_null_partition: bool = True,
+) -> list[str]:
+    """Retention delete for a partitioned parquet table: remove every
+    top-level ``part_col=<value>`` directory whose value sorts BEFORE
+    ``cutoff`` — the TTL primitive of a time-partitioned (hypertable-
+    style) layout, completing the lifecycle toolkit (upsert = change,
+    zorder/bucket = layout, THIS = expiry). Pure directory surgery:
+    O(partitions) Hadoop FS listing + O(dropped) deletes; no data is
+    scanned and RETAINED partitions' files are untouched (mtime-pinned
+    in the test, the upsert contract).
+
+    Ordering contract: values compare as integers when BOTH the value
+    and the cutoff parse as ints, else as strings — correct for ISO
+    dates (lexicographic == chronological) and plain int epochs/days;
+    mixed-width non-ISO formats are the caller's responsibility. The
+    null partition (__HIVE_DEFAULT_PARTITION__) is KEPT by default —
+    rows whose partition value is unknown should never age out
+    silently; pass keep_null_partition=False to include it.
+
+    Raises if ``path`` exists but contains no ``part_col=`` directory
+    at all (wrong path / wrong column — refuse rather than no-op a
+    typo'd retention job against the table root). A non-existent path
+    is a no-op (idempotent replays of a finished retention job).
+
+    Returns the dropped partition values (directory-name form),
+    sorted."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    prefix = f"{part_col}="
+    part_dirs = [
+        st.getPath() for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    if not part_dirs:
+        raise ValueError(
+            f"{path} has no {prefix}* partition directories — wrong path "
+            "or wrong partition column for a retention delete")
+
+    def before(raw: str) -> bool:
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return not keep_null_partition
+        try:
+            return int(raw) < int(cutoff)
+        except ValueError:
+            return raw < cutoff
+
+    dropped = []
+    for p in part_dirs:
+        raw = p.getName()[len(prefix):]
+        if before(raw):
+            fs.delete(p, True)
+            dropped.append(raw)
+    return sorted(dropped)
