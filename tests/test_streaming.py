@@ -7,6 +7,8 @@ the end-to-end file-source runner."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from tests.conftest import make_ticks_raw
 from tickdatapipeline_spark.config import SignalProcessingConfig
@@ -3595,3 +3597,52 @@ def test_liquidity_stream_restart_keeps_state(spark, tmp_path):
     for c in ["n_ticks", "n_moves", "n_pairs", "roll_cov", "roll_spread",
               "amihud_sum_pm", "amihud_mean_pm", "vr4"]:
         assert got[c] == want[c], c
+
+
+@given(
+    prices=st.lists(st.integers(min_value=1, max_value=99999),
+                    min_size=1, max_size=30),
+    cuts=st.lists(st.integers(min_value=1, max_value=29),
+                  min_size=0, max_size=3),
+    data=st.data(),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_liquidity_kernel_any_split_equals_batch(spark, prices, cuts, data):
+    """Property form of the stream==batch contract: ANY split of a
+    random tick series into micro-batches, driven through
+    make_liquidity_kernel with a fake GroupState, ends in exactly the
+    batch liquidity panel's row — accumulators, NULL arms, and floats
+    alike. Chunk boundaries land anywhere, including inside the Roll
+    pair chain and the lag-VR_Q window."""
+    import pandas as pd
+
+    from tickdatapipeline_spark.plans.market import VR_Q, liquidity_panel
+    from tickdatapipeline_spark.streaming.stateful import make_liquidity_kernel
+
+    vols = [data.draw(st.integers(min_value=1, max_value=5)) for _ in prices]
+    rows = [(0, i + 1, p, v) for i, (p, v) in enumerate(zip(prices, vols))]
+    bounds = sorted({c for c in cuts if c < len(rows)} | {len(rows)})
+    kernel = make_liquidity_kernel()
+    state, last_emit, lo = _FakeGroupState(), None, 0
+    for hi in bounds:
+        chunk = rows[lo:hi]
+        pdf = pd.DataFrame({
+            "stream": [r[0] for r in chunk], "line_no": [r[1] for r in chunk],
+            "last": [r[2] for r in chunk], "volume": [r[3] for r in chunk],
+        })
+        out = list(kernel((0,), iter([pdf]), state))
+        if out:
+            last_emit = out[-1].iloc[-1]
+        lo = hi
+
+    want = liquidity_panel(spark.createDataFrame(
+        rows, "stream long, line_no long, last long, volume long"
+    )).collect()[0]
+    assert last_emit is not None
+    for c in ["n_ticks", "n_moves", "n_pairs", "amihud_sum_pm"]:
+        assert last_emit[c] == want[c], c
+    for c in ["roll_cov", "roll_spread", "amihud_mean_pm", f"vr{VR_Q}"]:
+        g = last_emit[c]
+        g = None if pd.isna(g) else float(g)
+        assert g == want[c], c
