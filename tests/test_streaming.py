@@ -3540,7 +3540,7 @@ def test_liquidity_stream_restart_keeps_state(spark, tmp_path):
     import os
 
     from tickdatapipeline_spark.plans.market import liquidity_panel
-    from tickdatapipeline_spark.streaming.stateful import liquidity_stream
+    from tickdatapipeline_spark.streaming.stateful import run_liquidity_stream
 
     rows0 = [(0, 1, 100, 2), (0, 2, 103, 1), (0, 3, 101, 4),
              (0, 4, 101, 1), (0, 5, 106, 3)]
@@ -3559,25 +3559,10 @@ def test_liquidity_stream_restart_keeps_state(spark, tmp_path):
     out = str(tmp_path / "out")
 
     def run():
-        raw = (
-            spark.readStream
-            .schema("stream long, line_no long, last long, volume long")
-            .option("maxFilesPerTrigger", 1)
-            .json(str(in_dir))
-        )
-
-        # batch_id-partitioned snapshots, replay-idempotent (the memory
-        # sink cannot recover from a checkpoint; foreachBatch can)
-        def sink(bdf, bid):
-            bdf.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
-
-        q = (
-            liquidity_stream(raw)
-            .writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .start()
-        )
+        # the product runner: replay-idempotent batch_id-partitioned
+        # parquet (the memory sink cannot recover from a checkpoint)
+        q = run_liquidity_stream(
+            spark, str(in_dir), out, str(tmp_path / "ckpt"))
         try:
             q.processAllAvailable()
         finally:

@@ -596,3 +596,35 @@ def liquidity_stream(ticks: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_liquidity_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Durable runner for liquidity_stream: JSONL tick ingest ->
+    cumulative per-stream liquidity panel -> replay-idempotent
+    batch_id-partitioned parquet (the dedup streams' sink contract;
+    read the max-batch_id row per stream for the latest panel). A
+    restart from the checkpoint resumes the five-sum accumulators —
+    the restart test pins the Roll pair chain and the lag-VR_Q window
+    crossing the restart boundary."""
+    from tickdatapipeline_spark.streaming.eventtime import (
+        _write_batch_idempotent_fb,
+    )
+
+    raw = (
+        spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    return (
+        liquidity_stream(raw)
+        .writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
