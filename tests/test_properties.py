@@ -1068,3 +1068,31 @@ def test_lpa_communities_matches_python_mirror(spark):
     assert len({comm[n] for n in cliqueA}) == 1
     assert len({comm[n] for n in cliqueB}) == 1
     assert comm[1] != comm[11]
+
+
+def test_lee_ready_golden(spark):
+    """Lee & Ready on hand-built quotes: above-midpoint prints are
+    buys, below-mid sells, exact-midpoint ties fall back to the tick
+    rule (inheriting the last move's sign), a leading at-mid run stays
+    unclassified; quoted and 2x-effective spreads accumulate as exact
+    integers."""
+    from tickdatapipeline_spark.plans.market import lee_ready
+
+    rows = [
+        # (stream, line_no, last, volume, bq, aq) — mid = (bq+aq)/2
+        (0, 1, 100, 1, 99, 101),   # last == mid -> tie, no prior move: NULL
+        (0, 2, 103, 2, 100, 104),  # mid 102 -> buy (quote rule)
+        (0, 3, 101, 3, 100, 104),  # mid 102 -> sell (quote rule)
+        (0, 4, 101, 4, 98, 104),   # mid 101 -> tie -> tick rule: last
+                                   # move was down (103->101) -> sell
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "stream long, line_no long, last long, volume long, bq long, aq long")
+    r = lee_ready(t).collect()[0]
+    assert (r.n_ticks, r.n_quote_rule, r.n_tick_fallback) == (4, 2, 1)
+    assert (r.buy_volume, r.sell_volume, r.unclassified_volume) == (2, 7, 1)
+    # quoted spreads: 2 + 4 + 4 + 6 = 16; es2 = |2*last - bq - aq|:
+    # 0 + 2 + 2 + 0 = 4 -> avg effective spread = 4 / (2*4) = 0.5
+    assert (r.quoted_spread_sum, r.es2_sum) == (16, 4)
+    assert r.avg_quoted_spread == 4.0 and r.avg_effective_spread == 0.5

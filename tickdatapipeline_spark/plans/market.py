@@ -130,7 +130,7 @@ def order_flow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # between queries. Exposes dir AND the per-tick move y (consumers that
 # only need dir ignore y).
 TICK_RULE_SIGNED_SQL = """signed AS (
-    SELECT stream, volume,
+    SELECT stream, line_no, volume,
            last - lag(last) OVER w AS y,
            last_value(nullif(CASE WHEN delta > 0 THEN 1
                                   WHEN delta < 0 THEN -1
@@ -403,6 +403,7 @@ def queries() -> dict[str, tuple]:
         "ticks_liquidity_panel": (liquidity_panel_fn, LIQUIDITY_PANEL_SQL),
         "ticks_kyle_lambda": (kyle_lambda_fn, KYLE_LAMBDA_SQL),
         "ticks_vol_signature": (vol_signature_fn, VOL_SIGNATURE_SQL),
+        "ticks_lee_ready": (lee_ready_fn, LEE_READY_SQL),
     }
 
 
@@ -798,4 +799,126 @@ SELECT stream, CAST(q AS BIGINT) AS q,
        CASE WHEN count(d) > 0 THEN {sql_rnd(
            'CAST(coalesce(sum(d * d), 0) AS DOUBLE) / CAST(count(d) * q AS DOUBLE)')} END AS rv_per_tick
 FROM moves GROUP BY stream, q ORDER BY stream, q
+"""
+
+
+# ================= Lee-Ready with quotes (spreads) =================
+
+
+def lee_ready_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Lee & Ready (1991) algorithm plus the two spread
+    measures it enables — the quote-side half the tick-rule order flow
+    (ticks_order_flow) approximates away: a trade above the quote
+    MIDPOINT is a buy, below a sell, and only the at-midpoint ties
+    fall back to the tick test. Also per stream: quoted spread
+    (ask - bid) and effective spread 2*|price - mid| — the realized
+    cost of crossing, the number Roll's estimator (liquidity_panel)
+    infers from trades alone; comparing the two validates the
+    inference.
+
+    Fixture note (the PII-fixture precedent of planting deterministic
+    features): the generator's quotes are DEGENERATE — bid/ask = px∓1
+    always, so mid == last and every tick would tie. The query widens
+    them with a deterministic line_no-keyed perturbation (bid -
+    line_no%3, ask + (line_no+1)%3), identical in both engines, so the
+    quote rule, the tie fallback, AND both spreads all exercise
+    non-trivially; the golden test pins the algebra on hand-built
+    quotes instead.
+
+    Exactness: midpoints never materialize as halves — the quote sign
+    is sign(2*last - bid - ask) in CASE arms and the effective spread
+    accumulates E2 = |2*last - bid - ask| = 2*|last - mid| as exact
+    BIGINTs; the two means are the only rnd-crossed divisions.
+
+    Scale: the tick-rule fallback reuses the one carry-forward window;
+    everything else is map-side; one combinable groupBy(stream)."""
+    t = ticks_from_events_streams(spark, sf_dir)
+    return lee_ready(t.select(
+        "stream", "line_no", "last", "volume",
+        (F.col("bid") - F.col("line_no") % 3).alias("bq"),
+        (F.col("ask") + (F.col("line_no") + 1) % 3).alias("aq"),
+    ))
+
+
+def lee_ready(t: DataFrame) -> DataFrame:
+    """Core of ticks_lee_ready over any (stream, line_no, last, volume,
+    bq, aq) frame — split out (the liquidity_panel convention) so the
+    golden test drives the ACTUAL plan on hand-built quotes."""
+    t = tick_rule_dirs(t).select(
+        "stream", "volume", "dir", "bq", "aq", "last",
+    )
+    m2diff = F.lit(2) * F.col("last") - F.col("bq") - F.col("aq")
+    qs = (
+        F.when(m2diff > 0, F.lit(1))
+        .when(m2diff < 0, F.lit(-1))
+    )
+    lr = t.select(
+        "stream", "volume",
+        F.coalesce(qs, F.col("dir")).alias("lr_dir"),
+        qs.isNotNull().alias("quote_classified"),
+        (F.col("aq") - F.col("bq")).alias("quoted_spread"),
+        F.abs(m2diff).alias("es2"),
+    )
+    vol_if = lambda c: F.coalesce(F.sum(F.when(c, F.col("volume"))), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        lr.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.count(F.when(F.col("quote_classified"), F.lit(1))).alias("n_quote_rule"),
+            F.count(F.when(~F.col("quote_classified") & F.col("lr_dir").isNotNull(),
+                           F.lit(1))).alias("n_tick_fallback"),
+            vol_if(F.col("lr_dir") == 1).alias("buy_volume"),
+            vol_if(F.col("lr_dir") == -1).alias("sell_volume"),
+            vol_if(F.col("lr_dir").isNull()).alias("unclassified_volume"),
+            F.sum("quoted_spread").cast("long").alias("quoted_spread_sum"),
+            F.sum("es2").cast("long").alias("es2_sum"),
+        )
+        .select(
+            "stream", "n_ticks", "n_quote_rule", "n_tick_fallback",
+            "buy_volume", "sell_volume", "unclassified_volume",
+            "quoted_spread_sum", "es2_sum",
+            rnd(F.col("quoted_spread_sum").cast("double")
+                / F.col("n_ticks").cast("double")).alias("avg_quoted_spread"),
+            rnd(F.col("es2_sum").cast("double")
+                / (F.lit(2.0) * F.col("n_ticks").cast("double"))).alias("avg_effective_spread"),
+        )
+        .orderBy("stream")
+    )
+
+
+LEE_READY_SQL = f"""
+WITH ticks_streams AS ({ticks_streams_sql()}),
+base AS (
+    SELECT stream, line_no, volume, last,
+           bid - line_no % 3 AS bq,
+           ask + (line_no + 1) % 3 AS aq
+    FROM ticks_streams
+),
+{TICK_RULE_SIGNED_SQL},
+joined AS (
+    SELECT b.stream, b.volume,
+           2 * b.last - b.bq - b.aq AS m2diff,
+           b.aq - b.bq AS quoted_spread,
+           s.dir
+    FROM base b JOIN signed s
+      ON b.stream = s.stream AND b.line_no = s.line_no
+),
+lr AS (
+    SELECT stream, volume, quoted_spread, abs(m2diff) AS es2,
+           CASE WHEN m2diff > 0 THEN 1 WHEN m2diff < 0 THEN -1 END IS NOT NULL AS quote_classified,
+           coalesce(CASE WHEN m2diff > 0 THEN 1 WHEN m2diff < 0 THEN -1 END, dir) AS lr_dir
+    FROM joined
+)
+SELECT stream,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(count(*) FILTER (WHERE quote_classified) AS BIGINT) AS n_quote_rule,
+       CAST(count(*) FILTER (WHERE NOT quote_classified AND lr_dir IS NOT NULL) AS BIGINT) AS n_tick_fallback,
+       CAST(coalesce(sum(volume) FILTER (WHERE lr_dir = 1), 0) AS BIGINT) AS buy_volume,
+       CAST(coalesce(sum(volume) FILTER (WHERE lr_dir = -1), 0) AS BIGINT) AS sell_volume,
+       CAST(coalesce(sum(volume) FILTER (WHERE lr_dir IS NULL), 0) AS BIGINT) AS unclassified_volume,
+       CAST(sum(quoted_spread) AS BIGINT) AS quoted_spread_sum,
+       CAST(sum(es2) AS BIGINT) AS es2_sum,
+       {sql_rnd('CAST(sum(quoted_spread) AS DOUBLE) / CAST(count(*) AS DOUBLE)')} AS avg_quoted_spread,
+       {sql_rnd('CAST(sum(es2) AS DOUBLE) / (2.0 * CAST(count(*) AS DOUBLE))')} AS avg_effective_spread
+FROM lr GROUP BY stream ORDER BY stream
 """
