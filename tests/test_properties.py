@@ -1092,7 +1092,21 @@ def test_lee_ready_golden(spark):
     r = lee_ready(t).collect()[0]
     assert (r.n_ticks, r.n_quote_rule, r.n_tick_fallback) == (4, 2, 1)
     assert (r.buy_volume, r.sell_volume, r.unclassified_volume) == (2, 7, 1)
-    # quoted spreads: 2 + 4 + 4 + 6 = 16; es2 = |2*last - bq - aq|:
-    # 0 + 2 + 2 + 0 = 4 -> avg effective spread = 4 / (2*4) = 0.5
+    # quoted spreads: 2 + 4 + 4 + 6 = 16; es2 = |2*last - bq - aq| =
+    # 2*|price - mid| (the effective spread itself): 0 + 2 + 2 + 0 = 4
+    # -> avg effective spread = 4 / 4 = 1.0
     assert (r.quoted_spread_sum, r.es2_sum) == (16, 4)
-    assert r.avg_quoted_spread == 4.0 and r.avg_effective_spread == 0.5
+    assert r.avg_quoted_spread == 4.0 and r.avg_effective_spread == 1.0
+
+
+def test_lee_ready_fixture_exercises_tie_fallback(spark):
+    """The parity fixture's deterministic quote widening must hit all
+    three classification paths — quote-rule rows, at-midpoint
+    tick-rule fallbacks, AND an unclassified residue is not required
+    but the first two are: a dead tie path would let a fallback
+    wiring bug pass the full parity suite."""
+    from tickdatapipeline_spark.plans.market import lee_ready_fn
+
+    rows = lee_ready_fn(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_quote_rule for r in rows) > 0
+    assert sum(r.n_tick_fallback for r in rows) > 0

@@ -324,6 +324,10 @@ def test_drop_partitions_before(spark, tmp_path):
         [(1, 9), (2, 10), (3, 11)], "id long, day int"
     ).write.partitionBy("day").parquet(ipath)
     assert drop_partitions_before(spark, ipath, "day", "10") == ["9"]
+    # cross-type compare REFUSES (a date cutoff on int partitions would
+    # lexicographically delete the wrong ones)
+    with pytest.raises(ValueError, match="refusing a cross-type"):
+        drop_partitions_before(spark, ipath, "day", "2024-01-01")
     # wrong column / wrong path refuse rather than silently no-op
     with pytest.raises(ValueError, match="no hour="):
         drop_partitions_before(spark, path, "hour", "x")

@@ -279,10 +279,14 @@ def drop_partitions_before(
     scanned and RETAINED partitions' files are untouched (mtime-pinned
     in the test, the upsert contract).
 
-    Ordering contract: values compare as integers when BOTH the value
-    and the cutoff parse as ints, else as strings — correct for ISO
-    dates (lexicographic == chronological) and plain int epochs/days;
-    mixed-width non-ISO formats are the caller's responsibility. The
+    Ordering contract: if the cutoff parses as an int, EVERY partition
+    value must too (numeric compare); if it does not, NO partition
+    value may (string compare — correct for ISO dates, where
+    lexicographic == chronological). A type mismatch raises instead of
+    falling back: a date cutoff lexicographically compared against int
+    partition values would delete the WRONG partitions silently (e.g.
+    '10' < '2024-01-01' but '9' is not) — the same typo'd-retention
+    class the no-partitions guard refuses. The
     null partition (__HIVE_DEFAULT_PARTITION__) is KEPT by default —
     rows whose partition value is unknown should never age out
     silently; pass keep_null_partition=False to include it.
@@ -310,18 +314,38 @@ def drop_partitions_before(
             f"{path} has no {prefix}* partition directories — wrong path "
             "or wrong partition column for a retention delete")
 
+    def is_int(v: str) -> bool:
+        try:
+            int(v)
+            return True
+        except ValueError:
+            return False
+
+    cutoff_int = is_int(cutoff)
+    values = {p.getName()[len(prefix):] for p in part_dirs}
+    typed = [v for v in values if v != "__HIVE_DEFAULT_PARTITION__"]
+    mismatched = [v for v in typed if is_int(v) != cutoff_int]
+    if mismatched:
+        raise ValueError(
+            f"cutoff {cutoff!r} is {'numeric' if cutoff_int else 'a string'} "
+            f"but partition value(s) {sorted(mismatched)[:3]} are not — "
+            "refusing a cross-type retention compare (it would delete the "
+            "wrong partitions)")
+
     def before(raw: str) -> bool:
         if raw == "__HIVE_DEFAULT_PARTITION__":
             return not keep_null_partition
-        try:
+        if cutoff_int:
             return int(raw) < int(cutoff)
-        except ValueError:
-            return raw < cutoff
+        return raw < cutoff
 
     dropped = []
     for p in part_dirs:
         raw = p.getName()[len(prefix):]
         if before(raw):
-            fs.delete(p, True)
+            if not fs.delete(p, True):
+                raise IOError(
+                    f"retention delete of {p} returned false — partition "
+                    "NOT expired; investigate before trusting the ledger")
             dropped.append(raw)
     return sorted(dropped)

@@ -820,10 +820,12 @@ def lee_ready_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     features): the generator's quotes are DEGENERATE — bid/ask = px∓1
     always, so mid == last and every tick would tie. The query widens
     them with a deterministic line_no-keyed perturbation (bid -
-    line_no%3, ask + (line_no+1)%3), identical in both engines, so the
-    quote rule, the tie fallback, AND both spreads all exercise
-    non-trivially; the golden test pins the algebra on hand-built
-    quotes instead.
+    line_no%3, ask + (line_no DIV 3)%3), identical in both engines and
+    chosen so m2diff = line_no%3 - (line_no DIV 3)%3 cycles through
+    NEGATIVE, ZERO and POSITIVE — the quote rule, the at-mid tie
+    fallback, AND both spreads all exercise non-trivially at the
+    parity fixture (a fixture-level test asserts n_tick_fallback > 0);
+    the golden test pins the algebra on hand-built quotes.
 
     Exactness: midpoints never materialize as halves — the quote sign
     is sign(2*last - bid - ask) in CASE arms and the effective spread
@@ -836,7 +838,7 @@ def lee_ready_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lee_ready(t.select(
         "stream", "line_no", "last", "volume",
         (F.col("bid") - F.col("line_no") % 3).alias("bq"),
-        (F.col("ask") + (F.col("line_no") + 1) % 3).alias("aq"),
+        (F.col("ask") + F.expr("(line_no DIV 3) % 3")).alias("aq"),
     ))
 
 
@@ -880,7 +882,7 @@ def lee_ready(t: DataFrame) -> DataFrame:
             rnd(F.col("quoted_spread_sum").cast("double")
                 / F.col("n_ticks").cast("double")).alias("avg_quoted_spread"),
             rnd(F.col("es2_sum").cast("double")
-                / (F.lit(2.0) * F.col("n_ticks").cast("double"))).alias("avg_effective_spread"),
+                / F.col("n_ticks").cast("double")).alias("avg_effective_spread"),
         )
         .orderBy("stream")
     )
@@ -891,7 +893,7 @@ WITH ticks_streams AS ({ticks_streams_sql()}),
 base AS (
     SELECT stream, line_no, volume, last,
            bid - line_no % 3 AS bq,
-           ask + (line_no + 1) % 3 AS aq
+           ask + (line_no // 3) % 3 AS aq
     FROM ticks_streams
 ),
 {TICK_RULE_SIGNED_SQL},
@@ -919,6 +921,6 @@ SELECT stream,
        CAST(sum(quoted_spread) AS BIGINT) AS quoted_spread_sum,
        CAST(sum(es2) AS BIGINT) AS es2_sum,
        {sql_rnd('CAST(sum(quoted_spread) AS DOUBLE) / CAST(count(*) AS DOUBLE)')} AS avg_quoted_spread,
-       {sql_rnd('CAST(sum(es2) AS DOUBLE) / (2.0 * CAST(count(*) AS DOUBLE))')} AS avg_effective_spread
+       {sql_rnd('CAST(sum(es2) AS DOUBLE) / CAST(count(*) AS DOUBLE)')} AS avg_effective_spread
 FROM lr GROUP BY stream ORDER BY stream
 """

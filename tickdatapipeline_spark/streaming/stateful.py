@@ -259,6 +259,37 @@ def order_flow_stream(ticks: DataFrame) -> DataFrame:
     )
 
 
+def _run_tick_update_stream(
+    spark,
+    transform,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int,
+):
+    """Shared runner core for the tick-ingest update-mode monitors:
+    JSONL ticks (ORDER_FLOW_IN_SCHEMA) -> ``transform`` -> the
+    replay-idempotent batch_id-partitioned parquet sink (the dedup
+    streams' contract). ONE copy of the ingest/sink wiring so the
+    runners cannot drift."""
+    from tickdatapipeline_spark.streaming.eventtime import (
+        _write_batch_idempotent_fb,
+    )
+
+    raw = (
+        spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    return (
+        transform(raw)
+        .writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def run_order_flow_stream(
     spark,
     input_dir: str,
@@ -272,22 +303,9 @@ def run_order_flow_stream(
     checkpoint resumes the GroupState carry — pinned by the restart
     test (a zero-tick ingested by the second query instance inherits
     a sign the first instance saw)."""
-    from tickdatapipeline_spark.streaming.eventtime import (
-        _write_batch_idempotent_fb,
-    )
-
-    raw = (
-        spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(input_dir)
-    )
-    return (
-        order_flow_stream(raw)
-        .writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _run_tick_update_stream(
+        spark, order_flow_stream, input_dir, out_dir, checkpoint_dir,
+        max_files_per_trigger)
 
 
 DRAWDOWN_OUT_SCHEMA = (
@@ -612,19 +630,6 @@ def run_liquidity_stream(
     restart from the checkpoint resumes the five-sum accumulators —
     the restart test pins the Roll pair chain and the lag-VR_Q window
     crossing the restart boundary."""
-    from tickdatapipeline_spark.streaming.eventtime import (
-        _write_batch_idempotent_fb,
-    )
-
-    raw = (
-        spark.readStream.schema(ORDER_FLOW_IN_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .json(input_dir)
-    )
-    return (
-        liquidity_stream(raw)
-        .writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _run_tick_update_stream(
+        spark, liquidity_stream, input_dir, out_dir, checkpoint_dir,
+        max_files_per_trigger)
