@@ -3610,3 +3610,41 @@ def test_append_ann_index_matches_full_rebuild(spark, tmp_path):
         "cell").parquet(f"{legacy}/vectors")
     with pytest.raises(ValueError, match="pre-shard layout"):
         append_ann_index(shard, legacy, "delta1")
+
+
+def test_embedding_dedup_against_index(spark, tmp_path):
+    """The embedding daily-delta filter: a shard vector identical to an
+    indexed one (cosine 1.0) is dropped, a genuinely novel vector
+    survives with every input column intact, and the filter composes
+    with append_ann_index (keepers appended, replayable)."""
+    from tickdatapipeline_spark.operators.similarity import (
+        append_ann_index,
+        embedding_dedup_against_index,
+        write_ann_index,
+    )
+    from tickdatapipeline_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 40)
+    path = str(tmp_path / "idx")
+    write_ann_index(base, path)
+
+    dup_src = base.where(F.col("vec_id") == 5).collect()[0]
+    novel = base.where(F.col("vec_id") == 7).collect()[0]
+    shard = spark.createDataFrame(
+        [
+            (1005, dup_src.embedding, "dup-of-5"),
+            # orthogonal-ish novel vector: reversed + sign-flipped copy
+            (1007, [(-1.0) ** i * v for i, v in
+                    enumerate(reversed(novel.embedding))], "novel"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    kept = embedding_dedup_against_index(shard, path, threshold=0.96)
+    rows = kept.collect()
+    assert [r.vec_id for r in rows] == [1007]
+    assert rows[0].label == "novel"  # input columns ride through
+    # the loop closes: keepers append idempotently
+    append_ann_index(kept, path, "delta1")
+    again = embedding_dedup_against_index(shard, path, threshold=0.96)
+    assert [r.vec_id for r in again.collect()] == []  # 1007 now indexed

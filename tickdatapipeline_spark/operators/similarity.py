@@ -1156,3 +1156,35 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
+                                  threshold: float = 0.96,
+                                  nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Near-dup-FILTER a new shard of embeddings against the persisted
+    IVF index: the shard's surviving rows (every input column,
+    unchanged) after dropping vectors whose best cosine against ANY
+    indexed vector reaches ``threshold`` — the embedding half of the
+    daily-delta dedup loop (text: `dedup.dedup_against_index`):
+    intra-shard `semantic_dedup` first, then this shard-vs-corpus
+    filter off the parquet index, then `append_ann_index` the keepers.
+
+    Built on `ann_probe_against_index` (top-1 is enough), so the scan
+    prunes to each probe's nprobe cells and corpus signatures are
+    never recomputed. Approximation contract matches the ANN index
+    itself: a near-dup hiding in an unprobed cell survives — raise
+    ``nprobe`` (or rebuild with more cells) to trade cost for recall,
+    exactly like the text loop's band count.
+
+    Scale: O(shard) probe work against cell-pruned parquet; the final
+    anti-join is on the shard's vec_id only."""
+    spark = emb_shard.sparkSession
+    hits = ann_probe_against_index(
+        emb_shard,
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/vectors"),
+        k=1,
+        nprobe=nprobe,
+    ).where(F.col("cosine") >= threshold).select(
+        F.col("query_id").alias("vec_id")).distinct()
+    return emb_shard.join(hits, "vec_id", "left_anti")
