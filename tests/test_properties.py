@@ -1110,3 +1110,50 @@ def test_lee_ready_fixture_exercises_tie_fallback(spark):
     rows = lee_ready_fn(spark, "/root/testdata/sf0.001").collect()
     assert sum(r.n_quote_rule for r in rows) > 0
     assert sum(r.n_tick_fallback for r in rows) > 0
+
+
+@given(docs=st.lists(
+    st.tuples(
+        st.sampled_from(["sa", "sb"]),
+        st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=12),
+    ),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dup_span_coverage_matches_python_mirror(spark, docs):
+    """Random tiny-vocab corpora (collisions everywhere): the plan's
+    per-source pooled span coverage equals a naive Python mirror of
+    the same contract — distinct-doc df>=2 grams, interval union per
+    doc, integer permille — across adjacent/overlapping/nested island
+    layouts the single golden cannot enumerate."""
+    from tickdatapipeline_spark.operators.text import dup_span_coverage
+
+    N = 3
+    rows = [(i + 1, " ".join(toks), src) for i, (src, toks) in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: (r.n_docs, r.docs_with_dup, r.total_tokens,
+                      r.covered_tokens, r.coverage_permille)
+           for r in dup_span_coverage(d, N).collect()}
+
+    gram_docs: dict[tuple, set] = {}
+    for doc_id, text, _src in rows:
+        toks = text.split()
+        for i in range(len(toks) - N + 1):
+            gram_docs.setdefault(tuple(toks[i:i + N]), set()).add(doc_id)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want: dict[str, list] = {}
+    for doc_id, text, src in rows:
+        toks = text.split()
+        covered = set()
+        for i in range(len(toks) - N + 1):
+            if tuple(toks[i:i + N]) in dup:
+                covered.update(range(i, i + N))
+        want.setdefault(src, []).append((len(toks), len(covered)))
+    for src, per_doc in want.items():
+        n_docs = len(per_doc)
+        with_dup = sum(1 for _n, c in per_doc if c > 0)
+        tot = sum(n for n, _c in per_doc)
+        cov = sum(c for _n, c in per_doc)
+        assert got[src] == (n_docs, with_dup, tot, cov,
+                            cov * 1000 // tot if tot else None), src

@@ -1520,7 +1520,12 @@ def dup_span_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
         )
         .select(
             "source", "n_docs", "docs_with_dup", "total_tokens", "covered_tokens",
-            F.expr("covered_tokens * 1000 DIV total_tokens").alias("coverage_permille"),
+            # a source whose every doc tokenizes to nothing has no
+            # denominator — NULL, never a divide-by-zero (ANSI raises;
+            # found by the hypothesis mirror)
+            F.when(F.col("total_tokens") > 0,
+                   F.expr("covered_tokens * 1000 DIV total_tokens"))
+            .alias("coverage_permille"),
         )
         .orderBy("source")
     )

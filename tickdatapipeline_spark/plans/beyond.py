@@ -7816,7 +7816,9 @@ SELECT source,
        CAST(count(*) FILTER (WHERE covered > 0) AS BIGINT) AS docs_with_dup,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        CAST(sum(covered) AS BIGINT) AS covered_tokens,
-       CAST(sum(covered) * 1000 // sum(n_tok) AS BIGINT) AS coverage_permille
+       CASE WHEN sum(n_tok) > 0
+            THEN CAST(sum(covered) * 1000 // sum(n_tok) AS BIGINT)
+       END AS coverage_permille
 FROM (
     SELECT totals.source, coalesce(doc_cov.covered, 0) AS covered, totals.n_tok
     FROM totals LEFT JOIN doc_cov ON totals.doc_id = doc_cov.doc_id
