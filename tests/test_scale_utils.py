@@ -333,3 +333,25 @@ def test_drop_partitions_before(spark, tmp_path):
         drop_partitions_before(spark, path, "hour", "x")
     # a non-existent table is a no-op (finished retention job replay)
     assert drop_partitions_before(spark, str(tmp_path / "gone"), "day", "x") == []
+
+
+def test_drop_partitions_before_escaped_values(spark, tmp_path):
+    """Timestamp-style partition values are percent-escaped in their
+    Hive directory names (':'→'%3A', ' '→'%20'); the retention compare
+    must run in VALUE space or an unescaped cutoff mis-orders against
+    the escaped directory form ('%3A' < ':') and drops the wrong
+    partitions."""
+    from tickdatapipeline_spark.functions.scale import drop_partitions_before
+
+    path = str(tmp_path / "ts")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"),
+         (3, "2024-01-03 00:00:00")],
+        "id long, ts string").write.partitionBy("ts").parquet(path)
+    import os
+    # precondition: the directory names really are escaped on disk
+    assert any("%3A" in d for d in os.listdir(path) if d.startswith("ts="))
+    dropped = drop_partitions_before(spark, path, "ts", "2024-01-02 12:00:00")
+    # returned in unescaped value form, and exactly the right two dropped
+    assert dropped == ["2024-01-01 00:00:00", "2024-01-02 00:00:00"]
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [3]

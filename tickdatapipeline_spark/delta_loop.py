@@ -1,0 +1,229 @@
+"""The composed daily-delta corpus-maintenance loop.
+
+DEPLOYMENT.md documents the nightly workflow a 100 TB corpus actually
+runs — ingest a day's shard, dedup it against the persisted indexes,
+append the keepers, upsert the curated partition, expire old data.
+Every stage exists and is individually tested elsewhere
+(`operators/dedup.py`, `operators/similarity.py`, `functions/scale.py`);
+THIS module composes them into one tested runner so the seams between
+their contracts (index shard names vs corpus partition values, replay
+visibility of a day's own appended shard, bootstrap-vs-append
+dispatch) are exercised end-to-end, not just described in prose.
+
+Reference analogue: the reference repo has no corpus-maintenance
+surface at all (it is a single-stream tick engine); this is part of
+the beyond-reference LLM-training-data toolkit the brief requires.
+
+Warehouse layout (all plain parquet, all under one root):
+
+    {warehouse}/corpus/day=<day>/          curated documents (upsert_partitioned)
+    {warehouse}/text_index/{bands,shingles}/shard=<day|base>/
+    {warehouse}/ann_index/{centroids,vectors/shard=<day|base>/cell=*}
+
+Replay contract: every stage is idempotent, so a failed-and-retried
+(or duplicated) day-N job converges to the same warehouse state:
+
+- the index probes EXCLUDE ``shard=<day>`` (a replay after the appends
+  landed must not see the day's own signatures and self-dedup to zero
+  — the seam bug this runner exists to pin);
+- `append_corpus_index` / `append_ann_index` overwrite exactly their
+  ``shard=<day>`` partitions;
+- `upsert_partitioned` replaces same-key rows;
+- `drop_partitions_before` no-ops on already-dropped partitions.
+
+Scale posture: O(shard) signature work + O(touched partitions) I/O per
+day — the corpus is never re-scanned, corpus-wide signatures never
+recomputed (the entire point of the persisted indexes). The per-day
+counters cost one job per counted stage over the pinned shard-sized
+frames, which is bookkeeping a nightly job wants anyway.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickdatapipeline_spark.operators.dedup import (
+    DEFAULT_MAX_BAND_BUCKET,
+    append_corpus_index,
+    dedup_against_index,
+    deduplicated_corpus,
+    write_corpus_index,
+)
+from tickdatapipeline_spark.operators.globalorder import pin
+from tickdatapipeline_spark.operators.similarity import (
+    IVF_CELLS,
+    IVF_NPROBE,
+    append_ann_index,
+    embedding_dedup_against_index,
+    write_ann_index,
+)
+from tickdatapipeline_spark.functions.scale import (
+    drop_partitions_before,
+    upsert_partitioned,
+)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def run_daily_delta(
+    spark: SparkSession,
+    docs_shard: DataFrame,
+    emb_shard: DataFrame | None,
+    warehouse: str,
+    day: str,
+    *,
+    text_threshold: float = 0.5,
+    emb_threshold: float = 0.96,
+    nprobe: int = IVF_NPROBE,
+    n_cells: int = IVF_CELLS,
+    ann_centroids: "list | None" = None,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    retain_before: str | None = None,
+) -> dict:
+    """Ingest one day's shard through the full curation loop and
+    return the stage counters a nightly job logs.
+
+    ``docs_shard``: (doc_id long, text string, ...extra columns kept);
+    ``emb_shard``: (vec_id long, embedding array<float|double>) with
+    ``vec_id == doc_id`` (the corpus alignment contract used across
+    the plans), or None to run the text-only loop. ``day`` is both the
+    corpus partition value and the index shard name — ISO 'YYYY-MM-DD'
+    sorts chronologically for `drop_partitions_before`, and contains
+    no '/' or '=' so it is a valid shard name by construction.
+
+    Stages (each independently idempotent — see module docstring):
+
+    1. intra-shard near-dup removal (`deduplicated_corpus`);
+    2. shard-vs-corpus text filter off the persisted LSH index
+       (`dedup_against_index`, excluding ``shard=day``); bootstrap
+       (no index yet) skips the probe;
+    3. embedding filter off the persisted ANN index
+       (`embedding_dedup_against_index`, excluding ``shard=day``) —
+       a vector dropped here drops its DOCUMENT too (near-semantic-dup
+       of indexed corpus); docs without a vector pass on text alone;
+    4. append the keepers' signatures/vectors to both indexes
+       (``shard=day`` partition overwrite). Bootstrap first writes an
+       EMPTY ``shard=base`` index (schema + frozen centroids only) and
+       then appends day 1 like any other day — every day's signatures
+       live under its OWN shard, so the replay exclusion in steps 2-3
+       works for the bootstrap day too (a `write_corpus_index`-style
+       bootstrap would bury day 1 in ``shard=base``, and its replay
+       would self-dedup to zero — the seam bug this symmetry removes).
+       ``shard=base`` is populated only by the scheduled compaction
+       rebuild, which wipes the delta shards and after which replays
+       of pre-compaction days are out of contract (DEPLOYMENT.md);
+    5. upsert the keepers into ``corpus`` partition ``day=<day>``;
+    6. optional retention: drop corpus partitions before
+       ``retain_before`` (indexes keep their shards — index compaction
+       is the scheduled `write_corpus_index`/`write_ann_index` rebuild,
+       a separate job by the DEPLOYMENT.md contract).
+
+    Returns {"n_in", "n_intra_kept", "n_text_kept", "n_emb_checked",
+    "n_kept", "bootstrapped_text", "bootstrapped_ann",
+    "dropped_partitions"}.
+    """
+    if "/" in day or "=" in day or not day:
+        raise ValueError(f"invalid day {day!r}: used as a partition value "
+                         "and an index shard name; no '/' or '='")
+    text_index = f"{warehouse}/text_index"
+    ann_index = f"{warehouse}/ann_index"
+    corpus = f"{warehouse}/corpus"
+
+    docs_shard = docs_shard.withColumn("doc_id", F.col("doc_id").cast("long"))
+    n_in = docs_shard.count()
+
+    # 1. intra-shard pass — survivors keep every input column
+    intra_keep = deduplicated_corpus(
+        docs_shard, text_threshold, max_band_bucket=max_band_bucket
+    ).select("doc_id")
+    shard = pin(docs_shard.join(intra_keep, "doc_id", "left_semi"))
+    n_intra = shard.count()
+
+    # 2. shard-vs-corpus text filter (bootstrap: no index, no probe)
+    boot_text = not _exists(spark, f"{text_index}/bands")
+    if not boot_text:
+        shard = pin(dedup_against_index(
+            spark, shard, text_index, threshold=text_threshold,
+            max_band_bucket=max_band_bucket, exclude_shard=day))
+    n_text = shard.count()
+
+    # 3. embedding filter — drops documents, not just vectors
+    n_emb_checked = 0
+    boot_ann = emb_shard is not None and not _exists(
+        spark, f"{ann_index}/centroids")
+    if emb_shard is not None:
+        emb_shard = emb_shard.withColumn(
+            "vec_id", F.col("vec_id").cast("long"))
+        emb = pin(emb_shard.join(
+            shard.select(F.col("doc_id").alias("vec_id")),
+            "vec_id", "left_semi"))
+        n_emb_checked = emb.count()
+        if not boot_ann:
+            kept_vecs = pin(embedding_dedup_against_index(
+                emb, ann_index, threshold=emb_threshold, nprobe=nprobe,
+                exclude_shard=day))
+            emb_dropped = emb.select("vec_id").join(
+                kept_vecs.select("vec_id"), "vec_id", "left_anti")
+            shard = pin(shard.join(
+                emb_dropped.select(F.col("vec_id").alias("doc_id")),
+                "doc_id", "left_anti"))
+        else:
+            kept_vecs = emb
+    n_kept = shard.count()
+
+    # 4. index maintenance — keepers only, shard=day overwrite.
+    # Bootstrap = empty shard=base (schema/centroids) + normal append,
+    # so day 1 is symmetric with every later day (see docstring).
+    if boot_text:
+        write_corpus_index(docs_shard.limit(0), text_index,
+                           max_band_bucket=max_band_bucket)
+    append_corpus_index(shard, text_index, shard=day,
+                        max_band_bucket=max_band_bucket)
+    if emb_shard is not None:
+        # re-restrict to the final doc survivors (step 3's own drops)
+        final_vecs = kept_vecs.join(
+            shard.select(F.col("doc_id").alias("vec_id")),
+            "vec_id", "left_semi")
+        if boot_ann:
+            cents = ann_centroids
+            if cents is None:
+                # deterministic stand-in quantizer seeded from the
+                # first day's lowest-id vectors (k rows collected —
+                # same O(n_cells) driver cost as kmeans seeds); pass
+                # ann_centroids (kmeans_train output) in production
+                seeds = (final_vecs
+                         .select(F.col("vec_id"),
+                                 F.col("embedding").cast("array<double>")
+                                 .alias("c"))
+                         .orderBy("vec_id").limit(n_cells).collect())
+                cents = [(i, list(r.c)) for i, r in enumerate(seeds)]
+            write_ann_index(emb_shard.limit(0), ann_index,
+                            n_cells=n_cells, centroids=cents)
+        append_ann_index(final_vecs, ann_index, shard=day)
+
+    # 5. curated-corpus upsert — O(touched partitions)
+    upsert_partitioned(
+        spark, corpus,
+        shard.withColumn("day", F.lit(day)),
+        key="doc_id", part_col="day")
+
+    # 6. retention
+    dropped = []
+    if retain_before is not None:
+        dropped = drop_partitions_before(spark, corpus, "day", retain_before)
+
+    return {
+        "n_in": n_in,
+        "n_intra_kept": n_intra,
+        "n_text_kept": n_text,
+        "n_emb_checked": n_emb_checked,
+        "n_kept": n_kept,
+        "bootstrapped_text": boot_text,
+        "bootstrapped_ann": boot_ann,
+        "dropped_partitions": dropped,
+    }

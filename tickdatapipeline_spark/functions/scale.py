@@ -296,8 +296,8 @@ def drop_partitions_before(
     typo'd retention job against the table root). A non-existent path
     is a no-op (idempotent replays of a finished retention job).
 
-    Returns the dropped partition values (directory-name form),
-    sorted."""
+    Returns the dropped partition values (unescaped value form —
+    Hive percent-escaping in directory names is decoded), sorted."""
     sc = spark.sparkContext
     jvm = sc._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
@@ -321,8 +321,20 @@ def drop_partitions_before(
         except ValueError:
             return False
 
+    # Hive directory names percent-escape specials on write (':'→'%3A',
+    # ' '→'%20', '%'→'%25' — Spark's escapePathName), so comparisons run
+    # in VALUE space: decode each directory name back to the partition
+    # value before ordering against the (unescaped) cutoff. A timestamp
+    # partition like '2024-01-01 00:00:00' would otherwise compare its
+    # escaped form against the raw cutoff and mis-order. Deletes still
+    # address the original (escaped) directory path.
+    from urllib.parse import unquote
+
+    def part_value(dirname: str) -> str:
+        return unquote(dirname)
+
     cutoff_int = is_int(cutoff)
-    values = {p.getName()[len(prefix):] for p in part_dirs}
+    values = {part_value(p.getName()[len(prefix):]) for p in part_dirs}
     typed = [v for v in values if v != "__HIVE_DEFAULT_PARTITION__"]
     mismatched = [v for v in typed if is_int(v) != cutoff_int]
     if mismatched:
@@ -341,7 +353,7 @@ def drop_partitions_before(
 
     dropped = []
     for p in part_dirs:
-        raw = p.getName()[len(prefix):]
+        raw = part_value(p.getName()[len(prefix):])
         if before(raw):
             if not fs.delete(p, True):
                 raise IOError(

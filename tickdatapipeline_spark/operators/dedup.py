@@ -505,7 +505,8 @@ def append_corpus_index(docs_shard: DataFrame, path: str, shard: str,
 def dedup_against_index(spark, probe_docs: DataFrame, path: str,
                         threshold: float = 0.5,
                         num_perm: int = NUM_PERM, band_size: int = BAND_SIZE,
-                        max_band_bucket: int | None = None) -> DataFrame:
+                        max_band_bucket: int | None = None,
+                        exclude_shard: str | None = None) -> DataFrame:
     """Near-dup-FILTER a new shard against the persisted corpus index:
     the shard's surviving rows (every input column, unchanged) after
     dropping docs whose verified Jaccard against ANY indexed corpus
@@ -523,13 +524,26 @@ def dedup_against_index(spark, probe_docs: DataFrame, path: str,
     algebra — pinned by tests/test_beyond.py::
     test_incremental_index_dedup_matches_full_recompute.
 
+    ``exclude_shard`` drops one ``shard=<name>`` partition from the
+    index read (partition-pruned at the scan — never a data filter):
+    the REPLAY contract of the daily-delta loop. A re-run of day N
+    after its own `append_corpus_index` landed would otherwise probe
+    against the shard's own signatures and drop every doc as a
+    self-duplicate — the runner (`delta_loop.run_daily_delta`) always
+    excludes the day it is (re)ingesting.
+
     Scale: index side is a parquet scan shuffled on compact band keys;
     shard side follows the probe contract (small). The left_anti final
     join is on the shard's doc_id only — O(shard) rows."""
+    bands = spark.read.parquet(f"{path}/bands")
+    shingles = spark.read.parquet(f"{path}/shingles")
+    if exclude_shard is not None:
+        bands = bands.where(F.col("shard") != exclude_shard)
+        shingles = shingles.where(F.col("shard") != exclude_shard)
     hits = contamination_against_index(
         probe_docs,
-        spark.read.parquet(f"{path}/bands"),
-        spark.read.parquet(f"{path}/shingles").select("doc_id", "g"),
+        bands,
+        shingles.select("doc_id", "g"),
         threshold=threshold, num_perm=num_perm, band_size=band_size,
         max_band_bucket=max_band_bucket,
         guard_label="dedup_against_index corpus-side",

@@ -458,13 +458,37 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
         cents = base.where(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell"), F.col("v").alias("c")
         )
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # crash-consistency: stage BOTH tables under a sibling temp dir and
+    # swap last (upsert_partitioned's staging pattern). Writing live
+    # centroids before live vectors could leave retrained centroids
+    # paired with stale cell assignments after a crash — probes would
+    # then prune to wrong cells SILENTLY. With the swap, any crash
+    # window leaves at most a missing directory, which fails loudly at
+    # read time; a stale-centroids/new-vectors (or the reverse) pair is
+    # never observable: vectors swap in first, centroids last, so the
+    # worst interleaving is new-vectors + missing-centroids.
+    spark = emb.sparkSession
     from tickdatapipeline_spark.operators.dedup import _wipe_path
 
-    _wipe_path(emb.sparkSession, f"{path}/vectors")
+    tmp = f"{path}__ann_staging"
+    _wipe_path(spark, tmp)
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
     assigned = ivf_assign(emb, n_cells, nprobe=1, centroids=centroids)
     assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
-        .partitionBy("cell").parquet(f"{path}/vectors/shard=base")
+        .partitionBy("cell").parquet(f"{tmp}/vectors/shard=base")
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
+    _wipe_path(spark, f"{path}/vectors")
+    _wipe_path(spark, f"{path}/centroids")
+    for sub in ("vectors", "centroids"):  # vectors first — see above
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{sub}"),
+                         jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
+            raise IOError(
+                f"staging swap of {tmp}/{sub} -> {path}/{sub} failed — "
+                "index left without that table; re-run write_ann_index")
+    _wipe_path(spark, tmp)
 
 
 def append_ann_index(emb_shard: DataFrame, path: str, shard: str) -> None:
@@ -1160,7 +1184,8 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
 def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
                                   threshold: float = 0.96,
-                                  nprobe: int = IVF_NPROBE) -> DataFrame:
+                                  nprobe: int = IVF_NPROBE,
+                                  exclude_shard: str | None = None) -> DataFrame:
     """Near-dup-FILTER a new shard of embeddings against the persisted
     IVF index: the shard's surviving rows (every input column,
     unchanged) after dropping vectors whose best cosine against ANY
@@ -1176,13 +1201,23 @@ def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
     ``nprobe`` (or rebuild with more cells) to trade cost for recall,
     exactly like the text loop's band count.
 
+    ``exclude_shard`` drops one ``vectors/shard=<name>`` partition from
+    the index read (partition-pruned) — the replay contract of the
+    daily-delta loop, same as `dedup.dedup_against_index`: a re-run of
+    day N after its own `append_ann_index` landed would otherwise find
+    every shard vector at cosine 1.0 against itself and drop the whole
+    shard.
+
     Scale: O(shard) probe work against cell-pruned parquet; the final
     anti-join is on the shard's vec_id only."""
     spark = emb_shard.sparkSession
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if exclude_shard is not None:
+        vectors = vectors.where(F.col("shard") != exclude_shard)
     hits = ann_probe_against_index(
         emb_shard,
         spark.read.parquet(f"{path}/centroids"),
-        spark.read.parquet(f"{path}/vectors"),
+        vectors,
         k=1,
         nprobe=nprobe,
     ).where(F.col("cosine") >= threshold).select(
