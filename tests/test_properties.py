@@ -1157,3 +1157,61 @@ def test_dup_span_coverage_matches_python_mirror(spark, docs):
         cov = sum(c for _n, c in per_doc)
         assert got[src] == (n_docs, with_dup, tot, cov,
                             cov * 1000 // tot if tot else None), src
+
+
+@given(closes=st.lists(st.integers(min_value=1, max_value=99999),
+                       min_size=14, max_size=40),
+       split=st.integers(min_value=0, max_value=40))
+@settings(max_examples=60, deadline=None)
+def test_wilder_rsi_step_matches_fraction_mirror_and_chunk_invariant(
+        closes, split):
+    """The shared Wilder stepper vs an EXACT rational (Fraction) mirror
+    of the textbook recurrence: per-emitted-bar averages agree to float
+    accumulation error (1e-9 relative), RSI stays in [0, 100], and the
+    emit schedule (first bar with W trailing moves onward) matches.
+    Also the stream==batch property at stepper level: feeding the same
+    closes in two chunks with the carried state is bit-identical to
+    one shot — the contract the GroupState twin rides on."""
+    from fractions import Fraction
+
+    from tickdatapipeline_spark.operators.stateful import (
+        WILDER_STATE0,
+        _wilder_rsi_step,
+    )
+
+    W = 14
+    bar_ids = list(range(len(closes)))
+    out, _ = _wilder_rsi_step(bar_ids, closes, WILDER_STATE0, W)
+
+    # exact-rational mirror
+    moves = [closes[i] - closes[i - 1] for i in range(1, len(closes))]
+    gains = [m if m > 0 else 0 for m in moves]
+    losses = [-m if m < 0 else 0 for m in moves]
+    mirror = []
+    ag = al = None
+    for i in range(len(moves)):
+        if i == W - 1:
+            ag = Fraction(sum(gains[:W]), W)
+            al = Fraction(sum(losses[:W]), W)
+        elif i >= W:
+            ag = (ag * (W - 1) + gains[i]) / W
+            al = (al * (W - 1) + losses[i]) / W
+        if ag is not None:
+            s = ag + al
+            rsi = None if s == 0 else float(100 * ag / s)
+            mirror.append((i + 1, float(ag), float(al), rsi))
+
+    assert [r[0] for r in out] == [r[0] for r in mirror]  # emit schedule
+    for (b, g, lo, r), (mb, mg, ml, mr) in zip(out, mirror):
+        assert abs(g - mg) <= 1e-9 * max(1.0, abs(mg))
+        assert abs(lo - ml) <= 1e-9 * max(1.0, abs(ml))
+        assert (r is None) == (mr is None)
+        if r is not None:
+            assert 0.0 <= r <= 100.0
+            assert abs(r - mr) <= 1e-7
+
+    # chunk invariance (bit-exact, not tolerance)
+    k = min(split, len(closes))
+    o1, st1 = _wilder_rsi_step(bar_ids[:k], closes[:k], WILDER_STATE0, W)
+    o2, _ = _wilder_rsi_step(bar_ids[k:], closes[k:], st1, W)
+    assert o1 + o2 == out

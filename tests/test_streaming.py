@@ -3631,3 +3631,118 @@ def test_liquidity_kernel_any_split_equals_batch(spark, prices, cuts, data):
         g = last_emit[c]
         g = None if pd.isna(g) else float(g)
         assert g == want[c], c
+
+
+def test_wilder_rsi_stream_equals_batch_completed_bars(spark, tmp_path):
+    """Finalized streaming Wilder-RSI bars equal the batch operator
+    (operators.stateful.wilder_rsi) for every COMPLETED bar, with a
+    bar deliberately split across two micro-batches (in-progress bar
+    + Wilder averages carried in GroupState); the trailing partial bar
+    is withheld."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import wilder_rsi_stream
+
+    BAR = 2
+    # 35 ticks -> 17 complete bars (0..16) + 1 partial; RSI emits from
+    # bar 14 on (14 trailing moves). Batch boundary at tick 21 splits
+    # bar 10 across micro-batches.
+    prices = [100 + ((i * 7) % 13) - 6 + (3 if i % 5 == 0 else 0)
+              for i in range(35)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for bi, sl in enumerate([slice(0, 21), slice(21, 35)]):
+        p = in_dir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for i in range(*sl.indices(35)):
+                f.write(json.dumps({"stream": 0, "line_no": i + 1,
+                                    "last": prices[i], "volume": 1}) + "\n")
+        os.utime(p, (1700000000 + bi, 1700000000 + bi))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long, volume long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        wilder_rsi_stream(raw, bar_size=BAR)
+        .writeStream.format("memory").queryName("wilder_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.stream, r.bar_id): (r.avg_gain, r.avg_loss, r.rsi_wilder)
+           for r in spark.table("wilder_stream").collect()}
+
+    # batch operator over the COMPLETE bars' closes
+    from tickdatapipeline_spark.operators.stateful import wilder_rsi
+
+    closes = [(0, b, prices[b * BAR + BAR - 1])
+              for b in range(35 // BAR)]
+    bars = spark.createDataFrame(closes, "stream long, bar_id long, close long")
+    want = {(r.stream, r.bar_id): (r.avg_gain, r.avg_loss, r.rsi_wilder)
+            for r in wilder_rsi(bars).collect()}
+    assert got == want  # bit-identical, shared stepper
+    assert got  # RSI actually emitted (>= 15 complete bars)
+    assert min(b for _, b in got) == 14  # first emit = W-th move's bar
+
+
+def test_wilder_rsi_stream_restart_keeps_state(spark, tmp_path):
+    """The Wilder GroupState (in-progress bar + smoothing averages)
+    survives a query restart from the checkpoint: a bar completing in
+    the SECOND query instance emits an RSI that depends on the seed
+    averages the FIRST instance accumulated, and equals the one-shot
+    batch answer."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import run_wilder_rsi_stream
+
+    BAR = 2
+    prices = [100 + ((i * 11) % 17) - 8 for i in range(32)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, lo, hi, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for j in range(lo, hi):
+                f.write(json.dumps({"stream": 0, "line_no": j + 1,
+                                    "last": prices[j], "volume": 1}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_wilder_rsi_stream(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), bar_size=BAR)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # instance 1: 30 ticks = bars 0..14 complete -> seed RSI at bar 14
+    write("b0.json", 0, 30, 0)
+    run_once()
+    # instance 2: 2 more ticks -> bar 15 completes; its RSI needs the
+    # carried averages
+    write("b1.json", 30, 32, 1)
+    run_once()
+
+    got = {r.bar_id: (r.avg_gain, r.avg_loss, r.rsi_wilder)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(got) == {14, 15}
+
+    from tickdatapipeline_spark.operators.stateful import wilder_rsi
+
+    bars = spark.createDataFrame(
+        [(0, b, prices[b * BAR + BAR - 1]) for b in range(16)],
+        "stream long, bar_id long, close long")
+    want = {r.bar_id: (r.avg_gain, r.avg_loss, r.rsi_wilder)
+            for r in wilder_rsi(bars).collect()}
+    assert got == want

@@ -139,3 +139,95 @@ def ema_columns(
         )
     join_keys = part + ["tick_idx"]
     return processed_internals.join(out.select(*join_keys, "ema_delta", "ema_delta_dev", "ema_abs_delta"), on=join_keys)
+
+
+# ================= Wilder's RSI (EMA form) =================
+
+# (last_close, n_seed, seed_gain, seed_loss, avg_gain, avg_loss, seeded)
+WILDER_STATE0 = (None, 0, 0, 0, 0.0, 0.0, False)
+
+
+def _wilder_rsi_step(bar_ids, closes, state, w: int):
+    """Advance Wilder's RSI recurrence over one ORDERED batch of bar
+    closes from ``state``; returns (emitted rows, carry-out state).
+    Shared by the batch ``applyInPandas`` kernel (`wilder_rsi`) and the
+    streaming GroupState kernel (streaming/stateful.wilder_rsi_stream)
+    so the two are bit-identical by construction — the `_ema_step`
+    pattern.
+
+    Wilder (1978): seed avg_gain/avg_loss = simple mean of the first
+    ``w`` bar-to-bar moves, then avg' = (avg*(w-1) + move)/w — the
+    smoothing desks mean by "RSI" (Cutler's SMA variant is the gated
+    twin, plans/market.rsi_fn). All arithmetic is IEEE-double +,-,*,/
+    in a FIXED order (seed sums stay integer until the one seed
+    division), so the recurrence is reproducible bit-for-bit by any
+    engine replaying the same ops — which is exactly how the DuckDB
+    oracle gates it (a recursive CTE replays the recurrence;
+    cross-engine +,-,*,/ on doubles are correctly rounded, unlike the
+    transcendental pow() a closed-form oracle would need).
+
+    Emitted per bar once >= w moves exist: (bar_id, avg_gain,
+    avg_loss, rsi) with rsi = 100*avg_gain/(avg_gain+avg_loss), None
+    on a fully flat window (both averages zero).
+    """
+    lc, n_seed, sg, sl, ag, al, seeded = state
+    out = []
+    for b, c in zip(bar_ids, closes):
+        b, c = int(b), int(c)
+        if lc is not None:
+            m = c - lc
+            g = m if m > 0 else 0
+            lo = -m if m < 0 else 0
+            if not seeded:
+                n_seed += 1
+                sg += g
+                sl += lo
+                if n_seed == w:
+                    ag = sg / w
+                    al = sl / w
+                    seeded = True
+            else:
+                ag = (ag * (w - 1) + g) / w
+                al = (al * (w - 1) + lo) / w
+            if seeded:
+                s = ag + al
+                rsi = (100.0 * ag / s) if s != 0 else None
+                out.append((b, ag, al, rsi))
+        lc = c
+    return out, (lc, n_seed, sg, sl, ag, al, seeded)
+
+
+WILDER_OUT_SCHEMA = (
+    "stream long, bar_id long, avg_gain double, avg_loss double, "
+    "rsi_wilder double"
+)
+
+
+def wilder_rsi(bars: DataFrame, w: int = 14) -> DataFrame:
+    """Wilder's-EMA RSI per completed bar, per stream, over a bar-close
+    table (stream, bar_id, close). A TRUE recurrence (like the EMA
+    family above): each average depends on its predecessor, so it runs
+    as a per-stream Arrow kernel — streams process in parallel, the
+    serial unit is one stream's 144x-reduced bar sequence, the same
+    deployment shape as `ema_columns`.
+
+    Output: (stream, bar_id, avg_gain, avg_loss, rsi_wilder) from the
+    first bar with ``w`` trailing moves onward.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_id")
+        rows, _ = _wilder_rsi_step(
+            pdf["bar_id"].to_numpy(), pdf["close"].to_numpy(),
+            WILDER_STATE0, w)
+        st = int(pdf["stream"].iat[0])
+        return pd.DataFrame(
+            [(st, b, g, lo, r) for b, g, lo, r in rows],
+            columns=["stream", "bar_id", "avg_gain", "avg_loss",
+                     "rsi_wilder"])
+
+    return (
+        bars.select("stream", "bar_id", "close")
+        .groupBy("stream")
+        .applyInPandas(kernel, schema=WILDER_OUT_SCHEMA)
+    )

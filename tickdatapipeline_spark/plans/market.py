@@ -393,12 +393,96 @@ FROM win WHERE n_moves = {RSI_W} ORDER BY stream, bar_id
 """
 
 
+# ================= Wilder's RSI (EMA form) =================
+
+
+def wilder_rsi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's-EMA RSI per bar (the r10-verdict gap: Cutler's SMA form
+    shipped; Wilder's smoothing is what desks mean by "RSI"): seed =
+    simple mean of the first RSI_W moves, then avg' =
+    (avg*(RSI_W-1) + move)/RSI_W — a TRUE recurrence, so it runs as
+    the per-stream Arrow kernel `operators/stateful.wilder_rsi`
+    (streams parallel, one stream's 144x-reduced bar sequence serial —
+    the `ema_columns` deployment shape) with a GroupState streaming
+    twin (streaming/stateful.wilder_rsi_stream, restart-proven).
+
+    GATED despite being a recurrence: the oracle is a recursive CTE
+    that replays the IDENTICAL IEEE-double +,-,*,/ sequence per step
+    (all correctly rounded cross-engine, unlike the pow() a
+    closed-form oracle would need — the reason a naive formulation
+    would be rows-only). Outputs are additionally rnd-crossed.
+    """
+    from tickdatapipeline_spark.operators.stateful import wilder_rsi
+
+    out = wilder_rsi(_bar_closes(spark, sf_dir), w=RSI_W)
+    return out.select(
+        "stream", "bar_id",
+        rnd(F.col("avg_gain")).alias("avg_gain"),
+        rnd(F.col("avg_loss")).alias("avg_loss"),
+        rnd(F.col("rsi_wilder")).alias("rsi_wilder"),
+    ).orderBy("stream", "bar_id")
+
+
+WILDER_RSI_SQL = f"""
+WITH RECURSIVE ticks_streams AS ({ticks_streams_sql()}),
+bars AS ({_BAR_CLOSES_SQL}),
+numbered AS (
+    SELECT stream, bar_id, close,
+           row_number() OVER (PARTITION BY stream ORDER BY bar_id) AS rn
+    FROM bars
+),
+moves AS (
+    SELECT stream, rn, bar_id,
+           close - lag(close) OVER (PARTITION BY stream ORDER BY rn) AS m
+    FROM numbered
+),
+gl AS (
+    SELECT stream, rn, bar_id,
+           CASE WHEN m > 0 THEN m ELSE 0 END AS g,
+           CASE WHEN m < 0 THEN -m ELSE 0 END AS lo
+    FROM moves WHERE m IS NOT NULL
+),
+seed AS (
+    -- integer sums of the first {RSI_W} moves, ONE division each:
+    -- the kernel's exact seed arithmetic
+    SELECT stream, rn, bar_id,
+           CAST(gain_sum AS DOUBLE) / {RSI_W} AS avg_g,
+           CAST(loss_sum AS DOUBLE) / {RSI_W} AS avg_l
+    FROM (
+        SELECT stream, rn, bar_id,
+               CAST(sum(g) OVER w AS BIGINT) AS gain_sum,
+               CAST(sum(lo) OVER w AS BIGINT) AS loss_sum,
+               count(*) OVER w AS nm
+        FROM gl
+        WINDOW w AS (PARTITION BY stream ORDER BY rn
+                     ROWS BETWEEN {RSI_W - 1} PRECEDING AND CURRENT ROW)
+    ) WHERE nm = {RSI_W} AND rn = {RSI_W + 1}
+),
+rec AS (
+    SELECT stream, rn, bar_id, avg_g, avg_l FROM seed
+    UNION ALL
+    -- replay the kernel's recurrence step in the same op order:
+    -- (avg * (W-1) + move) / W, every op IEEE-double correctly rounded
+    SELECT m.stream, m.rn, m.bar_id,
+           (r.avg_g * {RSI_W - 1} + CAST(m.g AS DOUBLE)) / {RSI_W},
+           (r.avg_l * {RSI_W - 1} + CAST(m.lo AS DOUBLE)) / {RSI_W}
+    FROM rec r JOIN gl m ON m.stream = r.stream AND m.rn = r.rn + 1
+)
+SELECT stream, bar_id,
+       {sql_rnd('avg_g')} AS avg_gain,
+       {sql_rnd('avg_l')} AS avg_loss,
+       {sql_rnd('100.0 * avg_g / nullif(avg_g + avg_l, 0)')} AS rsi_wilder
+FROM rec ORDER BY stream, bar_id
+"""
+
+
 def queries() -> dict[str, tuple]:
     return {
         "ticks_order_flow": (order_flow_fn, ORDER_FLOW_SQL),
         "ticks_drawdown": (drawdown_fn, DRAWDOWN_SQL),
         "bars_bollinger": (bollinger_fn, BOLLINGER_SQL),
         "bars_rsi": (rsi_fn, RSI_SQL),
+        "bars_rsi_wilder": (wilder_rsi_fn, WILDER_RSI_SQL),
         "ticks_realized_variance": (realized_variance_fn, REALIZED_VARIANCE_SQL),
         "ticks_liquidity_panel": (liquidity_panel_fn, LIQUIDITY_PANEL_SQL),
         "ticks_kyle_lambda": (kyle_lambda_fn, KYLE_LAMBDA_SQL),

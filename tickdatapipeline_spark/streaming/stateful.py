@@ -266,6 +266,7 @@ def _run_tick_update_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int,
+    output_mode: str = "update",
 ):
     """Shared runner core for the tick-ingest update-mode monitors:
     JSONL ticks (ORDER_FLOW_IN_SCHEMA) -> ``transform`` -> the
@@ -285,7 +286,7 @@ def _run_tick_update_stream(
         transform(raw)
         .writeStream.foreachBatch(_write_batch_idempotent_fb(out_dir))
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        .outputMode(output_mode)
         .start()
     )
 
@@ -471,7 +472,11 @@ def rv_bars_stream(ticks: DataFrame, bar_size: int = 144) -> DataFrame:
 # chain, the output column name, and the state width all follow VR_Q.
 from tickdatapipeline_spark.plans.market import AMIHUD_SCALE, VR_Q  # noqa: E402
 
-assert VR_Q >= 2, "liquidity kernel needs p1/p2 for the Roll pair chain"
+# import-time validation, not a bare assert: python -O strips asserts
+# and the state-schema width below silently depends on this invariant
+if VR_Q < 2:
+    raise ValueError(
+        f"VR_Q={VR_Q}: liquidity kernel needs p1/p2 for the Roll pair chain")
 
 LIQUIDITY_OUT_SCHEMA = (
     "stream long, n_ticks long, n_moves long, n_pairs long, "
@@ -633,3 +638,112 @@ def run_liquidity_stream(
     return _run_tick_update_stream(
         spark, liquidity_stream, input_dir, out_dir, checkpoint_dir,
         max_files_per_trigger)
+
+
+# ================= Wilder's RSI live monitor =================
+
+from tickdatapipeline_spark.operators.stateful import (  # noqa: E402
+    WILDER_OUT_SCHEMA,
+    WILDER_STATE0,
+    _wilder_rsi_step,
+)
+from tickdatapipeline_spark.plans.market import RSI_W  # noqa: E402
+
+WILDER_STATE_SCHEMA = (
+    "cur_bar long, n_in_bar long, bar_last long, "
+    "last_close long, n_seed long, seed_gain long, seed_loss long, "
+    "avg_g double, avg_l double, seeded boolean"
+)
+
+
+def make_wilder_rsi_kernel(bar_size: int, w: int = RSI_W):
+    """applyInPandasWithState kernel for wilder_rsi_stream: per stream,
+    form fixed-count bars exactly like `make_rv_bars_kernel` (close =
+    the bar's last print; a bar finalizes on its bar_size-th tick),
+    and feed each COMPLETED bar's close through the shared
+    `_wilder_rsi_step` — the same stepper the batch kernel runs, so
+    completed-bar output is bit-identical to the batch query by
+    construction. Chunks concat before the line_no sort."""
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        if state.exists:
+            cur, nin, blast, lc, ns, sg, sl, ag, al, seeded = tuple(state.get)
+            wstate = (lc, ns, sg, sl, ag, al, seeded)
+        else:
+            cur, nin, blast = None, 0, None
+            wstate = WILDER_STATE0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rows = []
+        if len(pdf) > 0:
+            pdf = pdf.sort_values("line_no")
+            for ln, last in zip(pdf["line_no"].to_numpy(),
+                                pdf["last"].to_numpy()):
+                ln, last = int(ln), int(last)
+                b = (ln - 1) // bar_size
+                if cur is None:
+                    cur = b
+                if b != cur:  # in-order contract: bar rolled
+                    cur, nin = b, 0
+                blast = last
+                nin += 1
+                if nin == bar_size:  # bar complete: one stepper tick
+                    out, wstate = _wilder_rsi_step([cur], [blast], wstate, w)
+                    rows.extend((key[0], bid, g, lo, r)
+                                for bid, g, lo, r in out)
+                    cur, nin = cur + 1, 0
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["stream", "bar_id", "avg_gain",
+                                   "avg_loss", "rsi_wilder"])
+        lc, ns, sg, sl, ag, al, seeded = wstate
+        state.update((cur, nin, blast, lc, ns, sg, sl, ag, al, seeded))
+
+    return kernel
+
+
+def wilder_rsi_stream(ticks: DataFrame, bar_size: int = 144,
+                      w: int = RSI_W) -> DataFrame:
+    """Streaming twin of the batch Wilder's RSI
+    (plans.market.wilder_rsi_fn, modulo its output rnd): live per-bar
+    RSI as each fixed-count bar completes, the in-progress bar and the
+    Wilder averages carried in GroupState per stream across
+    micro-batches. Count windows need no watermark (in-order ingest
+    contract, as rv_bars_stream). Completed bars equal the batch
+    kernel bit-for-bit — ONE shared stepper.
+
+    Same ingest contract as the other tick monitors: (stream, line_no,
+    last) in per-stream order across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        ticks.select("stream", "line_no", "last")
+        .groupBy("stream")
+        .applyInPandasWithState(
+            make_wilder_rsi_kernel(bar_size, w),
+            outputStructType=WILDER_OUT_SCHEMA,
+            stateStructType=WILDER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_wilder_rsi_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    bar_size: int = 144,
+):
+    """Durable runner for wilder_rsi_stream: JSONL tick ingest ->
+    per-bar Wilder RSI -> replay-idempotent batch_id-partitioned
+    parquet. A restart from the checkpoint resumes both the
+    in-progress bar and the Wilder averages — pinned by the restart
+    test (a bar completing in the second query instance carries the
+    smoothing state the first instance accumulated)."""
+    return _run_tick_update_stream(
+        spark, lambda t: wilder_rsi_stream(t, bar_size=bar_size),
+        input_dir, out_dir, checkpoint_dir, max_files_per_trigger,
+        output_mode="append")  # bars finalize exactly once
