@@ -8,6 +8,15 @@ HEAD" claim the registry rotation depends on; commit it with the sweep.
 Filtered runs never touch the artifact (a partial run must not
 masquerade as full coverage).
 
+Timing hygiene (r10 verdict #3): the r10 artifact committed
+contention-inflated `secs` for a few queries (events_key_skew 6.94 s
+vs 0.59 s solo) and parity_trend.py false-flagged them. bench.py's
+fixed interleaved probe now runs after EVERY query here too, so each
+entry carries `probe_sec` (the contention the adjacent timing saw) and
+`secs_corrected` = secs / max(1, probe_sec / PROBE_REF_SEC) — the
+box-invariant number parity_trend.py prefers. Raw `secs` stays for
+continuity with pre-r11 artifacts.
+
 Usage: python scripts_dev/oracle_parity.py [sf_dir] [name_filter...]
 """
 
@@ -66,9 +75,28 @@ def main() -> None:
     ok_n = bad_n = 0
     results: dict[str, dict] = {}
 
+    from bench import PROBE_REF_SEC  # one pin, shared with bench.py
+
+    def probe() -> float:
+        """bench.py's fixed scheduler+CPU-bound probe (~0.065 s quiet,
+        warmed): run after each query so the recorded timing carries
+        its own contention estimate."""
+        t0 = time.time()
+        spark.range(20_000_000, numPartitions=8).selectExpr(
+            "sum(id * 3) as s").collect()
+        return time.time() - t0
+
+    probe()  # warm the probe's codegen before any recorded use
+    probes: list[float] = []
+
     def record(name: str, status: str, rows: int, t0: float) -> None:
-        results[name] = {"status": status, "rows": rows,
-                         "secs": round(time.time() - t0, 2)}
+        secs = round(time.time() - t0, 2)
+        p = probe()
+        probes.append(p)
+        ratio = max(1.0, p / PROBE_REF_SEC)
+        results[name] = {"status": status, "rows": rows, "secs": secs,
+                         "probe_sec": round(p, 4),
+                         "secs_corrected": round(secs / ratio, 2)}
 
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
@@ -133,8 +161,12 @@ def main() -> None:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"], capture_output=True, text=True
         ).stdout.strip()
+        probe_median = sorted(probes)[len(probes) // 2] if probes else None
         artifact = {"sf_dir": sf_dir, "git_head": head,
                     "ok": ok_n, "bad": bad_n,
+                    "probe_ref_sec": PROBE_REF_SEC,
+                    "probe_median_sec": (round(probe_median, 4)
+                                         if probe_median else None),
                     "results": dict(sorted(results.items()))}
         out = Path(__file__).resolve().parent.parent / "PARITY_HEAD.json"
         out.write_text(json.dumps(artifact, indent=1) + "\n")

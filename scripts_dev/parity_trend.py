@@ -56,9 +56,16 @@ def trend(old: dict, new: dict) -> dict:
     side above MIN_SECS, sorted worst first."""
     o, n = old["results"], new["results"]
     common = sorted(set(o) & set(n))
+
+    def secs(rec: dict) -> float:
+        # contention-corrected when the artifact carries it (r11+);
+        # raw otherwise — mixing the two across artifacts is fine
+        # (correction only ever DEFLATES an inflated number)
+        return float(rec.get("secs_corrected", rec.get("secs", 0.0)))
+
     rows = []
     for q in common:
-        os_, ns_ = float(o[q].get("secs", 0.0)), float(n[q].get("secs", 0.0))
+        os_, ns_ = secs(o[q]), secs(n[q])
         ratio = ns_ / os_ if os_ > 0 else float("inf")
         rows.append((q, os_, ns_, ratio))
     flagged = sorted(
