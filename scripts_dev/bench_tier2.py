@@ -47,7 +47,7 @@ DEFAULT_QUERIES = [
     "bars_fir",
     "dedup_lsh_candidates",
     "sim_cosine_topk",
-    "dedup_containment_pairs",
+    "dedup_pair_measures",
     "sim_top_component",
 ]
 

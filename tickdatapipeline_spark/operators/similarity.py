@@ -260,6 +260,52 @@ def ann_topk_pq(emb: DataFrame, k: int = 5, query_mod: int = 50,
     error only (gauge with ann_recall vs cosine_topk)."""
     return _brute_topk(pq_dequantized(emb, n_sub, k_codes), k, query_mod)
 
+def ann_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Exact re-rank — the second stage of production two-stage
+    retrieval (FAISS's refine / IndexRefineFlat shape): take an
+    approximate stage's top-R candidate pairs, re-score ONLY those
+    pairs with the raw vectors, keep the exact-cosine top-k. Buys back
+    most of the quantization recall at O(queries x R) exact work
+    instead of a brute-force scan — the standard deployment shape for
+    PQ/IVF-PQ, whose ADC scores order candidates well but rank the
+    boundary wrong.
+
+    ``cand``: (query_id, neighbor_id, ...) from any ann_topk_* at
+    k = R > k. Output: the shared (query_id, neighbor_id, rank,
+    cosine) contract, cosine now EXACT (rounded 6 like cosine_topk, so
+    a rerank hit scores identically to the brute-force oracle's row).
+
+    Scale: the candidate set is O(queries x R) — broadcast into two
+    id-equi-joins against the corpus (the "fetch raw vectors by id"
+    step a persisted index serves from its cell-partitioned parquet);
+    no scan is corpus x queries."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    pairs = F.broadcast(cand.select("query_id", "neighbor_id"))
+    scored = (
+        pairs
+        .join(base.select(F.col("vec_id").alias("query_id"),
+                          F.col("v").alias("q")), "query_id")
+        .join(base.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("v").alias("nv")), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            rnd(_dot(F.col("q"), F.col("nv"))
+                / (_norm(F.col("q")) * _norm(F.col("nv"))), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
 
 def _plane_weight(p: int, d: int) -> int:
     """Deterministic small-integer hyperplane component in [-3, 3]."""

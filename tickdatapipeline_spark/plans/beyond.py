@@ -55,6 +55,7 @@ from tickdatapipeline_spark.operators.similarity import (
     _plane_weight,
     ann_bucket_histogram,
     ann_recall,
+    ann_rerank,
     ann_topk_ivf,
     ann_topk_ivfpq,
     ann_topk_pq,
@@ -692,10 +693,13 @@ _cos = sql_rnd(
     + " / (" + SQL_NORM.format(a="q.v") + " * " + SQL_NORM.format(a="b.v") + ")"
 )
 
-def _brute_topk_sql(prelude_ctes: str) -> str:
+def _brute_topk_sql(prelude_ctes: str, k: int | None = None) -> str:
     """q/scored/rank algebra shared by the brute-force and SQ8 oracles
     — the SQL twin of operators.similarity._brute_topk. ``prelude_ctes``
-    must define a CTE ``base`` with (vec_id, v)."""
+    must define a CTE ``base`` with (vec_id, v). ``k`` defaults to
+    TOPK_K; the rerank oracle passes RERANK_R for its candidate
+    stage."""
+    k = TOPK_K if k is None else k
     return f"""
 WITH {prelude_ctes},
 q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id % {QUERY_MOD} = 0),
@@ -706,7 +710,7 @@ scored AS (
 SELECT query_id, neighbor_id, rank, cosine FROM (
     SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
     FROM scored
-) WHERE rank <= {TOPK_K}
+) WHERE rank <= {k}
 """
 
 
@@ -787,7 +791,8 @@ def _sq8_topk_sql(levels: float = 255.0) -> str:
     )
 
 
-def _pq_topk_sql(n_sub: int = 4, k_codes: int = 8) -> str:
+def _pq_topk_sql(n_sub: int = 4, k_codes: int = 8,
+                 k: "int | None" = None) -> str:
     """DuckDB twin of pq_dequantized + brute top-k: stand-in codebooks
     from the k_codes lowest vec_ids' subvectors, fixed-order L2^2 folds
     rounded before the argmin, reconstruction re-concatenated in
@@ -816,7 +821,8 @@ win AS (
         FROM pqscored
     ) WHERE rn = 1
 ),
-base AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS v FROM win GROUP BY vec_id)"""
+base AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS v FROM win GROUP BY vec_id)""",
+        k=k,
     )
 
 
@@ -4280,11 +4286,8 @@ def queries() -> dict[str, tuple]:
             MINHASH_SQL,
         ),
         "dedup_lsh_candidates": (lambda s, d: lsh_candidate_pairs(_docs(s, d), max_band_bucket=None), LSH_PAIRS_SQL),
-        "dedup_jaccard_pairs": (lambda s, d: jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None), JACCARD_SQL),
-        "dedup_containment_pairs": (
-            lambda s, d: containment_pairs(_docs(s, d), CONTAINMENT_THRESHOLD, max_band_bucket=None),
-            CONTAINMENT_SQL,
-        ),
+        "dedup_pair_measures": (
+            dedup_pair_measures_fn, _dedup_pair_measures_sql()),
         "dedup_clusters": (lambda s, d: duplicate_clusters(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None), CLUSTERS_SQL),
         "dedup_corpus_filtered": (
             lambda s, d: deduplicated_corpus(_docs(s, d), JACCARD_THRESHOLD, max_band_bucket=None),
@@ -4345,10 +4348,7 @@ def queries() -> dict[str, tuple]:
                                             BOILERPLATE_K, BOILERPLATE_MIN_DOCS),
             BOILERPLATE_SQL,
         ),
-        "docs_split_assignments": (
-            lambda s, d: train_val_test_split(_docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM),
-            SPLIT_SQL,
-        ),
+        "docs_split_variants": (split_variants_fn, _split_variants_sql()),
         "docs_snapshot_diff": (snapshot_diff_fn, SNAPSHOT_DIFF_SQL),
         "events_type_transitions": (type_transitions_fn, TYPE_TRANSITIONS_SQL),
         "events_hourly_ohlc": (hourly_ohlc_fn, HOURLY_OHLC_SQL),
@@ -4356,7 +4356,8 @@ def queries() -> dict[str, tuple]:
         "events_value_ks_drift": (value_ks_drift_fn, VALUE_KS_SQL),
         "events_value_cusum": (value_cusum_fn, VALUE_CUSUM_SQL),
         "events_user_rfm": (user_rfm_fn, USER_RFM_SQL),
-        "events_seasonal_anomaly": (seasonal_anomaly_fn, SEASONAL_ANOMALY_SQL),
+        "events_seasonal_anomaly_panel": (
+            seasonal_anomaly_panel_fn, _seasonal_anomaly_panel_sql()),
         "docs_importance_weights": (
             lambda s, d: importance_weights(_docs(s, d), DSIR_TARGET_SOURCE, DSIR_SCALE),
             IMPORTANCE_SQL,
@@ -4406,7 +4407,8 @@ def queries() -> dict[str, tuple]:
         "events_funnel": (funnel_fn, FUNNEL_SQL),
         "events_user_journeys": (user_journeys_fn, USER_JOURNEYS_SQL),
         "events_retention_cohorts": (retention_fn, RETENTION_SQL),
-        "events_value_anomalies": (value_anomalies_fn, VALUE_ANOMALIES_SQL),
+        "events_value_anomaly_variants": (
+            value_anomaly_variants_fn, _value_anomaly_variants_sql()),
         "events_value_percentiles_by_type": (
             events_value_percentiles_fn, _events_value_percentiles_sql()),
         "dedup_embedding_clusters": (
@@ -4422,29 +4424,10 @@ def queries() -> dict[str, tuple]:
         # per-variant ANN top-k entries fold into ONE labeled union —
         # identical rows/values per variant, one registry slot
         "sim_ann_topk_variants": (ann_topk_variants_fn, _ann_topk_variants_sql()),
-        "sim_ann_recall_ivf": (
-            lambda s, d: ann_recall(
-                ann_topk_ivf(_emb(s, d), TOPK_K, QUERY_MOD),
-                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
-            ),
-            _ann_recall_ivf_sql(),
-        ),
-        "sim_ann_recall_pq": (
-            lambda s, d: ann_recall(
-                ann_topk_pq(_emb(s, d), TOPK_K, QUERY_MOD),
-                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
-            ),
-            _ann_recall_sql(_pq_topk_sql()),
-        ),
-        # completes the recall matrix: every approximate path (IVF, PQ,
-        # LSH) now has its recall@k next to its top-k entry
-        "sim_ann_recall_lsh": (
-            lambda s, d: ann_recall(
-                ann_topk_lsh(_emb(s, d), TOPK_K, QUERY_MOD),
-                cosine_topk(_emb(s, d), TOPK_K, QUERY_MOD),
-            ),
-            _ann_recall_sql(ANN_TOPK_LSH_SQL),
-        ),
+        # r11 consolidation: the three per-variant recall entries fold
+        # into ONE labeled union (same algebra, one slot)
+        "sim_ann_recall_variants": (
+            ann_recall_variants_fn, _ann_recall_variants_sql()),
         "dedup_cluster_cohesion": (cluster_cohesion_fn, CLUSTER_COHESION_SQL),
         "events_funnel_latency": (funnel_latency_fn, FUNNEL_LATENCY_SQL),
         "docs_dedup_savings": (dedup_savings_fn, DEDUP_SAVINGS_SQL),
@@ -4468,9 +4451,9 @@ def queries() -> dict[str, tuple]:
         "media_features": (media_features_fn, MEDIA_FEATURES_SQL),
         "media_frame_sample": (media_frames_fn, MEDIA_FRAMES_SQL),
         "media_dedup_exact": (media_dedup_exact_fn, MEDIA_DEDUP_EXACT_SQL),
-        "media_dedup_features": (media_dedup_features_fn, MEDIA_DEDUP_FEATURES_SQL),
+        "media_dedup_pair_variants": (
+            media_dedup_pair_variants_fn, _media_dedup_pair_variants_sql()),
         "media_phash": (media_phash_fn, MEDIA_PHASH_SQL),
-        "media_dedup_phash": (media_dedup_phash_fn, MEDIA_DEDUP_PHASH_SQL),
         "dedup_graph_triangles": (dedup_graph_triangles_fn, TRIANGLES_SQL),
         "events_key_skew": (key_skew_fn, KEY_SKEW_SQL),
         "docs_readability_lix": (readability_fn, READABILITY_SQL),
@@ -4499,7 +4482,6 @@ def queries() -> dict[str, tuple]:
             DEDUP_CALIBRATION_SQL,
         ),
         "events_weekly_users_hll": (weekly_users_hll_fn, None),  # rows-only: sketch
-        "events_value_robust_anomalies": (robust_anomalies_fn, ROBUST_ANOM_SQL),
         "sim_topk_prefix16": (
             lambda s, d: cosine_topk_truncated(_emb(s, d), MRL_DIM, TOPK_K, QUERY_MOD),
             MRL_TOPK_SQL,
@@ -4510,13 +4492,6 @@ def queries() -> dict[str, tuple]:
         ),
         "events_attribution_linear": (attribution_linear_fn, ATTRIBUTION_LINEAR_SQL),
         "docs_split_leakage": (split_leakage_fn, SPLIT_LEAKAGE_SQL),
-        "docs_split_group_aware": (
-            lambda s, d: cluster_aware_split(
-                _docs(s, d), SPLIT_VAL_PM, SPLIT_TEST_PM, JACCARD_THRESHOLD,
-                max_band_bucket=None,
-            ),
-            GROUP_SPLIT_SQL,
-        ),
         # r10 consolidation: prefix16-recall + kNN-label + MRR +
         # cosine-histogram fold into one long-format eval panel (the
         # calibration family's 5 entries -> this + dedup_minhash_calibration)
@@ -4535,11 +4510,6 @@ def queries() -> dict[str, tuple]:
         "events_health_summary": (health_summary_fn, HEALTH_SUMMARY_SQL),
         "events_stickiness": (stickiness_fn, STICKINESS_SQL),
         "dedup_degree_histogram": (dup_degree_fn, DUP_DEGREE_SQL),
-        "dedup_weighted_jaccard": (
-            lambda s, d: weighted_jaccard_pairs(_docs(s, d), JACCARD_THRESHOLD,
-                                                max_band_bucket=None),
-            WEIGHTED_JACCARD_SQL,
-        ),
         "docs_fluency_filter": (fluency_filter_fn, _fluency_filter_sql()),
         # round-10 additions
         "docs_ngram_repetition": (ngram_repetition_fn, NGRAM_REPETITION_SQL),
@@ -4547,7 +4517,6 @@ def queries() -> dict[str, tuple]:
         "events_seasonal_profile": (seasonal_profile_fn, SEASONAL_PROFILE_SQL),
         "events_type_affinity": (type_affinity_fn, TYPE_AFFINITY_SQL),
         "media_phash_clusters": (media_phash_clusters_fn, MEDIA_PHASH_CLUSTERS_SQL),
-        "events_seasonal_anomalies": (seasonal_anomalies_fn, SEASONAL_ANOM_SQL),
         "events_heavy_hitters": (heavy_hitters_fn, HEAVY_HITTERS_SQL),
         "events_type_hod_rollup": (type_hod_rollup_fn, TYPE_HOD_ROLLUP_SQL),
         "dedup_graph_pagerank": (pagerank_fn, _pagerank_sql()),
@@ -6726,7 +6695,35 @@ _ANN_VARIANT_PLANS = (
     # RESIDUALS, ADC scoring (similarity.ann_topk_ivfpq); joins the
     # panel as a sixth variant, zero new registry slots
     ("ivfpq", ann_topk_ivfpq),
+    # r11 (r10 verdict #5): exact re-rank — PQ top-R candidates
+    # re-scored with the raw vectors (similarity.ann_rerank), the
+    # two-stage retrieval a production PQ index runs; joins the panel
+    # as a seventh variant, zero new registry slots
+    ("pq_rerank",
+     lambda emb, k, qm: ann_rerank(ann_topk_pq(emb, RERANK_R, qm), emb, k)),
 )
+
+RERANK_R = 15  # candidate depth of the rerank stage (R > k = TOPK_K)
+
+
+def _pq_rerank_sql(r: int, k: int) -> str:
+    """DuckDB twin of ann_rerank over the PQ candidate stage: the PQ
+    oracle at k=R, then exact-cosine re-scoring of exactly those pairs
+    (same _cos algebra as the brute-force oracle) and a fresh top-k."""
+    return f"""
+WITH cand AS (SELECT query_id, neighbor_id FROM ({_pq_topk_sql(k=r)})),
+base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, {_cos} AS cosine
+    FROM cand c
+    JOIN base q ON q.vec_id = c.query_id
+    JOIN base b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6758,6 +6755,7 @@ def _ann_topk_variants_sql() -> str:
         ("pq", _pq_topk_sql()),
         ("sq8", _sq8_topk_sql()),
         ("ivfpq", _ivfpq_topk_sql()),
+        ("pq_rerank", _pq_rerank_sql(RERANK_R, TOPK_K)),
     )
     return "\nUNION ALL\n".join(
         f"SELECT '{name}' AS variant, query_id, neighbor_id, rank, cosine"
@@ -7889,4 +7887,217 @@ l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS community
 FROM {prev}
 ORDER BY doc_id
+"""
+
+
+# ========== r11 consolidations (rotation-budget policy, r10 verdict #4) =====
+#
+# Same contract as the r10 folds (ann_topk_variants / eval panel): each
+# fold is a plan-level labeled union of the ORIGINAL entries' plans —
+# every row, value and dtype survives (relabeled where the originals'
+# score columns differed), one registry slot instead of several. The
+# member fns/SQL stay defined and individually tested; only the
+# registry slots consolidate. Registry diff + rationale: COVERAGE.md.
+
+
+def ann_recall_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN path (IVF, PQ, LSH) against
+    the same brute-force ground truth, as ONE labeled union — the
+    consolidated slot replacing sim_ann_recall_{ivf,pq,lsh}. Same
+    (query_id, n_exact, n_hit, recall) contract per variant."""
+    emb = _emb(spark, sf_dir)
+    variants = (
+        ("ivf", lambda e: ann_topk_ivf(e, TOPK_K, QUERY_MOD)),
+        ("pq", lambda e: ann_topk_pq(e, TOPK_K, QUERY_MOD)),
+        # r11 (verdict #5): the rerank stage's measured recall uplift
+        # sits right next to raw PQ's number
+        ("pq_rerank", lambda e: ann_rerank(
+            ann_topk_pq(e, RERANK_R, QUERY_MOD), e, TOPK_K)),
+        ("lsh", lambda e: ann_topk_lsh(e, TOPK_K, QUERY_MOD)),
+    )
+    out = None
+    for name, fn in variants:
+        part = ann_recall(
+            fn(emb), cosine_topk(emb, TOPK_K, QUERY_MOD)
+        ).select(F.lit(name).alias("variant"),
+                 "query_id", "n_exact", "n_hit", "recall")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _ann_recall_variants_sql() -> str:
+    plans = (
+        ("ivf", _ann_recall_ivf_sql()),
+        ("pq", _ann_recall_sql(_pq_topk_sql())),
+        ("pq_rerank", _ann_recall_sql(_pq_rerank_sql(RERANK_R, TOPK_K))),
+        ("lsh", _ann_recall_sql(ANN_TOPK_LSH_SQL)),
+    )
+    return "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS variant, query_id, n_exact, n_hit, recall"
+        f" FROM ({s})" for n, s in plans)
+
+
+def seasonal_anomaly_panel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both seasonal detectors as one superset-schema panel — the
+    consolidated slot replacing the near-twin events_seasonal_anomaly
+    (top-k VALUE-sum deviation per type) and events_seasonal_anomalies
+    (gap-filled COUNT anomalies >= the permille threshold). Columns
+    belonging to the other detector are typed NULLs."""
+    nl = lambda: F.lit(None).cast("long")  # noqa: E731
+    nd = lambda: F.lit(None).cast("double")  # noqa: E731
+    a = seasonal_anomaly_fn(spark, sf_dir).select(
+        F.lit("topk_value").alias("detector"),
+        "event_type", "hour_s", F.col("hod").cast("long").alias("hod"),
+        "rnk", "hour_value", "stat", "n_hod", "baseline_mean",
+        nl().alias("n_events"), nl().alias("hod_total"),
+        nl().alias("hod_slots"), nl().alias("rel_abs_permille"),
+        nl().alias("direction"))
+    b = seasonal_anomalies_fn(spark, sf_dir).select(
+        F.lit("count_permille").alias("detector"),
+        "event_type", "hour_s", "hod",
+        nl().alias("rnk"), nd().alias("hour_value"), nl().alias("stat"),
+        nl().alias("n_hod"), nd().alias("baseline_mean"),
+        "n_events", "hod_total", "hod_slots", "rel_abs_permille",
+        "direction")
+    return a.unionByName(b)
+
+
+def _seasonal_anomaly_panel_sql() -> str:
+    return f"""
+SELECT 'topk_value' AS detector, event_type,
+       CAST(hour_s AS BIGINT) AS hour_s, CAST(hod AS BIGINT) AS hod,
+       rnk, hour_value, stat, n_hod, baseline_mean,
+       CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS BIGINT) AS hod_total,
+       CAST(NULL AS BIGINT) AS hod_slots,
+       CAST(NULL AS BIGINT) AS rel_abs_permille,
+       CAST(NULL AS BIGINT) AS direction
+FROM ({SEASONAL_ANOMALY_SQL})
+UNION ALL
+SELECT 'count_permille', event_type, hour_s, hod,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       n_events, hod_total, hod_slots, rel_abs_permille, direction
+FROM ({SEASONAL_ANOM_SQL})
+"""
+
+
+def media_dedup_pair_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both media near-dup PAIR detectors (feature-cosine SRP-LSH and
+    perceptual-phash Hamming banding) as one labeled union — the
+    consolidated slot replacing media_dedup_features and
+    media_dedup_phash. The byte-exact manifest (media_dedup_exact)
+    keeps its own slot: different output shape (groups, not pairs)."""
+    a = media_dedup_features_fn(spark, sf_dir).select(
+        F.lit("features").alias("variant"), "media_a", "media_b",
+        "cosine", F.lit(None).cast("long").alias("hamming"))
+    b = media_dedup_phash_fn(spark, sf_dir).select(
+        F.lit("phash").alias("variant"), "media_a", "media_b",
+        F.lit(None).cast("double").alias("cosine"), "hamming")
+    return a.unionByName(b)
+
+
+def _media_dedup_pair_variants_sql() -> str:
+    return f"""
+SELECT 'features' AS variant, media_a, media_b, cosine,
+       CAST(NULL AS BIGINT) AS hamming
+FROM ({MEDIA_DEDUP_FEATURES_SQL})
+UNION ALL
+SELECT 'phash', media_a, media_b, CAST(NULL AS DOUBLE), hamming
+FROM ({MEDIA_DEDUP_PHASH_SQL})
+"""
+
+
+def value_anomaly_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both per-type value anomaly detectors (z-score top-N and
+    robust-MAD top-N) as one labeled union — the consolidated slot
+    replacing events_value_anomalies and events_value_robust_anomalies;
+    each arm keeps its own top-N semantics, scores relabel to one
+    ``score`` column."""
+    a = value_anomalies_fn(spark, sf_dir).select(
+        F.lit("zscore").alias("detector"), "event_id", "event_type",
+        F.col("z").alias("score"))
+    b = robust_anomalies_fn(spark, sf_dir).select(
+        F.lit("robust_mad").alias("detector"), "event_id", "event_type",
+        F.col("robust_z").alias("score"))
+    return a.unionByName(b)
+
+
+def _value_anomaly_variants_sql() -> str:
+    return f"""
+SELECT 'zscore' AS detector, event_id, event_type, z AS score
+FROM ({VALUE_ANOMALIES_SQL})
+UNION ALL
+SELECT 'robust_mad', event_id, event_type, robust_z
+FROM ({ROBUST_ANOM_SQL})
+"""
+
+
+def dedup_pair_measures_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three LSH-verified pair MEASURES (symmetric Jaccard,
+    asymmetric containment, IDF-weighted Jaccard) as one long-format
+    union — the consolidated slot replacing dedup_jaccard_pairs,
+    dedup_containment_pairs and dedup_weighted_jaccard. Relabeling:
+    (inter, denom, score) = (inter_count, union_count, jaccard) /
+    (inter_count, min_count, containment) / (inter_w, union_w,
+    wjaccard)."""
+    docs = _docs(spark, sf_dir)
+    a = jaccard_pairs(docs, JACCARD_THRESHOLD, max_band_bucket=None).select(
+        F.lit("jaccard").alias("measure"), "doc_a", "doc_b",
+        F.col("inter_count").alias("inter"),
+        F.col("union_count").alias("denom"),
+        F.col("jaccard").alias("score"))
+    b = containment_pairs(docs, CONTAINMENT_THRESHOLD,
+                          max_band_bucket=None).select(
+        F.lit("containment").alias("measure"), "doc_a", "doc_b",
+        F.col("inter_count").alias("inter"),
+        F.col("min_count").alias("denom"),
+        F.col("containment").alias("score"))
+    c = weighted_jaccard_pairs(docs, JACCARD_THRESHOLD,
+                               max_band_bucket=None).select(
+        F.lit("weighted_jaccard").alias("measure"), "doc_a", "doc_b",
+        F.col("inter_w").alias("inter"),
+        F.col("union_w").alias("denom"),
+        F.col("wjaccard").alias("score"))
+    return a.unionByName(b).unionByName(c)
+
+
+def _dedup_pair_measures_sql() -> str:
+    plans = (
+        ("jaccard", JACCARD_SQL, "inter_count", "union_count", "jaccard"),
+        ("containment", CONTAINMENT_SQL, "inter_count", "min_count",
+         "containment"),
+        ("weighted_jaccard", WEIGHTED_JACCARD_SQL, "inter_w", "union_w",
+         "wjaccard"),
+    )
+    return "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS measure, doc_a, doc_b, {i} AS inter,"
+        f" {d} AS denom, {s} AS score FROM ({sql})"
+        for n, sql, i, d, s in plans)
+
+
+def split_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both train/val/test assignment strategies (per-doc hash draw and
+    near-dup-cluster-aware draw) as one labeled union — the
+    consolidated slot replacing docs_split_assignments and
+    docs_split_group_aware (docs_split_leakage keeps its slot:
+    different shape, it AUDITS a split rather than producing one)."""
+    a = train_val_test_split(
+        _docs(spark, sf_dir), SPLIT_VAL_PM, SPLIT_TEST_PM).select(
+        F.lit("hash").alias("variant"), "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"), "split")
+    b = cluster_aware_split(
+        _docs(spark, sf_dir), SPLIT_VAL_PM, SPLIT_TEST_PM,
+        JACCARD_THRESHOLD, max_band_bucket=None).select(
+        F.lit("group_aware").alias("variant"), "doc_id", "cluster_id",
+        "split")
+    return a.unionByName(b)
+
+
+def _split_variants_sql() -> str:
+    return f"""
+SELECT 'hash' AS variant, doc_id, CAST(NULL AS BIGINT) AS cluster_id, split
+FROM ({SPLIT_SQL})
+UNION ALL
+SELECT 'group_aware', doc_id, cluster_id, split
+FROM ({GROUP_SPLIT_SQL})
 """
