@@ -47,6 +47,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _cos_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity with a zero-norm guard: a zero vector has no
+    direction, so its cosine is NULL (nullif'd denominator) instead of
+    an ANSI division-by-zero crash — the degenerate-corpus contract
+    (scripts_dev/degenerate_sweep.py; a 100 TB corpus WILL contain a
+    zero embedding eventually). NULL scores sort last in the rank
+    windows (both engines default NULLS LAST for DESC), so zero
+    vectors never rank; real fixtures have no zero vectors, so gated
+    oracle results are unchanged."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
 def _brute_topk(base: DataFrame, k: int, query_mod: int) -> DataFrame:
     """Brute-force cosine top-k over a (vec_id, v) frame: query vectors
     are vec_id % query_mod == 0, self excluded. Shared by cosine_topk
@@ -59,7 +71,7 @@ def _brute_topk(base: DataFrame, k: int, query_mod: int) -> DataFrame:
     # corpus-sized query side is all-pairs similarity, which is what the
     # LSH/IVF variants and embedding_near_duplicates exist for.
     joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    cos = rnd(_cos_sim(F.col("q"), F.col("v")), 6)
     scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     from pyspark.sql import Window
 
@@ -294,8 +306,7 @@ def ann_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
                           F.col("v").alias("nv")), "neighbor_id")
         .select(
             "query_id", "neighbor_id",
-            rnd(_dot(F.col("q"), F.col("nv"))
-                / (_norm(F.col("q")) * _norm(F.col("nv"))), 6).alias("cosine"),
+            rnd(_cos_sim(F.col("q"), F.col("nv")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -380,7 +391,7 @@ def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4) -> list:
             base.join(F.broadcast(cdf))
             .select(
                 "vec_id", "v", "cell",
-                rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+                rnd(_cos_sim(F.col("v"), F.col("c"))).alias("sim"),
             )
             .withColumn("r", F.row_number().over(w))
             .where(F.col("r") == 1)
@@ -426,7 +437,7 @@ def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROB
         )
     scored = base.join(F.broadcast(cents)).select(
         "vec_id", "v", "cell",
-        rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+        rnd(_cos_sim(F.col("v"), F.col("c"))).alias("sim"),
     )
     from pyspark.sql import Window
 
@@ -460,7 +471,7 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
         F.broadcast(queries),
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+    cos = rnd(_cos_sim(F.col("q"), F.col("v")))
     # no dedup needed: each neighbor lives in exactly one cell, so a query
     # probing several cells still sees it at most once
     scored = joined.select(
@@ -621,7 +632,7 @@ def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
         F.col("vec_id").cast("long").alias("query_id"),
         _as_double(F.col("embedding")).alias("q"),
     )
-    csim = rnd(_dot(F.col("q"), F.col("c")) / (_norm(F.col("q")) * _norm(F.col("c"))))
+    csim = rnd(_cos_sim(F.col("q"), F.col("c")))
     wc = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
     probes = (
         q.join(F.broadcast(centroids_df))
@@ -630,7 +641,7 @@ def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
         .where(F.col("crank") <= nprobe)
         .select("query_id", "q", F.col("cell").alias("probe_cell"))
     )
-    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+    cos = rnd(_cos_sim(F.col("q"), F.col("v")))
     scored = vectors_df.join(
         F.broadcast(probes), F.col("cell") == F.col("probe_cell")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
@@ -673,7 +684,7 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.25,
                                logger)
     a, b = base.alias("a"), base.alias("b")
     cos = rnd(
-        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+        _cos_sim(F.col("a.v"), F.col("b.v")), 6
     )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -906,7 +917,7 @@ def label_centroid_cosine(emb: DataFrame, q: int = OUTLIER_Q) -> DataFrame:
         F.col("label").alias("label_b"), F.col("s").alias("sb"), F.col("n").alias("n_b")
     )
     cos = rnd(
-        _dot(F.col("sa"), F.col("sb")) / (_norm(F.col("sa")) * _norm(F.col("sb"))), 6
+        _cos_sim(F.col("sa"), F.col("sb")), 6
     )
     return (
         a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
@@ -931,7 +942,7 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, query_mod: int = 50) -> DataFrame:
     joined = base.join(
         F.broadcast(queries), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
     )
-    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    cos = rnd(_cos_sim(F.col("q"), F.col("v")), 6)
     scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -1032,7 +1043,7 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.25,
         base.join(F.broadcast(cents))
         .select(
             "vec_id", "v", "cell",
-            rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+            rnd(_cos_sim(F.col("v"), F.col("c"))).alias("sim"),
         )
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
@@ -1050,7 +1061,7 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.25,
                                    "semantic_dedup", "max_cell_size", logger)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = rnd(
-        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+        _cos_sim(F.col("a.v"), F.col("b.v")), 6
     )
     # b loses to a when a is farther from the centroid (or equally far
     # with the lower id) — every dropped vector names a surviving-side
@@ -1119,7 +1130,7 @@ def diversity_sample(emb: DataFrame, m: int = DIVERSITY_M,
         base.join(F.broadcast(cents))
         .select(
             "vec_id", "cell",
-            rnd(_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))).alias("sim"),
+            rnd(_cos_sim(F.col("v"), F.col("c"))).alias("sim"),
         )
         .withColumn("crank", F.row_number().over(w))
         .where(F.col("crank") == 1)
@@ -1216,7 +1227,7 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
         F.broadcast(queries),
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))))
+    cos = rnd(_cos_sim(F.col("q"), F.col("v")))
     scored = joined.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
     )

@@ -84,7 +84,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Quality heuristics: length, punctuation/digit/upper/stopword ratios."""
     t = tokens(F.col("text"))
-    nchars = F.length("text").cast("double")
+    # nullif: an empty document has no chars to ratio over — NULL
+    # ratios instead of an ANSI crash on degenerate input
+    nchars = F.nullif(F.length("text").cast("double"), F.lit(0.0))
     npunct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
     ndigit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
     nupper = F.length(F.regexp_replace("text", r"[^A-Z]", "")).cast("double")

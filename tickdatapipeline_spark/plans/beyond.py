@@ -51,6 +51,7 @@ from tickdatapipeline_spark.operators.multimodal import (
 )
 from tickdatapipeline_spark.operators.similarity import (
     DIM,
+    _cos_sim,
     LSH_PLANES,
     _plane_weight,
     ann_bucket_histogram,
@@ -147,9 +148,9 @@ QUALITY_SQL = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(t) AS BIGINT) AS n_tokens,
-       {sql_rnd("CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS punct_ratio,
-       {sql_rnd("CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS digit_ratio,
-       {sql_rnd("CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS upper_ratio,
+       {sql_rnd("CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0)")} AS punct_ratio,
+       {sql_rnd("CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0)")} AS digit_ratio,
+       {sql_rnd("CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0)")} AS upper_ratio,
        {sql_rnd(f"CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN {STOPWORDS_EN!r})) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END")} AS stopword_ratio
 FROM (SELECT doc_id, text, {SQL_TOKENS} AS t FROM documents)
 """
@@ -3814,7 +3815,8 @@ def dedup_savings_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("tokens_total"),
             tokens_dropped.alias("tokens_dropped"),
             rnd(tokens_dropped.cast("double")
-                / F.sum("n_tok").cast("double"), 6).alias("token_savings"),
+                / F.nullif(F.sum("n_tok"), F.lit(0)).cast("double"),
+                6).alias("token_savings"),
         )
         .orderBy("source")
     )
@@ -4576,7 +4578,9 @@ def value_anomalies_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s").cast("double") / F.col("n").cast("double")
     var = F.col("ss").cast("double") / F.col("n").cast("double") - mean * mean
-    z = (F.col("vq").cast("double") - mean) / F.sqrt(var)
+    # nullif: a constant-valued type has sigma 0 and no defined z —
+    # NULL (sorts last) instead of an ANSI crash on degenerate input
+    z = (F.col("vq").cast("double") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
     return (
         q.join(F.broadcast(stats), on="event_type")
         .select("event_id", "event_type", rnd(z, 6).alias("z"))
@@ -4597,7 +4601,7 @@ stats AS (
 )
 SELECT event_id, event_type, z FROM (
     SELECT event_id, q.event_type,
-           (floor(((CAST(vq AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / sqrt((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0) AS z
+           (floor(((CAST(vq AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / nullif(sqrt((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))), 0)) * 1000000.0 + 0.5) / 1000000.0) AS z
     FROM q JOIN stats ON q.event_type = stats.event_type
 )
 ORDER BY abs(z) DESC, event_id
@@ -5175,8 +5179,7 @@ def cosine_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = pin(base)  # both sides of the pair join
     a, b = base.alias("a"), base.alias("b")
-    cos = rnd(_dot(F.col("a.v"), F.col("b.v"))
-              / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6)
+    cos = rnd(_cos_sim(F.col("a.v"), F.col("b.v")), 6)
     return (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.floor(cos / F.lit(COS_HIST_BIN)).cast("long").alias("bin_id"))
@@ -5461,7 +5464,9 @@ def ann_mrr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return folded.select(
         "n_queries",
-        rnd(F.col("rr_sum") / F.col("n_queries").cast("double"), 6).alias("mrr"),
+        rnd(F.col("rr_sum")
+            / F.nullif(F.col("n_queries"), F.lit(0)).cast("double"),
+            6).alias("mrr"),
     )
 
 
@@ -6138,7 +6143,7 @@ def hard_negatives_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("label") != F.col("query_label")),
     )
-    cos = rnd(_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v"))), 6)
+    cos = rnd(_cos_sim(F.col("q"), F.col("v")), 6)
     scored = joined.select(
         "query_id", "query_label",
         F.col("vec_id").alias("neighbor_id"),
