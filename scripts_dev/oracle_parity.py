@@ -94,9 +94,15 @@ def main() -> None:
         p = probe()
         probes.append(p)
         ratio = max(1.0, p / PROBE_REF_SEC)
+        # seq: position in the sweep. The rotation order puts CHANGED
+        # queries first, so a query that moves to the front pays the
+        # fresh session's codegen/JIT warmup — the benign flag class
+        # the probe ratio cannot correct (the probe is warm by then);
+        # parity_trend annotates flags whose position moved forward.
         results[name] = {"status": status, "rows": rows, "secs": secs,
                          "probe_sec": round(p, 4),
-                         "secs_corrected": round(secs / ratio, 2)}
+                         "secs_corrected": round(secs / ratio, 2),
+                         "seq": len(results)}
 
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):

@@ -101,8 +101,15 @@ def main(argv: list[str]) -> int:
     if t["flagged"]:
         print(f"\nFLAG (> x{FLAG_RATIO}, slower side >= {MIN_SECS}s) — "
               "investigate if it repeats next round:")
+        o, n = old["results"], new["results"]
         for q, os_, ns_, ratio in t["flagged"]:
-            print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}")
+            note = ""
+            if "seq" in o.get(q, {}) and "seq" in n.get(q, {}):
+                if n[q]["seq"] < min(20, o[q]["seq"] // 2):
+                    note = (f"  [moved to sweep position {n[q]['seq']}"
+                            f" (was {o[q]['seq']}): likely session-warmup"
+                            " cost, not a plan change]")
+            print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}{note}")
     else:
         print(f"\nno flags (> x{FLAG_RATIO} with slower side >= {MIN_SECS}s)")
     return 0
