@@ -3746,3 +3746,111 @@ def test_wilder_rsi_stream_restart_keeps_state(spark, tmp_path):
     want = {r.bar_id: (r.avg_gain, r.avg_loss, r.rsi_wilder)
             for r in wilder_rsi(bars).collect()}
     assert got == want
+
+
+def test_vwap_bars_stream_equals_batch_completed_bars(spark, tmp_path):
+    """Finalized streaming VWAP bars equal the per-stream form of the
+    batch operator (operators.bars.vwap_bars) for every COMPLETED bar,
+    with a bar split across two micro-batches; the trailing partial
+    bar is withheld."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import vwap_bars_stream
+
+    BAR = 3
+    rows = [(0, i + 1, 100 + (i * 5) % 11, 1 + i % 4) for i in range(8)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for bi, sl in enumerate([rows[:4], rows[4:]]):  # bar 1 split
+        p = in_dir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for st, ln, last, vol in sl:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + bi, 1700000000 + bi))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long, volume long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        vwap_bars_stream(raw, bar_size=BAR)
+        .writeStream.format("memory").queryName("vwap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.stream, r.bar_id): (r.n_ticks, r.bar_volume, r.pv, r.low,
+                                  r.high, r.vwap)
+           for r in spark.table("vwap_stream").collect()}
+
+    from tickdatapipeline_spark.operators.bars import vwap_bars
+
+    batch = vwap_bars(
+        spark.createDataFrame(
+            [(ln, last, vol) for _, ln, last, vol in rows[:6]],  # complete bars
+            "line_no long, last long, volume long"),
+        bar_size=BAR)
+    want = {(0, r.bar_id): (r.n_ticks, r.bar_volume, r.pv, r.low, r.high,
+                            r.vwap)
+            for r in batch.collect()}
+    assert got == want  # bars 0 and 1 only; partial bar 2 withheld
+    assert set(b for _, b in got) == {0, 1}
+
+
+def test_vwap_bars_stream_restart_keeps_state(spark, tmp_path):
+    """The in-progress bar's VWAP accumulators (volume, pv, low, high)
+    survive a query restart: a bar completing in the SECOND query
+    instance equals the one-shot batch answer."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import run_vwap_bars_stream
+
+    BAR = 3
+    rows = [(0, i + 1, 100 + i, 2) for i in range(6)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, sl, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for st, ln, last, vol in sl:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_vwap_bars_stream(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), bar_size=BAR)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b0.json", rows[:5], 0)  # bar 0 complete; bar 1 mid-flight
+    run_once()
+    write("b1.json", rows[5:], 1)  # bar 1 completes post-restart
+    run_once()
+
+    got = {r.bar_id: (r.bar_volume, r.pv, r.vwap)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    from tickdatapipeline_spark.operators.bars import vwap_bars
+
+    want = {r.bar_id: (r.bar_volume, r.pv, r.vwap)
+            for r in vwap_bars(
+                spark.createDataFrame(
+                    [(ln, last, vol) for _, ln, last, vol in rows],
+                    "line_no long, last long, volume long"),
+                bar_size=BAR).collect()}
+    assert got == want
+    assert set(got) == {0, 1}

@@ -747,3 +747,109 @@ def run_wilder_rsi_stream(
         spark, lambda t: wilder_rsi_stream(t, bar_size=bar_size),
         input_dir, out_dir, checkpoint_dir, max_files_per_trigger,
         output_mode="append")  # bars finalize exactly once
+
+
+# ================= VWAP bars live monitor =================
+
+VWAP_BARS_OUT_SCHEMA = (
+    "stream long, bar_id long, n_ticks long, bar_volume long, pv long, "
+    "low long, high long, vwap double"
+)
+VWAP_BARS_STATE_SCHEMA = (
+    "cur_bar long, n_in_bar long, vol long, pv long, lo long, hi long"
+)
+
+
+def make_vwap_bars_kernel(bar_size: int):
+    """applyInPandasWithState kernel for vwap_bars_stream: one
+    GroupState per stream accumulates the current fixed-count bar's
+    volume, price*volume, low and high; the bar emits exactly once on
+    its bar_size-th tick with vwap = rnd(pv / volume) computed with
+    the batch operator's exact arithmetic (integer sums, one IEEE
+    division, floor(x*1e6 + 0.5)/1e6 — `functions/rounding.rnd`'s op
+    sequence in Python doubles), so completed bars match
+    `operators/bars.vwap_bars` bit-for-bit. A zero-volume bar emits
+    NULL vwap (the degenerate-corpus contract) instead of crashing."""
+    import math
+
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        cur, nin, vol, pv, lo, hi = (
+            tuple(state.get) if state.exists else (None, 0, 0, 0, None, None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rows = []
+        if len(pdf) > 0:
+            pdf = pdf.sort_values("line_no")
+            for ln, last, v in zip(pdf["line_no"].to_numpy(),
+                                   pdf["last"].to_numpy(),
+                                   pdf["volume"].to_numpy()):
+                ln, last, v = int(ln), int(last), int(v)
+                b = (ln - 1) // bar_size
+                if cur is None:
+                    cur = b
+                if b != cur:  # in-order contract: bar rolled
+                    cur, nin, vol, pv, lo, hi = b, 0, 0, 0, None, None
+                nin += 1
+                vol += v
+                pv += last * v
+                lo = last if lo is None else min(lo, last)
+                hi = last if hi is None else max(hi, last)
+                if nin == bar_size:  # bar complete: emit exactly once
+                    vwap = (math.floor((pv / vol) * 1e6 + 0.5) / 1e6
+                            if vol else None)
+                    rows.append((key[0], cur, nin, vol, pv, lo, hi, vwap))
+                    cur, nin, vol, pv, lo, hi = cur + 1, 0, 0, 0, None, None
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["stream", "bar_id", "n_ticks",
+                                   "bar_volume", "pv", "low", "high",
+                                   "vwap"])
+        state.update((cur, nin, vol, pv, lo, hi))
+
+    return kernel
+
+
+def vwap_bars_stream(ticks: DataFrame, bar_size: int = 144) -> DataFrame:
+    """Streaming twin of the batch per-bar VWAP
+    (operators/bars.vwap_bars, per-stream form): finalized fixed-count
+    bars emitted live with volume/pv/low/high carried in GroupState —
+    the last bar-table indicator without a live monitor. Count windows
+    need no watermark (in-order ingest contract, as rv_bars_stream);
+    the trailing partial bar is withheld until it fills.
+
+    Same ingest contract as the other tick monitors: (stream, line_no,
+    last, volume) in per-stream order across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        ticks.select("stream", "line_no", "last", "volume")
+        .groupBy("stream")
+        .applyInPandasWithState(
+            make_vwap_bars_kernel(bar_size),
+            outputStructType=VWAP_BARS_OUT_SCHEMA,
+            stateStructType=VWAP_BARS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_vwap_bars_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    bar_size: int = 144,
+):
+    """Durable runner for vwap_bars_stream: JSONL tick ingest ->
+    per-bar VWAP -> replay-idempotent batch_id-partitioned parquet.
+    A restart from the checkpoint resumes the in-progress bar's
+    accumulators — pinned by the restart test (a bar completing in the
+    second query instance carries pv/volume the first instance saw)."""
+    return _run_tick_update_stream(
+        spark, lambda t: vwap_bars_stream(t, bar_size=bar_size),
+        input_dir, out_dir, checkpoint_dir, max_files_per_trigger,
+        output_mode="append")
