@@ -197,3 +197,32 @@ def test_daily_delta_text_only(spark, tmp_path):
     assert not os.path.exists(f"{wh}/ann_index")
     got = {d for d, _ in _corpus_rows(spark, wh)}
     assert got == {0, 1, 2, 3, 4, 11, 12, 14, 21, 22}
+
+
+def test_daily_delta_partial_embedding_coverage(spark, tmp_path):
+    """Docs WITHOUT a vector pass on text alone (the documented
+    contract: vectors gate only docs that have one), while docs with a
+    near-dup vector still drop — pinned on a day-2 shard whose
+    embeddings cover only part of the shard."""
+    wh = str(tmp_path / "wh")
+    _run(spark, wh, "2024-01-01")
+
+    docs = spark.createDataFrame(
+        [(50, _text(501)),   # has a near-dup vector -> dropped
+         (51, _text(502)),   # has a novel vector -> kept
+         (52, _text(503))],  # NO vector -> kept on text alone
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(50, VEC[3]),                  # == day-1 doc 3's vector
+         (51, [3.0, 0.0, 1.0, 0.0])],   # novel direction
+        "vec_id long, embedding array<double>")
+    r = run_daily_delta(spark, docs, emb, wh, "2024-01-02",
+                        ann_centroids=CENTS, n_cells=2, nprobe=2)
+    assert r["n_emb_checked"] == 2  # only covered docs probed
+    assert r["n_kept"] == 2
+    kept = {d for d, day in _corpus_rows(spark, wh) if day == "2024-01-02"}
+    assert kept == {51, 52}
+    # the no-vector doc must not have invented an index vector either
+    vecs = {r.vec_id for r in
+            spark.read.parquet(f"{wh}/ann_index/vectors").collect()}
+    assert 52 not in vecs and 51 in vecs and 50 not in vecs
