@@ -67,3 +67,52 @@ def test_degenerate_full_sweep(spark, fixtures, kind):
     errs = sweep(spark, fixtures[kind])
     errs = {n: e for n, e in errs.items() if n not in ALLOWED_RAISES}
     assert errs == {}, f"{kind}: {errs}"
+
+
+# the cosine-family gated entries: every one whose Spark plan guards
+# zero-norm via similarity._cos_sim and whose oracle now mirrors it
+# through beyond.sql_cos / the nullif'd label-centroid twin
+COSINE_FAMILY = [
+    "sim_cosine_topk",
+    "sim_semantic_dedup",
+    "sim_diversity_sample",
+    "sim_label_centroid_cosine",
+    "dedup_embedding_cosine",
+    "sim_ann_topk_variants",
+]
+
+
+@pytest.mark.parametrize("name", COSINE_FAMILY)
+def test_degenerate_cosine_cross_engine(spark, fixtures, name):
+    """Zero-norm behavior must be identical CROSS-ENGINE, not just
+    non-crashing on the Spark side: both engines score a zero vector's
+    cosine as NULL (nullif'd denominator), so the degenerate fixture —
+    which plants a zero embedding — must hash-match between the Spark
+    plan and its DuckDB oracle, the same gate the driver runs on the
+    benign sf fixtures. Before the sql_cos guard the oracles divided
+    unguarded and parity here was fixture-dependent."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from scripts_dev.oracle_parity import TABLES, canon, equal
+
+    fn, sql = E._registry()[name]
+    assert sql is not None
+    d = fixtures["degenerate"]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+        sdf = canon(fn(spark, d).toPandas())
+        ddf = canon(con.sql(sql).df())
+    finally:
+        con.close()
+    assert len(sdf) == len(ddf)
+    assert list(sdf.columns) == list(ddf.columns)
+    bad = []
+    for c in sdf.columns:
+        same, why = equal(sdf[c], ddf[c])
+        if not same:
+            bad.append((c, why))
+    assert not bad, f"{name}: {bad}"

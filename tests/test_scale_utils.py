@@ -355,3 +355,72 @@ def test_drop_partitions_before_escaped_values(spark, tmp_path):
     # returned in unescaped value form, and exactly the right two dropped
     assert dropped == ["2024-01-01 00:00:00", "2024-01-02 00:00:00"]
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == [3]
+
+
+def test_hive_escape_roundtrip_and_strict_decode():
+    """_escape_path_name/_unescape_path_name are strict inverses over
+    the escapePathName char set, and the decoder REJECTS %XX sequences
+    a Spark/Hive writer could never have produced (lenient unquote
+    would silently mis-decode them — the non-Spark-writer trap)."""
+    import pytest
+    from tickdatapipeline_spark.functions.scale import (
+        _escape_path_name, _unescape_path_name)
+
+    for v in ["2024-01-01 00:00:00", "a:b", "100%", 'q"x\'y', "a{b}[c]^d",
+              "plain-value_1.2", "a=b/c", "pct%3Alooking"]:
+        esc = _escape_path_name(v)
+        assert "/" not in esc and "=" not in esc
+        assert _unescape_path_name(esc) == v
+    # literal '%' always escapes to %25, so no Spark-written name ends
+    # in a bare '%' or carries %XX outside the escape set
+    assert _escape_path_name("100%") == "100%25"
+    for bad in ["x%41y",   # 'A' is not in the escape set
+                "x%zzy",   # not hex
+                "trail%"]:  # truncated escape
+        with pytest.raises(ValueError, match="not a Spark/Hive"):
+            _unescape_path_name(bad)
+
+
+def test_drop_partitions_rejects_non_spark_layout(spark, tmp_path):
+    """A partition directory whose name carries a %XX outside the
+    escapePathName set was not written by Spark/Hive; retention must
+    refuse to guess its value rather than silently mis-decode it."""
+    import os
+    import pytest
+    from tickdatapipeline_spark.functions.scale import drop_partitions_before
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "2024-01-02")], "id long, day string") \
+        .write.partitionBy("day").parquet(path)
+    os.makedirs(f"{path}/day=x%41y")  # non-Spark writer artifact
+    with pytest.raises(ValueError, match="not a Spark/Hive"):
+        drop_partitions_before(spark, path, "day", "2024-01-03")
+
+
+def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
+    """Upsert addresses touched partitions in ESCAPED directory form —
+    the form partitionBy writes. With unescaped addressing, a
+    timestamp-valued partition (':'->'%3A' on disk) would look
+    non-existent, skip the read-back, and land duplicate keys."""
+    from tickdatapipeline_spark.functions.scale import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00"), (2, 20, "2024-01-01 00:00:00"),
+         (3, 30, "2024-01-02 00:00:00")],
+        "k long, v long, ts string").write.partitionBy("ts").parquet(path)
+    import os
+    assert any("%3A" in d for d in os.listdir(path) if d.startswith("ts="))
+
+    upsert_partitioned(
+        spark, path,
+        spark.createDataFrame([(2, 99, "2024-01-01 00:00:00")],
+                              "k long, v long, ts string"),
+        key="k", part_col="ts")
+    # partition-type inference reads 'ts' back as TIMESTAMP; compare in
+    # string space (the value domain the writer was given)
+    rows = sorted((r.k, r.v, str(r.ts))
+                  for r in spark.read.parquet(path).collect())
+    assert rows == [(1, 10, "2024-01-01 00:00:00"),
+                    (2, 99, "2024-01-01 00:00:00"),
+                    (3, 30, "2024-01-02 00:00:00")]

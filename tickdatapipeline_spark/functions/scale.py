@@ -187,6 +187,58 @@ def write_zordered(
     )
 
 
+# Spark/Hive's escapePathName char set (ExternalCatalogUtils.charToEscape:
+# control chars 0x01-0x1F and 0x7F, plus "#%'*/:=?\{}[]^ — note space is
+# NOT escaped). Partition directory names are produced by escaping exactly
+# these chars as uppercase %XX; everything below that touches directory
+# names in VALUE space goes through this pair so escaping and unescaping
+# are strict inverses of the same set, not of generic URL quoting.
+_HIVE_ESCAPED = frozenset(chr(c) for c in range(0x01, 0x20)) | frozenset(
+    "\"#%'*/:=?\\\x7f{}[]^")
+
+
+def _escape_path_name(value: str) -> str:
+    """Value -> Hive directory-name form, matching what Spark's
+    partitionBy writer produces (so explicit directory addressing and
+    writer-made layouts agree)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPED else c for c in value)
+
+
+def _unescape_path_name(dirname: str) -> str:
+    """STRICT inverse of ``_escape_path_name``: decode %XX only when XX
+    decodes to a char escapePathName would have escaped; anything else
+    raises. A lenient decoder (urllib.unquote) decodes ANY %XX, so a
+    directory written by a non-Spark writer whose raw value merely
+    LOOKS percent-escaped (e.g. 'x%41y' — 'A' is not in the escape set,
+    so a Spark writer could never produce it) would be silently
+    mis-decoded for the retention compare and the dropped-values
+    ledger. This module assumes a Spark/Hive-written layout; a name
+    that violates that assumption fails loudly here instead."""
+    out, i = [], 0
+    while i < len(dirname):
+        c = dirname[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        hex2 = dirname[i + 1:i + 3]
+        try:
+            dec = chr(int(hex2, 16)) if len(hex2) == 2 else None
+        except ValueError:
+            dec = None
+        if dec is None or dec not in _HIVE_ESCAPED:
+            raise ValueError(
+                f"partition directory name {dirname!r} contains "
+                f"%{hex2!r} which is not a Spark/Hive escapePathName "
+                "escape — this layout was not written by a Spark/Hive "
+                "writer and cannot be safely decoded to a partition "
+                "value; rename or migrate the directory first")
+        out.append(dec)
+        i += 3
+    return "".join(out)
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,
@@ -219,8 +271,10 @@ def upsert_partitioned(
     a pure insert.
 
     Contract: ``key`` unique per row in table and batch; partition
-    values must round-trip through their Hive directory form (strings
-    without '/'-like specials, ints — the usual hive-layout rule); a
+    directories are addressed in Hive-ESCAPED form (_escape_path_name —
+    the form partitionBy writes), so values with specials (':' in
+    timestamps etc.) round-trip; the layout must be Spark/Hive-written
+    (see _unescape_path_name for the strict-decode rationale); a
     key may MOVE partitions only if the batch also covers its old
     partition (the Hive-style constraint — otherwise the stale row
     survives there)."""
@@ -233,7 +287,13 @@ def upsert_partitioned(
     fs = jpath.getFileSystem(hconf)
 
     def _dir(v):
-        name = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        # escaped form — the directory partitionBy actually writes, so
+        # values needing escaping (':' in timestamps, '{'/'[' that
+        # would otherwise glob-expand in the read) address the SAME
+        # partition the writer created instead of a phantom unescaped
+        # sibling (which would skip the read-back and duplicate keys)
+        name = ("__HIVE_DEFAULT_PARTITION__" if v is None
+                else _escape_path_name(str(v)))
         return f"{path}/{part_col}={name}"
 
     existing = [
@@ -322,16 +382,15 @@ def drop_partitions_before(
             return False
 
     # Hive directory names percent-escape specials on write (':'→'%3A',
-    # ' '→'%20', '%'→'%25' — Spark's escapePathName), so comparisons run
-    # in VALUE space: decode each directory name back to the partition
-    # value before ordering against the (unescaped) cutoff. A timestamp
+    # '%'→'%25' — Spark's escapePathName), so comparisons run in VALUE
+    # space: decode each directory name back to the partition value
+    # before ordering against the (unescaped) cutoff. A timestamp
     # partition like '2024-01-01 00:00:00' would otherwise compare its
     # escaped form against the raw cutoff and mis-order. Deletes still
-    # address the original (escaped) directory path.
-    from urllib.parse import unquote
-
-    def part_value(dirname: str) -> str:
-        return unquote(dirname)
+    # address the original (escaped) directory path. The decode is the
+    # STRICT escapePathName inverse (_unescape_path_name) — a lenient
+    # unquote would silently mis-decode non-Spark-written names.
+    part_value = _unescape_path_name
 
     cutoff_int = is_int(cutoff)
     values = {part_value(p.getName()[len(prefix):]) for p in part_dirs}

@@ -689,10 +689,25 @@ SQL_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
 
 TOPK_K, QUERY_MOD = 5, 50
 
-_cos = sql_rnd(
-    SQL_DOT.format(a="q.v", b="b.v")
-    + " / (" + SQL_NORM.format(a="q.v") + " * " + SQL_NORM.format(a="b.v") + ")"
-)
+
+def sql_cos_raw(a: str, b: str) -> str:
+    """Unrounded SQL cosine with the zero-norm guard — the DuckDB twin
+    of operators.similarity._cos_sim (nullif'd denominator -> NULL on a
+    zero vector). Every oracle cosine goes through this so degenerate
+    behavior is identical cross-engine, not fixture-dependent: a zero
+    embedding yields NULL in BOTH engines (and NULLS LAST in every DESC
+    rank window), never an engine-specific division result."""
+    return (SQL_DOT.format(a=a, b=b) + " / nullif("
+            + SQL_NORM.format(a=a) + " * " + SQL_NORM.format(a=b) + ", 0)")
+
+
+def sql_cos(a: str, b: str, digits: int | None = None) -> str:
+    """Rounded (sql_rnd) guarded SQL cosine — see sql_cos_raw."""
+    return sql_rnd(sql_cos_raw(a, b)) if digits is None else sql_rnd(
+        sql_cos_raw(a, b), digits)
+
+
+_cos = sql_cos("q.v", "b.v")
 
 def _brute_topk_sql(prelude_ctes: str, k: int | None = None) -> str:
     """q/scored/rank algebra shared by the brute-force and SQ8 oracles
@@ -743,7 +758,7 @@ WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embed
 cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < 8),
 cscored AS (
     SELECT b.vec_id, b.v, cell,
-           {sql_rnd(SQL_DOT.format(a="b.v", b="c") + " / (" + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")")} AS sim
+           {sql_cos("b.v", "c")} AS sim
     FROM base b CROSS JOIN cents
 ),
 ranked AS (
@@ -760,7 +775,7 @@ q AS (
 cand AS (SELECT a.vec_id, b.v, a.cell FROM assigned a JOIN base b ON a.vec_id = b.vec_id),
 scored AS (
     SELECT q.query_id, cand.vec_id AS neighbor_id,
-           {sql_rnd(SQL_DOT.format(a="q.q", b="cand.v") + " / (" + SQL_NORM.format(a="q.q") + " * " + SQL_NORM.format(a="cand.v") + ")")} AS cosine
+           {sql_cos("q.q", "cand.v")} AS cosine
     FROM cand JOIN q ON cand.cell = q.probe_cell AND cand.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, rank, cosine FROM (
@@ -864,10 +879,7 @@ def ivf_kmeans_sql(query_mod: int, k: int, n_cells: int = 8, nprobe: int = 2,
     (order-independent), so every iteration matches bit-for-bit."""
     from tickdatapipeline_spark.operators.similarity import KMEANS_Q
 
-    sim = sql_rnd(
-        SQL_DOT.format(a="b.v", b="c.c")
-        + " / (" + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c.c") + ")"
-    )
+    sim = sql_cos("b.v", "c.c")
     ctes = [
         f"base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings)",
         f"cents0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells})",
@@ -896,10 +908,7 @@ def ivf_kmeans_sql(query_mod: int, k: int, n_cells: int = 8, nprobe: int = 2,
             f"(SELECT cell, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cell) n USING (cell))"
         )
     search_sim = sim  # same expression, now against the trained centroids
-    qcos = sql_rnd(
-        SQL_DOT.format(a="q.q", b="cand.v")
-        + " / (" + SQL_NORM.format(a="q.q") + " * " + SQL_NORM.format(a="cand.v") + ")"
-    )
+    qcos = sql_cos("q.q", "cand.v")
     ctes += [
         f"cscored AS (SELECT b.vec_id, b.v, c.cell, {search_sim} AS sim "
         f"FROM base b CROSS JOIN cents{iters} c)",
@@ -921,10 +930,7 @@ def ivf_kmeans_sql(query_mod: int, k: int, n_cells: int = 8, nprobe: int = 2,
 
 
 EMBED_NEAR_DUP_THRESHOLD = 0.25
-_pair_cos = sql_rnd(
-    SQL_DOT.format(a="a.v", b="b.v")
-    + " / (" + SQL_NORM.format(a="a.v") + " * " + SQL_NORM.format(a="b.v") + ")"
-)
+_pair_cos = sql_cos("a.v", "b.v")
 
 EMBED_NEAR_DUP_SQL = f"""
 WITH base AS (
@@ -2705,7 +2711,7 @@ sums AS (
 )
 SELECT a.label AS label_a, b.label AS label_b,
        a.n AS n_a, b.n AS n_b,
-       {sql_rnd(f"({dot}) / ({na} * {nb})")} AS cosine
+       {sql_rnd(f"({dot}) / nullif({na} * {nb}, 0)")} AS cosine
 FROM sums a JOIN sums b ON a.label < b.label
 """
 
@@ -3333,10 +3339,8 @@ def _semdedup_sql(threshold: float, n_cells: int = 8) -> str:
     then the pair-local farther-from-centroid survival rule."""
     from tickdatapipeline_spark.oracle import dlit
 
-    asim = sql_rnd(SQL_DOT.format(a="b.v", b="c") + " / ("
-                   + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")")
-    pcos = sql_rnd(SQL_DOT.format(a="a.v", b="b.v") + " / ("
-                   + SQL_NORM.format(a="a.v") + " * " + SQL_NORM.format(a="b.v") + ")", 6)
+    asim = sql_cos("b.v", "c")
+    pcos = sql_cos("a.v", "b.v", 6)
     return f"""
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
 cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells}),
@@ -4794,8 +4798,7 @@ def _diversity_sample_sql(m: int, n_cells: int = 8) -> str:
     """DuckDB twin of similarity.diversity_sample: the IVF assignment
     CTEs (identical to _semdedup_sql's), then the per-cell
     farthest-first rank."""
-    asim = sql_rnd(SQL_DOT.format(a="b.v", b="c") + " / ("
-                   + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")")
+    asim = sql_cos("b.v", "c")
     return f"""
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
 cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells}),
@@ -5198,7 +5201,7 @@ WITH base AS (
     FROM embeddings WHERE vec_id % {COS_HIST_MOD} = 0
 ),
 pairs AS (
-    SELECT CAST(floor({sql_rnd(SQL_DOT.format(a="a.v", b="b.v") + " / (" + SQL_NORM.format(a="a.v") + " * " + SQL_NORM.format(a="b.v") + ")", 6)} / {_dlit_mod(COS_HIST_BIN)}) AS BIGINT) AS bin_id
+    SELECT CAST(floor({sql_cos("a.v", "b.v", 6)} / {_dlit_mod(COS_HIST_BIN)}) AS BIGINT) AS bin_id
     FROM base a JOIN base b ON a.vec_id < b.vec_id
 )
 SELECT bin_id, bin_id * {_dlit_mod(COS_HIST_BIN)} AS bin_lo, count(*) AS n_pairs
@@ -7214,19 +7217,13 @@ def _ivfpq_topk_sql(query_mod: int = QUERY_MOD, k: int = TOPK_K,
     _pq_topk_sql), reconstruction centroid + residual code, then
     ADC cosine within probed cells."""
     sub = DIM // n_sub
-    sim = sql_rnd(
-        SQL_DOT.format(a="b.v", b="c")
-        + " / (" + SQL_NORM.format(a="b.v") + " * " + SQL_NORM.format(a="c") + ")"
-    )
+    sim = sql_cos("b.v", "c")
     d2 = sql_rnd(
         f"list_reduce(list_transform(range(1, {sub + 1}), "
         f"i -> (t.s[i] - cb.c[i]) * (t.s[i] - cb.c[i])), (x, y) -> x + y)",
         6,
     )
-    qcos = sql_rnd(
-        SQL_DOT.format(a="q.q", b="recon.v")
-        + " / (" + SQL_NORM.format(a="q.q") + " * " + SQL_NORM.format(a="recon.v") + ")"
-    )
+    qcos = sql_cos("q.q", "recon.v")
     return f"""
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
 cents AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells}),
