@@ -180,6 +180,124 @@ def test_daily_delta_day1_replay(spark, tmp_path):
     assert (_corpus_rows(spark, wh), *_index_state(spark, wh)) == state
 
 
+def test_daily_delta_trained_bootstrap(spark, tmp_path):
+    """The DEFAULT bootstrap quantizer is now kmeans_train over the
+    first day's kept vectors (r11 verdict #3), not the lowest-id
+    stand-in: training must actually move the centroids, the 3-day
+    outcome must match (nprobe = n_cells probes every cell, so recall
+    is exact whatever the quantizer), replay stays idempotent, and the
+    append-grown index must equal a from-scratch rebuild under the
+    TRAINED centroids read back off the warehouse."""
+    wh = str(tmp_path / "wh")
+
+    def run_day(day):
+        docs, emb = _shard(spark, day)
+        return run_daily_delta(spark, docs, emb, wh, day,
+                               n_cells=2, nprobe=2)  # no ann_centroids
+
+    r1 = run_day("2024-01-01")
+    assert r1["bootstrapped_ann"] and r1["n_kept"] == 5
+    cents = sorted((r.cell, tuple(r.c)) for r in
+                   spark.read.parquet(f"{wh}/ann_index/centroids").collect())
+    # raw seeds would be kept vecs 0/1 verbatim; Lloyd's must have
+    # moved cell 0 (it absorbs vecs 2/3/4 on the tie-to-lowest-cell
+    # rule, pulling its centroid off the axis)
+    assert cents[0][1] != tuple(VEC[0])
+    assert len(cents) == 2
+
+    r2 = run_day("2024-01-02")
+    r3 = run_day("2024-01-03")
+    assert (r2["n_kept"], r3["n_kept"]) == (2, 1)
+    assert _corpus_rows(spark, wh) == sorted(
+        (d, day) for day, ids in EXPECT_KEPT.items() for d in ids)
+
+    # replay after later days: identical counters and warehouse state
+    before = (_corpus_rows(spark, wh), *_index_state(spark, wh))
+    assert run_day("2024-01-02") == r2
+    assert (_corpus_rows(spark, wh), *_index_state(spark, wh)) == before
+
+    # append-grown == rebuild under the SAME trained centroids
+    from tickdatapipeline_spark.operators.similarity import write_ann_index
+    kept_ids = sorted(i for ids in EXPECT_KEPT.values() for i in ids)
+    union_emb = spark.createDataFrame(
+        [(i, VEC[i]) for i in kept_ids], "vec_id long, embedding array<double>")
+    ref = str(tmp_path / "ref")
+    write_ann_index(union_emb, f"{ref}/ann_index", n_cells=2,
+                    centroids=[(c, list(v)) for c, v in cents])
+    got_v = sorted((r.vec_id, r.cell, tuple(r.v)) for r in
+                   spark.read.parquet(f"{wh}/ann_index/vectors").collect())
+    ref_v = sorted((r.vec_id, r.cell, tuple(r.v)) for r in
+                   spark.read.parquet(f"{ref}/ann_index/vectors").collect())
+    assert got_v == ref_v
+
+
+def test_daily_delta_degenerate_bootstrap_falls_back(spark, tmp_path):
+    """A bootstrap day with fewer kept vectors than cells skips the
+    k-means (every vector IS a centroid — training is vacuous) and
+    keeps the raw seeds, and the loop still completes."""
+    wh = str(tmp_path / "wh")
+    docs = spark.createDataFrame([(7, _text(700))], "doc_id long, text string")
+    emb = spark.createDataFrame([(7, VEC[4])],
+                                "vec_id long, embedding array<double>")
+    r = run_daily_delta(spark, docs, emb, wh, "2024-01-01",
+                        n_cells=2, nprobe=2)
+    assert r["bootstrapped_ann"] and r["n_kept"] == 1
+    cents = [(c.cell, tuple(c.c)) for c in
+             spark.read.parquet(f"{wh}/ann_index/centroids").collect()]
+    assert cents == [(0, tuple(VEC[4]))]  # untrained raw seed
+
+
+def test_daily_delta_bootstrap_crash_replay(spark, tmp_path):
+    """A crash in the bootstrap window — after both empty base-index
+    writes landed but before the day's appends — must be recoverable by
+    plain replay. The trap: centroids exist, so the replay skips the
+    bootstrap branch and step 3 READS {ann_index}/vectors; a
+    partitionBy-with-zero-rows write lands no parquet files, so without
+    the schema anchor (similarity._anchor_vectors_schema) that read
+    dies with UNABLE_TO_INFER_SCHEMA on every replay — permanent,
+    manual-surgery-only failure of the advertised replay idempotency."""
+    from tickdatapipeline_spark.operators.dedup import write_corpus_index
+    from tickdatapipeline_spark.operators.similarity import write_ann_index
+
+    wh = str(tmp_path / "wh")
+    docs, emb = _shard(spark, "2024-01-01")
+    # reproduce the exact crash state run_daily_delta step 4 leaves:
+    # empty shard=base for both indexes, no day shard, no corpus
+    write_corpus_index(docs.limit(0), f"{wh}/text_index")
+    write_ann_index(emb.limit(0), f"{wh}/ann_index", n_cells=2,
+                    centroids=CENTS)
+    # the empty vectors table must be READABLE (the anchor contract)
+    assert spark.read.parquet(f"{wh}/ann_index/vectors").count() == 0
+
+    r = _run(spark, wh, "2024-01-01")
+    # replay takes the non-bootstrap path (indexes exist) and converges
+    # to the normal day-1 outcome
+    assert not r["bootstrapped_text"] and not r["bootstrapped_ann"]
+    assert r["n_kept"] == 5
+    assert {d for d, _ in _corpus_rows(spark, wh)} == EXPECT_KEPT["2024-01-01"]
+    vecs = {v.vec_id for v in
+            spark.read.parquet(f"{wh}/ann_index/vectors").collect()}
+    assert vecs == EXPECT_KEPT["2024-01-01"]
+
+
+def test_append_ann_index_empty_shard_readable(spark, tmp_path):
+    """An all-dropped day appends an EMPTY shard; the index must stay
+    readable and the empty shard must not poison later probes."""
+    from tickdatapipeline_spark.operators.similarity import (
+        append_ann_index, embedding_dedup_against_index, write_ann_index)
+
+    idx = str(tmp_path / "ann")
+    _, emb = _shard(spark, "2024-01-01")
+    write_ann_index(emb, idx, n_cells=2, centroids=CENTS)
+    append_ann_index(emb.limit(0), idx, shard="2024-01-02")
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert vecs.count() == emb.count()
+    kept = embedding_dedup_against_index(emb, idx, threshold=0.96, nprobe=2,
+                                         exclude_shard="2024-01-01")
+    # base shard still indexed -> every probe self-hits and drops
+    assert kept.count() == 0
+
+
 def test_daily_delta_rejects_bad_day(spark, tmp_path):
     docs, emb = _shard(spark, "2024-01-01")
     with pytest.raises(ValueError, match="invalid day"):
@@ -226,3 +344,174 @@ def test_daily_delta_partial_embedding_coverage(spark, tmp_path):
     vecs = {r.vec_id for r in
             spark.read.parquet(f"{wh}/ann_index/vectors").collect()}
     assert 52 not in vecs and 51 in vecs and 50 not in vecs
+
+
+# ================= streaming twin (live ingest) =================
+
+
+def _write_jsonl(in_dir, fname, rows, i):
+    """rows: (doc_id, text, emb-or-None); mtime-ordered micro-batches."""
+    import json
+    import os
+    p = in_dir / fname
+    with open(p, "w") as f:
+        for d, t, e in rows:
+            f.write(json.dumps(
+                {"doc_id": d, "text": t, "embedding": e}) + "\n")
+    os.utime(p, (1700000000 + i, 1700000000 + i))
+    return p
+
+
+def _stream_day2_rows():
+    return [(i, t, VEC.get(i)) for i, t in DAYS["2024-01-02"]]
+
+
+def _index_rows_ignoring_shard(spark, wh):
+    """Index state in SHARD-BLIND row space — the stream twin lands the
+    same rows under <day>.b<n> subshards (compaction normalizes)."""
+    bands = sorted(map(tuple, spark.read.parquet(f"{wh}/text_index/bands")
+                       .drop("shard").collect()))
+    sh = sorted(map(tuple, spark.read.parquet(f"{wh}/text_index/shingles")
+                    .drop("shard").collect()))
+    vecs = sorted((r.vec_id, r.cell, tuple(r.v)) for r in
+                  spark.read.parquet(f"{wh}/ann_index/vectors").collect())
+    return bands, sh, vecs
+
+
+def test_streaming_delta_equals_batch_loop(spark, tmp_path):
+    """Stream-ingesting day 2 across three micro-batches (a text dup of
+    an EARLIER micro-batch's keeper deliberately split into its own
+    later batch) yields the same corpus keep/drop set and the same
+    index rows (shard-blind) as run_daily_delta on the identical day-2
+    shard — one keep/drop policy for live ingest and nightly curation
+    (r11 verdict #2)."""
+    wh_s, wh_b = str(tmp_path / "s"), str(tmp_path / "b")
+    _run(spark, wh_s, "2024-01-01")
+    _run(spark, wh_b, "2024-01-01")
+    _run(spark, wh_b, "2024-01-02")  # the batch-loop reference
+
+    from tickdatapipeline_spark.delta_loop import run_streaming_delta
+
+    rows = _stream_day2_rows()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # doc 13 text-dups doc 12 but arrives a BATCH LATER: only the
+    # include-earlier-subshards text probe catches it
+    _write_jsonl(in_dir, "b0.json", rows[:2], 0)   # 10 (x-day dup), 11
+    _write_jsonl(in_dir, "b1.json", rows[2:3], 1)  # 12
+    _write_jsonl(in_dir, "b2.json", rows[3:], 2)   # 13 (dups 12), 14 (emb dup)
+    counters: list = []
+    q = run_streaming_delta(
+        spark, str(in_dir), wh_s, "2024-01-02", str(tmp_path / "ckpt"),
+        nprobe=2, counters=counters)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _corpus_rows(spark, wh_s) == _corpus_rows(spark, wh_b)
+    assert (_index_rows_ignoring_shard(spark, wh_s)
+            == _index_rows_ignoring_shard(spark, wh_b))
+    assert [c["n_kept"] for c in counters] == [1, 1, 0]
+    kept2 = {d for d, day in _corpus_rows(spark, wh_s)
+             if day == "2024-01-02"}
+    assert kept2 == EXPECT_KEPT["2024-01-02"]
+
+
+def test_streaming_delta_restart_and_replay(spark, tmp_path):
+    """(a) A mid-shard RESTART (new query instance, same checkpoint)
+    converges to the same final state. (b) A REPLAYED micro-batch
+    (same batch_id re-run after its appends landed) is idempotent —
+    the exclude-own-subshard contract."""
+    from tickdatapipeline_spark.delta_loop import (
+        ingest_micro_batch, run_streaming_delta)
+
+    wh_s, wh_b = str(tmp_path / "s"), str(tmp_path / "b")
+    _run(spark, wh_s, "2024-01-01")
+    _run(spark, wh_b, "2024-01-01")
+    _run(spark, wh_b, "2024-01-02")
+
+    rows = _stream_day2_rows()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    counters: list = []
+
+    def run_once():
+        q = run_streaming_delta(
+            spark, str(in_dir), wh_s, "2024-01-02",
+            str(tmp_path / "ckpt"), nprobe=2, counters=counters)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_jsonl(in_dir, "b0.json", rows[:2], 0)
+    run_once()                                   # ingests batch 0, stops
+    _write_jsonl(in_dir, "b1.json", rows[2:3], 1)
+    _write_jsonl(in_dir, "b2.json", rows[3:], 2)
+    run_once()                                   # restart finishes the day
+
+    assert _corpus_rows(spark, wh_s) == _corpus_rows(spark, wh_b)
+    assert (_index_rows_ignoring_shard(spark, wh_s)
+            == _index_rows_ignoring_shard(spark, wh_b))
+
+    # (b) replay batch 1 verbatim after everything landed
+    state = (_corpus_rows(spark, wh_s), *_index_rows_ignoring_shard(spark, wh_s))
+    bdf = spark.createDataFrame(
+        [(d, t, e) for d, t, e in rows[2:3]],
+        "doc_id long, text string, embedding array<double>")
+    c1 = ingest_micro_batch(bdf, 1, wh_s, "2024-01-02", nprobe=2)
+    assert c1["n_kept"] == 1  # same verdict as the live run
+    assert (_corpus_rows(spark, wh_s),
+            *_index_rows_ignoring_shard(spark, wh_s)) == state
+
+
+def test_streaming_delta_requires_bootstrap_and_valid_day(spark, tmp_path):
+    from tickdatapipeline_spark.delta_loop import ingest_micro_batch
+
+    bdf = spark.createDataFrame(
+        [(1, _text(1), None)], "doc_id long, text string, embedding array<double>")
+    with pytest.raises(ValueError, match="bootstrap"):
+        ingest_micro_batch(bdf, 0, str(tmp_path / "nope"), "2024-01-01")
+    with pytest.raises(ValueError, match="invalid day"):
+        ingest_micro_batch(bdf, 0, str(tmp_path / "nope"), "2024.01.01")
+
+
+def test_streaming_delta_greedy_vs_cc_contract(spark, tmp_path):
+    """The documented divergence boundary: a near-dup chain that runs
+    ACROSS micro-batches THROUGH a dropped document. Batch (whole-day
+    transitive closure + index probe) drops both B and C; the online
+    path can only probe what it KEPT, so C survives. This is inherent
+    to any streaming dedup — pinned so the contract is explicit, not
+    an accident waiting to look like a bug."""
+    from tickdatapipeline_spark.delta_loop import run_daily_delta as rdd
+    from tickdatapipeline_spark.delta_loop import ingest_micro_batch
+
+    # day 1: A. day 2: B (~A, ~C), C (~B only). 24-token docs, 22
+    # 3-shingles each: B mutates A's last 4 tokens (changes shingles
+    # 18-21 -> J(A,B) = 18/26 ~ 0.69), C mutates B's FIRST 4 (changes
+    # shingles 0-3 -> J(B,C) = 18/26 ~ 0.69, but J(A,C) = 14/30 ~ 0.47
+    # < 0.5 -> C is nobody's dup once B is gone)
+    toks = [f"ch{j}" for j in range(24)]
+    a = " ".join(toks)
+    b = " ".join(toks[:20] + [f"bm{j}" for j in range(4)])
+    c = " ".join([f"cm{j}" for j in range(4)] + b.split()[4:])
+
+    for wh in ("s", "bt"):
+        docs1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+        rdd(spark, docs1, None, str(tmp_path / wh), "2024-01-01")
+
+    # batch: B,C one shard -> CC cluster {B,C} keeps B, index drops B
+    docs2 = spark.createDataFrame([(2, b), (3, c)], "doc_id long, text string")
+    rb = rdd(spark, docs2, None, str(tmp_path / "bt"), "2024-01-02")
+    assert rb["n_kept"] == 0
+
+    # stream: B in batch 0 (dropped vs A), C in batch 1 (nothing kept
+    # matches it) -> C survives
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+    c0 = ingest_micro_batch(mk([(2, b, None)]), 0, str(tmp_path / "s"),
+                            "2024-01-02")
+    c1 = ingest_micro_batch(mk([(3, c, None)]), 1, str(tmp_path / "s"),
+                            "2024-01-02")
+    assert (c0["n_kept"], c1["n_kept"]) == (0, 1)

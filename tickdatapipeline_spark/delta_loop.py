@@ -55,6 +55,7 @@ from tickdatapipeline_spark.operators.similarity import (
     IVF_NPROBE,
     append_ann_index,
     embedding_dedup_against_index,
+    kmeans_train,
     write_ann_index,
 )
 from tickdatapipeline_spark.functions.scale import (
@@ -192,16 +193,25 @@ def run_daily_delta(
         if boot_ann:
             cents = ann_centroids
             if cents is None:
-                # deterministic stand-in quantizer seeded from the
-                # first day's lowest-id vectors (k rows collected —
-                # same O(n_cells) driver cost as kmeans seeds); pass
-                # ann_centroids (kmeans_train output) in production
+                # default bootstrap quantizer: Lloyd's k-means over the
+                # first day's kept vectors (r11 verdict #3 — the repo's
+                # own trainer, not the lowest-id stand-in), seeded from
+                # the day's n_cells lowest-id vectors (k rows collected
+                # — O(n_cells) driver cost; the default vec_id < k init
+                # would select nothing on arbitrary-id shards). Pass
+                # ann_centroids to override (precomputed production
+                # quantizer). Degenerate fallback: a day with fewer
+                # vectors than cells keeps the raw seeds untrained —
+                # every vector IS a centroid, training is vacuous.
                 seeds = (final_vecs
                          .select(F.col("vec_id"),
                                  F.col("embedding").cast("array<double>")
                                  .alias("c"))
                          .orderBy("vec_id").limit(n_cells).collect())
                 cents = [(i, list(r.c)) for i, r in enumerate(seeds)]
+                if len(cents) == n_cells:
+                    cents = kmeans_train(final_vecs, k=n_cells,
+                                         seeds=cents)
             write_ann_index(emb_shard.limit(0), ann_index,
                             n_cells=n_cells, centroids=cents)
         append_ann_index(final_vecs, ann_index, shard=day)
@@ -227,3 +237,159 @@ def run_daily_delta(
         "bootstrapped_ann": boot_ann,
         "dropped_partitions": dropped,
     }
+
+
+# ================= streaming twin of the daily loop =================
+
+INGEST_SCHEMA = "doc_id long, text string, embedding array<double>"
+
+
+def ingest_micro_batch(
+    bdf: DataFrame,
+    batch_id: int,
+    warehouse: str,
+    day: str,
+    *,
+    text_threshold: float = 0.5,
+    emb_threshold: float = 0.96,
+    nprobe: int = IVF_NPROBE,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> dict:
+    """One micro-batch of the LIVE ingest path (r11 verdict #2): probe
+    the batch (doc_id, text, embedding-nullable) against the PERSISTED
+    text/ANN indexes the nightly `run_daily_delta` maintains, append
+    the keepers' signatures/vectors as the ``shard=<day>.b<batch_id>``
+    subshard of each index, and upsert the keepers into the curated
+    corpus — so live ingest and nightly curation apply ONE keep/drop
+    policy off one warehouse instead of two disagreeing ones.
+
+    Semantics vs the batch loop, stage by stage:
+
+    - intra-batch near-dup removal: `deduplicated_corpus` on the
+      micro-batch (the batch loop's stage 1 on its visibility window);
+    - text probe: vs the whole index EXCLUDING only this batch's own
+      subshard — earlier same-day subshards are INCLUDED, so a dup of
+      an earlier micro-batch's keeper drops exactly as the batch
+      loop's whole-day intra-shard pass would have dropped it;
+    - embedding probe: vs the index EXCLUDING every ``<day>.*``
+      subshard — the batch loop has NO intra-day embedding dedup, so
+      one micro-batch's vectors must never drop a later one's;
+    - appends overwrite exactly ``shard=<day>.b<batch_id>`` and the
+      probes exclude it, so a replayed micro-batch (restart from the
+      checkpoint) is idempotent — the same seam contract as the
+      nightly loop's exclude-own-shard rule.
+
+    EQUALITY CONTRACT (pinned in tests/test_delta_loop.py): for a
+    day's shard split across micro-batches in doc_id order, the final
+    keep/drop set and index rows (ignoring shard labels — compaction
+    normalizes those) equal `run_daily_delta` on the same data,
+    PROVIDED near-dup clusters do not chain across micro-batches
+    through a dropped document (batch dedup is transitive-closure
+    over the whole day; an online path can only probe what it kept —
+    the inherent greedy/CC divergence every streaming dedup has).
+
+    The warehouse must already be bootstrapped (one `run_daily_delta`
+    or explicit `write_corpus_index`/`write_ann_index`) — a live
+    ingest path has no business inventing quantizers mid-stream.
+    """
+    if "/" in day or "=" in day or "." in day or not day:
+        raise ValueError(
+            f"invalid day {day!r} for streaming ingest: subshards are "
+            "namespaced '<day>.b<batch_id>', so the day itself must be "
+            "non-empty with no '/', '=' or '.'")
+    spark = bdf.sparkSession
+    text_index = f"{warehouse}/text_index"
+    ann_index = f"{warehouse}/ann_index"
+    sub = f"{day}.b{batch_id}"
+    if not _exists(spark, f"{text_index}/bands"):
+        raise ValueError(
+            f"{text_index} does not exist — bootstrap the warehouse with "
+            "run_daily_delta (or write_corpus_index) before streaming into it")
+    has_ann = _exists(spark, f"{ann_index}/centroids")
+
+    docs = pin(bdf.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[c for c in bdf.columns if c not in ("doc_id", "embedding")]))
+    n_in = docs.count()
+
+    intra_keep = deduplicated_corpus(
+        docs, text_threshold, max_band_bucket=max_band_bucket
+    ).select("doc_id")
+    shard = pin(docs.join(intra_keep, "doc_id", "left_semi"))
+    shard = pin(dedup_against_index(
+        spark, shard, text_index, threshold=text_threshold,
+        max_band_bucket=max_band_bucket, exclude_shard=sub))
+    n_text = shard.count()
+
+    n_emb_checked = 0
+    kept_vecs = None
+    if "embedding" in bdf.columns and has_ann:
+        emb = pin(
+            bdf.where(F.col("embedding").isNotNull())
+            .select(F.col("doc_id").cast("long").alias("vec_id"), "embedding")
+            .join(shard.select(F.col("doc_id").alias("vec_id")),
+                  "vec_id", "left_semi"))
+        n_emb_checked = emb.count()
+        kept_vecs = pin(embedding_dedup_against_index(
+            emb, ann_index, threshold=emb_threshold, nprobe=nprobe,
+            exclude_prefix=f"{day}."))
+        emb_dropped = emb.select("vec_id").join(
+            kept_vecs.select("vec_id"), "vec_id", "left_anti")
+        shard = pin(shard.join(
+            emb_dropped.select(F.col("vec_id").alias("doc_id")),
+            "doc_id", "left_anti"))
+    n_kept = shard.count()
+
+    append_corpus_index(shard, text_index, shard=sub,
+                        max_band_bucket=max_band_bucket)
+    if kept_vecs is not None:
+        final_vecs = kept_vecs.join(
+            shard.select(F.col("doc_id").alias("vec_id")),
+            "vec_id", "left_semi")
+        append_ann_index(final_vecs, ann_index, shard=sub)
+    upsert_partitioned(
+        spark, f"{warehouse}/corpus",
+        shard.withColumn("day", F.lit(day)),
+        key="doc_id", part_col="day")
+    return {"batch_id": int(batch_id), "n_in": n_in, "n_text_kept": n_text,
+            "n_emb_checked": n_emb_checked, "n_kept": n_kept}
+
+
+def run_streaming_delta(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    day: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    text_threshold: float = 0.5,
+    emb_threshold: float = 0.96,
+    nprobe: int = IVF_NPROBE,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    counters: "list | None" = None,
+):
+    """Durable runner for the live-ingest twin: JSONL documents
+    (INGEST_SCHEMA; ``embedding`` null for text-only docs) ->
+    `ingest_micro_batch` via foreachBatch -> the same warehouse the
+    nightly loop maintains. Restart-safe: the checkpoint replays the
+    uncommitted micro-batch, whose subshard writes and corpus upsert
+    are idempotent (see ingest_micro_batch). ``counters``: optional
+    list the per-batch counter dicts are appended to (driver-side
+    bookkeeping only)."""
+    def _on_batch(bdf: DataFrame, batch_id: int) -> None:
+        c = ingest_micro_batch(
+            bdf, batch_id, warehouse, day,
+            text_threshold=text_threshold, emb_threshold=emb_threshold,
+            nprobe=nprobe, max_band_bucket=max_band_bucket)
+        if counters is not None:
+            counters.append(c)
+
+    return (
+        spark.readStream.schema(INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_dir)
+        .writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -359,7 +359,8 @@ IVF_NPROBE = 2
 KMEANS_Q = 2**30  # fixed-point scale for centroid means (|x| < 1, sums < 2^43)
 
 
-def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4) -> list:
+def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4,
+                 seeds: "list | None" = None) -> list:
     """Distributed Lloyd's k-means for IVF coarse quantizers.
 
     Per iteration: ONE broadcast join (k centroid rows against all
@@ -373,15 +374,25 @@ def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4) -> list:
     doubles — so the whole training run is reproducible in DuckDB SQL
     and the k-means IVF query is oracle-gated. Returns
     [(cell, [centroid floats])].
-    """
+
+    ``seeds``: optional [(cell, [floats])] init centroids for corpora
+    whose vec_ids are arbitrary (the default vec_id < k init selects
+    NOTHING on a shard whose lowest id is above k — the daily-delta
+    bootstrap case); cells must be numbered 0..len-1. Default None
+    keeps the oracle-gated init unchanged."""
     spark = emb.sparkSession
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     )
-    cents = [
-        (int(r["vec_id"]), list(r["v"]))
-        for r in base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
+    if seeds is not None:
+        cents = [(int(cell), list(map(float, c))) for cell, c in seeds]
+        if [c for c, _ in cents] != list(range(len(cents))):
+            raise ValueError("seeds cells must be numbered 0..len-1")
+    else:
+        cents = [
+            (int(r["vec_id"]), list(r["v"]))
+            for r in base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+        ]
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
@@ -485,6 +496,29 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
+def _anchor_vectors_schema(assigned: DataFrame, shard_dir: str) -> None:
+    """Land a zero-row schema-bearing parquet file under
+    ``shard_dir``/cell=0 after a partitionBy('cell') vectors write.
+
+    partitionBy with zero rows writes NO data files (only _SUCCESS), so
+    an empty build/delta would leave ``{index}/vectors`` fileless and
+    every later ``spark.read.parquet`` of it dies with
+    UNABLE_TO_INFER_SCHEMA — which breaks the daily-delta replay
+    contract: a crash between the bootstrap ``write_ann_index`` and the
+    first ``append_ann_index`` leaves centroids (so replays skip the
+    bootstrap) but an unreadable vectors table, and every replay fails
+    the same way (tests/test_delta_loop.py pins the recovery). The text
+    index avoids this with explicit-path shard writes
+    (``dedup.write_corpus_index``); the vectors table needs cell-level
+    partitionBy for probe pruning, so it gets this explicit anchor file
+    instead — an empty (vec_id, v) parquet appended into ``cell=0``,
+    matching the in-file schema of the partitioned writes (``cell`` is
+    a directory, not a file column) and adding zero rows when the
+    partition has real data."""
+    assigned.select("vec_id", "v").limit(0).write.mode("append").parquet(
+        f"{shard_dir}/cell=0")
+
+
 def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
                     centroids: "list | None" = None) -> None:
     """Materialize the IVF search index as parquet: the centroid table
@@ -533,6 +567,7 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
     assigned = ivf_assign(emb, n_cells, nprobe=1, centroids=centroids)
     assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
         .partitionBy("cell").parquet(f"{tmp}/vectors/shard=base")
+    _anchor_vectors_schema(assigned, f"{tmp}/vectors/shard=base")
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration())
@@ -605,6 +640,7 @@ def append_ann_index(emb_shard: DataFrame, path: str, shard: str) -> None:
     assigned = ivf_assign(emb_shard, n_cells=len(cents), nprobe=1, centroids=cents)
     assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
         .partitionBy("cell").parquet(f"{path}/vectors/shard={shard}")
+    _anchor_vectors_schema(assigned, f"{path}/vectors/shard={shard}")
 
 
 def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
@@ -1242,7 +1278,8 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
 def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
                                   threshold: float = 0.96,
                                   nprobe: int = IVF_NPROBE,
-                                  exclude_shard: str | None = None) -> DataFrame:
+                                  exclude_shard: str | None = None,
+                                  exclude_prefix: str | None = None) -> DataFrame:
     """Near-dup-FILTER a new shard of embeddings against the persisted
     IVF index: the shard's surviving rows (every input column,
     unchanged) after dropping vectors whose best cosine against ANY
@@ -1263,7 +1300,9 @@ def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
     daily-delta loop, same as `dedup.dedup_against_index`: a re-run of
     day N after its own `append_ann_index` landed would otherwise find
     every shard vector at cosine 1.0 against itself and drop the whole
-    shard.
+    shard. ``exclude_prefix`` drops every shard NAME starting with the
+    prefix (also partition-pruned) — the streaming twin's contract,
+    see the inline note.
 
     Scale: O(shard) probe work against cell-pruned parquet; the final
     anti-join is on the shard's vec_id only."""
@@ -1271,6 +1310,14 @@ def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
     vectors = spark.read.parquet(f"{path}/vectors")
     if exclude_shard is not None:
         vectors = vectors.where(F.col("shard") != exclude_shard)
+    if exclude_prefix is not None:
+        # partition-pruned like exclude_shard (shard is a partition
+        # column, so the startswith predicate resolves against
+        # partition VALUES at planning) — the streaming-ingest twin
+        # excludes every `<day>.b*` micro-batch subshard at once: the
+        # batch loop has no intra-day embedding dedup, so the live path
+        # must not let one micro-batch's vectors drop a later one's
+        vectors = vectors.where(~F.col("shard").startswith(exclude_prefix))
     hits = ann_probe_against_index(
         emb_shard,
         spark.read.parquet(f"{path}/centroids"),
