@@ -3854,3 +3854,122 @@ def test_vwap_bars_stream_restart_keeps_state(spark, tmp_path):
                 bar_size=BAR).collect()}
     assert got == want
     assert set(got) == {0, 1}
+
+
+def test_bollinger_stream_equals_batch_completed_bars(spark, tmp_path):
+    """Finalized streaming Bollinger bars equal the batch operator
+    (plans.market.bollinger_flags) for every COMPLETED bar — including
+    the NULL-flag warmup bars before the window fills — with a bar
+    split across two micro-batches (in-progress bar + trailing-closes
+    ring buffer carried in GroupState); the trailing partial bar is
+    withheld."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import bollinger_stream
+
+    # k=1: with the current bar INSIDE its own window, max |z| is
+    # (W-1)/sqrt(W) = 1.5 at W=4, so k=2 could never break — the small
+    # window needs the tighter band for the break asserts to bite
+    # (deployment W=20 gives max |z| 4.25, where k=2 works)
+    BAR, W, K = 2, 4, 1
+    # 23 ticks -> 11 complete bars + 1 partial; spikes at ticks 9/15
+    # force at least one upper break once the 4-bar window is full
+    prices = [100 + ((i * 7) % 13) - 6 + (40 if i in (9, 15) else 0)
+              for i in range(23)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for bi, sl in enumerate([slice(0, 13), slice(13, 23)]):  # bar 6 split
+        p = in_dir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for i in range(*sl.indices(23)):
+                f.write(json.dumps({"stream": 0, "line_no": i + 1,
+                                    "last": prices[i]}) + "\n")
+        os.utime(p, (1700000000 + bi, 1700000000 + bi))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        bollinger_stream(raw, bar_size=BAR, w_bars=W, k=K)
+        .writeStream.format("memory").queryName("boll_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.stream, r.bar_id): (r.close, r.win_sum, r.upper_break,
+                                  r.lower_break)
+           for r in spark.table("boll_stream").collect()}
+
+    from tickdatapipeline_spark.plans.market import bollinger_flags
+
+    closes = [(0, b, prices[b * BAR + BAR - 1]) for b in range(23 // BAR)]
+    bars = spark.createDataFrame(closes, "stream long, bar_id long, close long")
+    want = {(r.stream, r.bar_id): (r.close, r.win_sum, r.upper_break,
+                                   r.lower_break)
+            for r in bollinger_flags(bars, w_bars=W, k=K).collect()}
+    assert got == want  # bit-identical, all-integer algebra
+    assert len(got) == 11  # every complete bar emitted, partial withheld
+    # warmup bars carry NULL flags; the spike bars actually break
+    assert got[(0, 0)][2] is None
+    assert any(v[2] == 1 for v in got.values())
+
+
+def test_bollinger_stream_restart_keeps_state(spark, tmp_path):
+    """The trailing-closes ring buffer and in-progress bar survive a
+    query restart from the checkpoint: a bar completing in the SECOND
+    query instance evaluates its band over closes the FIRST instance
+    buffered, and equals the one-shot batch answer."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import run_bollinger_stream
+
+    BAR, W, K = 2, 3, 1  # k=1 — see the max-|z| note in the test above
+    prices = [100, 101, 99, 100, 105, 104, 100, 160, 101, 100]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, sl, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for j in range(*sl.indices(len(prices))):
+                f.write(json.dumps({"stream": 0, "line_no": j + 1,
+                                    "last": prices[j]}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_bollinger_stream(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), bar_size=BAR, w_bars=W, k=K)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b0.json", slice(0, 7), 0)  # bars 0-2 complete; bar 3 mid-flight
+    run_once()
+    write("b1.json", slice(7, 10), 1)  # spike bar 3 completes post-restart
+    run_once()
+
+    got = {r.bar_id: (r.close, r.win_sum, r.upper_break, r.lower_break)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    from tickdatapipeline_spark.plans.market import bollinger_flags
+
+    closes = [(0, b, prices[b * BAR + BAR - 1])
+              for b in range(len(prices) // BAR)]
+    want = {r.bar_id: (r.close, r.win_sum, r.upper_break, r.lower_break)
+            for r in bollinger_flags(
+                spark.createDataFrame(
+                    closes, "stream long, bar_id long, close long"),
+                w_bars=W, k=K).collect()}
+    assert got == want
+    assert got[3][2] == 1  # the post-restart spike bar breaks upper

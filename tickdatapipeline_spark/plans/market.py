@@ -247,22 +247,24 @@ _BAR_CLOSES_SQL = f"""
 # ================= Bollinger breakout flags =================
 
 
-def bollinger_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bollinger-band breakout flags per bar: a close more than
-    BOLLINGER_K sigmas from the trailing BOLLINGER_W-bar mean (window
-    INCLUDING the current bar, the textbook form). The k-sigma test is
-    computed entirely in integers: with d = W*close - sum and
-    W^2-scaled variance V = W*sumsq - sum^2, |close - mean| > k*sigma
-    iff d^2 > k^2 * V — no sqrt, no division, every column exact
-    BIGINT (close <= 99999, W = 20 keeps d^2 < 2^43, far inside
-    int64). Bars without a full trailing window emit NULL flags
-    rather than a partial-window answer.
+def bollinger_flags(bars: DataFrame, w_bars: int = BOLLINGER_W,
+                    k: int = BOLLINGER_K) -> DataFrame:
+    """Bollinger-band breakout flags over a (stream, bar_id, close)
+    frame: a close more than ``k`` sigmas from the trailing
+    ``w_bars``-bar mean (window INCLUDING the current bar, the
+    textbook form). The k-sigma test is computed entirely in integers:
+    with d = W*close - sum and W^2-scaled variance V = W*sumsq -
+    sum^2, |close - mean| > k*sigma iff d^2 > k^2 * V — no sqrt, no
+    division, every column exact BIGINT (close <= 99999, W = 20 keeps
+    d^2 < 2^43, far inside int64). Bars without a full trailing
+    window emit NULL flags rather than a partial-window answer.
 
-    Scale: the trailing window is a BOUNDED 20-row frame over the
-    144x-reduced bar table, partitioned by stream — both the row
-    reduction and the partitioning survive a 100x scale-up."""
-    w = _w_bars().rowsBetween(-(BOLLINGER_W - 1), Window.currentRow)
-    b = _bar_closes(spark, sf_dir).select(
+    Factored out of bollinger_fn so the streaming twin
+    (streaming.stateful.bollinger_stream) can be pinned bit-identical
+    against the same algebra on arbitrary bar frames."""
+    w = Window.partitionBy("stream").orderBy("bar_id") \
+        .rowsBetween(-(w_bars - 1), Window.currentRow)
+    b = bars.select(
         "stream",
         "bar_id",
         "close",
@@ -270,10 +272,10 @@ def bollinger_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("close").over(w).alias("win_sum"),
         F.sum(F.col("close") * F.col("close")).over(w).alias("win_sumsq"),
     )
-    d = F.lit(BOLLINGER_W) * F.col("close") - F.col("win_sum")
-    v = F.lit(BOLLINGER_W) * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
-    k2 = BOLLINGER_K * BOLLINGER_K
-    full = F.col("win_n") == BOLLINGER_W
+    d = F.lit(w_bars) * F.col("close") - F.col("win_sum")
+    v = F.lit(w_bars) * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    k2 = k * k
+    full = F.col("win_n") == w_bars
     return b.select(
         "stream",
         "bar_id",
@@ -281,7 +283,18 @@ def bollinger_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_sum",
         F.when(full, ((d > 0) & (d * d > k2 * v)).cast("long")).alias("upper_break"),
         F.when(full, ((d < 0) & (d * d > k2 * v)).cast("long")).alias("lower_break"),
-    ).orderBy("stream", "bar_id")
+    )
+
+
+def bollinger_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger breakout flags per 144-tick bar — see bollinger_flags
+    for the integer k-sigma algebra.
+
+    Scale: the trailing window is a BOUNDED 20-row frame over the
+    144x-reduced bar table, partitioned by stream — both the row
+    reduction and the partitioning survive a 100x scale-up."""
+    return bollinger_flags(_bar_closes(spark, sf_dir)) \
+        .orderBy("stream", "bar_id")
 
 
 BOLLINGER_SQL = f"""
