@@ -50,10 +50,42 @@ def _previous_artifact_ref() -> str:
     return out.strip()
 
 
+def classify_flag(oq: dict, nq: dict) -> str | None:
+    """Auto-triage for a flagged query (r11 verdict #5 — the r11 round
+    triaged its two residual flags as sweep-position warmup BY HAND;
+    the per-query `seq` both artifacts now record lets the classifier
+    do it, and r12's artifact PROVED the triage: both r11 flags
+    reverted to baseline once their position left the warmup zone).
+
+    Returns a classification string, or None = unexplained (a real
+    lead worth a solo re-measure / plan diff):
+
+    - 'warmup-position': the query moved into the sweep's first ~20
+      slots (changed fingerprints rotate to the front), where it pays
+      session JIT/codegen warmup the deep positions never see;
+    - 'correction-asymmetry': the flag exists only in CORRECTED space —
+      raw wall times are within the flag ratio, so the jump is the two
+      rounds' contention corrections disagreeing (e.g. an over-
+      corrected busy-box old value vs an uncorrected quiet-box new
+      one), not the plan.
+    """
+    if "seq" in oq and "seq" in nq and nq["seq"] < min(20, oq["seq"] // 2):
+        return (f"warmup-position: moved to sweep position {nq['seq']}"
+                f" (was {oq['seq']})")
+    raw_o = float(oq.get("secs", 0.0))
+    raw_n = float(nq.get("secs", 0.0))
+    if raw_o > 0 and raw_n / raw_o <= FLAG_RATIO:
+        return (f"correction-asymmetry: raw {raw_o:.2f}s -> {raw_n:.2f}s"
+                f" (x{raw_n / raw_o:.2f}) is inside the flag ratio")
+    return None
+
+
 def trend(old: dict, new: dict) -> dict:
-    """Comparison dict: {common: [(name, old_s, new_s, ratio)], added,
-    removed, flagged} — flagged = ratio > FLAG_RATIO with the slower
-    side above MIN_SECS, sorted worst first."""
+    """Comparison dict: {rows: [(name, old_s, new_s, ratio)], added,
+    removed, flagged, unexplained} — flagged = ratio > FLAG_RATIO with
+    the slower side above MIN_SECS, sorted worst first; unexplained =
+    the flagged subset classify_flag could not attribute to sweep
+    position or correction asymmetry."""
     o, n = old["results"], new["results"]
     common = sorted(set(o) & set(n))
 
@@ -71,11 +103,14 @@ def trend(old: dict, new: dict) -> dict:
     flagged = sorted(
         (r for r in rows if r[3] > FLAG_RATIO and max(r[1], r[2]) >= MIN_SECS),
         key=lambda r: -r[3])
+    unexplained = [r for r in flagged
+                   if classify_flag(o[r[0]], n[r[0]]) is None]
     return {
         "rows": rows,
         "added": sorted(set(n) - set(o)),
         "removed": sorted(set(o) - set(n)),
         "flagged": flagged,
+        "unexplained": unexplained,
     }
 
 
@@ -99,17 +134,17 @@ def main(argv: list[str]) -> int:
     for q, os_, ns_, ratio in slowest:
         print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}")
     if t["flagged"]:
-        print(f"\nFLAG (> x{FLAG_RATIO}, slower side >= {MIN_SECS}s) — "
-              "investigate if it repeats next round:")
+        print(f"\nFLAG (> x{FLAG_RATIO}, slower side >= {MIN_SECS}s):")
         o, n = old["results"], new["results"]
         for q, os_, ns_, ratio in t["flagged"]:
-            note = ""
-            if "seq" in o.get(q, {}) and "seq" in n.get(q, {}):
-                if n[q]["seq"] < min(20, o[q]["seq"] // 2):
-                    note = (f"  [moved to sweep position {n[q]['seq']}"
-                            f" (was {o[q]['seq']}): likely session-warmup"
-                            " cost, not a plan change]")
+            cls = classify_flag(o[q], n[q])
+            note = f"  [{cls}]" if cls else "  [UNEXPLAINED]"
             print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}{note}")
+        print(f"\nunexplained flags: {len(t['unexplained'])}"
+              + (" — solo re-measure / plan diff these"
+                 if t["unexplained"] else
+                 " — every flag classified (warmup position or"
+                 " correction asymmetry)"))
     else:
         print(f"\nno flags (> x{FLAG_RATIO} with slower side >= {MIN_SECS}s)")
     return 0
