@@ -6711,7 +6711,13 @@ _ANN_VARIANT_PLANS = (
      lambda emb, k, qm: ann_rerank(ann_topk_pq(emb, RERANK_R, qm), emb, k)),
 )
 
-RERANK_R = 15  # candidate depth of the rerank stage (R > k = TOPK_K)
+# Candidate depth of the exact re-rank stage (R > k = TOPK_K). Set
+# from the r12 sf0.1 R-sweep (scripts_dev/rerank_sweep.py, 2000
+# vectors / 40 queries): recall@5 = 0.025 raw pq, 0.025 at R=5 (R=k
+# re-ranks nothing), 0.065 at R=15, 0.140 at R=50 — monotone in R at
+# flat wall cost, and exact work stays O(queries x R) id-joins at any
+# corpus size, so R = 10k is cheap insurance (FAISS refine practice).
+RERANK_R = 50
 
 
 def _pq_rerank_sql(r: int, k: int) -> str:
