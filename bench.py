@@ -196,6 +196,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     legacy = round(sum(v for k, v in timings.items() if k in HEADLINE[:15]), 3)
+    # fixed I/O probe: a full warm scan of a fixed sf0.1 parquet file.
+    # Recorded for ATTRIBUTION only (the r12 A/B showed cross-round
+    # drift is host-side; this lets a future drift be split CPU-vs-IO
+    # without re-running the A/B harness) — it does not enter the
+    # correction ratio.
+    t0 = time.time()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "count(l_orderkey)").collect()
+    calib_io = round(time.time() - t0, 3)
     probe_median = sorted(probes)[len(probes) // 2]
     # clamped at 1: contention only inflates timings, so correction
     # only deflates — a quiet box reports its raw numbers unchanged
@@ -215,6 +224,7 @@ def main() -> None:
         "calibration": {
             "spark_fixed_sec": calib_spark,
             "cpu_fixed_sec": calib_cpu,
+            "io_fixed_sec": calib_io,
             "passes": N_PASSES,
             "probe_ref_sec": PROBE_REF_SEC,
             "probe_median_sec": round(probe_median, 4),

@@ -403,11 +403,19 @@ def test_streaming_delta_equals_batch_loop(spark, tmp_path):
     counters: list = []
     q = run_streaming_delta(
         spark, str(in_dir), wh_s, "2024-01-02", str(tmp_path / "ckpt"),
-        nprobe=2, counters=counters)
+        nprobe=2, counters=counters)  # default staged corpus mode
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+
+    # staged mode: keepers sit in corpus_live until the day-close fold
+    from tickdatapipeline_spark.delta_loop import fold_live_corpus
+
+    assert fold_live_corpus(spark, wh_s, "2024-01-02") == 2
+    import os
+    assert not os.path.exists(f"{wh_s}/corpus_live/day=2024-01-02")
+    assert fold_live_corpus(spark, wh_s, "2024-01-02") == 0  # replay no-op
 
     assert _corpus_rows(spark, wh_s) == _corpus_rows(spark, wh_b)
     assert (_index_rows_ignoring_shard(spark, wh_s)
@@ -437,9 +445,11 @@ def test_streaming_delta_restart_and_replay(spark, tmp_path):
     counters: list = []
 
     def run_once():
+        # upsert mode here: the other equality test covers staged+fold
         q = run_streaming_delta(
             spark, str(in_dir), wh_s, "2024-01-02",
-            str(tmp_path / "ckpt"), nprobe=2, counters=counters)
+            str(tmp_path / "ckpt"), nprobe=2, corpus_mode="upsert",
+            counters=counters)
         try:
             q.processAllAvailable()
         finally:
@@ -460,7 +470,8 @@ def test_streaming_delta_restart_and_replay(spark, tmp_path):
     bdf = spark.createDataFrame(
         [(d, t, e) for d, t, e in rows[2:3]],
         "doc_id long, text string, embedding array<double>")
-    c1 = ingest_micro_batch(bdf, 1, wh_s, "2024-01-02", nprobe=2)
+    c1 = ingest_micro_batch(bdf, 1, wh_s, "2024-01-02", nprobe=2,
+                            corpus_mode="upsert")
     assert c1["n_kept"] == 1  # same verdict as the live run
     assert (_corpus_rows(spark, wh_s),
             *_index_rows_ignoring_shard(spark, wh_s)) == state

@@ -254,14 +254,29 @@ def ingest_micro_batch(
     emb_threshold: float = 0.96,
     nprobe: int = IVF_NPROBE,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    corpus_mode: str = "staged",
 ) -> dict:
     """One micro-batch of the LIVE ingest path (r11 verdict #2): probe
     the batch (doc_id, text, embedding-nullable) against the PERSISTED
     text/ANN indexes the nightly `run_daily_delta` maintains, append
     the keepers' signatures/vectors as the ``shard=<day>.b<batch_id>``
-    subshard of each index, and upsert the keepers into the curated
+    subshard of each index, and land the keepers in the curated
     corpus — so live ingest and nightly curation apply ONE keep/drop
     policy off one warehouse instead of two disagreeing ones.
+
+    ``corpus_mode`` — how keepers reach the corpus:
+
+    - ``"staged"`` (default, the 100 TB posture): keepers land as
+      ``corpus_live/day=<day>/batch=<batch_id>`` — an idempotent
+      O(batch) explicit-path overwrite, NO read-back. A day with B
+      triggers costs O(day) corpus I/O total; `fold_live_corpus` at
+      day close moves the day into the canonical day-partitioned
+      corpus with ONE upsert.
+    - ``"upsert"``: `upsert_partitioned` straight into the canonical
+      corpus each batch — the canonical table is live-current, but
+      every batch reads back and rewrites the whole day partition, so
+      a day with B triggers costs O(B x day) corpus I/O. Fine for
+      hourly triggers; wrong for per-minute ones.
 
     Semantics vs the batch loop, stage by stage:
 
@@ -347,12 +362,49 @@ def ingest_micro_batch(
             shard.select(F.col("doc_id").alias("vec_id")),
             "vec_id", "left_semi")
         append_ann_index(final_vecs, ann_index, shard=sub)
-    upsert_partitioned(
-        spark, f"{warehouse}/corpus",
-        shard.withColumn("day", F.lit(day)),
-        key="doc_id", part_col="day")
+    if corpus_mode == "staged":
+        # explicit-path overwrite: O(batch) write, no read-back, and a
+        # zero-keeper batch still lands a schema-bearing file (the
+        # partitionBy-zero-rows trap the indexes already avoid)
+        shard.write.mode("overwrite").parquet(
+            f"{warehouse}/corpus_live/day={day}/batch={int(batch_id)}")
+    elif corpus_mode == "upsert":
+        upsert_partitioned(
+            spark, f"{warehouse}/corpus",
+            shard.withColumn("day", F.lit(day)),
+            key="doc_id", part_col="day")
+    else:
+        raise ValueError(f"corpus_mode must be 'staged' or 'upsert', "
+                         f"got {corpus_mode!r}")
     return {"batch_id": int(batch_id), "n_in": n_in, "n_text_kept": n_text,
             "n_emb_checked": n_emb_checked, "n_kept": n_kept}
+
+
+def fold_live_corpus(spark: SparkSession, warehouse: str, day: str) -> int:
+    """Day-close fold for ``corpus_mode='staged'``: move the day's
+    ``corpus_live/day=<day>/batch=*`` keepers into the canonical
+    day-partitioned corpus with ONE `upsert_partitioned`, then drop the
+    staged directory. Idempotent: the upsert replaces same-key rows, and
+    a replay after the staging wipe no-ops (missing staging = nothing
+    to fold). Returns the number of docs folded.
+
+    Scale: O(day) read + one partition rewrite — the cost the per-batch
+    upsert mode would have paid PER BATCH."""
+    live = f"{warehouse}/corpus_live/day={day}"
+    if not _exists(spark, live):
+        return 0
+    staged = spark.read.option("basePath", f"{warehouse}/corpus_live") \
+        .parquet(live).drop("day", "batch")
+    n = staged.count()
+    if n:
+        upsert_partitioned(
+            spark, f"{warehouse}/corpus",
+            staged.withColumn("day", F.lit(day)),
+            key="doc_id", part_col="day")
+    from tickdatapipeline_spark.operators.dedup import _wipe_path
+
+    _wipe_path(spark, live)
+    return n
 
 
 def run_streaming_delta(
@@ -367,21 +419,24 @@ def run_streaming_delta(
     emb_threshold: float = 0.96,
     nprobe: int = IVF_NPROBE,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    corpus_mode: str = "staged",
     counters: "list | None" = None,
 ):
     """Durable runner for the live-ingest twin: JSONL documents
     (INGEST_SCHEMA; ``embedding`` null for text-only docs) ->
     `ingest_micro_batch` via foreachBatch -> the same warehouse the
     nightly loop maintains. Restart-safe: the checkpoint replays the
-    uncommitted micro-batch, whose subshard writes and corpus upsert
-    are idempotent (see ingest_micro_batch). ``counters``: optional
-    list the per-batch counter dicts are appended to (driver-side
-    bookkeeping only)."""
+    uncommitted micro-batch, whose subshard/staging writes (and upsert,
+    in upsert mode) are idempotent (see ingest_micro_batch). With the
+    default ``corpus_mode='staged'``, call `fold_live_corpus` at day
+    close. ``counters``: optional list the per-batch counter dicts are
+    appended to (driver-side bookkeeping only)."""
     def _on_batch(bdf: DataFrame, batch_id: int) -> None:
         c = ingest_micro_batch(
             bdf, batch_id, warehouse, day,
             text_threshold=text_threshold, emb_threshold=emb_threshold,
-            nprobe=nprobe, max_band_bucket=max_band_bucket)
+            nprobe=nprobe, max_band_bucket=max_band_bucket,
+            corpus_mode=corpus_mode)
         if counters is not None:
             counters.append(c)
 
