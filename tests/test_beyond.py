@@ -3648,3 +3648,44 @@ def test_embedding_dedup_against_index(spark, tmp_path):
     append_ann_index(kept, path, "delta1")
     again = embedding_dedup_against_index(shard, path, threshold=0.96)
     assert [r.vec_id for r in again.collect()] == []  # 1007 now indexed
+
+
+def test_ann_rebuild_due_trigger(spark, tmp_path):
+    """The index lifecycle's rebuild trigger: a freshly-trained
+    balanced index reports healthy; appending a heavily skewed delta
+    (every vector in one cell) trips the max-cell-share trigger — the
+    signal to schedule the write_ann_index retrain DEPLOYMENT.md
+    leaves to the operator."""
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_rebuild_due,
+        append_ann_index,
+        write_ann_index,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)]
+        + [(i, [0.0, 1.0, 0.0, 0.0]) for i in range(4, 8)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ann")
+    write_ann_index(base, idx, n_cells=2, centroids=cents)
+    healthy = ann_rebuild_due(spark, idx)
+    assert healthy["n_vectors"] == 8 and healthy["n_cells"] == 2
+    assert healthy["max_cell_frac"] == 0.5
+    assert not healthy["rebuild_due"]
+
+    # drift: 24 new vectors all land in cell 0 -> 28/32 = 0.875 share
+    skew = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(24)],
+        "vec_id long, embedding array<double>")
+    append_ann_index(skew, idx, "drift-day")
+    drifted = ann_rebuild_due(spark, idx, max_cell_factor=1.5)
+    assert drifted["n_vectors"] == 32
+    assert drifted["max_cell_frac"] == 0.875
+    assert drifted["rebuild_due"]
+
+    # empty index: nothing to rebalance, never "due"
+    empty_idx = str(tmp_path / "ann_empty")
+    write_ann_index(base.limit(0), empty_idx, n_cells=2, centroids=cents)
+    e = ann_rebuild_due(spark, empty_idx)
+    assert e["n_vectors"] == 0 and not e["rebuild_due"]

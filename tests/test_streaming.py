@@ -3973,3 +3973,117 @@ def test_bollinger_stream_restart_keeps_state(spark, tmp_path):
                 w_bars=W, k=K).collect()}
     assert got == want
     assert got[3][2] == 1  # the post-restart spike bar breaks upper
+
+
+def test_kyle_lambda_stream_equals_batch(spark, tmp_path):
+    """The cumulative streaming Kyle's-lambda panel equals the batch
+    operator (plans.market.kyle_lambda) over the full prefix — same
+    integer five-sum algebra, same tick-rule carry (zero-ticks inherit
+    the last non-zero sign ACROSS the micro-batch boundary)."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import kyle_lambda_stream
+
+    # two streams; stream 0 places a zero-tick run right at the batch
+    # seam so the carry must come out of GroupState
+    rows = [
+        (0, 1, 100, 2), (0, 2, 103, 1), (0, 3, 103, 4),  # up, zero
+        (1, 1, 50, 5), (1, 2, 48, 2),                    # down
+        (0, 4, 103, 2), (0, 5, 101, 3), (0, 6, 104, 1),  # zero, down, up
+        (1, 3, 48, 3), (1, 4, 52, 1),                    # zero, up
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for bi, sl in enumerate([rows[:5], rows[5:]]):
+        p = in_dir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for st, ln, last, vol in sl:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + bi, 1700000000 + bi))
+
+    raw = (
+        spark.readStream.schema("stream long, line_no long, last long, volume long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = (
+        kyle_lambda_stream(raw)
+        .writeStream.format("memory").queryName("kyle_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # latest (cumulative) row per stream
+    got = {}
+    for r in spark.table("kyle_stream").collect():
+        if r.stream not in got or r.n_obs > got[r.stream].n_obs:
+            got[r.stream] = r
+
+    from tickdatapipeline_spark.plans.market import kyle_lambda
+
+    want = {r.stream: r for r in kyle_lambda(
+        spark.createDataFrame(
+            rows, "stream long, line_no long, last long, volume long")
+    ).collect()}
+    assert set(got) == set(want) == {0, 1}
+    for s in got:
+        g, w = got[s], want[s]
+        assert (g.n_obs, g.sx, g.sy, g.sxy, g.sxx) == \
+               (w.n_obs, w.sx, w.sy, w.sxy, w.sxx)
+        assert g.kyle_lambda == w.kyle_lambda
+        assert g.impact_corr == w.impact_corr
+
+
+def test_kyle_lambda_stream_restart_keeps_state(spark, tmp_path):
+    """The tick-rule carry and five sums survive a restart: the
+    post-restart cumulative panel equals the one-shot batch answer."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.streaming.stateful import (
+        run_kyle_lambda_stream)
+
+    rows = [(0, i + 1, p, 1 + i % 3) for i, p in
+            enumerate([100, 102, 102, 99, 99, 105])]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, sl, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for st, ln, last, vol in sl:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_kyle_lambda_stream(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b0.json", rows[:3], 0)  # ends on a zero-tick (carry = +1)
+    run_once()
+    write("b1.json", rows[3:], 1)
+    run_once()
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    latest = max(out, key=lambda r: r.n_obs)
+
+    from tickdatapipeline_spark.plans.market import kyle_lambda
+
+    want = kyle_lambda(spark.createDataFrame(
+        rows, "stream long, line_no long, last long, volume long")).first()
+    assert (latest.n_obs, latest.sx, latest.sy, latest.sxy, latest.sxx) == \
+           (want.n_obs, want.sx, want.sy, want.sxy, want.sxx)
+    assert latest.kyle_lambda == want.kyle_lambda

@@ -205,3 +205,14 @@ def test_degenerate_type_transitions_stream(spark, tmp_path):
     rows = spark.table("dg_trans").collect()
     # one zero-gap self-transition (view -> view at the same instant)
     assert [(r.prev_type, r.next_type) for r in rows] == [("view", "view")]
+
+
+def test_degenerate_kyle_lambda_stream(spark, tmp_path):
+    """Flat tape: every tick unclassified (no price change ever), so
+    the monitor emits NOTHING — matching the batch plan, whose obs set
+    is empty — and never divides."""
+    from tickdatapipeline_spark.streaming.stateful import kyle_lambda_stream
+
+    rows = _drive(spark, tmp_path, kyle_lambda_stream, "dg_kyle",
+                  mode="update")
+    assert rows == []

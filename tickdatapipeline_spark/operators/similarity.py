@@ -643,6 +643,46 @@ def append_ann_index(emb_shard: DataFrame, path: str, shard: str) -> None:
     _anchor_vectors_schema(assigned, f"{path}/vectors/shard={shard}")
 
 
+def ann_rebuild_due(spark, path: str, max_cell_factor: float = 4.0,
+                    max_empty_frac: float = 0.5) -> dict:
+    """Cell-balance diagnostics for a persisted IVF index + the
+    scheduled-rebuild trigger the DEPLOYMENT.md lifecycle leaves to
+    the operator: appends assign against FROZEN centroids, so as the
+    corpus distribution drifts, cells skew — probe cost follows the
+    probed cells' population, so a cell holding ``max_cell_factor``
+    times its fair share (or most cells going empty) means the
+    quantizer no longer fits the data and `write_ann_index` should
+    retrain.
+
+    Returns {"n_vectors", "n_cells", "n_occupied", "max_cell_frac",
+    "empty_frac", "rebuild_due"}. An empty index reports rebuild_due
+    False (nothing to rebalance).
+
+    Scale: one combinable count per (partition-column) cell over the
+    vectors table plus an O(n_cells) centroid read — no vector data is
+    deserialized (the aggregate touches only partition values)."""
+    cents = spark.read.parquet(f"{path}/centroids").select("cell")
+    n_cells = cents.count()
+    sizes = {int(r["cell"]): int(r["n"]) for r in
+             spark.read.parquet(f"{path}/vectors")
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_vec = sum(sizes.values())
+    occupied = sum(1 for n in sizes.values() if n > 0)
+    max_frac = (max(sizes.values()) / n_vec) if n_vec else 0.0
+    empty_frac = 1.0 - (occupied / n_cells) if n_cells else 0.0
+    due = bool(n_vec and n_cells and (
+        max_frac > max_cell_factor / n_cells
+        or empty_frac > max_empty_frac))
+    return {
+        "n_vectors": n_vec,
+        "n_cells": n_cells,
+        "n_occupied": occupied,
+        "max_cell_frac": round(max_frac, 6),
+        "empty_frac": round(empty_frac, 6),
+        "rebuild_due": due,
+    }
+
+
 def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
                             vectors_df: DataFrame, k: int = 5,
                             nprobe: int = IVF_NPROBE) -> DataFrame:

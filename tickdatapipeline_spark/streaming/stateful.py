@@ -836,6 +836,131 @@ def vwap_bars_stream(ticks: DataFrame, bar_size: int = 144) -> DataFrame:
     )
 
 
+# ================= Kyle's lambda live monitor =================
+
+KYLE_OUT_SCHEMA = (
+    "stream long, n_obs long, sx long, sy long, sxy long, sxx long, "
+    "kyle_lambda double, impact_corr double"
+)
+KYLE_STATE_SCHEMA = (
+    "last_price long, last_dir long, "
+    "n long, sx long, sy long, sxy long, sxx long, syy long"
+)
+
+
+def make_kyle_lambda_kernel():
+    """applyInPandasWithState kernel for kyle_lambda_stream: one
+    GroupState per stream carries the tick-rule sign state (last
+    price + last non-zero move direction) and the exact-BIGINT five
+    sums over (x = dir * volume, y = price move); each micro-batch
+    emits the cumulative OLS slope lambda = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) and the impact Pearson r — the same integer
+    algebra as the batch plan (plans.market.kyle_lambda), so every
+    emitted panel equals the batch query over the stream's prefix
+    bit-for-bit. Leading unclassified ticks (before the first price
+    change) are excluded exactly as the batch tick rule excludes
+    them; the division-form int64 budget guard raises the batch
+    plan's message. Degenerate all-same-x streams emit NULL lambda;
+    a stream with no classified obs yet emits nothing."""
+    import math
+
+    import pandas as pd
+
+    def rnd6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def kernel(key, pdfs, state):
+        lp, ld, n, sx, sy, sxy, sxx, syy = (
+            tuple(state.get) if state.exists
+            else (None, None, 0, 0, 0, 0, 0, 0))
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) > 0:
+            pdf = pdf.sort_values("line_no")
+            for last, vol in zip(pdf["last"].to_numpy(),
+                                 pdf["volume"].to_numpy()):
+                last, vol = int(last), int(vol)
+                if lp is not None:
+                    y = last - lp
+                    if y > 0:
+                        ld = 1
+                    elif y < 0:
+                        ld = -1
+                    if ld is not None:  # zero-ticks inherit the carry
+                        x = ld * vol
+                        n += 1
+                        sx += x
+                        sy += y
+                        sxy += x * y
+                        sxx += x * x
+                        syy += y * y
+                lp = last
+            if n > 0:
+                budget = _LIQ_BUDGET // n
+                if abs(sxy) > budget or sxx > budget or syy > budget:
+                    raise ValueError(
+                        "ticks_kyle_lambda: five-sums exceed the int64 "
+                        "budget — re-scale prices")
+                num = n * sxy - sx * sy
+                vx = n * sxx - sx * sx
+                vy = n * syy - sy * sy
+                lam = rnd6(float(num) / float(vx)) if vx > 0 else None
+                corr = (rnd6(float(num) / (math.sqrt(float(vx))
+                                           * math.sqrt(float(vy))))
+                        if vx > 0 and vy > 0 else None)
+                yield pd.DataFrame({
+                    "stream": [key[0]], "n_obs": [n], "sx": [sx],
+                    "sy": [sy], "sxy": [sxy], "sxx": [sxx],
+                    "kyle_lambda": [lam], "impact_corr": [corr],
+                })
+        state.update((lp, ld, n, sx, sy, sxy, sxx, syy))
+
+    return kernel
+
+
+def kyle_lambda_stream(ticks: DataFrame) -> DataFrame:
+    """Streaming twin of the batch Kyle's lambda
+    (plans.market.kyle_lambda): a live price-impact monitor emitting
+    each stream's cumulative lambda/impact-corr panel per micro-batch
+    — completing the microstructure live set (order flow = WHO trades,
+    liquidity panel = what trading COSTS, this = how much trading
+    MOVES the price). Cumulative-update contract like
+    liquidity_stream: read the latest row per stream.
+
+    Same ingest contract as the other tick monitors: (stream, line_no,
+    last, volume) in per-stream order across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        ticks.select("stream", "line_no", "last", "volume")
+        .groupBy("stream")
+        .applyInPandasWithState(
+            make_kyle_lambda_kernel(),
+            outputStructType=KYLE_OUT_SCHEMA,
+            stateStructType=KYLE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_kyle_lambda_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Durable runner for kyle_lambda_stream: JSONL tick ingest ->
+    cumulative per-stream price-impact panel -> replay-idempotent
+    batch_id-partitioned parquet (read the max-batch_id row per stream
+    for the latest panel). A restart resumes the tick-rule carry and
+    the five sums — pinned by the restart test (a post-restart batch's
+    panel equals the one-shot batch answer over the full prefix)."""
+    return _run_tick_update_stream(
+        spark, kyle_lambda_stream, input_dir, out_dir, checkpoint_dir,
+        max_files_per_trigger)
+
+
 # ================= Bollinger bands live monitor =================
 
 BOLL_OUT_SCHEMA = (
