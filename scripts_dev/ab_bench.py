@@ -94,10 +94,8 @@ def main() -> None:
                 for n in keys}
         return round(sum(mins.values()), 3)
 
-    l15 = [n for n in names if n in list(runs["A"][0]["queries"])[:15]]
     # legacy15 is positional in bench.py; recompute from the A side's order
-    a_order = list(runs["A"][0]["queries"])
-    l15 = a_order[:15]
+    l15 = list(runs["A"][0]["queries"])[:15]
     report["legacy15_a_min"] = tot("A", l15)
     report["legacy15_b_min"] = tot("B", [n for n in l15 if any(
         n in x["queries"] for x in runs["B"])])
