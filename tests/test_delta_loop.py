@@ -526,3 +526,94 @@ def test_streaming_delta_greedy_vs_cc_contract(spark, tmp_path):
     c1 = ingest_micro_batch(mk([(3, c, None)]), 1, str(tmp_path / "s"),
                             "2024-01-02")
     assert (c0["n_kept"], c1["n_kept"]) == (0, 1)
+
+
+# ================= scheduled compaction =================
+
+
+def test_compact_warehouse(spark, tmp_path):
+    """The scheduled compaction job: after the 3-day loop + TTL expiry
+    of day 1, compact_warehouse collapses every delta shard into
+    shard=base, re-applies the text index from the RETAINED corpus
+    (expired day-1 signatures age out — a day-4 dup of an expired doc
+    is kept, a dup of a retained keeper still drops), and retrains the
+    ANN quantizer over the index's own vectors (row-identical to a
+    from-scratch build with the same trained centroids)."""
+    import os
+
+    from tickdatapipeline_spark.delta_loop import compact_warehouse
+    from tickdatapipeline_spark.operators.similarity import (
+        kmeans_train, write_ann_index)
+
+    wh = str(tmp_path / "wh")
+    _run(spark, wh, "2024-01-01")
+    _run(spark, wh, "2024-01-02")
+    _run(spark, wh, "2024-01-03", retain_before="2024-01-02")
+
+    r = compact_warehouse(spark, wh, n_cells=2)
+    # retained corpus: day-2 {11,12} + day-3 {22}; all 8 kept vectors
+    # stay in the index (vector expiry is documented as out of scope)
+    assert r == {"n_docs": 3, "n_vectors": 8, "retrained": True,
+                 "had_ann": True}
+
+    for sub in ("text_index/bands", "text_index/shingles",
+                "ann_index/vectors"):
+        shards = [d for d in os.listdir(f"{wh}/{sub}")
+                  if d.startswith("shard=")]
+        assert shards == ["shard=base"], (sub, shards)
+
+    # text index == from-scratch build over the retained corpus
+    from tickdatapipeline_spark.operators.dedup import write_corpus_index
+    all_docs = {i: t for day in DAYS for i, t in DAYS[day]}
+    ref = str(tmp_path / "ref")
+    write_corpus_index(
+        spark.createDataFrame([(i, all_docs[i]) for i in (11, 12, 22)],
+                              "doc_id long, text string"),
+        f"{ref}/text_index")
+    def _text_rows(root):
+        return (sorted(map(tuple, spark.read.parquet(
+                    f"{root}/text_index/bands").drop("shard").collect())),
+                sorted(map(tuple, spark.read.parquet(
+                    f"{root}/text_index/shingles").drop("shard").collect())))
+
+    assert _text_rows(wh) == _text_rows(ref)
+
+    # ANN == from-scratch build under the SAME retrained quantizer
+    kept = sorted(i for ids in EXPECT_KEPT.values() for i in ids)
+    union_emb = spark.createDataFrame(
+        [(i, VEC[i]) for i in kept], "vec_id long, embedding array<double>")
+    seeds = [(0, VEC[kept[0]]), (1, VEC[kept[1]])]
+    cents = kmeans_train(union_emb, k=2, seeds=seeds)
+    write_ann_index(union_emb, f"{ref}/ann_index", n_cells=2,
+                    centroids=cents)
+    got_v = sorted((v.vec_id, v.cell, tuple(v.v)) for v in
+                   spark.read.parquet(f"{wh}/ann_index/vectors").collect())
+    ref_v = sorted((v.vec_id, v.cell, tuple(v.v)) for v in
+                   spark.read.parquet(f"{ref}/ann_index/vectors").collect())
+    assert got_v == ref_v
+
+    # day 4 against the compacted warehouse: a dup of EXPIRED day-1
+    # doc 2 is now kept (signatures aged out with the corpus); a dup
+    # of retained day-2 keeper 11 still drops
+    docs4 = spark.createDataFrame(
+        [(40, _text(102)),                 # == expired doc 2's text
+         (41, _text(111, mutate=True))],   # dups retained keeper 11
+        "doc_id long, text string")
+    # doc 40's vector must stay below the 0.96 cosine bar vs every
+    # indexed vector (max is 0.866 vs vec 0) — a near-axis vector like
+    # [5,1,1,0] would read 0.962 vs [1,0,0,0] and emb-drop the doc
+    emb4 = spark.createDataFrame(
+        [(40, [3.0, 1.0, 1.0, 1.0]), (41, [0.0, 5.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    r4 = run_daily_delta(spark, docs4, emb4, wh, "2024-01-04",
+                         n_cells=2, nprobe=2)
+    assert r4["n_kept"] == 1
+    kept4 = {d for d, day in _corpus_rows(spark, wh) if day == "2024-01-04"}
+    assert kept4 == {40}
+
+
+def test_compact_warehouse_requires_corpus(spark, tmp_path):
+    from tickdatapipeline_spark.delta_loop import compact_warehouse
+
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_warehouse(spark, str(tmp_path / "empty_wh"))

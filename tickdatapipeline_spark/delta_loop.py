@@ -239,6 +239,78 @@ def run_daily_delta(
     }
 
 
+def compact_warehouse(
+    spark: SparkSession,
+    warehouse: str,
+    *,
+    n_cells: int = IVF_CELLS,
+    retrain: bool = True,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> dict:
+    """The scheduled compaction job the daily/streaming loops defer to
+    (DEPLOYMENT.md's "separate job", now a tested function): rebuild
+    BOTH persisted indexes from the warehouse's own state, collapsing
+    every accumulated delta shard — nightly ``shard=<day>`` AND
+    streaming ``shard=<day>.b<n>`` subshards — into ``shard=base``.
+
+    - text index: recomputed from the CURRENT curated corpus (all
+      retained partitions), so the global band skew cap is re-applied
+      and signatures of TTL-expired corpus partitions age out of the
+      index (retention's `drop_partitions_before` touches only the
+      corpus by contract; THIS is where the indexes catch up);
+    - ANN index: rebuilt from the index's own vectors (the corpus does
+      not store embeddings). ``retrain=True`` re-runs `kmeans_train`
+      seeded from the n_cells lowest vec_ids — the cell-rebalance
+      answer when `ann_rebuild_due` fires; ``retrain=False`` keeps the
+      existing centroids (pure shard collapse). Vectors of expired
+      corpus docs are NOT dropped here (vec_id-to-day mapping lives in
+      the corpus, which no longer has those rows — pass the ids
+      through `embedding_dedup` tooling if expiry must reach vectors).
+
+    After compaction, replays of pre-compaction days are OUT OF
+    CONTRACT (their ``shard=<day>`` no longer exists to exclude) —
+    the documented replay boundary.
+
+    Returns {"n_docs", "n_vectors", "retrained", "had_ann"}.
+
+    Scale: one full corpus signature pass + one full vectors
+    re-assignment — the O(corpus) job compaction is BY DEFINITION,
+    scheduled (weekly/monthly), amortized against every daily delta
+    it keeps O(shard)."""
+    corpus = f"{warehouse}/corpus"
+    if not _exists(spark, corpus):
+        raise ValueError(
+            f"{corpus} does not exist — nothing to compact (run "
+            "run_daily_delta at least once)")
+    docs = spark.read.parquet(corpus).select("doc_id", "text")
+    n_docs = docs.count()
+    write_corpus_index(docs, f"{warehouse}/text_index",
+                       max_band_bucket=max_band_bucket)
+
+    had_ann = _exists(spark, f"{warehouse}/ann_index/centroids")
+    n_vec = 0
+    if had_ann:
+        emb = pin(
+            spark.read.parquet(f"{warehouse}/ann_index/vectors")
+            .select("vec_id", F.col("v").alias("embedding")))
+        n_vec = emb.count()
+        if retrain and n_vec >= n_cells:
+            seeds = (emb.select("vec_id", F.col("embedding").alias("c"))
+                     .orderBy("vec_id").limit(n_cells).collect())
+            cents = kmeans_train(
+                emb, k=n_cells,
+                seeds=[(i, list(r.c)) for i, r in enumerate(seeds)])
+        else:
+            cents = [(r.cell, list(r.c)) for r in spark.read.parquet(
+                f"{warehouse}/ann_index/centroids").collect()]
+            cents.sort()
+        write_ann_index(emb, f"{warehouse}/ann_index",
+                        n_cells=len(cents), centroids=cents)
+    return {"n_docs": n_docs, "n_vectors": n_vec,
+            "retrained": bool(had_ann and retrain and n_vec >= n_cells),
+            "had_ann": had_ann}
+
+
 # ================= streaming twin of the daily loop =================
 
 INGEST_SCHEMA = "doc_id long, text string, embedding array<double>"
