@@ -617,3 +617,46 @@ def test_compact_warehouse_requires_corpus(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nothing to compact"):
         compact_warehouse(spark, str(tmp_path / "empty_wh"))
+
+
+def test_daily_delta_rejects_dotted_day(spark, tmp_path):
+    """'.' in a nightly day is rejected: it would collide with the
+    streaming twin's '<day>.b<n>' subshard namespace — wrongly excluded
+    by the streaming embedding probe's exclude_prefix='<day>.' and
+    collapsed by compact_warehouse as if it were a micro-batch
+    subshard."""
+    docs, emb = _shard(spark, "2024-01-01")
+    with pytest.raises(ValueError, match="invalid day"):
+        run_daily_delta(spark, docs, emb, str(tmp_path / "w"), "2024-01-02.x")
+
+
+def test_compact_warehouse_refuses_unfolded_staged_day(spark, tmp_path):
+    """Compaction must not run over an in-flight staged streaming day:
+    the text index is rebuilt from the canonical corpus only while the
+    '<day>.b<n>' subshards are wiped, so an unfolded day's keepers
+    would lose their signatures and their future duplicates would pass
+    the text probe — the keep/drop-policy break the guard prevents.
+    After fold_live_corpus, the same compaction proceeds and the folded
+    day's signatures ARE in the rebuilt index (a dup still drops)."""
+    from tickdatapipeline_spark.delta_loop import (
+        compact_warehouse, fold_live_corpus, ingest_micro_batch)
+
+    wh = str(tmp_path / "wh")
+    _run(spark, wh, "2024-01-01")
+    bdf = spark.createDataFrame(
+        [(60, _text(601), None)],
+        "doc_id long, text string, embedding array<double>")
+    ingest_micro_batch(bdf, 0, wh, "2024-01-02")
+
+    with pytest.raises(ValueError, match="fold them first"):
+        compact_warehouse(spark, wh, n_cells=2)
+
+    assert fold_live_corpus(spark, wh, "2024-01-02") == 1
+    r = compact_warehouse(spark, wh, n_cells=2)
+    assert r["n_docs"] == 6  # day-1 keepers {0..4} + folded doc 60
+    # the folded keeper's signatures made it into the rebuilt index:
+    # a day-3 duplicate of doc 60 still drops
+    docs3 = spark.createDataFrame(
+        [(61, _text(601, mutate=True))], "doc_id long, text string")
+    r3 = run_daily_delta(spark, docs3, None, wh, "2024-01-03")
+    assert r3["n_kept"] == 0

@@ -424,3 +424,41 @@ def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
     assert rows == [(1, 10, "2024-01-01 00:00:00"),
                     (2, 99, "2024-01-01 00:00:00"),
                     (3, 30, "2024-01-02 00:00:00")]
+
+
+def test_hive_escape_matches_real_partitionby_write(spark, tmp_path):
+    """_escape_path_name must match what Spark's partitionBy writer
+    ACTUALLY produces — per directory on disk, not just internal
+    self-consistency. The trap this pins: '}' is NOT in Spark's
+    escapePathName set (only '{', '[', ']', '^' are); escaping it
+    would address a phantom 'part=...%7D' sibling of the real
+    'part=...}' directory, the upsert existence check would miss, and
+    the upsert would land duplicate keys."""
+    import os
+    from tickdatapipeline_spark.functions.scale import (
+        _escape_path_name, _unescape_path_name, upsert_partitioned)
+
+    values = ["a{b}", "close}only", "x[y]z^w", "t:1", "pct%v", "plain"]
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, 10 * i, v) for i, v in enumerate(values)],
+        "k long, v long, part string").write.partitionBy("part").parquet(path)
+    on_disk = sorted(d[len("part="):] for d in os.listdir(path)
+                     if d.startswith("part="))
+    assert on_disk == sorted(_escape_path_name(v) for v in values)
+    # and the strict decoder inverts every writer-made name
+    assert sorted(_unescape_path_name(d) for d in on_disk) == sorted(values)
+    # '}' stays literal on disk — the phantom-sibling regression guard
+    assert "part=close}only" in os.listdir(path)
+
+    # upsert into the '}'-valued partitions: the read-back must find the
+    # writer's directory (no duplicate keys, old same-partition rows kept)
+    upsert_partitioned(
+        spark, path,
+        spark.createDataFrame([(0, 99, "a{b}"), (1, 77, "close}only")],
+                              "k long, v long, part string"),
+        key="k", part_col="part")
+    rows = sorted((r.k, r.v, r.part)
+                  for r in spark.read.parquet(path).collect())
+    assert rows == [(0, 99, "a{b}"), (1, 77, "close}only"), (2, 20, "x[y]z^w"),
+                    (3, 30, "t:1"), (4, 40, "pct%v"), (5, 50, "plain")]

@@ -95,7 +95,9 @@ def run_daily_delta(
     the plans), or None to run the text-only loop. ``day`` is both the
     corpus partition value and the index shard name — ISO 'YYYY-MM-DD'
     sorts chronologically for `drop_partitions_before`, and contains
-    no '/' or '=' so it is a valid shard name by construction.
+    no '/', '=' or '.' so it is a valid shard name by construction
+    ('.' is additionally reserved for the streaming twin's
+    '<day>.b<n>' subshards — see ingest_micro_batch).
 
     Stages (each independently idempotent — see module docstring):
 
@@ -128,9 +130,14 @@ def run_daily_delta(
     "n_kept", "bootstrapped_text", "bootstrapped_ann",
     "dropped_partitions"}.
     """
-    if "/" in day or "=" in day or not day:
+    if "/" in day or "=" in day or "." in day or not day:
+        # '.' is reserved for the streaming twin's '<day>.b<n>' subshard
+        # namespace: a dotted nightly shard would collide with it, be
+        # wrongly excluded by the streaming embedding probe's
+        # exclude_prefix='<day>.', and be collapsed by compact_warehouse
+        # as if it were a micro-batch subshard.
         raise ValueError(f"invalid day {day!r}: used as a partition value "
-                         "and an index shard name; no '/' or '='")
+                         "and an index shard name; no '/', '=' or '.'")
     text_index = f"{warehouse}/text_index"
     ann_index = f"{warehouse}/ann_index"
     corpus = f"{warehouse}/corpus"
@@ -271,6 +278,17 @@ def compact_warehouse(
     CONTRACT (their ``shard=<day>`` no longer exists to exclude) —
     the documented replay boundary.
 
+    ORDERING PREREQUISITE: every staged streaming day must be folded
+    (`fold_live_corpus`) BEFORE compacting. The text index is rebuilt
+    from ``{warehouse}/corpus`` alone while every ``shard=<day>.b<n>``
+    subshard is wiped — an in-flight staged day's keepers (docs still
+    in ``corpus_live``, signatures only in subshards) would lose their
+    text-index signatures, and until the next compaction a duplicate
+    of those keepers would pass the text probe and be kept, silently
+    breaking the one-keep/drop-policy invariant the streaming twin
+    establishes. This function therefore REFUSES to run while
+    ``corpus_live`` holds any staged day (fold or discard them first).
+
     Returns {"n_docs", "n_vectors", "retrained", "had_ann"}.
 
     Scale: one full corpus signature pass + one full vectors
@@ -282,6 +300,22 @@ def compact_warehouse(
         raise ValueError(
             f"{corpus} does not exist — nothing to compact (run "
             "run_daily_delta at least once)")
+    live = f"{warehouse}/corpus_live"
+    if _exists(spark, live):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(live)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        staged_days = sorted(
+            st.getPath().getName() for st in fs.listStatus(p)
+            if st.isDirectory() and st.getPath().getName().startswith("day="))
+        if staged_days:
+            raise ValueError(
+                f"{live} holds staged streaming day(s) "
+                f"{staged_days} — fold them first (fold_live_corpus): "
+                "compaction rebuilds the text index from the canonical "
+                "corpus only and wipes the '<day>.b<n>' subshards, so an "
+                "unfolded day's keepers would lose their signatures and "
+                "their future duplicates would be KEPT (see docstring)")
     docs = spark.read.parquet(corpus).select("doc_id", "text")
     n_docs = docs.count()
     write_corpus_index(docs, f"{warehouse}/text_index",

@@ -188,13 +188,20 @@ def write_zordered(
 
 
 # Spark/Hive's escapePathName char set (ExternalCatalogUtils.charToEscape:
-# control chars 0x01-0x1F and 0x7F, plus "#%'*/:=?\{}[]^ — note space is
-# NOT escaped). Partition directory names are produced by escaping exactly
-# these chars as uppercase %XX; everything below that touches directory
-# names in VALUE space goes through this pair so escaping and unescaping
-# are strict inverses of the same set, not of generic URL quoting.
+# control chars 0x01-0x1F and 0x7F, plus "#%'*/:=?\{[]^ — note space is
+# NOT escaped, and neither is '}': the set has the OPEN brace/brackets'
+# closers only for [] — verified against PySpark 4.1.2's JVM,
+# escapePathName('{')=='%7B' but escapePathName('}')=='}'). Partition
+# directory names are produced by escaping exactly these chars as
+# uppercase %XX; everything below that touches directory names in VALUE
+# space goes through this pair so escaping and unescaping are strict
+# inverses of the same set, not of generic URL quoting. An extra char
+# here is not conservative: escaping '}' would address a phantom
+# 'part=...%7D' sibling of the 'part=...}' directory partitionBy
+# actually wrote, skipping the upsert read-back (duplicate keys) — the
+# exact bug this pair exists to prevent.
 _HIVE_ESCAPED = frozenset(chr(c) for c in range(0x01, 0x20)) | frozenset(
-    "\"#%'*/:=?\\\x7f{}[]^")
+    "\"#%'*/:=?\\\x7f{[]^")
 
 
 def _escape_path_name(value: str) -> str:
