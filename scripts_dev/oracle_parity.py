@@ -168,11 +168,25 @@ def main() -> None:
             ["git", "rev-parse", "HEAD"], capture_output=True, text=True
         ).stdout.strip()
         probe_median = sorted(probes)[len(probes) // 2] if probes else None
+        # fixed IO probe (bench.py's twin): warm scan of the same fixed
+        # sf0.1 file — scanned twice, second timing recorded, because
+        # this sweep runs at sf0.01 so the sf0.1 file may be cold in
+        # the page cache (bench.py's single shot is warm by then).
+        # Cross-artifact ratios of this number let parity_trend
+        # attribute IO-side contention the CPU probe cannot see.
+        io_fixed = None
+        for _ in range(2):
+            t0 = time.time()
+            spark.read.parquet(
+                "/root/testdata/sf0.1/lineitem.parquet").selectExpr(
+                "count(l_orderkey)").collect()
+            io_fixed = round(time.time() - t0, 3)
         artifact = {"sf_dir": sf_dir, "git_head": head,
                     "ok": ok_n, "bad": bad_n,
                     "probe_ref_sec": PROBE_REF_SEC,
                     "probe_median_sec": (round(probe_median, 4)
                                          if probe_median else None),
+                    "io_fixed_sec": io_fixed,
                     "results": dict(sorted(results.items()))}
         out = Path(__file__).resolve().parent.parent / "PARITY_HEAD.json"
         out.write_text(json.dumps(artifact, indent=1) + "\n")

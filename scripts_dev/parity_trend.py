@@ -50,7 +50,9 @@ def _previous_artifact_ref() -> str:
     return out.strip()
 
 
-def classify_flag(oq: dict, nq: dict) -> str | None:
+def classify_flag(oq: dict, nq: dict,
+                  old_art: dict | None = None,
+                  new_art: dict | None = None) -> str | None:
     """Auto-triage for a flagged query (r11 verdict #5 — the r11 round
     triaged its two residual flags as sweep-position warmup BY HAND;
     the per-query `seq` both artifacts now record lets the classifier
@@ -67,7 +69,13 @@ def classify_flag(oq: dict, nq: dict) -> str | None:
       raw wall times are within the flag ratio, so the jump is the two
       rounds' contention corrections disagreeing (e.g. an over-
       corrected busy-box old value vs an uncorrected quiet-box new
-      one), not the plan.
+      one), not the plan;
+    - 'io-contention' (r12 verdict #2 — the CPU probe's acknowledged
+      blind spot): both artifacts carry the fixed parquet-scan IO
+      probe (``io_fixed_sec``, r13+) and its cross-artifact ratio
+      moved at least as much as the query's raw wall time — the box's
+      IO side was contended, which the scheduler+CPU probe (and thus
+      secs_corrected) cannot see.
     """
     if "seq" in oq and "seq" in nq and nq["seq"] < min(20, oq["seq"] // 2):
         return (f"warmup-position: moved to sweep position {nq['seq']}"
@@ -77,6 +85,11 @@ def classify_flag(oq: dict, nq: dict) -> str | None:
     if raw_o > 0 and raw_n / raw_o <= FLAG_RATIO:
         return (f"correction-asymmetry: raw {raw_o:.2f}s -> {raw_n:.2f}s"
                 f" (x{raw_n / raw_o:.2f}) is inside the flag ratio")
+    oio = (old_art or {}).get("io_fixed_sec")
+    nio = (new_art or {}).get("io_fixed_sec")
+    if oio and nio and raw_o > 0 and nio / oio >= raw_n / raw_o:
+        return (f"io-contention: fixed IO probe x{nio / oio:.2f} >= "
+                f"query raw x{raw_n / raw_o:.2f}")
     return None
 
 
@@ -104,7 +117,7 @@ def trend(old: dict, new: dict) -> dict:
         (r for r in rows if r[3] > FLAG_RATIO and max(r[1], r[2]) >= MIN_SECS),
         key=lambda r: -r[3])
     unexplained = [r for r in flagged
-                   if classify_flag(o[r[0]], n[r[0]]) is None]
+                   if classify_flag(o[r[0]], n[r[0]], old, new) is None]
     return {
         "rows": rows,
         "added": sorted(set(n) - set(o)),
@@ -137,7 +150,7 @@ def main(argv: list[str]) -> int:
         print(f"\nFLAG (> x{FLAG_RATIO}, slower side >= {MIN_SECS}s):")
         o, n = old["results"], new["results"]
         for q, os_, ns_, ratio in t["flagged"]:
-            cls = classify_flag(o[q], n[q])
+            cls = classify_flag(o[q], n[q], old, new)
             note = f"  [{cls}]" if cls else "  [UNEXPLAINED]"
             print(f"  {q:42s} {os_:7.2f}s -> {ns_:7.2f}s  x{ratio:5.2f}{note}")
         print(f"\nunexplained flags: {len(t['unexplained'])}"

@@ -1,4 +1,5 @@
-"""PQ re-rank uplift at sf0.1 with an R-sweep (r11 verdict #6).
+"""PQ re-rank uplift at sf0.1 with an R-sweep (r11 verdict #6; re-run
+r13 under the TRAINED 16x32 codebooks — r12 verdict #1).
 
 The r11 sf0.01 measurement of the exact re-rank's recall@5 uplift
 (0.08 -> 0.10, 4 -> 5 hits of 50 queries) was noise-level — too few
@@ -6,6 +7,10 @@ queries to justify the RERANK_R=15 default. This probe re-measures at
 sf0.1 (10x the corpus, ~10x the query set at QUERY_MOD=50) for the raw
 ``pq`` arm and the ``pq_rerank`` arm at R in {5, 15, 50}, against the
 brute-force exact top-5.
+
+r13 note: the codebook-shape grid that chose PQ_M=16/PQ_K=32 and
+default-on training is in PERF.md r13 (trained 16x32: raw 0.28,
+rerank-50 0.735; the r12 untrained 4x8 shape capped at 0.140).
 
 Usage: python scripts_dev/rerank_sweep.py [sf_dir]
 Prints a COVERAGE.md-ready table; takes a few minutes (one exact

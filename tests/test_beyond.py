@@ -773,11 +773,12 @@ def test_power_iteration_finds_dominant_axis(spark):
 
 
 def test_pq_dequantized_golden(spark):
-    """PQ reconstruction: codebook vectors (vec_id < k_codes) quantize
-    to themselves exactly; a vector assembled from DIFFERENT codes'
-    subvectors reconstructs as exactly that assembly (per-subspace
-    independent argmin); a perturbed subvector snaps to its nearest
-    code."""
+    """PQ reconstruction on the SEEDED codebook (train_iters=0 — the
+    legacy stand-in path, kept as the degenerate fallback): codebook
+    vectors (vec_id < k_codes) quantize to themselves exactly; a vector
+    assembled from DIFFERENT codes' subvectors reconstructs as exactly
+    that assembly (per-subspace independent argmin); a perturbed
+    subvector snaps to its nearest code."""
     from tickdatapipeline_spark.operators.similarity import DIM, pq_dequantized
 
     n_sub, k_codes = 4, 8
@@ -797,11 +798,78 @@ def test_pq_dequantized_golden(spark):
     pert[0] += 0.001
     rows.append((101, pert))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = {r.vec_id: list(r.v) for r in pq_dequantized(emb, n_sub, k_codes).collect()}
+    out = {r.vec_id: list(r.v)
+           for r in pq_dequantized(emb, n_sub, k_codes,
+                                   train_iters=0).collect()}
     for i in range(k_codes):
         assert out[i] == vec(i), f"codebook vector {i} not exact"
     assert out[100] == mixed
     assert out[101] == vec(3)  # perturbation snapped away
+
+
+def test_pq_train_trained_golden(spark):
+    """Trained PQ (the r12-verdict #1 default): on two binary-exact
+    clusters per subspace, Lloyd's converges to the cluster means in
+    every subspace, and reconstruction snaps members to their cluster
+    mean — strictly better than the seeded codebook, which could only
+    return the two seed vectors themselves. Values are picked so the
+    Q30 fixed-point means are exact and the expected codebook is an
+    equality, not a tolerance."""
+    from tickdatapipeline_spark.operators.similarity import (
+        DIM, pq_dequantized, pq_train)
+
+    k_codes, n_sub = 2, 4
+    rows = [
+        (0, [0.0] * DIM),    # seed code 0
+        (1, [1.0] * DIM),    # seed code 1
+        (2, [0.5] * DIM),    # ties to code 0 (d2 equal, lowest code wins)
+        (3, [0.75] * DIM),   # nearer code 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # iter 1: code0 <- mean{0.0, 0.5} = 0.25; code1 <- mean{1.0, 0.75} = 0.875
+    # iter 2+: assignments stable (0.5 is nearer 0.25 than 0.875) -> converged
+    cb = pq_train(emb, n_sub, k_codes)
+    assert sorted((m, code) for m, code, _ in cb) == [
+        (m, c) for m in range(n_sub) for c in range(k_codes)]
+    for _, code, c in cb:
+        assert c == [0.25 if code == 0 else 0.875] * (DIM // n_sub)
+    # determinism: retraining yields the identical codebook
+    assert pq_train(emb, n_sub, k_codes) == cb
+    out = {r.vec_id: list(r.v)
+           for r in pq_dequantized(emb, n_sub, k_codes).collect()}
+    assert out[0] == out[2] == [0.25] * DIM
+    assert out[1] == out[3] == [0.875] * DIM
+
+
+def test_pq_train_empty_code_carries_forward(spark):
+    """A code that attracts no subvectors keeps its previous entry
+    (kmeans_train's empty-cell rule): with every non-seed vector on
+    top of seed 0, seed 1's entry must survive training unchanged."""
+    from tickdatapipeline_spark.operators.similarity import DIM, pq_train
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] * DIM),
+         (2, [0.0] * DIM), (3, [0.0] * DIM)],
+        "vec_id long, embedding array<double>")
+    cb = {(m, code): c for m, code, c in pq_train(emb, 4, 2)}
+    sub = DIM // 4
+    for m in range(4):
+        assert cb[(m, 0)] == [0.0] * sub   # trained on {0,2,3}
+        assert cb[(m, 1)] == [1.0] * sub   # only its own seed -> unchanged
+
+
+def test_pq_train_no_seeds_is_empty(spark):
+    """No vec_id < k_codes rows -> empty codebook (training vacuous),
+    and the encoder encodes nothing — the documented degenerate
+    fallback, identical to what the seeded stand-in would produce."""
+    from tickdatapipeline_spark.operators.similarity import (
+        DIM, pq_dequantized, pq_train)
+
+    emb = spark.createDataFrame(
+        [(100, [0.5] * DIM), (101, [0.25] * DIM)],
+        "vec_id long, embedding array<double>")
+    assert pq_train(emb, 4, 8) == []
+    assert pq_dequantized(emb, 4, 8).count() == 0
 
 
 def test_label_centroid_cosine_golden(spark):
@@ -3384,34 +3452,39 @@ def test_seasonal_anomalies_golden(spark, tmp_path):
 
 
 def test_ivfpq_codebook_vectors_score_exactly(spark):
-    """IVF-PQ invariant: a vector whose vec_id < k_codes IS a codebook
-    entry in every subspace (its own residual subvectors, d2 = 0), so
-    its reconstruction is bit-exact and any (query, neighbor<k_codes)
+    """SEEDED IVF-PQ invariant (train_iters=0 — the degenerate
+    fallback): a vector whose vec_id < k_codes IS a codebook entry in
+    every subspace (its own residual subvectors, d2 = 0), so its
+    reconstruction is bit-exact and any (query, neighbor<k_codes)
     cosine in the IVF-PQ result must equal the brute-force value for
-    that same pair; other neighbors carry quantization error but stay
-    in [-1, 1] and each query returns at most k rows."""
+    that same pair. The TRAINED default breaks self-reconstruction by
+    design (entries are cluster means), so it is checked on contract
+    only: cosines in [-1, 1], at most k rows per query."""
     from tickdatapipeline_spark.operators.similarity import (
+        PQ_K,
         ann_topk_ivfpq,
         cosine_topk,
     )
     from tickdatapipeline_spark.plans.beyond import _emb
-
-    emb = _emb(spark, "/root/testdata/sf0.001")
-    approx = ann_topk_ivfpq(emb, 5, 50).collect()
-    exact = {(r.query_id, r.neighbor_id): r.cosine
-             for r in cosine_topk(emb, 400, 50).collect()}  # deep truth list
-    assert approx and all(-1.0 <= r.cosine <= 1.0 for r in approx)
     from collections import Counter
 
-    per_q = Counter(r.query_id for r in approx)
-    assert all(v <= 5 for v in per_q.values())
-    checked = 0
-    for r in approx:
-        if r.neighbor_id < 8 and (r.query_id, r.neighbor_id) in exact:
-            assert r.cosine == exact[(r.query_id, r.neighbor_id)], (
-                r.query_id, r.neighbor_id)
-            checked += 1
-    assert checked > 0  # the invariant actually fired
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    for train_iters in (0, None):
+        kw = {} if train_iters is None else {"train_iters": train_iters}
+        approx = ann_topk_ivfpq(emb, 5, 50, **kw).collect()
+        assert approx and all(-1.0 <= r.cosine <= 1.0 for r in approx)
+        per_q = Counter(r.query_id for r in approx)
+        assert all(v <= 5 for v in per_q.values())
+        if train_iters == 0:
+            exact = {(r.query_id, r.neighbor_id): r.cosine
+                     for r in cosine_topk(emb, 400, 50).collect()}
+            checked = 0
+            for r in approx:
+                if r.neighbor_id < PQ_K and (r.query_id, r.neighbor_id) in exact:
+                    assert r.cosine == exact[(r.query_id, r.neighbor_id)], (
+                        r.query_id, r.neighbor_id)
+                    checked += 1
+            assert checked > 0  # the invariant actually fired
 
 
 # ===== round-10 (cont.): heavy hitters / pagerank / LM surprisal =====

@@ -408,6 +408,10 @@ def ingest_micro_batch(
     through a dropped document (batch dedup is transitive-closure
     over the whole day; an online path can only probe what it kept —
     the inherent greedy/CC divergence every streaming dedup has).
+    DEPLOYMENT.md "When live keep/drop can diverge from nightly"
+    spells out the operational consequences: divergence is only extra
+    borderline keeps, compaction does NOT reconcile past divergence,
+    and chain-sensitive corpora belong on the nightly path.
 
     The warehouse must already be bootstrapped (one `run_daily_delta`
     or explicit `write_corpus_index`/`write_ann_index`) — a live

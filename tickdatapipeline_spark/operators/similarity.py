@@ -182,25 +182,147 @@ def ann_topk_sq8(emb: DataFrame, k: int = 5, query_mod: int = 50,
     return _brute_topk(sq8_dequantized(emb, levels), k, query_mod)
 
 
-PQ_M = 4   # subspaces (DIM/PQ_M dims each)
-PQ_K = 8   # codes per subspace codebook
+# Codebook shape, re-sized in r13 from the measured sf0.1 recall grid
+# (scripts_dev/rerank_sweep.py + PERF.md r13): the original 4x8 shape
+# (3-bit codes over 16-dim subspaces) capped rerank-50 recall@5 at
+# 0.140 REGARDLESS of training — 16 dims per 8-entry codebook is
+# unrecoverable quantization error at DIM=64. 16 subspaces x 32 codes
+# (5-bit codes over 4-dim subspaces, 80 bits/vector = 25x compression)
+# measured 0.56 untrained / 0.735 trained.
+PQ_M = 16  # subspaces (DIM/PQ_M dims each)
+PQ_K = 32  # codes per subspace codebook
+PQ_ITERS = 4  # Lloyd iterations for the per-subspace codebook training
+
+
+def _pq_sub(emb: DataFrame, n_sub: int) -> DataFrame:
+    """(vec_id, m, s): each vector exploded into its n_sub contiguous
+    subvectors — the shared first stage of PQ training and encoding."""
+    if DIM % n_sub != 0:
+        raise ValueError(f"n_sub must divide DIM={DIM}")
+    sub_dim = DIM // n_sub
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    base = base.where(
+        F.assert_true(
+            F.size("v") == DIM,
+            F.lit(f"pq_dequantized: embedding length != DIM={DIM}"),
+        ).isNull()
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(mm).cast("long").alias("m"),
+            F.slice("v", mm * sub_dim + 1, sub_dim).alias("s"),
+        )
+        for mm in range(n_sub)
+    ])
+    return base.select("vec_id", F.explode(subs).alias("r")).select(
+        "vec_id", F.col("r.m").alias("m"), F.col("r.s").alias("s")
+    )
+
+
+def _pq_d2(s: str, c: str) -> Column:
+    """Rounded fixed-order squared L2 between subvector columns — the
+    one distance every PQ stage (training assignment AND encoding
+    argmin) uses, so both replay in DuckDB bit-for-bit."""
+    return rnd(
+        F.aggregate(
+            F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_train(emb: DataFrame, n_sub: int = PQ_M, k_codes: int = PQ_K,
+             iters: int = PQ_ITERS) -> list:
+    """Per-subspace Lloyd's k-means for PQ codebooks — kmeans_train's
+    playbook applied to every subspace AT ONCE (one DataFrame job per
+    iteration keyed on (m, code), not n_sub separate trainings).
+
+    Init: the k_codes lowest vec_ids' subvectors (the former stand-in
+    codebook, demoted to seed). Per iteration: broadcast-join the
+    n_sub x k_codes codebook rows against the exploded subvectors,
+    assign each (vec_id, m) to its nearest code by the SAME rounded
+    fixed-order L2^2 the encoder uses (ties to the lowest code), then
+    update each (m, code) entry as the Q30 fixed-point integer mean of
+    its assigned subvectors — deterministic AND partition-order-
+    independent, so the whole training run (and therefore every PQ
+    query) replays in DuckDB SQL and stays oracle-gated. Codes that
+    attract no subvectors keep their previous entry (kmeans_train's
+    empty-cell rule). A corpus with no vec_id < k_codes rows returns
+    an empty codebook (training is vacuous — the encoder then encodes
+    nothing, exactly like the seeded stand-in would have).
+
+    Scale: per iteration ONE broadcast join (n_sub x k_codes rows) +
+    one groupBy((m, code), pos) fixed-point mean — n_sub x k_codes x
+    sub_dim rows to the driver, nothing else leaves the executors.
+
+    Returns [(m, code, [floats])] sorted by (m, code)."""
+    spark = emb.sparkSession
+    from pyspark.sql import Window
+
+    sub = _pq_sub(emb, n_sub)
+    cents = sorted(
+        ((int(r["m"]), int(r["vec_id"])), [float(x) for x in r["s"]])
+        for r in sub.where(F.col("vec_id") < k_codes).collect()
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    for _ in range(iters):
+        if not cents:
+            break
+        cb = spark.createDataFrame(
+            [(m, code, c) for (m, code), c in cents],
+            "m long, code long, c array<double>")
+        assigned = (
+            sub.join(F.broadcast(cb), on="m")
+            .select("vec_id", "m", "code", "s", _pq_d2("s", "c").alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        rows = (
+            assigned.select("m", "code", F.posexplode("s").alias("pos", "x"))
+            .withColumn("xq", F.floor(F.col("x") * KMEANS_Q + F.lit(0.5)).cast("long"))
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_code: dict = {}
+        for r in rows:
+            by_code.setdefault((int(r["m"]), int(r["code"])), {})[
+                int(r["pos"])] = (float(r["sq"]) / float(r["cnt"])) / KMEANS_Q
+        cents = [
+            (key, [by_code[key][i] for i in range(len(old))]
+             if key in by_code else old)
+            for key, old in cents  # empty codes keep their old entry
+        ]
+    return [(m, code, c) for (m, code), c in cents]
 
 
 def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
-                   k_codes: int = PQ_K) -> DataFrame:
+                   k_codes: int = PQ_K,
+                   codebooks: "list | None" = None,
+                   train_iters: int = PQ_ITERS) -> DataFrame:
     """Product quantization (PQ): each vector splits into ``n_sub``
     contiguous subvectors; each subvector is replaced by its nearest
     entry (L2, ties to the lowest code) from that subspace's
     ``k_codes``-entry codebook. Storage per vector is n_sub small codes
-    (here 4 x 3 bits) against SQ8's DIM bytes — the memory-compression
-    step beyond scalar quantization, at k_codes^n_sub effective
-    centroids (8^4 = 4096 here) for k_codes * n_sub stored subvectors.
+    (here 16 x 5 bits = 10 bytes) against SQ8's DIM bytes — the
+    memory-compression step beyond scalar quantization, at
+    k_codes^n_sub effective centroids for k_codes * n_sub stored
+    subvectors.
 
-    Codebooks are the subvectors of the ``k_codes`` lowest vec_ids —
-    the same deterministic stand-in convention as the untrained IVF
-    quantizer (ivf_assign), which keeps the whole path oracle-
-    reproducible; a deployment trains per-subspace k-means exactly like
-    kmeans_train and injects the result the same way.
+    Codebooks are TRAINED by default: per-subspace Lloyd's k-means
+    (`pq_train`, ``train_iters`` iterations) seeded from the k_codes
+    lowest vec_ids' subvectors — the same default-trained/seed-demoted
+    convention the delta loop's coarse quantizer adopted in r12. Pass
+    ``codebooks`` = [(m, code, [floats])] to inject a precomputed
+    codebook, or ``train_iters=0`` for the legacy seeded stand-in.
+    Training is deterministic and order-independent (rounded
+    assignment distances, Q30 fixed-point means), so the trained path
+    stays oracle-reproducible in DuckDB.
 
     Cross-engine exactness: squared distances fold left in dimension
     order (the shared _dot/list_reduce convention) and round before the
@@ -216,41 +338,20 @@ def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
     """
     from pyspark.sql import Window
 
-    if DIM % n_sub != 0:
-        raise ValueError(f"n_sub must divide DIM={DIM}")
-    sub_dim = DIM // n_sub
-    base = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
-    )
-    base = base.where(
-        F.assert_true(
-            F.size("v") == DIM,
-            F.lit(f"pq_dequantized: embedding length != DIM={DIM}"),
-        ).isNull()
-    )
-    subs = F.array(*[
-        F.struct(
-            F.lit(mm).cast("long").alias("m"),
-            F.slice("v", mm * sub_dim + 1, sub_dim).alias("s"),
+    sub = _pq_sub(emb, n_sub)
+    if codebooks is None and train_iters > 0:
+        codebooks = pq_train(emb, n_sub, k_codes, iters=train_iters)
+    if codebooks is not None:
+        cb = emb.sparkSession.createDataFrame(
+            [(m, code, c) for m, code, c in codebooks],
+            "m long, code long, c array<double>"
+        ).select("code", "m", "c")
+    else:
+        cb = sub.where(F.col("vec_id") < k_codes).select(
+            F.col("vec_id").alias("code"), "m", F.col("s").alias("c")
         )
-        for mm in range(n_sub)
-    ])
-    sub = base.select("vec_id", F.explode(subs).alias("r")).select(
-        "vec_id", F.col("r.m").alias("m"), F.col("r.s").alias("s")
-    )
-    cb = sub.where(F.col("vec_id") < k_codes).select(
-        F.col("vec_id").alias("code"), "m", F.col("s").alias("c")
-    )
-    d2 = rnd(
-        F.aggregate(
-            F.zip_with("s", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
     scored = sub.join(F.broadcast(cb), on="m").select(
-        "vec_id", "m", "code", "c", d2.alias("d2")
+        "vec_id", "m", "code", "c", _pq_d2("s", "c").alias("d2")
     )
     w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
     win = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
@@ -264,13 +365,17 @@ def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
 
 
 def ann_topk_pq(emb: DataFrame, k: int = 5, query_mod: int = 50,
-                n_sub: int = PQ_M, k_codes: int = PQ_K) -> DataFrame:
+                n_sub: int = PQ_M, k_codes: int = PQ_K,
+                train_iters: int = PQ_ITERS) -> DataFrame:
     """Cosine top-k over the PQ-reconstructed corpus (symmetric
     distance: queries score through their own reconstruction too —
-    the conservative variant; ADC with raw queries is one select away).
+    the conservative variant; ADC with raw queries is one select away),
+    codebooks k-means-trained by default (pq_dequantized).
     Same output contract as cosine_topk; recall < 1 by quantization
     error only (gauge with ann_recall vs cosine_topk)."""
-    return _brute_topk(pq_dequantized(emb, n_sub, k_codes), k, query_mod)
+    return _brute_topk(
+        pq_dequantized(emb, n_sub, k_codes, train_iters=train_iters),
+        k, query_mod)
 
 def ann_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     """Exact re-rank — the second stage of production two-stage
@@ -1241,7 +1346,8 @@ def cosine_topk_truncated(emb: DataFrame, trunc_dim: int, k: int = 5,
 def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
                    n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
                    n_sub: int = PQ_M, k_codes: int = PQ_K,
-                   centroids: "list | None" = None) -> DataFrame:
+                   centroids: "list | None" = None,
+                   train_iters: int = PQ_ITERS) -> DataFrame:
     """IVF-PQ — the production composite (the FAISS IVFPQ shape):
     coarse cells prune the search to nprobe cells per query, and the
     cell members are stored as product-quantized RESIDUALS
@@ -1258,10 +1364,11 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
 
     Exactness: residual subtraction and reconstruction addition are
     single IEEE ops on identical operands; the PQ argmin reuses
-    pq_dequantized's rounded fixed-order L2 fold; codebooks are the
-    k_codes lowest vec_ids' RESIDUAL subvectors (the untrained
-    deterministic convention — a deployment trains per-subspace
-    k-means like kmeans_train and injects via the same path).
+    pq_dequantized's rounded fixed-order L2 fold; codebooks are
+    k-means-TRAINED over the RESIDUAL subvectors (pq_dequantized's
+    default training, seeded from the k_codes lowest vec_ids'
+    residual subvectors — deterministic Q30 fixed-point Lloyd's, so
+    the trained composite stays oracle-reproducible).
 
     Scale: centroids broadcast; residual + PQ stages are map-side plus
     the (vec_id, m) argmin window (n_sub rows per vector); the search
@@ -1287,7 +1394,8 @@ def ann_topk_ivfpq(emb: DataFrame, k: int = 5, query_mod: int = 50,
         F.zip_with("v", "c", lambda x, y: x - y).alias("embedding"),
     )
     resid = pin(resid)  # feeds both the PQ pass and the cell lookup
-    pq_r = pq_dequantized(resid.select("vec_id", "embedding"), n_sub, k_codes)
+    pq_r = pq_dequantized(resid.select("vec_id", "embedding"), n_sub,
+                          k_codes, train_iters=train_iters)
     recon = (
         pq_r.select("vec_id", F.col("v").alias("pr"))
         .join(resid.select("vec_id", "cell"), "vec_id")

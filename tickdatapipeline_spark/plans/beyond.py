@@ -807,29 +807,88 @@ def _sq8_topk_sql(levels: float = 255.0) -> str:
     )
 
 
-def _pq_topk_sql(n_sub: int = 4, k_codes: int = 8,
-                 k: "int | None" = None) -> str:
-    """DuckDB twin of pq_dequantized + brute top-k: stand-in codebooks
-    from the k_codes lowest vec_ids' subvectors, fixed-order L2^2 folds
-    rounded before the argmin, reconstruction re-concatenated in
-    subspace order (list(c ORDER BY m) -> flatten), then the shared
-    cosine top-k algebra."""
-    sub = DIM // n_sub
-    d2 = sql_rnd(
-        f"list_reduce(list_transform(range(1, {sub + 1}), "
+def _pq_d2_sql(sub_dim: int) -> str:
+    """The shared rounded fixed-order subvector L2^2 (aliases t/cb) —
+    one distance for training assignment AND encoding argmin, matching
+    operators.similarity._pq_d2 bit-for-bit."""
+    return sql_rnd(
+        f"list_reduce(list_transform(range(1, {sub_dim + 1}), "
         f"i -> (t.s[i] - cb.c[i]) * (t.s[i] - cb.c[i])), (x, y) -> x + y)",
         6,
     )
+
+
+def _pq_train_ctes(sub_cte: str, n_sub: int, k_codes: int, sub_dim: int,
+                   iters: int, prefix: str = "") -> "tuple[list, str]":
+    """Unrolled per-subspace Lloyd's training as chained CTEs — the
+    DuckDB twin of operators.similarity.pq_train (rounded assignment
+    d2, ties to lowest code, Q30 fixed-point integer means, empty codes
+    carry forward), same pattern as ivf_kmeans_sql's coarse unroll.
+    Returns (cte_list, final_codebook_cte_name); the final codebook has
+    columns (code, m, c)."""
+    from tickdatapipeline_spark.operators.similarity import KMEANS_Q
+
+    d2 = _pq_d2_sql(sub_dim)
+    ctes = [
+        f"{prefix}cb0 AS (SELECT vec_id AS code, m, s AS c "
+        f"FROM {sub_cte} WHERE vec_id < {k_codes})"
+    ]
+    for i in range(1, iters + 1):
+        p = f"{prefix}cb{i - 1}"
+        ctes.append(
+            f"{prefix}ps{i} AS (SELECT t.vec_id, t.m, t.s, cb.code, {d2} AS d2 "
+            f"FROM {sub_cte} t JOIN {p} cb ON t.m = cb.m)"
+        )
+        ctes.append(
+            f"{prefix}pa{i} AS (SELECT m, code, s FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn "
+            f"FROM {prefix}ps{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{prefix}pm{i} AS (SELECT m, code, pos, "
+            f"CAST(sum(CAST(floor(x * {KMEANS_Q} + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / {KMEANS_Q} AS mu "
+            f"FROM (SELECT m, code, j AS pos, s[j] AS x FROM {prefix}pa{i} "
+            f"CROSS JOIN (SELECT unnest(range(1, {sub_dim + 1})) AS j)) "
+            f"GROUP BY m, code, pos)"
+        )
+        ctes.append(
+            f"{prefix}cb{i} AS (SELECT p.code, p.m, "
+            f"CASE WHEN n.c IS NULL THEN p.c ELSE n.c END AS c "
+            f"FROM {p} p LEFT JOIN "
+            f"(SELECT m, code, list(mu ORDER BY pos) AS c FROM {prefix}pm{i} GROUP BY m, code) n "
+            f"USING (m, code))"
+        )
+    return ctes, f"{prefix}cb{iters}"
+
+
+def _pq_topk_sql(n_sub: "int | None" = None, k_codes: "int | None" = None,
+                 k: "int | None" = None) -> str:
+    """DuckDB twin of pq_dequantized + brute top-k: codebooks k-means-
+    TRAINED per subspace (unrolled Lloyd CTEs, _pq_train_ctes) seeded
+    from the k_codes lowest vec_ids' subvectors, fixed-order L2^2 folds
+    rounded before the argmin, reconstruction re-concatenated in
+    subspace order (list(c ORDER BY m) -> flatten), then the shared
+    cosine top-k algebra. Codebook shape defaults to the Spark side's
+    PQ_M/PQ_K so the two engines can never drift apart."""
+    from tickdatapipeline_spark.operators.similarity import (
+        PQ_ITERS, PQ_K, PQ_M)
+
+    n_sub = PQ_M if n_sub is None else n_sub
+    k_codes = PQ_K if k_codes is None else k_codes
+    sub = DIM // n_sub
+    d2 = _pq_d2_sql(sub)
+    train_ctes, cb_final = _pq_train_ctes("sub", n_sub, k_codes, sub, PQ_ITERS)
+    train_block = ",\n".join(train_ctes)
     return _brute_topk_sql(
         f"""raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
 sub AS (
     SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> v[m * {sub} + i]) AS s
     FROM raw, (SELECT unnest(range(0, {n_sub})) AS m) ms
 ),
-cb AS (SELECT vec_id AS code, m, s AS c FROM sub WHERE vec_id < {k_codes}),
+{train_block},
 pqscored AS (
     SELECT t.vec_id, t.m, cb.code, cb.c, {d2} AS d2
-    FROM sub t JOIN cb ON t.m = cb.m
+    FROM sub t JOIN {cb_final} cb ON t.m = cb.m
 ),
 win AS (
     SELECT vec_id, m, c FROM (
@@ -6713,10 +6772,11 @@ _ANN_VARIANT_PLANS = (
 
 # Candidate depth of the exact re-rank stage (R > k = TOPK_K). Set
 # from the r12 sf0.1 R-sweep (scripts_dev/rerank_sweep.py, 2000
-# vectors / 40 queries): recall@5 = 0.025 raw pq, 0.025 at R=5 (R=k
-# re-ranks nothing), 0.065 at R=15, 0.140 at R=50 — monotone in R at
-# flat wall cost, and exact work stays O(queries x R) id-joins at any
-# corpus size, so R = 10k is cheap insurance (FAISS refine practice).
+# vectors / 40 queries): recall@5 monotone in R at flat wall cost, and
+# exact work stays O(queries x R) id-joins at any corpus size, so
+# R = 10k is cheap insurance (FAISS refine practice). Re-measured r13
+# under the trained 16x32 codebooks (PERF.md r13): raw pq 0.28,
+# rerank-50 0.735 (r12's untrained 4x8 shape capped at 0.140).
 RERANK_R = 50
 
 
@@ -7216,19 +7276,25 @@ ORDER BY g.event_type, g.hour_s
 
 def _ivfpq_topk_sql(query_mod: int = QUERY_MOD, k: int = TOPK_K,
                     n_cells: int = 8, nprobe: int = 2,
-                    n_sub: int = 4, k_codes: int = 8) -> str:
+                    n_sub: "int | None" = None,
+                    k_codes: "int | None" = None) -> str:
     """DuckDB twin of similarity.ann_topk_ivfpq: the IVF assignment
     CTEs (IVF_SQL's pattern), elementwise residuals, the PQ
-    codebook/argmin chain on residuals (same rounded fixed-order L2 as
-    _pq_topk_sql), reconstruction centroid + residual code, then
-    ADC cosine within probed cells."""
+    codebook/argmin chain on residuals — codebooks k-means-TRAINED on
+    the residual subvectors (_pq_train_ctes, same rounded fixed-order
+    L2 as _pq_topk_sql) — reconstruction centroid + residual code,
+    then ADC cosine within probed cells."""
+    from tickdatapipeline_spark.operators.similarity import (
+        PQ_ITERS, PQ_K, PQ_M)
+
+    n_sub = PQ_M if n_sub is None else n_sub
+    k_codes = PQ_K if k_codes is None else k_codes
     sub = DIM // n_sub
     sim = sql_cos("b.v", "c")
-    d2 = sql_rnd(
-        f"list_reduce(list_transform(range(1, {sub + 1}), "
-        f"i -> (t.s[i] - cb.c[i]) * (t.s[i] - cb.c[i])), (x, y) -> x + y)",
-        6,
-    )
+    d2 = _pq_d2_sql(sub)
+    train_ctes, cb_final = _pq_train_ctes("sub", n_sub, k_codes, sub,
+                                          PQ_ITERS, prefix="r")
+    train_block = ",\n".join(train_ctes)
     qcos = sql_cos("q.q", "recon.v")
     return f"""
 WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
@@ -7254,10 +7320,10 @@ sub AS (
     SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> r[m * {sub} + i]) AS s
     FROM resid, (SELECT unnest(range(0, {n_sub})) AS m) ms
 ),
-cb AS (SELECT vec_id AS code, m, s AS c FROM sub WHERE vec_id < {k_codes}),
+{train_block},
 pqscored AS (
     SELECT t.vec_id, t.m, cb.code, cb.c, {d2} AS d2
-    FROM sub t JOIN cb ON t.m = cb.m
+    FROM sub t JOIN {cb_final} cb ON t.m = cb.m
 ),
 win AS (
     SELECT vec_id, m, c FROM (
