@@ -4087,3 +4087,140 @@ def test_kyle_lambda_stream_restart_keeps_state(spark, tmp_path):
     assert (latest.n_obs, latest.sx, latest.sy, latest.sxy, latest.sxx) == \
            (want.n_obs, want.sx, want.sy, want.sxy, want.sxx)
     assert latest.kyle_lambda == want.kyle_lambda
+
+
+def test_bollinger_stream_deployment_params_fires_real_breaks(spark, tmp_path):
+    """Deployment parameters W=20/k=2 (BOLLINGER_W/BOLLINGER_K) through
+    the durable runner, on a fixture LONG enough to fire real breaks —
+    the r12 coverage gap: the earlier stream tests use k=1 because at
+    small W the current bar inside its own window caps |z| at
+    (W-1)/sqrt(W), so a 2-sigma band could never break there. At W=20
+    the cap is 4.25 sigmas; a spike bar and (a window later) a crash
+    bar must fire a real UPPER and a real LOWER break through the
+    streaming path, bit-equal to the batch operator, across a restart
+    placed mid-warmup."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.plans.market import (
+        BOLLINGER_K, BOLLINGER_W, bollinger_flags)
+    from tickdatapipeline_spark.streaming.stateful import run_bollinger_stream
+
+    BAR, W, K = 2, BOLLINGER_W, BOLLINGER_K
+    assert (W, K) == (20, 2)  # the deployment defaults this test exists for
+    n_bars = 50
+    # gently varying base tape; bar 25 closes at a spike, bar 46 (a full
+    # window after the spike left the band window) closes at a crash
+    prices = []
+    for b in range(n_bars):
+        close = 100 + (b % 3)
+        if b == 25:
+            close = 200
+        if b == 46:
+            close = 20
+        prices += [100 + (b % 2), close]  # 2 ticks per bar; last = close
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, sl, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for j in range(*sl.indices(len(prices))):
+                f.write(json.dumps({"stream": 0, "line_no": j + 1,
+                                    "last": prices[j]}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_bollinger_stream(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), bar_size=BAR, w_bars=W, k=K)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b0.json", slice(0, 31), 0)   # restart mid-warmup, bar 15 split
+    run_once()
+    write("b1.json", slice(31, 75), 1)  # through the spike bar
+    run_once()
+    write("b2.json", slice(75, 100), 2)  # through the crash bar
+    run_once()
+
+    got = {r.bar_id: (r.close, r.win_sum, r.upper_break, r.lower_break)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    closes = [(0, b, prices[b * BAR + BAR - 1]) for b in range(n_bars)]
+    want = {r.bar_id: (r.close, r.win_sum, r.upper_break, r.lower_break)
+            for r in bollinger_flags(
+                spark.createDataFrame(
+                    closes, "stream long, bar_id long, close long"),
+                w_bars=W, k=K).collect()}
+    assert got == want  # bit-identical at the deployment parameters
+    assert len(got) == n_bars
+    # the gap this test closes: REAL breaks at k=2, both sides, and
+    # warmup bars (window not yet full) still NULL
+    assert got[25][2] == 1 and got[25][3] == 0   # spike: upper break
+    assert got[46][3] == 1 and got[46][2] == 0   # crash: lower break
+    assert got[0][2] is None and got[18][2] is None
+    # quiet bars between the events do NOT break
+    assert all(got[b][2] == 0 and got[b][3] == 0
+               for b in range(19, 25)) and got[30][2] == 0
+
+
+def test_kyle_lambda_stream_trending_tape_nonzero_lambda(spark, tmp_path):
+    """A TRENDING tape (the r12 degenerate battery covered the flat
+    tape only): buys on rising prices with varied volumes produce a
+    strictly positive lambda, preserved across a restart mid-trend —
+    the cumulative panel after the second query instance equals the
+    one-shot batch answer and its lambda is > 0."""
+    import json
+    import os
+
+    from tickdatapipeline_spark.plans.market import kyle_lambda
+    from tickdatapipeline_spark.streaming.stateful import (
+        run_kyle_lambda_stream)
+
+    # bigger prints move the price more (dy = 3*volume - 1), so signed
+    # flow and price change co-vary POSITIVELY — slope ~3.13 — with one
+    # zero-tick mid-trend exercising the sign carry (a volume pattern
+    # uncorrelated with the moves can flip the OLS slope negative even
+    # on a rising tape; Kyle's lambda prices IMPACT, not drift)
+    tape = [(100, 1), (105, 2), (107, 1), (115, 3), (117, 1), (117, 2),
+            (128, 4), (133, 2), (141, 3), (143, 1), (148, 2), (159, 4),
+            (167, 3)]
+    rows = [(0, i + 1, p, v) for i, (p, v) in enumerate(tape)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, sl, i):
+        p = in_dir / fname
+        with open(p, "w") as f:
+            for st, ln, last, vol in sl:
+                f.write(json.dumps({"stream": st, "line_no": ln,
+                                    "last": last, "volume": vol}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run_once():
+        q = run_kyle_lambda_stream(
+            spark, str(in_dir), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write("b0.json", rows[:4], 0)   # restart right after a zero-tick
+    run_once()
+    write("b1.json", rows[4:], 1)
+    run_once()
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    latest = max(out, key=lambda r: r.n_obs)
+    want = kyle_lambda(spark.createDataFrame(
+        rows, "stream long, line_no long, last long, volume long")).first()
+    assert (latest.n_obs, latest.sx, latest.sy, latest.sxy, latest.sxx) == \
+           (want.n_obs, want.sx, want.sy, want.sxy, want.sxx)
+    assert latest.kyle_lambda == want.kyle_lambda
+    assert latest.kyle_lambda is not None and latest.kyle_lambda > 0
+    assert latest.impact_corr == want.impact_corr
+    assert latest.impact_corr is not None and latest.impact_corr > 0
