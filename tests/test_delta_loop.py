@@ -619,6 +619,154 @@ def test_compact_warehouse_requires_corpus(spark, tmp_path):
         compact_warehouse(spark, str(tmp_path / "empty_wh"))
 
 
+def test_lifecycle_soak_end_to_end(spark, tmp_path):
+    """The full warehouse lifecycle in ONE run (r12 verdict #3) —
+    every stage is individually tested elsewhere; this pins the seams
+    ACROSS the whole cycle:
+
+      bootstrap nightly day -> live micro-batch day (staged + fold,
+      with a cross-batch text dup) -> nightly day with TTL expiry of
+      day 1 -> the ANN rebuild trigger observed flipping healthy ->
+      DUE -> compact_warehouse(retrain=True) -> one more nightly day
+      (a dup of the EXPIRED day-1 doc is now kept, a dup of a retained
+      live keeper still drops)
+
+    and asserts the final corpus and BOTH indexes row-equal from-
+    scratch builds over the same retained data (shard-blind; the same
+    trained quantizer).
+
+    Fixture geometry (verified offline): four axis centroids, day-1
+    vectors balanced 2-per-cell (healthy at max_cell_factor=1.5:
+    0.25 <= 0.375); the live day's five keepers all land in cell 0
+    (7/13 = 0.538 > 0.375 -> DUE); every cross-day cosine < the 0.96
+    dup bar, so keep/drop is decided by TEXT alone."""
+    import os
+
+    from tickdatapipeline_spark.delta_loop import (
+        compact_warehouse, fold_live_corpus, ingest_micro_batch)
+    from tickdatapipeline_spark.operators.dedup import write_corpus_index
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_rebuild_due, kmeans_train, write_ann_index)
+
+    wh = str(tmp_path / "wh")
+    AXES = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0, 1.0])]
+    V1 = {0: [1.0, 0, 0, 0], 1: [5.0, 1, 0, 0], 2: [0.0, 1, 0, 0],
+          3: [1.0, 5, 0, 0], 4: [0.0, 0, 1, 0], 5: [0.0, 1, 4, 0],
+          6: [0.0, 0, 0, 1], 7: [0.0, 0, 1, 3]}
+    V2 = {10: [3.0, 2, 0, 0], 11: [3.0, -2, 0, 0], 12: [3.0, 2, 1, 0],
+          13: [3.0, -1, 1, 0], 14: [5.0, 2, 2, 0], 15: [9.0, 9, 9, 9]}
+    V3 = {20: [2.0, 3, 0, 0], 21: [0.0, 3, 2, 0]}
+
+    V1 = {i: [float(x) for x in v] for i, v in V1.items()}
+    V2 = {i: [float(x) for x in v] for i, v in V2.items()}
+    V3 = {i: [float(x) for x in v] for i, v in V3.items()}
+
+    def _df(pairs, vecs):
+        docs = spark.createDataFrame(pairs, "doc_id long, text string")
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i, _ in pairs],
+            "vec_id long, embedding array<double>")
+        return docs, emb
+
+    # --- day 1: nightly bootstrap (injected production quantizer) ---
+    d1 = [(i, _text(900 + i)) for i in range(8)]
+    docs, emb = _df(d1, V1)
+    r1 = run_daily_delta(spark, docs, emb, wh, "2024-01-01",
+                         ann_centroids=AXES, n_cells=4, nprobe=2)
+    assert (r1["n_in"], r1["n_kept"]) == (8, 8)
+    assert r1["bootstrapped_text"] and r1["bootstrapped_ann"]
+    due1 = ann_rebuild_due(spark, f"{wh}/ann_index", max_cell_factor=1.5)
+    assert due1["rebuild_due"] is False and due1["max_cell_frac"] == 0.25
+
+    # --- day 2: LIVE (staged micro-batches + day-close fold); doc 15
+    # text-dups doc 10 from the EARLIER batch -> cross-batch drop ---
+    b0 = [(10, _text(910), V2[10]), (11, _text(911), V2[11]),
+          (12, _text(912), V2[12])]
+    b1 = [(13, _text(913), V2[13]), (14, _text(914), V2[14]),
+          (15, _text(910, mutate=True), V2[15])]
+    schema = "doc_id long, text string, embedding array<double>"
+    c0 = ingest_micro_batch(spark.createDataFrame(b0, schema), 0, wh,
+                            "2024-01-02", nprobe=2)
+    c1 = ingest_micro_batch(spark.createDataFrame(b1, schema), 1, wh,
+                            "2024-01-02", nprobe=2)
+    assert (c0["n_in"], c0["n_kept"]) == (3, 3)
+    assert (c1["n_in"], c1["n_text_kept"], c1["n_kept"]) == (3, 2, 2)
+    assert fold_live_corpus(spark, wh, "2024-01-02") == 5
+    due2 = ann_rebuild_due(spark, f"{wh}/ann_index", max_cell_factor=1.5)
+    assert due2["rebuild_due"] is True          # the flip: healthy -> DUE
+    assert due2["max_cell_frac"] == round(7 / 13, 6)
+
+    # --- day 3: nightly + TTL expiry of day 1 ---
+    d3 = [(20, _text(920)), (21, _text(921))]
+    docs, emb = _df(d3, V3)
+    r3 = run_daily_delta(spark, docs, emb, wh, "2024-01-03",
+                         n_cells=4, nprobe=2, retain_before="2024-01-02")
+    assert r3["n_kept"] == 2
+    assert r3["dropped_partitions"] == ["2024-01-01"]
+    assert ann_rebuild_due(spark, f"{wh}/ann_index",
+                           max_cell_factor=1.5)["rebuild_due"] is True
+
+    # --- the trigger fired: scheduled compaction with retrain ---
+    rc = compact_warehouse(spark, wh, n_cells=4)
+    assert rc == {"n_docs": 7, "n_vectors": 15, "retrained": True,
+                  "had_ann": True}
+    for sub in ("text_index/bands", "text_index/shingles",
+                "ann_index/vectors"):
+        assert [d for d in os.listdir(f"{wh}/{sub}")
+                if d.startswith("shard=")] == ["shard=base"]
+
+    # --- day 4 on the compacted warehouse: dup of EXPIRED day-1 doc 0
+    # is now KEPT (signatures aged out with the corpus); dup of the
+    # retained live keeper 12 still drops ---
+    d4 = [(30, _text(900, mutate=True)), (31, _text(912, mutate=True))]
+    docs, emb = _df(d4, {30: [1.0, 1, 1, 1], 31: [7.0, 7, 7, 7]})
+    r4 = run_daily_delta(spark, docs, emb, wh, "2024-01-04",
+                         n_cells=4, nprobe=2)
+    assert r4["n_kept"] == 1
+    assert {d for d, day in _corpus_rows(spark, wh)
+            if day == "2024-01-04"} == {30}
+
+    # --- final state == from-scratch builds over the retained data ---
+    assert _corpus_rows(spark, wh) == sorted(
+        [(i, "2024-01-02") for i in (10, 11, 12, 13, 14)]
+        + [(20, "2024-01-03"), (21, "2024-01-03"), (30, "2024-01-04")])
+
+    ref = str(tmp_path / "ref")
+    retained = {10: _text(910), 11: _text(911), 12: _text(912),
+                13: _text(913), 14: _text(914), 20: _text(920),
+                21: _text(921), 30: _text(900, mutate=True)}
+    write_corpus_index(
+        spark.createDataFrame(sorted(retained.items()),
+                              "doc_id long, text string"),
+        f"{ref}/text_index")
+    got_t = _index_rows_ignoring_shard(spark, wh)[:2]
+    ref_t = (sorted(map(tuple, spark.read.parquet(
+                f"{ref}/text_index/bands").drop("shard").collect())),
+             sorted(map(tuple, spark.read.parquet(
+                f"{ref}/text_index/shingles").drop("shard").collect())))
+    assert got_t == ref_t
+
+    # ANN: compaction retrained over the index's 15 vectors (seeded
+    # from the 4 lowest vec_ids); day 4 appended against those FROZEN
+    # centroids — so a from-scratch write of all 16 vectors under the
+    # same trained quantizer must be row-identical
+    vecs15 = {**V1, **{i: V2[i] for i in (10, 11, 12, 13, 14)}, **V3}
+    emb15 = spark.createDataFrame(
+        sorted(vecs15.items()), "vec_id long, embedding array<double>")
+    cents = kmeans_train(emb15, k=4,
+                         seeds=[(i, vecs15[i]) for i in range(4)])
+    emb16 = spark.createDataFrame(
+        sorted({**vecs15, 30: [1.0, 1.0, 1.0, 1.0]}.items()),
+        "vec_id long, embedding array<double>")
+    write_ann_index(emb16, f"{ref}/ann_index", n_cells=4, centroids=cents)
+    got_v = sorted((r.vec_id, r.cell, tuple(r.v)) for r in
+                   spark.read.parquet(f"{wh}/ann_index/vectors").collect())
+    ref_v = sorted((r.vec_id, r.cell, tuple(r.v)) for r in
+                   spark.read.parquet(f"{ref}/ann_index/vectors").collect())
+    assert got_v == ref_v
+
+
 def test_daily_delta_rejects_dotted_day(spark, tmp_path):
     """'.' in a nightly day is rejected: it would collide with the
     streaming twin's '<day>.b<n>' subshard namespace — wrongly excluded
