@@ -1,0 +1,156 @@
+"""Tier-2 growth factors for the r12 lifecycle surface (r12 verdict
+#5): `ingest_micro_batch` end-to-end, `fold_live_corpus`, and
+`compact_warehouse` under 10x sweeps of their governing dimension.
+
+Claims under test (delta_loop.py docstrings):
+
+- ingest_micro_batch is O(batch): a FIXED batch against a 10x/100x
+  larger indexed corpus should grow only with the index-probe I/O
+  (columnar band/vector scans), never with corpus signature work;
+  a 10x larger batch at fixed corpus pays ~10x (the batch-side
+  minhash/probe work is linear).
+- fold_live_corpus is O(day): folding a 10x larger staged day costs
+  ~10x (one read + one partition upsert).
+- compact_warehouse is O(corpus) BY DEFINITION (it rebuilds both
+  indexes); the probe checks the factor stays ~linear — a
+  super-linear term would mean an accidental self-join somewhere in
+  the rebuild.
+
+All data is built with DISTRIBUTED expressions (spark.range + token /
+embedding arithmetic, 10% planted near-dups of base docs), never
+driver-side lists, so the probe itself scales. Solo contract — no
+concurrent Spark session.
+
+Usage: python scripts_dev/lifecycle_scale_probe.py [base_sizes...]
+(default 2000 20000 200000). Paste the table into PERF.md.
+"""
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+TMP = Path("/tmp/.lifecycle_probe")
+BATCH = 1_000
+DIM = 64
+
+
+def main() -> None:
+    bases = [int(s) for s in sys.argv[1:]] or [2_000, 20_000, 200_000]
+
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.delta_loop import (
+        compact_warehouse, fold_live_corpus, ingest_micro_batch,
+        run_daily_delta)
+    from tickdatapipeline_spark.session import get_spark
+
+    spark = get_spark("lifecycle_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _text(src):
+        # 30 deterministic pseudo-random tokens from a 5000-word vocab
+        return F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.concat(F.lit("w"), F.pmod(
+                F.hash(src * 31 + j), F.lit(5000)).cast("string"))))
+
+    def _emb(src):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda d: (F.pmod(F.hash(src * 64 + d), F.lit(2001))
+                       .cast("double") / F.lit(1000.0) - F.lit(1.0)))
+
+    def docs_df(lo, n, dup_base=None):
+        """n docs with ids [lo, lo+n); when dup_base is set, the first
+        10% near-duplicate a base doc (same tokens, one appended)."""
+        d = spark.range(lo, lo + n).select(F.col("id").alias("doc_id"))
+        if dup_base:
+            src = F.when(F.col("doc_id") < lo + n // 10,
+                         F.pmod(F.col("doc_id"), F.lit(dup_base))
+                         ).otherwise(F.col("doc_id"))
+            txt = F.when(F.col("doc_id") < lo + n // 10,
+                         F.concat(_text(src), F.lit(" MUT"))
+                         ).otherwise(_text(src))
+        else:
+            txt = _text(F.col("doc_id"))
+        return d.select("doc_id", txt.alias("text"),
+                        _emb(F.col("doc_id")).alias("embedding"))
+
+    print(f"{'axis':28s} {'size':>9s} {'secs':>8s} {'factor':>7s}")
+    # ---------- corpus axis: fixed 1k batch vs 10x indexed corpus ----
+    prev = None
+    whs = {}
+    for b in bases:
+        wh = TMP / f"wh_{b}"
+        shutil.rmtree(wh, ignore_errors=True)
+        base = docs_df(0, b)
+        run_daily_delta(spark, base.drop("embedding"),
+                        base.select(F.col("doc_id").alias("vec_id"),
+                                    "embedding"),
+                        str(wh), "2024-01-01")
+        whs[b] = wh
+        batch = docs_df(10_000_000, BATCH, dup_base=b)
+        t0 = time.time()
+        c = ingest_micro_batch(batch, 0, str(wh), "2024-01-02")
+        dt = time.time() - t0
+        f = f"{dt / prev:6.2f}x" if prev else "      -"
+        prev = dt
+        print(f"{'ingest_1k_vs_corpus':28s} {b:9d} {dt:8.2f} {f}"
+              f"   (kept {c['n_kept']}/{BATCH})")
+
+    # ---------- day axis: 10x batch at fixed mid corpus --------------
+    prev = None
+    for n in (BATCH, 10 * BATCH):
+        wh = whs[bases[min(1, len(bases) - 1)]]
+        batch = docs_df(20_000_000, n, dup_base=bases[0])
+        t0 = time.time()
+        c = ingest_micro_batch(batch, 1, str(wh), "2024-01-02")
+        dt = time.time() - t0
+        f = f"{dt / prev:6.2f}x" if prev else "      -"
+        prev = dt
+        print(f"{'ingest_vs_batch_size':28s} {n:9d} {dt:8.2f} {f}"
+              f"   (kept {c['n_kept']}/{n})")
+
+    # ---------- fold: 10x staged day ----------------------------------
+    prev = None
+    for n in (10_000, 100_000, 1_000_000):
+        root = TMP / f"fold_{n}"
+        shutil.rmtree(root, ignore_errors=True)
+        per = n // 10
+        for bi in range(10):  # a day of 10 staged micro-batches
+            (spark.range(bi * per, bi * per + per)
+             .select(F.col("id").alias("doc_id"),
+                     _text(F.col("id")).alias("text"))
+             .write.mode("overwrite")
+             .parquet(f"{root}/corpus_live/day=2024-01-02/batch={bi}"))
+        t0 = time.time()
+        folded = fold_live_corpus(spark, str(root), "2024-01-02")
+        dt = time.time() - t0
+        f = f"{dt / prev:6.2f}x" if prev else "      -"
+        prev = dt
+        print(f"{'fold_live_corpus':28s} {n:9d} {dt:8.2f} {f}"
+              f"   (folded {folded})")
+        shutil.rmtree(root, ignore_errors=True)
+
+    # ---------- compact: 10x corpus (reusing the ingest warehouses) --
+    prev = None
+    for b in bases:
+        wh = whs[b]
+        fold_live_corpus(spark, str(wh), "2024-01-02")  # guard: fold first
+        t0 = time.time()
+        r = compact_warehouse(spark, str(wh))
+        dt = time.time() - t0
+        f = f"{dt / prev:6.2f}x" if prev else "      -"
+        prev = dt
+        print(f"{'compact_warehouse':28s} {b:9d} {dt:8.2f} {f}"
+              f"   (docs {r['n_docs']}, vecs {r['n_vectors']}, "
+              f"retrained {r['retrained']})")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

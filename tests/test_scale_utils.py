@@ -375,6 +375,8 @@ def test_hive_escape_roundtrip_and_strict_decode():
     # in a bare '%' or carries %XX outside the escape set
     assert _escape_path_name("100%") == "100%25"
     for bad in ["x%41y",   # 'A' is not in the escape set
+                "x%7Dy",   # '}' is NOT escaped by Spark (only '{[]^'),
+                           # so %7D can never appear in a writer-made name
                 "x%zzy",   # not hex
                 "trail%"]:  # truncated escape
         with pytest.raises(ValueError, match="not a Spark/Hive"):
