@@ -59,13 +59,18 @@ def _cos_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
-def _brute_topk(base: DataFrame, k: int, query_mod: int) -> DataFrame:
+def _brute_topk(base: DataFrame, k: int, query_mod: int,
+                queries: "DataFrame | None" = None) -> DataFrame:
     """Brute-force cosine top-k over a (vec_id, v) frame: query vectors
     are vec_id % query_mod == 0, self excluded. Shared by cosine_topk
-    (raw vectors) and ann_topk_sq8 (dequantized vectors)."""
-    queries = base.where(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
-    )
+    (raw vectors) and ann_topk_sq8 (dequantized vectors). Pass
+    ``queries`` (query_id, q) to score a DIFFERENT query
+    representation against ``base`` — the asymmetric-distance hook
+    (ann_topk_pq_adc: raw queries vs the reconstructed corpus)."""
+    if queries is None:
+        queries = base.where(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        )
     # scale contract: the QUERY side must be small (a probe set, not the
     # corpus) — broadcast is then the right plan at any corpus size. A
     # corpus-sized query side is all-pairs similarity, which is what the
@@ -376,6 +381,28 @@ def ann_topk_pq(emb: DataFrame, k: int = 5, query_mod: int = 50,
     return _brute_topk(
         pq_dequantized(emb, n_sub, k_codes, train_iters=train_iters),
         k, query_mod)
+
+
+def ann_topk_pq_adc(emb: DataFrame, k: int = 5, query_mod: int = 50,
+                    n_sub: int = PQ_M, k_codes: int = PQ_K,
+                    train_iters: int = PQ_ITERS) -> DataFrame:
+    """ADC (asymmetric distance) PQ search — the deployment scoring
+    shape ann_topk_pq's docstring points at: RAW query vectors scored
+    against the PQ-RECONSTRUCTED corpus, self excluded. Only the
+    corpus side carries quantization error (queries are never
+    quantized and cost no storage), so ADC recall dominates the
+    symmetric variant at identical bits — gauge both with ann_recall.
+    Same (query_id, neighbor_id, rank, cosine) contract; same
+    trained-codebook default as ann_topk_pq.
+
+    Scale: identical to ann_topk_pq plus one extra broadcast of the
+    raw query set (a probe set by the _brute_topk contract)."""
+    recon = pq_dequantized(emb, n_sub, k_codes, train_iters=train_iters)
+    raw_q = emb.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        _as_double(F.col("embedding")).alias("q"),
+    ).where(F.col("query_id") % query_mod == 0)
+    return _brute_topk(recon, k, query_mod, queries=raw_q)
 
 def ann_rerank(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     """Exact re-rank — the second stage of production two-stage

@@ -60,6 +60,7 @@ from tickdatapipeline_spark.operators.similarity import (
     ann_topk_ivf,
     ann_topk_ivfpq,
     ann_topk_pq,
+    ann_topk_pq_adc,
     ann_topk_sq8,
     ann_topk_ivf_kmeans,
     ann_topk_lsh,
@@ -861,14 +862,13 @@ def _pq_train_ctes(sub_cte: str, n_sub: int, k_codes: int, sub_dim: int,
     return ctes, f"{prefix}cb{iters}"
 
 
-def _pq_topk_sql(n_sub: "int | None" = None, k_codes: "int | None" = None,
-                 k: "int | None" = None) -> str:
-    """DuckDB twin of pq_dequantized + brute top-k: codebooks k-means-
-    TRAINED per subspace (unrolled Lloyd CTEs, _pq_train_ctes) seeded
-    from the k_codes lowest vec_ids' subvectors, fixed-order L2^2 folds
-    rounded before the argmin, reconstruction re-concatenated in
-    subspace order (list(c ORDER BY m) -> flatten), then the shared
-    cosine top-k algebra. Codebook shape defaults to the Spark side's
+def _pq_prelude_ctes(n_sub: "int | None" = None,
+                     k_codes: "int | None" = None) -> str:
+    """The shared PQ oracle prelude: raw vectors -> subvector
+    explosion -> unrolled per-subspace Lloyd training (_pq_train_ctes)
+    -> encoding argmin -> CTE ``base`` = (vec_id, v-reconstructed).
+    ``raw`` (the unquantized vectors) stays in scope for the ADC
+    variant's query side. Codebook shape defaults to the Spark side's
     PQ_M/PQ_K so the two engines can never drift apart."""
     from tickdatapipeline_spark.operators.similarity import (
         PQ_ITERS, PQ_K, PQ_M)
@@ -879,8 +879,7 @@ def _pq_topk_sql(n_sub: "int | None" = None, k_codes: "int | None" = None,
     d2 = _pq_d2_sql(sub)
     train_ctes, cb_final = _pq_train_ctes("sub", n_sub, k_codes, sub, PQ_ITERS)
     train_block = ",\n".join(train_ctes)
-    return _brute_topk_sql(
-        f"""raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+    return f"""raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
 sub AS (
     SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> v[m * {sub} + i]) AS s
     FROM raw, (SELECT unnest(range(0, {n_sub})) AS m) ms
@@ -896,9 +895,40 @@ win AS (
         FROM pqscored
     ) WHERE rn = 1
 ),
-base AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS v FROM win GROUP BY vec_id)""",
-        k=k,
-    )
+base AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS v FROM win GROUP BY vec_id)"""
+
+
+def _pq_topk_sql(n_sub: "int | None" = None, k_codes: "int | None" = None,
+                 k: "int | None" = None) -> str:
+    """DuckDB twin of pq_dequantized + brute top-k: codebooks k-means-
+    TRAINED per subspace (unrolled Lloyd CTEs, _pq_train_ctes) seeded
+    from the k_codes lowest vec_ids' subvectors, fixed-order L2^2 folds
+    rounded before the argmin, reconstruction re-concatenated in
+    subspace order (list(c ORDER BY m) -> flatten), then the shared
+    cosine top-k algebra."""
+    return _brute_topk_sql(_pq_prelude_ctes(n_sub, k_codes), k=k)
+
+
+def _pq_adc_topk_sql(n_sub: "int | None" = None,
+                     k_codes: "int | None" = None,
+                     k: "int | None" = None) -> str:
+    """DuckDB twin of ann_topk_pq_adc: the same trained-PQ prelude,
+    but the query side comes from ``raw`` (unquantized vectors) while
+    neighbors score through their reconstruction — asymmetric
+    distance."""
+    k = TOPK_K if k is None else k
+    return f"""
+WITH {_pq_prelude_ctes(n_sub, k_codes)},
+q AS (SELECT vec_id AS query_id, v FROM raw WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id, {_cos} AS cosine
+    FROM base b JOIN q ON b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def _ann_recall_ivf_sql() -> str:
@@ -6768,6 +6798,10 @@ _ANN_VARIANT_PLANS = (
     # as a seventh variant, zero new registry slots
     ("pq_rerank",
      lambda emb, k, qm: ann_rerank(ann_topk_pq(emb, RERANK_R, qm), emb, k)),
+    # r13: ADC — raw queries against the reconstructed corpus (the
+    # deployment scoring; queries cost no storage and carry no
+    # quantization error); eighth variant, zero new registry slots
+    ("pq_adc", ann_topk_pq_adc),
 )
 
 # Candidate depth of the exact re-rank stage (R > k = TOPK_K). Set
@@ -6801,8 +6835,9 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 
 def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All six approximate top-k paths (IVF flat, IVF k-means-trained,
-    LSH-bucketed, PQ, SQ8, IVF-PQ) as ONE labeled result — the
+    """All eight approximate top-k paths (IVF flat, IVF k-means-
+    trained, LSH-bucketed, PQ, SQ8, IVF-PQ, PQ+exact-rerank, PQ-ADC)
+    as ONE labeled result — the
     consolidated registry entry replacing five per-variant entries
     (IVF-PQ joined the panel directly, never holding its own slot; same
     (query_id, neighbor_id, rank, cosine) contract, one ``variant``
@@ -6820,7 +6855,7 @@ def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk_variants_sql() -> str:
-    """DuckDB twin of ann_topk_variants_fn: the six oracle plans
+    """DuckDB twin of ann_topk_variants_fn: the eight oracle plans
     wrapped and unioned under the same variant labels."""
     plans = (
         ("ivf", IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)),
@@ -6830,6 +6865,7 @@ def _ann_topk_variants_sql() -> str:
         ("sq8", _sq8_topk_sql()),
         ("ivfpq", _ivfpq_topk_sql()),
         ("pq_rerank", _pq_rerank_sql(RERANK_R, TOPK_K)),
+        ("pq_adc", _pq_adc_topk_sql()),
     )
     return "\nUNION ALL\n".join(
         f"SELECT '{name}' AS variant, query_id, neighbor_id, rank, cosine"
@@ -7975,10 +8011,11 @@ ORDER BY doc_id
 
 
 def ann_recall_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of every approximate ANN path (IVF, PQ, LSH) against
-    the same brute-force ground truth, as ONE labeled union — the
-    consolidated slot replacing sim_ann_recall_{ivf,pq,lsh}. Same
-    (query_id, n_exact, n_hit, recall) contract per variant."""
+    """Recall@k of every approximate ANN path (IVF, PQ, PQ+rerank,
+    PQ-ADC, LSH) against the same brute-force ground truth, as ONE
+    labeled union — the consolidated slot replacing
+    sim_ann_recall_{ivf,pq,lsh}. Same (query_id, n_exact, n_hit,
+    recall) contract per variant."""
     emb = _emb(spark, sf_dir)
     variants = (
         ("ivf", lambda e: ann_topk_ivf(e, TOPK_K, QUERY_MOD)),
@@ -7987,6 +8024,8 @@ def ann_recall_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sits right next to raw PQ's number
         ("pq_rerank", lambda e: ann_rerank(
             ann_topk_pq(e, RERANK_R, QUERY_MOD), e, TOPK_K)),
+        # r13: ADC's recall uplift measured right next to symmetric PQ
+        ("pq_adc", lambda e: ann_topk_pq_adc(e, TOPK_K, QUERY_MOD)),
         ("lsh", lambda e: ann_topk_lsh(e, TOPK_K, QUERY_MOD)),
     )
     out = None
@@ -8004,6 +8043,7 @@ def _ann_recall_variants_sql() -> str:
         ("ivf", _ann_recall_ivf_sql()),
         ("pq", _ann_recall_sql(_pq_topk_sql())),
         ("pq_rerank", _ann_recall_sql(_pq_rerank_sql(RERANK_R, TOPK_K))),
+        ("pq_adc", _ann_recall_sql(_pq_adc_topk_sql())),
         ("lsh", _ann_recall_sql(ANN_TOPK_LSH_SQL)),
     )
     return "\nUNION ALL\n".join(
