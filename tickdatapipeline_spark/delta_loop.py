@@ -129,6 +129,13 @@ def run_daily_delta(
     Returns {"n_in", "n_intra_kept", "n_text_kept", "n_emb_checked",
     "n_kept", "bootstrapped_text", "bootstrapped_ann",
     "dropped_partitions"}.
+
+    SIZE ``n_cells`` TO THE CORPUS (~sqrt(expected N)): every later
+    probe scores probes x nprobe x (N / n_cells) cosines, so the toy
+    default makes the ANN probe the dominant per-batch cost once the
+    corpus outgrows it (measured: 57 s of an 80 s ingest at N=200 K
+    under n_cells=8, 20 s total at n_cells=64 — PERF.md r13). Grow it
+    later via ``compact_warehouse(n_cells=...)``.
     """
     if "/" in day or "=" in day or "." in day or not day:
         # '.' is reserved for the streaming twin's '<day>.b<n>' subshard

@@ -596,7 +596,23 @@ def contamination_against_index(
     )
     p_bands = _band_table(probe_docs, num_perm, band_size)
     if max_band_bucket is not None:
-        corpus_bands = cap_group_sizes(corpus_bands, ["band", "band_key"],
+        # Cap only the buckets the PROBE touches (r13): the cap's
+        # decision per bucket depends only on that bucket's FULL corpus
+        # row count, and a key-restriction keeps every row of a
+        # surviving key — so first left-semi-joining the corpus bands
+        # to the probe's band keys (broadcast: the probe side is small
+        # by this function's contract) leaves per-key counts, and
+        # therefore the kept/dropped-bucket decision and the final
+        # output, BIT-IDENTICAL — while the sizing work (one eager
+        # count job + a sizes join, 3 passes in cap_group_sizes) runs
+        # over O(probe-touched buckets) instead of O(corpus index).
+        # Before this, every micro-batch of the delta loop re-sized
+        # the whole persisted index — the O(index)-shuffle-per-batch
+        # cost write_corpus_index's build-time cap exists to avoid.
+        touched = corpus_bands.join(
+            F.broadcast(p_bands.select("band", "band_key").distinct()),
+            on=["band", "band_key"], how="left_semi")
+        corpus_bands = cap_group_sizes(pin(touched), ["band", "band_key"],
                                        max_band_bucket, guard_label,
                                        "max_band_bucket", logger)
     cand = pin(
