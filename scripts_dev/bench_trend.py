@@ -133,4 +133,7 @@ def main(argv: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv))
+    try:
+        raise SystemExit(main(sys.argv))
+    except BrokenPipeError:  # piped into head — not an error
+        raise SystemExit(0)
