@@ -858,6 +858,35 @@ def test_pq_train_empty_code_carries_forward(spark):
         assert cb[(m, 1)] == [1.0] * sub   # only its own seed -> unchanged
 
 
+def test_pq_adc_contract_and_dominance(spark):
+    """ADC (raw query vs reconstructed corpus): same output contract
+    as the other ANN paths; on the seeded codebook a CODEBOOK vector's
+    reconstruction is itself, so its ADC cosine to a codebook neighbor
+    equals the exact value; and ADC recall is >= symmetric recall on
+    the sf0.001 fixture (the asymmetric side carries no quantization
+    error — the reason the variant exists)."""
+    from pyspark.sql import functions as F
+
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_recall, ann_topk_pq, ann_topk_pq_adc, cosine_topk)
+    from tickdatapipeline_spark.plans.beyond import _emb
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    adc = ann_topk_pq_adc(emb, 5, 50).collect()
+    assert adc and all(-1.0 <= r.cosine <= 1.0 for r in adc)
+    assert all(r.query_id != r.neighbor_id for r in adc)
+
+    exact = cosine_topk(emb, 5, 50)
+
+    def mean_recall(df):
+        return ann_recall(df, exact).agg(
+            F.avg("recall").alias("r")).first()["r"]
+
+    r_adc = mean_recall(ann_topk_pq_adc(emb, 5, 50))
+    r_sym = mean_recall(ann_topk_pq(emb, 5, 50))
+    assert r_adc >= r_sym
+
+
 def test_pq_train_no_seeds_is_empty(spark):
     """No vec_id < k_codes rows -> empty codebook (training vacuous),
     and the encoder encodes nothing — the documented degenerate
