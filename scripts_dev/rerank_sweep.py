@@ -34,6 +34,7 @@ def main() -> None:
         ann_recall,
         ann_rerank,
         ann_topk_pq,
+        ann_topk_pq_adc,
         cosine_topk,
     )
     from tickdatapipeline_spark.plans.beyond import QUERY_MOD, TOPK_K
@@ -63,6 +64,12 @@ def main() -> None:
     for r in (5, 15, 50):
         measure(f"pq_rerank R={r}",
                 ann_rerank(ann_topk_pq(emb, r, QUERY_MOD), emb, TOPK_K))
+    # r13: the deployment-best recipe — ADC candidates (raw query vs
+    # reconstructed corpus) + exact re-rank of the top R
+    measure("pq_adc", ann_topk_pq_adc(emb, TOPK_K, QUERY_MOD))
+    for r in (15, 50):
+        measure(f"adc_rerank R={r}",
+                ann_rerank(ann_topk_pq_adc(emb, r, QUERY_MOD), emb, TOPK_K))
 
 
 if __name__ == "__main__":
