@@ -6802,6 +6802,12 @@ _ANN_VARIANT_PLANS = (
     # deployment scoring; queries cost no storage and carry no
     # quantization error); eighth variant, zero new registry slots
     ("pq_adc", ann_topk_pq_adc),
+    # r13: the composed deployment recipe — ADC candidates + exact
+    # re-rank (measured 0.905 recall@5 at sf0.1, PERF.md r13); ninth
+    # variant, zero new registry slots
+    ("adc_rerank",
+     lambda emb, k, qm: ann_rerank(
+         ann_topk_pq_adc(emb, RERANK_R, qm), emb, k)),
 )
 
 # Candidate depth of the exact re-rank stage (R > k = TOPK_K). Set
@@ -6834,9 +6840,30 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _adc_rerank_sql(r: int, k: int) -> str:
+    """DuckDB twin of ann_rerank over the ADC candidate stage — the
+    composed deployment recipe (trained codebooks + asymmetric
+    candidate scoring + exact re-rank)."""
+    return f"""
+WITH cand AS (SELECT query_id, neighbor_id FROM ({_pq_adc_topk_sql(k=r)})),
+base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, {_cos} AS cosine
+    FROM cand c
+    JOIN base q ON q.vec_id = c.query_id
+    JOIN base b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All eight approximate top-k paths (IVF flat, IVF k-means-
-    trained, LSH-bucketed, PQ, SQ8, IVF-PQ, PQ+exact-rerank, PQ-ADC)
+    """All nine approximate top-k paths (IVF flat, IVF k-means-
+    trained, LSH-bucketed, PQ, SQ8, IVF-PQ, PQ+exact-rerank, PQ-ADC,
+    ADC+exact-rerank — the composed deployment recipe)
     as ONE labeled result — the
     consolidated registry entry replacing five per-variant entries
     (IVF-PQ joined the panel directly, never holding its own slot; same
@@ -6855,7 +6882,7 @@ def ann_topk_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk_variants_sql() -> str:
-    """DuckDB twin of ann_topk_variants_fn: the eight oracle plans
+    """DuckDB twin of ann_topk_variants_fn: the nine oracle plans
     wrapped and unioned under the same variant labels."""
     plans = (
         ("ivf", IVF_SQL.format(query_mod=QUERY_MOD, k=TOPK_K)),
@@ -6866,6 +6893,7 @@ def _ann_topk_variants_sql() -> str:
         ("ivfpq", _ivfpq_topk_sql()),
         ("pq_rerank", _pq_rerank_sql(RERANK_R, TOPK_K)),
         ("pq_adc", _pq_adc_topk_sql()),
+        ("adc_rerank", _adc_rerank_sql(RERANK_R, TOPK_K)),
     )
     return "\nUNION ALL\n".join(
         f"SELECT '{name}' AS variant, query_id, neighbor_id, rank, cosine"
@@ -8026,6 +8054,9 @@ def ann_recall_variants_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ann_topk_pq(e, RERANK_R, QUERY_MOD), e, TOPK_K)),
         # r13: ADC's recall uplift measured right next to symmetric PQ
         ("pq_adc", lambda e: ann_topk_pq_adc(e, TOPK_K, QUERY_MOD)),
+        # r13: the composed recipe's recall (0.905 at sf0.1) gated too
+        ("adc_rerank", lambda e: ann_rerank(
+            ann_topk_pq_adc(e, RERANK_R, QUERY_MOD), e, TOPK_K)),
         ("lsh", lambda e: ann_topk_lsh(e, TOPK_K, QUERY_MOD)),
     )
     out = None
@@ -8044,6 +8075,7 @@ def _ann_recall_variants_sql() -> str:
         ("pq", _ann_recall_sql(_pq_topk_sql())),
         ("pq_rerank", _ann_recall_sql(_pq_rerank_sql(RERANK_R, TOPK_K))),
         ("pq_adc", _ann_recall_sql(_pq_adc_topk_sql())),
+        ("adc_rerank", _ann_recall_sql(_adc_rerank_sql(RERANK_R, TOPK_K))),
         ("lsh", _ann_recall_sql(ANN_TOPK_LSH_SQL)),
     )
     return "\nUNION ALL\n".join(
