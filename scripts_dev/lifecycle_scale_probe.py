@@ -22,10 +22,16 @@ driver-side lists, so the probe itself scales. Solo contract — no
 concurrent Spark session.
 
 Usage: python scripts_dev/lifecycle_scale_probe.py [base_sizes...]
-(default 2000 20000 200000). Paste the table into PERF.md.
+(default 2000 20000 200000). Pass ``--sqrt-cells`` to bootstrap each
+warehouse with n_cells ~ sqrt(N) instead of the IVF_CELLS toy default
+— reproduces the r13 finding that the ANN probe's
+probes x nprobe x N/n_cells pair count dominates ingest once the
+corpus outgrows the default quantizer (PERF.md r13: 80 s -> 20 s at
+N=200 K). Paste the table into PERF.md.
 """
 from __future__ import annotations
 
+import math
 import shutil
 import sys
 import time
@@ -39,7 +45,10 @@ DIM = 64
 
 
 def main() -> None:
-    bases = [int(s) for s in sys.argv[1:]] or [2_000, 20_000, 200_000]
+    args = sys.argv[1:]
+    sqrt_cells = "--sqrt-cells" in args
+    bases = [int(s) for s in args if not s.startswith("--")] \
+        or [2_000, 20_000, 200_000]
 
     from pyspark.sql import functions as F
 
@@ -88,10 +97,11 @@ def main() -> None:
         wh = TMP / f"wh_{b}"
         shutil.rmtree(wh, ignore_errors=True)
         base = docs_df(0, b)
+        kw = {"n_cells": max(8, int(math.isqrt(b)))} if sqrt_cells else {}
         run_daily_delta(spark, base.drop("embedding"),
                         base.select(F.col("doc_id").alias("vec_id"),
                                     "embedding"),
-                        str(wh), "2024-01-01")
+                        str(wh), "2024-01-01", **kw)
         whs[b] = wh
         batch = docs_df(10_000_000, BATCH, dup_base=b)
         t0 = time.time()
