@@ -113,12 +113,16 @@ def main() -> None:
               f"   (kept {c['n_kept']}/{BATCH})")
 
     # ---------- day axis: 10x batch at fixed mid corpus --------------
+    # distinct batch_ids + disjoint doc_id ranges per measurement: the
+    # same (batch_id, range) twice would overwrite the first run's
+    # subshard and re-ingest already-indexed docs, distorting the 10x
+    # factor with duplicate drops (ADVICE r13)
     prev = None
-    for n in (BATCH, 10 * BATCH):
+    for bi, n in enumerate((BATCH, 10 * BATCH), start=1):
         wh = whs[bases[min(1, len(bases) - 1)]]
-        batch = docs_df(20_000_000, n, dup_base=bases[0])
+        batch = docs_df(20_000_000 + bi * 20 * BATCH, n, dup_base=bases[0])
         t0 = time.time()
-        c = ingest_micro_batch(batch, 1, str(wh), "2024-01-02")
+        c = ingest_micro_batch(batch, bi, str(wh), "2024-01-02")
         dt = time.time() - t0
         f = f"{dt / prev:6.2f}x" if prev else "      -"
         prev = dt

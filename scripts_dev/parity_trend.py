@@ -29,6 +29,7 @@ import sys
 
 FLAG_RATIO = 2.0
 MIN_SECS = 0.8  # slower side must reach this for a flag to mean anything
+MIN_IO_PROBE_SEC = 0.5  # io-contention arm needs a probe above jitter scale
 
 
 def _load(ref_or_path: str) -> dict:
@@ -87,7 +88,11 @@ def classify_flag(oq: dict, nq: dict,
                 f" (x{raw_n / raw_o:.2f}) is inside the flag ratio")
     oio = (old_art or {}).get("io_fixed_sec")
     nio = (new_art or {}).get("io_fixed_sec")
-    if oio and nio and raw_o > 0 and nio / oio >= raw_n / raw_o:
+    # the probe is ~0.2s; below MIN_IO_PROBE_SEC its ratio is jitter
+    # and must not explain away a genuine regression (ADVICE r13)
+    if (oio and nio and raw_o > 0
+            and max(oio, nio) >= MIN_IO_PROBE_SEC
+            and nio / oio >= raw_n / raw_o):
         return (f"io-contention: fixed IO probe x{nio / oio:.2f} >= "
                 f"query raw x{raw_n / raw_o:.2f}")
     return None
