@@ -73,6 +73,11 @@ HEADLINE = [
     "docs_bm25_topk",
     "events_session_concurrency",
     "media_dedup_features_deploy",
+    # round 14 (r13 verdict #6): the 100x-scale tick plan — chunked
+    # two-pass derivative instead of the single-partition global-order
+    # window — benched so a regression in the scale path is visible
+    # round-over-round, not just correctness-gated
+    "tick_pipeline_derivative_twopass",
 ]
 
 N_PASSES = 3  # per-query MIN over three well-separated passes
@@ -176,12 +181,17 @@ def main() -> None:
     def run_pass(timings: dict[str, float]) -> None:
         staged = False
         for name in HEADLINE:
-            if not name.startswith("tick_pipeline") and not staged:
-                set_ticks_cache(True)
-                qs["q1_delta_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                staged = True
-            if not staged:
+            # ticks-cache is toggled PER NAME (r14): tick_pipeline_*
+            # entries measure the true uncached chain wherever they sit
+            # in the list (the twopass entry rides at the end so
+            # legacy15 = HEADLINE[:15] stays cross-round comparable)
+            if name.startswith("tick_pipeline"):
                 set_ticks_cache(False)
+            else:
+                set_ticks_cache(True)
+                if not staged:
+                    qs["q1_delta_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    staged = True
             fn = qs[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

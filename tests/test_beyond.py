@@ -887,18 +887,74 @@ def test_pq_adc_contract_and_dominance(spark):
     assert r_adc >= r_sym
 
 
-def test_pq_train_no_seeds_is_empty(spark):
-    """No vec_id < k_codes rows -> empty codebook (training vacuous),
-    and the encoder encodes nothing — the documented degenerate
-    fallback, identical to what the seeded stand-in would produce."""
+def test_pq_train_shifted_ids_match_rekeyed(spark):
+    """Rank-based seeding (r14 verdict #2): a shard whose vec_ids start
+    at 10^6 trains the IDENTICAL codebook — and reconstructs the
+    identical vectors per rank — as the same shard re-keyed from 0.
+    The former ``vec_id < k_codes`` init seeded NOTHING on such a
+    shard, so pq_dequantized silently reconstructed zero rows and
+    every downstream PQ/ADC panel returned empty."""
     from tickdatapipeline_spark.operators.similarity import (
         DIM, pq_dequantized, pq_train)
 
-    emb = spark.createDataFrame(
-        [(100, [0.5] * DIM), (101, [0.25] * DIM)],
+    vecs = [[((7 * i + d) % 13) / 16.0 for d in range(DIM)]
+            for i in range(12)]
+    shifted = spark.createDataFrame(
+        [(1_000_000 + i, v) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<double>")
-    assert pq_train(emb, 4, 8) == []
-    assert pq_dequantized(emb, 4, 8).count() == 0
+    rekeyed = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>")
+    cb_s = pq_train(shifted, 4, 8)
+    cb_r = pq_train(rekeyed, 4, 8)
+    assert cb_s and cb_s == cb_r
+    out_s = {r.vec_id - 1_000_000: list(r.v)
+             for r in pq_dequantized(shifted, 4, 8).collect()}
+    out_r = {r.vec_id: list(r.v)
+             for r in pq_dequantized(rekeyed, 4, 8).collect()}
+    assert out_s == out_r and len(out_s) == 12
+
+
+def test_kmeans_train_shifted_ids_match_rekeyed(spark):
+    """kmeans_train's default init is rank-based too (r14): centroids
+    from a shifted-id corpus equal the re-keyed corpus's, without the
+    explicit ``seeds`` escape hatch the delta loop uses."""
+    from tickdatapipeline_spark.operators.similarity import (
+        DIM, kmeans_train)
+
+    vecs = [[((5 * i + d) % 11) / 16.0 for d in range(DIM)]
+            for i in range(10)]
+    shifted = spark.createDataFrame(
+        [(10_000_000 + 2 * i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    rekeyed = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>")
+    cs = kmeans_train(shifted, k=4, iters=3)
+    cr = kmeans_train(rekeyed, k=4, iters=3)
+    assert cs and cs == cr
+
+
+def test_train_sample_mod_bounds_training_set(spark):
+    """Deterministic training sampling (r14 verdict #1): with
+    sample_mod forced to 3, pq_train equals training on the explicit
+    vec_id % 3 == 0 subset with sampling off — the predicate IS the
+    sample, so the DuckDB oracle twins replay it as a WHERE clause.
+    Also pins the auto-sizing arithmetic train_sample_mod shares with
+    the oracle CTEs (integer division, floor, min 1)."""
+    from tickdatapipeline_spark.operators.similarity import (
+        DIM, pq_train, train_sample_mod)
+
+    vecs = [[((3 * i + d) % 17) / 32.0 for d in range(DIM)]
+            for i in range(18)]
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>")
+    sampled = pq_train(emb, 4, 4, sample_mod=3)
+    explicit = pq_train(
+        emb.where("vec_id % 3 = 0"), 4, 4, sample_mod=1)
+    assert sampled and sampled == explicit
+    assert train_sample_mod(50_000, 32) == 1          # below target
+    assert train_sample_mod(250_000, 32) == 2         # 250k // 100k
+    assert train_sample_mod(1_000_000, 2048) == 4     # 100*k lifts target
+    assert train_sample_mod(0, 32) == 1               # empty corpus
 
 
 def test_label_centroid_cosine_golden(spark):

@@ -554,7 +554,7 @@ def test_compact_warehouse(spark, tmp_path):
     # retained corpus: day-2 {11,12} + day-3 {22}; all 8 kept vectors
     # stay in the index (vector expiry is documented as out of scope)
     assert r == {"n_docs": 3, "n_vectors": 8, "retrained": True,
-                 "had_ann": True}
+                 "had_ann": True, "n_cells": 2}
 
     for sub in ("text_index/bands", "text_index/shingles",
                 "ann_index/vectors"):
@@ -710,7 +710,7 @@ def test_lifecycle_soak_end_to_end(spark, tmp_path):
     # --- the trigger fired: scheduled compaction with retrain ---
     rc = compact_warehouse(spark, wh, n_cells=4)
     assert rc == {"n_docs": 7, "n_vectors": 15, "retrained": True,
-                  "had_ann": True}
+                  "had_ann": True, "n_cells": 4}
     for sub in ("text_index/bands", "text_index/shingles",
                 "ann_index/vectors"):
         assert [d for d in os.listdir(f"{wh}/{sub}")
@@ -765,6 +765,32 @@ def test_lifecycle_soak_end_to_end(spark, tmp_path):
     ref_v = sorted((r.vec_id, r.cell, tuple(r.v)) for r in
                    spark.read.parquet(f"{ref}/ann_index/vectors").collect())
     assert got_v == ref_v
+
+    # --- ~600x growth: a big delta shard lands, then the scheduled
+    # compaction picks the sqrt(N) quantizer size WITHOUT a manual
+    # knob (r13 verdict #3) — ann_rebuild_due recommends it and
+    # compact_warehouse(n_cells=None) retrains to exactly that ---
+    import math
+
+    from tickdatapipeline_spark.operators.similarity import (
+        IVF_CELLS, ann_rebuild_due as _due, append_ann_index)
+
+    big = spark.range(100_000, 110_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(((F.col("id") % 17) / 4.0).cast("double"),
+                ((F.col("id") % 13) / 4.0).cast("double"),
+                ((F.col("id") % 11) / 4.0).cast("double"),
+                ((F.col("id") % 7) / 4.0).cast("double"))
+        .alias("embedding"))
+    append_ann_index(big, f"{wh}/ann_index", shard="2024-01-05")
+    due = _due(spark, f"{wh}/ann_index")
+    want = max(IVF_CELLS, math.isqrt(10_016))  # 16 + 10k vectors
+    assert due["n_vectors"] == 10_016
+    assert due["recommended_n_cells"] == want == 100
+    rg = compact_warehouse(spark, wh)  # n_cells defaults to auto
+    assert rg["retrained"] and rg["n_cells"] == want
+    assert spark.read.parquet(
+        f"{wh}/ann_index/centroids").count() == want
 
 
 def test_daily_delta_rejects_dotted_day(spark, tmp_path):

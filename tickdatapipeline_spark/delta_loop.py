@@ -39,6 +39,8 @@ frames, which is bookkeeping a nightly job wants anyway.
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -257,7 +259,7 @@ def compact_warehouse(
     spark: SparkSession,
     warehouse: str,
     *,
-    n_cells: int = IVF_CELLS,
+    n_cells: "int | None" = None,
     retrain: bool = True,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> dict:
@@ -276,7 +278,13 @@ def compact_warehouse(
       not store embeddings). ``retrain=True`` re-runs `kmeans_train`
       seeded from the n_cells lowest vec_ids — the cell-rebalance
       answer when `ann_rebuild_due` fires; ``retrain=False`` keeps the
-      existing centroids (pure shard collapse). Vectors of expired
+      existing centroids (pure shard collapse). ``n_cells=None``
+      (default) AUTO-SIZES the retrained quantizer to the measured
+      sqrt(N) rule — max(IVF_CELLS, isqrt(n_vectors)) — so a corpus
+      that grew 100x since bootstrap gets a proportionally finer
+      quantizer without a manual knob (PERF.md r13 measured 4x ingest
+      cost at N=200K between n_cells=8 and 64; probe cost per batch is
+      ~ nprobe * N / n_cells). Pass an int to pin it. Vectors of expired
       corpus docs are NOT dropped here (vec_id-to-day mapping lives in
       the corpus, which no longer has those rows — pass the ids
       through `embedding_dedup` tooling if expiry must reach vectors).
@@ -335,6 +343,8 @@ def compact_warehouse(
             spark.read.parquet(f"{warehouse}/ann_index/vectors")
             .select("vec_id", F.col("v").alias("embedding")))
         n_vec = emb.count()
+        if n_cells is None:
+            n_cells = max(IVF_CELLS, math.isqrt(n_vec))
         if retrain and n_vec >= n_cells:
             seeds = (emb.select("vec_id", F.col("embedding").alias("c"))
                      .orderBy("vec_id").limit(n_cells).collect())
@@ -347,9 +357,13 @@ def compact_warehouse(
             cents.sort()
         write_ann_index(emb, f"{warehouse}/ann_index",
                         n_cells=len(cents), centroids=cents)
+    # n_cells reports the index's ACTUAL cell count after compaction —
+    # the auto-sized target when retrained, the surviving centroid
+    # count on a pure shard collapse (retrain=False / tiny corpus)
     return {"n_docs": n_docs, "n_vectors": n_vec,
             "retrained": bool(had_ann and retrain and n_vec >= n_cells),
-            "had_ann": had_ann}
+            "had_ann": had_ann,
+            "n_cells": len(cents) if had_ann else 0}
 
 
 # ================= streaming twin of the daily loop =================

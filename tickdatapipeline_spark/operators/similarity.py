@@ -16,6 +16,7 @@ All vector math uses Catalyst higher-order functions on doubles
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -198,6 +199,23 @@ PQ_M = 16  # subspaces (DIM/PQ_M dims each)
 PQ_K = 32  # codes per subspace codebook
 PQ_ITERS = 4  # Lloyd iterations for the per-subspace codebook training
 
+# Quantizer training runs on a bounded deterministic sample above this
+# size (r13 verdict #1): Lloyd's assignment cost is O(corpus) PER
+# ITERATION, so unbounded training turns every compaction retrain into
+# 4+ full passes at 10^9 vectors. The sample is vec_id % sample_mod == 0
+# with sample_mod = max(1, N // max(100*k, TRAIN_SAMPLE_TARGET)) — pure
+# integer arithmetic on the corpus count, so the DuckDB oracle twins
+# replay the identical predicate and the trained paths stay value-gated.
+TRAIN_SAMPLE_TARGET = 100_000
+
+
+def train_sample_mod(n_rows: int, k: int) -> int:
+    """The shared deterministic training-sample modulus: keep every
+    vec_id % mod == 0 row, sized so ~max(100*k, TRAIN_SAMPLE_TARGET)
+    rows survive. 1 (no sampling) below the threshold — small corpora
+    keep bit-identical full-corpus training."""
+    return max(1, int(n_rows) // max(100 * int(k), TRAIN_SAMPLE_TARGET))
+
 
 def _pq_sub(emb: DataFrame, n_sub: int) -> DataFrame:
     """(vec_id, m, s): each vector exploded into its n_sub contiguous
@@ -242,37 +260,57 @@ def _pq_d2(s: str, c: str) -> Column:
 
 
 def pq_train(emb: DataFrame, n_sub: int = PQ_M, k_codes: int = PQ_K,
-             iters: int = PQ_ITERS) -> list:
+             iters: int = PQ_ITERS,
+             sample_mod: "int | None" = None) -> list:
     """Per-subspace Lloyd's k-means for PQ codebooks — kmeans_train's
     playbook applied to every subspace AT ONCE (one DataFrame job per
     iteration keyed on (m, code), not n_sub separate trainings).
 
-    Init: the k_codes lowest vec_ids' subvectors (the former stand-in
-    codebook, demoted to seed). Per iteration: broadcast-join the
-    n_sub x k_codes codebook rows against the exploded subvectors,
-    assign each (vec_id, m) to its nearest code by the SAME rounded
-    fixed-order L2^2 the encoder uses (ties to the lowest code), then
-    update each (m, code) entry as the Q30 fixed-point integer mean of
-    its assigned subvectors — deterministic AND partition-order-
-    independent, so the whole training run (and therefore every PQ
-    query) replays in DuckDB SQL and stays oracle-gated. Codes that
-    attract no subvectors keep their previous entry (kmeans_train's
-    empty-cell rule). A corpus with no vec_id < k_codes rows returns
-    an empty codebook (training is vacuous — the encoder then encodes
-    nothing, exactly like the seeded stand-in would have).
+    Training set: the deterministic sample vec_id % sample_mod == 0;
+    ``sample_mod=None`` auto-sizes it with `train_sample_mod` (1 — the
+    full corpus — below TRAIN_SAMPLE_TARGET rows, so small corpora
+    train bit-identically to the unsampled r13 path). Bounding the
+    training set keeps each Lloyd iteration O(sample) instead of
+    O(corpus) — at 10^9 vectors an unsampled retrain inside
+    compact_warehouse would cost 4+ full corpus passes.
+
+    Init: the k_codes lowest vec_ids PRESENT in the training sample,
+    codes numbered by rank (r13 verdict #2) — a shard whose ids start
+    at 10^6 trains exactly like the same shard re-keyed from 0, where
+    the former ``vec_id < k_codes`` predicate silently seeded nothing.
+    Per iteration: broadcast-join the n_sub x k_codes codebook rows
+    against the sampled exploded subvectors, assign each (vec_id, m)
+    to its nearest code by the SAME rounded fixed-order L2^2 the
+    encoder uses (ties to the lowest code), then update each (m, code)
+    entry as the Q30 fixed-point integer mean of its assigned
+    subvectors — deterministic AND partition-order-independent, so the
+    whole training run (and therefore every PQ query) replays in
+    DuckDB SQL and stays oracle-gated. Codes that attract no
+    subvectors keep their previous entry (kmeans_train's empty-cell
+    rule). An empty corpus returns an empty codebook.
 
     Scale: per iteration ONE broadcast join (n_sub x k_codes rows) +
-    one groupBy((m, code), pos) fixed-point mean — n_sub x k_codes x
-    sub_dim rows to the driver, nothing else leaves the executors.
+    one groupBy((m, code), pos) fixed-point mean over the BOUNDED
+    sample — n_sub x k_codes x sub_dim rows to the driver, nothing
+    else leaves the executors.
 
     Returns [(m, code, [floats])] sorted by (m, code)."""
     spark = emb.sparkSession
     from pyspark.sql import Window
 
     sub = _pq_sub(emb, n_sub)
+    if sample_mod is None:
+        sample_mod = train_sample_mod(emb.count(), k_codes)
+    if sample_mod > 1:
+        sub = sub.where(F.col("vec_id") % sample_mod == 0)
+    seed_ids = [int(r[0]) for r in
+                sub.select("vec_id").distinct()
+                .orderBy("vec_id").limit(k_codes).collect()]
+    id2code = {vid: i for i, vid in enumerate(seed_ids)}
     cents = sorted(
-        ((int(r["m"]), int(r["vec_id"])), [float(x) for x in r["s"]])
-        for r in sub.where(F.col("vec_id") < k_codes).collect()
+        ((int(r["m"]), id2code[int(r["vec_id"])]),
+         [float(x) for x in r["s"]])
+        for r in sub.where(F.col("vec_id").isin(seed_ids)).collect()
     )
     w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
     for _ in range(iters):
@@ -309,7 +347,8 @@ def pq_train(emb: DataFrame, n_sub: int = PQ_M, k_codes: int = PQ_K,
 def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
                    k_codes: int = PQ_K,
                    codebooks: "list | None" = None,
-                   train_iters: int = PQ_ITERS) -> DataFrame:
+                   train_iters: int = PQ_ITERS,
+                   train_sample_mod: "int | None" = None) -> DataFrame:
     """Product quantization (PQ): each vector splits into ``n_sub``
     contiguous subvectors; each subvector is replaced by its nearest
     entry (L2, ties to the lowest code) from that subspace's
@@ -320,9 +359,11 @@ def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
     subvectors.
 
     Codebooks are TRAINED by default: per-subspace Lloyd's k-means
-    (`pq_train`, ``train_iters`` iterations) seeded from the k_codes
-    lowest vec_ids' subvectors — the same default-trained/seed-demoted
-    convention the delta loop's coarse quantizer adopted in r12. Pass
+    (`pq_train`, ``train_iters`` iterations) over the deterministic
+    ``train_sample_mod`` sample (auto-sized when None; full corpus
+    below TRAIN_SAMPLE_TARGET), seeded from the k_codes lowest vec_ids
+    present — the same default-trained/seed-demoted convention the
+    delta loop's coarse quantizer adopted in r12. Pass
     ``codebooks`` = [(m, code, [floats])] to inject a precomputed
     codebook, or ``train_iters=0`` for the legacy seeded stand-in.
     Training is deterministic and order-independent (rounded
@@ -345,7 +386,8 @@ def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
 
     sub = _pq_sub(emb, n_sub)
     if codebooks is None and train_iters > 0:
-        codebooks = pq_train(emb, n_sub, k_codes, iters=train_iters)
+        codebooks = pq_train(emb, n_sub, k_codes, iters=train_iters,
+                             sample_mod=train_sample_mod)
     if codebooks is not None:
         cb = emb.sparkSession.createDataFrame(
             [(m, code, c) for m, code, c in codebooks],
@@ -492,14 +534,24 @@ KMEANS_Q = 2**30  # fixed-point scale for centroid means (|x| < 1, sums < 2^43)
 
 
 def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4,
-                 seeds: "list | None" = None) -> list:
+                 seeds: "list | None" = None,
+                 sample_mod: "int | None" = None) -> list:
     """Distributed Lloyd's k-means for IVF coarse quantizers.
 
-    Per iteration: ONE broadcast join (k centroid rows against all
-    vectors) for assignment, one groupBy(cell, dim) mean for the update
-    — k x DIM rows collected to the driver, nothing else leaves the
-    executors. Deterministic AND order-independent: init = the k lowest
-    vec_ids (the same stand-in centroids the oracle-gated IVF uses);
+    Training set: the deterministic sample vec_id % sample_mod == 0;
+    ``sample_mod=None`` auto-sizes it with `train_sample_mod` (1 — the
+    full corpus — below TRAIN_SAMPLE_TARGET rows). Each Lloyd
+    iteration is then O(sample) instead of O(corpus), which is what
+    keeps compact_warehouse's scheduled retrain affordable as the
+    corpus grows 100x (r13 verdict #1).
+
+    Per iteration: ONE broadcast join (k centroid rows against the
+    sampled vectors) for assignment, one groupBy(cell, dim) mean for
+    the update — k x DIM rows collected to the driver, nothing else
+    leaves the executors. Deterministic AND order-independent: init =
+    the k lowest vec_ids PRESENT in the sample, cells numbered by rank
+    (identical to the former vec_id < k init on a dense-from-0 corpus,
+    but a shard whose lowest id is above k now seeds correctly);
     assignment sims are rounded (rnd) with ties broken by cell id; the
     centroid mean is a Q30 fixed-point integer SUM (exact whatever the
     partition order, like the FIR Q33 accumulators) divided once in
@@ -507,23 +559,25 @@ def kmeans_train(emb: DataFrame, k: int = IVF_CELLS, iters: int = 4,
     and the k-means IVF query is oracle-gated. Returns
     [(cell, [centroid floats])].
 
-    ``seeds``: optional [(cell, [floats])] init centroids for corpora
-    whose vec_ids are arbitrary (the default vec_id < k init selects
-    NOTHING on a shard whose lowest id is above k — the daily-delta
-    bootstrap case); cells must be numbered 0..len-1. Default None
-    keeps the oracle-gated init unchanged."""
+    ``seeds``: optional [(cell, [floats])] init centroids (e.g. the
+    delta loop's explicit bootstrap seeds); cells must be numbered
+    0..len-1. Default None uses the rank-based init above."""
     spark = emb.sparkSession
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     )
+    if sample_mod is None:
+        sample_mod = train_sample_mod(emb.count(), k)
+    if sample_mod > 1:
+        base = base.where(F.col("vec_id") % sample_mod == 0)
     if seeds is not None:
         cents = [(int(cell), list(map(float, c))) for cell, c in seeds]
         if [c for c, _ in cents] != list(range(len(cents))):
             raise ValueError("seeds cells must be numbered 0..len-1")
     else:
         cents = [
-            (int(r["vec_id"]), list(r["v"]))
-            for r in base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+            (i, list(r["v"])) for i, r in enumerate(
+                base.orderBy("vec_id").limit(k).collect())
         ]
     from pyspark.sql import Window
 
@@ -787,8 +841,14 @@ def ann_rebuild_due(spark, path: str, max_cell_factor: float = 4.0,
     retrain.
 
     Returns {"n_vectors", "n_cells", "n_occupied", "max_cell_frac",
-    "empty_frac", "rebuild_due"}. An empty index reports rebuild_due
-    False (nothing to rebalance).
+    "empty_frac", "rebuild_due", "recommended_n_cells"}. An empty
+    index reports rebuild_due False (nothing to rebalance).
+    ``recommended_n_cells`` is the measured sqrt(N) sizing rule
+    (PERF.md r13: probe cost ~ nprobe * N / n_cells; n_cells 8 -> 64
+    at N=200K cut ingest 4x) as max(IVF_CELLS, isqrt(n_vectors)) —
+    `delta_loop.compact_warehouse(n_cells=None)` retrains to exactly
+    this, so the rebuild the flag demands also FIXES the sizing, not
+    just the balance.
 
     Scale: one combinable count per (partition-column) cell over the
     vectors table plus an O(n_cells) centroid read — no vector data is
@@ -812,6 +872,7 @@ def ann_rebuild_due(spark, path: str, max_cell_factor: float = 4.0,
         "max_cell_frac": round(max_frac, 6),
         "empty_frac": round(empty_frac, 6),
         "rebuild_due": due,
+        "recommended_n_cells": max(IVF_CELLS, math.isqrt(n_vec)),
     }
 
 

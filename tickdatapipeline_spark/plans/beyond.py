@@ -825,14 +825,24 @@ def _pq_train_ctes(sub_cte: str, n_sub: int, k_codes: int, sub_dim: int,
     DuckDB twin of operators.similarity.pq_train (rounded assignment
     d2, ties to lowest code, Q30 fixed-point integer means, empty codes
     carry forward), same pattern as ivf_kmeans_sql's coarse unroll.
-    Returns (cte_list, final_codebook_cte_name); the final codebook has
-    columns (code, m, c)."""
+    ``sub_cte`` is the TRAINING subvector CTE — callers pass the
+    deterministically sampled twin of Spark's vec_id % sample_mod
+    predicate (the encoding argmin downstream still scores the full
+    corpus). Seeding is rank-based (r14): codes are numbered by
+    row_number over the distinct training vec_ids, matching pq_train's
+    shifted-id-safe init. Returns (cte_list,
+    final_codebook_cte_name); the final codebook has columns
+    (code, m, c)."""
     from tickdatapipeline_spark.operators.similarity import KMEANS_Q
 
     d2 = _pq_d2_sql(sub_dim)
     ctes = [
-        f"{prefix}cb0 AS (SELECT vec_id AS code, m, s AS c "
-        f"FROM {sub_cte} WHERE vec_id < {k_codes})"
+        f"{prefix}seed AS (SELECT vec_id, "
+        f"CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code "
+        f"FROM (SELECT DISTINCT vec_id FROM {sub_cte}) dvi)",
+        f"{prefix}cb0 AS (SELECT s.code, t.m, t.s AS c "
+        f"FROM {sub_cte} t JOIN {prefix}seed s USING (vec_id) "
+        f"WHERE s.code < {k_codes})",
     ]
     for i in range(1, iters + 1):
         p = f"{prefix}cb{i - 1}"
@@ -873,17 +883,24 @@ def _pq_prelude_ctes(n_sub: "int | None" = None,
     from tickdatapipeline_spark.operators.similarity import (
         PQ_ITERS, PQ_K, PQ_M)
 
+    from tickdatapipeline_spark.operators.similarity import (
+        TRAIN_SAMPLE_TARGET)
+
     n_sub = PQ_M if n_sub is None else n_sub
     k_codes = PQ_K if k_codes is None else k_codes
     sub = DIM // n_sub
     d2 = _pq_d2_sql(sub)
-    train_ctes, cb_final = _pq_train_ctes("sub", n_sub, k_codes, sub, PQ_ITERS)
+    target = max(100 * k_codes, TRAIN_SAMPLE_TARGET)
+    train_ctes, cb_final = _pq_train_ctes("subt", n_sub, k_codes, sub,
+                                          PQ_ITERS)
     train_block = ",\n".join(train_ctes)
     return f"""raw AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings),
 sub AS (
     SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> v[m * {sub} + i]) AS s
     FROM raw, (SELECT unnest(range(0, {n_sub})) AS m) ms
 ),
+smod AS (SELECT greatest(1, count(*) // {target}) AS sm FROM raw),
+subt AS (SELECT sub.* FROM sub WHERE vec_id % (SELECT sm FROM smod) = 0),
 {train_block},
 pqscored AS (
     SELECT t.vec_id, t.m, cb.code, cb.c, {d2} AS d2
@@ -966,18 +983,27 @@ def ivf_kmeans_sql(query_mod: int, k: int, n_cells: int = 8, nprobe: int = 2,
     (operators/similarity.py::kmeans_train) uses rounded assignment sims
     (deterministic argmax) and Q30 fixed-point integer centroid sums
     (order-independent), so every iteration matches bit-for-bit."""
-    from tickdatapipeline_spark.operators.similarity import KMEANS_Q
+    from tickdatapipeline_spark.operators.similarity import (
+        KMEANS_Q, TRAIN_SAMPLE_TARGET)
 
+    target = max(100 * n_cells, TRAIN_SAMPLE_TARGET)
     sim = sql_cos("b.v", "c.c")
     ctes = [
         f"base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {SQL_VEC} AS v FROM embeddings)",
-        f"cents0 AS (SELECT vec_id AS cell, v AS c FROM base WHERE vec_id < {n_cells})",
+        # deterministic training sample + rank-based seeding — the
+        # twins of kmeans_train's sample_mod predicate and its
+        # shifted-id-safe init (r14)
+        f"smod AS (SELECT greatest(1, count(*) // {target}) AS sm FROM base)",
+        "traink AS (SELECT base.* FROM base WHERE vec_id % (SELECT sm FROM smod) = 0)",
+        f"cents0 AS (SELECT cell, c FROM ("
+        f"SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, v AS c "
+        f"FROM traink) WHERE cell < {n_cells})",
     ]
     for i in range(1, iters + 1):
         p = f"cents{i - 1}"
         ctes.append(
             f"s{i} AS (SELECT b.vec_id, b.v, c.cell, {sim} AS sim "
-            f"FROM base b CROSS JOIN {p} c)"
+            f"FROM traink b CROSS JOIN {p} c)"
         )
         ctes.append(
             f"a{i} AS (SELECT vec_id, v, cell FROM ("
@@ -7351,12 +7377,16 @@ def _ivfpq_topk_sql(query_mod: int = QUERY_MOD, k: int = TOPK_K,
     from tickdatapipeline_spark.operators.similarity import (
         PQ_ITERS, PQ_K, PQ_M)
 
+    from tickdatapipeline_spark.operators.similarity import (
+        TRAIN_SAMPLE_TARGET)
+
     n_sub = PQ_M if n_sub is None else n_sub
     k_codes = PQ_K if k_codes is None else k_codes
     sub = DIM // n_sub
     sim = sql_cos("b.v", "c")
     d2 = _pq_d2_sql(sub)
-    train_ctes, cb_final = _pq_train_ctes("sub", n_sub, k_codes, sub,
+    target = max(100 * k_codes, TRAIN_SAMPLE_TARGET)
+    train_ctes, cb_final = _pq_train_ctes("subt", n_sub, k_codes, sub,
                                           PQ_ITERS, prefix="r")
     train_block = ",\n".join(train_ctes)
     qcos = sql_cos("q.q", "recon.v")
@@ -7384,6 +7414,8 @@ sub AS (
     SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> r[m * {sub} + i]) AS s
     FROM resid, (SELECT unnest(range(0, {n_sub})) AS m) ms
 ),
+smod AS (SELECT greatest(1, count(*) // {target}) AS sm FROM resid),
+subt AS (SELECT sub.* FROM sub WHERE vec_id % (SELECT sm FROM smod) = 0),
 {train_block},
 pqscored AS (
     SELECT t.vec_id, t.m, cb.code, cb.c, {d2} AS d2
