@@ -27,7 +27,12 @@ warehouse with n_cells ~ sqrt(N) instead of the IVF_CELLS toy default
 — reproduces the r13 finding that the ANN probe's
 probes x nprobe x N/n_cells pair count dominates ingest once the
 corpus outgrows the default quantizer (PERF.md r13: 80 s -> 20 s at
-N=200 K). Paste the table into PERF.md.
+N=200 K). Pass ``--pq`` (r14, r13 verdict #4) to bootstrap with
+trained PQ codebooks so every ingest's embedding probe runs the ADC
+path (codes-table candidate scoring + exact verify of the rerank
+candidates) instead of exact cosine folds over the probed cells; run
+the same bases with and without it and compare secs at what must be
+IDENTICAL kept counts. Paste the table into PERF.md.
 """
 from __future__ import annotations
 
@@ -47,6 +52,7 @@ DIM = 64
 def main() -> None:
     args = sys.argv[1:]
     sqrt_cells = "--sqrt-cells" in args
+    use_pq = "--pq" in args
     bases = [int(s) for s in args if not s.startswith("--")] \
         or [2_000, 20_000, 200_000]
 
@@ -98,6 +104,8 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
         base = docs_df(0, b)
         kw = {"n_cells": max(8, int(math.isqrt(b)))} if sqrt_cells else {}
+        if use_pq:
+            kw["pq"] = True
         run_daily_delta(spark, base.drop("embedding"),
                         base.select(F.col("doc_id").alias("vec_id"),
                                     "embedding"),
@@ -109,7 +117,8 @@ def main() -> None:
         dt = time.time() - t0
         f = f"{dt / prev:6.2f}x" if prev else "      -"
         prev = dt
-        print(f"{'ingest_1k_vs_corpus':28s} {b:9d} {dt:8.2f} {f}"
+        axis = "ingest_1k_vs_corpus" + ("_adc" if use_pq else "")
+        print(f"{axis:28s} {b:9d} {dt:8.2f} {f}"
               f"   (kept {c['n_kept']}/{BATCH})")
 
     # ---------- day axis: 10x batch at fixed mid corpus --------------

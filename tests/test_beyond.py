@@ -3770,6 +3770,106 @@ def test_append_ann_index_matches_full_rebuild(spark, tmp_path):
         append_ann_index(shard, legacy, "delta1")
 
 
+def test_adc_probe_matches_exact_probe(spark, tmp_path):
+    """The persisted-index ADC probe (r13 verdict #4): with ``rerank``
+    covering every candidate, `ann_probe_against_index_adc` must
+    answer ROW-IDENTICALLY to the exact-scan probe — the verify stage
+    computes the same rounded exact cosines, so only candidate
+    SELECTION can differ, and an all-covering rerank removes that
+    difference. Appends encode their shard against the frozen
+    codebooks (pq_codes/shard=<name> exists), mirroring the centroid
+    contract. At deployment rerank (50), the top-1 self-dup answer —
+    the keep/drop decision the live ingest path makes — matches the
+    exact probe too."""
+    from tickdatapipeline_spark.operators.similarity import (
+        ann_probe_against_index,
+        ann_probe_against_index_adc,
+        append_ann_index,
+        pq_encode,
+        write_ann_index,
+    )
+    from tickdatapipeline_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(i, [float(x) for x in r.embedding])
+             for i, r in enumerate(
+                 emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect())]
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    probe = emb.where(F.col("vec_id") % 37 == 0).limit(6)
+
+    idx = str(tmp_path / "idx")
+    write_ann_index(base, idx, centroids=cents, pq=True)
+    append_ann_index(shard, idx, "delta1")
+    import os
+
+    assert os.path.isdir(f"{idx}/pq_codes/shard=base")
+    assert os.path.isdir(f"{idx}/pq_codes/shard=delta1")
+    # codes cover the whole corpus, one row per vector
+    codes_df = spark.read.parquet(f"{idx}/pq_codes")
+    assert codes_df.count() == 500
+
+    cents_df = spark.read.parquet(f"{idx}/centroids")
+    cb_df = spark.read.parquet(f"{idx}/pq_codebooks")
+    vecs_df = spark.read.parquet(f"{idx}/vectors")
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rank, r.cosine)
+                      for r in df.collect())
+
+    exact = rows(ann_probe_against_index(probe, cents_df, vecs_df, k=5))
+    adc_all = rows(ann_probe_against_index_adc(
+        probe, cents_df, codes_df, cb_df, vecs_df, k=5, rerank=10**6))
+    assert adc_all == exact and len(exact) > 0
+    # deployment-shaped rerank: the k=1 dup decision (every probe is IN
+    # the corpus, so its best neighbor is itself at cosine 1.0)
+    exact1 = rows(ann_probe_against_index(probe, cents_df, vecs_df, k=1))
+    adc1 = rows(ann_probe_against_index_adc(
+        probe, cents_df, codes_df, cb_df, vecs_df, k=1, rerank=50))
+    assert adc1 == exact1
+    # rnorm invariant: the stored reconstruction norm equals the norm
+    # of the reconstructed vector pq_dequantized would emit
+    from tickdatapipeline_spark.operators.similarity import (
+        pq_dequantized, pq_train)
+
+    cbs = sorted((int(r["m"]), int(r["code"]), list(r["c"]))
+                 for r in cb_df.collect())
+    enc = {r.vec_id: r.rnorm
+           for r in pq_encode(base, cbs, 16).collect()}
+    rec = {r.vec_id: sum(x * x for x in r.v) ** 0.5
+           for r in pq_dequantized(base, codebooks=cbs).collect()}
+    assert enc.keys() == rec.keys()
+    assert all(abs(enc[k] - rec[k]) < 1e-9 for k in enc)
+
+
+def test_embedding_dedup_adc_equals_exact(spark, tmp_path):
+    """embedding_dedup_against_index auto-detects the PQ artifacts and
+    keeps/drops IDENTICALLY to the exact-scan probe on the same index:
+    an exact dup of an indexed vector drops, a novel vector survives,
+    under both probes (use_adc auto vs forced False)."""
+    from tickdatapipeline_spark.operators.similarity import (
+        embedding_dedup_against_index, write_ann_index)
+    from tickdatapipeline_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    write_ann_index(emb, idx, pq=True)
+
+    dup = emb.where(F.col("vec_id") % 97 == 3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    novel = emb.where(F.col("vec_id") % 97 == 5).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    shard = dup.unionByName(novel)
+
+    kept_adc = sorted(r.vec_id for r in embedding_dedup_against_index(
+        shard, idx).collect())
+    kept_exact = sorted(r.vec_id for r in embedding_dedup_against_index(
+        shard, idx, use_adc=False).collect())
+    assert kept_adc == kept_exact
+    assert all(v >= 20_000 for v in kept_adc) and kept_adc
+
+
 def test_embedding_dedup_against_index(spark, tmp_path):
     """The embedding daily-delta filter: a shard vector identical to an
     indexed one (cosine 1.0) is dropped, a genuinely novel vector

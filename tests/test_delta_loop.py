@@ -793,6 +793,59 @@ def test_lifecycle_soak_end_to_end(spark, tmp_path):
         f"{wh}/ann_index/centroids").count() == want
 
 
+def test_pq_adc_delta_loop_equality(spark, tmp_path):
+    """A ``pq=True`` warehouse — ADC live probe auto-enabled off the
+    persisted codebooks (r13 verdict #4) — keeps/drops IDENTICALLY to
+    the plain exact-probe warehouse across the 3-day fixture AND a
+    live micro-batch with a planted embedding dup; compaction retrains
+    and PRESERVES the PQ artifacts, and the compacted index still
+    catches the dup."""
+    import os
+
+    from tickdatapipeline_spark.delta_loop import (
+        compact_warehouse, fold_live_corpus, ingest_micro_batch)
+
+    whp, whe = str(tmp_path / "pq"), str(tmp_path / "plain")
+    counters = {}
+    for wh, pq in ((whp, True), (whe, False)):
+        rs = [_run(spark, wh, "2024-01-01", pq=pq),
+              _run(spark, wh, "2024-01-02"),
+              _run(spark, wh, "2024-01-03")]
+        counters[wh] = [(r["n_in"], r["n_text_kept"], r["n_emb_checked"],
+                         r["n_kept"]) for r in rs]
+    assert counters[whp] == counters[whe]
+    assert _corpus_rows(spark, whp) == _corpus_rows(spark, whe)
+    assert os.path.isdir(f"{whp}/ann_index/pq_codebooks")
+    assert os.path.isdir(f"{whp}/ann_index/pq_codes/shard=2024-01-02")
+    assert not os.path.isdir(f"{whe}/ann_index/pq_codebooks")
+
+    # live micro-batch: doc 30 embedding-dups the day-2 keeper 12,
+    # doc 31 is novel — both warehouses must keep exactly {31}
+    schema = "doc_id long, text string, embedding array<double>"
+    batch = [(30, _text(300), VEC[12]),
+             (31, _text(301), [3.0, 1.0, 2.0, 0.0])]
+    for wh in (whp, whe):
+        c = ingest_micro_batch(spark.createDataFrame(batch, schema),
+                               0, wh, "2024-01-04")
+        assert (c["n_in"], c["n_text_kept"], c["n_kept"]) == (2, 2, 1)
+        assert fold_live_corpus(spark, wh, "2024-01-04") == 1
+    assert _corpus_rows(spark, whp) == _corpus_rows(spark, whe)
+    # the ADC warehouse encoded the micro-batch subshard too
+    assert os.path.isdir(f"{whp}/ann_index/pq_codes/shard=2024-01-04.b0")
+
+    # compaction: PQ-ness preserved (codebooks retrained, codes rebuilt
+    # as shard=base), and the rebuilt index still drops a replayed dup
+    rc = compact_warehouse(spark, whp, n_cells=2)
+    assert rc["retrained"] and rc["had_ann"]
+    assert os.path.isdir(f"{whp}/ann_index/pq_codebooks")
+    assert sorted(
+        d for d in os.listdir(f"{whp}/ann_index/pq_codes")
+        if d.startswith("shard=")) == ["shard=base"]
+    c2 = ingest_micro_batch(spark.createDataFrame(batch, schema),
+                            0, whp, "2024-01-05")
+    assert c2["n_kept"] == 0  # 30 = emb dup, 31 = text dup of itself
+
+
 def test_daily_delta_rejects_dotted_day(spark, tmp_path):
     """'.' in a nightly day is rejected: it would collide with the
     streaming twin's '<day>.b<n>' subshard namespace — wrongly excluded

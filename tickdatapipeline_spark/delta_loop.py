@@ -87,6 +87,7 @@ def run_daily_delta(
     ann_centroids: "list | None" = None,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
     retain_before: str | None = None,
+    pq: bool = False,
 ) -> dict:
     """Ingest one day's shard through the full curation loop and
     return the stage counters a nightly job logs.
@@ -228,8 +229,24 @@ def run_daily_delta(
                 if len(cents) == n_cells:
                     cents = kmeans_train(final_vecs, k=n_cells,
                                          seeds=cents)
+            # pq=True (r14): train the ADC codebooks on the day's
+            # keepers too (the base build is empty, so write_ann_index
+            # could not train them itself — same injection contract as
+            # ann_centroids); a zero-vector day downgrades to a plain
+            # index rather than persisting an empty codebook
+            cbs = None
+            if pq:
+                from tickdatapipeline_spark.operators.similarity import (
+                    PQ_M, pq_train)
+
+                head = final_vecs.select("embedding").head()
+                if head is not None:
+                    dim = len(head[0])
+                    cbs = pq_train(final_vecs, math.gcd(dim, PQ_M),
+                                   dim=dim)
             write_ann_index(emb_shard.limit(0), ann_index,
-                            n_cells=n_cells, centroids=cents)
+                            n_cells=n_cells, centroids=cents,
+                            pq=bool(cbs), pq_codebooks=cbs)
         append_ann_index(final_vecs, ann_index, shard=day)
 
     # 5. curated-corpus upsert — O(touched partitions)
@@ -355,8 +372,12 @@ def compact_warehouse(
             cents = [(r.cell, list(r.c)) for r in spark.read.parquet(
                 f"{warehouse}/ann_index/centroids").collect()]
             cents.sort()
+        # PQ-enabled index stays PQ-enabled: the rebuild retrains the
+        # ADC codebooks on the (deterministically sampled) collapsed
+        # corpus, exactly like the coarse quantizer above (r14)
+        had_pq = _exists(spark, f"{warehouse}/ann_index/pq_codebooks")
         write_ann_index(emb, f"{warehouse}/ann_index",
-                        n_cells=len(cents), centroids=cents)
+                        n_cells=len(cents), centroids=cents, pq=had_pq)
     # n_cells reports the index's ACTUAL cell count after compaction —
     # the auto-sized target when retrained, the surviving centroid
     # count on a pure shard collapse (retrain=False / tiny corpus)

@@ -217,20 +217,22 @@ def train_sample_mod(n_rows: int, k: int) -> int:
     return max(1, int(n_rows) // max(100 * int(k), TRAIN_SAMPLE_TARGET))
 
 
-def _pq_sub(emb: DataFrame, n_sub: int) -> DataFrame:
+def _pq_sub(emb: DataFrame, n_sub: int, dim: int = DIM) -> DataFrame:
     """(vec_id, m, s): each vector exploded into its n_sub contiguous
-    subvectors — the shared first stage of PQ training and encoding."""
-    if DIM % n_sub != 0:
-        raise ValueError(f"n_sub must divide DIM={DIM}")
-    sub_dim = DIM // n_sub
+    subvectors — the shared first stage of PQ training and encoding.
+    ``dim`` defaults to the corpus DIM; the persisted-index ADC path
+    passes the index's own dimensionality."""
+    if dim % n_sub != 0:
+        raise ValueError(f"n_sub must divide dim={dim}")
+    sub_dim = dim // n_sub
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
     )
     base = base.where(
         F.assert_true(
-            F.size("v") == DIM,
-            F.lit(f"pq_dequantized: embedding length != DIM={DIM}"),
+            F.size("v") == dim,
+            F.lit(f"pq_dequantized: embedding length != dim={dim}"),
         ).isNull()
     )
     subs = F.array(*[
@@ -261,7 +263,7 @@ def _pq_d2(s: str, c: str) -> Column:
 
 def pq_train(emb: DataFrame, n_sub: int = PQ_M, k_codes: int = PQ_K,
              iters: int = PQ_ITERS,
-             sample_mod: "int | None" = None) -> list:
+             sample_mod: "int | None" = None, dim: int = DIM) -> list:
     """Per-subspace Lloyd's k-means for PQ codebooks — kmeans_train's
     playbook applied to every subspace AT ONCE (one DataFrame job per
     iteration keyed on (m, code), not n_sub separate trainings).
@@ -298,7 +300,7 @@ def pq_train(emb: DataFrame, n_sub: int = PQ_M, k_codes: int = PQ_K,
     spark = emb.sparkSession
     from pyspark.sql import Window
 
-    sub = _pq_sub(emb, n_sub)
+    sub = _pq_sub(emb, n_sub, dim=dim)
     if sample_mod is None:
         sample_mod = train_sample_mod(emb.count(), k_codes)
     if sample_mod > 1:
@@ -408,6 +410,46 @@ def pq_dequantized(emb: DataFrame, n_sub: int = PQ_M,
                 F.sort_array(F.collect_list(F.struct("m", "c"))), lambda r: r["c"]
             )
         ).alias("v")
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: list, n_sub: int,
+              dim: int = DIM) -> DataFrame:
+    """(vec_id, codes, rnorm): the compact per-vector PQ artifact the
+    persisted-index ADC probe stores instead of scoring raw vectors —
+    each vector's per-subspace nearest-code assignment (the SAME
+    rounded fixed-order L2^2 argmin as pq_dequantized, ties to the
+    lowest code) plus the norm of its RECONSTRUCTION (sqrt of the sum
+    of its chosen codebook entries' squared norms — reconstruction is
+    concatenation, so the identity is exact). With codes + rnorm, an
+    ADC lookup table turns cosine(query, reconstruction) into n_sub
+    map-gets and one divide per candidate pair, no vector read.
+
+    Determinism: the rnorm sum folds over subspaces in m-order (sorted
+    collect, like pq_dequantized's reconstruction), never over Spark's
+    nondeterministic aggregation order.
+
+    Scale: one broadcast of the n_sub x k_codes codebook, map-side
+    explode, the (vec_id, m) argmin window — n_sub rows per vector."""
+    from pyspark.sql import Window
+
+    sub = _pq_sub(emb, n_sub, dim=dim)
+    cb = emb.sparkSession.createDataFrame(
+        [(m, code, c) for m, code, c in codebooks],
+        "m long, code long, c array<double>")
+    scored = sub.join(F.broadcast(cb), on="m").select(
+        "vec_id", "m", "code", "c", _pq_d2("s", "c").alias("d2"))
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    win = (scored.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .withColumn("sq", F.aggregate(
+               "c", F.lit(0.0), lambda acc, x: acc + x * x)))
+    ordered = F.sort_array(F.collect_list(F.struct("m", "code", "sq")))
+    return win.groupBy("vec_id").agg(
+        F.transform(ordered, lambda r: r["code"]).alias("codes"),
+        F.sqrt(F.aggregate(
+            F.transform(ordered, lambda r: r["sq"]),
+            F.lit(0.0), lambda acc, x: acc + x)).alias("rnorm"),
     )
 
 
@@ -682,6 +724,13 @@ def ann_topk_ivf(emb: DataFrame, k: int = 5, query_mod: int = 50,
     )
 
 
+def _exists_path(spark, path: str) -> bool:
+    """Hadoop-FS existence check (the delta loop's `_exists` twin)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def _anchor_vectors_schema(assigned: DataFrame, shard_dir: str) -> None:
     """Land a zero-row schema-bearing parquet file under
     ``shard_dir``/cell=0 after a partitionBy('cell') vectors write.
@@ -706,7 +755,11 @@ def _anchor_vectors_schema(assigned: DataFrame, shard_dir: str) -> None:
 
 
 def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
-                    centroids: "list | None" = None) -> None:
+                    centroids: "list | None" = None,
+                    pq: bool = False,
+                    pq_n_sub: "int | None" = None,
+                    pq_k_codes: int = PQ_K,
+                    pq_codebooks: "list | None" = None) -> None:
     """Materialize the IVF search index as parquet: the centroid table
     (``path``/centroids: cell, c) and the cell-assigned corpus
     (``path``/vectors: vec_id, cell, v) that
@@ -725,7 +778,18 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
     their own ``shard=<name>`` partitions via ``append_ann_index``.
     This full rebuild wipes every shard first — the compaction path
     when the quantizer needs retraining (appends assign against the
-    FROZEN base centroids; FAISS's add-with-trained-quantizer shape)."""
+    FROZEN base centroids; FAISS's add-with-trained-quantizer shape).
+
+    ``pq=True`` (r14) additionally trains per-subspace PQ codebooks on
+    the corpus (`pq_train`, deterministically sampled) and stores the
+    ADC artifacts beside the vectors: ``path``/pq_codebooks (m, code,
+    c) and the cell-partitioned ``path``/pq_codes (vec_id, codes,
+    rnorm from `pq_encode`) — what lets the live-ingest probe score
+    cells through n_sub map-gets per pair (`ann_probe_against_index_adc`)
+    instead of full cosine folds. ``pq_n_sub=None`` auto-picks
+    gcd(dim, PQ_M); a pq=False rebuild WIPES any previous PQ tables
+    (stale codebooks must never pair with new vectors). Appends encode
+    against the FROZEN codebooks, mirroring the centroid contract."""
     base = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     )
@@ -754,13 +818,55 @@ def write_ann_index(emb: DataFrame, path: str, n_cells: int = IVF_CELLS,
     assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
         .partitionBy("cell").parquet(f"{tmp}/vectors/shard=base")
     _anchor_vectors_schema(assigned, f"{tmp}/vectors/shard=base")
+    subdirs = ["vectors", "centroids"]
+    if pq:
+        if pq_codebooks is not None:
+            # injected pre-trained codebooks (the delta loop's bootstrap
+            # trains on the day's keepers while the base build is empty,
+            # mirroring its ann_centroids contract)
+            codebooks = sorted(
+                (int(m), int(code), list(map(float, c)))
+                for m, code, c in pq_codebooks)
+            if codebooks:
+                pq_n_sub = max(m for m, _, _ in codebooks) + 1
+                dim = pq_n_sub * len(codebooks[0][2])
+        else:
+            head = emb.select(
+                _as_double(F.col("embedding")).alias("v")).head()
+            dim = len(head["v"]) if head is not None else DIM
+            if pq_n_sub is None:
+                pq_n_sub = math.gcd(dim, PQ_M)
+            codebooks = pq_train(emb, pq_n_sub, pq_k_codes, dim=dim)
+        if not codebooks:
+            raise ValueError(
+                "pq=True needs a non-empty codebook (train data or "
+                "pq_codebooks) — persisting an empty pq_codebooks table "
+                "would make every later append/probe fail")
+        spark.createDataFrame(
+            codebooks, "m long, code long, c array<double>"
+        ).write.mode("overwrite").parquet(f"{tmp}/pq_codebooks")
+        codes = pq_encode(emb, codebooks, pq_n_sub, dim=dim).join(
+            assigned.select("vec_id", "cell"), "vec_id")
+        codes.select("vec_id", "cell", "codes", "rnorm") \
+            .write.mode("overwrite").partitionBy("cell") \
+            .parquet(f"{tmp}/pq_codes/shard=base")
+        codes.select("vec_id", "codes", "rnorm").limit(0).write \
+            .mode("append").parquet(f"{tmp}/pq_codes/shard=base/cell=0")
+        # swap order keeps centroids the LAST (commit) rename: an index
+        # missing centroids fails loudly everywhere, so no partial-PQ
+        # state is ever silently readable
+        subdirs = ["vectors", "pq_codes", "pq_codebooks", "centroids"]
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration())
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path))
     _wipe_path(spark, f"{path}/vectors")
     _wipe_path(spark, f"{path}/centroids")
-    for sub in ("vectors", "centroids"):  # vectors first — see above
+    # a pq=False rebuild drops stale PQ artifacts: codebooks trained on
+    # the previous corpus paired with new vectors would score garbage
+    _wipe_path(spark, f"{path}/pq_codes")
+    _wipe_path(spark, f"{path}/pq_codebooks")
+    for sub in subdirs:  # vectors first, centroids last — see above
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{sub}"),
                          jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")):
             raise IOError(
@@ -827,6 +933,24 @@ def append_ann_index(emb_shard: DataFrame, path: str, shard: str) -> None:
     assigned.select("vec_id", "cell", "v").write.mode("overwrite") \
         .partitionBy("cell").parquet(f"{path}/vectors/shard={shard}")
     _anchor_vectors_schema(assigned, f"{path}/vectors/shard={shard}")
+    # PQ-enabled index (r14): encode the shard against the FROZEN
+    # codebooks — the trained-index add contract, same as centroids —
+    # so the ADC probe keeps seeing every shard. O(shard) work.
+    cb_path = jvm.org.apache.hadoop.fs.Path(f"{path}/pq_codebooks")
+    if fs.exists(cb_path):
+        codebooks = sorted(
+            (int(r["m"]), int(r["code"]), list(r["c"]))
+            for r in spark.read.parquet(f"{path}/pq_codebooks").collect())
+        n_sub = max(m for m, _, _ in codebooks) + 1
+        dim = n_sub * len(codebooks[0][2])
+        _wipe_path(spark, f"{path}/pq_codes/shard={shard}")
+        codes = pq_encode(emb_shard, codebooks, n_sub, dim=dim).join(
+            assigned.select("vec_id", "cell"), "vec_id")
+        codes.select("vec_id", "cell", "codes", "rnorm") \
+            .write.mode("overwrite").partitionBy("cell") \
+            .parquet(f"{path}/pq_codes/shard={shard}")
+        codes.select("vec_id", "codes", "rnorm").limit(0).write \
+            .mode("append").parquet(f"{path}/pq_codes/shard={shard}/cell=0")
 
 
 def ann_rebuild_due(spark, path: str, max_cell_factor: float = 4.0,
@@ -917,6 +1041,125 @@ def ann_probe_against_index(probe_emb: DataFrame, centroids_df: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+PROBE_ADC_RERANK = 50  # candidates per probe the exact verify re-scores
+# (matches the committed rerank sweeps that justified R=50 for the
+# adc_rerank panel: recall@5 0.905 at sf0.1 with R=50)
+
+
+def ann_probe_against_index_adc(probe_emb: DataFrame,
+                                centroids_df: DataFrame,
+                                codes_df: DataFrame,
+                                codebooks_df: DataFrame,
+                                vectors_df: DataFrame, k: int = 5,
+                                nprobe: int = IVF_NPROBE,
+                                rerank: int = PROBE_ADC_RERANK) -> DataFrame:
+    """`ann_probe_against_index` with ADC candidate scoring (r13
+    verdict #4): instead of an exact 64-dim cosine fold against EVERY
+    vector in the probed cells, each probe builds a lookup table of
+    subvector dot products against the broadcast PQ codebook (n_sub x
+    k_codes entries), scores cell members through their stored codes —
+    n_sub map-gets + one divide per pair, the classic ADC shape — keeps
+    the ``rerank`` best candidates, and exact-verifies ONLY those
+    against the raw vectors. Output contract and exactness of the
+    RETURNED cosines match ann_probe_against_index (the verify stage is
+    the same rounded exact fold); what ADC changes is WHICH candidates
+    reach the verify — a true neighbor ranked below ``rerank`` by its
+    reconstruction cosine is missed, the same approximation contract as
+    the gated adc_rerank panel.
+
+    ``codes_df``: (vec_id, cell, codes, rnorm) from `pq_encode` (the
+    index's ``pq_codes`` table); ``codebooks_df``: (m, code, c) (its
+    ``pq_codebooks`` table). The codebook is collected driver-side
+    (n_sub x k_codes rows — broadcast-scale by construction).
+
+    Scale: per micro-batch, the LUT build is O(probes x n_sub x
+    k_codes) map-side work; candidate scoring reads the cell-pruned
+    CODES table (n_sub bytes-scale per vector instead of dim doubles);
+    the exact verify touches O(probes x rerank) vectors by id."""
+    from pyspark.sql import Window
+
+    cb_rows = [(int(r["m"]), int(r["code"]), list(r["c"]))
+               for r in codebooks_df.collect()]
+    if not cb_rows:
+        raise ValueError("empty pq_codebooks — rebuild the index with "
+                         "pq=True before using the ADC probe")
+    n_sub = max(m for m, _, _ in cb_rows) + 1
+    k_codes = max(c for _, c, _ in cb_rows) + 1
+    dim = n_sub * len(cb_rows[0][2])
+
+    q = probe_emb.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        _as_double(F.col("embedding")).alias("q"),
+    )
+    csim = rnd(_cos_sim(F.col("q"), F.col("c")))
+    wc = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(centroids_df))
+        .select("query_id", "q", "cell", csim.alias("sim"))
+        .withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "q", F.col("cell").alias("probe_cell"))
+    )
+    # per-probe ADC lookup table: key m*k_codes+code -> dot(q_m, c);
+    # built off the probe's subvectors x the broadcast codebook, then
+    # map_from_entries so the member-side scoring is n_sub strict
+    # element_at gets (keys are argmin codes of the SAME codebook, so
+    # a miss is impossible by construction — strict fails loudly)
+    qsub = _pq_sub(
+        q.select(F.col("query_id").alias("vec_id"),
+                 F.col("q").alias("embedding")), n_sub, dim=dim)
+    cb = probe_emb.sparkSession.createDataFrame(
+        cb_rows, "m long, code long, c array<double>")
+    lut = (
+        qsub.join(F.broadcast(cb), on="m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("m") * k_codes + F.col("code")).cast("long").alias("idx"),
+            _dot(F.col("s"), F.col("c")).alias("val"))
+        .groupBy("query_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("idx", "val"))).alias("lut"))
+    )
+    qn = q.select("query_id", _norm(F.col("q")).alias("qnorm"))
+    probes2 = (probes.drop("q").join(lut, "query_id").join(qn, "query_id"))
+    adc_dot = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda code, mi: F.element_at(
+                F.col("lut"), (mi.cast("long") * k_codes + code))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (
+        codes_df.join(F.broadcast(probes2),
+                      F.col("cell") == F.col("probe_cell"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                rnd(adc_dot / (F.col("qnorm") * F.col("rnorm")), 6)
+                .alias("adc_cos"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id"))
+    top = (cand.withColumn("arank", F.row_number().over(wa))
+           .where(F.col("arank") <= rerank)
+           .select("query_id", "neighbor_id"))
+    # exact verify of candidates only — the id-equi-join "fetch raw
+    # vectors" step, never a scan of the probed cells
+    verified = (
+        F.broadcast(top)
+        .join(q, "query_id")
+        .join(vectors_df.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("v")), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                rnd(_cos_sim(F.col("q"), F.col("v"))).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -1515,7 +1758,9 @@ def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
                                   threshold: float = 0.96,
                                   nprobe: int = IVF_NPROBE,
                                   exclude_shard: str | None = None,
-                                  exclude_prefix: str | None = None) -> DataFrame:
+                                  exclude_prefix: str | None = None,
+                                  use_adc: "bool | None" = None,
+                                  rerank: int = PROBE_ADC_RERANK) -> DataFrame:
     """Near-dup-FILTER a new shard of embeddings against the persisted
     IVF index: the shard's surviving rows (every input column,
     unchanged) after dropping vectors whose best cosine against ANY
@@ -1540,26 +1785,60 @@ def embedding_dedup_against_index(emb_shard: DataFrame, path: str,
     prefix (also partition-pruned) — the streaming twin's contract,
     see the inline note.
 
+    ``use_adc`` (r14): None auto-detects — an index carrying PQ
+    artifacts (written with ``write_ann_index(pq=True)``) is probed
+    through `ann_probe_against_index_adc` (codes-table cell scan +
+    exact verify of the top-``rerank`` candidates); True forces it
+    (raises at read if the tables are absent), False forces the
+    exact-scan probe.
+
     Scale: O(shard) probe work against cell-pruned parquet; the final
     anti-join is on the shard's vec_id only."""
     spark = emb_shard.sparkSession
-    vectors = spark.read.parquet(f"{path}/vectors")
-    if exclude_shard is not None:
-        vectors = vectors.where(F.col("shard") != exclude_shard)
-    if exclude_prefix is not None:
-        # partition-pruned like exclude_shard (shard is a partition
-        # column, so the startswith predicate resolves against
-        # partition VALUES at planning) — the streaming-ingest twin
-        # excludes every `<day>.b*` micro-batch subshard at once: the
-        # batch loop has no intra-day embedding dedup, so the live path
-        # must not let one micro-batch's vectors drop a later one's
-        vectors = vectors.where(~F.col("shard").startswith(exclude_prefix))
-    hits = ann_probe_against_index(
-        emb_shard,
-        spark.read.parquet(f"{path}/centroids"),
-        vectors,
-        k=1,
-        nprobe=nprobe,
-    ).where(F.col("cosine") >= threshold).select(
+
+    def _excluded(df: DataFrame) -> DataFrame:
+        if exclude_shard is not None:
+            df = df.where(F.col("shard") != exclude_shard)
+        if exclude_prefix is not None:
+            # partition-pruned like exclude_shard (shard is a partition
+            # column, so the startswith predicate resolves against
+            # partition VALUES at planning) — the streaming-ingest twin
+            # excludes every `<day>.b*` micro-batch subshard at once:
+            # the batch loop has no intra-day embedding dedup, so the
+            # live path must not let one micro-batch's vectors drop a
+            # later one's
+            df = df.where(~F.col("shard").startswith(exclude_prefix))
+        return df
+
+    vectors = _excluded(spark.read.parquet(f"{path}/vectors"))
+    if use_adc is None:
+        use_adc = _exists_path(spark, f"{path}/pq_codebooks")
+    if use_adc:
+        # ADC candidate scoring + exact verify (r13 verdict #4): the
+        # probe reads the compact CODES table for the cell scan and
+        # touches raw vectors only for the rerank candidates; the
+        # keep/drop test still runs on EXACT cosines, so a drop is
+        # always justified — what ADC can change is a missed borderline
+        # dup whose reconstruction ranks below `rerank` (same
+        # approximation contract as raising nprobe trades against)
+        hits = ann_probe_against_index_adc(
+            emb_shard,
+            spark.read.parquet(f"{path}/centroids"),
+            _excluded(spark.read.parquet(f"{path}/pq_codes")),
+            spark.read.parquet(f"{path}/pq_codebooks"),
+            vectors,
+            k=1,
+            nprobe=nprobe,
+            rerank=rerank,
+        )
+    else:
+        hits = ann_probe_against_index(
+            emb_shard,
+            spark.read.parquet(f"{path}/centroids"),
+            vectors,
+            k=1,
+            nprobe=nprobe,
+        )
+    hits = hits.where(F.col("cosine") >= threshold).select(
         F.col("query_id").alias("vec_id")).distinct()
     return emb_shard.join(hits, "vec_id", "left_anti")
