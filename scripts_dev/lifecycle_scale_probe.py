@@ -46,13 +46,23 @@ sys.path.insert(0, ".")
 
 TMP = Path("/tmp/.lifecycle_probe")
 BATCH = 1_000
-DIM = 64
+DIM = 64  # --dim N overrides (the ADC-vs-exact crossover is dim-driven:
+# the exact probe folds dim doubles per candidate pair, the ADC probe
+# gcd(dim, PQ_M) map-gets — production text embeddings are 768-1536d)
 
 
 def main() -> None:
     args = sys.argv[1:]
     sqrt_cells = "--sqrt-cells" in args
     use_pq = "--pq" in args
+    # --ingest-only: just the corpus-axis ingest rows (the A/B arm a
+    # --pq comparison needs) — fold/compact factors are unchanged by
+    # the probe mode and already recorded in PERF.md
+    ingest_only = "--ingest-only" in args
+    global DIM
+    for a in args:
+        if a.startswith("--dim="):
+            DIM = int(a.split("=", 1)[1])
     bases = [int(s) for s in args if not s.startswith("--")] \
         or [2_000, 20_000, 200_000]
 
@@ -117,9 +127,14 @@ def main() -> None:
         dt = time.time() - t0
         f = f"{dt / prev:6.2f}x" if prev else "      -"
         prev = dt
-        axis = "ingest_1k_vs_corpus" + ("_adc" if use_pq else "")
+        axis = "ingest_1k_vs_corpus" + ("_adc" if use_pq else "") \
+            + (f"_d{DIM}" if DIM != 64 else "")
         print(f"{axis:28s} {b:9d} {dt:8.2f} {f}"
               f"   (kept {c['n_kept']}/{BATCH})")
+    if ingest_only:
+        for wh in whs.values():
+            shutil.rmtree(wh, ignore_errors=True)
+        return
 
     # ---------- day axis: 10x batch at fixed mid corpus --------------
     # distinct batch_ids + disjoint doc_id ranges per measurement: the

@@ -9,9 +9,9 @@ Claims under test:
   the per-iteration assignment scan caps at ~max(100*k, 1e5) rows) is
   ~FLAT in corpus size once past the cap — 10x vectors should not pay
   10x training.
-- the ADC panel is linear in corpus (cell-pruned codes scan per
-  query); with the query set held at ~N_QUERIES by scaling query_mod,
-  10x vectors costs ~10x pair work.
+- the ADC panels score query x corpus pairs against the reconstructed
+  corpus; with the query set held at ~N_QUERIES by scaling query_mod,
+  10x vectors costs ~10x pair work (linear, not quadratic).
 - recall@5 at 10x stays in the band the sf0.1 rerank_sweep justified
   (codebook capacity is per-subspace, not per-corpus — more vectors
   per code cell degrades reconstruction slowly, not off a cliff).
@@ -32,7 +32,11 @@ from pathlib import Path
 sys.path.insert(0, ".")
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-N_QUERIES = 1_000  # per-tier query-set target: query_mod = n // this
+N_QUERIES = 40  # held FIXED across tiers (query_mod scales with the
+# corpus): the factors then isolate corpus growth — 10x vectors with a
+# fixed query set should cost the panels ~10x pair work — and the
+# recall column stays sample-for-sample comparable to the r13
+# rerank_sweep table (sf0.1, query_mod=50, 40 queries)
 
 
 def main() -> None:
@@ -61,7 +65,7 @@ def main() -> None:
     for tier, d in (("sf01", SF_DIR), ("tier2", TIER2)):
         emb = pin(spark.read.parquet(f"{d}/embeddings.parquet"))
         n = emb.count()
-        mod = max(1, n // N_QUERIES)
+        mod = max(50, n // N_QUERIES)
         t0 = time.time()
         pq_train(emb)
         t_train = time.time() - t0

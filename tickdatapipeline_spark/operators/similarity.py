@@ -1105,11 +1105,15 @@ def ann_probe_against_index_adc(probe_emb: DataFrame,
         .where(F.col("crank") <= nprobe)
         .select("query_id", "q", F.col("cell").alias("probe_cell"))
     )
-    # per-probe ADC lookup table: key m*k_codes+code -> dot(q_m, c);
-    # built off the probe's subvectors x the broadcast codebook, then
-    # map_from_entries so the member-side scoring is n_sub strict
-    # element_at gets (keys are argmin codes of the SAME codebook, so
-    # a miss is impossible by construction — strict fails loudly)
+    # per-probe ADC lookup table: position m*k_codes+code -> dot(q_m,
+    # c), stored as ONE FLAT ARRAY ordered by that position (built off
+    # the probe's subvectors x the broadcast codebook). An array beats
+    # a map here (measured r14: the map variant lost to the exact fold
+    # at every dim): the member-side get is a direct unsafe-array
+    # offset instead of a hash probe, and transform-with-index replaces
+    # the per-candidate-row sequence()+zip_with allocation. Positions
+    # are argmin codes of the SAME codebook, so every get is in-bounds
+    # by construction — ANSI element_at stays strict and loud.
     qsub = _pq_sub(
         q.select(F.col("query_id").alias("vec_id"),
                  F.col("q").alias("embedding")), n_sub, dim=dim)
@@ -1122,17 +1126,20 @@ def ann_probe_against_index_adc(probe_emb: DataFrame,
             (F.col("m") * k_codes + F.col("code")).cast("long").alias("idx"),
             _dot(F.col("s"), F.col("c")).alias("val"))
         .groupBy("query_id")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("idx", "val"))).alias("lut"))
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "val"))),
+            lambda r: r["val"]).alias("lut"))
     )
     qn = q.select("query_id", _norm(F.col("q")).alias("qnorm"))
     probes2 = (probes.drop("q").join(lut, "query_id").join(qn, "query_id"))
+    # fold order is m-ascending (transform preserves codes order), the
+    # same addition sequence as the previous map formulation
     adc_dot = F.aggregate(
-        F.zip_with(
+        F.transform(
             "codes",
-            F.sequence(F.lit(0), F.lit(n_sub - 1)),
             lambda code, mi: F.element_at(
-                F.col("lut"), (mi.cast("long") * k_codes + code))),
+                F.col("lut"),
+                (mi.cast("long") * k_codes + code + 1).cast("int"))),
         F.lit(0.0), lambda acc, x: acc + x)
     cand = (
         codes_df.join(F.broadcast(probes2),
