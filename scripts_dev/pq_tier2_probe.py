@@ -16,8 +16,13 @@ Claims under test:
   (codebook capacity is per-subspace, not per-corpus — more vectors
   per code cell degrades reconstruction slowly, not off a cliff).
 
-Tier-2 data comes from bench_tier2.build_tier2 (10x-replicated sf0.1,
-copy-offset vec_ids, built once under /tmp/spark_graft_tier2).
+Tier-2 data: bench_tier2's verbatim 10x embedding replication is
+DEGENERATE for recall (each query's exact top-5 are its own identical
+copies, which every arm finds — first run of this probe read 1.000
+across the board), so this probe builds its own 10x set with a
+deterministic +-5% per-copy perturbation (copies become near-dups,
+not exact dups; the neighbor structure is non-trivial again) under
+/tmp/spark_graft_tier2_pq, built once and reused.
 
 Usage: python scripts_dev/pq_tier2_probe.py
 Prints a PERF.md-ready table. Solo contract — no concurrent Spark
@@ -42,7 +47,7 @@ N_QUERIES = 40  # held FIXED across tiers (query_mod scales with the
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from bench_tier2 import SF_DIR, TIER2, build_tier2
+    from bench_tier2 import SF_DIR
     from tickdatapipeline_spark.operators.globalorder import pin
     from tickdatapipeline_spark.operators.similarity import (
         ann_recall,
@@ -56,13 +61,47 @@ def main() -> None:
 
     spark = get_spark("pq_tier2_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build_tier2(spark)
+
+    tier2_pq = "/tmp/spark_graft_tier2_pq"
+    if not Path(f"{tier2_pq}/_READY").exists():
+        base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        n0 = base.count()
+        copies = F.broadcast(
+            spark.range(10).select(F.col("id").alias("copy")))
+        # the perturbation hash MUST mix in the copy number (the
+        # copy-offset id), or all 10 copies perturb identically and
+        # stay exact dups
+        new_id = F.col("vec_id") + F.col("copy") * 10_000_000
+        (base.crossJoin(copies).select(
+            new_id.alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x * (
+                    F.lit(1.0)
+                    + F.pmod(F.hash(new_id * 977 + i),
+                             F.lit(101)).cast("double") / F.lit(1000.0)
+                    - F.lit(0.05))).alias("embedding"))
+         .repartition(32).write.mode("overwrite")
+         .parquet(f"{tier2_pq}/embeddings.parquet"))
+        assert spark.read.parquet(
+            f"{tier2_pq}/embeddings.parquet").count() == 10 * n0
+        Path(f"{tier2_pq}/_READY").touch()
+
+    # warm codegen/JIT on the tiny sf so the sf01 train_s column times
+    # the training, not first-call compilation (first run of this
+    # probe read train 12.2 s at sf01 vs 6.6 s at tier2 — warmup, not
+    # work)
+    tiny = pin(spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"))
+    pq_train(tiny)
+    ann_rerank(ann_topk_pq_adc(tiny, 50, 50), tiny, TOPK_K).write \
+        .format("noop").mode("overwrite").save()
 
     print("| tier | vectors | queries | train_s | adc_panel_s "
           "| adc_recall@5 | adc_rerank50_s | rerank50_recall@5 |")
     print("|---|---|---|---|---|---|---|---|")
     rows = {}
-    for tier, d in (("sf01", SF_DIR), ("tier2", TIER2)):
+    for tier, d in (("sf01", SF_DIR), ("tier2", tier2_pq)):
         emb = pin(spark.read.parquet(f"{d}/embeddings.parquet"))
         n = emb.count()
         mod = max(50, n // N_QUERIES)
