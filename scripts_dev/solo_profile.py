@@ -44,9 +44,10 @@ def main() -> None:
     args = ap.parse_args()
 
     evdir = "/tmp/spark-events-solo"
+    import shutil
+
+    shutil.rmtree(evdir, ignore_errors=True)
     os.makedirs(evdir, exist_ok=True)
-    for f in Path(evdir).glob("*"):
-        f.unlink()
 
     from pyspark.sql import SparkSession
 

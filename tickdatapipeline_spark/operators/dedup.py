@@ -322,7 +322,10 @@ def cross_corpus_contamination(
     """
     out = contamination_against_index(
         eval_docs,
-        _band_table(train_docs, num_perm, band_size),
+        # single consumer inside contamination_against_index on both the
+        # capped path (the touched semi-join, whose result is pinned) and
+        # the uncapped path (the candidate join) — no reuse, no pin
+        _band_table(train_docs, num_perm, band_size, pinned=False),
         corpus_shingles=None,  # computed candidate-restricted from train_docs
         corpus_docs=train_docs,
         threshold=threshold,
@@ -594,7 +597,12 @@ def contamination_against_index(
         "pass exactly one of corpus_shingles (precomputed index) or "
         "corpus_docs (in-session: shingles computed candidate-restricted)"
     )
-    p_bands = _band_table(probe_docs, num_perm, band_size)
+    # the probe band table has TWO consumers only on the capped path
+    # (the touched-bucket semi-join and the candidate join); uncapped it
+    # feeds the candidate join alone, so a pin would add a checkpoint
+    # materialization job for zero reuse
+    p_bands = _band_table(probe_docs, num_perm, band_size,
+                          pinned=max_band_bucket is not None)
     if max_band_bucket is not None:
         # Cap only the buckets the PROBE touches (r13): the cap's
         # decision per bucket depends only on that bucket's FULL corpus

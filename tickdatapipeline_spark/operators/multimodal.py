@@ -109,23 +109,58 @@ def extract_features(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = decode if decode is not None else (lambda b: _fake_decode_features(b, dim))
+        import numpy as np
+
+        dec = decode
         for pdf in batches:
             content = pdf["content"]
-            feats = content.map(lambda b: [0.0] * dim if b is None else dec(b))
+            if dec is not None:
+                feats = content.map(lambda b: [0.0] * dim if b is None else dec(b))
+                n_bytes = content.map(lambda b: 0 if b is None else len(b)).astype("int64")
+                byte_mean = content.map(
+                    lambda b: 0.0 if not b else sum(b) / len(b)
+                ).astype("float64")
+            else:
+                # vectorized stub decode: per-row numpy view of the
+                # payload, dim strided slice-sums for the histogram and
+                # one exact int64 sum for the mean — same integer
+                # arithmetic as _fake_decode_features (sum of uint8
+                # values in int64, then float), so outputs are
+                # bit-identical to the per-byte Python loop it replaces
+                n = len(content)
+                n_bytes = np.zeros(n, dtype=np.int64)
+                byte_mean = np.zeros(n, dtype=np.float64)
+                feats_arr = np.zeros((n, dim), dtype=np.float64)
+                for j, b in enumerate(content):
+                    if not b:
+                        continue
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    n_bytes[j] = arr.size
+                    pad = (-arr.size) % dim
+                    if pad:
+                        arr = np.concatenate(
+                            [arr, np.zeros(pad, dtype=np.uint8)])
+                    sums = arr.reshape(-1, dim).sum(axis=0, dtype=np.int64)
+                    feats_arr[j] = sums
+                    byte_mean[j] = int(sums.sum()) / n_bytes[j]
+                feats = list(feats_arr)
+                n_bytes = pd.Series(n_bytes)
+                byte_mean = pd.Series(byte_mean)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": content.map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "byte_mean": content.map(
-                        lambda b: 0.0 if not b else sum(b) / len(b)
-                    ).astype("float64"),
+                    "n_bytes": n_bytes,
+                    "byte_mean": byte_mean,
                     "features": feats,
                 }
             )
 
-    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    # project to the columns the kernel touches: mapInPandas is opaque
+    # to Catalyst, so without this the scan ships (and reads) every
+    # input column across the Arrow boundary
+    return media.select("media_id", "kind", "content").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA)
 
 
 def media_exact_duplicates(media: DataFrame) -> DataFrame:
@@ -308,9 +343,21 @@ def perceptual_fingerprints(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        dec = decode_matrix if decode_matrix is not None else (
-            lambda b: _fake_decode_matrix(b, side)
-        )
+        if decode_matrix is not None:
+            dec = decode_matrix
+        else:
+            # vectorized stub decode: n_cells strided int64 slice-sums
+            # over a numpy view — bit-identical to _fake_decode_matrix's
+            # per-byte loop (exact integer sums of uint8 values)
+            def dec(b, _nc=n_cells, _side=side):
+                if not b:
+                    return np.zeros((_side, _side), dtype=np.int64)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                pad = (-arr.size) % _nc
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+                return arr.reshape(-1, _nc).sum(
+                    axis=0, dtype=np.int64).reshape(_side, _side)
         # H[i, j] = (-1)^popcount(i & j): the natural-order Hadamard
         H = np.array(
             [[-1 if bin(i & j).count("1") % 2 else 1 for j in range(side)]

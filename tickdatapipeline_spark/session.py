@@ -30,6 +30,11 @@ def get_spark(app_name: str = "tickdatapipeline-spark", master: str | None = Non
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.minPartitionSize stays at the Spark default:
+        # a 64k floor was measured r14 and is a wash — it widens the
+        # chunked tick chain's coalesced window stages (-0.6 s solo) but
+        # adds per-task overhead across the join-heavy dedup queries'
+        # many small exchanges (+0.9 s on dedup_decontaminate)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

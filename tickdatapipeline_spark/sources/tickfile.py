@@ -147,11 +147,18 @@ def ticks_base_from_events(
     subqueries and the main plan all read one materialization (each
     operator builds its own in-plan offsets over it — see
     plans/common._chain)."""
+    from tickdatapipeline_spark.functions.scale import fan_out
     from tickdatapipeline_spark.operators.globalorder import add_chunk, pin
 
     read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
     base = spark.sql(_spark_dialect(_TICKS_FIELDS_CORE).format(events="__events_src"))
-    return pin(add_chunk(base, "event_id", chunk_size))
+    # a small events file arrives as ONE scan partition, which would
+    # serialize the pin's materialization AND every downstream consumer
+    # of the checkpoint (offsets groupBys, the expansion's explode all
+    # read the pin's partitioning); fan_out is a no-op at scale, where
+    # the scan already has many splits (guide: repartition right after a
+    # narrow read, before the row-multiplying stages)
+    return pin(fan_out(add_chunk(base, "event_id", chunk_size)))
 
 
 def ticks_from_events(
@@ -169,20 +176,19 @@ def ticks_from_events(
         read_parquet(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("__events_src")
         return spark.sql(_spark_dialect(_TICKS_FROM_EVENTS_CORE).format(events="__events_src"))
 
-    from pyspark.sql import Window as W
+    from tickdatapipeline_spark.operators.globalorder import GO_CHUNK
 
-    from tickdatapipeline_spark.operators.globalorder import GO_CHUNK, chunk_offsets_plan
-
+    # closed-form line numbering (r14): row_number() OVER (ORDER BY
+    # event_id) over the driver generator's contiguous 0-based event_ids
+    # is exactly event_id + 1 — the same closed form
+    # ticks_from_events_streams already uses per stream — so the chunked
+    # source needs neither a per-chunk row_number window nor a
+    # chunk-offsets subquery (one full-data window pass and one offsets
+    # job fewer per query; values identical, oracle-hash-verified).
     base = ticks_base_from_events(spark, sf_dir, chunk_size)
-    line_offsets = chunk_offsets_plan(base, sums={"_go_ln0": F.lit(1)})
-    wloc = W.partitionBy(GO_CHUNK).orderBy("event_id")
-    return (
-        base.join(F.broadcast(line_offsets), on=GO_CHUNK, how="left")
-        .select(
-            (F.row_number().over(wloc) + F.coalesce("_go_ln0", F.lit(0)))
-            .cast("long").alias("line_no"),
-            "ts_str", "bid", "ask", "last", "volume", GO_CHUNK,
-        )
+    return base.select(
+        (F.col("event_id") + 1).cast("long").alias("line_no"),
+        "ts_str", "bid", "ask", "last", "volume", GO_CHUNK,
     )
 
 
@@ -273,6 +279,7 @@ def ticks_from_events_streams(
     ).replace("printf(", "format_string(")
     if chunk_size is None:
         return spark.sql(sql)
+    from tickdatapipeline_spark.functions.scale import fan_out
     from tickdatapipeline_spark.operators.globalorder import add_chunk, pin
 
     closed = sql.replace(
@@ -281,4 +288,6 @@ def ticks_from_events_streams(
         f"CAST(event_id DIV {n_streams} + 1 AS BIGINT)",
     )
     assert closed != sql, "line_no window not found for closed-form rewrite"
-    return pin(add_chunk(spark.sql(closed), "line_no - 1", chunk_size))
+    # same single-scan-partition hazard as ticks_base_from_events: fan
+    # out before the pin so the checkpoint and its consumers parallelize
+    return pin(fan_out(add_chunk(spark.sql(closed), "line_no - 1", chunk_size)))
