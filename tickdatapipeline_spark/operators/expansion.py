@@ -96,6 +96,7 @@ def expand_volume(
     seed_tick0: int = 0,
     seeds: "dict | None" = None,
     chunk_size: int | None = None,
+    valid_price_range: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """ticks_raw(line_no, ts_str, bid, ask, last, volume) -> expanded ticks.
 
@@ -118,11 +119,24 @@ def expand_volume(
     tick numbering offset is the running sum of per-chunk expanded-row
     counts (sum of volumes) — both in-plan broadcast subqueries. Output
     additionally carries the chunk column for downstream reuse.
+
+    ``valid_price_range`` (chunked path only): fused-offsets hand-off
+    to the hot loop. Validity is a pure function of a line's price and
+    every replica of a line shares its price and its chunk, so the hot
+    loop's per-chunk valid-count offsets (count of valid EXPANDED rows
+    in preceding chunks) equal the running sum of
+    ``volume x [price in range]`` over LINES — computable inside this
+    operator's existing line-table offsets pass for free. When set, the
+    output carries that offset as ``_go_v0`` on every row and
+    ``hot_loop`` (same range in its config) skips its own full-data
+    offsets subquery + broadcast join. The caller owns the contract
+    that the range equals the hot-loop config's (min_price, max_price).
     """
     if chunk_size is not None and seeds is None:
         return _expand_volume_chunked(
             ticks_raw, chunk_size, stream_id=stream_id,
             seed_prev_last=seed_prev_last, seed_tick0=seed_tick0,
+            valid_price_range=valid_price_range,
         )
     part = [stream_id] if stream_id else []
     w_lines = Window.partitionBy(*part).orderBy("line_no")
@@ -154,6 +168,7 @@ def _expand_volume_chunked(
     stream_id: str | None = None,
     seed_prev_last: int | None,
     seed_tick0: int,
+    valid_price_range: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Two-pass expand_volume (see expand_volume docstring). With
     ``stream_id`` the chunk order — and every offsets prefix — is local
@@ -167,14 +182,25 @@ def _expand_volume_chunked(
     part = [stream_id] if stream_id else []
     lines = add_chunk(ticks_raw, "line_no", chunk_size)
     # in-plan offsets: (final price of preceding chunks, expanded-row
-    # count of preceding chunks)
+    # count of preceding chunks [, valid expanded-row count — the fused
+    # hot-loop offset, see expand_volume docstring])
+    sums = {
+        "_go_t0": F.when(
+            F.col("volume") >= 1, F.col("volume")
+        ).otherwise(F.lit(0))
+    }
+    extra_cols: tuple = (GO_CHUNK,)
+    if valid_price_range is not None:
+        lo, hi = valid_price_range
+        sums["_go_v0"] = F.when(
+            (F.col("volume") >= 1)
+            & F.col("last").between(F.lit(int(lo)), F.lit(int(hi))),
+            F.col("volume"),
+        ).otherwise(F.lit(0))
+        extra_cols = (GO_CHUNK, "_go_v0")
     chunk_offsets = chunk_offsets_plan(
         lines,
-        sums={
-            "_go_t0": F.when(
-                F.col("volume") >= 1, F.col("volume")
-            ).otherwise(F.lit(0))
-        },
+        sums=sums,
         carries={"_go_prev": (F.col("line_no"), F.col("last"))},
         keys=part,
     )
@@ -187,4 +213,4 @@ def _expand_volume_chunked(
         prev = F.coalesce(prev, F.lit(seed_prev_last))
     df = df.withColumn("prev_last", prev)
     tick0_col = F.coalesce("_go_t0", F.lit(0)) + F.lit(seed_tick0)
-    return _expand_rows(df, part, w_ticks, tick0_col, extra_cols=(GO_CHUNK,))
+    return _expand_rows(df, part, w_ticks, tick0_col, extra_cols=extra_cols)

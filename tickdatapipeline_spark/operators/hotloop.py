@@ -188,11 +188,15 @@ def hot_loop(
         # shared by the offsets subplans, the bar aggregate and the main
         # plan — pin once so the single job computes the lineage once
         df = pin(df)
-        valid_offsets = chunk_offsets_plan(
-            df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)},
-            keys=part,
-        )
-        df = df.join(F.broadcast(valid_offsets), on=part + [GO_CHUNK], how="left")
+        if "_go_v0" not in df.columns:
+            # not fused upstream (see expand_volume valid_price_range):
+            # build the per-chunk valid-count offsets from the expanded
+            # rows — one extra full-data groupBy pass + broadcast join
+            valid_offsets = chunk_offsets_plan(
+                df, sums={"_go_v0": F.when(F.col("is_valid"), 1).otherwise(0)},
+                keys=part,
+            )
+            df = df.join(F.broadcast(valid_offsets), on=part + [GO_CHUNK], how="left")
         batch_valid_cum = (
             F.count(F.when(F.col("is_valid"), 1)).over(wcum)
             + F.coalesce("_go_v0", F.lit(0))

@@ -167,7 +167,8 @@ def _chain(spark: SparkSession, sf_dir: str, sp: SignalProcessingConfig,
     chunk = min(max(TWO_PASS_CHUNK, n // 10_000), 1 << 27)
     raw = ticks_from_events(spark, sf_dir, chunk_size=chunk)
     return hot_loop(
-        expand_volume(raw, chunk_size=chunk), sp,
+        expand_volume(raw, chunk_size=chunk,
+                      valid_price_range=(sp.min_price, sp.max_price)), sp,
         keep_internals=keep_internals, chunk_size=chunk,
     )
 
