@@ -16,8 +16,19 @@ These are the two knobs AQE cannot always supply on its own:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# logical-plan operators that compile to an Exchange (or are themselves
+# a materialized RDD boundary): their presence below fan_out means the
+# .rdd partition probe would eagerly execute stages under AQE
+_EXCHANGE_NODE = re.compile(
+    r"^\s*[+:\-| ]*(?:Join|Aggregate|Window|Sort|Repartition|"
+    r"RepartitionByExpression|Deduplicate|Intersect|Except|GlobalLimit)\b",
+    re.MULTILINE,
+)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -30,7 +41,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
     No-op when the input already has enough partitions (the 100 TB case:
     a large scan arrives with thousands of splits and must NOT pick up
-    an extra exchange here)."""
+    an extra exchange here).
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) runs ONLY
+    on exchange-free plans (scan/filter/project chains, pinned RDDs):
+    under AQE, ``.rdd`` on a plan containing an exchange-producing
+    operator triggers getFinalPhysicalPlan, which EXECUTES every
+    non-result stage of the subtree as eager driver-blocking jobs at
+    plan-BUILD time — serially per call and with zero reuse between
+    sibling probes (measured r14: the contamination verify path ran its
+    candidate subtree twice during construction this way). Frames that
+    already contain a join/aggregate/window either inherited a real
+    partitioning from that exchange or stream a side whose size bounds
+    the explode, so skipping the repartition there is the no-op case
+    anyway."""
+    qe = df._jdf.queryExecution()
+    plan = qe.analyzed().toString()
+    if _EXCHANGE_NODE.search(plan):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -341,6 +341,56 @@ def cross_corpus_contamination(
     )
 
 
+def cross_corpus_contamination_split(
+    docs: DataFrame,
+    eval_mask,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """cross_corpus_contamination for the held-out-split case: train and
+    eval are complementary row-subsets of ONE corpus, selected by
+    ``eval_mask`` (a Column predicate over doc_id ONLY — it is re-applied
+    to per-doc derived tables).
+
+    Row-identical to
+    ``cross_corpus_contamination(docs.where(~mask), docs.where(mask))``:
+    MinHash signatures and band keys are per-doc values, so a doc_id
+    filter commutes with the signature aggregation and with the band
+    unpivot. The win is the corpus-scan-dominant term — ONE gram
+    explode + ONE wide signature shuffle + ONE pinned band table over
+    the whole corpus instead of two of each (the two sides' passes
+    together scanned every doc anyway, but paid two scans, two
+    shuffles, and two checkpoint materializations to do it).
+    """
+    docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    # deliberately NOT pinned: both filtered consumers sit inside the
+    # one candidate-join subtree, where AQE's stage cache reuses the
+    # single signature shuffle below them — a checkpoint here would add
+    # a serial full-band-table disk write for the same reuse (measured
+    # r14: equal wall/jobs, so the variant with no extra materialization
+    # and no at-scale band-table write wins)
+    bands = _bands_of(_minhash_wide(docs, num_perm), num_perm, band_size)
+    out = contamination_against_index(
+        docs.where(eval_mask),
+        bands.where(~eval_mask),
+        corpus_shingles=None,
+        corpus_docs=docs.where(~eval_mask),
+        threshold=threshold,
+        num_perm=num_perm,
+        band_size=band_size,
+        max_band_bucket=max_band_bucket,
+        guard_label="cross_corpus_contamination train-side",
+        probe_bands=bands.where(eval_mask),
+    )
+    return out.select(
+        F.col("corpus_doc_id").alias("train_doc_id"),
+        F.col("probe_doc_id").alias("eval_doc_id"),
+        "inter_count", "union_count", "jaccard",
+    )
+
+
 def ngram_overlap_contamination(
     train_docs: DataFrame,
     eval_docs: DataFrame,
@@ -568,6 +618,7 @@ def contamination_against_index(
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
     guard_label: str = "contamination_against_index corpus-side",
     corpus_docs: DataFrame | None = None,
+    probe_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Probe documents that near-duplicate a corpus whose LSH index
     (band + HASHED-shingle tables — (doc_id, g) integer pairs, see
@@ -600,9 +651,13 @@ def contamination_against_index(
     # the probe band table has TWO consumers only on the capped path
     # (the touched-bucket semi-join and the candidate join); uncapped it
     # feeds the candidate join alone, so a pin would add a checkpoint
-    # materialization job for zero reuse
-    p_bands = _band_table(probe_docs, num_perm, band_size,
-                          pinned=max_band_bucket is not None)
+    # materialization job for zero reuse. ``probe_bands`` (when given)
+    # is the caller's precomputed/shared band table for probe_docs —
+    # see cross_corpus_contamination's shared-corpus path.
+    if probe_bands is None:
+        probe_bands = _band_table(probe_docs, num_perm, band_size,
+                                  pinned=max_band_bucket is not None)
+    p_bands = probe_bands
     if max_band_bucket is not None:
         # Cap only the buckets the PROBE touches (r13): the cap's
         # decision per bucket depends only on that bucket's FULL corpus
@@ -636,8 +691,11 @@ def contamination_against_index(
         )
         .distinct()
     )
-    cand_corpus = cand.select(F.col("corpus_doc_id").alias("doc_id")).distinct()
-    cand_probe = cand.select(F.col("probe_doc_id").alias("doc_id")).distinct()
+    # build sides of left-semi joins only: semi-join semantics dedup the
+    # build side for free, so an explicit .distinct() here would buy
+    # nothing and cost one exchange + aggregate each (guide §2.4)
+    cand_corpus = cand.select(F.col("corpus_doc_id").alias("doc_id"))
+    cand_probe = cand.select(F.col("probe_doc_id").alias("doc_id"))
     if corpus_docs is not None:
         corpus_shingles = hashed_shingles(
             corpus_docs.withColumn("doc_id", F.col("doc_id").cast("long"))
@@ -682,7 +740,12 @@ def _band_table(docs: DataFrame, num_perm: int, band_size: int,
     the index parquet write."""
     from tickdatapipeline_spark.operators.globalorder import pin
 
-    wide = _minhash_wide(docs, num_perm)
+    bands = _bands_of(_minhash_wide(docs, num_perm), num_perm, band_size)
+    return pin(bands) if pinned else bands
+
+
+def _bands_of(wide: DataFrame, num_perm: int, band_size: int) -> DataFrame:
+    """Unpivot a wide signature row into (doc_id, band, band_key)."""
     n_bands = num_perm // band_size
     band_structs = F.array(*[
         F.struct(
@@ -693,10 +756,9 @@ def _band_table(docs: DataFrame, num_perm: int, band_size: int,
         )
         for b in range(n_bands)
     ])
-    bands = wide.select("doc_id", F.explode(band_structs).alias("r")).select(
+    return wide.select("doc_id", F.explode(band_structs).alias("r")).select(
         "doc_id", F.col("r.band").alias("band"), F.col("r.band_key").alias("band_key")
     )
-    return pin(bands) if pinned else bands
 
 
 def _rowlocal_grams(text, n: int = 3):

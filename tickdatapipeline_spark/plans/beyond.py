@@ -25,7 +25,7 @@ from tickdatapipeline_spark.operators.dedup import (
     NUM_PERM,
     connected_components,
     containment_pairs,
-    cross_corpus_contamination,
+    cross_corpus_contamination_split,
     cross_source_dup_matrix,
     deduplicated_corpus,
     duplicate_clusters,
@@ -4416,9 +4416,14 @@ def queries() -> dict[str, tuple]:
         ),
         "docs_curated_corpus": (curated_corpus_fn, CURATED_CORPUS_SQL),
         "dedup_decontaminate": (
-            lambda s, d: cross_corpus_contamination(
-                _docs(s, d).where(F.col("doc_id") % DECON_EVAL_MOD != 0),
-                _docs(s, d).where(F.col("doc_id") % DECON_EVAL_MOD == 0),
+            # held-out split of ONE corpus: the _split variant computes
+            # the wide MinHash pass once and splits the band table by
+            # the mask — row-identical to two independent passes (the
+            # doc_id filter commutes with the per-doc signature
+            # aggregation), one corpus scan/shuffle instead of two
+            lambda s, d: cross_corpus_contamination_split(
+                _docs(s, d),
+                F.col("doc_id") % DECON_EVAL_MOD == 0,
                 JACCARD_THRESHOLD,
                 max_band_bucket=None,
             ),
