@@ -240,8 +240,22 @@ def hot_loop(
             "core_seq", F.col("_go_bvc") - first_corr + _hs("_hs_cseq")
         )
     else:
+        # row-local, NO second serial window pass (the same identity
+        # the chunked path derives): every batch valid row is core
+        # except the single `first` row a cold stream has, so the
+        # cumulative core count is the cumulative valid count minus
+        # that one row. Expressed on the seed COLUMNS so the per-stream
+        # dict path (n_valid0 varying by stream) corrects per row.
+        # Bit-identity with the count-window form is pinned by the
+        # windowed==chunked and golden suites; measured r14 (alternating
+        # same-session A/B, min of 4): trio total 10.8 -> 9.3 s.
+        first_corr = F.when(
+            (_hs("_hs_nvalid") == 0) & (F.col("n_valid_upto") >= 1), F.lit(1)
+        ).otherwise(F.lit(0))
         df = df.withColumn(
-            "core_seq", F.count(F.when(F.col("is_core"), 1)).over(wcum) + _hs("_hs_cseq")
+            "core_seq",
+            F.col("n_valid_upto") - _hs("_hs_nvalid") - first_corr
+            + _hs("_hs_cseq"),
         )
     n = stats_ticks_per_bar
     df = df.withColumn(
@@ -251,6 +265,16 @@ def hot_loop(
         "bar_ord", F.when(F.col("is_core"), F.expr(f"(core_seq - 1) DIV {n}"))
     )
 
+    # NOTE (r14, measured): the bars aggregate below re-executes the
+    # serial window lineage as a broadcast subquery (no exchange to
+    # reuse — the single-file scan is already single-partition). A
+    # DISK_ONLY pin here to share the lineage was measured SLOWER than
+    # the recompute at sub-threshold sizes (alternating A/B: trio total
+    # 10.8 -> 11.4 s): the eager checkpoint write+read of the wide
+    # post-window frame costs more than re-running the windows. The
+    # windowed path only ever runs below the two-pass cutover, so the
+    # duplicated lineage is bounded; the chunked path pins because its
+    # offsets subqueries multiply consumers.
     # Per-bar min/max of winsorized deltas; only FULL bars trigger a
     # normalization recompute (:383-405). The groupBy is a 144x reduction;
     # the result is tiny -> broadcast back to the tick stream.
