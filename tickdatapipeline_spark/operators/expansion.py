@@ -206,6 +206,21 @@ def _expand_volume_chunked(
     )
     df = lines.join(F.broadcast(chunk_offsets), on=part + [GO_CHUNK], how="left")
 
+    # EXPLICIT exchange for the window chain, with a pinned partition
+    # count (r14, guide §2.5 input skew / §1.2): the implicit
+    # ENSURE_REQUIREMENTS exchange here is byte-coalesced by AQE, and
+    # the line frame is narrow — at sf0.1 AQE squeezed it to TWO
+    # partitions, serializing every downstream stage (the explode
+    # multiplies rows ~10x and the whole chunk-keyed hot loop inherits
+    # this partitioning, so the per-byte estimate undercounts the
+    # per-ROW compute by an order of magnitude). An explicit
+    # repartition(n, keys) is AQE-coalesce-exempt; n is the session's
+    # shuffle parallelism (scale-adaptive: deployments size
+    # spark.sql.shuffle.partitions to the cluster), and the exchange
+    # still moves LINES, never the exploded replicas.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, *(part + [GO_CHUNK]))
+
     w_lines = Window.partitionBy(*part, GO_CHUNK).orderBy("line_no")
     w_ticks = Window.partitionBy(*part, GO_CHUNK).orderBy("line_no", "replica_idx")
     prev = F.coalesce(F.lag("last").over(w_lines), F.col("_go_prev"))

@@ -379,7 +379,12 @@ def hot_loop(
     invoked = ~F.col("is_zero")  # encoders run on every row except `zero` rows
     if use_chunks and enc != "hexad16":
         # the encoder prefix needs one more chunk summary over the
-        # post-join frame — pin it so summary + final plan share work
+        # post-join frame — pin it so summary + final plan share work.
+        # (r14: removing this pin measured a wash locally — derivative
+        # 6.57 vs 6.58, multistream 7.32 vs 6.72, within box noise —
+        # but it inlines the norms-join segment into the carry-offsets
+        # subquery, tripling the full-data exchange nodes the plan-shape
+        # test pins; kept for the bounded verified shape.)
         df = pin(df)
     if enc == "derivative":
         # prev ratio over core rows only (:257-282; hold/first rows fall to
