@@ -77,7 +77,14 @@ def cap_group_sizes(df: DataFrame, keys: list[str], cap: int,
     <cap>)" — a silent quadratic is worse than a logged cap. The
     anti-filter join is broadcast-able at any realistic cap. cap=None
     semantics belong to the caller: skip calling this at all."""
-    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_m"))
+    from tickdatapipeline_spark.operators.globalorder import pin
+
+    # the sizes aggregate is pinned: the eager sizing read below and
+    # the in-plan anti-filter join share ONE computation of it (and of
+    # df's own lineage when the caller pinned df) instead of the guard
+    # paying a full second groupBy of df inside the main plan (r14;
+    # sizes is one row per group, so the checkpoint is tiny)
+    sizes = pin(df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_m")))
     dropped = sizes.where(F.col("_m") > cap).agg(
         F.count(F.lit(1)).alias("groups"),
         F.coalesce(F.sum("_m"), F.lit(0)).alias("rows"),
