@@ -76,7 +76,12 @@ def _brute_topk(base: DataFrame, k: int, query_mod: int,
     # corpus) — broadcast is then the right plan at any corpus size. A
     # corpus-sized query side is all-pairs similarity, which is what the
     # LSH/IVF variants and embedding_near_duplicates exist for.
-    joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    # fan_out: a single-file corpus arrives as ONE partition and the
+    # scoring (|corpus| x |queries| cosine folds) is per-row compute —
+    # spread it; no-op at scale / on composed inputs (see fan_out)
+    from tickdatapipeline_spark.functions.scale import fan_out
+
+    joined = fan_out(base).join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     cos = rnd(_cos_sim(F.col("q"), F.col("v")), 6)
     scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     from pyspark.sql import Window
