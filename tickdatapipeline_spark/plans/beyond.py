@@ -6345,17 +6345,26 @@ def session_concurrency_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(f"sequence(st DIV {DAY_US}, en DIV {DAY_US})")).alias("day_i"),
         "st", "en",
     )
-    starts = seg.select(
+    # one pass, not a union of two projections over `seg`: the union
+    # formulation re-executes everything above the sessionize exchange
+    # (sort + two windows + session aggregate + day explode) once PER
+    # BRANCH — exchange reuse shares only the shuffle, not the operators
+    # above it. Emitting both boundary rows as a 2-element struct array
+    # and exploding keeps the identical rows (same t/delta values) while
+    # running the sessionize segment once.
+    b = seg.select(
         "day_i",
-        F.greatest(F.col("st"), F.col("day_i") * DAY_US).alias("t"),
-        F.lit(1).alias("delta"),
-    )
-    ends = seg.select(
-        "day_i",
-        (F.least(F.col("en"), F.col("day_i") * DAY_US + (DAY_US - 1)) + 1).alias("t"),
-        F.lit(-1).alias("delta"),
-    )
-    b = starts.unionByName(ends)
+        F.explode(F.array(
+            F.struct(
+                F.greatest(F.col("st"), F.col("day_i") * DAY_US).alias("t"),
+                F.lit(1).alias("delta"),
+            ),
+            F.struct(
+                (F.least(F.col("en"), F.col("day_i") * DAY_US + (DAY_US - 1)) + 1).alias("t"),
+                F.lit(-1).alias("delta"),
+            ),
+        )).alias("_b"),
+    ).select("day_i", F.col("_b.t").alias("t"), F.col("_b.delta").alias("delta"))
     sweep = Window.partitionBy("day_i").orderBy(
         F.col("t").asc(), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
