@@ -177,6 +177,7 @@ def main() -> None:
 
     probe()  # warm the probe's own codegen before any timed use
     probes: list[float] = []
+    staging_secs: list[float] = []
 
     def run_pass(timings: dict[str, float]) -> None:
         staged = False
@@ -190,7 +191,16 @@ def main() -> None:
             else:
                 set_ticks_cache(True)
                 if not staged:
+                    # r15 (r14 verdict #9): the analytics/bar suite is
+                    # measured against this session-scoped ticks
+                    # materialization (the staged-table deployment
+                    # posture); its cost is TIMED and reported as its
+                    # own field below so the suite's numbers cannot be
+                    # misread as end-to-end cost. Untimed-region
+                    # semantics of every `queries` entry are unchanged.
+                    t_st = time.time()
                     qs["q1_delta_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    staging_secs.append(round(time.time() - t_st, 3))
                     staged = True
             fn = qs[name]
             t0 = time.time()
@@ -231,6 +241,12 @@ def main() -> None:
         # slower the interleaved fixed probe ran vs the quiet-box pin
         "corrected_total": round(total / probe_ratio, 3),
         "corrected_legacy15": round(legacy / probe_ratio, 3),
+        # r15: per-pass cost of staging the shared ticks materialization
+        # the analytics/bar suite is measured against (first entry pays
+        # the pipeline + persist; later passes are cache-hot) — reported
+        # so the staged-table posture is explicit in every BENCH
+        # artifact; no `queries` entry changes meaning
+        "analytics_staging_sec_per_pass": staging_secs,
         "calibration": {
             "spark_fixed_sec": calib_spark,
             "cpu_fixed_sec": calib_cpu,

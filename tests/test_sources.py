@@ -114,6 +114,76 @@ def test_events_event_id_contiguity_contract():
     assert checked >= 3  # sf0.001 / sf0.01 / sf0.1 all present
 
 
+def _write_events(spark, path, event_ids):
+    spark.createDataFrame(
+        [(int(e),) for e in event_ids], "event_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _run_chunked_chain(spark, sf_dir):
+    from tickdatapipeline_spark.sources.tickfile import ticks_from_events
+
+    raw = ticks_from_events(spark, str(sf_dir), chunk_size=7)
+    expand_volume(raw, chunk_size=7).write.format("noop").mode(
+        "overwrite").save()
+
+
+def test_density_guard_raises_on_gapped_or_duplicated_event_ids(
+    spark, tmp_path
+):
+    """r15 (r14 verdict #3): the closed-form line numbering
+    (line_no = event_id + 1, sources/tickfile.py) silently misnumbers
+    every line on a gappy or re-keyed events table. The dense-order
+    contract is now VERIFIED in-plan — the expansion's existing
+    per-chunk offsets aggregate checks per-chunk contiguity + the
+    prefix row count (globalorder.chunk_offsets_plan ``dense``) and
+    raises loudly. Dense ids must keep passing; a gap, a duplicate,
+    and a re-keyed (1-based) table must each fail with the contract
+    message, not wrong numbers."""
+    import pytest
+
+    # control: contiguous 0-based ids pass (several chunk boundaries)
+    _write_events(spark, tmp_path / "ok", range(40))
+    _run_chunked_chain(spark, tmp_path / "ok")
+
+    cases = {
+        "gap": [e for e in range(40) if e != 17],
+        "dup": list(range(40)) + [23],
+        "rekeyed": range(1, 41),  # 1-based: every line off by one
+        "boundary_gap": list(range(14)) + list(range(21, 40)),  # whole chunk 2 missing
+    }
+    for label, ids in cases.items():
+        _write_events(spark, tmp_path / label, ids)
+        with pytest.raises(Exception, match="dense-order contract"):
+            _run_chunked_chain(spark, tmp_path / label)
+
+
+def test_density_guard_multistream_and_metadata_survival(spark, tmp_path):
+    """The per-stream closed form (ticks_from_events_streams) carries
+    the same guard; the metadata claim must survive the source's
+    fan_out/pin so the check actually fires downstream."""
+    import pytest
+
+    from tickdatapipeline_spark.operators.globalorder import GO_CHUNK
+    from tickdatapipeline_spark.sources.tickfile import (
+        ticks_from_events_streams,
+    )
+
+    _write_events(spark, tmp_path / "ok", range(40))
+    raw = ticks_from_events_streams(spark, str(tmp_path / "ok"), chunk_size=5)
+    assert raw.schema[GO_CHUNK].metadata.get("go_dense_order") == "line_no"
+    expand_volume(raw, stream_id="stream", chunk_size=5).write.format(
+        "noop").mode("overwrite").save()
+
+    _write_events(spark, tmp_path / "gap2",
+                  [e for e in range(40) if e != 9])
+    raw = ticks_from_events_streams(spark, str(tmp_path / "gap2"),
+                                    chunk_size=5)
+    with pytest.raises(Exception, match="dense-order contract"):
+        expand_volume(raw, stream_id="stream", chunk_size=5).write.format(
+            "noop").mode("overwrite").save()
+
+
 def test_read_documents_jsonl_permissive(spark, tmp_path):
     """JSONL ingest: well-formed lines parse against the explicit
     schema; malformed lines surface as all-NULL rows with the raw line

@@ -69,6 +69,15 @@ class BarSeed:
 FIR_Q = 2**33
 
 
+# FIR scatter chunking (r15): ends-chunk width as a multiple of the tap
+# count L. The pre-explode exchange replicates each tick into the end-
+# chunks it touches — span L over chunk width k*L is 1 + 1/k replicas —
+# so k=4 caps the duplication at 1.25x of the NARROW tick rows while
+# keeping #chunks = ticks/(4L) large enough to spread any stream over
+# the cluster (sf0.1: ~69 chunks; 100 TB: millions — hash-partitioned).
+_FIR_CHUNK_TAPS = 4
+
+
 def _fir_averages(
     ticks: DataFrame, part: list[str], taps: tuple[float, ...], step: int
 ) -> DataFrame:
@@ -82,22 +91,58 @@ def _fir_averages(
     ~L/step bar-end positions it contributes to (bar ends sit at
     multiples of ``step`` in global tick numbering, so a stepped
     sequence enumerates them directly), then ONE integer-SUM groupBy.
-    No join against the tick stream at all, and because partitions hold
-    contiguous tick ranges the map-side combiner collapses the L/step
-    blow-up back to O(ends) rows before the only shuffle. (The previous
-    gather formulation exploded completions x L and equi-joined 65 M
-    rows back to ticks at sf0.1 — 2 shuffles of the blown-up set.)
+    No join against the tick stream at all. (The previous gather
+    formulation exploded completions x L and equi-joined 65 M rows back
+    to ticks at sf0.1 — 2 shuffles of the blown-up set.)
+
+    Chunked scatter (r15, guide §2.5 input skew / §1.2 order-of-
+    operations): the L/step explode is the expensive stage (~218
+    replicas/tick at L=1087, step=5) and it inherits the INPUT's
+    partitioning — a 1-partition staged ticks table (or one giant
+    stream) ran it on one core. Each tick is first replicated into the
+    1-2 end-CHUNKS its window spans (chunk width = _FIR_CHUNK_TAPS x L,
+    so the duplication is <= 1.25x of narrow (tick_idx, price) rows —
+    never the exploded replicas), hash-repartitioned on (stream, chunk)
+    with an explicit AQE-coalesce-exempt partition count, and only then
+    exploded to its in-chunk end positions. Each (part, end) group
+    lives entirely in one chunk, so the map-side combiner still
+    collapses the blow-up to O(ends) rows before the only full shuffle
+    — identical integer sums in any order, bit-identical output.
 
     Output may contain ends whose bar never completes (trailing partial);
     the caller's inner join against completed bars drops them.
     """
     L = len(taps)
+    C = _FIR_CHUNK_TAPS * L
     taps_q = F.array(*[F.lit(round(c * FIR_Q)) for c in taps])
     t = F.col("tick_idx")
     first_end = F.expr(f"((tick_idx + {step - 1}) DIV {step}) * {step}")
+    last_end = t + F.lit(L - 1)
+    src = ticks.select(*part, "tick_idx", "raw_price")
+    # replicate each tick into the end-chunks its [first_end, last_end]
+    # span touches (<= 1 + span/C); guard the ascending-sequence contract
+    # like _expand_rows does (L < step could make the span empty)
+    chunk_seq = F.when(
+        first_end <= last_end,
+        F.sequence(
+            F.expr(f"(((tick_idx + {step - 1}) DIV {step}) * {step}) DIV {C}"),
+            F.expr(f"(tick_idx + {L - 1}) DIV {C}"),
+        ),
+    )
+    src = src.withColumn("_fc", F.explode(chunk_seq))
+    n_shuffle = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = src.repartition(n_shuffle, *(part + ["_fc"]))
+    # in-chunk end positions: multiples of `step` within
+    # [max(first_end, chunk start), min(last_end, chunk end)]
+    lo = F.greatest(
+        first_end,
+        F.expr(f"((_fc * {C} + {step - 1}) DIV {step}) * {step}"),
+    )
+    hi = F.least(last_end, F.col("_fc") * F.lit(C) + F.lit(C - 1))
     scattered = (
-        ticks.select(*part, "tick_idx", "raw_price")
-        .withColumn("_e", F.explode(F.sequence(first_end, t + F.lit(L - 1), F.lit(step))))
+        src.withColumn(
+            "_e", F.explode(F.when(lo <= hi, F.sequence(lo, hi, F.lit(step))))
+        )
         .withColumn("_tap_q", F.element_at(taps_q, (F.col("_e") - t + 1).cast("int")))
     )
     return (

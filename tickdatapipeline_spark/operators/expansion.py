@@ -181,6 +181,18 @@ def _expand_volume_chunked(
 
     part = [stream_id] if stream_id else []
     lines = add_chunk(ticks_raw, "line_no", chunk_size)
+    # density guard (r15): a source whose line numbering is the closed
+    # form over a claimed-dense key (ticks_from_events[_streams] with
+    # chunk_size) marks its chunk column with metadata; the offsets
+    # aggregate below already touches every line once per chunk, so the
+    # contiguity check rides it for free and raises loudly on a gapped/
+    # duplicated events table (see chunk_offsets_plan ``dense``).
+    dn_meta = (ticks_raw.schema[GO_CHUNK].metadata
+               if GO_CHUNK in ticks_raw.columns else {})
+    dense = (
+        (dn_meta["go_dense_order"], int(dn_meta["go_chunk_size"]))
+        if "go_dense_order" in dn_meta else None
+    )
     # in-plan offsets: (final price of preceding chunks, expanded-row
     # count of preceding chunks [, valid expanded-row count — the fused
     # hot-loop offset, see expand_volume docstring])
@@ -203,6 +215,7 @@ def _expand_volume_chunked(
         sums=sums,
         carries={"_go_prev": (F.col("line_no"), F.col("last"))},
         keys=part,
+        dense=dense,
     )
     df = lines.join(F.broadcast(chunk_offsets), on=part + [GO_CHUNK], how="left")
 

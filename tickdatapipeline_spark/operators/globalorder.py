@@ -137,6 +137,7 @@ def chunk_offsets_plan(
     super_size: "int | None" = None,
     keys: "list[str] | None" = None,
     max_supers: "int | None" = None,
+    dense: "tuple[str, int] | None" = None,
 ) -> DataFrame:
     """Per-chunk offsets as a broadcast-ready (keys..., GO_CHUNK, <out>)
     frame, built without any driver action or SinglePartition exchange.
@@ -159,15 +160,36 @@ def chunk_offsets_plan(
       tiny chunk_size on an enormous stream), the plan RAISES at
       execution instead of silently degrading the triangular broadcast
       — raise chunk_size/super_size, or add a third offsets level.
+    - ``dense = (order_col, chunk_size)``: in-plan density guard for a
+      caller whose ``order_col`` CLAIMS to be the dense 1-based row
+      number of the stream with ``GO_CHUNK == (order_col - 1) DIV
+      chunk_size`` (the closed-form line numbering of the fixture
+      sources — exact only for contiguous ids). Rides the existing
+      per-chunk aggregate: with o = order - 1 - chunk*chunk_size (the
+      within-chunk offset, overflow-safe regardless of absolute order
+      values), each chunk must satisfy min(o)==0, max(o)==cnt-1,
+      2*sum(o)==cnt*(cnt-1), and its exclusive prefix row count must be
+      exactly chunk*chunk_size. Any gap, duplicate or re-keyed base
+      (per key-group) RAISES at execution via assert_true instead of
+      silently misnumbering every downstream row. (Not airtight against
+      an adversarial >=2-dup/>=2-gap set that preserves min, max, count
+      AND sum within one chunk — far beyond any realistic corruption.)
 
     Join the result back with ``F.broadcast`` on keys + [GO_CHUNK].
     """
-    sums = sums or {}
+    sums = dict(sums or {})
     carries = carries or {}
     mods = mods or {}
     keys = keys or []
     super_size = super_size or _SUPER_SIZE
     max_supers = max_supers or MAX_SUPERS
+    dense_aggs: list[Column] = []
+    if dense is not None:
+        order_col, dn_cs = dense
+        sums["_dn_pfx"] = F.lit(1)  # exclusive prefix row count per chunk
+        o = F.col(order_col) - 1 - F.col(GO_CHUNK) * F.lit(int(dn_cs))
+        dense_aggs = [F.min(o).alias("_dn_min"), F.max(o).alias("_dn_max"),
+                      F.sum(o).alias("_dn_sum")]
 
     def _mod(name: str, col: Column) -> Column:
         return F.pmod(col, F.lit(mods[name])) if name in mods else col
@@ -186,9 +208,30 @@ def chunk_offsets_plan(
         ).alias(f"_f_{k}")
         for k, (o, v) in carries.items()
     ]
-    s1 = df.groupBy(*keys, GO_CHUNK).agg(*aggs).withColumn(
+    s1 = df.groupBy(*keys, GO_CHUNK).agg(*aggs, *dense_aggs).withColumn(
         "_sc", F.expr(f"{GO_CHUNK} DIV {int(super_size)}")
     )
+    if dense is not None:
+        # per-chunk contiguity: one row per chunk, so the assert costs
+        # nothing; .isNull() keeps every row when the invariant holds
+        cnt = F.col("_t__dn_pfx")
+        s1 = s1.where(
+            F.assert_true(
+                (F.col("_dn_min") == 0)
+                & (F.col("_dn_max") == cnt - 1)
+                & (F.lit(2) * F.col("_dn_sum") == cnt * (cnt - 1)),
+                F.concat(
+                    F.lit(
+                        "chunk_offsets_plan: dense-order contract violated "
+                        f"(order_col={dense[0]}, chunk_size={int(dense[1])}) "
+                        "— the source's closed-form line numbering assumes "
+                        "contiguous 0-based ids; chunk "
+                    ),
+                    F.col(GO_CHUNK).cast("string"),
+                    F.lit(" has gapped/duplicated/re-keyed rows"),
+                ),
+            ).isNull()
+        ).drop("_dn_min", "_dn_max", "_dn_sum")
     w = (
         Window.partitionBy(*keys, "_sc").orderBy(GO_CHUNK)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -240,7 +283,7 @@ def chunk_offsets_plan(
             *[F.max(f"_sf_{k}_b").alias(f"_supf_{k}") for k in carries],
         )
     )
-    return within.join(
+    out = within.join(
         F.broadcast(tri), on=keys + ["_sc"], how="left"
     ).select(
         *keys,
@@ -257,3 +300,22 @@ def chunk_offsets_plan(
             for k in carries
         ],
     )
+    if dense is not None:
+        # cross-chunk contiguity: every preceding chunk must be exactly
+        # full, i.e. the exclusive prefix row count equals chunk*size
+        # (catches boundary-aligned gaps and missing whole chunks the
+        # per-chunk check above cannot see)
+        out = out.where(
+            F.assert_true(
+                F.col("_dn_pfx") == F.col(GO_CHUNK) * F.lit(int(dense[1])),
+                F.concat(
+                    F.lit(
+                        "chunk_offsets_plan: dense-order contract violated "
+                        f"(order_col={dense[0]}, chunk_size={int(dense[1])}) "
+                        "— rows missing before chunk "
+                    ),
+                    F.col(GO_CHUNK).cast("string"),
+                ),
+            ).isNull()
+        ).drop("_dn_pfx")
+    return out

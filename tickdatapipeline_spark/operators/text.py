@@ -794,18 +794,32 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over tokens: per bit, majority vote of token-hash bits
     (sum of +-1 > 0), reassembled into a `bits`-wide signature.
 
-    Scale path: one hash per token row, then `bits` conditional SUM
-    aggregates in a single map-side-combinable groupBy — no bits-fold row
-    explosion; shuffle volume is O(docs x bits) packed into one row per
-    doc, independent of document length.
+    Scale path: tokens are pre-counted per (doc_id, token) BEFORE any
+    hashing (r15, guide §1.2 "don't compute things you throw away" /
+    §2.3 "aggregate before you shuffle"): natural text repeats tokens
+    within a document (~2.3x at sf0.1), and a doc's exploded tokens are
+    co-located, so the count groupBy collapses map-side and the
+    md5-based h60 — the dominant per-row cost, oracle-pinned so it
+    cannot be swapped for a cheaper hash — runs once per DISTINCT
+    (doc, token) pair instead of once per occurrence. The `bits`
+    weighted-SUM aggregates then also update once per pair (vote
+    weight = occurrence count: sum over occurrences of +-1 == sum over
+    distinct pairs of n x +-1, exact integer identity). Shuffle volume
+    stays O(docs x bits) packed into one row per doc for the final
+    aggregate, plus the narrow (doc, token, n) pair frame.
     """
     tok = fan_out(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens(F.col("text"))).alias("tok"),
-    ).withColumn("h", h60(F.col("tok")))
-    votes = tok.groupBy("doc_id").agg(
+    )
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_n"))
+    cnt = cnt.withColumn("h", h60(F.col("tok")))
+    votes = cnt.groupBy("doc_id").agg(
         *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            F.sum(
+                F.col("_n")
+                * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{b}")
             for b in range(bits)
         ]
     )

@@ -158,7 +158,33 @@ def ticks_base_from_events(
     # read the pin's partitioning); fan_out is a no-op at scale, where
     # the scan already has many splits (guide: repartition right after a
     # narrow read, before the row-multiplying stages)
-    return pin(fan_out(add_chunk(base, "event_id", chunk_size)))
+    return pin(fan_out(_mark_dense(add_chunk(base, "event_id", chunk_size),
+                                   chunk_size)))
+
+
+def _mark_dense(df: DataFrame, chunk_size: int) -> DataFrame:
+    """Declare the closed-form line-numbering contract on the chunk
+    column (r15, density guard): downstream, expand_volume's existing
+    per-chunk offsets aggregate verifies that ``line_no`` really is the
+    dense 1-based row number (``GO_CHUNK == (line_no-1) DIV
+    chunk_size``) and RAISES loudly on a gapped/duplicated/re-keyed
+    events table instead of silently misnumbering every line — the
+    closed form ``line_no = event_id + 1`` is exact ONLY for contiguous
+    0-based event_ids (the fixture generator's invariant). Schema
+    metadata survives select/repartition/localCheckpoint, so the claim
+    rides the frame to the first consumer that already aggregates per
+    chunk; the check itself is therefore free (no extra pass)."""
+    from tickdatapipeline_spark.operators.globalorder import GO_CHUNK
+
+    cols = [
+        F.col(c) if c != GO_CHUNK else F.col(GO_CHUNK).alias(
+            GO_CHUNK,
+            metadata={"go_dense_order": "line_no",
+                      "go_chunk_size": int(chunk_size)},
+        )
+        for c in df.columns
+    ]
+    return df.select(*cols)
 
 
 def ticks_from_events(
@@ -289,5 +315,9 @@ def ticks_from_events_streams(
     )
     assert closed != sql, "line_no window not found for closed-form rewrite"
     # same single-scan-partition hazard as ticks_base_from_events: fan
-    # out before the pin so the checkpoint and its consumers parallelize
-    return pin(fan_out(add_chunk(spark.sql(closed), "line_no - 1", chunk_size)))
+    # out before the pin so the checkpoint and its consumers parallelize.
+    # _mark_dense: the per-stream closed form line_no = event_id DIV
+    # n_streams + 1 is exact only for contiguous event_ids — declare the
+    # contract so the expansion's offsets pass verifies it per stream.
+    return pin(fan_out(_mark_dense(
+        add_chunk(spark.sql(closed), "line_no - 1", chunk_size), chunk_size)))
