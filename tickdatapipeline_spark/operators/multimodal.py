@@ -220,9 +220,16 @@ def media_near_duplicates(
     media_a < media_b.
     """
     from tickdatapipeline_spark.functions.rounding import rnd
+    from tickdatapipeline_spark.operators.globalorder import pin
     from tickdatapipeline_spark.operators.similarity import _dot, _norm, lsh_bucket
 
-    feats = (
+    # pinned (r15): the means subquery below AND the main plan both
+    # consume `feats`, and without the pin the mapInPandas decode — the
+    # dominant per-row cost once a real codec is injected — executed
+    # TWICE per query (measured: two ~0.5 s 1-task decode stages per
+    # pass at sf0.1). The pinned frame is the NARROW (media_id,
+    # features) proxy, never the payload bytes (guide §8/§2.4).
+    feats = pin(
         extract_features(media, dim=dim)
         .where(F.col("n_bytes") > 0)
         .select("media_id", "features")

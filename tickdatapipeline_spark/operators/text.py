@@ -812,7 +812,16 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens(F.col("text"))).alias("tok"),
     )
-    cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_n"))
+    # explicit-count repartition, reused by the groupBy below (same
+    # keys, same count — one exchange): the pair frame is narrow, so
+    # AQE's byte-based coalescing would squeeze the post-shuffle side
+    # to 1 partition and run the md5 + vote stage serially (measured:
+    # an 815 ms 1-task stage at sf0.1); explicit counts are exempt.
+    n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cnt = (
+        tok.repartition(n_shuffle, "doc_id", "tok")
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_n"))
+    )
     cnt = cnt.withColumn("h", h60(F.col("tok")))
     votes = cnt.groupBy("doc_id").agg(
         *[
