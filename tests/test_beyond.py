@@ -382,6 +382,45 @@ def test_media_codec_injection(spark):
     assert frames == {(1, 0): b"da", (1, 2): b"fc"}
 
 
+def test_media_near_duplicates_decodes_each_payload_once(spark):
+    """r15: `media_near_duplicates` consumes its feature frame from the
+    per-dim means subquery AND the main plan; without the feats pin the
+    mapInPandas decode lineage executed twice per query — the dominant
+    cost once a real codec is injected. Pin the total decode-call count
+    (via an accumulator-instrumented injected decoder) to exactly one
+    call per payload."""
+    from tickdatapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_near_duplicates,
+    )
+
+    rows = [(i, "image", bytes([i % 7 + 1] * (8 + i)), 0, 0, 1)
+            for i in range(1, 13)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting_decode(payload: bytes) -> list[float]:
+        calls.add(1)
+        return [float(b) for b in payload[:4]]
+
+    import tickdatapipeline_spark.operators.multimodal as mm
+
+    orig = mm.extract_features
+
+    def instrumented(m, dim=8, decode=None):
+        return orig(m, dim=dim, decode=counting_decode)
+
+    mm.extract_features = instrumented
+    try:
+        media_near_duplicates(media, threshold=0.0, planes=4, dim=4).collect()
+    finally:
+        mm.extract_features = orig
+    assert calls.value == len(rows), (
+        f"decode ran {calls.value} times for {len(rows)} payloads — the "
+        "feature frame must be pinned so every consumer shares one decode"
+    )
+
+
 def test_media_features_oracle_survives_non_ascii(spark, tmp_path):
     """The MEDIA_FEATURES_SQL oracle must match the Spark side for ANY
     corpus, not just ASCII: exercise 2/3/4-byte UTF-8 codepoints so a
