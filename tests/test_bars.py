@@ -20,6 +20,7 @@ def processed(spark, prices):
     return hot_loop(expand_volume(raw), SignalProcessingConfig(encoder_type="derivative"))
 
 
+@pytest.mark.heavy
 def test_ohlc_exact_and_partial_bar_dropped(spark):
     prices = [41970, 41975, 41968, 41972,   # bar 1
               41980, 41960, 41990, 41985,   # bar 2
@@ -44,6 +45,7 @@ def test_ohlc_exact_and_partial_bar_dropped(spark):
     assert b2.bar_normalization == pytest.approx(exp_norm)
 
 
+@pytest.mark.heavy
 def test_bar_invariants_on_walk(spark):
     prices = [41970 + ((i * 7) % 23) - 11 for i in range(64)]
     bp = BarProcessingConfig(enabled=True, ticks_per_bar=8, bar_method="boxcar",
@@ -57,6 +59,7 @@ def test_bar_invariants_on_walk(spark):
         assert b.bar_ticks == 8
 
 
+@pytest.mark.heavy
 def test_fir_bar_average_matches_reference_convolution(spark):
     import math
 
@@ -84,6 +87,7 @@ def test_fir_bar_average_matches_reference_convolution(spark):
         assert abs(expected - float_conv) <= 1.0
 
 
+@pytest.mark.heavy
 def test_enrichment_nulls_except_completing_tick(spark):
     prices = [41970, 41975, 41968, 41972, 41980, 41960, 41990, 41985]
     bp = BarProcessingConfig(enabled=True, ticks_per_bar=4, bar_method="boxcar",
@@ -101,6 +105,7 @@ def test_enrichment_nulls_except_completing_tick(spark):
 
 
 @pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+@pytest.mark.heavy
 def test_chunked_bars_equal_windowed(spark, method, tpb):
     """Two-pass chunked bar_aggregate must be bit-identical to the
     windowed plan across many chunk boundaries, both averaging methods,
@@ -131,6 +136,7 @@ def test_chunked_bars_equal_windowed(spark, method, tpb):
     assert win_s.equals(chk_s)
 
 
+@pytest.mark.heavy
 def test_chunked_bars_plan_has_no_single_partition(spark):
     """End-to-end bars query in at-scale mode: ticks chain AND bar
     frame both two-pass -> zero SinglePartition exchanges anywhere."""
@@ -154,6 +160,7 @@ def test_chunked_bars_plan_has_no_single_partition(spark):
 
 
 @pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+@pytest.mark.heavy
 def test_multistream_chunked_bars_equal_windowed(spark, method, tpb):
     """Per-stream chunked bar aggregation (windows keyed by
     (stream, chunk), per-stream offsets) must be BIT-identical to the
@@ -190,6 +197,7 @@ def test_multistream_chunked_bars_equal_windowed(spark, method, tpb):
     assert len(a) >= 10 and a.equals(b)
 
 
+@pytest.mark.heavy
 def test_fir_single_seed_with_stream_column(spark):
     """A single BarSeed carrying a FIR tail + a stream column must not
     crash (the tail previously lacked the stream column and broke

@@ -27,6 +27,7 @@ def docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
 
+@pytest.mark.heavy
 def test_token_stats_golden(spark):
     d = docs_df(spark, [(1, "The cat sat. The cat!", "en")])
     r = token_stats(d).collect()[0]
@@ -73,6 +74,7 @@ def test_exact_duplicates(spark):
     assert dups[0].keeper_doc_id == 1
 
 
+@pytest.mark.heavy
 def test_shingles_and_jaccard_identical_docs(spark):
     text = "alpha beta gamma delta epsilon zeta"
     d = docs_df(spark, [(1, text, "en"), (2, text, "en"), (3, "unrelated words entirely here now", "en")])
@@ -89,6 +91,7 @@ def test_shingles_and_jaccard_identical_docs(spark):
     assert (1, 2) in {(r.doc_a, r.doc_b) for r in cands}
 
 
+@pytest.mark.heavy
 def test_simhash_equal_for_equal_docs(spark):
     d = docs_df(spark, [(1, "spark window join", "en"), (2, "spark window join", "en"),
                         (3, "completely different content", "en")])
@@ -97,6 +100,7 @@ def test_simhash_equal_for_equal_docs(spark):
     assert sigs[1] != sigs[3]
 
 
+@pytest.mark.heavy
 def test_simhash_pairs_match_bruteforce(spark):
     """Band pigeonholing is EXACT for hamming <= n_bands - 1: the banded
     join must find precisely the pairs a brute-force all-pairs hamming
@@ -151,6 +155,7 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
             assert abs(frac - pm / 1000) < 0.25, (lang, frac)
 
 
+@pytest.mark.heavy
 def test_new_ops_edge_cases(spark):
     """Degenerate inputs: token-free docs have NO signature row (so they
     never pair — an all-zero signature would false-match every other
@@ -190,6 +195,7 @@ def test_tfidf_topk_golden(spark):
     ]
 
 
+@pytest.mark.heavy
 def test_binned_range_join_matches_naive(spark):
     """The binned equi-join must produce exactly the rows of the naive
     inequality join, including intervals spanning many bins, empty
@@ -286,6 +292,7 @@ def test_asof_join_golden(spark):
     assert [r.asof_v for r in out] == [1.0, 2.0, 3.0, None]
 
 
+@pytest.mark.heavy
 def test_asof_join_duplicate_right_times_deterministic(spark):
     # several right rows share (key, t): the largest value_cols tuple must
     # win, regardless of input order or partitioning.
@@ -298,6 +305,7 @@ def test_asof_join_duplicate_right_times_deterministic(spark):
         assert [r.asof_v for r in out] == [9.0]
 
 
+@pytest.mark.heavy
 def test_media_plumbing(spark):
     from tickdatapipeline_spark.operators.multimodal import (
         _fake_decode_features,
@@ -421,6 +429,7 @@ def test_media_near_duplicates_decodes_each_payload_once(spark):
     )
 
 
+@pytest.mark.heavy
 def test_media_features_oracle_survives_non_ascii(spark, tmp_path):
     """The MEDIA_FEATURES_SQL oracle must match the Spark side for ANY
     corpus, not just ASCII: exercise 2/3/4-byte UTF-8 codepoints so a
@@ -528,6 +537,7 @@ def _py_media_near_dups(payloads, threshold, planes=8, dim=8):
     return pairs
 
 
+@pytest.mark.heavy
 def test_media_near_duplicates_golden(spark):
     """Feature-space near-dup pairs must match a pure-Python mirror of
     the whole chain (stub features -> mean-center -> SRP bucket ->
@@ -560,6 +570,7 @@ def test_media_near_duplicates_golden(spark):
     assert capped.count() == 0
 
 
+@pytest.mark.heavy
 def test_media_dedup_features_oracle_survives_non_ascii(spark, tmp_path):
     """MEDIA_DEDUP_FEATURES_SQL reproduces the stub codec's byte-offset
     histogram in closed UTF-8 form — exercise 2/3/4-byte codepoints so a
@@ -593,6 +604,7 @@ def test_media_dedup_features_oracle_survives_non_ascii(spark, tmp_path):
     assert (0, 1) in got  # the engineered multibyte near-dup pair survives
 
 
+@pytest.mark.heavy
 def test_duplicate_clusters_transitive(spark):
     """Connected components must merge chains: A~B and B~C (never A~C as
     a direct LSH pair is fine) land in ONE cluster keyed by min doc_id;
@@ -618,6 +630,7 @@ def test_duplicate_clusters_transitive(spark):
     assert rows[7].is_representative == 1 and rows[8].is_representative == 0
 
 
+@pytest.mark.heavy
 def test_bucket_skew_guards(spark, caplog):
     """max_band_bucket / max_bucket_size drop oversized buckets BEFORE
     the quadratic join (100 TB skew guard); with a cap above every
@@ -675,6 +688,7 @@ def test_bucket_skew_guards(spark, caplog):
     assert embedding_near_duplicates(emb, 0.25, max_bucket_size=100).count() == 6
 
 
+@pytest.mark.heavy
 def test_cross_corpus_contamination(spark, caplog):
     """Benchmark decontamination: train docs near-duplicating an eval
     doc are flagged (LSH band join BETWEEN corpora + Jaccard verify);
@@ -709,6 +723,7 @@ def test_cross_corpus_contamination(spark, caplog):
     assert capped.count() == 0
 
 
+@pytest.mark.heavy
 def test_corpus_index_build_time_cap(spark, tmp_path, caplog):
     """write_corpus_index applies the skew cap ONCE at build time: an
     oversized band bucket never reaches the parquet index (logged), so
@@ -746,6 +761,7 @@ def test_corpus_index_build_time_cap(spark, tmp_path, caplog):
     assert shingles(probe).count() > 0
 
 
+@pytest.mark.heavy
 def test_token_budget_sample_matches_naive_order(spark):
     """The two-level (bucket prefix + within-bucket window) plan must
     admit EXACTLY the docs a naive single-ordered scan admits, and the
@@ -781,6 +797,7 @@ def test_token_budget_sample_matches_naive_order(spark):
     assert len(first) == 1 and first[0].doc_id == order[0]
 
 
+@pytest.mark.heavy
 def test_power_iteration_finds_dominant_axis(spark):
     """On a corpus dominated by one axis the fixed-iteration power
     method lands on it: the unit-norm iterate concentrates on dim 0 and
@@ -846,6 +863,7 @@ def test_pq_dequantized_golden(spark):
     assert out[101] == vec(3)  # perturbation snapped away
 
 
+@pytest.mark.heavy
 def test_pq_train_trained_golden(spark):
     """Trained PQ (the r12-verdict #1 default): on two binary-exact
     clusters per subspace, Lloyd's converges to the cluster means in
@@ -880,6 +898,7 @@ def test_pq_train_trained_golden(spark):
     assert out[1] == out[3] == [0.875] * DIM
 
 
+@pytest.mark.heavy
 def test_pq_train_empty_code_carries_forward(spark):
     """A code that attracts no subvectors keeps its previous entry
     (kmeans_train's empty-cell rule): with every non-seed vector on
@@ -897,6 +916,7 @@ def test_pq_train_empty_code_carries_forward(spark):
         assert cb[(m, 1)] == [1.0] * sub   # only its own seed -> unchanged
 
 
+@pytest.mark.heavy
 def test_pq_adc_contract_and_dominance(spark):
     """ADC (raw query vs reconstructed corpus): same output contract
     as the other ANN paths; on the seeded codebook a CODEBOOK vector's
@@ -926,6 +946,7 @@ def test_pq_adc_contract_and_dominance(spark):
     assert r_adc >= r_sym
 
 
+@pytest.mark.heavy
 def test_pq_train_shifted_ids_match_rekeyed(spark):
     """Rank-based seeding (r14 verdict #2): a shard whose vec_ids start
     at 10^6 trains the IDENTICAL codebook — and reconstructs the
@@ -953,6 +974,7 @@ def test_pq_train_shifted_ids_match_rekeyed(spark):
     assert out_s == out_r and len(out_s) == 12
 
 
+@pytest.mark.heavy
 def test_kmeans_train_shifted_ids_match_rekeyed(spark):
     """kmeans_train's default init is rank-based too (r14): centroids
     from a shifted-id corpus equal the re-keyed corpus's, without the
@@ -972,6 +994,7 @@ def test_kmeans_train_shifted_ids_match_rekeyed(spark):
     assert cs and cs == cr
 
 
+@pytest.mark.heavy
 def test_train_sample_mod_bounds_training_set(spark):
     """Deterministic training sampling (r14 verdict #1): with
     sample_mod forced to 3, pq_train equals training on the explicit
@@ -1066,6 +1089,7 @@ def test_repetition_score_golden(spark):
             rows[4].dup_bigram_frac) == (0, 0.0, 0.0, 0.0)
 
 
+@pytest.mark.heavy
 def test_shard_assignments_contract(spark):
     """Every doc lands in exactly one shard; positions are contiguous
     0..k-1 within each shard; the assignment is deterministic and
@@ -1091,6 +1115,7 @@ def test_shard_assignments_contract(spark):
     assert "SinglePartition" not in plan
 
 
+@pytest.mark.heavy
 def test_write_training_shards_roundtrip(spark, tmp_path):
     """Materialized shards: every doc lands in its assigned shard=N
     partition directory, a single-shard read is partition-pruned, and
@@ -1148,6 +1173,7 @@ def test_token_budget_sample_single_partitions_only_aggregates(spark):
             )
 
 
+@pytest.mark.heavy
 def test_ivf_kmeans_recall(spark):
     """kmeans-trained IVF must behave like a real ANN index: valid top-k
     contract, and recall@5 vs brute force at least as good as chance by
@@ -1238,6 +1264,7 @@ def test_hourly_gapfill_golden(spark):
     assert out[(3, "b")].n_events == 0 and out[(3, "b")].ffill_avg_value == 7.5
 
 
+@pytest.mark.heavy
 def test_hourly_gapfill_rejects_corrupt_timestamp_span(spark):
     """Dirty-timestamp guard: one epoch-0 row among 2026-era events
     would inflate the dense grid by ~490K hours x |types| — the query
@@ -1263,6 +1290,7 @@ def test_hourly_gapfill_rejects_corrupt_timestamp_span(spark):
     assert hourly_gapfill(clean).count() == 3
 
 
+@pytest.mark.heavy
 def test_event_funnel_golden(spark):
     """Hand-computed funnel: stage entry must be strictly after the
     previous stage's entry and within the conversion window; the first
@@ -1295,6 +1323,7 @@ def test_event_funnel_golden(spark):
     assert out["purchase_3"].avg_secs_from_view == pytest.approx(13 * 3600, abs=1e-4)
 
 
+@pytest.mark.heavy
 def test_curate_corpus_each_filter_discriminates(spark):
     """Every curation stage drops its intended doc: the near-dup twin,
     the unknown-language doc, the too-short doc, the stopword-free doc,
@@ -1351,6 +1380,7 @@ def test_retention_cohorts_golden(spark):
     }
 
 
+@pytest.mark.heavy
 def test_connected_components_deep_chain_converges(spark):
     """A 40-node path graph (diameter 39) must fully collapse to ONE
     cluster labelled by the min node — pointer jumping makes this take
@@ -1368,6 +1398,7 @@ def test_connected_components_deep_chain_converges(spark):
     assert sum(r.is_representative for r in out) == 1
 
 
+@pytest.mark.heavy
 def test_pack_sequences_contiguous_layout(spark):
     """Packing must lay the corpus out as ONE contiguous token stream:
     sorted by (pack_id, pack_offset), each doc starts exactly where the
@@ -1400,6 +1431,7 @@ def test_pack_sequences_contiguous_layout(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
 
 
+@pytest.mark.heavy
 def test_token_commonness_and_source_top_tokens_golden(spark):
     """Hand-computed corpus frequencies: common-token docs score high,
     rare-token docs low; per-source top-k ranks count desc then token
@@ -1427,6 +1459,7 @@ def test_token_commonness_and_source_top_tokens_golden(spark):
     assert sorted(top, key=lambda t: t[2]) == [("aa", 3, 1), ("bb", 2, 2)]
 
 
+@pytest.mark.heavy
 def test_containment_pairs_catches_embedded_doc(spark):
     """A short doc fully embedded in a long one: containment = 1.0 even
     though Jaccard is far below any dedup threshold (the asymmetric
@@ -1499,6 +1532,7 @@ def test_snapshot_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed", 3: "unchanged"}
 
 
+@pytest.mark.heavy
 def test_mixture_sample_rates_and_epochs(spark):
     """Weighted mixing: epoch counts follow the closed-form admission
     rule, full epochs contain the whole source, untargeted sources are
@@ -1536,6 +1570,7 @@ def test_mixture_sample_rates_and_epochs(spark):
     assert {r.doc_id for r in other if r.source == "s1"} != set(s1) or len(s1) in (0, 10)
 
 
+@pytest.mark.heavy
 def test_mixture_sample_epoch_cap(spark, caplog):
     """Degenerate-mix guard: a 10^12-token budget against a ~50-token
     source asks for billions of epochs per doc; the default max_epochs
@@ -1623,6 +1658,7 @@ def test_ngram_novelty_golden(spark):
     assert (out[4].n_grams, out[4].n_novel, out[4].novelty) == (1, 0, 0.0)
 
 
+@pytest.mark.heavy
 def test_cross_source_dup_matrix_golden(spark):
     """Near-dup pairs aggregate into an unordered source matrix: a
     within-source pair lands on the diagonal, a cross-source pair on
@@ -1803,6 +1839,7 @@ def test_ann_recall_contract(spark):
     assert all(r.recall == 1.0 for r in perfect.values())
 
 
+@pytest.mark.heavy
 def test_sq8_quantization_error_bounded(spark):
     """SQ8 reconstruction stays within half a quantization step per
     dimension, and values already on the level grid reconstruct
@@ -1828,6 +1865,7 @@ def test_sq8_quantization_error_bounded(spark):
     assert got[0] == [0.0] * 64 and got[1] == [255.0] * 64
 
 
+@pytest.mark.heavy
 def test_sq8_topk_recall_near_exact(spark):
     """With 255 levels the quantization error is tiny, so the SQ8
     top-k must recover nearly all of the exact neighbors."""
@@ -1872,6 +1910,7 @@ def test_train_val_test_split_contract(spark):
         train_val_test_split(docs, -100, 200)
 
 
+@pytest.mark.heavy
 def test_pack_and_budget_share_the_same_prefix_order(spark):
     """Cross-operator invariant over the shared prefix helper: with the
     SAME salt and buckets, token_budget_sample(B) admits exactly the
@@ -2117,6 +2156,7 @@ def test_sq8_frozen_bounds_saturate_out_of_range(spark):
         sq8_dequantized(df, bounds=bad)
 
 
+@pytest.mark.heavy
 def test_training_examples_composition(spark, tmp_path):
     """The assembly query equals manually composing its three stages:
     quality gate, train-split selection, packing — stage fusion must
@@ -2297,6 +2337,7 @@ def test_user_rfm_golden(spark, tmp_path):
     assert all(r.cohort_week == 0 for r in rows)
 
 
+@pytest.mark.heavy
 def test_seasonal_anomaly_golden(spark, tmp_path):
     """Two days at level 1.0 with one spiked 3am hour: the spike hour
     leads the ranking with the integer-cleared deviation statistic and
@@ -2381,6 +2422,7 @@ def test_zipf_profile_golden(spark, tmp_path):
     ]
 
 
+@pytest.mark.heavy
 def test_char_bigram_likelihood_golden(spark):
     """Corpus 'aa ab' + 'aa aa': model P(aa)=3/6, P('a ')=2/6,
     P(' a')=2/2, P(ab)=1/6 -> doc 1 averages exactly 0.5, doc 2
@@ -2393,6 +2435,7 @@ def test_char_bigram_likelihood_golden(spark):
     assert out[2].n_bigrams == 4 and out[2].avg_bigram_p == 0.583333
 
 
+@pytest.mark.heavy
 def test_char_bigram_likelihood_drops_short_docs(spark):
     from tickdatapipeline_spark.operators.text import char_bigram_likelihood
 
@@ -2400,6 +2443,7 @@ def test_char_bigram_likelihood_drops_short_docs(spark):
     assert [r.doc_id for r in char_bigram_likelihood(d).collect()] == [3]
 
 
+@pytest.mark.heavy
 def test_diversity_sample_golden(spark):
     """Centroids v0=(1,0), v1=(0,1); v3=(1,1) ties both cells at
     cos 0.707107 -> lower cell 0 wins, and being the farthest member
@@ -2415,6 +2459,7 @@ def test_diversity_sample_golden(spark):
     assert out[0].centroid_sim == 0.707107
 
 
+@pytest.mark.heavy
 def test_minhash_calibration_identical_docs(spark):
     """Two identical docs agree on every minhash lane: the estimate is
     exactly 1.0, the exact jaccard is 1.0, the error 0.0; every
@@ -2442,6 +2487,7 @@ def test_minhash_calibration_identical_docs(spark):
         assert 0 < r.jaccard <= 1.0
 
 
+@pytest.mark.heavy
 def test_weekly_users_hll_merge_consistency(spark):
     """The merged-daily-sketch estimate must EQUAL the estimate of a
     sketch built over the whole week directly (same deterministic
@@ -2577,6 +2623,7 @@ def test_attribution_linear_golden(spark, tmp_path):
         {(1, 2, 5.0), (2, 2, 5.0)}
 
 
+@pytest.mark.heavy
 def test_split_leakage_golden(spark):
     """Two identical docs are a verified near-dup pair; whether they
     leak depends only on the deterministic split draw — the query must
@@ -2615,6 +2662,7 @@ def test_split_leakage_golden(spark):
     assert len(pairs) == 12 * 11 // 2  # identical docs: every pair verified
 
 
+@pytest.mark.heavy
 def test_cosine_histogram_bins_sum_to_pairs(spark, tmp_path):
     """Histogram mass equals the sample's pair count and a hand-built
     two-vector bin lands where floor(cos/0.05) puts it."""
@@ -2629,6 +2677,7 @@ def test_cosine_histogram_bins_sum_to_pairs(spark, tmp_path):
     assert out == {0: 1, 14: 2}
 
 
+@pytest.mark.heavy
 def test_cluster_aware_split_eliminates_leakage(spark):
     """The property the operator exists for: after group-aware
     splitting, NO verified near-dup pair straddles splits (per-doc
@@ -2692,6 +2741,7 @@ def test_bpe_merge_greedy_overlap(spark):
     assert out == [(1, "a", "a", 9), (2, "aa", "aa", 3)]
 
 
+@pytest.mark.heavy
 def test_bpe_compression_golden(spark):
     """{low x3, lower x2, newest x1} after 3 merges ((l,o), (lo,w),
     (e,r)): char symbols 3*3+5*2+6 = 25, BPE symbols low->1 (x3),
@@ -2705,6 +2755,7 @@ def test_bpe_compression_golden(spark):
     assert r.compression == 0.52
 
 
+@pytest.mark.heavy
 def test_knn_label_accuracy_golden(spark, tmp_path):
     """Two tight clusters along the axes (queries are vec_id % 50 == 0):
     queries 0 and 50 are voted correctly by their own clusters; vector
@@ -2729,6 +2780,7 @@ def test_knn_label_accuracy_golden(spark, tmp_path):
     assert out[9] == (1, 0, 0.0)
 
 
+@pytest.mark.heavy
 def test_phrase_search_index_matches_direct(spark, tmp_path):
     """The inverted-index path must return exactly the direct
     corpus-scan answer (overlapping occurrences included), and the
@@ -2775,6 +2827,7 @@ def test_phrase_search_overlapping_occurrences(spark, tmp_path):
     assert [(x.doc_id, x.n_occurrences, x.first_pos) for x in r] == [(1, 2, 1)]
 
 
+@pytest.mark.heavy
 def test_ann_mrr_golden(spark, tmp_path):
     """Hand-buildable MRR: with IVF probing only nprobe=2 of the cells,
     a query whose true nearest neighbor lives in an unprobed cell
@@ -2999,6 +3052,7 @@ def test_part_fuzzy_dictionary_semantics(spark, tmp_path):
     }
 
 
+@pytest.mark.heavy
 def test_hourly_ccf_detects_engineered_lag(spark, tmp_path):
     """Clicks built as an exact copy of views shifted +2 hours: the CCF
     must be exactly 1.0 at lag +2 and below it everywhere else, with
@@ -3059,6 +3113,7 @@ def test_corr_budget_guard_raises_on_overflowing_sums(spark):
         run(3, 2 ** 63 - 1, cap, cap)
 
 
+@pytest.mark.heavy
 def test_acf_ccf_plans_fold_the_budget_guard(spark, tmp_path):
     """The guard must be IN the executed plan (folded into the consumed
     n_pairs output, un-prunable): both hourly correlation plans carry a
@@ -3084,6 +3139,7 @@ def test_acf_ccf_plans_fold_the_budget_guard(spark, tmp_path):
         globalorder.set_pins(True)
 
 
+@pytest.mark.heavy
 def test_phash_fingerprint_semantics(spark):
     """Perceptual fingerprints: byte-identical payloads share a phash
     (hamming 0), a lightly perturbed payload lands within a few bits
@@ -3139,6 +3195,7 @@ def test_phash_pairs_plan_is_band_equijoin(spark):
     assert "band_key" in plan
 
 
+@pytest.mark.heavy
 def test_graph_triangles_golden(spark):
     """A triple of identical docs forms a candidate 3-clique -> one
     triangle, each member counted once; a disjoint identical pair has
@@ -3228,6 +3285,7 @@ def test_power_pareto_golden(spark, tmp_path):
     assert got[10] == (3, 10, 1.0)
 
 
+@pytest.mark.heavy
 def test_funnel_latency_golden(spark, tmp_path):
     """Hand-timed funnel: u1 views at 0s, clicks at 10s (a later 20s
     click is ignored), purchases at 40s; u2 views at 0s and clicks at
@@ -3253,6 +3311,7 @@ def test_funnel_latency_golden(spark, tmp_path):
     assert got[("click_to_purchase", 1.0)] == 30 * us
 
 
+@pytest.mark.heavy
 def test_dedup_savings_golden(spark):
     """An identical triple in source s1 (6 tokens each) sheds 2 docs /
     12 of 18 tokens = 0.666667; the untouched source s2 sheds nothing."""
@@ -3274,6 +3333,7 @@ def test_dedup_savings_golden(spark):
     assert got["s2"] == (1, 0, 8, 0, 0.0)
 
 
+@pytest.mark.heavy
 def test_cluster_cohesion_golden(spark):
     """Pooled-Jaccard cohesion by hand: an identical triple pools 3
     perfect pairs -> 1.0; a last-token-perturbed pair shares 5 of 7
@@ -3298,6 +3358,7 @@ def test_cluster_cohesion_golden(spark):
     assert got[10] == (2, 1, 5, 7, 0.714286)   # one perturbed 3-gram run
 
 
+@pytest.mark.heavy
 def test_dup_degree_histogram_golden(spark):
     """A triple of identical docs plus a disjoint pair: the triple's
     members each have degree 2, the pair's degree 1 -> histogram
@@ -3316,6 +3377,7 @@ def test_dup_degree_histogram_golden(spark):
     assert out == {1: 2, 2: 3}
 
 
+@pytest.mark.heavy
 def test_weighted_jaccard_downweights_boilerplate(spark):
     """Two doc pairs with the SAME plain Jaccard: one shares rare
     content, the other shares the corpus-wide boilerplate — the
@@ -3339,6 +3401,7 @@ def test_weighted_jaccard_downweights_boilerplate(spark):
         assert out[(3, 4)] < 0.6  # plain jaccard of 3-4 would be ~0.45; weighted must not exceed it
 
 
+@pytest.mark.heavy
 def test_fluency_filter_respects_per_source_bar(spark, tmp_path):
     """Survivors score >= their OWN source's exact p10 bar, ~90% of
     each source survives, and the bars genuinely differ per source
@@ -3374,6 +3437,7 @@ def test_fluency_filter_respects_per_source_bar(spark, tmp_path):
     assert len(out) >= 0.85 * n_scored  # ~p10 trimmed, never more
 
 
+@pytest.mark.heavy
 def test_ivf_recall_sweep_monotone(spark):
     """Pooled recall must be non-decreasing in nprobe (each wider probe
     set strictly contains the narrower one's candidates), and every
@@ -3389,6 +3453,7 @@ def test_ivf_recall_sweep_monotone(spark):
         assert r.pooled_recall == math.floor(r.hit_total / r.exact_total * 1e6 + 0.5) / 1e6
 
 
+@pytest.mark.heavy
 def test_incremental_index_dedup_matches_full_recompute(spark, tmp_path):
     """The daily-delta loop (r9 verdict stretch): a new shard is
     near-dup-filtered against the PERSISTED index (dedup_against_index
@@ -3511,6 +3576,7 @@ def test_seasonal_profile_golden(spark, tmp_path):
     assert set(got) == {("a", 0), ("a", 1), ("b", 2)}
 
 
+@pytest.mark.heavy
 def test_type_affinity_golden(spark, tmp_path):
     """Hand-counted lift: users {1,2} do both a and b, user 3 only a
     -> n_a=3, n_b=2, n_both=2, n_users=3, lift = 2*3/(3*2) = 1.0;
@@ -3529,6 +3595,7 @@ def test_type_affinity_golden(spark, tmp_path):
     assert got[("a", "c")].n_both == 1
 
 
+@pytest.mark.heavy
 def test_media_phash_clusters_chain(spark):
     """A perceptual re-encode CHAIN A~B~C (A,C beyond max_hamming of
     each other) collapses into ONE cluster with min-id representative —
@@ -3575,6 +3642,7 @@ def test_seasonal_anomalies_golden(spark, tmp_path):
     assert all(r.hod == 0 and r.hod_total == 4 and r.hod_slots == 2 for r in got)
 
 
+@pytest.mark.heavy
 def test_ivfpq_codebook_vectors_score_exactly(spark):
     """SEEDED IVF-PQ invariant (train_iters=0 — the degenerate
     fallback): a vector whose vec_id < k_codes IS a codebook entry in
@@ -3614,6 +3682,7 @@ def test_ivfpq_codebook_vectors_score_exactly(spark):
 # ===== round-10 (cont.): heavy hitters / pagerank / LM surprisal =====
 
 
+@pytest.mark.heavy
 def test_heavy_hitters_exact_and_partition_independent(spark):
     """The two-pass Misra-Gries output must equal the exact
     count>n/(k+1) answer and be identical under different input
@@ -3752,6 +3821,7 @@ def test_dup_span_coverage_golden(spark):
     assert b.coverage_permille == 0
 
 
+@pytest.mark.heavy
 def test_append_ann_index_matches_full_rebuild(spark, tmp_path):
     """Incremental IVF index maintenance: base build + one shard append
     (frozen centroids) must answer probes ROW-IDENTICALLY to a full
@@ -3809,6 +3879,7 @@ def test_append_ann_index_matches_full_rebuild(spark, tmp_path):
         append_ann_index(shard, legacy, "delta1")
 
 
+@pytest.mark.heavy
 def test_adc_probe_matches_exact_probe(spark, tmp_path):
     """The persisted-index ADC probe (r13 verdict #4): with ``rerank``
     covering every candidate, `ann_probe_against_index_adc` must
@@ -3881,6 +3952,7 @@ def test_adc_probe_matches_exact_probe(spark, tmp_path):
     assert all(abs(enc[k] - rec[k]) < 1e-9 for k in enc)
 
 
+@pytest.mark.heavy
 def test_embedding_dedup_adc_equals_exact(spark, tmp_path):
     """embedding_dedup_against_index auto-detects the PQ artifacts and
     keeps/drops IDENTICALLY to the exact-scan probe on the same index:
@@ -3909,6 +3981,7 @@ def test_embedding_dedup_adc_equals_exact(spark, tmp_path):
     assert all(v >= 20_000 for v in kept_adc) and kept_adc
 
 
+@pytest.mark.heavy
 def test_embedding_dedup_against_index(spark, tmp_path):
     """The embedding daily-delta filter: a shard vector identical to an
     indexed one (cosine 1.0) is dropped, a genuinely novel vector
@@ -3947,6 +4020,7 @@ def test_embedding_dedup_against_index(spark, tmp_path):
     assert [r.vec_id for r in again.collect()] == []  # 1007 now indexed
 
 
+@pytest.mark.heavy
 def test_ann_rebuild_due_trigger(spark, tmp_path):
     """The index lifecycle's rebuild trigger: a freshly-trained
     balanced index reports healthy; appending a heavily skewed delta

@@ -83,6 +83,7 @@ COSINE_FAMILY = [
 
 
 @pytest.mark.parametrize("name", COSINE_FAMILY)
+@pytest.mark.heavy
 def test_degenerate_cosine_cross_engine(spark, fixtures, name):
     """Zero-norm behavior must be identical CROSS-ENGINE, not just
     non-crashing on the Spark side: both engines score a zero vector's

@@ -107,6 +107,7 @@ EXPECT_KEPT = {
 }
 
 
+@pytest.mark.heavy
 def test_daily_delta_three_days(spark, tmp_path):
     wh = str(tmp_path / "wh")
 
@@ -165,6 +166,7 @@ def test_daily_delta_three_days(spark, tmp_path):
         if day != "2024-01-01" for d in ids)
 
 
+@pytest.mark.heavy
 def test_daily_delta_day1_replay(spark, tmp_path):
     """The bootstrap day itself must be replayable: its signatures live
     under shard=<day1> (NOT shard=base), so the replay's own-shard
@@ -180,6 +182,7 @@ def test_daily_delta_day1_replay(spark, tmp_path):
     assert (_corpus_rows(spark, wh), *_index_state(spark, wh)) == state
 
 
+@pytest.mark.heavy
 def test_daily_delta_trained_bootstrap(spark, tmp_path):
     """The DEFAULT bootstrap quantizer is now kmeans_train over the
     first day's kept vectors (r11 verdict #3), not the lowest-id
@@ -231,6 +234,7 @@ def test_daily_delta_trained_bootstrap(spark, tmp_path):
     assert got_v == ref_v
 
 
+@pytest.mark.heavy
 def test_daily_delta_degenerate_bootstrap_falls_back(spark, tmp_path):
     """A bootstrap day with fewer kept vectors than cells skips the
     k-means (every vector IS a centroid — training is vacuous) and
@@ -247,6 +251,7 @@ def test_daily_delta_degenerate_bootstrap_falls_back(spark, tmp_path):
     assert cents == [(0, tuple(VEC[4]))]  # untrained raw seed
 
 
+@pytest.mark.heavy
 def test_daily_delta_bootstrap_crash_replay(spark, tmp_path):
     """A crash in the bootstrap window — after both empty base-index
     writes landed but before the day's appends — must be recoverable by
@@ -280,6 +285,7 @@ def test_daily_delta_bootstrap_crash_replay(spark, tmp_path):
     assert vecs == EXPECT_KEPT["2024-01-01"]
 
 
+@pytest.mark.heavy
 def test_append_ann_index_empty_shard_readable(spark, tmp_path):
     """An all-dropped day appends an EMPTY shard; the index must stay
     readable and the empty shard must not poison later probes."""
@@ -304,6 +310,7 @@ def test_daily_delta_rejects_bad_day(spark, tmp_path):
         run_daily_delta(spark, docs, emb, str(tmp_path / "w"), "a/b")
 
 
+@pytest.mark.heavy
 def test_daily_delta_text_only(spark, tmp_path):
     """emb_shard=None runs the text-only loop: no ANN index is created
     and embedding-planted dups (doc 14/21) survive on text alone."""
@@ -317,6 +324,7 @@ def test_daily_delta_text_only(spark, tmp_path):
     assert got == {0, 1, 2, 3, 4, 11, 12, 14, 21, 22}
 
 
+@pytest.mark.heavy
 def test_daily_delta_partial_embedding_coverage(spark, tmp_path):
     """Docs WITHOUT a vector pass on text alone (the documented
     contract: vectors gate only docs that have one), while docs with a
@@ -378,6 +386,7 @@ def _index_rows_ignoring_shard(spark, wh):
     return bands, sh, vecs
 
 
+@pytest.mark.heavy
 def test_streaming_delta_equals_batch_loop(spark, tmp_path):
     """Stream-ingesting day 2 across three micro-batches (a text dup of
     an EARLIER micro-batch's keeper deliberately split into its own
@@ -426,6 +435,7 @@ def test_streaming_delta_equals_batch_loop(spark, tmp_path):
     assert kept2 == EXPECT_KEPT["2024-01-02"]
 
 
+@pytest.mark.heavy
 def test_streaming_delta_restart_and_replay(spark, tmp_path):
     """(a) A mid-shard RESTART (new query instance, same checkpoint)
     converges to the same final state. (b) A REPLAYED micro-batch
@@ -488,6 +498,7 @@ def test_streaming_delta_requires_bootstrap_and_valid_day(spark, tmp_path):
         ingest_micro_batch(bdf, 0, str(tmp_path / "nope"), "2024.01.01")
 
 
+@pytest.mark.heavy
 def test_streaming_delta_greedy_vs_cc_contract(spark, tmp_path):
     """The documented divergence boundary: a near-dup chain that runs
     ACROSS micro-batches THROUGH a dropped document. Batch (whole-day
@@ -531,6 +542,7 @@ def test_streaming_delta_greedy_vs_cc_contract(spark, tmp_path):
 # ================= scheduled compaction =================
 
 
+@pytest.mark.heavy
 def test_compact_warehouse(spark, tmp_path):
     """The scheduled compaction job: after the 3-day loop + TTL expiry
     of day 1, compact_warehouse collapses every delta shard into
@@ -619,6 +631,7 @@ def test_compact_warehouse_requires_corpus(spark, tmp_path):
         compact_warehouse(spark, str(tmp_path / "empty_wh"))
 
 
+@pytest.mark.heavy
 def test_lifecycle_soak_end_to_end(spark, tmp_path):
     """The full warehouse lifecycle in ONE run (r12 verdict #3) —
     every stage is individually tested elsewhere; this pins the seams
@@ -793,6 +806,7 @@ def test_lifecycle_soak_end_to_end(spark, tmp_path):
         f"{wh}/ann_index/centroids").count() == want
 
 
+@pytest.mark.heavy
 def test_pq_adc_delta_loop_equality(spark, tmp_path):
     """A ``pq=True`` warehouse — ADC live probe auto-enabled off the
     persisted codebooks (r13 verdict #4) — keeps/drops IDENTICALLY to
@@ -857,6 +871,7 @@ def test_daily_delta_rejects_dotted_day(spark, tmp_path):
         run_daily_delta(spark, docs, emb, str(tmp_path / "w"), "2024-01-02.x")
 
 
+@pytest.mark.heavy
 def test_compact_warehouse_refuses_unfolded_staged_day(spark, tmp_path):
     """Compaction must not run over an in-flight staged streaming day:
     the text index is rebuilt from the canonical corpus only while the

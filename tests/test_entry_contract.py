@@ -78,6 +78,7 @@ def test_oracle_agreement_fast_subset(spark, con, name):
             assert (a.fillna("\0").astype(str) == b.fillna("\0").astype(str)).all(), f"col {c}"
 
 
+@pytest.mark.heavy
 def test_registry_rotation_covers_every_gated_query(monkeypatch):
     """The driver hash-verifies only the FIRST 50 registry entries; the
     gated ordering is least-recently-verified first (from the committed
@@ -138,6 +139,7 @@ def test_registry_rotation_covers_every_gated_query(monkeypatch):
         )
 
 
+@pytest.mark.heavy
 def test_edited_query_leads_next_window(monkeypatch):
     """Changed-lineage promotion: a gated query whose implementation
     fingerprint drifted from its committed FINGERPRINTS.json recording

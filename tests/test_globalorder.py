@@ -95,6 +95,7 @@ def test_per_key_locality_across_supers(spark):
     assert got == naive_offsets(rows, chunk)
 
 
+@pytest.mark.heavy
 def test_hot_loop_chunked_equality_survives_multi_super(spark):
     """End-to-end: with super_size forced to 2 the flagship chunked plans
     (derivative carries, CPM mod-reduced sums) must still equal the

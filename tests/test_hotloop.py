@@ -31,6 +31,7 @@ def run(spark, prices, cfg, **kw):
     )
 
 
+@pytest.mark.heavy
 def test_first_tick_and_core_flags(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative")
     rows = run(spark, [41970, 41975, 41973], cfg)
@@ -41,6 +42,7 @@ def test_first_tick_and_core_flags(spark):
     assert rows[1].status_flag == C.FLAG_OK
 
 
+@pytest.mark.heavy
 def test_holdlast_on_out_of_range(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative")
     rows = run(spark, [41970, 99999, 41975], cfg)  # price 2 above max_price
@@ -52,6 +54,7 @@ def test_holdlast_on_out_of_range(spark):
     assert rows[2].is_core
 
 
+@pytest.mark.heavy
 def test_invalid_before_any_valid_is_zero_row(spark):
     cfg = SignalProcessingConfig(encoder_type="amc")
     rows = run(spark, [99999, 41970, 41975], cfg)
@@ -61,6 +64,7 @@ def test_invalid_before_any_valid_is_zero_row(spark):
     assert rows[1].sig_re == 0.0  # ratio 0 on first tick -> zero amplitude
 
 
+@pytest.mark.heavy
 def test_jump_guard_winsorize_clip_and_flag(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative", max_jump=50,
                                  winsorize_delta_threshold=10)
@@ -71,6 +75,7 @@ def test_jump_guard_winsorize_clip_and_flag(spark):
     assert rows[2].delta_w == -10
 
 
+@pytest.mark.heavy
 def test_q16_normalization_preload(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative")
     rows = run(spark, [41970, 41972], cfg)
@@ -80,6 +85,7 @@ def test_q16_normalization_preload(spark):
     assert rows[1].normalization == pytest.approx(1.0 / (7559 * C.Q16_INV))
 
 
+@pytest.mark.heavy
 def test_hexad16_phase_cycle(spark):
     cfg = SignalProcessingConfig(encoder_type="hexad16")
     prices = [41970 + (i % 3) for i in range(20)]
@@ -90,6 +96,7 @@ def test_hexad16_phase_cycle(spark):
         assert r.sig_im == pytest.approx(r.ratio * im_l)
 
 
+@pytest.mark.heavy
 def test_cpm_unit_magnitude(spark):
     cfg = SignalProcessingConfig(encoder_type="cpm", cpm_modulation_index=0.2)
     prices = [41970 + (i % 5) for i in range(12)]
@@ -98,6 +105,7 @@ def test_cpm_unit_magnitude(spark):
         assert math.hypot(r.sig_re, r.sig_im) == pytest.approx(1.0)
 
 
+@pytest.mark.heavy
 def test_cpm_half_ratio_advances_phase_quarter_turn(spark):
     """Reference invariant (test_cpm_encoder_core.jl:124-142 shape): with
     h=0.5, a ratio-0.5 tick advances the Q32 phase by exactly 2^30 —
@@ -120,6 +128,7 @@ def test_cpm_half_ratio_advances_phase_quarter_turn(spark):
     assert step == pytest.approx(math.pi / 2)
 
 
+@pytest.mark.heavy
 def test_amc_magnitude_equals_abs_ratio(spark):
     cfg = SignalProcessingConfig(encoder_type="amc")
     prices = [41970 + (i % 5) for i in range(12)]
@@ -128,6 +137,7 @@ def test_amc_magnitude_equals_abs_ratio(spark):
         assert math.hypot(r.sig_re, r.sig_im) == pytest.approx(abs(r.ratio))
 
 
+@pytest.mark.heavy
 def test_amc_carrier_advances_on_holdlast(spark):
     """Hold-last ticks advance the AMC carrier (TickHotLoopF32.jl:310-313):
     the phase index counts every invoked row (core + hold + first), so the
@@ -190,6 +200,7 @@ def test_inv_q16_half_even_tie(spark):
     assert round(65536.0 / 131072.0) == 0  # Python round = half-even too
 
 
+@pytest.mark.heavy
 def test_cpm_phase_half_even_tie(spark):
     """CPM phase increment rounds half-to-EVEN like Julia round()
     (TickHotLoopF32.jl:166): at h = 2^-17 the increment is nq16/2, an
@@ -213,6 +224,7 @@ def test_cpm_phase_half_even_tie(spark):
 
 
 @pytest.mark.parametrize("enc", ["derivative", "hexad16", "cpm", "amc"])
+@pytest.mark.heavy
 def test_chunked_equals_windowed(spark, enc):
     """The two-pass chunked formulation must be BIT-identical to the
     single-window plan across chunk boundaries, for every encoder, on a
@@ -234,6 +246,7 @@ def test_chunked_equals_windowed(spark, enc):
     assert a.equals(b)
 
 
+@pytest.mark.heavy
 def test_chunked_equals_windowed_with_seed(spark):
     """Micro-batch continuation seeds must flow through the chunked path
     exactly as through the windowed one."""
@@ -258,6 +271,7 @@ def test_chunked_equals_windowed_with_seed(spark):
 
 
 @pytest.mark.parametrize("enc", ["derivative", "hexad16", "cpm", "amc"])
+@pytest.mark.heavy
 def test_multistream_chunked_equals_windowed(spark, enc):
     """Per-stream chunking (windows partitioned by (stream, chunk) with
     per-stream broadcast offsets) must be BIT-identical to the per-stream

@@ -22,6 +22,7 @@ def con():
     return c
 
 
+@pytest.mark.heavy
 def test_every_oracle_sql_plans(con):
     oracles = E.oracle_sql()
     assert len(oracles) >= 45

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from tickdatapipeline_spark.config import (
     BarProcessingConfig,
     PipelineConfig,
@@ -24,6 +26,7 @@ def write_tick_file(path, n=60):
     return str(path)
 
 
+@pytest.mark.heavy
 def test_run_pipeline_simple_skips_bars(spark, tmp_path):
     cfg = PipelineConfig(
         tick_file_path=write_tick_file(tmp_path / "ticks.txt"),
@@ -39,6 +42,7 @@ def test_run_pipeline_simple_skips_bars(spark, tmp_path):
     assert df.count() == 50
 
 
+@pytest.mark.heavy
 def test_run_pipeline_managed_with_bars_and_callback(spark, tmp_path):
     cfg = PipelineConfig(
         tick_file_path=write_tick_file(tmp_path / "ticks.txt"),
@@ -74,6 +78,7 @@ def test_plot_slice_html(spark, tmp_path):
     assert "<svg" in html and html.count("<polyline") == 3
 
 
+@pytest.mark.heavy
 def test_capture_skip_take_and_csv(spark, tmp_path):
     from tickdatapipeline_spark.operators.expansion import expand_volume
     from tickdatapipeline_spark.operators.hotloop import hot_loop
@@ -98,6 +103,7 @@ def test_capture_skip_take_and_csv(spark, tmp_path):
     assert "sig_re" in back.columns
 
 
+@pytest.mark.heavy
 def test_capture_partitioned_prunes(spark, tmp_path):
     """partition_by writes hive-style dirs and a per-partition read
     plans a partition-pruned scan (the 100 TB capture layout)."""
@@ -128,6 +134,7 @@ def test_capture_partitioned_prunes(spark, tmp_path):
     assert n2 == n
 
 
+@pytest.mark.heavy
 def test_ticks_cache_accounting_and_eviction(spark):
     """The shared ticks cache reports per-entry persisted bytes and
     evicts FIFO past the cap — at sf10+ an unbounded persist cache is
@@ -158,6 +165,7 @@ def test_ticks_cache_accounting_and_eviction(spark):
         C._TICKS_CACHE.clear()
 
 
+@pytest.mark.heavy
 def test_capture_orc_round_trip_and_pushdown(spark, tmp_path):
     """fmt='orc' writes an ORC capture whose re-read matches the
     parquet capture row-for-row, and a tick_idx predicate reaches the

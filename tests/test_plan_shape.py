@@ -8,6 +8,8 @@ broadcast.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -47,6 +49,7 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
 
 
+@pytest.mark.heavy
 def test_jaccard_is_candidate_restricted(spark):
     from tickdatapipeline_spark.operators.dedup import jaccard_pairs
     from tickdatapipeline_spark.operators.globalorder import set_pins
@@ -72,6 +75,7 @@ def test_jaccard_is_candidate_restricted(spark):
     assert shingle_selfjoin is None, "unrestricted shingle self-join still present"
 
 
+@pytest.mark.heavy
 def test_dedup_has_no_forced_per_document_broadcasts(spark):
     """The Jaccard size join and the corpus anti-join consume
     one-row-per-document tables — at 100 TB neither fits in a broadcast,
@@ -194,6 +198,7 @@ def test_unshipped_topk_plans_take_ordered(spark):
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
 
 
+@pytest.mark.heavy
 def test_single_stream_two_pass_has_no_single_partition(spark):
     """SURVEY §4 item 1: above the size cutover the single-stream
     flagship chain takes the chunked two-pass formulation and must plan
@@ -257,6 +262,7 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     assert with_bloom == build().count()  # pruning is semantics-free
 
 
+@pytest.mark.heavy
 def test_two_pass_flagship_full_data_exchange_count(spark):
     """Pin the globalorder claim (operators/globalorder.py::add_chunk):
     downstream windows keyed on the shared chunk column mean the final
@@ -314,6 +320,7 @@ def test_two_pass_flagship_full_data_exchange_count(spark):
         set_ticks_cache(True)
 
 
+@pytest.mark.heavy
 def test_partitioned_capture_read_prunes_partitions(spark, tmp_path):
     """A capture written with partition_by must be partition-prunable on
     read: an equality filter on the partition column reaches the scan as
@@ -340,6 +347,7 @@ def test_partitioned_capture_read_prunes_partitions(spark, tmp_path):
     assert "status_flag" in plan.split("PartitionFilters")[1][:120]
 
 
+@pytest.mark.heavy
 def test_multistream_two_pass_windows_are_chunk_partitioned(spark):
     """The combined scale plan (streams x within-stream chunks) must key
     every window/exchange on the chunk column — no per-stream serial
@@ -354,6 +362,7 @@ def test_multistream_two_pass_windows_are_chunk_partitioned(spark):
         assert "_go_chunk" in spec, f"stream-serial window survived: {spec[:120]}"
 
 
+@pytest.mark.heavy
 def test_round7_topk_queries_plan_take_ordered(spark):
     """The new top-K relational shapes must plan as
     TakeOrderedAndProject (per-partition partial top-K), never a global
@@ -648,6 +657,7 @@ def test_collocations_top_k_is_take_ordered(spark):
     assert "GlobalLimit" not in plan
 
 
+@pytest.mark.heavy
 def test_group_aware_split_carries_no_forced_broadcast(spark):
     """The corpus-vs-cluster-members join consumes a one-row-per-dup-doc
     table — at 100 TB it may not fit a broadcast, so (same convention
@@ -666,6 +676,7 @@ def test_group_aware_split_carries_no_forced_broadcast(spark):
     assert "Exchange" not in above_join
 
 
+@pytest.mark.heavy
 def test_weighted_jaccard_is_candidate_restricted(spark):
     """Like plain Jaccard: verification must consume the LSH band table
     (band_key join) — never an unrestricted gram self-join — and the
@@ -790,6 +801,7 @@ def test_power_pareto_window_runs_over_histogram(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.heavy
 def test_q2_q5_q11_shapes_scale_posture(spark):
     """The three closing TPC-H shapes: Q2's top-k must plan
     TakeOrderedAndProject (never a global sort materialization), Q5's
@@ -913,6 +925,7 @@ def test_vwap_bars_single_combinable_agg(spark):
     assert "Join" not in plan
 
 
+@pytest.mark.heavy
 def test_market_indicators_partition_by_stream(spark):
     """All four market-microstructure queries window per stream (the
     per-symbol partitioning a 100 TB tick corpus has) — no
@@ -975,6 +988,7 @@ def test_dup_span_coverage_plan_shape(spark):
     assert "partial_count" in plan.lower() or "partial" in plan
 
 
+@pytest.mark.heavy
 def test_lpa_communities_plan_shape(spark):
     """The LPA round plan (the code the loop actually runs,
     operators/dedup._lpa_round): the label-vote rank window is

@@ -32,6 +32,7 @@ SET = settings(
 
 @given(lines=lines_strategy)
 @SET
+@pytest.mark.heavy
 def test_expansion_contract(spark, lines):
     rows = [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)]
     got = expand_volume(make_ticks_raw(spark, rows)).orderBy("tick_idx").collect()
@@ -50,6 +51,7 @@ def test_expansion_contract(spark, lines):
 
 @given(lines=lines_strategy)
 @SET
+@pytest.mark.heavy
 def test_hotloop_invariants(spark, lines):
     rows = [(i + 1, TS, p, v) for i, (p, v) in enumerate(lines)]
     cfg = SignalProcessingConfig(encoder_type="derivative")
@@ -80,6 +82,7 @@ def test_hotloop_invariants(spark, lines):
 )
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.heavy
 def test_streaming_split_equivalence(spark, lines, split):
     from tickdatapipeline_spark.streaming import OUT_COLS, StreamState, advance
 
@@ -113,6 +116,7 @@ def test_streaming_split_equivalence(spark, lines, split):
 )
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.heavy
 def test_advance_random_splits_equal_batch(spark, lines, cuts, data):
     """The streaming continuation contract, property-form: ANY split of
     the input into micro-batches equals the batch plan bit-for-bit."""
@@ -154,6 +158,7 @@ def test_advance_random_splits_equal_batch(spark, lines, cuts, data):
     ),
     bin_size=st.sampled_from([1, 3, 10, 64, 301]),
 )
+@pytest.mark.heavy
 def test_binned_range_join_equals_naive_property(spark, points, intervals, bin_size):
     """Random points/intervals/bin sizes: the binned equi-join always
     equals the naive inequality join (incl. empty results, zero-length
@@ -195,6 +200,7 @@ def test_binned_range_join_equals_naive_property(spark, points, intervals, bin_s
     ),
     window_h=st.sampled_from([1, 10, 24]),
 )
+@pytest.mark.heavy
 def test_event_funnel_equals_naive_property(spark, events, window_h):
     """Random event streams: the distributed funnel equals a per-user
     Python walk of the stage machine (first qualifying event within the
@@ -249,6 +255,7 @@ corpus_strategy = st.lists(
 @given(ntoks=corpus_strategy, budget=st.integers(min_value=0, max_value=600),
        n_buckets=st.sampled_from([1, 4, 16]))
 @SET
+@pytest.mark.heavy
 def test_token_budget_sample_property(spark, ntoks, budget, n_buckets):
     """The two-level plan equals the naive single-order scan for ANY
     corpus/budget/bucket count, and the admitted token total never
@@ -280,6 +287,7 @@ def test_token_budget_sample_property(spark, ntoks, budget, n_buckets):
 
 @given(ntoks=corpus_strategy, n_shards=st.sampled_from([1, 3, 8]))
 @SET
+@pytest.mark.heavy
 def test_shard_assignments_property(spark, ntoks, n_shards):
     """Partition property for ANY corpus: every doc in exactly one
     shard, positions contiguous per shard, assignment matches the
@@ -313,6 +321,7 @@ def test_shard_assignments_property(spark, ntoks, n_shards):
     min_size=1, max_size=15,
 ))
 @SET
+@pytest.mark.heavy
 def test_repetition_score_property(spark, docs):
     """For ANY corpus over a tiny vocabulary, every metric matches the
     naive Python computation and sits in [0, 1]."""
@@ -348,6 +357,7 @@ def test_repetition_score_property(spark, docs):
     cap=st.integers(min_value=1, max_value=12),
 )
 @SET
+@pytest.mark.heavy
 def test_source_cap_property(spark, groups, cap):
     """source_cap equals the Python mirror of its documented two-phase
     rule (oversample band on h60('cap:'||id), rank by (h, doc_id),
@@ -403,6 +413,7 @@ def test_source_cap_property(spark, groups, cap):
     min_size=1, max_size=40,
 ))
 @SET
+@pytest.mark.heavy
 def test_robust_anomalies_matches_numpy_mirror(spark, tmp_path_factory, vals):
     """events_value_robust_anomalies equals the numpy median/MAD mirror
     (doubled-integer medians, MAD-0 exclusion, top-N tie order) for
@@ -451,6 +462,7 @@ def test_robust_anomalies_matches_numpy_mirror(spark, tmp_path_factory, vals):
     st.text(alphabet="ab x", min_size=0, max_size=12), min_size=1, max_size=8,
 ))
 @SET
+@pytest.mark.heavy
 def test_char_bigram_likelihood_matches_python_mirror(spark, texts):
     """char_bigram_likelihood equals a pure-Python mirror (normalize,
     corpus bigram/prefix counts, mean of occ * (c_bg/c_prefix)) on
@@ -497,6 +509,7 @@ def docs_df_local(spark, texts):
     st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=10,
 ))
 @SET
+@pytest.mark.heavy
 def test_bpe_learn_merges_matches_python_mirror(spark, words):
     """bpe_learn_merges equals a pure-Python greedy BPE mirror (pair
     counts over the word-frequency table, argmax with count-DESC /
@@ -546,6 +559,7 @@ def test_bpe_learn_merges_matches_python_mirror(spark, words):
         min_size=2, max_size=40,
     ),
 )
+@pytest.mark.heavy
 def test_length_ks_equals_naive_property(spark, lengths, tmp_path_factory):
     """Random (source, length) samples: the distributed two-sample KS
     must equal a direct python computation of max |F1 - F2| over pooled
@@ -587,6 +601,7 @@ def test_length_ks_equals_naive_property(spark, lengths, tmp_path_factory):
         min_size=1, max_size=25, unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.heavy
 def test_value_resample_equals_naive_property(spark, events, tmp_path_factory):
     """Random irregular series: the distributed 6h-grid interpolation
     must equal a python walk (linear between brackets, hold-last after
@@ -663,6 +678,7 @@ def _events_from_counts(tmp_path_factory, counts, label):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(counts=st.lists(st.integers(min_value=1, max_value=40),
                        min_size=1, max_size=25))
+@pytest.mark.heavy
 def test_key_skew_gini_equals_naive_property(spark, counts, tmp_path_factory):
     """Random per-user count multisets: the histogram-built Gini (tied
     groups collapsed to cnt*(a*m + m(m+1)/2)) must equal the naive
@@ -692,6 +708,7 @@ def test_key_skew_gini_equals_naive_property(spark, counts, tmp_path_factory):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(counts=st.lists(st.integers(min_value=1, max_value=40),
                        min_size=1, max_size=25))
+@pytest.mark.heavy
 def test_power_pareto_equals_naive_property(spark, counts, tmp_path_factory):
     """Random per-user count multisets: every decile row of the
     histogram-built Pareto curve must equal the naive 'sort desc, take
@@ -721,6 +738,7 @@ def test_power_pareto_equals_naive_property(spark, counts, tmp_path_factory):
 @given(docs=st.lists(
     st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
     min_size=1, max_size=8))
+@pytest.mark.heavy
 def test_ngram_repetition_matches_naive(spark, docs, tmp_path_factory):
     """Random tiny-vocab corpora: the pooled duplicate 2-/3-gram
     counts and integer permilles must equal the naive Python mirror —
@@ -761,6 +779,7 @@ def test_ngram_repetition_matches_naive(spark, docs, tmp_path_factory):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(hours=st.lists(st.integers(min_value=0, max_value=6),  # count per hour
                       min_size=1, max_size=72))
+@pytest.mark.heavy
 def test_seasonal_anomalies_match_naive(spark, hours, tmp_path_factory):
     """Random hourly count series: the flagged set and every
     rel_abs_permille/direction must equal the naive mirror computed
@@ -923,6 +942,7 @@ def test_count_min_matches_python_mirror_and_never_underestimates(spark, tmp_pat
        vols=st.data())
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.heavy
 def test_liquidity_panel_matches_exact_fraction_mirror(spark, prices, vols):
     """ticks_liquidity_panel's Roll covariance / spread, Amihud sum,
     and variance ratio vs a naive Python mirror computing the SAME
@@ -1121,6 +1141,7 @@ def test_lee_ready_fixture_exercises_tie_fallback(spark):
 ))
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.heavy
 def test_dup_span_coverage_matches_python_mirror(spark, docs):
     """Random tiny-vocab corpora (collisions everywhere): the plan's
     per-source pooled span coverage equals a naive Python mirror of

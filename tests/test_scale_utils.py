@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tickdatapipeline_spark.functions.scale import salted_join, write_bucketed
@@ -55,6 +57,7 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+@pytest.mark.heavy
 def test_skew_playbook_end_to_end(spark):
     """DEPLOYMENT.md skew playbook, both steps on ONE skewed dataset:
     step 1 — the `events_key_skew` diagnostic (key_skew_profile) reads
@@ -138,6 +141,7 @@ def test_runtime_bloom_filter_injects_and_preserves_rows(spark):
             spark.conf.set(k, v)
 
 
+@pytest.mark.heavy
 def test_zorder_value_matches_python_mirror(spark):
     """Morton interleave golden: bit b of column i lands at b*N + i."""
     from tickdatapipeline_spark.functions.scale import zorder_value
@@ -164,6 +168,7 @@ def test_zorder_value_matches_python_mirror(spark):
     assert df3.collect()[0].z == z_py([7, 8, 9], 10)
 
 
+@pytest.mark.heavy
 def test_zorder_layout_prunes_query_boxes(spark, tmp_path):
     """Z-ordered files cover small (x, y) hyper-rectangles: for a
     small query box, the fraction of files whose footer min/max box
@@ -209,6 +214,7 @@ def test_zorder_layout_prunes_query_boxes(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.heavy
 def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     """MERGE semantics (replace same-key rows, insert new ones) with
     partition-scoped copy-on-write: the untouched partition's files
@@ -251,6 +257,7 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert again == got
 
 
+@pytest.mark.heavy
 def test_upsert_partitioned_null_partition_and_bootstrap(spark, tmp_path):
     """The two hazards the review confirmed: (a) an update row with a
     NULL partition value must MERGE with — never silently delete — the
@@ -399,6 +406,7 @@ def test_drop_partitions_rejects_non_spark_layout(spark, tmp_path):
         drop_partitions_before(spark, path, "day", "2024-01-03")
 
 
+@pytest.mark.heavy
 def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
     """Upsert addresses touched partitions in ESCAPED directory form —
     the form partitionBy writes. With unescaped addressing, a
@@ -428,6 +436,7 @@ def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
                     (3, 30, "2024-01-02 00:00:00")]
 
 
+@pytest.mark.heavy
 def test_hive_escape_matches_real_partitionby_write(spark, tmp_path):
     """_escape_path_name must match what Spark's partitionBy writer
     ACTUALLY produces — per directory on disk, not just internal

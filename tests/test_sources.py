@@ -3,6 +3,8 @@ streams."""
 
 from __future__ import annotations
 
+import pytest
+
 from tickdatapipeline_spark.config import SignalProcessingConfig
 from tickdatapipeline_spark.operators.expansion import expand_volume
 from tickdatapipeline_spark.operators.hotloop import hot_loop
@@ -31,6 +33,7 @@ def test_read_tick_file_parses_and_skips(spark, tmp_path):
     assert got[0].bid == 41969 and got[0].ask == 41971
 
 
+@pytest.mark.heavy
 def test_read_tick_files_per_stream_numbering(spark, tmp_path):
     rows_a = [(f"20250319 12000{i} 0000000", 41970 + i, 1) for i in range(4)]
     rows_b = [(f"20250320 09000{i} 0000000", 42000 + i, 2) for i in range(3)]
@@ -158,6 +161,7 @@ def test_density_guard_raises_on_gapped_or_duplicated_event_ids(
             _run_chunked_chain(spark, tmp_path / label)
 
 
+@pytest.mark.heavy
 def test_density_guard_multistream_and_metadata_survival(spark, tmp_path):
     """The per-stream closed form (ticks_from_events_streams) carries
     the same guard; the metadata claim must survive the source's
@@ -221,6 +225,7 @@ def test_read_documents_jsonl_permissive(spark, tmp_path):
         df.unpersist()
 
 
+@pytest.mark.heavy
 def test_tickfile_datasource_matches_native_reader(spark, tmp_path):
     """spark.read.format('tickfile') (Python DataSource API) parses the
     same rows as the native read_tick_file path — same malformed-line

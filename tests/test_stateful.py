@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import make_ticks_raw
 from tickdatapipeline_spark.config import SignalProcessingConfig
 from tickdatapipeline_spark.operators.expansion import expand_volume
@@ -60,6 +62,7 @@ def test_ema_holdlast_does_not_advance_state(spark):
     )
 
 
+@pytest.mark.heavy
 def test_single_stream_streaming_kernel_bit_equal(spark):
     """The single-stream path streams ONE sorted partition through
     mapInPandas, carrying the recurrence state across Arrow batches

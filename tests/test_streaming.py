@@ -46,6 +46,7 @@ def renumber(rows):
 
 
 @pytest.mark.parametrize("encoder", ["derivative", "hexad16", "cpm", "amc"])
+@pytest.mark.heavy
 def test_microbatches_equal_batch(spark, encoder):
     cfg = SignalProcessingConfig(encoder_type=encoder, cpm_modulation_index=0.2,
                                  tick_derivative_imag_scale=2.0)
@@ -69,6 +70,7 @@ def test_microbatches_equal_batch(spark, encoder):
 
 
 @pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+@pytest.mark.heavy
 def test_bar_microbatches_equal_batch(spark, method, tpb):
     from tickdatapipeline_spark.config import BarProcessingConfig
     from tickdatapipeline_spark.operators.bars import BarSeed, bar_aggregate
@@ -102,6 +104,7 @@ def test_bar_microbatches_equal_batch(spark, method, tpb):
 
 
 @pytest.mark.parametrize("method,tpb", [("boxcar", 5), ("FIR", 4)])
+@pytest.mark.heavy
 def test_multistream_bar_microbatches_equal_batch(spark, method, tpb):
     """Per-stream BarSeed continuation: a 2-stream micro-batched run must
     equal the 2-stream batch plan bar for bar (BarProcessor.jl per-stream
@@ -158,6 +161,7 @@ def test_multistream_bar_microbatches_equal_batch(spark, method, tpb):
             assert g[c] == w[c], f"{w['stream']} bar {w['bar_idx']} col {c}: stream={g[c]} batch={w[c]}"
 
 
+@pytest.mark.heavy
 def test_empty_batch_keeps_state(spark):
     cfg = SignalProcessingConfig(encoder_type="derivative")
     rows = tick_rows(20)
@@ -258,6 +262,7 @@ def test_fanout_buffered_rows_pinned_against_source_mutation(spark, tmp_path):
     assert st["m"]["messages_sent"] == 4 and st["m"]["messages_dropped"] == 0
 
 
+@pytest.mark.heavy
 def test_runner_independent_streams_per_key(spark, tmp_path):
     """stream_key routes files to independent stream states: two symbols
     interleaved across files each process exactly like a solo run."""
@@ -308,6 +313,7 @@ def test_runner_independent_streams_per_key(spark, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_file_source_runner_end_to_end(spark, tmp_path):
     from tickdatapipeline_spark.streaming import StreamingTickPipeline
 
@@ -375,6 +381,7 @@ def test_pipeline_metrics_accumulation(spark):
     assert row.avg_latency_us == pytest.approx(1100 / 5)
 
 
+@pytest.mark.heavy
 def test_latency_metrics_query(spark):
     """O2 latency surface: micro-batched run over sf0.001 reports one
     row whose deterministic fields (ticks, batches, errors) are exact
@@ -394,6 +401,7 @@ def test_latency_metrics_query(spark):
 
 
 @pytest.mark.parametrize("encoder", ["derivative", "cpm", "amc"])
+@pytest.mark.heavy
 def test_multistream_advance_equals_batch(spark, encoder):
     """advance_streams: a 2-stream micro-batched run (uneven splits, one
     batch where stream B idles) must be bit-identical to the 2-stream
@@ -446,6 +454,7 @@ def test_multistream_advance_equals_batch(spark, encoder):
             assert g[c] == w[c], f"{w['stream']} tick {w['tick_idx']} col {c}: stream={g[c]} batch={w[c]}"
 
 
+@pytest.mark.heavy
 def test_runner_multistream_fast_path(spark, tmp_path):
     """max_files_per_trigger=2 + one-file-per-stream batches take the
     constant-job fast path (advance_streams); results must equal solo
@@ -506,6 +515,7 @@ def test_runner_multistream_fast_path(spark, tmp_path):
                 assert g[c] == w[c], f"{key} bar {w['bar_idx']} col {c}"
 
 
+@pytest.mark.heavy
 def test_ema_stream_state_carries_across_batches(spark, tmp_path):
     """applyInPandasWithState EMA: two streams split across three
     micro-batches equal the single-pass recurrence over each stream's
@@ -723,6 +733,7 @@ def test_streaming_session_window(spark, tmp_path):
     }
 
 
+@pytest.mark.heavy
 def test_runner_enriched_multistream_fast_path_equals_batch(spark, tmp_path):
     """enrich=True through the constant-job multistream fast path: the
     broadcast frames of each stream carry B7 bar columns equal to the
@@ -786,6 +797,7 @@ def test_runner_enriched_multistream_fast_path_equals_batch(spark, tmp_path):
         assert n_enriched >= 2  # bars completed, incl. across the split
 
 
+@pytest.mark.heavy
 def test_runner_enriched_output_equals_batch(spark, tmp_path):
     """enrich=True: the broadcast frames carry B7 bar columns on exactly
     the completing ticks, equal to the batch enrichment over the whole
@@ -843,6 +855,7 @@ def test_runner_enriched_output_equals_batch(spark, tmp_path):
     assert n_enriched >= 4  # several bars completed, incl. across the split
 
 
+@pytest.mark.heavy
 def test_runner_restart_resumes_from_snapshot(spark, tmp_path):
     """state_path survives a full runner restart: a NEW pipeline object
     (same checkpoint + snapshot) continues mid-stream — including
@@ -897,6 +910,7 @@ def test_runner_restart_resumes_from_snapshot(spark, tmp_path):
     assert pipe2.ticks_processed == len(whole)
 
 
+@pytest.mark.heavy
 def test_stream_stream_interval_join_attribution(spark, tmp_path):
     """Watermarked stream-stream interval join (clicks x purchases):
     in-watermark data produces exactly the batch join's rows; a click
@@ -994,6 +1008,7 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     assert all(c != 105 for _, c, _p, _l in got)  # late click dropped
 
 
+@pytest.mark.heavy
 def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
     """Two dimension-join contracts: (a) the plain stream-static join is
     stateless and left-null for unmatched keys, with the dimension fixed
@@ -1060,6 +1075,7 @@ def test_stream_static_enrichment_and_refreshable_dim(spark, tmp_path):
     assert got == {10: "gold", 11: None, 12: "platinum", 13: "bronze"}
 
 
+@pytest.mark.heavy
 def test_dedup_stream_drops_watermarked_duplicates(spark, tmp_path):
     """Streaming exact dedup: a later micro-batch's copy of an earlier
     doc (same whitespace/case-normalized content) is dropped; new
@@ -1099,6 +1115,7 @@ def test_dedup_stream_drops_watermarked_duplicates(spark, tmp_path):
     assert len({r.content_hash for r in rows}) == 3
 
 
+@pytest.mark.heavy
 def test_rowlocal_bands_match_band_table(spark):
     """The streaming dedup's row-local band keys must equal the batch
     _band_table's keys doc-for-doc, band-for-band — otherwise stream
@@ -1137,6 +1154,7 @@ def test_rowlocal_bands_match_band_table(spark):
     assert all(rowlocal[(1, b)] == rowlocal[(4, b)] for b in range(8))
 
 
+@pytest.mark.heavy
 def test_rowlocal_bands_match_band_table_randomized(spark):
     """Seeded randomized sweep of the stream==batch band-key contract:
     40 random docs across the edge spectrum (empty, 1-2 tokens = no
@@ -1172,6 +1190,7 @@ def test_rowlocal_bands_match_band_table_randomized(spark):
     assert rowlocal == batch
 
 
+@pytest.mark.heavy
 def test_neardup_dedup_stream_drops_perturbed_copy(spark, tmp_path):
     """Backfill-then-stream near-dup dedup: a TOKEN-PERTURBED copy of a
     backfilled doc arriving in batch 2 is dropped (shares LSH bands),
@@ -1232,6 +1251,7 @@ def test_neardup_dedup_stream_drops_perturbed_copy(spark, tmp_path):
     assert k1 != k4 and k1 & k4
 
 
+@pytest.mark.heavy
 def test_phash_dedup_stream_drops_perceptual_copy(spark, tmp_path):
     """Streaming perceptual media dedup (LSH + exact-Hamming verify):
     a byte-PERTURBED payload arriving in batch 2 whose pHash sits
@@ -1293,6 +1313,7 @@ def test_phash_dedup_stream_drops_perceptual_copy(spark, tmp_path):
     assert 0 < ham(fp[1], fp[3]) <= 8 < ham(fp[1], fp[5])
 
 
+@pytest.mark.heavy
 def test_neardup_dedup_stream_same_batch_keeps_exactly_one(spark, tmp_path):
     """Two near-dup docs arriving in the SAME micro-batch (multiple
     partitions) must keep EXACTLY the event-time-first one — under the
@@ -1334,6 +1355,7 @@ def test_neardup_dedup_stream_same_batch_keeps_exactly_one(spark, tmp_path):
     assert kept == [1, 3, 4, 5]
 
 
+@pytest.mark.heavy
 def test_phash_dedup_stream_same_batch_and_empty_payloads(spark, tmp_path):
     """Perceptual stream: a same-batch perceptual pair keeps exactly
     the event-time-first payload, and empty payloads are NOT silently
@@ -1370,6 +1392,7 @@ def test_phash_dedup_stream_same_batch_and_empty_payloads(spark, tmp_path):
     assert kept == [1, 3]
 
 
+@pytest.mark.heavy
 def test_neardup_dedup_stream_readmits_after_horizon(spark, tmp_path):
     """FIRST-ANCHORED expiry (the dropDuplicatesWithinWatermark
     contract): once the watermark passes the first arrival's event time
@@ -1409,6 +1432,7 @@ def test_neardup_dedup_stream_readmits_after_horizon(spark, tmp_path):
     assert kept == [1, 2, 3]
 
 
+@pytest.mark.heavy
 def test_neardup_dedup_stream_verifies_band_collisions(spark, tmp_path):
     """LSH-then-VERIFY at ingest: a document that shares LSH band
     buckets with a horizon neighbor but whose estimated Jaccard sits
@@ -1483,6 +1507,7 @@ def test_neardup_dedup_stream_verifies_band_collisions(spark, tmp_path):
     assert kept == [1, 2]
 
 
+@pytest.mark.heavy
 def test_dedup_stream_null_text_and_corrupt_lines(spark, tmp_path):
     """Exact-dedup stream ingest hygiene: two DISTINCT metadata-only
     (null-text) docs within the horizon are both kept — sha2(NULL) is
@@ -1516,6 +1541,7 @@ def test_dedup_stream_null_text_and_corrupt_lines(spark, tmp_path):
     assert kept == [1, 2, 4]
 
 
+@pytest.mark.heavy
 def test_phash_dedup_stream_null_media_id_quarantined(spark, tmp_path):
     """A line with a valid ts but null media_id must not crash the
     fingerprint kernel's int64 cast — it is quarantined at ingest and
@@ -1546,6 +1572,7 @@ def test_phash_dedup_stream_null_media_id_quarantined(spark, tmp_path):
     assert kept == [1, 3]
 
 
+@pytest.mark.heavy
 def test_neardup_dedup_stream_survives_corrupt_lines(spark, tmp_path):
     """A corrupt JSONL line (unparseable -> all-null row, null event
     time) must not crash the stateful kernel (NaT timestamp math) —
@@ -1574,6 +1601,7 @@ def test_neardup_dedup_stream_survives_corrupt_lines(spark, tmp_path):
     assert kept == [1, 3]
 
 
+@pytest.mark.heavy
 def test_neardup_dedup_stream_restart_keeps_state(spark, tmp_path):
     """Killing the near-dup stream and restarting on the same
     checkpoint must keep the band-key dedup state: a perturbed copy of
@@ -1619,6 +1647,7 @@ def test_neardup_dedup_stream_restart_keeps_state(spark, tmp_path):
     assert len([r for r in rows if r.doc_id == 1]) == 1  # batch 0 not replayed
 
 
+@pytest.mark.heavy
 def test_phash_dedup_stream_restart_keeps_state(spark, tmp_path):
     """Same durability contract for the perceptual media stream: the
     per-bucket GroupState (phash lists) survives a stop/start on the
@@ -1667,6 +1696,7 @@ def test_phash_dedup_stream_restart_keeps_state(spark, tmp_path):
     assert len([r for r in rows if r.media_id == 1]) == 1
 
 
+@pytest.mark.heavy
 def test_index_ingest_stream(spark, tmp_path):
     """Inverted-index live ingest: the bulk backfill serves phrase
     queries immediately; a phrase arriving in a later micro-batch is
@@ -1754,6 +1784,7 @@ def test_index_ingest_stream(spark, tmp_path):
                for ln in plan.splitlines() if "PartitionFilters" in ln)
 
 
+@pytest.mark.heavy
 def test_ingest_decontamination_stream(spark, tmp_path):
     """Ingest-time decontamination: new documents stream in per
     micro-batch and are checked against the precomputed corpus LSH
@@ -1808,6 +1839,7 @@ def test_ingest_decontamination_stream(spark, tmp_path):
     assert rows[500].batch_id == 0 and rows[502].batch_id == 1
 
 
+@pytest.mark.heavy
 def test_value_drift_stream(spark, tmp_path):
     """Streaming KS drift: each micro-batch's value distribution is
     compared against the frozen reference CDF — an identical batch
@@ -1856,6 +1888,7 @@ def test_value_drift_stream(spark, tmp_path):
     assert rows[1].ks_stat == 0.5 and rows[1].ks_at_value == 2.0
 
 
+@pytest.mark.heavy
 def test_ingest_ann_stream(spark, tmp_path):
     """Ingest-time semantic lookup: probe embeddings stream in per
     micro-batch and are searched against the precomputed IVF index —
@@ -1916,6 +1949,7 @@ def test_ingest_ann_stream(spark, tmp_path):
     assert all(r.cosine > 0.9 for r in by_q[501])
 
 
+@pytest.mark.heavy
 def test_snapshot_diff_stream_all_statuses(spark, tmp_path):
     """Live crawl-refresh audit: each arriving file is a full snapshot;
     every micro-batch diffs against the PREVIOUS snapshot's stored
@@ -1973,6 +2007,7 @@ def test_snapshot_diff_stream_all_statuses(spark, tmp_path):
         == {1, 2, 4}
 
 
+@pytest.mark.heavy
 def test_type_transitions_stream_equals_batch(spark, tmp_path):
     """The streaming Markov-transition feed equals the batch lag-window
     formulation over the concatenated input — including a transition
@@ -2077,6 +2112,7 @@ def test_refreshable_dim_writer_is_replay_idempotent(spark, tmp_path):
     assert replayed == first  # no duplicate rows, batch 1 untouched
 
 
+@pytest.mark.heavy
 def test_ingest_curation_stream(spark, tmp_path):
     """Full ingest gauntlet per micro-batch: PII scrubbed (counts kept,
     keep unaffected), short and boilerplate docs fail quality, corpus
@@ -2184,6 +2220,7 @@ def test_streaming_value_histogram_equals_batch(spark, tmp_path):
     }
 
 
+@pytest.mark.heavy
 def test_value_cusum_stream(spark, tmp_path):
     """Streaming CUSUM: the hourly store accumulates across batches
     and each batch's detection runs over the WHOLE observed series —
@@ -2229,6 +2266,7 @@ def test_value_cusum_stream(spark, tmp_path):
     assert (r1.mean_before, r1.mean_after) == (1.0, 2.0)
 
 
+@pytest.mark.heavy
 def test_hourly_topk_stream(spark, tmp_path):
     """Streaming heavy hitters: batch 0's leaderboard has user 2 ahead
     of user 1 in hour 0; batch 1 adds another 5.0 for user 1 (total
@@ -2273,6 +2311,7 @@ def test_hourly_topk_stream(spark, tmp_path):
         (0, 1, 1, 10.0, 2), (0, 2, 2, 8.0, 1), (3600, 1, 9, 2.5, 1)]
 
 
+@pytest.mark.heavy
 def test_compact_batch_store_preserves_detections(spark, tmp_path):
     """Compacting the CUSUM hourly store must leave the detection
     bit-identical (associative sums, <=-pruned readers), collapse the
@@ -2312,6 +2351,7 @@ def test_compact_batch_store_preserves_detections(spark, tmp_path):
     assert totals[("m", 0)] == 100 and totals[("m", 14400)] == 300
 
 
+@pytest.mark.heavy
 def test_quality_observed_ingest(spark, tmp_path):
     """The observe()-collected per-batch counters must match the data
     actually written through the same pass: row counts, null-field
@@ -2355,6 +2395,7 @@ def test_quality_observed_ingest(spark, tmp_path):
     assert data.count() == 4  # nothing silently dropped
 
 
+@pytest.mark.heavy
 def test_hourly_topk_stream_restart_resumes(spark, tmp_path):
     """Killing the leaderboard stream and restarting on the same
     checkpoint must continue batch ids (no re-processing, no gaps):
@@ -2454,6 +2495,7 @@ def test_backfill_hourly_store_warm_start(spark, tmp_path):
     assert (r.mean_before, r.mean_after) == (1.0, 2.0)
 
 
+@pytest.mark.heavy
 def test_value_trend_stream(spark, tmp_path):
     """Streaming trend: after batch 0 (flat 1.0, 1.0) the slope is 0;
     batch 1 appends hours at 2.0 and 3.0 — the re-run over the
@@ -2491,6 +2533,7 @@ def test_value_trend_stream(spark, tmp_path):
     assert (r1.n_hours, r1.slope_per_hour, r1.mean_hourly_value) == (4, 0.7, 1.75)
 
 
+@pytest.mark.heavy
 def test_phash_real_decoder_injection(spark, tmp_path):
     """The media family's load-bearing claim — "a real grayscale
     decoder swaps into the kernel unchanged" — exercised end to end:
@@ -2709,6 +2752,7 @@ def _write_session_events(in_dir, fname, rows):
                 {"event_id": event_id, "user_id": user_id, "ts": ts}) + "\n")
 
 
+@pytest.mark.heavy
 def test_sessionization_stream_matches_batch_mirror(spark, tmp_path):
     """Streaming gap sessions equal the batch gaps-and-islands pass on
     every CLOSED session: out-of-order arrivals inside a batch, a
@@ -2753,6 +2797,7 @@ def test_sessionization_stream_matches_batch_mirror(spark, tmp_path):
     assert all(r.user_id != 999 for r in rows)  # sentinel tail stays open
 
 
+@pytest.mark.heavy
 def test_sessionization_stream_merges_bridging_event_and_restarts(spark, tmp_path):
     """An out-of-order event that lands BETWEEN two open sessions and
     sits within the gap of both must MERGE them into one (interval
@@ -2854,6 +2899,7 @@ def test_heavy_hitters_stream_superset_and_bounded_state(spark, tmp_path):
     assert verified == truth == {7, 8}
 
 
+@pytest.mark.heavy
 def test_heavy_hitters_stream_state_survives_restart(spark, tmp_path):
     """MG counters accumulate across a checkpoint restart: a key that
     is only heavy COMBINED across the two runs must appear in the
@@ -2886,6 +2932,7 @@ def test_heavy_hitters_stream_state_survives_restart(spark, tmp_path):
     assert got.get(5) == 20  # alone in its shard: MG count stays exact
 
 
+@pytest.mark.heavy
 def test_stream_stream_left_outer_join_emits_unconverted_clicks(spark, tmp_path):
     """leftOuter interval join: matched rows equal the inner join's;
     a click with NO purchase emits exactly once with NULL
@@ -2951,6 +2998,7 @@ def test_stream_stream_left_outer_join_emits_unconverted_clicks(spark, tmp_path)
     }
 
 
+@pytest.mark.heavy
 def test_order_flow_stream_equals_batch(spark, tmp_path):
     """The streaming tick-rule order flow equals the batch formulation
     over the concatenated input: per-tick dirs match tick_rule_dirs
@@ -3038,6 +3086,7 @@ def test_order_flow_stream_equals_batch(spark, tmp_path):
         assert (lr.buy_volume, lr.sell_volume, lr.unclassified_volume) == (r.b, r.s, r.u)
 
 
+@pytest.mark.heavy
 def test_hourly_ohlc_stream_equals_batch(spark, tmp_path):
     """Finalized streaming OHLC candles equal the batch min_by/max_by
     aggregate over the on-time rows — including open/close tie
@@ -3223,6 +3272,7 @@ def test_order_flow_stream_restart_keeps_state(spark, tmp_path):
     assert rows[3].unclassified_volume == 1  # line 1 before any move
 
 
+@pytest.mark.heavy
 def test_bands_from_signature_equals_direct_band_signature(spark):
     """rowlocal_bands_from_signature over the materialized signature
     column must emit byte-identical band keys to the direct
@@ -3459,6 +3509,7 @@ def test_rv_bars_stream_equals_batch_completed_bars(spark, tmp_path):
     assert got[(0, 1)] == (3, 17, 4)
 
 
+@pytest.mark.heavy
 def test_liquidity_stream_equals_batch(spark, tmp_path):
     """The streaming liquidity monitor emits, per micro-batch, exactly
     the batch liquidity panel over each stream's concatenated prefix —
@@ -3530,6 +3581,7 @@ def test_liquidity_stream_equals_batch(spark, tmp_path):
     assert got[(0, 7)].vr4 is not None
 
 
+@pytest.mark.heavy
 def test_liquidity_stream_restart_keeps_state(spark, tmp_path):
     """Killing the liquidity monitor and restarting on the same
     checkpoint resumes the GroupState accumulators: the post-restart
@@ -3593,6 +3645,7 @@ def test_liquidity_stream_restart_keeps_state(spark, tmp_path):
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.heavy
 def test_liquidity_kernel_any_split_equals_batch(spark, prices, cuts, data):
     """Property form of the stream==batch contract: ANY split of a
     random tick series into micro-batches, driven through
@@ -3693,6 +3746,7 @@ def test_wilder_rsi_stream_equals_batch_completed_bars(spark, tmp_path):
     assert min(b for _, b in got) == 14  # first emit = W-th move's bar
 
 
+@pytest.mark.heavy
 def test_wilder_rsi_stream_restart_keeps_state(spark, tmp_path):
     """The Wilder GroupState (in-progress bar + smoothing averages)
     survives a query restart from the checkpoint: a bar completing in
@@ -3748,6 +3802,7 @@ def test_wilder_rsi_stream_restart_keeps_state(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_vwap_bars_stream_equals_batch_completed_bars(spark, tmp_path):
     """Finalized streaming VWAP bars equal the per-stream form of the
     batch operator (operators.bars.vwap_bars) for every COMPLETED bar,
@@ -3922,6 +3977,7 @@ def test_bollinger_stream_equals_batch_completed_bars(spark, tmp_path):
     assert any(v[2] == 1 for v in got.values())
 
 
+@pytest.mark.heavy
 def test_bollinger_stream_restart_keeps_state(spark, tmp_path):
     """The trailing-closes ring buffer and in-progress bar survive a
     query restart from the checkpoint: a bar completing in the SECOND
@@ -3975,6 +4031,7 @@ def test_bollinger_stream_restart_keeps_state(spark, tmp_path):
     assert got[3][2] == 1  # the post-restart spike bar breaks upper
 
 
+@pytest.mark.heavy
 def test_kyle_lambda_stream_equals_batch(spark, tmp_path):
     """The cumulative streaming Kyle's-lambda panel equals the batch
     operator (plans.market.kyle_lambda) over the full prefix — same
@@ -4041,6 +4098,7 @@ def test_kyle_lambda_stream_equals_batch(spark, tmp_path):
         assert g.impact_corr == w.impact_corr
 
 
+@pytest.mark.heavy
 def test_kyle_lambda_stream_restart_keeps_state(spark, tmp_path):
     """The tick-rule carry and five sums survive a restart: the
     post-restart cumulative panel equals the one-shot batch answer."""
@@ -4089,6 +4147,7 @@ def test_kyle_lambda_stream_restart_keeps_state(spark, tmp_path):
     assert latest.kyle_lambda == want.kyle_lambda
 
 
+@pytest.mark.heavy
 def test_bollinger_stream_deployment_params_fires_real_breaks(spark, tmp_path):
     """Deployment parameters W=20/k=2 (BOLLINGER_W/BOLLINGER_K) through
     the durable runner, on a fixture LONG enough to fire real breaks —
@@ -4167,6 +4226,7 @@ def test_bollinger_stream_deployment_params_fires_real_breaks(spark, tmp_path):
                for b in range(19, 25)) and got[30][2] == 0
 
 
+@pytest.mark.heavy
 def test_kyle_lambda_stream_trending_tape_nonzero_lambda(spark, tmp_path):
     """A TRENDING tape (the r12 degenerate battery covered the flat
     tape only): buys on rising prices with varied volumes produce a

@@ -72,6 +72,7 @@ def test_degenerate_vwap_stream(spark, tmp_path):
     assert all(r.vwap is None and r.bar_volume == 0 for r in rows)
 
 
+@pytest.mark.heavy
 def test_degenerate_bollinger_stream(spark, tmp_path):
     from tickdatapipeline_spark.streaming.stateful import bollinger_stream
 
@@ -85,6 +86,7 @@ def test_degenerate_bollinger_stream(spark, tmp_path):
                         for r in full)
 
 
+@pytest.mark.heavy
 def test_degenerate_wilder_rsi_stream(spark, tmp_path):
     from tickdatapipeline_spark.streaming.stateful import wilder_rsi_stream
 
@@ -105,6 +107,7 @@ def test_degenerate_order_flow_stream(spark, tmp_path):
     assert rows  # flat tape: everything unclassified, nothing crashes
 
 
+@pytest.mark.heavy
 def test_degenerate_drawdown_stream(spark, tmp_path):
     from tickdatapipeline_spark.streaming.stateful import drawdown_stream
 
@@ -120,6 +123,7 @@ def test_degenerate_rv_bars_stream(spark, tmp_path):
     assert len(rows) == 2  # flat bars: rv 0, never a crash
 
 
+@pytest.mark.heavy
 def test_degenerate_liquidity_stream(spark, tmp_path):
     from tickdatapipeline_spark.streaming.stateful import liquidity_stream
 
@@ -132,6 +136,7 @@ def test_degenerate_liquidity_stream(spark, tmp_path):
     assert last.roll_spread is None
 
 
+@pytest.mark.heavy
 def test_degenerate_ema_stream(spark, tmp_path):
     """EMA twin has its own input contract (stream string, tick_idx,
     delta_w, is_core): all-zero deltas with a core/non-core mix."""
