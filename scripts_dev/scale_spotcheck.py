@@ -113,14 +113,28 @@ spark.stop()
 """
 
 
+def _event_lines(f: Path):
+    if f.name.endswith(".zstd"):
+        import subprocess as sp
+
+        out = sp.run(["zstd", "-dc", str(f)], capture_output=True, text=True)
+        yield from out.stdout.splitlines()
+    else:
+        yield from open(f, errors="replace")
+
+
 def max_concurrency(evdir: str) -> int:
     """Max number of simultaneously running tasks across the app."""
     points = []
-    for f in Path(evdir).glob("*"):
-        for line in open(f, errors="replace"):
+    for f in Path(evdir).glob("**/*"):
+        if not f.is_file():
+            continue
+        for line in _event_lines(f):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
+                continue
+            if not isinstance(ev, dict):
                 continue
             if ev.get("Event") == "SparkListenerTaskStart":
                 ti = ev["Task Info"]

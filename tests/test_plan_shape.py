@@ -112,6 +112,18 @@ def test_fir_averages_is_join_free(spark):
     assert "Join" not in plan
     assert "Generate explode" in plan  # the scatter
     assert plan.count("HashAggregate") >= 2  # partial (combiner) + final
+    # windowed (sub-threshold) posture: fused serial scatter, no chunk
+    # exchange (measured faster at fixture sizes, r15)
+    assert "hashpartitioning(_fc" not in plan
+
+    # chunked (at-scale) posture: the explode is spread by an explicit
+    # AQE-exempt repartition on the end-chunk id BEFORE the blow-up, so
+    # one giant stream cannot serialize the convolution (r15)
+    plan_c = physical(
+        _fir_averages(ticks, [], design_decimation_filter(5), step=5,
+                      chunked=True))
+    assert "Join" not in plan_c
+    assert "hashpartitioning(_fc" in plan_c and "REPARTITION_BY_NUM" in plan_c
 
 
 def test_vocab_topk_plans_as_take_ordered(spark):

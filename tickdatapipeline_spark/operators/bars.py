@@ -79,7 +79,8 @@ _FIR_CHUNK_TAPS = 4
 
 
 def _fir_averages(
-    ticks: DataFrame, part: list[str], taps: tuple[float, ...], step: int
+    ticks: DataFrame, part: list[str], taps: tuple[float, ...], step: int,
+    chunked: bool = False,
 ) -> DataFrame:
     """FIR bar averages at bar-end ticks.
 
@@ -95,54 +96,70 @@ def _fir_averages(
     formulation exploded completions x L and equi-joined 65 M rows back
     to ticks at sf0.1 — 2 shuffles of the blown-up set.)
 
-    Chunked scatter (r15, guide §2.5 input skew / §1.2 order-of-
-    operations): the L/step explode is the expensive stage (~218
-    replicas/tick at L=1087, step=5) and it inherits the INPUT's
-    partitioning — a 1-partition staged ticks table (or one giant
-    stream) ran it on one core. Each tick is first replicated into the
-    1-2 end-CHUNKS its window spans (chunk width = _FIR_CHUNK_TAPS x L,
-    so the duplication is <= 1.25x of narrow (tick_idx, price) rows —
-    never the exploded replicas), hash-repartitioned on (stream, chunk)
-    with an explicit AQE-coalesce-exempt partition count, and only then
-    exploded to its in-chunk end positions. Each (part, end) group
-    lives entirely in one chunk, so the map-side combiner still
-    collapses the blow-up to O(ends) rows before the only full shuffle
-    — identical integer sums in any order, bit-identical output.
+    Chunked scatter (``chunked=True``, r15; guide §2.5 input skew /
+    §1.2 order-of-operations): the L/step explode is the expensive
+    stage (~218 replicas/tick at L=1087, step=5) and it inherits the
+    INPUT's partitioning — one giant stream runs it on one core. Each
+    tick is first replicated into the 1-2 end-CHUNKS its window spans
+    (chunk width = _FIR_CHUNK_TAPS x L, so the duplication is <= 1.25x
+    of narrow (tick_idx, price) rows — never the exploded replicas),
+    hash-repartitioned on (stream, chunk) with an explicit
+    AQE-coalesce-exempt partition count, and only then exploded to its
+    in-chunk end positions. Each (part, end) group lives entirely in
+    one chunk, so the map-side combiner still collapses the blow-up to
+    O(ends) rows before the only full shuffle — identical integer sums
+    in any order, bit-identical output.
+
+    ``chunked`` follows the caller's two-pass posture (bar_aggregate
+    passes its own use_chunks), the same size-gated split the tick
+    chain uses: BELOW the two-pass cutover the fused serial scatter
+    wins outright (measured r15 at sf0.1, matched probe_ratio: serial
+    1.94 s vs chunked 2.29 s bench entry — the extra narrow exchange
+    costs more than one core's explode at fixture sizes), ABOVE it the
+    explode is unbounded per partition and must fan out (10x
+    spot-check: multi-task FIR stage, see plans/r15).
 
     Output may contain ends whose bar never completes (trailing partial);
     the caller's inner join against completed bars drops them.
     """
     L = len(taps)
-    C = _FIR_CHUNK_TAPS * L
     taps_q = F.array(*[F.lit(round(c * FIR_Q)) for c in taps])
     t = F.col("tick_idx")
     first_end = F.expr(f"((tick_idx + {step - 1}) DIV {step}) * {step}")
     last_end = t + F.lit(L - 1)
     src = ticks.select(*part, "tick_idx", "raw_price")
-    # replicate each tick into the end-chunks its [first_end, last_end]
-    # span touches (<= 1 + span/C); guard the ascending-sequence contract
-    # like _expand_rows does (L < step could make the span empty)
-    chunk_seq = F.when(
-        first_end <= last_end,
-        F.sequence(
-            F.expr(f"(((tick_idx + {step - 1}) DIV {step}) * {step}) DIV {C}"),
-            F.expr(f"(tick_idx + {L - 1}) DIV {C}"),
-        ),
-    )
-    src = src.withColumn("_fc", F.explode(chunk_seq))
-    n_shuffle = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    src = src.repartition(n_shuffle, *(part + ["_fc"]))
-    # in-chunk end positions: multiples of `step` within
-    # [max(first_end, chunk start), min(last_end, chunk end)]
-    lo = F.greatest(
-        first_end,
-        F.expr(f"((_fc * {C} + {step - 1}) DIV {step}) * {step}"),
-    )
-    hi = F.least(last_end, F.col("_fc") * F.lit(C) + F.lit(C - 1))
-    scattered = (
-        src.withColumn(
-            "_e", F.explode(F.when(lo <= hi, F.sequence(lo, hi, F.lit(step))))
+    if chunked:
+        C = _FIR_CHUNK_TAPS * L
+        # replicate each tick into the end-chunks its [first_end,
+        # last_end] span touches (<= 1 + span/C); guard the ascending-
+        # sequence contract like _expand_rows does (L < step could make
+        # the span empty)
+        chunk_seq = F.when(
+            first_end <= last_end,
+            F.sequence(
+                F.expr(
+                    f"(((tick_idx + {step - 1}) DIV {step}) * {step}) DIV {C}"),
+                F.expr(f"(tick_idx + {L - 1}) DIV {C}"),
+            ),
         )
+        src = src.withColumn("_fc", F.explode(chunk_seq))
+        n_shuffle = int(
+            src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        src = src.repartition(n_shuffle, *(part + ["_fc"]))
+        # in-chunk end positions: multiples of `step` within
+        # [max(first_end, chunk start), min(last_end, chunk end)]
+        lo = F.greatest(
+            first_end,
+            F.expr(f"((_fc * {C} + {step - 1}) DIV {step}) * {step}"),
+        )
+        hi = F.least(last_end, F.col("_fc") * F.lit(C) + F.lit(C - 1))
+        ends = F.when(lo <= hi, F.sequence(lo, hi, F.lit(step)))
+    else:
+        ends = F.when(
+            first_end <= last_end, F.sequence(first_end, last_end, F.lit(step))
+        )
+    scattered = (
+        src.withColumn("_e", F.explode(ends))
         .withColumn("_tap_q", F.element_at(taps_q, (F.col("_e") - t + 1).cast("int")))
     )
     return (
@@ -294,7 +311,7 @@ def bar_aggregate(
                 # (an O(streams) frame)
                 tail = ticks.select(*part).distinct().crossJoin(tail)
             fir_src = fir_src.unionByName(tail.select(*part, "tick_idx", "raw_price"))
-        firs = _fir_averages(fir_src, part, taps, step=n)
+        firs = _fir_averages(fir_src, part, taps, step=n, chunked=use_chunks)
         bars = bars.join(firs, on=part + ["end_tick_idx"])
     else:
         # boxcar: Int(round((H+L+C)/3)) (BarProcessor.jl:239-245);

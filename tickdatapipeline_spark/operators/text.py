@@ -794,41 +794,29 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over tokens: per bit, majority vote of token-hash bits
     (sum of +-1 > 0), reassembled into a `bits`-wide signature.
 
-    Scale path: tokens are pre-counted per (doc_id, token) BEFORE any
-    hashing (r15, guide §1.2 "don't compute things you throw away" /
-    §2.3 "aggregate before you shuffle"): natural text repeats tokens
-    within a document (~2.3x at sf0.1), and a doc's exploded tokens are
-    co-located, so the count groupBy collapses map-side and the
-    md5-based h60 — the dominant per-row cost, oracle-pinned so it
-    cannot be swapped for a cheaper hash — runs once per DISTINCT
-    (doc, token) pair instead of once per occurrence. The `bits`
-    weighted-SUM aggregates then also update once per pair (vote
-    weight = occurrence count: sum over occurrences of +-1 == sum over
-    distinct pairs of n x +-1, exact integer identity). Shuffle volume
-    stays O(docs x bits) packed into one row per doc for the final
-    aggregate, plus the narrow (doc, token, n) pair frame.
+    Scale path: one hash per token row, then `bits` conditional SUM
+    aggregates in a single map-side-combinable groupBy — no bits-fold row
+    explosion; shuffle volume is O(docs x bits) packed into one row per
+    doc, independent of document length.
+
+    Measured and REJECTED (r15, alternating A/B at matched probe): a
+    per-(doc, token) pre-count before the md5 (the oracle-pinned h60 is
+    the dominant per-row cost and tokens repeat ~2.3x within documents
+    at sf0.1) — the pair groupBy's extra exchange + stage round-trips
+    cost more than the 2.3x md5/vote-update saving at every size the
+    bench sees (solo mins 1.62 s per-occurrence vs 1.89 s pre-counted;
+    bench entry 1.46 -> 2.35 s), and unlike the FIR scatter there is no
+    in-plan size signal to gate it on. Recorded so the next round does
+    not re-try it blind; at md5-bound corpus scale the trade may flip,
+    but proving that needs a cluster, not this box.
     """
     tok = fan_out(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(tokens(F.col("text"))).alias("tok"),
-    )
-    # explicit-count repartition, reused by the groupBy below (same
-    # keys, same count — one exchange): the pair frame is narrow, so
-    # AQE's byte-based coalescing would squeeze the post-shuffle side
-    # to 1 partition and run the md5 + vote stage serially (measured:
-    # an 815 ms 1-task stage at sf0.1); explicit counts are exempt.
-    n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cnt = (
-        tok.repartition(n_shuffle, "doc_id", "tok")
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_n"))
-    )
-    cnt = cnt.withColumn("h", h60(F.col("tok")))
-    votes = cnt.groupBy("doc_id").agg(
+    ).withColumn("h", h60(F.col("tok")))
+    votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.col("_n")
-                * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
             for b in range(bits)
         ]
     )
